@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked-run output passes straight through (no [info] prefix) and sbt's
+// [success] banner is suppressed, so Bench's final JSON line is the last
+// stdout line the driver sees.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false

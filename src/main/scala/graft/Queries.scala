@@ -1,0 +1,940 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.schema.{CurrencyDim, Transition}
+
+/** One declared query per SURVEY.md §2 operator, each with a DuckDB oracle
+  * SQL twin (None => driver records a rows-only check; kept for genuinely
+  * non-SQL or nondeterministic surfaces only).
+  *
+  * Determinism rules (SURVEY.md §7.4): every query ends with ORDER BY on a
+  * unique key; every float aggregate is round()ed; timestamps cross the
+  * oracle boundary as strings or epoch-microsecond longs, never as raw
+  * sub-second timestamps; column names are identical on both sides.
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Queries {
+  private def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+  /** isin synthesized from a numeric column: XFC + zero-padded (x % 84 + 1)
+    * — always hits the 84-row dim. */
+  private def isinFrom(c: org.apache.spark.sql.Column) =
+    concat(lit("XFC"), lpad((c % 84 + 1).cast("string"), 9, "0"))
+  private val isinSql =
+    "'XFC' || lpad(CAST(user_id % 84 + 1 AS VARCHAR), 9, '0')"
+
+  // ===========================================================================
+  // Flagship + scan/filter/project family (S9, P1-P8, F1-F12)
+  // ===========================================================================
+
+  val flagship = QuerySpec("flagship_revenue_by_nation",
+    (s, d) => {
+      val li = T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+      li.join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           |  count(*) AS n_rows,
+           |  count(DISTINCT o_orderkey) AS n_orders
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    bench = true)
+
+  val p1SplitDecode = QuerySpec("p1_split_decode",
+    (s, d) => {
+      val withValue = Tables.events(s, d).filter(col("event_id") < 5000)
+        .withColumn("value",
+          concat(col("event_type"), lit("#"), col("user_id").cast("string")))
+      CoreOps.decodeJobValue(withValue)
+        .select(col("event_id"), col("value"), col("exchange"), col("isin"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id,
+           |    event_type || '#' || CAST(user_id AS VARCHAR) AS value
+           |  FROM events WHERE event_id < 5000)
+           |SELECT event_id, value,
+           |  string_split(value, '#')[1] AS exchange,
+           |  string_split(value, '#')[2] AS isin
+           |FROM e ORDER BY event_id""".stripMargin))
+
+  val p2FrameProject = QuerySpec("p2_frame_project",
+    (s, d) => {
+      val framed = T(s, d, "embeddings")
+        .withColumn("frame", Similarity.asDouble("embedding"))
+      CoreOps.withMid(CoreOps.projectFrame("frame")(framed))
+        .select(col("vec_id"),
+          round(col("bid"), 6).as("bid"), round(col("ask"), 6).as("ask"),
+          round(col("last_price"), 6).as("last_price"),
+          round(col("volume"), 6).as("volume"),
+          round(col("high"), 6).as("high"), round(col("low"), 6).as("low"),
+          round(col("mid"), 6).as("mid"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+           |  round(embedding[1]::DOUBLE, 6) AS bid,
+           |  round(embedding[3]::DOUBLE, 6) AS ask,
+           |  round(embedding[7]::DOUBLE, 6) AS last_price,
+           |  round(embedding[8]::DOUBLE, 6) AS volume,
+           |  round(embedding[9]::DOUBLE, 6) AS high,
+           |  round(embedding[10]::DOUBLE, 6) AS low,
+           |  round((embedding[1]::DOUBLE + embedding[3]::DOUBLE) / 2, 6) AS mid
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  val p4DerivedScale = QuerySpec("p4_derived_scale",
+    (s, d) => {
+      val ticks = Tables.events(s, d).filter(col("event_id") < 5000)
+        .withColumn("bid", col("value"))
+        .withColumn("ask", col("value") * 1.02 + 0.01)
+      CoreOps.withPctScale("value", "change_pct")(CoreOps.withMid(ticks))
+        .select(col("event_id"),
+          round(col("bid"), 6).as("bid"), round(col("ask"), 6).as("ask"),
+          round(col("mid"), 6).as("mid"),
+          round(col("change_pct"), 6).as("change_pct"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+           |  round(value, 6) AS bid,
+           |  round(value * 1.02 + 0.01, 6) AS ask,
+           |  round((value + (value * 1.02 + 0.01)) / 2, 6) AS mid,
+           |  round(value * 100, 6) AS change_pct
+           |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin))
+
+  val p5Envelope = QuerySpec("p5_envelope",
+    (s, d) => {
+      val enriched = CoreOps.enrich(lit("btsp"), isinFrom(col("user_id")))(
+        Tables.events(s, d).filter(col("event_id") < 2000))
+        .withColumn("price_cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+      enriched.select(col("event_id"),
+          CoreOps.toEnvelope(col("exchange"), col("isin"),
+            col("price_cents"), col("ts_us")).as("envelope"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""SELECT event_id, to_json({
+            |    'exchange': 'btsp',
+            |    'isin': $isinSql,
+            |    'price_cents': CAST(round(value * 100, 0) AS BIGINT),
+            |    'ts_us': epoch_us(ts)}) AS envelope
+            |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin))
+
+  val p6Eligibility = QuerySpec("p6_eligibility",
+    (s, d) => {
+      val jobs = T(s, d, "orders").select(
+        col("o_orderkey").as("downloader_jq_id"),
+        (lit(1000) + (col("o_orderkey") % 10) * 100).cast("int").as("action"),
+        concat(when(col("o_orderkey") % 2 === 0, "btsp").otherwise("btfx"),
+          lit("#XFC"),
+          lpad((col("o_custkey") % 84 + 1).cast("string"), 9, "0")).as("value"),
+        ((col("o_orderkey") % 3) + 1).cast("int").as("type_idtype"))
+      CoreOps.decodeJobValue(CoreOps.eligibleJobs(jobs))
+        .select(col("downloader_jq_id"), col("value"),
+          col("exchange"), col("isin"))
+        .orderBy(col("downloader_jq_id"))
+    },
+    Some("""WITH jobs AS (
+           |  SELECT o_orderkey AS downloader_jq_id,
+           |    1000 + (o_orderkey % 10) * 100 AS action,
+           |    (CASE WHEN o_orderkey % 2 = 0 THEN 'btsp' ELSE 'btfx' END)
+           |      || '#XFC' || lpad(CAST(o_custkey % 84 + 1 AS VARCHAR), 9, '0') AS value,
+           |    (o_orderkey % 3) + 1 AS type_idtype
+           |  FROM orders)
+           |SELECT downloader_jq_id, value,
+           |  string_split(value, '#')[1] AS exchange,
+           |  string_split(value, '#')[2] AS isin
+           |FROM jobs
+           |WHERE downloader_jq_id <> 0 AND action = 1000 AND type_idtype = 2
+           |ORDER BY downloader_jq_id""".stripMargin))
+
+  val p7StatusFilter = QuerySpec("p7_status_filter",
+    (s, d) => {
+      val withStatus = Tables.events(s, d).withColumn("status",
+        when(col("event_type") === "error", 500)
+          .when(col("event_type") === "signup", 201)
+          .otherwise(200))
+      CoreOps.okStatus(withStatus)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_ok"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (SELECT *,
+           |    CASE WHEN event_type = 'error' THEN 500
+           |         WHEN event_type = 'signup' THEN 201
+           |         ELSE 200 END AS status
+           |  FROM events)
+           |SELECT event_type, count(*) AS n_ok, round(sum(value), 4) AS sum_value
+           |FROM e WHERE status = 200
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val p8Dispatch = QuerySpec("p8_dispatch",
+    (s, d) => {
+      val withEx = Tables.events(s, d).withColumn("exchange",
+        when(col("user_id") % 2 === 0, "btsp").otherwise("btfx"))
+      CoreOps.withRoute(withEx)
+        .groupBy(col("exchange"), col("route"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("exchange"))
+    },
+    Some("""WITH e AS (SELECT *,
+           |    CASE WHEN user_id % 2 = 0 THEN 'btsp' ELSE 'btfx' END AS exchange
+           |  FROM events),
+           |r AS (SELECT *,
+           |    CASE WHEN exchange = 'btsp' THEN 'rest'
+           |         WHEN exchange = 'btfx' THEN 'wss'
+           |         ELSE 'unknown' END AS route
+           |  FROM e)
+           |SELECT exchange, route, count(*) AS n, round(avg(value), 6) AS avg_value
+           |FROM r GROUP BY exchange, route ORDER BY exchange""".stripMargin))
+
+  val fStrings = QuerySpec("f_strings",
+    (s, d) => T(s, d, "customer").filter(col("c_custkey") <= 2000)
+      .withColumn("name_lower", lower(col("c_name")))
+      .withColumn("name_upper", upper(col("c_name")))
+      .withColumn("tag", concat(col("c_mktsegment"), lit("#"), col("c_name")))
+      .withColumn("seg_decoded", element_at(split(col("tag"), "#"), 1))
+      .select(col("c_custkey"), col("name_lower"), col("name_upper"),
+        col("tag"), col("seg_decoded"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+           |  lower(c_name) AS name_lower,
+           |  upper(c_name) AS name_upper,
+           |  c_mktsegment || '#' || c_name AS tag,
+           |  string_split(c_mktsegment || '#' || c_name, '#')[1] AS seg_decoded
+           |FROM customer WHERE c_custkey <= 2000 ORDER BY c_custkey""".stripMargin))
+
+  val f6FromJson = QuerySpec("f6_from_json",
+    (s, d) => Tables.events(s, d)
+      .withColumn("k_val",
+        from_json(col("props"), "k INT", Map.empty[String, String]).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k_val")).as("n"), sum(col("k_val")).as("sum_k"),
+        round(avg(col("k_val")), 6).as("avg_k"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+           |  count(CAST(props->>'k' AS INT)) AS n,
+           |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+           |  round(avg(CAST(props->>'k' AS INT)), 6) AS avg_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val f8Casts = QuerySpec("f8_casts",
+    (s, d) => CoreOps.normalizeDecimal("value", "d")(
+      Tables.events(s, d).filter(col("event_id") < 5000)
+        .withColumn("s", format_string("%.4f", col("value"))))
+      .withColumn("i", floor(col("value")).cast("long"))
+      .select(col("event_id"), col("s"), col("d"), col("i"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+           |  printf('%.4f', value) AS s,
+           |  CAST(printf('%.4f', value) AS DOUBLE) AS d,
+           |  CAST(floor(value) AS BIGINT) AS i
+           |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin))
+
+  val f10TimeBuckets = QuerySpec("f10_time_buckets",
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_str"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
+        min(expr("unix_micros(ts)")).as("first_us"))
+      .orderBy(col("hour_str")),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+           |  count(*) AS n, round(sum(value), 4) AS sum_value,
+           |  min(epoch_us(ts)) AS first_us
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    bench = true)
+
+  val f12MapAccess = QuerySpec("f12_map_access",
+    (s, d) => Tables.events(s, d).filter(col("event_id") < 5000)
+      .withColumn("m",
+        from_json(col("props"), "map<string,int>", Map.empty[String, String]))
+      .select(col("event_id"), element_at(col("m"), "k").as("k_val"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(props->>'k' AS INT) AS k_val
+           |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin))
+
+  // ===========================================================================
+  // Joins (J1-J8)
+  // ===========================================================================
+
+  val j1DimForward = QuerySpec("j1_dim_forward",
+    (s, d) => {
+      val ticks = Tables.events(s, d).filter(col("event_id") < 10000)
+        .withColumn("isin", isinFrom(col("user_id")))
+      DimJoins.forward(s)(ticks)
+        .select(col("event_id"), col("isin"), col("base"), col("quote"),
+          col("pair"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH ticks AS (
+            |  SELECT event_id, $isinSql AS isin
+            |  FROM events WHERE event_id < 10000)
+            |SELECT t.event_id, t.isin, dim.base, dim.quote, dim.pair
+            |FROM ticks t JOIN ${CurrencyDim.sqlRelation("dim")}
+            |  ON dim.isin = t.isin
+            |ORDER BY t.event_id""".stripMargin))
+
+  val j2DimReverse = QuerySpec("j2_dim_reverse",
+    (s, d) => {
+      val ticks = Tables.events(s, d).filter(col("event_id") < 10000)
+        .withColumn("isin", isinFrom(col("user_id")))
+      val withPair = DimJoins.forward(s)(ticks)
+        .withColumn("pair2", when(col("user_id") % 5 === 0,
+          concat(col("pair"), lit("x"))).otherwise(col("pair")))
+        .select(col("event_id"), col("pair2").as("pair"))
+      DimJoins.reverse(s)(withPair)
+        .select(col("event_id"), col("pair"), col("isin_resolved"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH ticks AS (
+            |  SELECT event_id, user_id, $isinSql AS isin
+            |  FROM events WHERE event_id < 10000),
+            |withpair AS (
+            |  SELECT t.event_id,
+            |    CASE WHEN t.user_id % 5 = 0 THEN dim.pair || 'x'
+            |         ELSE dim.pair END AS pair
+            |  FROM ticks t JOIN ${CurrencyDim.sqlRelation("dim")}
+            |    ON dim.isin = t.isin)
+            |SELECT w.event_id, w.pair, d2.isin AS isin_resolved
+            |FROM withpair w LEFT JOIN ${CurrencyDim.sqlRelation("d2")}
+            |  ON d2.pair = w.pair
+            |ORDER BY w.event_id""".stripMargin))
+
+  val j3ShuffleHash = QuerySpec("j3_shuffle_hash",
+    (s, d) => T(s, d, "orders")
+      .join(T(s, d, "lineitem").hint("SHUFFLE_HASH"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+           |  round(sum(l_extendedprice), 2) AS sum_price
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    bench = true)
+
+  val j4SortMerge = QuerySpec("j4_sort_merge",
+    (s, d) => T(s, d, "orders")
+      .join(T(s, d, "lineitem").hint("MERGE"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderstatus"), col("l_returnflag")),
+    Some("""SELECT o_orderstatus, l_returnflag, count(*) AS n_items,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY o_orderstatus, l_returnflag
+           |ORDER BY o_orderstatus, l_returnflag""".stripMargin),
+    bench = true)
+
+  val j5Theta = QuerySpec("j5_theta_join",
+    (s, d) => {
+      val n1 = T(s, d, "nation")
+        .select(col("n_name").as("name1"), col("n_regionkey").as("r1"))
+      val n2 = T(s, d, "nation")
+        .select(col("n_name").as("name2"), col("n_regionkey").as("r2"))
+      n1.join(n2, col("r1") < col("r2"))
+        .select(col("name1"), col("name2"))
+        .orderBy(col("name1"), col("name2"))
+    },
+    Some("""SELECT a.n_name AS name1, b.n_name AS name2
+           |FROM nation a JOIN nation b ON a.n_regionkey < b.n_regionkey
+           |ORDER BY name1, name2""".stripMargin))
+
+  val j6RangeBand = QuerySpec("j6_range_band",
+    (s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (900.0, 935.0, "low"), (935.0, 970.0, "mid"), (970.0, 1000.0, "high")))
+        .toDF("lo", "hi", "band")
+      T(s, d, "part").join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 6).as("avg_price"))
+        .orderBy(col("band"))
+    },
+    Some("""SELECT band, count(*) AS n_parts,
+           |  round(avg(p_retailprice), 6) AS avg_price
+           |FROM part JOIN (VALUES
+           |    (900.0::DOUBLE, 935.0::DOUBLE, 'low'),
+           |    (935.0::DOUBLE, 970.0::DOUBLE, 'mid'),
+           |    (970.0::DOUBLE, 1000.0::DOUBLE, 'high')) bands(lo, hi, band)
+           |  ON p_retailprice >= lo AND p_retailprice < hi
+           |GROUP BY band ORDER BY band""".stripMargin))
+
+  val j7Asof = QuerySpec("j7_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_us",
+          when(col("event_type") === "click", expr("unix_micros(ts)")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("last_click_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, user_id, ts, event_type,
+           |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+           |  FROM events WHERE event_type IN ('click', 'purchase')),
+           |w AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+           |    last_value(click_us IGNORE NULLS) OVER (
+           |      PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+           |  FROM ev)
+           |SELECT event_id, user_id, ts_us, last_click_us
+           |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
+
+  val j8Semi = QuerySpec("j8_semi_join",
+    (s, d) => T(s, d, "customer")
+      .join(T(s, d, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, count(*) AS n_customers
+           |FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    bench = true)
+
+  val j8Anti = QuerySpec("j8_anti_join",
+    (s, d) => T(s, d, "customer")
+      .join(T(s, d, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("first_key"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, count(*) AS n_customers,
+           |  min(c_custkey) AS first_key
+           |FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  // ===========================================================================
+  // Aggregations (A1-A4)
+  // ===========================================================================
+
+  val a1Pricing = QuerySpec("a1_pricing_summary",
+    (s, d) => T(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(min(col("l_discount")), 4).as("min_disc"),
+        round(max(col("l_tax")), 4).as("max_tax"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 2) AS sum_base_price,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           |  round(avg(l_quantity), 6) AS avg_qty,
+           |  round(avg(l_extendedprice), 4) AS avg_price,
+           |  round(min(l_discount), 4) AS min_disc,
+           |  round(max(l_tax), 4) AS max_tax,
+           |  count(*) AS count_order
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    bench = true)
+
+  val a2Distinct = QuerySpec("a2_count_distinct",
+    (s, d) => T(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  count(DISTINCT l_suppkey) AS n_supp,
+           |  count(DISTINCT l_partkey) AS n_part,
+           |  count(DISTINCT l_orderkey) AS n_orders
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** HLL sketches are engine-specific — no oracle; the driver records a
+    * rows-only check and HllSpec unit-tests the error bound vs exact. */
+  val a2Hll = QuerySpec("a2_hll_approx",
+    (s, d) => T(s, d, "lineitem").agg(
+      approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+      approx_count_distinct(col("l_partkey")).as("approx_part"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders")),
+    None)
+
+  val a3Rollup = QuerySpec("a3_rollup",
+    (s, d) => T(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
+  val a3Cube = QuerySpec("a3_cube",
+    (s, d) => Tables.events(s, d)
+      .withColumn("user_bucket", (col("user_id") % 4).cast("int"))
+      .cube(col("event_type"), col("user_bucket"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("user_bucket").asc_nulls_first),
+    Some("""WITH e AS (SELECT *, CAST(user_id % 4 AS INT) AS user_bucket
+           |  FROM events)
+           |SELECT event_type, user_bucket,
+           |  CAST(GROUPING(event_type, user_bucket) AS BIGINT) AS gid,
+           |  count(*) AS n, round(sum(value), 4) AS sum_value
+           |FROM e GROUP BY CUBE(event_type, user_bucket)
+           |ORDER BY gid, event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin))
+
+  val a4Ohlc = QuerySpec("a4_ohlc_bars",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_str"))
+      .agg(
+        round(expr("min_by(value, ts)"), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        round(expr("max_by(value, ts)"), 4).as("close"),
+        round(sum(col("value")), 4).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("event_type"), col("hour_str")),
+    Some("""SELECT event_type,
+           |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+           |  round(min_by(value, ts), 4) AS open,
+           |  round(max(value), 4) AS high,
+           |  round(min(value), 4) AS low,
+           |  round(max_by(value, ts), 4) AS close,
+           |  round(sum(value), 4) AS volume,
+           |  count(*) AS n_ticks
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    bench = true)
+
+  // ===========================================================================
+  // Windows (W1-W3), sorts/limits (Q1), set ops (Q2-Q3), state machine
+  // ===========================================================================
+
+  val w1Rank = QuerySpec("w1_ranking",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"), rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("user_id"), col("rn"))
+    },
+    Some("""WITH r AS (
+           |  SELECT user_id, event_id, value,
+           |    row_number() OVER w AS rn, rank() OVER w AS rk,
+           |    dense_rank() OVER w AS drk
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id))
+           |SELECT user_id, event_id, value,
+           |  CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk, CAST(drk AS INT) AS drk
+           |FROM r WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin))
+
+  val w2LagLead = QuerySpec("w2_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .withColumn("chg", round(col("value") - col("prev_value"), 6))
+        .filter(col("event_id") < 10000)
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH r AS (
+           |  SELECT event_id, user_id, value,
+           |    lag(value, 1) OVER w AS prev_value,
+           |    lead(value, 1) OVER w AS next_value
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |SELECT event_id, user_id, value, prev_value, next_value,
+           |  round(value - prev_value, 6) AS chg
+           |FROM r WHERE event_id < 10000 ORDER BY event_id""".stripMargin))
+
+  val w3Frames = QuerySpec("w3_frames",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .withColumn("k_val",
+          from_json(col("props"), "k INT", Map.empty[String, String]).getField("k"))
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+      val wRows = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      val wRange = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us")).rangeBetween(-300000000L, 0)
+      base.select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(wRows), 6).as("mov_avg"),
+          (floor((sum(col("value") * col("k_val")).over(wRows) /
+            nullif(sum(col("k_val")).over(wRows), lit(0))) * 1e6 + 0.5) / 1e6)
+            .as("vwap"),
+          count(lit(1)).over(wRange).as("n_5min"))
+        .filter(col("event_id") < 10000)
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, ts, value,
+           |    CAST(props->>'k' AS INT) AS k_val, epoch_us(ts) AS ts_us
+           |  FROM events),
+           |r AS (
+           |  SELECT event_id, user_id,
+           |    round(avg(value) OVER w1, 6) AS mov_avg,
+           |    floor((sum(value * k_val) OVER w1 / nullif(sum(k_val) OVER w1, 0)) * 1e6 + 0.5) / 1e6 AS vwap,
+           |    count(*) OVER w2 AS n_5min
+           |  FROM e
+           |  WINDOW
+           |    w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+           |    w2 AS (PARTITION BY user_id ORDER BY ts_us
+           |           RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW))
+           |SELECT event_id, user_id, mov_avg, vwap, n_5min
+           |FROM r WHERE event_id < 10000 ORDER BY event_id""".stripMargin),
+    bench = true)
+
+  val q1TopK = QuerySpec("q1_topk",
+    (s, d) => T(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+    bench = true)
+
+  val q2Union = QuerySpec("q2_union_exchanges",
+    (s, d) => {
+      val btsp = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(lit("btsp").as("exchange"), col("value"))
+      val btfx = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(lit("btfx").as("exchange"), col("value"))
+      btsp.unionByName(btfx)
+        .groupBy(col("exchange"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("exchange"))
+    },
+    Some("""SELECT exchange, count(*) AS n, round(sum(value), 4) AS sum_value
+           |FROM (
+           |  SELECT 'btsp' AS exchange, value FROM events WHERE event_type = 'click'
+           |  UNION ALL
+           |  SELECT 'btfx' AS exchange, value FROM events WHERE event_type = 'view') u
+           |GROUP BY exchange ORDER BY exchange""".stripMargin))
+
+  val q3Intersect = QuerySpec("q3_intersect",
+    (s, d) => Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id"))
+      .intersect(Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id")))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+           |INTERSECT
+           |SELECT user_id FROM events WHERE event_type = 'purchase'
+           |ORDER BY user_id""".stripMargin))
+
+  val q3Except = QuerySpec("q3_except",
+    (s, d) => T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .except(T(s, d, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           |EXCEPT
+           |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+           |ORDER BY c_custkey""".stripMargin))
+
+  val ost1State = QuerySpec("ost1_state_machine",
+    (s, d) => {
+      val log = Tables.events(s, d).select(
+        col("user_id").as("job_id"),
+        when(col("event_type") === "signup", Transition.NEW)
+          .when(col("event_type") === "click", Transition.CLAIMED)
+          .when(col("event_type") === "view", Transition.PROCESSING)
+          .when(col("event_type") === "purchase", Transition.IMPORTED)
+          .otherwise(Transition.ERROR).as("action"),
+        col("ts"), col("event_id"))
+      StateMachine.currentState(log)
+        .orderBy(col("job_id"))
+    },
+    Some("""WITH log AS (
+           |  SELECT user_id AS job_id,
+           |    CASE event_type WHEN 'signup' THEN 1000 WHEN 'click' THEN 1001
+           |         WHEN 'view' THEN 1100 WHEN 'purchase' THEN 1300
+           |         ELSE 1900 END AS action,
+           |    ts, event_id
+           |  FROM events),
+           |r AS (
+           |  SELECT job_id, action,
+           |    row_number() OVER (PARTITION BY job_id
+           |      ORDER BY ts DESC, event_id DESC) AS rn,
+           |    count(*) OVER (PARTITION BY job_id) AS n_transitions
+           |  FROM log)
+           |SELECT job_id, action AS current_action, n_transitions
+           |FROM r WHERE rn = 1 ORDER BY job_id""".stripMargin))
+
+  // ===========================================================================
+  // Extension operators (X1-X4, multimodal)
+  // ===========================================================================
+
+  val x1Dedup = QuerySpec("x1_exact_dedup",
+    (s, d) => Dedup.exactByKey(T(s, d, "documents"),
+        Seq("lang", "source"), "doc_id")
+      .orderBy(col("lang"), col("source")),
+    Some("""SELECT lang, source, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+           |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+
+  val x2Jaccard = QuerySpec("x2_jaccard_topk",
+    (s, d) => Dedup.jaccardPairs(T(s, d, "documents"), "text", "doc_id",
+        Seq("lang", "source"))
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("jac").desc, col("d1"), col("d2"))
+      .limit(20),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang, source,
+           |    unnest(list_distinct(string_split(text, ' '))) AS tok
+           |  FROM documents),
+           |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+           |inter AS (
+           |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, count(*) AS n_inter
+           |  FROM toks t1 JOIN toks t2
+           |    ON t1.lang = t2.lang AND t1.source = t2.source
+           |      AND t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2,
+           |  round(n_inter / (s1.n_tok + s2.n_tok - n_inter), 6) AS jac
+           |FROM inter
+           |JOIN sizes s1 ON s1.doc_id = d1
+           |JOIN sizes s2 ON s2.doc_id = d2
+           |ORDER BY jac DESC, d1, d2 LIMIT 20""".stripMargin),
+    bench = true)
+
+  val x2Minhash = QuerySpec("x2_minhash_sig",
+    (s, d) => Dedup.minhash(T(s, d, "documents"), "text", "doc_id")
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("minhash0"),
+        element_at(col("bands"), 1).as("band0"),
+        element_at(col("bands"), 2).as("band1"),
+        element_at(col("bands"), 3).as("band2"),
+        element_at(col("bands"), 4).as("band3"))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, list_transform(range(1, n - 1),
+           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+           |  FROM d WHERE n >= 3),
+           |g AS (
+           |  SELECT doc_id, list_transform(range(0, 8),
+           |    h -> list_min(list_transform(shingles,
+           |      sh -> md5(CAST(h AS VARCHAR) || '|' || sh)))) AS sig
+           |  FROM s)
+           |SELECT doc_id, sig[1] AS minhash0,
+           |  md5(sig[1] || sig[2]) AS band0,
+           |  md5(sig[3] || sig[4]) AS band1,
+           |  md5(sig[5] || sig[6]) AS band2,
+           |  md5(sig[7] || sig[8]) AS band3
+           |FROM g ORDER BY doc_id""".stripMargin),
+    bench = true)
+
+  /** LSH candidate pairs may legitimately be empty on a corpus with no
+    * near-dups — no oracle; LshSpec unit-tests candidate generation on
+    * planted duplicates. */
+  val x2LshPairs = QuerySpec("x2_lsh_pairs",
+    (s, d) => Dedup.lshCandidates(
+        Dedup.minhash(T(s, d, "documents"), "text", "doc_id"), "doc_id")
+      .orderBy(col("d1"), col("d2")),
+    None)
+
+  val x3TopkCosine = QuerySpec("x3_topk_cosine",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |p AS (SELECT query_id, vec_id,
+           |    round(list_cosine_similarity(qv, cv), 6) AS sim
+           |  FROM q, c WHERE query_id <> vec_id),
+           |r AS (SELECT query_id, vec_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
+           |  FROM p)
+           |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin),
+    bench = true)
+
+  /** Approximate ANN — bucket membership is engine-defined, no oracle;
+    * AnnSpec unit-tests recall vs the exact top-k. */
+  val x3AnnLsh = QuerySpec("x3_ann_lsh",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    None)
+
+  val x4TextStats = QuerySpec("x4_text_stats",
+    (s, d) => TextOps.withTextStats(T(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("n_stop").cast("int").as("n_stop"), col("avg_token_len"),
+        col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, length(text) AS n_chars2,
+           |    string_split(text, ' ') AS toks
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id, n_chars2,
+           |    CAST(len(toks) AS INT) AS n_tokens,
+           |    CAST(len(list_filter(toks,
+           |      x -> x IN ('the','a','of','and'))) AS INT) AS n_stop
+           |  FROM d)
+           |SELECT doc_id, n_tokens, n_stop,
+           |  round((n_chars2 - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
+           |  round(n_stop / n_tokens, 6) AS stop_ratio,
+           |  round(least(1.0, n_tokens / 100.0) * 0.5 +
+           |        least(1.0, n_stop / 10.0) * 0.5, 6) AS quality
+           |FROM t ORDER BY doc_id""".stripMargin)
+    )
+
+  val x4LangId = QuerySpec("x4_langid",
+    (s, d) => TextOps.withLangId(T(s, d, "documents"), "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted_lang") === col("lang"), 1).otherwise(0))
+          .as("n_correct"),
+        sum(when(col("predicted_lang") === "en", 1).otherwise(0))
+          .as("n_pred_en"))
+      .orderBy(col("lang")),
+    Some("""WITH p AS (
+           |  SELECT lang,
+           |    CASE WHEN len(list_filter(string_split(text, ' '),
+           |      x -> x IN ('the','a','of','and'))) >= 2
+           |    THEN 'en' ELSE 'und' END AS predicted_lang
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_correct,
+           |  CAST(sum(CASE WHEN predicted_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_pred_en
+           |FROM p GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val x4Fingerprint = QuerySpec("x4_fingerprint",
+    (s, d) => TextOps.withFingerprints(T(s, d, "documents"), "text")
+      .filter(col("n_lt") >= 5)
+      .select(col("doc_id"), col("fp"), col("minshingle"))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, md5(lower(text)) AS fp,
+           |    string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS n
+           |  FROM documents)
+           |SELECT doc_id, fp,
+           |  list_min(list_transform(range(1, n - 3),
+           |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |      || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS minshingle
+           |FROM d WHERE n >= 5 ORDER BY doc_id""".stripMargin))
+
+  val x4TokenBpe = QuerySpec("x4_token_bpe",
+    (s, d) => TextOps.withBpeCount(T(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_bpe").cast("int").as("n_bpe"),
+        size(split(col("text"), " ")).as("n_ws"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+           |    AS n_bpe,
+           |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val mmMeta = QuerySpec("mm_meta",
+    (s, d) => Multimodal.withPayload(T(s, d, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           |  CAST(length(text) % 640 AS INT) AS width,
+           |  CAST((doc_id * 37) % 480 AS INT) AS height,
+           |  CAST(floor(octet_length(encode(text)) / 100) + 1 AS INT) AS n_frames
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Decode plumbing runs a stubbed codec (no media libs in-container) —
+    * engine-defined output, no oracle; MultimodalSpec covers it. */
+  val mmDecode = QuerySpec("mm_decode",
+    (s, d) => Multimodal.decode(s,
+        Multimodal.withPayload(T(s, d, "documents"), "text", "doc_id"), "doc_id")
+      .orderBy(col("doc_id")),
+    None)
+
+  /** F9 — uuid() is nondeterministic by design: rows-only check. */
+  val f9Uuid = QuerySpec("f9_uuid",
+    (s, d) => T(s, d, "nation")
+      .withColumn("instance_id", expr("uuid()"))
+      .select(col("n_nationkey"), col("n_name"), col("instance_id"))
+      .orderBy(col("n_nationkey")),
+    None)
+
+  val all: Seq[QuerySpec] = Seq(
+    flagship,
+    p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
+    p7StatusFilter, p8Dispatch,
+    fStrings, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets, f12MapAccess,
+    j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
+    j6RangeBand, j7Asof, j8Semi, j8Anti,
+    a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
+    w1Rank, w2LagLead, w3Frames,
+    q1TopK, q2Union, q3Intersect, q3Except,
+    ost1State,
+    x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x3TopkCosine, x3AnnLsh,
+    x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe,
+    mmMeta, mmDecode)
+
+  val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X1/X2 — deduplication operators for large-scale text corpora
+  * (driver north star; not present in the reference, which instead leaks
+  * duplicates downstream via its unacknowledged at-least-once publish —
+  * see SURVEY.md §0.2).
+  *
+  * Scale design: every variant here is a key-local `groupBy` — no
+  * all-pairs comparison ever happens. Near-dup candidate generation is
+  * blocked (exact Jaccard: block key join) or bucketed (MinHash: LSH band
+  * join), so the shuffle key cardinality grows with corpus size and the
+  * per-group work stays bounded. That is the 100 TB story; the same code
+  * runs unchanged at test scale.
+  */
+object Dedup {
+
+  /** X1 — exact dedup by key columns, keeping the lowest id per group.
+    * `groupBy().agg(min)` rather than dropDuplicates() so the survivor row
+    * is deterministic (dropDuplicates keeps an arbitrary row). */
+  def exactByKey(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as("keep_" + idCol), count(lit(1)).as("n_dups"))
+
+  /** Distinct-token sets per document: (doc_id, block keys, tok). The
+    * explode keeps everything columnar; array_distinct bounds the fanout. */
+  def tokenSets(docs: DataFrame, textCol: String, keep: Seq[String]): DataFrame =
+    docs.select(
+      keep.map(col) :+
+        explode(array_distinct(split(col(textCol), " "))).as("tok"): _*)
+
+  /** X2a — exact n-gram (token-set) Jaccard similarity of document pairs,
+    * blocked by `blockKeys` so the token self-join never goes quadratic in
+    * the corpus: candidate pairs only form inside a block. Returns
+    * (d1, d2, n_inter, n1, n2, jac). */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      blockKeys: Seq[String]): DataFrame = {
+    val toks = tokenSets(docs, textCol, idCol +: blockKeys)
+    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
+    val t1 = toks.select(
+      (blockKeys.map(col) :+ col(idCol).as("d1")) :+ col("tok"): _*)
+    val t2 = toks.select(
+      (blockKeys.map(k => col(k).as(k + "_2")) :+ col(idCol).as("d2")) :+
+        col("tok").as("tok_2"): _*)
+    val joinCond = blockKeys.map(k => col(k) === col(k + "_2"))
+      .reduce(_ && _) && col("tok") === col("tok_2") && col("d1") < col("d2")
+    val inter = t1.join(t2, joinCond)
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("n_tok").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("n_tok").as("n2")), "d2")
+      .withColumn("jac",
+        col("n_inter") / (col("n1") + col("n2") - col("n_inter")))
+  }
+
+  /** X2b — MinHash signatures over word 3-gram shingles.
+    *
+    * Hash family: h_i(s) = md5(i || '|' || s) compared lexicographically —
+    * deterministic, portable (the DuckDB oracle computes the identical
+    * signature), and uniform enough for LSH. `numHashes` signature values
+    * are grouped into bands of `bandSize`; docs sharing any band hash are
+    * near-dup candidates. All array ops are codegen'd builtins — no UDF.
+    *
+    * Output: doc_id, sig (array<string> of minhashes), bands
+    * (array<string> of band hashes). */
+  def minhash(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    val nBands = numHashes / bandSize
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 3)
+      .withColumn("shingles", expr(
+        "transform(sequence(1, n - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${numHashes - 1}), " +
+          "h -> array_min(transform(shingles, " +
+          "s -> md5(concat(cast(h as string), '|', s)))))"))
+      .withColumn("bands", expr(
+        s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> md5(concat_ws('', slice(sig, b * $bandSize + 1, $bandSize))))"))
+      .select(col(idCol), col("sig"), col("bands"))
+  }
+
+  /** X2b — LSH candidate pairs: explode band hashes, self-join per
+    * (band index, band hash) bucket. The join key is the bucket, so work
+    * scales with bucket sizes, never with corpus². */
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    val b = sigs.select(col(idCol),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    b.select(col(idCol).as("d1"), col("band_idx"), col("band_hash"))
+      .join(b.select(col(idCol).as("d2"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X3 — vector similarity search over an embedding column
+  * (ArrayType(FloatType), driver `embeddings` table).
+  *
+  * Two tiers, per the scale mandate:
+  *  - `bruteForceTopK`: exact cosine top-k, queries broadcast against the
+  *    corpus. Correct baseline; cost O(|Q| * |corpus|) — fine when |Q| is
+  *    small or as the per-bucket kernel below.
+  *  - `lshTopK`: sign-random-projection LSH. Each vector hashes to a
+  *    bucket from the signs of `nPlanes` fixed pseudo-random hyperplanes;
+  *    candidates are corpus vectors in the query's bucket, so the
+  *    cross-product never materializes. At 100 TB the bucket join is a
+  *    plain shuffle on the bucket key (or a broadcast of bucketed query
+  *    centroids); recall is tunable via nPlanes / multi-probe.
+  *
+  * All arithmetic is built-in higher-order functions (zip_with/aggregate)
+  * — codegen'd, no UDF, no driver-side collect.
+  */
+object Similarity {
+
+  /** Cast a float vector column to double for numerically-stable,
+    * oracle-comparable arithmetic. */
+  def asDouble(c: String): org.apache.spark.sql.Column =
+    expr(s"transform($c, x -> cast(x as double))")
+
+  private def dot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+  private def norm(a: String) =
+    s"sqrt(aggregate(transform($a, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"
+
+  /** Exact cosine similarity of `qv` vs `cv` (both array<double>). */
+  val cosineExpr: String =
+    s"${dot("qv", "cv")} / (${norm("qv")} * ${norm("cv")})"
+
+  /** X3a — exact top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. `queries` is expected to be small (it is
+    * broadcast); ranking is over rounded similarity with vec_id tie-break
+    * so results are stable across engines. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = broadcast(queries.select(col("vec_id").as("query_id"),
+        asDouble("embedding").as("qv")))
+      .crossJoin(corpus.select(col("vec_id"), asDouble("embedding").as("cv")))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(expr(cosineExpr), 6))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane component for (plane j,
+    * dimension d). Pure arithmetic so tests can recompute it anywhere. */
+  private def planeSign(j: Int): String =
+    s"transform(v, (x, d) -> if ((($j * 1000003 + d * 7919) % 7) < 3, x, -x))"
+
+  /** Sign-LSH bucket id from `nPlanes` hyperplane sign bits. */
+  def withBucket(df: DataFrame, vecCol: String, nPlanes: Int): DataFrame = {
+    val signs = (0 until nPlanes).map { j =>
+      s"(case when aggregate(${planeSign(j)}, cast(0 as double), (acc, x) -> acc + x) >= 0 then ${1 << j} else 0 end)"
+    }.mkString(" + ")
+    df.withColumn("v", asDouble(vecCol))
+      .withColumn("bucket", expr(signs).cast("int"))
+  }
+
+  /** X3b — approximate top-k: candidates restricted to the query's LSH
+    * bucket, exact cosine re-ranking inside the bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val q = withBucket(queries, "embedding", nPlanes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val c = withBucket(corpus, "embedding", nPlanes)
+      .select(col("vec_id"), col("v").as("cv"), col("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(expr(cosineExpr), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
+  }
+}

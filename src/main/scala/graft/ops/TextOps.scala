@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X4 — text analysis operators for a training-data pipeline (driver north
+  * star): token statistics, quality scoring, language-ID heuristic,
+  * BPE-ish regex tokenization, and content fingerprinting.
+  *
+  * Everything is built-in column expressions over one scan — at 100 TB
+  * these run as a single narrow projection stage with no shuffle at all
+  * (the groupBys in the derived queries aggregate tiny outputs).
+  */
+object TextOps {
+
+  /** English stopword markers used by the quality score and language-ID
+    * heuristic (tiny on purpose — deterministic and oracle-portable). */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  private val stopList = enStopwords.map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** Whitespace token count, stopword count, average token length, stopword
+    * ratio, and a [0,1] quality score (length component + stopword
+    * component). Adds columns; keeps the input columns. */
+  def withTextStats(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN $stopList))"))
+      .withColumn("avg_token_len",
+        round((length(col(textCol)) - (col("n_tokens") - 1)) / col("n_tokens"), 6))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens") / 100.0) * 0.5 +
+          least(lit(1.0), col("n_stop") / 10.0) * 0.5, 6))
+
+  /** Language-ID n-gram heuristic: stopword-marker vote. With >= 2 English
+    * marker hits the doc is called 'en', else 'und' (ISO 639-3
+    * undetermined). Real corpora would extend the marker lists per
+    * language; the operator shape (pure projection) is what matters. */
+  def withLangId(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("en_score", expr(
+        s"size(filter(split($textCol, ' '), t -> t IN $stopList))"))
+      .withColumn("predicted_lang",
+        when(col("en_score") >= 2, "en").otherwise("und"))
+
+  /** BPE-ish regex token count: letter runs, digit runs, single
+    * punctuation — the classic pre-tokenizer split. */
+  def withBpeCount(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("n_bpe",
+      expr(s"size(regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"))
+
+  /** Document fingerprints: md5 of the normalized text (exact-dup key) and
+    * the minimum md5 over word 5-gram shingles (rolling-hash analog —
+    * stable under small suffix/prefix edits). */
+  def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(col(textCol))))
+      .withColumn("ltoks", split(lower(col(textCol)), " "))
+      .withColumn("n_lt", size(col("ltoks")))
+      .withColumn("minshingle", when(col("n_lt") >= 5, expr(
+        "array_min(transform(sequence(1, n_lt - 4), " +
+          "i -> md5(concat_ws(' ', ltoks[i-1], ltoks[i], ltoks[i+1], ltoks[i+2], ltoks[i+3]))))")))
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sf_dir] [out_dir] [--skip-verify]
+
+1. runs `sbt "runMain graft.Verify <sf_dir> <out_dir>"` (unless --skip-verify)
+2. loads each <out_dir>/<name> parquet result
+3. runs the matching oracle_sql.json SQL in DuckDB over the same tables
+4. compares row count, column names, dtypes, and values (exact)
+"""
+import sys, os, glob, subprocess, json
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    if "--skip-verify" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+        sys.stdout.write(r.stdout[-3000:])
+        sys.stderr.write(r.stderr[-40000:])
+        if r.returncode != 0:
+            print("VERIFY RUN FAILED rc=", r.returncode)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    results = {}
+    produced = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
+                if os.path.isdir(p)}
+    for name in sorted(oracle):
+        status = []
+        if name not in produced:
+            results[name] = "MISSING SPARK OUTPUT"
+            continue
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            results[name] = f"SPARK OUTPUT UNREADABLE: {e}"
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE SQL ERROR: {str(e).splitlines()[0][:200]}"
+            continue
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            results[name] = f"COLS got={list(got.columns)} exp={list(exp.columns)}"
+            continue
+        if len(got) != len(exp):
+            results[name] = f"ROWS got={len(got)} exp={len(exp)}"
+            continue
+        if len(got) == 0:
+            status.append("WARN-EMPTY")
+        dt_g = [str(t) for t in got.dtypes]
+        dt_e = [str(t) for t in exp.dtypes]
+        if dt_g != dt_e:
+            status.append(f"DTYPES got={dt_g} exp={dt_e}")
+        # value compare (exact; NaN==NaN)
+        try:
+            pd.testing.assert_frame_equal(
+                got.reset_index(drop=True), exp.reset_index(drop=True),
+                check_dtype=False, check_exact=True)
+            status.append("VALUES-OK")
+        except AssertionError as e:
+            msg = str(e).splitlines()
+            status.append("VALUES-DIFF: " + " | ".join(msg[:4]))
+        results[name] = "; ".join(status) if status else "OK"
+
+    for name in sorted(set(produced) - set(oracle)):
+        try:
+            n = len(pd.read_parquet(f"{out_dir}/{name}"))
+            results[name] = f"rows-only n={n}" + (" WARN-EMPTY" if n == 0 else "")
+        except Exception as e:
+            results[name] = f"rows-only UNREADABLE: {e}"
+
+    npass = 0
+    for name in sorted(results):
+        r = results[name]
+        ok = r in ("OK",) or r == "VALUES-OK" or r.startswith("rows-only n=") \
+            and "WARN" not in r
+        flag = "PASS" if (r == "VALUES-OK" or (r.startswith("rows-only") and "WARN" not in r)) else "FAIL"
+        if flag == "PASS":
+            npass += 1
+        print(f"{flag:4} {name}: {r}")
+    print(f"== {npass}/{len(results)} pass ==")
+
+if __name__ == "__main__":
+    main()
