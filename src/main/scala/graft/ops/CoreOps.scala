@@ -16,11 +16,13 @@ object CoreOps {
     * (reference main.py:278-280). Malformed values (no '#') yield a null
     * isin, not a crash — row-level error semantics instead of the
     * reference's process-level try/except. */
-  def decodeJobValue(df: DataFrame): DataFrame = {
-    val parts = split(col("value"), "#")
-    df.withColumn("exchange", element_at(parts, 1))
-      .withColumn("isin", element_at(parts, 2))
-  }
+  def decodeJobValue(df: DataFrame): DataFrame =
+    // try_element_at, not element_at: under ANSI mode (Spark 4 default) a
+    // malformed value without '#' must yield a null isin, not an error.
+    df.withColumn("parts", split(col("value"), "#"))
+      .withColumn("exchange", expr("try_element_at(parts, 1)"))
+      .withColumn("isin", expr("try_element_at(parts, 2)"))
+      .drop("parts")
 
   /** P2 — positional frame projection: WSS tick frame array -> named columns
     * (reference main.py:407-415; indices are 0-based there, element_at is

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** S6/S7 — message-queue and job-state sinks.
+  *
+  * The reference publishes JSON to a durable RabbitMQ queue with persistent
+  * delivery and no publisher confirms (main.py:208-230) — i.e. at-least-once.
+  * Engine shape: a [[MessageSink]] trait written to from
+  * `foreachBatch`/`foreachPartition`, so one connection per partition and
+  * no driver funnel. Duplicates are possible by contract; downstream dedup
+  * keys (exchange, isin, ts) — the explicit operator property the
+  * reference leaves implicit (SURVEY.md §0.2). */
+trait MessageSink extends Serializable {
+  /** Publish one JSON payload; true on success (reference returns only a
+    * bool, main.py:229-230). Must be idempotence-tolerant downstream. */
+  def publish(queue: String, payload: String): Boolean
+}
+
+/** Test/local sink: a process-global in-memory queue registry (executors
+  * and driver share a JVM in local mode, like `memory` sink). */
+object InMemoryQueues {
+  private val queues =
+    new java.util.concurrent.ConcurrentHashMap[String, ConcurrentLinkedQueue[String]]()
+  def queue(name: String): ConcurrentLinkedQueue[String] =
+    queues.computeIfAbsent(name, _ => new ConcurrentLinkedQueue[String]())
+  def drain(name: String): Seq[String] = {
+    val q = queue(name)
+    Iterator.continually(q.poll()).takeWhile(_ != null).toSeq
+  }
+  def clear(): Unit = queues.clear()
+}
+
+final class InMemorySink extends MessageSink {
+  def publish(queue: String, payload: String): Boolean = {
+    InMemoryQueues.queue(queue).add(payload)
+    true
+  }
+}
+
+object QueueSink {
+
+  /** S6 — publish every row's `envelope` column to the queue,
+    * partition-local (usable directly and from streaming foreachBatch). */
+  def publishBatch(df: DataFrame, sink: MessageSink, queue: String): Unit =
+    df.select(col("envelope")).foreachPartition { rows: Iterator[Row] =>
+      rows.foreach(r => sink.publish(queue, r.getString(0)))
+    }
+
+  /** S7 — job-state writeback: one `[{"action": a}]` message per transition
+    * row, keyed by job id (the reference PUTs
+    * set_downloader_jobs_state/{id} fire-and-forget, main.py:186-205). */
+  def writebackStates(transitions: DataFrame, sink: MessageSink,
+      queue: String): Unit =
+    transitions.select(col("job_id"), col("action"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          sink.publish(s"$queue/${r.getLong(0)}",
+            s"""[{"action": ${r.getInt(1)}}]""")
+        }
+      }
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Job
+
+/** S1-S4 — REST poll sources.
+  *
+  * The reference fetches one job / one ticker per blocking HTTP call
+  * (main.py:108-140, bitstamp/client.py:25-65, bitfinex/client.py:22-36).
+  * Engine shape: a pluggable [[HttpFetcher]] does the edge I/O (driver-side
+  * for the tiny job queue; per-partition for ticker fan-out), and the
+  * payloads immediately become DataFrames with explicit schemas + a
+  * `status` column — the reference's `(status_code, json)` tuple as rows,
+  * so non-200s are data (filter P7), not control flow. */
+trait HttpFetcher extends Serializable {
+  /** GET url -> (status code, body). Never throws; transport errors are a
+    * status <= 0 row (the reference's `(status, 0)` contract). */
+  def get(url: String, basicAuth: Option[(String, String)] = None): (Int, String)
+}
+
+/** Real fetcher over java.net.http (edge-only; tests use a fake). */
+final class JdkHttpFetcher(timeoutMs: Int = 10000) extends HttpFetcher {
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+  def get(url: String, basicAuth: Option[(String, String)]): (Int, String) =
+    try {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      basicAuth.foreach { case (u, p) =>
+        b.header("Authorization", "Basic " + java.util.Base64.getEncoder
+          .encodeToString(s"$u:$p".getBytes("UTF-8")))
+      }
+      val resp = client.send(b.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    } catch { case e: Exception => (-1, e.getClass.getSimpleName) }
+}
+
+object RestSource {
+
+  /** Bitstamp v2 ticker URL (bitstamp/client.py:8,22,34: lowercase pair in
+    * the path). */
+  def bitstampTickerUrl(base: String, quote: String): String =
+    s"https://www.bitstamp.net/api/v2/ticker/${(base + quote).toLowerCase}/"
+
+  /** Bitfinex v1 pubticker URL (bitfinex/client.py:30). */
+  def bitfinexTickerUrl(base: String, quote: String): String =
+    s"https://api.bitfinex.com/v1/pubticker/${(base + quote).toLowerCase}"
+
+  /** S1 — poll the job queue once and produce a typed jobs DataFrame.
+    * Driver-side fetch (one tiny JSON row, like the reference's
+    * GET job/downloader_jobs) -> createDataFrame under Job.schema. */
+  def pollJobs(spark: SparkSession, cfg: EngineConfig, fetcher: HttpFetcher,
+      path: String = "job/downloader_jobs"): DataFrame = {
+    val (status, body) = fetcher.get(s"${cfg.url}$path",
+      Some((cfg.urlUsername, cfg.urlPassword)))
+    import spark.implicits._
+    val raw = Seq((status, body)).toDF("status", "body")
+    raw.withColumn("job", when(col("status") === 200,
+        from_json(col("body"), Job.schema)))
+      .select(col("status"), col("job.*"))
+  }
+
+  /** S3/S4 — fan out ticker fetches per pair *inside partitions* (at scale
+    * the pair list is a DataFrame; each partition holds a connection).
+    * Output: (exchange, pair, status, body) with non-200/transport errors
+    * as status rows. */
+  def fetchTickers(spark: SparkSession, pairs: Seq[(String, String, String)],
+      fetcher: HttpFetcher): DataFrame = {
+    import spark.implicits._
+    val in = pairs.toDF("exchange", "base", "quote").repartition(col("exchange"))
+    val fetched = in.as[(String, String, String)].mapPartitions { it =>
+      it.map { case (exchange, base, quote) =>
+        val url = exchange match {
+          case "btsp" => bitstampTickerUrl(base, quote)
+          case _ => bitfinexTickerUrl(base, quote)
+        }
+        val (status, body) = fetcher.get(url)
+        (exchange, (base + quote).toLowerCase, status, body)
+      }
+    }
+    fetched.toDF("exchange", "pair", "status", "body")
+  }
+
+  /** Parse fetched Bitstamp/Bitfinex ticker bodies into the canonical tick
+    * shape. Both exchanges serialize numerics as STRINGS
+    * (bitstamp/client.py:39-42, bitfinex/client.py:33-36) — the casts here
+    * are the load-bearing normalization step (F8). */
+  def parseTicks(df: DataFrame): DataFrame = {
+    val schema = "bid STRING, ask STRING, last STRING, last_price STRING, " +
+      "high STRING, low STRING, volume STRING, mid STRING, timestamp STRING"
+    df.filter(col("status") === 200)
+      .withColumn("t", from_json(col("body"),
+        org.apache.spark.sql.types.StructType.fromDDL(schema)))
+      .select(
+        col("exchange"), col("pair"),
+        col("t.bid").cast("double").as("bid"),
+        col("t.ask").cast("double").as("ask"),
+        coalesce(col("t.last"), col("t.last_price")).cast("double").as("last"),
+        col("t.high").cast("double").as("high"),
+        col("t.low").cast("double").as("low"),
+        col("t.volume").cast("double").as("volume"),
+        coalesce(col("t.mid").cast("double"),
+          (col("t.bid").cast("double") + col("t.ask").cast("double")) / 2)
+          .as("mid"),
+        to_timestamp(col("t.timestamp").cast("double")).as("ts"))
+  }
+}

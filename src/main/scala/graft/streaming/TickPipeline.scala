@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.ops.CoreOps
+import graft.sources.{MessageSink, QueueSink}
+import graft.schema.Transition
+
+/** ST1-ST6 — the streaming tick pipeline, Structured-Streaming-first.
+  *
+  * The reference's WSS branch (main.py:357-434) is a per-pair subscription
+  * thread draining an in-memory queue record-at-a-time. Re-expressed:
+  * a streaming DataFrame of raw tick frames -> the SAME batch operators
+  * (CoreOps/DimJoins run unchanged on streaming frames — batch/stream
+  * unification is the point) -> watermarked event-time windows ->
+  * foreachBatch publish. Micro-batches natively give the reference's
+  * "empty queue -> skip" behavior (ST2); Trigger gives pacing (ST6,
+  * replacing the reference's sleep-based loop, main.py:418-419).
+  */
+object TickPipeline {
+
+  /** ST3 — per-record transform: positional frame -> named cols -> mid ->
+    * envelope. Identical operators to the batch path. */
+  def normalize(frames: DataFrame): DataFrame = {
+    val projected = CoreOps.withMid(CoreOps.projectFrame("frame")(frames))
+    projected.withColumn("envelope", CoreOps.toEnvelope(
+      col("exchange"), col("isin"), col("bid"), col("ask"), col("mid"),
+      col("last_price"), col("volume"), col("high"), col("low")))
+  }
+
+  /** ST4 — watermarked event-time OHLC bars. Late rows beyond `delay` are
+    * dropped — a capability the reference lacks (it trusts arrival order,
+    * main.py:415). */
+  def bars(ticks: DataFrame, delay: String = "10 minutes",
+      width: String = "1 minute"): DataFrame =
+    ticks
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width), col("isin"))
+      .agg(
+        expr("min_by(last_price, ts)").as("open"),
+        max(col("last_price")).as("high"),
+        min(col("last_price")).as("low"),
+        expr("max_by(last_price, ts)").as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+
+  /** ST3/ST6 — publish a normalized stream to a message sink via
+    * foreachBatch, with trigger pacing. */
+  def publishStream(normalized: DataFrame, sink: MessageSink, queue: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    normalized.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        QueueSink.publishBatch(batch.toDF(), sink, queue)
+      }
+      .start()
+
+  /** ST5 — the job lifecycle as streaming state: one state per job_id kept
+    * in GroupState, advanced by arriving transition events; emits a row per
+    * *accepted* transition. Illegal transitions (per Transition.legal) are
+    * dropped — the streaming twin of StateMachine.illegalTransitions. */
+  def jobStates(transitions: Dataset[(Long, Int, java.sql.Timestamp)])
+      : Dataset[(Long, Int)] = {
+    import transitions.sparkSession.implicits._
+    transitions.groupByKey(_._1)
+      .mapGroupsWithState[Int, (Long, Int)](GroupStateTimeout.NoTimeout()) {
+        (jobId: Long, events: Iterator[(Long, Int, java.sql.Timestamp)],
+         state: GroupState[Int]) =>
+          var current = state.getOption.getOrElse(-1)
+          events.toSeq.sortBy(e => e._3.getTime).foreach { case (_, action, _) =>
+            val ok = current == -1 ||
+              Transition.legal.getOrElse(current, Set.empty).contains(action)
+            if (ok) current = action
+          }
+          state.update(current)
+          (jobId, current)
+      }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+/** Scale-posture asserts: the physical plans the queries produce are the
+  * plans we'd want on a 1000-executor cluster — broadcasts where the build
+  * side is small, pushed filters, top-k as TakeOrdered, hinted join
+  * strategies honored, no accidental cartesian products. */
+class PlanShapeSpec extends SparkSpec {
+  private val d = sf("sf0.001")
+  private def plan(name: String): String =
+    planOf(Queries.byName(name).fn(spark, d))
+
+  test("flagship broadcasts the nation dim and pushes the shipdate filter") {
+    val p = plan("flagship_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("j1/j2 dim joins broadcast the 84-row dim") {
+    assert(plan("j1_dim_forward").contains("BroadcastHashJoin"))
+    assert(plan("j2_dim_reverse").contains("BroadcastHashJoin"))
+  }
+
+  test("join hints are honored: SHUFFLE_HASH -> ShuffledHashJoin, MERGE -> SortMergeJoin") {
+    assert(plan("j3_shuffle_hash").contains("ShuffledHashJoin"))
+    assert(plan("j4_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("q1 top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q1_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("x3 brute-force pairs via broadcast NL join (queries side broadcast), never shuffle-cartesian") {
+    val p = plan("x3_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x2 LSH candidate generation is a key-equi join (shuffle on bucket), not all-pairs") {
+    val p = planOf(ops.Dedup.lshCandidates(
+      ops.Dedup.minhash(ops.Tables.documents(spark, d), "text", "doc_id"),
+      "doc_id"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("projection queries prune the parquet scan to the needed columns") {
+    val p = plan("q1_topk")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))
+  }
+
+  test("driver smoke: entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "s0"), // near-dup of 1
+    (3L, "completely different words here about spark engines", "en", "s0"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en", "s1")  // exact dup, other block
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("X1 exact dedup keeps lowest id per key with dup counts") {
+    val out = Dedup.exactByKey(docs, Seq("text"), "doc_id")
+      .filter(col("n_dups") > 1)
+    assert(out.count() == 1)
+    val r = out.select("keep_doc_id", "n_dups").as[(Long, Long)].head()
+    assert(r == ((1L, 2L)))
+  }
+
+  test("X2a blocked Jaccard finds the near-dup pair and respects blocks") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", Seq("lang", "source"))
+      .select("d1", "d2", "jac").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // 1 vs 2: 8 distinct tokens each, 7 shared -> jac = 7/9
+    assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-9)
+    // 1 vs 4 are identical but in different blocks: never compared
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("X2b identical docs share the full MinHash signature; near-dups share bands") {
+    val sigs = Dedup.minhash(docs, "text", "doc_id")
+    val byId = sigs.select("doc_id", "sig").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(byId(1L) == byId(4L)) // identical text -> identical signature
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+      .select("d1", "d2", "n_shared_bands").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cands((1L, 4L)) == 4L) // all bands collide
+    assert(cands.contains((1L, 2L))) // near-dup shares >= 1 band
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f)),   // nearly parallel to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))    // opposite to 0
+  ).toDF("vec_id", "embedding")
+
+  test("X3a brute-force top-k ranks by cosine with deterministic tie-break") {
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
+      .select("vec_id", "sim", "rnk").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // by similarity desc
+    assert(out.head._2 > 0.99 && out.last._2 == -1.0)
+  }
+
+  test("X3b LSH buckets identical vectors together; recall covers the near dup") {
+    val out = Similarity.lshTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.contains(1L)) // near-parallel vector lands in the same bucket
+    assert(!out.contains(3L)) // opposite vector flips every plane sign
+  }
+}

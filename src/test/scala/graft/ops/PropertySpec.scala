@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.3), driven with raw ScalaCheck
+  * generators on fixed seeds (no scalatestplus bridge in the offline
+  * dependency set). Each case builds a small local dataset and runs one
+  * Spark job. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[T](gen: Gen[T], n: Int = 8)(f: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private val quote = Gen.chooseNum(0.01, 1000.0)
+
+  test("mid is always within [min(bid,ask), max(bid,ask)]") {
+    cases(Gen.listOfN(20, Gen.zip(quote, quote))) { pairs =>
+      val df = pairs.toDF("bid", "ask")
+      val bad = CoreOps.withMid(df)
+        .filter(col("mid") < least(col("bid"), col("ask")) ||
+          col("mid") > greatest(col("bid"), col("ask")))
+      assert(bad.count() == 0)
+    }
+  }
+
+  test("OHLC bars: low <= open, close <= high") {
+    val tick = Gen.zip(Gen.chooseNum(0L, 3600L), quote)
+    cases(Gen.listOfN(50, tick)) { ticks =>
+      val df = ticks.zipWithIndex
+        .map { case ((off, v), i) =>
+          (new java.sql.Timestamp(1704067200000L + off * 1000 + i), v)
+        }
+        .toDF("ts", "value")
+      val bars = df.groupBy(window(col("ts"), "15 minutes"))
+        .agg(expr("min_by(value, ts)").as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          expr("max_by(value, ts)").as("close"))
+      val bad = bars.filter(
+        col("low") > col("open") || col("low") > col("close") ||
+          col("high") < col("open") || col("high") < col("close"))
+      assert(bad.count() == 0)
+    }
+  }
+
+  test("exact dedup is idempotent and survivors are unique") {
+    cases(Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.posNum[Long]))) {
+      rows =>
+        val df = rows.toDF("key", "doc_id")
+        val once = Dedup.exactByKey(df, Seq("key"), "doc_id")
+        assert(once.select("key").distinct().count() == once.count())
+        val twice = Dedup.exactByKey(
+          once.withColumnRenamed("keep_doc_id", "doc_id"), Seq("key"), "doc_id")
+        assert(twice.count() == once.count())
+    }
+  }
+
+  test("jaccard is within [0,1] and pairs are canonical (d1<d2)") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    cases(Gen.listOfN(6, doc), n = 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "x") }
+        .toDF("doc_id", "text", "blk")
+      val pairs = Dedup.jaccardPairs(df, "text", "doc_id", Seq("blk"))
+      val bad = pairs.filter(col("jac") < 0 || col("jac") > 1 ||
+        col("d1") >= col("d2"))
+      assert(bad.count() == 0)
+    }
+  }
+
+  test("state machine currentState is stable under log shuffling") {
+    val trans = Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf(1000, 1001, 1100, 1200, 1300, 1900))
+    cases(Gen.listOfN(20, trans), n = 5) { rows =>
+      val log = rows.zipWithIndex
+        .map { case ((job, act), i) =>
+          (job, act, new java.sql.Timestamp(1704067200000L + i * 1000L), i.toLong)
+        }
+      val a = StateMachine.currentState(
+        log.toDF("job_id", "action", "ts", "event_id"))
+      val b = StateMachine.currentState(
+        scala.util.Random.shuffle(log).toDF("job_id", "action", "ts", "event_id"))
+      assert(a.orderBy("job_id").collect().toSeq ==
+        b.orderBy("job_id").collect().toSeq)
+    }
+  }
+}

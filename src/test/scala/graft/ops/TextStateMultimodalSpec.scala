@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TextStateMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("X4 text stats on a known string") {
+    val df = Seq((1L, "the cat and a dog")).toDF("doc_id", "text")
+    val r = TextOps.withTextStats(df, "text")
+      .select("n_tokens", "n_stop", "stop_ratio").head()
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 3) // the, and, a
+    assert(r.getDouble(2) == 0.6)
+  }
+
+  test("X4 language-ID calls english marker text en, others und") {
+    val df = Seq((1L, "the house of the king and a crown"),
+      (2L, "xyzzy plugh quux")).toDF("doc_id", "text")
+    val out = TextOps.withLangId(df, "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "und")
+  }
+
+  test("X4 BPE-ish tokens split letter runs, digit runs, punctuation") {
+    val df = Seq((1L, "abc 12 d!e")).toDF("doc_id", "text")
+    val n = TextOps.withBpeCount(df, "text").select("n_bpe").as[Int].head()
+    assert(n == 5) // abc | 12 | d | ! | e
+  }
+
+  test("X4 fingerprints are case-normalized and shingle-stable") {
+    val df = Seq((1L, "The Quick brown fox jumps over all"),
+      (2L, "the quick brown fox jumps over all")).toDF("doc_id", "text")
+    val fp = TextOps.withFingerprints(df, "text")
+      .select("doc_id", "fp", "minshingle").as[(Long, String, String)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(fp(1L) == fp(2L)) // identical after lower()
+  }
+
+  test("O-ST1 currentState is the latest action per job") {
+    val log = Seq(
+      (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), (1L, 1300, ts(2), 2L),
+      (2L, 1000, ts(0), 3L), (2L, 1900, ts(1), 4L)
+    ).toDF("job_id", "action", "ts", "event_id")
+    val out = StateMachine.currentState(log)
+      .select("job_id", "current_action").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1300, 2L -> 1900))
+  }
+
+  test("O-ST1 illegal transitions are flagged (1300 is terminal)") {
+    val log = Seq(
+      (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), // legal
+      (2L, 1300, ts(0), 2L), (2L, 1000, ts(1), 3L)  // illegal: from terminal
+    ).toDF("job_id", "action", "ts", "event_id")
+    val bad = StateMachine.illegalTransitions(log)
+      .select("job_id").as[Long].collect().toSeq
+    assert(bad == Seq(2L))
+  }
+
+  test("multimodal payload metadata is consistent with the bytes") {
+    val df = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val r = Multimodal.withPayload(df, "text", "doc_id")
+      .select(col("meta.byte_len"), col("meta.n_frames")).head()
+    assert(r.getInt(0) == 11)
+    assert(r.getInt(1) == 1)
+  }
+
+  test("multimodal stub decode is deterministic and batch-shaped") {
+    val df = Multimodal.withPayload(
+      Seq((1L, "abcdef"), (2L, "abcdef")).toDF("doc_id", "text"), "text", "doc_id")
+    val out = Multimodal.decode(spark, df, "doc_id")
+      .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(out(1L) == out(2L)) // same bytes -> same features
+    assert(out(1L).length == 8)
+    assert(out(1L).head == ("abcdef".map(_.toInt).sum).toFloat)
+  }
+
+  private def ts(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Deterministic fake fetcher: canned responses per URL substring. */
+final class FakeFetcher(responses: Map[String, (Int, String)]) extends HttpFetcher {
+  def get(url: String, basicAuth: Option[(String, String)]): (Int, String) =
+    responses.collectFirst { case (k, v) if url.contains(k) => v }
+      .getOrElse((404, ""))
+}
+
+class SourcesSpec extends SparkSpec {
+
+  test("S10 config: INI file wins over env, reference keys honored") {
+    val dir = Files.createTempDirectory("cfg")
+    Files.writeString(dir.resolve("config"),
+      """[prod]
+        |url=http://api.example/v1/
+        |rabbitmq_queue=prod-queue
+        |[heartbeat]
+        |app_name=dl-test
+        |""".stripMargin)
+    val cfg = ConfigSource.load(dir.toString,
+      env = Map("STOXYGEN_URL" -> "http://ignored/"))
+    assert(cfg.url == "http://api.example/v1/")
+    assert(cfg.rabbitmqQueue == "prod-queue")
+    assert(cfg.heartbeatAppname == "dl-test")
+    assert(cfg.urlUsername == "sql-user") // default fills the gap
+  }
+
+  test("S10 config: STOXYGEN_* env fallback with defaults (main.py:49-62)") {
+    val cfg = ConfigSource.load("/nonexistent",
+      env = Map("STOXYGEN_RABBITMQ_HOST" -> "mq.internal",
+        "STOXYGEN_LOGS_MAX_SIZE" -> "1234"))
+    assert(cfg.rabbitmqHost == "mq.internal")
+    assert(cfg.logsMaxSize == 1234L)
+    assert(cfg.url == "http://localhost/api/v1")
+  }
+
+  test("S1 job poll parses a 200 body into the typed Job row") {
+    val fetcher = new FakeFetcher(Map("job/downloader_jobs" -> (200,
+      """{"downloader_jq_id": 7, "action": 1000, "value": "btsp#XFC000000001", "type_idtype": 2}""")))
+    val jobs = RestSource.pollJobs(spark, ConfigSource.defaults, fetcher)
+    val r = jobs.select("status", "downloader_jq_id", "action", "value").head()
+    assert(r.getInt(0) == 200 && r.getLong(1) == 7L && r.getInt(2) == 1000)
+  }
+
+  test("S1 job poll on non-200 yields a status row with null job fields") {
+    val jobs = RestSource.pollJobs(spark, ConfigSource.defaults,
+      new FakeFetcher(Map.empty))
+    val r = jobs.head()
+    assert(r.getInt(0) == 404 && r.isNullAt(1))
+  }
+
+  test("S3/S4 ticker URLs use lowercase pairs (bitstamp/client.py:22)") {
+    assert(RestSource.bitstampTickerUrl("BTC", "EUR") ==
+      "https://www.bitstamp.net/api/v2/ticker/btceur/")
+    assert(RestSource.bitfinexTickerUrl("btc", "usd") ==
+      "https://api.bitfinex.com/v1/pubticker/btcusd")
+  }
+
+  test("S3/S4 ticker fan-out: per-partition fetch, string-decimal casts (F8)") {
+    val fetcher = new FakeFetcher(Map(
+      "ticker/btceur" -> (200,
+        """{"bid": "100.5", "ask": "101.5", "last": "101.0", "high": "110.0",
+          | "low": "95.0", "volume": "42.5", "timestamp": "1704067200"}""".stripMargin),
+      "pubticker/ethusd" -> (503, "unavailable")))
+    val raw = RestSource.fetchTickers(spark,
+      Seq(("btsp", "btc", "eur"), ("btfx", "eth", "usd")), fetcher)
+    assert(raw.count() == 2)
+    val ticks = RestSource.parseTicks(raw) // 503 row filtered (P7)
+    val r = ticks.select("pair", "bid", "mid", "ts").head()
+    assert(r.getString(0) == "btceur")
+    assert(r.getDouble(1) == 100.5)
+    assert(r.getDouble(2) == 101.0) // (bid+ask)/2 when exchange sends no mid
+    assert(ticks.count() == 1)
+  }
+
+  test("S6 publish + S7 writeback are partition-local and at-least-once shaped") {
+    InMemoryQueues.clear()
+    import spark.implicits._
+    val env = Seq("""{"a":1}""", """{"a":2}""").toDF("envelope")
+    QueueSink.publishBatch(env, new InMemorySink, "mq")
+    assert(InMemoryQueues.drain("mq").toSet ==
+      Set("""{"a":1}""", """{"a":2}"""))
+    val trans = Seq((7L, 1100)).toDF("job_id", "action")
+    QueueSink.writebackStates(trans, new InMemorySink, "states")
+    assert(InMemoryQueues.drain("states/7") == Seq("""[{"action": 1100}]"""))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Tables
+import graft.sources.{InMemoryQueues, InMemorySink, TickChannels}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, s: Int = 0) =
+    new Timestamp(1704067200000L + min * 60000L + s * 1000L)
+
+  test("ST3/ST6 per-record transform + foreachBatch publish to the queue sink") {
+    InMemoryQueues.clear()
+    val in = MemoryStream[(String, String, Seq[Double], Timestamp)](spark)
+    val frames = in.toDF().toDF("exchange", "isin", "frame", "ts")
+    // data must exist before start: Trigger.AvailableNow snapshots the
+    // available offsets when the query starts
+    in.addData(("btfx", "XFC000000001",
+      Seq(10.0, 0, 12.0, 0, 0.5, 0.05, 11.0, 100.0, 13.0, 9.0), ts(0)))
+    val q = TickPipeline.publishStream(
+      TickPipeline.normalize(frames), new InMemorySink, "ticks")
+    q.processAllAvailable(); q.stop()
+    val out = InMemoryQueues.drain("ticks")
+    assert(out.size == 1)
+    assert(out.head.contains(""""mid":11.0""") &&
+      out.head.contains(""""exchange":"btfx""""))
+  }
+
+  test("ST2 empty micro-batch is a no-op, not an error") {
+    InMemoryQueues.clear()
+    val in = MemoryStream[(String, String, Seq[Double], Timestamp)](spark)
+    val q = TickPipeline.publishStream(
+      TickPipeline.normalize(in.toDF().toDF("exchange", "isin", "frame", "ts")),
+      new InMemorySink, "empty")
+    q.processAllAvailable(); q.stop() // no data ever added
+    assert(InMemoryQueues.drain("empty").isEmpty)
+  }
+
+  test("ST4 watermark drops late rows beyond the delay") {
+    val in = MemoryStream[(String, Double, Double, Timestamp)](spark)
+    val ticks = in.toDF().toDF("isin", "last_price", "volume", "ts")
+    val q = TickPipeline.bars(ticks, delay = "5 minutes", width = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("bars").start()
+    in.addData(("A", 10.0, 1.0, ts(0)), ("A", 12.0, 1.0, ts(0, 30)))
+    q.processAllAvailable()
+    in.addData(("A", 99.0, 1.0, ts(20))) // advances watermark to 15:00
+    q.processAllAvailable()
+    in.addData(("A", 555.0, 1.0, ts(1))) // late beyond watermark: dropped
+    q.processAllAvailable()
+    q.stop()
+    val bars = spark.table("bars")
+      .select(col("window.start"), col("open"), col("close"), col("n_ticks"))
+      .as[(Timestamp, Double, Double, Long)].collect().toSeq
+    val first = bars.find(_._1 == ts(0)).get
+    assert(first == ((ts(0), 10.0, 12.0, 2L))) // late 555.0 never reopened it
+  }
+
+  test("ST5 mapGroupsWithState advances job state, rejecting illegal moves") {
+    val in = MemoryStream[(Long, Int, Timestamp)](spark)
+    val q = TickPipeline.jobStates(in.toDS())
+      .toDF("job_id", "state")
+      .writeStream.outputMode("update").format("memory").queryName("js").start()
+    in.addData((1L, 1000, ts(0)), (2L, 1000, ts(0)))
+    q.processAllAvailable()
+    in.addData((1L, 1001, ts(1)), (2L, 1300, ts(1))) // 1000->1300 is illegal
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("js").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    assert(last(1L) == 1001)
+    assert(last(2L) == 1000) // illegal transition ignored, state kept
+  }
+
+  test("stream-batch equivalence: hourly counts over events match batch") {
+    val d = sf("sf0.001")
+    val batch = Tables.events(spark, d)
+    // stream reads the raw long-nanos ts (nanosAsLong), converted by the
+    // same expression Tables.events applies on the batch side
+    val rawSchema = org.apache.spark.sql.types.StructType(batch.schema.map {
+      case f if f.name == "ts" =>
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    // FileStreamSource wants a directory; stage the single file into one
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+    def hourly(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+    val q = hourly(stream.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .writeStream.outputMode("complete").format("memory").queryName("sb").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sb").orderBy("h").collect().toSeq
+    val want = hourly(batch).orderBy("h").collect().toSeq
+    assert(got == want)
+  }
+
+  test("S5 custom DSv2 source delivers appended frames exactly once") {
+    TickChannels.clear()
+    TickChannels.append("c1", ("btfx", "btceur", Array(1.0, 0, 2.0), 1704067200000000L))
+    val stream = spark.readStream.format("graft.sources.TickStreamSource")
+      .option("channel", "c1").load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("wss").start()
+    q.processAllAvailable()
+    TickChannels.append("c1", ("btfx", "btceur", Array(3.0, 0, 4.0), 1704067260000000L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wss")
+      .select(col("pair"), element_at(col("frame"), 1), col("ts"))
+      .as[(String, Double, Timestamp)].collect().toSeq.sortBy(_._2)
+    assert(rows.map(_._2) == Seq(1.0, 3.0))
+    assert(rows.head._3 == new Timestamp(1704067200000L))
+  }
+
+  test("S8 heartbeat listener publishes lifecycle events") {
+    InMemoryQueues.clear()
+    val hb = new Heartbeat(new InMemorySink, "downloader", "inst-1")
+    spark.streams.addListener(hb)
+    try {
+      val in = MemoryStream[Int](spark)
+      val q = in.toDF().writeStream.format("memory").queryName("hb").start()
+      in.addData(1); q.processAllAvailable(); q.stop()
+      q.awaitTermination(10000)
+      // listener events are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      var msgs = Seq.empty[String]
+      while (msgs.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        msgs = InMemoryQueues.drain("services/downloader")
+      }
+      assert(msgs.exists(_.contains(""""state":"started"""")))
+    } finally spark.streams.removeListener(hb)
+  }
+}
