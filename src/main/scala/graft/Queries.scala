@@ -789,6 +789,36 @@ object Queries {
       .orderBy(col("d1"), col("d2")),
     None)
 
+  private val simhashBitSums = (0 until 16).map(j =>
+    s"    CAST(sum(CASE WHEN substr(h, ${j + 1}, 1) IN " +
+      s"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS BIGINT) AS s$j")
+    .mkString(",\n")
+  private val simhashBitTerms = (0 until 16).map(j =>
+    s"(CASE WHEN s$j * 2 > n_tok THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+
+  val x2Simhash = QuerySpec("x2_simhash",
+    (s, d) => Dedup.simhash(T(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            |  FROM documents),
+            |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+            |v AS (
+            |  SELECT doc_id, count(*) AS n_tok,
+            |$simhashBitSums
+            |  FROM th GROUP BY doc_id)
+            |SELECT doc_id, CAST($simhashBitTerms AS INT) AS simhash
+            |FROM v ORDER BY doc_id""".stripMargin))
+
+  val x2CosineNearDup = QuerySpec("x2_cosine_neardup",
+    (s, d) => Similarity.cosineNearDupPairs(T(s, d, "embeddings"), 200L, 20),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE vec_id < 200)
+           |SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |ORDER BY sim DESC, v1, v2 LIMIT 20""".stripMargin))
+
   val x3TopkCosine = QuerySpec("x3_topk_cosine",
     (s, d) => {
       val emb = T(s, d, "embeddings")
@@ -932,7 +962,8 @@ object Queries {
     w1Rank, w2LagLead, w3Frames,
     q1TopK, q2Union, q3Intersect, q3Except,
     ost1State,
-    x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x3TopkCosine, x3AnnLsh,
+    x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
+    x3TopkCosine, x3AnnLsh,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe,
     mmMeta, mmDecode)
 

@@ -85,6 +85,33 @@ object Dedup {
       .select(col(idCol), col("sig"), col("bands"))
   }
 
+  /** X2c — 16-bit SimHash over distinct tokens.
+    *
+    * Bit j of a token = high bit of hex nibble j of md5(token); the doc's
+    * SimHash sets bit j when the majority of its tokens have bit j set.
+    * md5-nibble bits keep the hash portable (the DuckDB oracle computes the
+    * identical value via substr on the same md5 hex). Near-dups differ in
+    * few bits; at scale candidates come from exact-matching on rotated
+    * bit-blocks (same groupBy shape as MinHash banding). */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitVotes = toks
+      .select(col(idCol) +: (0 until 16).map(j =>
+        when(substring(col("h"), j + 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)
+          .as(s"b$j")): _*)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        (0 until 16).map(j => sum(col(s"b$j")).as(s"s$j")): _*)
+    bitVotes.withColumn("simhash",
+      (0 until 16).map(j =>
+        when(col(s"s$j") * 2 > col("n_tok"), lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int"))
+      .select(col(idCol), col("simhash"))
+  }
+
   /** X2b — LSH candidate pairs: explode band hashes, self-join per
     * (band index, band hash) bucket. The join key is the bucket, so work
     * scales with bucket sizes, never with corpus². */

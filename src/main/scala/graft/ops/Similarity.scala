@@ -55,6 +55,23 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
   }
 
+  /** X2d — embedding-cosine near-dup pairs: the top-N most similar
+    * vector pairs. Brute-force pair generation at test scale; the corpus²
+    * blowup is bounded by `maxId` (only vectors below it pair up — the
+    * "block" here; at 100 TB the block is an LSH bucket from withBucket,
+    * same downstream kernel). */
+  def cosineNearDupPairs(corpus: DataFrame, maxId: Long, topN: Int): DataFrame = {
+    val a = corpus.filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("v1"), asDouble("embedding").as("qv"))
+    val b = corpus.filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("v2"), asDouble("embedding").as("cv"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("sim", round(expr(cosineExpr), 6))
+      .select(col("v1"), col("v2"), col("sim"))
+      .orderBy(col("sim").desc, col("v1"), col("v2"))
+      .limit(topN)
+  }
+
   /** Deterministic ±1 pseudo-random hyperplane component for (plane j,
     * dimension d). Pure arithmetic so tests can recompute it anywhere. */
   private def planeSign(j: Int): String =
