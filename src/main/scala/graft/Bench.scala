@@ -22,6 +22,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fns = SparkEntry.queries
+    // untimed warmup at the smallest SF: JIT + codegen + parquet footer
+    // caches, so measured numbers reflect steady-state execution
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.benchQueries.foreach { name =>
+        try fns(name)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
     var errors = List.empty[(String, String)]
     val results = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()
