@@ -33,9 +33,19 @@ object Similarity {
   private def norm(a: String) =
     s"sqrt(aggregate(transform($a, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"
 
-  /** Exact cosine similarity of `qv` vs `cv` (both array<double>). */
-  val cosineExpr: String =
+  /** Exact cosine similarity of `qv` vs `cv` (both array<double>) via the
+    * builtin higher-order folds — kept as the reference implementation the
+    * codegen'd expression is tested against. */
+  val cosineExprBuiltin: String =
     s"${dot("qv", "cv")} / (${norm("qv")} * ${norm("cv")})"
+
+  /** Hot-path cosine: the custom codegen'd Catalyst expression
+    * (functions.CosineSimilarity) — one fused loop, no allocation,
+    * bit-identical numerics to the sequential fold above. */
+  private def cosine(df: DataFrame): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    expr("graft_cosine(qv, cv)")
+  }
 
   /** X3a — exact top-k: for each query vector, the k nearest corpus
     * vectors by cosine. `queries` is expected to be small (it is
@@ -46,8 +56,8 @@ object Similarity {
         asDouble("embedding").as("qv")))
       .crossJoin(corpus.select(col("vec_id"), asDouble("embedding").as("cv")))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("sim", round(expr(cosineExpr), 6))
-    pairs
+    val simmed = pairs.withColumn("sim", round(cosine(pairs), 6))
+    simmed
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("vec_id"))))
@@ -65,8 +75,9 @@ object Similarity {
       .select(col("vec_id").as("v1"), asDouble("embedding").as("qv"))
     val b = corpus.filter(col("vec_id") < maxId)
       .select(col("vec_id").as("v2"), asDouble("embedding").as("cv"))
-    a.join(b, col("v1") < col("v2"))
-      .withColumn("sim", round(expr(cosineExpr), 6))
+    val pairs = a.join(b, col("v1") < col("v2"))
+    pairs
+      .withColumn("sim", round(cosine(pairs), 6))
       .select(col("v1"), col("v2"), col("sim"))
       .orderBy(col("sim").desc, col("v1"), col("v2"))
       .limit(topN)
@@ -94,9 +105,10 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
     val c = withBucket(corpus, "embedding", nPlanes)
       .select(col("vec_id"), col("v").as("cv"), col("bucket"))
-    q.join(c, Seq("bucket"))
+    val cands = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("sim", round(expr(cosineExpr), 6))
+    cands
+      .withColumn("sim", round(cosine(cands), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("vec_id"))))

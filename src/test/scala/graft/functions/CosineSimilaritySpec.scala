@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+    (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+    (Seq(0.3, -0.7, 0.2), Seq(-0.1, 0.9, 0.4)),
+    (Seq(1e-8, 2e-8, 3e8), Seq(4.0, 5.0, 6.0))
+  ).toDF("qv", "cv")
+
+  test("codegen'd cosine is bit-identical to the builtin fold route") {
+    GraftFunctions.register(spark)
+    val out = vecs.select(
+      expr("graft_cosine(qv, cv)").as("fast"),
+      expr(Similarity.cosineExprBuiltin).as("ref"))
+    assert(out.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("self-similarity is 1, orthogonal is 0, nulls propagate") {
+    GraftFunctions.register(spark)
+    val r = vecs.select(expr("graft_cosine(qv, cv)")).as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-15)
+    assert(r(1) == 0.0)
+    val withNull = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("qv", "cv")
+    assert(withNull.select(expr("graft_cosine(qv, cv)")).head().isNullAt(0))
+  }
+
+  test("the expression participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // literal inputs constant-fold to LocalTableScan, and transform()
+    // lambdas are CodegenFallback (they'd poison the stage) — build the
+    // vectors with codegen-friendly array() from a range
+    val df = spark.range(100).select(
+      expr("array(cast(id as double), cast(id + 1 as double), 3.0)").as("qv"),
+      expr("array(cast(id + 2 as double), 1.0, cast(id as double))").as("cv"))
+    val out = df.select(expr("graft_cosine(qv, cv)").as("c"))
+      .filter(col("c") > -2)
+    // whole-stage-codegen'd operators print with a "*(n)" prefix
+    assert(planOf(out).linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*")))
+    assert(out.count() == 100) // and the generated code actually runs
+  }
+}
