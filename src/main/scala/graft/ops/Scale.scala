@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale tools: skew salting and bucketed co-located joins.
+  *
+  * These don't add query semantics — they change physical distribution.
+  * At test scale they're exercised for correctness (specs assert identical
+  * results and the expected plan shape); at 100 TB they're the difference
+  * between a straggler-bound job and an even one.
+  */
+object Scale {
+
+  /** Salted two-phase aggregation for skewed group keys: repartition the
+    * hot key's rows across `saltBuckets` partial groups, aggregate, then
+    * combine. sum/count compose exactly (avg = sum/count downstream).
+    *
+    * Usage: saltedSum(df, key, valueCol) == df.groupBy(key).agg(sum, count)
+    * for any distribution, but the first shuffle spreads a hot key over
+    * saltBuckets reducers instead of one. (AQE skew handling covers joins;
+    * single-key agg skew still needs salting.) */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+      saltBuckets: Int = 16): DataFrame =
+    df.withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+      .groupBy(col(key), col("salt"))
+      .agg(sum(col(valueCol)).as("partial_sum"), count(lit(1)).as("partial_n"))
+      .groupBy(col(key))
+      .agg(sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n"))
+
+  /** Broadcast-salted join for a skewed fact key joining a dim too large to
+    * broadcast whole but with known hot keys: replicate dim rows for hot
+    * keys across `saltBuckets` salts, salt the fact side, join on
+    * (key, salt). Result equals the plain join. */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val saltedFacts = facts.withColumn("salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+    val explodedDim = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFacts.join(explodedDim, Seq(key, "salt")).drop("salt")
+  }
+
+  /** Write both sides bucketed by the join key so subsequent joins are
+    * shuffle-free (co-located scan -> SortMergeJoin without Exchange).
+    * Bucketing metadata lives in the session catalog; at cluster scale
+    * this is the standard pre-partitioning for repeated fact-fact joins. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+    path.fold(w)(p => w.option("path", s"$p/$table")).saveAsTable(table)
+  }
+
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation under heavy skew") {
+    // 10k rows of one hot key + scattered tail
+    val df = (1 to 10000).map(i => ("hot", i.toDouble)) ++
+      (1 to 100).map(i => (s"k$i", i.toDouble))
+    val in = df.toDF("key", "v")
+    val salted = Scale.saltedSum(in, "key", "v")
+      .select("key", "total", "n").as[(String, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val plain = in.groupBy("key").agg(sum("v").as("t"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(salted.keySet == plain.keySet)
+    assert(salted("hot")._2 == 10000L)
+    assert(math.abs(salted("hot")._1 - plain("hot")._1) < 1e-6)
+  }
+
+  test("salted join equals plain join") {
+    val facts = (1 to 1000).map(i => (if (i % 10 == 0) "a" else s"k${i % 7}", i))
+      .toDF("key", "v")
+    val dim = Seq(("a", "hot-dim"), ("k1", "d1"), ("k2", "d2")).toDF("key", "label")
+    val salted = Scale.saltedJoin(facts, dim, "key")
+      .groupBy("key", "label").count()
+      .as[(String, String, Long)].collect().toSet
+    val plain = facts.join(dim, Seq("key"))
+      .groupBy("key", "label").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+    Scale.writeBucketed(a, "bucketed_a", "k", 8, Some(wh))
+    Scale.writeBucketed(b, "bucketed_b", "k", 8, Some(wh))
+    // tiny test tables would auto-broadcast; force the SMJ path the
+    // bucketing is for (at real scale neither side broadcasts)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "bucketed_a", "bucketed_b", "k")
+      val plan = planOf(joined)
+      assert(joined.count() == 1000)
+      // co-located scan: SortMergeJoin with no shuffle Exchange on either side
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    spark.sql("DROP TABLE IF EXISTS bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS bucketed_b")
+  }
+}
