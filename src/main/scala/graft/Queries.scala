@@ -228,6 +228,49 @@ object Queries {
            |  string_split(c_mktsegment || '#' || c_name, '#')[1] AS seg_decoded
            |FROM customer WHERE c_custkey <= 2000 ORDER BY c_custkey""".stripMargin))
 
+  val fStrings2 = QuerySpec("f_strings2",
+    (s, d) => T(s, d, "customer").filter(col("c_custkey") <= 2000)
+      .select(col("c_custkey"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+        instr(col("c_name"), "_").as("uspos"),
+        reverse(col("c_mktsegment")).as("rev"),
+        repeat(lit("ab"), 3).as("rep"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("trans"),
+        length(col("c_name")).as("nlen"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+           |  substr(c_name, 1, 8) AS prefix,
+           |  trim('  ' || c_mktsegment || ' ') AS trimmed,
+           |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+           |  CAST(instr(c_name, '_') AS INT) AS uspos,
+           |  reverse(c_mktsegment) AS rev,
+           |  repeat('ab', 3) AS rep,
+           |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS trans,
+           |  CAST(length(c_name) AS INT) AS nlen
+           |FROM customer WHERE c_custkey <= 2000 ORDER BY c_custkey""".stripMargin))
+
+  val fArrays = QuerySpec("f_arrays",
+    (s, d) => T(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        element_at(sort_array(array_distinct(col("toks"))), 1).as("first_tok"),
+        size(slice(col("toks"), 1, 5)).as("n_head"),
+        concat_ws("-", slice(col("toks"), 1, 3)).as("head3"))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           |  list_contains(toks, 'spark') AS has_spark,
+           |  list_sort(list_distinct(toks))[1] AS first_tok,
+           |  CAST(len(toks[1:5]) AS INT) AS n_head,
+           |  array_to_string(toks[1:3], '-') AS head3
+           |FROM d ORDER BY doc_id""".stripMargin))
+
   val f6FromJson = QuerySpec("f6_from_json",
     (s, d) => Tables.events(s, d)
       .withColumn("k_val",
@@ -636,6 +679,67 @@ object Queries {
            |FROM r WHERE event_id < 10000 ORDER BY event_id""".stripMargin),
     bench = true)
 
+  val w1bDistribution = QuerySpec("w1b_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH r AS (
+           |  SELECT user_id, event_id,
+           |    ntile(4) OVER w AS quartile,
+           |    round(percent_rank() OVER w, 6) AS pct_rank,
+           |    round(cume_dist() OVER w, 6) AS cdist
+           |  FROM events WHERE user_id < 20
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id))
+           |SELECT user_id, event_id, CAST(quartile AS INT) AS quartile,
+           |  pct_rank, cdist
+           |FROM r ORDER BY event_id""".stripMargin))
+
+  val fMathDate = QuerySpec("f_math_date",
+    (s, d) => Tables.events(s, d).filter(col("event_id") < 5000)
+      .select(col("event_id"),
+        round(sqrt(col("value")), 6).as("sqrt_v"),
+        round(pow(col("value"), 2), 4).as("pow_v"),
+        round(log(col("value") + 1), 6).as("ln_v"),
+        abs(col("value") * -1).as("abs_v"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("h"),
+        dayofweek(col("ts")).as("dow"),
+        greatest(col("value"), lit(50.0)).as("gr"),
+        least(col("value"), lit(50.0)).as("le"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+           |  round(sqrt(value), 6) AS sqrt_v,
+           |  round(pow(value, 2), 4) AS pow_v,
+           |  round(ln(value + 1), 6) AS ln_v,
+           |  abs(value * -1) AS abs_v,
+           |  CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           |  CAST(day(ts) AS INT) AS dom, CAST(hour(ts) AS INT) AS h,
+           |  CAST(date_part('dow', ts) + 1 AS INT) AS dow,
+           |  greatest(value, 50.0) AS gr,
+           |  least(value, 50.0) AS le
+           |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin))
+
+  val a5Percentiles = QuerySpec("a5_percentiles",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+           |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+           |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
+           |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val q1TopK = QuerySpec("q1_topk",
     (s, d) => T(s, d, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -955,11 +1059,12 @@ object Queries {
     flagship,
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
     p7StatusFilter, p8Dispatch,
-    fStrings, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets, f12MapAccess,
+    fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
+    f12MapAccess,
     j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
     j6RangeBand, j7Asof, j8Semi, j8Anti,
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
-    w1Rank, w2LagLead, w3Frames,
+    w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except,
     ost1State,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
