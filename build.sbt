@@ -35,3 +35,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // stdout line the driver sees.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// Suites share one local SparkContext; run them sequentially so a suite
+// that swaps the default session can't race another suite's queries.
+Test / parallelExecution := false
