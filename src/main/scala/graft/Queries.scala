@@ -789,6 +789,35 @@ object Queries {
            |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
            |ORDER BY c_custkey""".stripMargin))
 
+  /** ST4's batch twin: session windows over event time. Spark uses the
+    * native session_window; the oracle derives identical sessions via the
+    * classic gaps-and-islands construction (new session when the gap from
+    * the previous event exceeds 30 minutes). */
+  val st4Sessions = QuerySpec("st4_sessionization",
+    (s, d) => Tables.events(s, d).filter(col("user_id") < 30)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_us")),
+    Some("""WITH e AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+           |      (PARTITION BY user_id ORDER BY ts) > 1800000000
+           |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |    THEN 1 ELSE 0 END AS new_session
+           |  FROM events WHERE user_id < 30),
+           |sess AS (
+           |  SELECT user_id, ts, value,
+           |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS UNBOUNDED PRECEDING) AS session_id
+           |  FROM e)
+           |SELECT user_id, min(epoch_us(ts)) AS start_us,
+           |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+           |FROM sess GROUP BY user_id, session_id
+           |ORDER BY user_id, start_us""".stripMargin))
+
   val ost1State = QuerySpec("ost1_state_machine",
     (s, d) => {
       val log = Tables.events(s, d).select(
@@ -1066,7 +1095,7 @@ object Queries {
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except,
-    ost1State,
+    ost1State, st4Sessions,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
     x3TopkCosine, x3AnnLsh,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe,
