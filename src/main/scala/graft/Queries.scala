@@ -982,6 +982,17 @@ object Queries {
     },
     None)
 
+  /** IVF ANN — cell assignment is engine-defined: rows-only; recall is
+    * spec-tested against the exact top-k (DedupSimilaritySpec). */
+  val x3Ivf = QuerySpec("x3_ivf_topk",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5,
+        nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    None)
+
   val x4TextStats = QuerySpec("x4_text_stats",
     (s, d) => TextOps.withTextStats(T(s, d, "documents"), "text")
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
@@ -1097,7 +1108,7 @@ object Queries {
     q1TopK, q2Union, q3Intersect, q3Except,
     ost1State, st4Sessions,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
-    x3TopkCosine, x3AnnLsh,
+    x3TopkCosine, x3AnnLsh, x3Ivf,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe,
     mmMeta, mmDecode)
 

@@ -97,6 +97,52 @@ object Similarity {
       .withColumn("bucket", expr(signs).cast("int"))
   }
 
+  /** X3c — IVF (inverted-file) index: corpus vectors are assigned to
+    * their nearest of `k` coarse centroids; a query probes its `nProbe`
+    * nearest centroids and re-ranks exactly inside those cells only.
+    *
+    * Centroids here are a deterministic sample (lowest `k` vec_ids) —
+    * production would Lloyd-iterate, which only changes centroid quality,
+    * not the operator shape. At 100 TB: centroids broadcast (k is small),
+    * the assignment is one narrow pass over the corpus, and the probe join
+    * is an equi-join on cid — per-cell work, never corpus × queries. */
+  def ivfAssign(corpus: DataFrame, k: Int): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")))
+    val scored = corpus.select(col("vec_id"), asDouble("embedding").as("qv"))
+      .crossJoin(cents)
+    val ranked = scored.withColumn("csim", cosine(scored))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+    ranked.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("cid"), col("qv").as("cv"))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(corpus, nCentroids)
+    val cents = broadcast(corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")))
+    val qscored = queries.select(col("vec_id").as("query_id"),
+        asDouble("embedding").as("qv"))
+      .crossJoin(cents)
+    val probes = qscored.withColumn("csim", cosine(qscored))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val cands = probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+    cands.withColumn("sim", round(cosine(cands), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
   /** X3b — approximate top-k: candidates restricted to the query's LSH
     * bucket, exact cosine re-ranking inside the bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
