@@ -66,6 +66,64 @@ object Queries {
            |GROUP BY n_name ORDER BY n_name""".stripMargin),
     bench = true)
 
+  /** SURVEY §3 E2 — the reference's whole REST job pipeline as ONE DAG:
+    * synthesize jobs -> eligibility filter (P6) -> decode (P1) -> forward
+    * dim join (J1, broadcast) -> fetch-status filter (P7) -> derived tick
+    * normalization (P3/F8) -> envelope publish payload (P5/F5). The
+    * reference crosses the network 5× per record for this
+    * (main.py:264-355); here it is one declarative plan with a single
+    * broadcast and zero shuffles before the final sort. */
+  val e2Pipeline = QuerySpec("e2_pipeline",
+    (s, d) => {
+      val jobs = T(s, d, "orders").select(
+        col("o_orderkey").as("downloader_jq_id"),
+        (lit(1000) + (col("o_orderkey") % 10) * 100).cast("int").as("action"),
+        concat(lit("btsp#XFC"),
+          lpad((col("o_custkey") % 84 + 1).cast("string"), 9, "0")).as("value"),
+        ((col("o_orderkey") % 3) + 1).cast("int").as("type_idtype"),
+        col("o_totalprice"))
+      val decoded = CoreOps.decodeJobValue(CoreOps.eligibleJobs(jobs))
+      val withDim = DimJoins.forward(s)(decoded)
+      val fetched = withDim.withColumn("status",
+        when(col("downloader_jq_id") % 7 === 0, 503).otherwise(200))
+      val ticks = CoreOps.withMid(CoreOps.okStatus(fetched)
+        .withColumn("bid", round(col("o_totalprice") / 1000, 4))
+        .withColumn("ask", round(col("o_totalprice") / 1000 * 1.01, 4)))
+      ticks.select(col("downloader_jq_id"),
+          CoreOps.toEnvelope(col("exchange"), col("isin"), col("pair"),
+            floor(col("mid") * 100 + 0.5).cast("long").as("mid_cents"))
+            .as("envelope"))
+        .orderBy(col("downloader_jq_id"))
+    },
+    Some(s"""WITH jobs AS (
+            |  SELECT o_orderkey AS downloader_jq_id,
+            |    1000 + (o_orderkey % 10) * 100 AS action,
+            |    'btsp#XFC' || lpad(CAST(o_custkey % 84 + 1 AS VARCHAR), 9, '0') AS value,
+            |    (o_orderkey % 3) + 1 AS type_idtype,
+            |    o_totalprice
+            |  FROM orders),
+            |eligible AS (
+            |  SELECT *, string_split(value, '#')[1] AS exchange,
+            |    string_split(value, '#')[2] AS isin
+            |  FROM jobs
+            |  WHERE downloader_jq_id <> 0 AND action = 1000 AND type_idtype = 2),
+            |withdim AS (
+            |  SELECT e.*, dim.pair FROM eligible e
+            |  JOIN ${CurrencyDim.sqlRelation("dim")} ON dim.isin = e.isin),
+            |fetched AS (
+            |  SELECT *, CASE WHEN downloader_jq_id % 7 = 0 THEN 503 ELSE 200 END AS status
+            |  FROM withdim),
+            |ticks AS (
+            |  SELECT *, round(o_totalprice / 1000, 4) AS bid,
+            |    round(o_totalprice / 1000 * 1.01, 4) AS ask
+            |  FROM fetched WHERE status = 200)
+            |SELECT downloader_jq_id, to_json({
+            |    'exchange': exchange, 'isin': isin, 'pair': pair,
+            |    'mid_cents': CAST(floor((bid + ask) / 2 * 100 + 0.5) AS BIGINT)
+            |  }) AS envelope
+            |FROM ticks ORDER BY downloader_jq_id""".stripMargin),
+    bench = true)
+
   val p1SplitDecode = QuerySpec("p1_split_decode",
     (s, d) => {
       val withValue = Tables.events(s, d).filter(col("event_id") < 5000)
@@ -1096,7 +1154,7 @@ object Queries {
     None)
 
   val all: Seq[QuerySpec] = Seq(
-    flagship,
+    flagship, e2Pipeline,
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
     p7StatusFilter, p8Dispatch,
     fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
