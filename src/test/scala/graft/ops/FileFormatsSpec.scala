@@ -23,6 +23,21 @@ class FileFormatsSpec extends SparkSpec {
       src.agg(sum("value")).head().getDouble(0))
   }
 
+  test("hive-partitioned parquet prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    val plan = planOf(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"))
+    // only the click partition's rows are read
+    val expected = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type") === "click").count()
+    assert(pruned.count() == expected)
+  }
+
   test("JSON round-trip with explicit schema preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("json").toString
     val src = Tables.events(spark, sf("sf0.001"))
