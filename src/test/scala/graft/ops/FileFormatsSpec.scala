@@ -38,6 +38,25 @@ class FileFormatsSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("malformed JSON rows land in the corrupt-record column, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("badjson")
+    java.nio.file.Files.writeString(dir.resolve("data.json"),
+      """{"event_id": 1, "event_type": "click", "value": 1.5}
+        |{"event_id": "NOT A NUMBER", "event_type": 3}
+        |{"event_id": 2, "event_type": "view", "value": 2.5}
+        |""".stripMargin)
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val df = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("event_id").isNotNull).count() == 2)
+    df.unpersist()
+  }
+
   test("JSON round-trip with explicit schema preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("json").toString
     val src = Tables.events(spark, sf("sf0.001"))
