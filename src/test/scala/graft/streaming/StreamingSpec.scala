@@ -76,6 +76,20 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == 1000) // illegal transition ignored, state kept
   }
 
+  test("J1 broadcast dim join runs unchanged on a streaming frame") {
+    val in = MemoryStream[(String, String, Timestamp)](spark)
+    val ticks = in.toDF().toDF("exchange", "isin", "ts")
+    val joined = graft.ops.DimJoins.forward(spark)(ticks)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("dimstream").start()
+    in.addData(("btfx", "XFC000000001", ts(0)),
+      ("btfx", "XFC999999999", ts(1))) // unknown isin: dropped (inner)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dimstream").select("isin", "pair")
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(("XFC000000001", "btceur")))
+  }
+
   test("stream-batch equivalence: hourly counts over events match batch") {
     val d = sf("sf0.001")
     val batch = Tables.events(spark, d)
