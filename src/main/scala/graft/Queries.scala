@@ -373,7 +373,7 @@ object Queries {
     (s, d) => Tables.events(s, d).filter(col("event_id") < 5000)
       .withColumn("m",
         from_json(col("props"), "map<string,int>", Map.empty[String, String]))
-      .select(col("event_id"), element_at(col("m"), "k").as("k_val"))
+      .select(col("event_id"), expr("try_element_at(m, 'k')").as("k_val"))
       .orderBy(col("event_id")),
     Some("""SELECT event_id, CAST(props->>'k' AS INT) AS k_val
            |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin))
@@ -426,9 +426,8 @@ object Queries {
             |ORDER BY w.event_id""".stripMargin))
 
   val j3ShuffleHash = QuerySpec("j3_shuffle_hash",
-    (s, d) => T(s, d, "orders")
-      .join(T(s, d, "lineitem").hint("SHUFFLE_HASH"),
-        col("o_orderkey") === col("l_orderkey"))
+    (s, d) => T(s, d, "orders").hint("SHUFFLE_HASH")
+      .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
@@ -629,28 +628,48 @@ object Queries {
            |FROM e GROUP BY CUBE(event_type, user_bucket)
            |ORDER BY gid, event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin))
 
+  /** open/close via row_number with an event_id tie-break, not
+    * min_by/max_by(value, ts): equal timestamps would make the winner
+    * merge-order-dependent (and engine-divergent vs the oracle). */
   val a4Ohlc = QuerySpec("a4_ohlc_bars",
-    (s, d) => Tables.events(s, d)
-      .groupBy(col("event_type"),
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
-          .as("hour_str"))
-      .agg(
-        round(expr("min_by(value, ts)"), 4).as("open"),
-        round(max(col("value")), 4).as("high"),
-        round(min(col("value")), 4).as("low"),
-        round(expr("max_by(value, ts)"), 4).as("close"),
-        round(sum(col("value")), 4).as("volume"),
-        count(lit(1)).as("n_ticks"))
-      .orderBy(col("event_type"), col("hour_str")),
-    Some("""SELECT event_type,
-           |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
-           |  round(min_by(value, ts), 4) AS open,
+    (s, d) => {
+      val base = Tables.events(s, d).withColumn("hour_str",
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+      val wAsc = Window.partitionBy(col("event_type"), col("hour_str"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("event_type"), col("hour_str"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base
+        .withColumn("rna", row_number().over(wAsc))
+        .withColumn("rnd", row_number().over(wDesc))
+        .groupBy(col("event_type"), col("hour_str"))
+        .agg(
+          round(max(when(col("rna") === 1, col("value"))), 4).as("open"),
+          round(max(col("value")), 4).as("high"),
+          round(min(col("value")), 4).as("low"),
+          round(max(when(col("rnd") === 1, col("value"))), 4).as("close"),
+          round(sum(col("value")), 4).as("volume"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy(col("event_type"), col("hour_str"))
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type,
+           |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+           |    value,
+           |    row_number() OVER (PARTITION BY event_type,
+           |      date_trunc('hour', ts) ORDER BY ts, event_id) AS rna,
+           |    row_number() OVER (PARTITION BY event_type,
+           |      date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rnd
+           |  FROM events)
+           |SELECT event_type, hour_str,
+           |  round(max(CASE WHEN rna = 1 THEN value END), 4) AS open,
            |  round(max(value), 4) AS high,
            |  round(min(value), 4) AS low,
-           |  round(max_by(value, ts), 4) AS close,
+           |  round(max(CASE WHEN rnd = 1 THEN value END), 4) AS close,
            |  round(sum(value), 4) AS volume,
            |  count(*) AS n_ticks
-           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+           |FROM b GROUP BY event_type, hour_str
+           |ORDER BY event_type, hour_str""".stripMargin),
     bench = true)
 
   // ===========================================================================
@@ -862,7 +881,7 @@ object Queries {
     Some("""WITH e AS (
            |  SELECT user_id, ts, value,
            |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-           |      (PARTITION BY user_id ORDER BY ts) > 1800000000
+           |      (PARTITION BY user_id ORDER BY ts) >= 1800000000
            |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
            |    THEN 1 ELSE 0 END AS new_session
            |  FROM events WHERE user_id < 30),

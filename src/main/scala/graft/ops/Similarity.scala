@@ -84,9 +84,11 @@ object Similarity {
   }
 
   /** Deterministic ±1 pseudo-random hyperplane component for (plane j,
-    * dimension d). Pure arithmetic so tests can recompute it anywhere. */
+    * dimension d), drawn from murmur3 hash(j, d) — a real hash family (the
+    * previous affine-mod-7 pattern made planes repeat with period 7 in j,
+    * so bit 7 duplicated bit 0 at the default nPlanes=8). */
   private def planeSign(j: Int): String =
-    s"transform(v, (x, d) -> if ((($j * 1000003 + d * 7919) % 7) < 3, x, -x))"
+    s"transform(v, (x, d) -> if (pmod(hash($j, d), 2) = 0, x, -x))"
 
   /** Sign-LSH bucket id from `nPlanes` hyperplane sign bits. */
   def withBucket(df: DataFrame, vecCol: String, nPlanes: Int): DataFrame = {

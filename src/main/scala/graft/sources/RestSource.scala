@@ -93,16 +93,18 @@ object RestSource {
       .withColumn("t", from_json(col("body"),
         org.apache.spark.sql.types.StructType.fromDDL(schema)))
       .select(
+        // try_cast, not cast: a malformed numeric from an exchange must
+        // become a null cell (row-level error data), not an ANSI crash
         col("exchange"), col("pair"),
-        col("t.bid").cast("double").as("bid"),
-        col("t.ask").cast("double").as("ask"),
-        coalesce(col("t.last"), col("t.last_price")).cast("double").as("last"),
-        col("t.high").cast("double").as("high"),
-        col("t.low").cast("double").as("low"),
-        col("t.volume").cast("double").as("volume"),
-        coalesce(col("t.mid").cast("double"),
-          (col("t.bid").cast("double") + col("t.ask").cast("double")) / 2)
+        expr("try_cast(t.bid as double)").as("bid"),
+        expr("try_cast(t.ask as double)").as("ask"),
+        expr("try_cast(coalesce(t.last, t.last_price) as double)").as("last"),
+        expr("try_cast(t.high as double)").as("high"),
+        expr("try_cast(t.low as double)").as("low"),
+        expr("try_cast(t.volume as double)").as("volume"),
+        expr("coalesce(try_cast(t.mid as double), " +
+          "(try_cast(t.bid as double) + try_cast(t.ask as double)) / 2)")
           .as("mid"),
-        to_timestamp(col("t.timestamp").cast("double")).as("ts"))
+        to_timestamp(expr("try_cast(t.timestamp as double)")).as("ts"))
   }
 }

@@ -21,13 +21,27 @@ import graft.schema.Transition
 object TickPipeline {
 
   /** ST3 — per-record transform: positional frame -> named cols -> mid ->
-    * envelope. Identical operators to the batch path. */
+    * envelope. Identical operators to the batch path. Envelope fields are
+    * integer cents / milli-units per CoreOps.toEnvelope's contract (float
+    * JSON rendering is engine-specific; ints are portable). */
   def normalize(frames: DataFrame): DataFrame = {
     val projected = CoreOps.withMid(CoreOps.projectFrame("frame")(frames))
+    def cents(c: String) =
+      floor(col(c) * 100 + 0.5).cast("long").as(c + "_cents")
     projected.withColumn("envelope", CoreOps.toEnvelope(
-      col("exchange"), col("isin"), col("bid"), col("ask"), col("mid"),
-      col("last_price"), col("volume"), col("high"), col("low")))
+      col("exchange"), col("isin"), cents("bid"), cents("ask"), cents("mid"),
+      cents("last_price"),
+      floor(col("volume") * 1000 + 0.5).cast("long").as("volume_milli"),
+      cents("high"), cents("low")))
   }
+
+  /** Wire the DSv2 WSS source (sources.TickStreamSource: exchange, pair,
+    * frame, ts) into the pipeline: reverse dim lookup pair -> isin (J2,
+    * broadcast, null on miss — reference main.py:395 semantics), then the
+    * shared normalize. */
+  def fromWss(spark: SparkSession)(stream: DataFrame): DataFrame =
+    normalize(graft.ops.DimJoins.reverse(spark)(stream)
+      .withColumn("isin", col("isin_resolved")).drop("isin_resolved"))
 
   /** ST4 — watermarked event-time OHLC bars. Late rows beyond `delay` are
     * dropped — a capability the reference lacks (it trusts arrival order,
@@ -38,10 +52,12 @@ object TickPipeline {
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), width), col("isin"))
       .agg(
-        expr("min_by(last_price, ts)").as("open"),
+        // struct key adds a value tie-break so equal-ts ticks can't make
+        // open/close merge-order-dependent
+        expr("min_by(last_price, struct(ts, last_price))").as("open"),
         max(col("last_price")).as("high"),
         min(col("last_price")).as("low"),
-        expr("max_by(last_price, ts)").as("close"),
+        expr("max_by(last_price, struct(ts, last_price))").as("close"),
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_ticks"))
 

@@ -27,7 +27,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val out = InMemoryQueues.drain("ticks")
     assert(out.size == 1)
-    assert(out.head.contains(""""mid":11.0""") &&
+    assert(out.head.contains(""""mid_cents":1100""") &&
       out.head.contains(""""exchange":"btfx""""))
   }
 
@@ -134,6 +134,27 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Double, Timestamp)].collect().toSeq.sortBy(_._2)
     assert(rows.map(_._2) == Seq(1.0, 3.0))
     assert(rows.head._3 == new Timestamp(1704067200000L))
+  }
+
+  test("S5+ST3 composition: DSv2 source wired through fromWss end-to-end") {
+    TickChannels.clear()
+    TickChannels.append("c2", ("btfx", "btceur",
+      Array(10.0, 0, 12.0, 0, 0, 0, 11.0, 100.0, 13.0, 9.0), 1704067200000000L))
+    TickChannels.append("c2", ("btfx", "nosuchpair",
+      Array(1.0, 0, 2.0, 0, 0, 0, 1.5, 10.0, 2.0, 1.0), 1704067201000000L))
+    val stream = spark.readStream.format("graft.sources.TickStreamSource")
+      .option("channel", "c2").load()
+    val q = TickPipeline.fromWss(spark)(stream)
+      .select("pair", "isin", "envelope")
+      .writeStream.outputMode("append").format("memory").queryName("e2e").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("e2e")
+      .as[(String, Option[String], String)].collect().sortBy(_._1).toSeq
+    assert(rows.size == 2)
+    val (hit, miss) = (rows.head, rows.last)
+    assert(hit._1 == "btceur" && hit._2.contains("XFC000000001") &&
+      hit._3.contains(""""mid_cents":1100"""))
+    assert(miss._1 == "nosuchpair" && miss._2.isEmpty) // J2 null on miss
   }
 
   test("S8 heartbeat listener publishes lifecycle events") {
