@@ -50,6 +50,19 @@ object QueueSink {
       rows.foreach(r => sink.publish(queue, r.getString(0)))
     }
 
+  /** The publish path is at-least-once by contract (no publisher confirms,
+    * like the reference) — this is the explicit dedup the reference
+    * silently delegates downstream (SURVEY.md §0.2): keep exactly one row
+    * per idempotence key, deterministically (first by `orderCol`), before
+    * publishing. At scale this is one shuffle on the idempotence key. */
+  def dedupForPublish(df: DataFrame, keys: Seq[String],
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** S7 — job-state writeback: one `[{"action": a}]` message per transition
     * row, keyed by job id (the reference PUTs
     * set_downloader_jobs_state/{id} fire-and-forget, main.py:186-205). */

@@ -78,6 +78,20 @@ class SourcesSpec extends SparkSpec {
     assert(ticks.count() == 1)
   }
 
+  test("S6 dedupForPublish keeps one deterministic row per idempotence key") {
+    import spark.implicits._
+    val dup = Seq(
+      ("btsp", "XFC000000001", 100L, "first"),
+      ("btsp", "XFC000000001", 100L, "retry"), // redelivery of the same tick
+      ("btsp", "XFC000000001", 200L, "next"))
+      .toDF("exchange", "isin", "ts_us", "payload")
+    val out = QueueSink.dedupForPublish(dup,
+      Seq("exchange", "isin", "ts_us"), "payload")
+    assert(out.count() == 2)
+    val kept = out.filter($"ts_us" === 100L).select("payload").as[String].head()
+    assert(kept == "first") // deterministic survivor, not arbitrary
+  }
+
   test("S6 publish + S7 writeback are partition-local and at-least-once shaped") {
     InMemoryQueues.clear()
     import spark.implicits._
