@@ -56,6 +56,13 @@ object Multimodal {
   def sampleFrames(bytes: Array[Byte], stride: Int): Array[Byte] =
     bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
 
+  /** STUB resize: nearest-neighbor resample of the payload to `targetLen`
+    * bytes — the stand-in for an image resize (real deploy: codec +
+    * interpolation; the partition-local byte->byte shape is the contract). */
+  def resize(bytes: Array[Byte], targetLen: Int): Array[Byte] =
+    if (bytes.isEmpty || targetLen <= 0) Array.emptyByteArray
+    else Array.tabulate(targetLen)(i => bytes((i.toLong * bytes.length / targetLen).toInt))
+
   /** Decode operator: partition-local batch decode of payload -> features
     * + sampled frames. mapPartitions (not a per-row UDF) so a real codec
     * could amortize model/codec init per batch — the Pandas-UDF batch

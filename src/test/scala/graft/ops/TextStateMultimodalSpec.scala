@@ -67,6 +67,17 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(r.getInt(1) == 1)
   }
 
+  test("multimodal resize resamples to the target length, preserving ends") {
+    val bytes = "0123456789".getBytes("UTF-8")
+    val half = Multimodal.resize(bytes, 5)
+    assert(half.length == 5)
+    assert(half(0) == '0'.toByte) // nearest-neighbor keeps the first sample
+    val double = Multimodal.resize(bytes, 20)
+    assert(double.length == 20 && double(0) == '0'.toByte)
+    assert(Multimodal.resize(Array.emptyByteArray, 5).isEmpty)
+    assert(Multimodal.resize(bytes, 0).isEmpty)
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val df = Multimodal.withPayload(
       Seq((1L, "abcdef"), (2L, "abcdef")).toDF("doc_id", "text"), "text", "doc_id")

@@ -157,6 +157,32 @@ class StreamingSpec extends SparkSpec {
     assert(miss._1 == "nosuchpair" && miss._2.isEmpty) // J2 null on miss
   }
 
+  test("S5 checkpoint recovery: restart resumes from the committed offset") {
+    TickChannels.clear()
+    InMemoryQueues.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val sink = new InMemorySink
+    // memory sink refuses checkpoint recovery; foreachBatch supports it
+    def start() = spark.readStream.format("graft.sources.TickStreamSource")
+      .option("channel", "c3").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select(element_at(col("frame"), 1).cast("string").as("envelope"))
+          .foreach { r: org.apache.spark.sql.Row =>
+            sink.publish("recov", r.getString(0)); () }
+      }.start()
+    TickChannels.append("c3", ("btfx", "btceur", Array(1.0), 1L))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(InMemoryQueues.drain("recov") == Seq("1.0"))
+    // new data arrives while the query is down
+    TickChannels.append("c3", ("btfx", "btceur", Array(2.0), 2L))
+    val q2 = start() // offsets come from the checkpoint
+    q2.processAllAvailable(); q2.stop()
+    assert(InMemoryQueues.drain("recov") == Seq("2.0")) // no reprocessing
+  }
+
   test("S8 heartbeat listener publishes lifecycle events") {
     InMemoryQueues.clear()
     val hb = new Heartbeat(new InMemorySink, "downloader", "inst-1")
