@@ -895,6 +895,34 @@ object Queries {
            |FROM sess GROUP BY user_id, session_id
            |ORDER BY user_id, start_us""".stripMargin))
 
+  /** Q4 — pivot: event counts per user bucket, one column per event type
+    * (explicit value list keeps the schema deterministic). The oracle uses
+    * conditional aggregation — the portable relational equivalent. */
+  val q4Pivot = QuerySpec("q4_pivot",
+    (s, d) => Tables.events(s, d)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .orderBy(col("user_bucket")),
+    Some("""SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+           |  count(*) FILTER (WHERE event_type = 'click') AS click,
+           |  count(*) FILTER (WHERE event_type = 'view') AS view,
+           |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           |  count(*) FILTER (WHERE event_type = 'error') AS error
+           |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin))
+
+  /** Generator surface (§2.10): explode flattens token arrays — one row
+    * per distinct token (distinct so (doc_id, tok) is a unique sort key). */
+  val fExplode = QuerySpec("f_explode",
+    (s, d) => T(s, d, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .orderBy(col("doc_id"), col("tok")),
+    Some("""SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           |FROM documents WHERE doc_id < 20 ORDER BY doc_id, tok""".stripMargin))
+
   val ost1State = QuerySpec("ost1_state_machine",
     (s, d) => {
       val log = Tables.events(s, d).select(
@@ -1182,7 +1210,7 @@ object Queries {
     j6RangeBand, j7Asof, j8Semi, j8Anti,
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
-    q1TopK, q2Union, q3Intersect, q3Except,
+    q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
     ost1State, st4Sessions,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
     x3TopkCosine, x3AnnLsh, x3Ivf,
