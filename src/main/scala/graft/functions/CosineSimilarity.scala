@@ -84,16 +84,38 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
 }
 
-/** SparkSessionExtensions installer: makes the engine's functions part of
-  * every session built with
+/** Catalyst optimizer rule: `graft_cosine(x, x)` is algebraically 1 (a
+  * vector's self-similarity), so fold it to a literal instead of running
+  * the O(dim) kernel per row. Shows up in dedup flows where the pair
+  * generator hasn't excluded identity pairs yet. Null in -> null out is
+  * preserved; the (degenerate) empty/zero-vector NaN case is deliberately
+  * defined as 1 by this rewrite. */
+object SimplifySelfCosine
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+  import org.apache.spark.sql.types.DoubleType
+
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal.create(null, DoubleType), Literal(1.0))
+    }
+}
+
+/** SparkSessionExtensions installer: makes the engine's functions and
+  * optimizer rules part of every session built with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` —
   * the deployment route on a shared cluster (no per-session register()
   * call needed). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => SimplifySelfCosine)
+  }
 }

@@ -13,4 +13,19 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-15)
   }
+
+  test("SimplifySelfCosine folds graft_cosine(x, x) to a literal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10)
+      .select(expr("array(cast(id as double), 2.0, 3.0)").as("v"))
+      .select(expr("graft_cosine(v, v)").as("c"))
+    // the optimized plan must not contain the cosine kernel at all
+    assert(!df.queryExecution.optimizedPlan.toString.contains("cosinesimilarity"))
+    assert(df.as[Double].collect().forall(_ == 1.0))
+    // null vectors still propagate null
+    val withNull = spark.sql(
+      "SELECT graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), CAST(NULL AS ARRAY<DOUBLE>)) AS c")
+    assert(withNull.head().isNullAt(0))
+  }
 }
