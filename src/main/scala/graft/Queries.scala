@@ -517,6 +517,23 @@ object Queries {
            |SELECT event_id, user_id, ts_us, last_click_us
            |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
 
+  /** J7 again, through the CUSTOM physical operator (plans.AsOfJoin:
+    * logical node + strategy + sort-merge exec) — same oracle SQL as the
+    * window-composed j7, so the DuckDB gate validates the custom exec. */
+  val j7bAsofCustom = QuerySpec("j7b_asof_custom",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts_us")
+      graft.plans.AsOfJoin(purchases, clicks, "user_id", "ts_us", "ts_us",
+          "last_click_us")
+        .orderBy(col("event_id"))
+    },
+    Queries.j7Asof.oracle)
+
   val j8Semi = QuerySpec("j8_semi_join",
     (s, d) => T(s, d, "customer")
       .join(T(s, d, "orders").filter(col("o_totalprice") > 400000),
@@ -1207,7 +1224,7 @@ object Queries {
     fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
     f12MapAccess,
     j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
-    j6RangeBand, j7Asof, j8Semi, j8Anti,
+    j6RangeBand, j7Asof, j7bAsofCustom, j8Semi, j8Anti,
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,

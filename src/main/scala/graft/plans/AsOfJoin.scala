@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** J7 as a CUSTOM WHOLE-OPERATOR (SURVEY.md §7.3's "only if needed" rung,
+  * implemented as the capability demonstration): logical node + planner
+  * strategy + physical sort-merge execution, registered through
+  * functions.GraftExtensions.
+  *
+  * Semantics: for every left row, the greatest right `ts` with
+  * rightKey == leftKey and rightTs <= leftTs (nulls when no such row) —
+  * the tick-data "latest quote at or before the trade" join. Identical
+  * results to the window composition in Queries.j7Asof (spec-asserted);
+  * the physical difference is ONE pass over each sorted side per partition
+  * (the window route carries every right row through the left's window
+  * sort).
+  *
+  * Scale shape: both children hash-clustered on the key and sorted by
+  * (key, ts) — exactly a SortMergeJoin's requirements, so EnsureRequirements
+  * plans the same co-partitioned exchanges, and the merge itself is
+  * streaming with O(1) state (last right ts seen for the current key).
+  * Keys/ts are LongType in this first cut (the engine's tick keys).
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    asofAttr: AttributeReference) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output :+ asofAttr
+  // asofAttr is minted by this operator, not derived from the children
+  override def producedAttributes: AttributeSet = AttributeSet(asofAttr)
+  // every left column passes through (so ColumnPruning must keep them);
+  // from the right side only key+ts are consumed (prunable to those)
+  override def references: AttributeSet =
+    left.outputSet ++
+      AttributeSet(Seq(leftKey, rightKey, leftTs, rightTs).flatMap(_.references))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** Build the joined DataFrame. Expressions are resolved against the
+    * analyzed children, so the node enters the optimizer fully bound. */
+  def apply(leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      outCol: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    // self-register the strategy for sessions not built with
+    // GraftExtensions (experimental.extraStrategies is the public hook)
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val l = leftDf.queryExecution.analyzed
+    // the analyzer's DeduplicateRelations only handles built-in nodes; if
+    // both sides share a lineage (self-join), re-alias the right side so
+    // its output gets fresh expression IDs
+    val rRaw = rightDf.queryExecution.analyzed
+    val r =
+      if (l.outputSet.intersect(rRaw.outputSet).isEmpty) rRaw
+      else rightDf.select(rightDf.columns.map(c => rightDf(c).as(c)): _*)
+        .queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${p.output}"))
+    val node = AsOfJoin(l, r,
+      attr(l, keyCol), attr(r, keyCol),
+      attr(l, leftTsCol), attr(r, rightTsCol),
+      AttributeReference(outCol, LongType, nullable = true)())
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark, node)
+  }
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts, attr) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, attr) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    asofAttr: AttributeReference) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ asofAttr
+  override def producedAttributes: AttributeSet = AttributeSet(asofAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // capture attributes/expressions as locals: the closure must not drag
+    // the SparkPlan (this/left/right) into the serialized task
+    val (lOut, rOut, allOut) = (left.output, right.output, output)
+    val (lkE, ltE, rkE, rtE) = (leftKey, leftTs, rightKey, rightTs)
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKey = UnsafeProjection.create(Seq(lkE), lOut)
+      val lTs = UnsafeProjection.create(Seq(ltE), lOut)
+      val rKey = UnsafeProjection.create(Seq(rkE), rOut)
+      val rTs = UnsafeProjection.create(Seq(rtE), rOut)
+      val toUnsafe = UnsafeProjection.create(allOut, allOut)
+      val joined = new JoinedRow
+      val valueRow = new GenericInternalRow(1)
+
+      // single-pass merge: rHead is the unconsumed right row; lastTs is the
+      // greatest right ts <= current left ts for the current key
+      var rHead: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
+      var curKey = 0L
+      var haveKey = false
+      var lastTs = 0L
+      var haveLast = false
+
+      lIt.map { lRow =>
+        val k = lKey(lRow).getLong(0)
+        val t = lTs(lRow).getLong(0)
+        if (!haveKey || curKey != k) {
+          curKey = k; haveKey = true; haveLast = false
+        }
+        var advancing = true
+        while (advancing && rHead != null) {
+          val rk = rKey(rHead).getLong(0)
+          if (rk < k) {
+            rHead = if (rIt.hasNext) rIt.next().copy() else null
+          } else if (rk == k) {
+            val rt = rTs(rHead).getLong(0)
+            if (rt <= t) {
+              lastTs = rt; haveLast = true
+              rHead = if (rIt.hasNext) rIt.next().copy() else null
+            } else advancing = false
+          } else advancing = false
+        }
+        if (haveLast) valueRow.update(0, lastTs)
+        else valueRow.update(0, null)
+        toUnsafe(joined(lRow, valueRow))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal access shim for `private[sql]` Dataset construction from a
+  * LogicalPlan — the standard pattern third-party Spark extension
+  * libraries use to materialize custom logical operators (public Spark
+  * API only, accessed at package scope; no internals are modified). */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,48 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom as-of operator on a hand-built case: latest right ts <= left ts") {
+    val trades = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("user_id", "ts_us")
+    val quotes = Seq((1L, 90L), (1L, 150L), (1L, 250L), (3L, 10L))
+      .toDF("user_id", "ts_us")
+    val out = AsOfJoin(trades, quotes, "user_id", "ts_us", "ts_us", "asof_us")
+      .select("user_id", "ts_us", "asof_us")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, 100L, Some(90L)),   // 90 <= 100 < 150
+      (1L, 200L, Some(150L)),  // 150 <= 200 < 250
+      (2L, 50L, None)))        // no quotes for user 2
+  }
+
+  test("custom as-of operator matches the window-composed j7 on real data") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts_us")
+    val custom = AsOfJoin(purchases, clicks, "user_id", "ts_us", "ts_us",
+        "last_click_us")
+      .select("event_id", "last_click_us")
+      .as[(Long, Option[Long])].collect().toMap
+    val windowed = graft.Queries.byName("j7_asof_join").fn(spark, sf("sf0.001"))
+      .select("event_id", "last_click_us")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(custom == windowed)
+  }
+
+  test("the physical plan is the custom exec with co-partitioned sorted children") {
+    val trades = Seq((1L, 100L)).toDF("user_id", "ts_us")
+    val quotes = Seq((1L, 90L)).toDF("user_id", "ts_us")
+    val plan = planOf(AsOfJoin(trades, quotes, "user_id", "ts_us", "ts_us", "a"))
+    assert(plan.contains("AsOfJoin")) // exec nodeName strips the Exec suffix
+    assert(plan.contains("Sort"))
+    assert(plan.contains("Exchange hashpartitioning(user_id"))
+  }
+}
