@@ -369,6 +369,20 @@ object Queries {
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     bench = true)
 
+  /** F10b — Spark's native tumbling window() expression (the TimeWindow
+    * operator streaming bars use); oracle derives the same 15-minute
+    * buckets from epoch arithmetic. */
+  val f10bTumbling = QuerySpec("f10b_tumbling_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(expr("unix_micros(window.start)").as("start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("start_us"), col("event_type")),
+    Some("""SELECT (epoch_us(ts) // 900000000) * 900000000 AS start_us,
+           |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY start_us, event_type""".stripMargin))
+
   val f12MapAccess = QuerySpec("f12_map_access",
     (s, d) => Tables.events(s, d).filter(col("event_id") < 5000)
       .withColumn("m",
@@ -1222,7 +1236,7 @@ object Queries {
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
     p7StatusFilter, p8Dispatch,
     fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
-    f12MapAccess,
+    f10bTumbling, f12MapAccess,
     j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
     j6RangeBand, j7Asof, j7bAsofCustom, j8Semi, j8Anti,
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
