@@ -935,6 +935,12 @@ object Queries {
       .groupBy(col("user_bucket"))
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
+      // pivot yields NULL for empty (bucket, type) cells; the oracle's
+      // count(*) FILTER yields 0 — normalize so parity doesn't depend on
+      // every combination being populated
+      .select(col("user_bucket") +:
+        Seq("click", "view", "purchase", "signup", "error").map(c =>
+          coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy(col("user_bucket")),
     Some("""SELECT CAST(user_id % 10 AS INT) AS user_bucket,
            |  count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -1215,13 +1221,31 @@ object Queries {
            |  CAST(floor(octet_length(encode(text)) / 100) + 1 AS INT) AS n_frames
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Decode plumbing runs a stubbed codec (no media libs in-container) —
-    * engine-defined output, no oracle; MultimodalSpec covers it. */
+  /** Decode plumbing runs the stubbed codec (no media libs in-container),
+    * but the stub is deterministic byte arithmetic and documents.text is
+    * all-ASCII, so the DuckDB oracle can recompute the 8-dim feature sums
+    * byte-for-byte (unicode(char) == byte value). Features flattened to
+    * scalar columns: array columns crash the driver's pandas sort. */
   val mmDecode = QuerySpec("mm_decode",
-    (s, d) => Multimodal.decode(s,
+    (s, d) => {
+      val dec = Multimodal.decode(s,
         Multimodal.withPayload(T(s, d, "documents"), "text", "doc_id"), "doc_id")
-      .orderBy(col("doc_id")),
-    None)
+      dec.select(
+          col("doc_id") +: col("n_sampled") +:
+            (0 until 8).map(k =>
+              element_at(col("features"), k + 1).cast("int").as(s"f$k")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val fs = (0 until 8).map(k =>
+        s"  CAST(list_sum(list_transform(range(0, octet_length(encode(text)))," +
+          s" i -> CASE WHEN (i // 16) % 8 = $k THEN unicode(substr(text," +
+          s" CAST(i + 1 AS INT), 1)) ELSE 0 END)) AS INT) AS f$k").mkString(",\n")
+      s"""SELECT doc_id,
+         |  CAST(ceil(octet_length(encode(text)) / 100.0) AS INT) AS n_sampled,
+         |$fs
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
 
   /** F9 — uuid() is nondeterministic by design: rows-only check. */
   val f9Uuid = QuerySpec("f9_uuid",

@@ -11,16 +11,20 @@ import org.apache.spark.sql.expressions.Aggregator
   * extension point itself — a mergeable buffer (partial aggregation
   * works map-side, so at 100 TB the shuffle carries one 48-byte buffer
   * per group per partition, not the ticks). */
+/** TickIn carries no trade size, so the candle accumulates `priceSum`
+  * (sum of observed prices — usable as the numerator of an equal-weight
+  * average), NOT a traded volume. A real feed would add a size field and
+  * a `size`-weighted accumulator alongside. */
 final case class TickIn(tsMicros: Long, price: Double)
 
 final case class OhlcBuf(
     openTs: Long, open: Double,
     closeTs: Long, close: Double,
     high: Double, low: Double,
-    volume: Double, n: Long)
+    priceSum: Double, n: Long)
 
 final case class Ohlc(open: Double, high: Double, low: Double, close: Double,
-    volume: Double, n: Long)
+    priceSum: Double, n: Long)
 
 object OhlcAggregator extends Aggregator[TickIn, OhlcBuf, Ohlc] {
   override def zero: OhlcBuf = OhlcBuf(
@@ -34,7 +38,7 @@ object OhlcAggregator extends Aggregator[TickIn, OhlcBuf, Ohlc] {
     close = if (t.tsMicros > b.closeTs) t.price else b.close,
     high = math.max(b.high, t.price),
     low = math.min(b.low, t.price),
-    volume = b.volume + t.price,
+    priceSum = b.priceSum + t.price,
     n = b.n + 1)
 
   override def merge(a: OhlcBuf, b: OhlcBuf): OhlcBuf =
@@ -46,11 +50,11 @@ object OhlcAggregator extends Aggregator[TickIn, OhlcBuf, Ohlc] {
       close = if (a.closeTs >= b.closeTs) a.close else b.close,
       high = math.max(a.high, b.high),
       low = math.min(a.low, b.low),
-      volume = a.volume + b.volume,
+      priceSum = a.priceSum + b.priceSum,
       n = a.n + b.n)
 
   override def finish(r: OhlcBuf): Ohlc =
-    Ohlc(r.open, r.high, r.low, r.close, r.volume, r.n)
+    Ohlc(r.open, r.high, r.low, r.close, r.priceSum, r.n)
 
   override def bufferEncoder: Encoder[OhlcBuf] = Encoders.product[OhlcBuf]
   override def outputEncoder: Encoder[Ohlc] = Encoders.product[Ohlc]

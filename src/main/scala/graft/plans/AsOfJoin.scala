@@ -16,11 +16,25 @@ import org.apache.spark.sql.types.LongType
   *
   * Semantics: for every left row, the greatest right `ts` with
   * rightKey == leftKey and rightTs <= leftTs (nulls when no such row) —
-  * the tick-data "latest quote at or before the trade" join. Identical
-  * results to the window composition in Queries.j7Asof (spec-asserted);
-  * the physical difference is ONE pass over each sorted side per partition
-  * (the window route carries every right row through the left's window
-  * sort).
+  * the tick-data "latest quote at or before the trade" join.
+  *
+  * TIE CONTRACT: the comparison is INCLUSIVE (`rightTs <= leftTs`, the
+  * pandas merge_asof / DuckDB ASOF JOIN default): a right row at exactly
+  * the left row's timestamp matches. Note the window-composed twin
+  * (Queries.j7Asof) instead takes the last right row STRICTLY PRECEDING
+  * the left row in (ts, event_id) row order — a secondary column this
+  * operator does not see. The two agree whenever no left/right pair
+  * shares an exact timestamp for the same key (true of the driver's
+  * microsecond event data; AsOfJoinSpec pins both behaviors).
+  *
+  * NULL CONTRACT: left rows with a null key or null ts get a null as-of
+  * value (never matched); right rows with a null key or null ts are
+  * ignored (can never be "the latest quote").
+  *
+  * Identical results to the window composition in Queries.j7Asof
+  * (spec-asserted); the physical difference is ONE pass over each sorted
+  * side per partition (the window route carries every right row through
+  * the left's window sort).
   *
   * Scale shape: both children hash-clustered on the key and sorted by
   * (key, ts) — exactly a SortMergeJoin's requirements, so EnsureRequirements
@@ -120,35 +134,49 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val valueRow = new GenericInternalRow(1)
 
+      // right rows with null key/ts can never match — drop them up front
+      // (they sort first under Ascending, so this only skips a prefix)
+      val rClean = rIt.filter { r =>
+        !rKey(r).isNullAt(0) && !rTs(r).isNullAt(0)
+      }
       // single-pass merge: rHead is the unconsumed right row; lastTs is the
       // greatest right ts <= current left ts for the current key
-      var rHead: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
+      var rHead: InternalRow = if (rClean.hasNext) rClean.next().copy() else null
       var curKey = 0L
       var haveKey = false
       var lastTs = 0L
       var haveLast = false
 
       lIt.map { lRow =>
-        val k = lKey(lRow).getLong(0)
-        val t = lTs(lRow).getLong(0)
-        if (!haveKey || curKey != k) {
-          curKey = k; haveKey = true; haveLast = false
-        }
-        var advancing = true
-        while (advancing && rHead != null) {
-          val rk = rKey(rHead).getLong(0)
-          if (rk < k) {
-            rHead = if (rIt.hasNext) rIt.next().copy() else null
-          } else if (rk == k) {
-            val rt = rTs(rHead).getLong(0)
-            if (rt <= t) {
-              lastTs = rt; haveLast = true
-              rHead = if (rIt.hasNext) rIt.next().copy() else null
+        val kProj = lKey(lRow)
+        val lNull = kProj.isNullAt(0)
+        val k = if (lNull) 0L else kProj.getLong(0)
+        val tProj = lTs(lRow)
+        val tNull = lNull || tProj.isNullAt(0)
+        val t = if (tNull) 0L else tProj.getLong(0)
+        if (tNull) {
+          // null key/ts: contract says no match; right cursor untouched
+          valueRow.update(0, null)
+        } else {
+          if (!haveKey || curKey != k) {
+            curKey = k; haveKey = true; haveLast = false
+          }
+          var advancing = true
+          while (advancing && rHead != null) {
+            val rk = rKey(rHead).getLong(0)
+            if (rk < k) {
+              rHead = if (rClean.hasNext) rClean.next().copy() else null
+            } else if (rk == k) {
+              val rt = rTs(rHead).getLong(0)
+              if (rt <= t) {
+                lastTs = rt; haveLast = true
+                rHead = if (rClean.hasNext) rClean.next().copy() else null
+              } else advancing = false
             } else advancing = false
-          } else advancing = false
+          }
+          if (haveLast) valueRow.update(0, lastTs)
+          else valueRow.update(0, null)
         }
-        if (haveLast) valueRow.update(0, lastTs)
-        else valueRow.update(0, null)
         toUnsafe(joined(lRow, valueRow))
       }
     }

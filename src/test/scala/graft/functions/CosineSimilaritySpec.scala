@@ -32,6 +32,25 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(withNull.select(expr("graft_cosine(qv, cv)")).head().isNullAt(0))
   }
 
+  test("ragged (unequal-length) vectors yield null, in both eval paths") {
+    GraftFunctions.register(spark)
+    // codegen path: arrays built from range stay inside whole-stage codegen
+    val ragged = spark.range(3).select(
+      expr("array(cast(id as double), 1.0)").as("qv"),
+      expr("array(cast(id as double), 1.0, 2.0)").as("cv"))
+    assert(ragged.select(expr("graft_cosine(qv, cv)")).collect()
+      .forall(_.isNullAt(0)))
+    // interpreted path: evaluate the expression directly
+    val e = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == null)
+  }
+
   test("the expression participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     // literal inputs constant-fold to LocalTableScan, and transform()

@@ -17,16 +17,17 @@ class OhlcAggregatorSpec extends SparkSpec {
       .mapValues(_._2)
       .agg(OhlcAggregator.toColumn.name("ohlc"))
       .select($"key", $"ohlc.open", $"ohlc.high", $"ohlc.low", $"ohlc.close",
-        $"ohlc.n")
-      .as[(String, Double, Double, Double, Double, Long)]
-      .collect().map { case (k, o, h, l, c, n) => k -> ((o, h, l, c, n)) }.toMap
+        round($"ohlc.priceSum", 6).as("priceSum"), $"ohlc.n")
+      .as[(String, Double, Double, Double, Double, Double, Long)]
+      .collect().map { case (k, o, h, l, c, ps, n) => k -> ((o, h, l, c, ps, n)) }.toMap
 
     val viaBuiltins = ev.groupBy(col("event_type"))
       .agg(expr("min_by(price, tsMicros)").as("open"), max("price").as("high"),
         min("price").as("low"), expr("max_by(price, tsMicros)").as("close"),
+        round(sum("price"), 6).as("priceSum"),
         count(lit(1)).as("n"))
-      .as[(String, Double, Double, Double, Double, Long)]
-      .collect().map { case (k, o, h, l, c, n) => k -> ((o, h, l, c, n)) }.toMap
+      .as[(String, Double, Double, Double, Double, Double, Long)]
+      .collect().map { case (k, o, h, l, c, ps, n) => k -> ((o, h, l, c, ps, n)) }.toMap
 
     assert(viaAgg == viaBuiltins)
   }

@@ -20,6 +20,29 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 50L, None)))        // no quotes for user 2
   }
 
+  test("tie contract: a right row at exactly the left ts matches (inclusive <=)") {
+    val trades = Seq((1L, 100L)).toDF("user_id", "ts_us")
+    val quotes = Seq((1L, 100L), (1L, 101L)).toDF("user_id", "ts_us")
+    val out = AsOfJoin(trades, quotes, "user_id", "ts_us", "ts_us", "asof_us")
+      .select("asof_us").as[Option[Long]].collect()
+    assert(out.toSeq == Seq(Some(100L)))
+  }
+
+  test("null contract: null keys/ts never match on either side") {
+    val trades = Seq((Some(1L), Some(100L)), (None, Some(100L)), (Some(1L), None))
+      .toDF("user_id", "ts_us")
+    val quotes = Seq((Some(1L), Some(90L)), (None, Some(95L)), (Some(1L), None))
+      .toDF("user_id", "ts_us")
+    val out = AsOfJoin(trades, quotes, "user_id", "ts_us", "ts_us", "asof_us")
+      .select("user_id", "asof_us")
+      .as[(Option[Long], Option[Long])].collect().toSet
+    // the only match pairs non-null (1, 100) with non-null (1, 90); the
+    // null-key quote must not be read back as key 0, the null-ts quote and
+    // the null left rows must simply never match
+    assert(out == Set(
+      (Some(1L), Some(90L)), (None, None), (Some(1L), None)))
+  }
+
   test("custom as-of operator matches the window-composed j7 on real data") {
     val ev = Tables.events(spark, sf("sf0.001"))
       .withColumn("ts_us", expr("unix_micros(ts)"))
