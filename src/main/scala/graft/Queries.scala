@@ -1000,16 +1000,28 @@ object Queries {
     Some("""SELECT lang, source, min(doc_id) AS keep_doc_id, count(*) AS n_dups
            |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 
+  /** Discriminative-Jaccard contract (round 4): tokens with within-block
+    * document frequency > 50 are excluded from the token universe before
+    * pairing — see Dedup.jaccardPairs. The oracle applies the identical
+    * cutoff. (At the sf0.01 correctness gate max df is 15, so the cutoff
+    * is inert there; at sf0.1+ it removes the O(df²) hot-token blowup.) */
   val x2Jaccard = QuerySpec("x2_jaccard_topk",
     (s, d) => Dedup.jaccardPairs(T(s, d, "documents"), "text", "doc_id",
-        Seq("lang", "source"))
+        Seq("lang", "source"), maxDf = 50)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
       .orderBy(col("jac").desc, col("d1"), col("d2"))
       .limit(20),
-    Some("""WITH toks AS (
+    Some("""WITH toks0 AS (
            |  SELECT doc_id, lang, source,
            |    unnest(list_distinct(string_split(text, ' '))) AS tok
            |  FROM documents),
+           |rare AS (
+           |  SELECT lang, source, tok FROM toks0
+           |  GROUP BY 1, 2, 3 HAVING count(*) <= 50),
+           |toks AS (
+           |  SELECT t.* FROM toks0 t
+           |  JOIN rare r ON t.lang = r.lang AND t.source = r.source
+           |    AND t.tok = r.tok),
            |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
            |inter AS (
            |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, count(*) AS n_inter

@@ -89,9 +89,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Session-level registration for the engine's custom expressions, so they
   * are usable from expr()/SQL as ordinary functions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  /** numHashes must be a foldable int literal — the signature width is part
+    * of the expression's type, not data. */
+  private[functions] def minhashBuilder(exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(arr, Literal(n: Int, org.apache.spark.sql.types.IntegerType)) =>
+        MinHashSignature(arr, n)
+      case _ => throw new IllegalArgumentException(
+        "graft_minhash(shingles array<string>, numHashes int literal)")
+    }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", minhashBuilder, "built-in")
+  }
 }
 
 /** Catalyst optimizer rule: `graft_cosine(x, x)` is algebraically 1 (a
@@ -126,6 +142,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSignature].getName, "graft_minhash"),
+      GraftFunctions.minhashBuilder))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -34,10 +34,34 @@ object Dedup {
   /** X2a — exact n-gram (token-set) Jaccard similarity of document pairs,
     * blocked by `blockKeys` so the token self-join never goes quadratic in
     * the corpus: candidate pairs only form inside a block. Returns
-    * (d1, d2, n_inter, n1, n2, jac). */
+    * (d1, d2, n_inter, n1, n2, jac).
+    *
+    * CONTRACT (round 4): Jaccard is computed over the DISCRIMINATIVE
+    * vocabulary — tokens whose within-block document frequency exceeds
+    * `maxDf` are dropped from BOTH the intersection and the set sizes
+    * (consistent Jaccard over the filtered token universe). Without the
+    * cutoff, a ubiquitous token ("the", any stopword) pairs nearly every
+    * doc inside its block: the per-token join output is O(df²), which at
+    * corpus scale is a skewed-shuffle blowup on exactly the tokens that
+    * carry no similarity signal. With it, per-token output is capped at
+    * maxDf² and total candidate work is sum(df²) over surviving tokens.
+    * `maxDf = Int.MaxValue` restores the unfiltered semantics. */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      blockKeys: Seq[String]): DataFrame = {
-    val toks = tokenSets(docs, textCol, idCol +: blockKeys)
+      blockKeys: Seq[String], maxDf: Int = Int.MaxValue): DataFrame = {
+    val allToks = tokenSets(docs, textCol, idCol +: blockKeys)
+    val toks =
+      if (maxDf == Int.MaxValue) allToks
+      else {
+        // tokenSets is distinct per doc, so count(*) per (block, tok) IS
+        // document frequency; the semi-join shuffles on the same
+        // (block, tok) key as the pair join below — co-partitioned, and
+        // the df side never needs to fit in memory
+        val rare = allToks.groupBy((blockKeys :+ "tok").map(col): _*)
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select((blockKeys :+ "tok").map(col): _*)
+        allToks.join(rare, blockKeys :+ "tok", "left_semi")
+      }
     val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
     val t1 = toks.select(
       (blockKeys.map(col) :+ col(idCol).as("d1")) :+ col("tok"): _*)
@@ -61,24 +85,28 @@ object Dedup {
     * deterministic, portable (the DuckDB oracle computes the identical
     * signature), and uniform enough for LSH. `numHashes` signature values
     * are grouped into bands of `bandSize`; docs sharing any band hash are
-    * near-dup candidates. All array ops are codegen'd builtins — no UDF.
+    * near-dup candidates.
     *
-    * Output: doc_id, sig (array<string> of minhashes), bands
-    * (array<string> of band hashes). */
+    * Perf (round 4): the signature is computed by the codegen'd
+    * functions.MinHashSignature kernel — one pass over the shingles, raw
+    * digest-byte minima — replacing numHashes interpreted
+    * transform/array_min folds (HigherOrderFunction is CodegenFallback);
+    * the hash family and therefore the oracle are unchanged. The input is
+    * fanned out first: a compacted corpus file otherwise becomes ONE task
+    * carrying the whole md5 workload while the rest of the cluster idles
+    * (Scale.fanOut is a no-op when the scan already has enough splits). */
   def minhash(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val nBands = numHashes / bandSize
-    docs
+    Scale.fanOut(docs)
       .withColumn("toks", split(col(textCol), " "))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= 3)
       .withColumn("shingles", expr(
         "transform(sequence(1, n - 2), " +
           "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${numHashes - 1}), " +
-          "h -> array_min(transform(shingles, " +
-          "s -> md5(concat(cast(h as string), '|', s)))))"))
+      .withColumn("sig", expr(s"graft_minhash(shingles, $numHashes)"))
       .withColumn("bands", expr(
         s"transform(sequence(0, ${nBands - 1}), " +
           s"b -> md5(concat_ws('', slice(sig, b * $bandSize + 1, $bandSize))))"))

@@ -74,7 +74,10 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false)),
       StructField("n_sampled", IntegerType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val in = df.select(col(idCol).cast("long").as("id"), col("payload"))
+    // fan out first: a compacted input file = one split = the whole codec
+    // workload on one core (Scale.fanOut is a no-op with enough splits)
+    val in = Scale.fanOut(
+      df.select(col(idCol).cast("long").as("id"), col("payload")))
     val out: Dataset[Row] = in.mapPartitions { it =>
       // per-partition init would go here (codec / model load)
       it.map { r =>

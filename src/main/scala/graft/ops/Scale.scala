@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Guard for compute-heavy NARROW stages fed by few input splits: a
+    * small/compacted parquet file yields one task, so a per-row-expensive
+    * projection (minhash over shingles, binary decode) runs on one core
+    * while the rest of the cluster idles. An explicit round-robin
+    * repartition to cluster parallelism spreads the rows first; the
+    * shuffle moves only the raw input (cheap) and, because the partition
+    * count is user-specified, AQE will NOT coalesce it back down for
+    * being small in bytes — bytes are exactly the wrong signal here.
+    * At 100 TB inputs arrive as many splits and the extra shuffle is
+    * wasted, so callers gate on input partitions already >= parallelism. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** Salted two-phase aggregation for skewed group keys: repartition the
     * hot key's rows across `saltBuckets` partial groups, aggregate, then
     * combine. sum/count compose exactly (avg = sum/count downstream).

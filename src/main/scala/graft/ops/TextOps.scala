@@ -56,7 +56,7 @@ object TextOps {
     * the minimum md5 over word 5-gram shingles (rolling-hash analog —
     * stable under small suffix/prefix edits). */
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
-    docs
+    Scale.fanOut(docs) // md5-per-shingle is compute-heavy; spread few-split inputs
       .withColumn("fp", md5(lower(col(textCol))))
       .withColumn("ltoks", split(lower(col(textCol)), " "))
       .withColumn("n_lt", size(col("ltoks")))

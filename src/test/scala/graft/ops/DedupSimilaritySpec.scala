@@ -44,6 +44,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("X2a df cutoff keeps candidate counts sub-quadratic on a hot-token corpus") {
+    // one block, every doc shares the token "hot", plus two unique tokens
+    val planted = (1 to 40).map(i => (i.toLong, s"hot u$i x$i", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    // unfiltered: the hot token alone pairs all docs -> C(40,2) candidates
+    val unfiltered =
+      Dedup.jaccardPairs(planted, "text", "doc_id", Seq("lang", "source")).count()
+    assert(unfiltered == 40L * 39 / 2)
+    // df cutoff drops the hot token; nothing else is shared -> zero pairs
+    val filtered = Dedup.jaccardPairs(planted, "text", "doc_id",
+      Seq("lang", "source"), maxDf = 10).count()
+    assert(filtered == 0)
+    // cutoff leaves a genuine near-dup intact (its overlap is rare tokens)
+    val mixed = planted.union(Seq(
+      (100L, "alpha beta gamma delta", "en", "s0"),
+      (101L, "alpha beta gamma epsilon", "en", "s0")).toDF())
+    val pairs = Dedup.jaccardPairs(mixed, "text", "doc_id",
+        Seq("lang", "source"), maxDf = 10)
+      .select("d1", "d2", "jac").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((100L, 101L, 3.0 / 5.0)))
+  }
+
+  test("X2b graft_minhash kernel == the interpreted builtin fold it replaced") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 3)
+      .withColumn("shingles", expr(
+        "transform(sequence(1, n - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+    def collectSigs(sigCol: String) = base.withColumn("sig", expr(sigCol))
+      .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
+    val builtin = collectSigs(
+      "transform(sequence(0, 7), h -> array_min(transform(shingles, " +
+        "s -> md5(concat(cast(h as string), '|', s)))))")
+    val kernel = collectSigs("graft_minhash(shingles, 8)")
+    assert(kernel == builtin)
+    assert(kernel(1L).forall(_.matches("[0-9a-f]{32}")))
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.99f, 0.1f, 0.0f)),   // nearly parallel to 0
