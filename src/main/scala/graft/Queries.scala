@@ -548,6 +548,36 @@ object Queries {
     },
     Queries.j7Asof.oracle)
 
+  /** J7 tie fixture: the custom exec's INCLUSIVE tie contract
+    * (rightTs <= leftTs), exercised on data that actually CONTAINS
+    * same-key equal-ts pairs — timestamps truncated to hour buckets give
+    * 39 purchase rows (sf0.01) whose inclusive answer differs from the
+    * strictly-preceding one, so the oracle would catch a contract drift
+    * the microsecond data of j7b never triggers. */
+  val j7cAsofTies = QuerySpec("j7c_asof_ties",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_hr", expr("unix_micros(ts) div 3600000000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_hr")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts_hr")
+      graft.plans.AsOfJoin(purchases, clicks, "user_id", "ts_hr", "ts_hr",
+          "last_click_hr")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (
+           |  SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS ts_hr
+           |  FROM events WHERE event_type = 'purchase'),
+           |c AS (
+           |  SELECT user_id, epoch_us(ts) // 3600000000 AS ts_hr
+           |  FROM events WHERE event_type = 'click')
+           |SELECT p.event_id, p.user_id, p.ts_hr, max(c.ts_hr) AS last_click_hr
+           |FROM p LEFT JOIN c
+           |  ON c.user_id = p.user_id AND c.ts_hr <= p.ts_hr
+           |GROUP BY p.event_id, p.user_id, p.ts_hr
+           |ORDER BY p.event_id""".stripMargin))
+
   val j8Semi = QuerySpec("j8_semi_join",
     (s, d) => T(s, d, "customer")
       .join(T(s, d, "orders").filter(col("o_totalprice") > 400000),
@@ -1274,7 +1304,7 @@ object Queries {
     fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
     f10bTumbling, f12MapAccess,
     j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
-    j6RangeBand, j7Asof, j7bAsofCustom, j8Semi, j8Anti,
+    j6RangeBand, j7Asof, j7bAsofCustom, j7cAsofTies, j8Semi, j8Anti,
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,

@@ -99,6 +99,21 @@ object Similarity {
       .withColumn("bucket", expr(signs).cast("int"))
   }
 
+  /** `nTables` independent sign-LSH bucket ids (table t uses planes
+    * t*nPlanes .. t*nPlanes+nPlanes-1 of the same murmur3 family) — the
+    * multi-table index, same banding shape as MinHash LSH. */
+  def withBuckets(df: DataFrame, vecCol: String,
+      nPlanes: Int, nTables: Int): DataFrame = {
+    val buckets = (0 until nTables).map { t =>
+      val signs = (0 until nPlanes).map { j =>
+        s"(case when aggregate(${planeSign(t * nPlanes + j)}, cast(0 as double), (acc, x) -> acc + x) >= 0 then ${1 << j} else 0 end)"
+      }.mkString(" + ")
+      s"cast($signs as int)"
+    }.mkString(", ")
+    df.withColumn("v", asDouble(vecCol))
+      .withColumn("buckets", expr(s"array($buckets)"))
+  }
+
   /** X3c — IVF (inverted-file) index: corpus vectors are assigned to
     * their nearest of `k` coarse centroids; a query probes its `nProbe`
     * nearest centroids and re-ranks exactly inside those cells only.
@@ -146,17 +161,47 @@ object Similarity {
   }
 
   /** X3b — approximate top-k: candidates restricted to the query's LSH
-    * bucket, exact cosine re-ranking inside the bucket. */
+    * bucket(s), exact cosine re-ranking inside.
+    *
+    * MULTI-TABLE + MULTI-PROBE (round 4). Single-probe, single-table
+    * sign-LSH misses any neighbor that disagrees on even one hyperplane —
+    * on a corpus whose true neighbors sit at cosine ~0.3 (per-plane
+    * agreement ~0.6, the hardest case) its recall@5 measured 0.01. Two
+    * standard, composable fixes, both still bucket-keyed equi-joins:
+    *  - `nTables` independent hash tables (classic LSH amplification):
+    *    a neighbor is a candidate if it shares a bucket in ANY table;
+    *    miss probability decays as (1-p^nPlanes)^nTables.
+    *  - multi-probe: per table, also probe the nPlanes Hamming-1 bucket
+    *    neighbors — a per-table hit needs only nPlanes-1 of nPlanes
+    *    agreements, cutting the table count needed for a recall target.
+    * Candidate volume scales with (tables × probes × bucket size), never
+    * corpus²; duplicates across tables are collapsed by a (query_id,
+    * vec_id) group-by before ranking. Defaults (4 planes, 6 tables,
+    * probing on) measure recall@5 = 0.95 on the driver's random-embedding
+    * corpus (0.59 without probing; spec-pinned >= 0.9) — near-uniform
+    * data is LSH's worst case, so real corpora with genuinely-near
+    * duplicates reach the same recall with far fewer tables. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 8): DataFrame = {
-    val q = withBucket(queries, "embedding", nPlanes)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val c = withBucket(corpus, "embedding", nPlanes)
-      .select(col("vec_id"), col("v").as("cv"), col("bucket"))
-    val cands = q.join(c, Seq("bucket"))
+      nPlanes: Int = 4, nTables: Int = 6, multiProbe: Boolean = true): DataFrame = {
+    val qb = withBuckets(queries, "embedding", nPlanes, nTables)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val q =
+      if (!multiProbe) qb
+      else qb.withColumn("bucket", explode(array(
+        col("bucket") +:
+          (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)))
+    val c = withBuckets(corpus, "embedding", nPlanes, nTables)
+      .select(col("vec_id"), col("v").as("cv"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val cands = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
     cands
       .withColumn("sim", round(cosine(cands), 6))
+      // collapse multi-table/multi-probe duplicates (sim is identical on
+      // every copy, so max() is just the dedup)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("sim")).as("sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("vec_id"))))

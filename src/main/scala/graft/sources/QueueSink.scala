@@ -20,6 +20,18 @@ trait MessageSink extends Serializable {
   def publish(queue: String, payload: String): Boolean
 }
 
+/** SCOPE NOTE (deliberate, not an oversight): a real AMQP `MessageSink`
+  * impl (the reference's pika BasicPublish with delivery_mode=2 to a
+  * durable queue, main.py:208-230) is out of scope in this build
+  * environment — the dependency policy forbids adding client jars and the
+  * sandbox has no egress, so an AMQP impl could be neither resolved nor
+  * exercised. The trait boundary above is the deployment seam: a
+  * production impl holds one channel per partition (opened in
+  * foreachPartition, exactly where InMemorySink is driven today), declares
+  * the queue durable, and publishes persistent JSON — at-least-once, with
+  * `dedupForPublish` below as the engine-side idempotence layer. All of
+  * that contract is what the specs pin against InMemorySink. */
+
 /** Test/local sink: a process-global in-memory queue registry (executors
   * and driver share a JVM in local mode, like `memory` sink). */
 object InMemoryQueues {

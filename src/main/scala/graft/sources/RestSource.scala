@@ -61,6 +61,35 @@ object RestSource {
       .select(col("status"), col("job.*"))
   }
 
+  /** DB schema-version gate (main.py:66,143-153,443-461): GET
+    * `{url}dbversion` -> {"versions":[{"version_number":N},...]} and
+    * proceed iff versions[0].version_number >= minVersion (the reference's
+    * module constant database_version = 1).
+    *
+    * Fails CLOSED: a non-200, transport error, or malformed/missing JSON
+    * means "cannot prove schema compatibility" -> false. (As written the
+    * reference crashes on a failed fetch — getDatabaseVersion returns None
+    * and main subscripts it; refusing to start is the intended behavior,
+    * per SURVEY.md §0.2's as-written-vs-intended policy.) */
+  def versionGate(spark: SparkSession, cfg: EngineConfig, fetcher: HttpFetcher,
+      minVersion: Int = 1): Boolean = {
+    val (status, body) = fetcher.get(s"${cfg.url}dbversion",
+      Some((cfg.urlUsername, cfg.urlPassword)))
+    if (status != 200) false
+    else {
+      import spark.implicits._
+      // try_element_at: ANSI mode would throw on the empty-versions case,
+      // which must read as gate-closed, not a crash
+      val v = Seq(body).toDF("body")
+        .select(expr(
+          "try_element_at(from_json(body, " +
+            "'versions array<struct<version_number:int>>').versions, 1)" +
+            ".version_number").as("v"))
+        .as[Option[Int]].head()
+      v.exists(_ >= minVersion)
+    }
+  }
+
   /** S3/S4 — fan out ticker fetches per pair *inside partitions* (at scale
     * the pair list is a DataFrame; each partition holds a connection).
     * Output: (exchange, pair, status, body) with non-200/transport errors

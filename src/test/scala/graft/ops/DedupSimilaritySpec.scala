@@ -115,6 +115,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(self.count() >= 0) // shape sanity; identity pairs are excluded
   }
 
+  test("X3b multi-probe LSH: recall@5 >= 0.9, at least as good as single-probe") {
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(mp: Boolean): Double = {
+      val approx = Similarity.lshTopK(queries, emb, 5, multiProbe = mp)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val single = recallOf(false)
+    val multi = recallOf(true)
+    info(s"LSH recall@5: single-probe $single, multi-probe $multi")
+    assert(multi >= 0.9)
+    assert(multi >= single)
+  }
+
   test("X3b LSH buckets identical vectors together; recall covers the near dup") {
     val out = Similarity.lshTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
       .select("vec_id").as[Long].collect().toSet

@@ -54,6 +54,24 @@ class SourcesSpec extends SparkSpec {
     assert(r.getInt(0) == 404 && r.isNullAt(1))
   }
 
+  test("schema-version gate: proceeds iff versions[0].version_number >= min") {
+    def gate(resp: (Int, String), min: Int = 1) = RestSource.versionGate(
+      spark, ConfigSource.defaults, new FakeFetcher(Map("dbversion" -> resp)), min)
+    // pass: first version meets the floor (main.py:444)
+    assert(gate((200, """{"versions":[{"version_number":1}]}""")))
+    assert(gate((200, """{"versions":[{"version_number":3},{"version_number":1}]}""")))
+    // fail: version too low, or floor raised above it
+    assert(!gate((200, """{"versions":[{"version_number":0}]}""")))
+    assert(!gate((200, """{"versions":[{"version_number":1}]}"""), min = 2))
+    // fail CLOSED: malformed JSON, empty versions, wrong shape, non-200
+    assert(!gate((200, "not json at all {{{")))
+    assert(!gate((200, """{"versions":[]}""")))
+    assert(!gate((200, """{"something_else":true}""")))
+    assert(!gate((500, """{"versions":[{"version_number":9}]}""")))
+    assert(!RestSource.versionGate(spark, ConfigSource.defaults,
+      new FakeFetcher(Map.empty))) // 404 default
+  }
+
   test("S3/S4 ticker URLs use lowercase pairs (bitstamp/client.py:22)") {
     assert(RestSource.bitstampTickerUrl("BTC", "EUR") ==
       "https://www.bitstamp.net/api/v2/ticker/btceur/")
