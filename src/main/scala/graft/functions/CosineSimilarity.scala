@@ -91,15 +91,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.Literal
 
-  /** numHashes must be a foldable int literal — the signature width is part
-    * of the expression's type, not data. */
-  private[functions] def minhashBuilder(exprs: Seq[Expression]): Expression =
+  /** numHashes/shingleSize must be foldable int literals — signature width
+    * and shingling are part of the expression's shape, not data. */
+  private[functions] def minhashBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.types.IntegerType
     exprs match {
-      case Seq(arr, Literal(n: Int, org.apache.spark.sql.types.IntegerType)) =>
+      case Seq(arr, Literal(n: Int, IntegerType)) =>
         MinHashSignature(arr, n)
+      case Seq(arr, Literal(n: Int, IntegerType), Literal(s: Int, IntegerType)) =>
+        MinHashSignature(arr, n, s)
       case _ => throw new IllegalArgumentException(
-        "graft_minhash(shingles array<string>, numHashes int literal)")
+        "graft_minhash(toks array<string>, numHashes int literal" +
+          "[, shingleSize int literal])")
     }
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -87,12 +87,14 @@ object Dedup {
     * are grouped into bands of `bandSize`; docs sharing any band hash are
     * near-dup candidates.
     *
-    * Perf (round 4): the signature is computed by the codegen'd
-    * functions.MinHashSignature kernel — one pass over the shingles, raw
-    * digest-byte minima — replacing numHashes interpreted
-    * transform/array_min folds (HigherOrderFunction is CodegenFallback);
-    * the hash family and therefore the oracle are unchanged. The input is
-    * fanned out first: a compacted corpus file otherwise becomes ONE task
+    * Perf (round 4): the signature — word-3-gram shingling included — is
+    * computed by the codegen'd functions.MinHashSignature kernel in one
+    * pass over the token bytes (no shingle strings materialized, raw
+    * digest-byte minima), replacing the interpreted transform/array_min
+    * lambda folds (HigherOrderFunction is CodegenFallback, which also
+    * forced the whole projection out of whole-stage codegen); the hash
+    * family and therefore the oracle are unchanged. The input is fanned
+    * out first: a compacted corpus file otherwise becomes ONE task
     * carrying the whole md5 workload while the rest of the cluster idles
     * (Scale.fanOut is a no-op when the scan already has enough splits). */
   def minhash(docs: DataFrame, textCol: String, idCol: String,
@@ -101,12 +103,8 @@ object Dedup {
     val nBands = numHashes / bandSize
     Scale.fanOut(docs)
       .withColumn("toks", split(col(textCol), " "))
-      .withColumn("n", size(col("toks")))
-      .filter(col("n") >= 3)
-      .withColumn("shingles", expr(
-        "transform(sequence(1, n - 2), " +
-          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
-      .withColumn("sig", expr(s"graft_minhash(shingles, $numHashes)"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", expr(s"graft_minhash(toks, $numHashes, 3)"))
       .withColumn("bands", expr(
         s"transform(sequence(0, ${nBands - 1}), " +
           s"b -> md5(concat_ws('', slice(sig, b * $bandSize + 1, $bandSize))))"))

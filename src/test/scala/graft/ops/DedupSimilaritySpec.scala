@@ -80,8 +80,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val builtin = collectSigs(
       "transform(sequence(0, 7), h -> array_min(transform(shingles, " +
         "s -> md5(concat(cast(h as string), '|', s)))))")
+    // pre-shingled input (shingleSize = 1 hashes elements as-is)
     val kernel = collectSigs("graft_minhash(shingles, 8)")
     assert(kernel == builtin)
+    // fused shingling from raw tokens (the production path)
+    val kernelFused = collectSigs("graft_minhash(toks, 8, 3)")
+    assert(kernelFused == builtin)
     assert(kernel(1L).forall(_.matches("[0-9a-f]{32}")))
   }
 
