@@ -44,6 +44,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("minhash fans out few-split input (round-robin exchange) and fuses the kernel") {
+    val p = plan("x2_minhash_sig")
+    // fanOut guard: the compute-heavy projection must not inherit the
+    // single input split of a compacted corpus file
+    assert(p.contains("RoundRobinPartitioning"))
+    // shingling + hashing is ONE codegen'd expression — the interpreted
+    // per-hash array_min folds are gone (bands still transform over the
+    // 8-element sig; that is 4 tiny lambdas per row, not the hot path)
+    assert(p.contains("minhashsignature"))
+    assert(!p.contains("array_min"))
+  }
+
+  test("jaccard df cutoff: candidate generation stays equi-join, no cartesian") {
+    val p = plan("x2_jaccard_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("multi-table LSH ANN: bucket equi-join, never corpus x corpus") {
+    val p = plan("x3_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("projection queries prune the parquet scan to the needed columns") {
     val p = plan("q1_topk")
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))
