@@ -18,14 +18,15 @@ import org.apache.spark.sql.types.LongType
   * rightKey == leftKey and rightTs <= leftTs (nulls when no such row) —
   * the tick-data "latest quote at or before the trade" join.
   *
-  * TIE CONTRACT: the comparison is INCLUSIVE (`rightTs <= leftTs`, the
-  * pandas merge_asof / DuckDB ASOF JOIN default): a right row at exactly
-  * the left row's timestamp matches. Note the window-composed twin
-  * (Queries.j7Asof) instead takes the last right row STRICTLY PRECEDING
-  * the left row in (ts, event_id) row order — a secondary column this
-  * operator does not see. The two agree whenever no left/right pair
-  * shares an exact timestamp for the same key (true of the driver's
-  * microsecond event data; AsOfJoinSpec pins both behaviors).
+  * TIE CONTRACT: selectable via `inclusive` (default true =
+  * `rightTs <= leftTs`, the pandas merge_asof / DuckDB ASOF JOIN
+  * default): a right row at exactly the left row's timestamp matches.
+  * `inclusive = false` gives strict `rightTs < leftTs` — the
+  * window-composed twin's (Queries.j7Asof) semantics when each right
+  * timestamp is unique per key. The two contracts only differ on
+  * same-key equal-ts pairs; Queries.j7cAsofTies oracle-exercises the
+  * inclusive one on data that actually contains such collisions, and
+  * AsOfJoinSpec pins both.
   *
   * NULL CONTRACT: left rows with a null key or null ts get a null as-of
   * value (never matched); right rows with a null key or null ts are
@@ -46,7 +47,8 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    asofAttr: AttributeReference) extends BinaryNode {
+    asofAttr: AttributeReference,
+    inclusive: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ asofAttr
   // asofAttr is minted by this operator, not derived from the children
   override def producedAttributes: AttributeSet = AttributeSet(asofAttr)
@@ -65,7 +67,7 @@ object AsOfJoin {
     * analyzed children, so the node enters the optimizer fully bound. */
   def apply(leftDf: DataFrame, rightDf: DataFrame,
       keyCol: String, leftTsCol: String, rightTsCol: String,
-      outCol: String): DataFrame = {
+      outCol: String, inclusive: Boolean = true): DataFrame = {
     val spark = leftDf.sparkSession
     // self-register the strategy for sessions not built with
     // GraftExtensions (experimental.extraStrategies is the public hook)
@@ -87,15 +89,15 @@ object AsOfJoin {
     val node = AsOfJoin(l, r,
       attr(l, keyCol), attr(r, keyCol),
       attr(l, leftTsCol), attr(r, rightTsCol),
-      AttributeReference(outCol, LongType, nullable = true)())
+      AttributeReference(outCol, LongType, nullable = true)(), inclusive)
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, node)
   }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, attr) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, attr) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, attr, incl) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, attr, incl) :: Nil
     case _ => Nil
   }
 }
@@ -104,7 +106,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    asofAttr: AttributeReference) extends BinaryExecNode {
+    asofAttr: AttributeReference,
+    inclusive: Boolean = true) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
   override def producedAttributes: AttributeSet = AttributeSet(asofAttr)
@@ -125,6 +128,7 @@ case class AsOfJoinExec(
     // the SparkPlan (this/left/right) into the serialized task
     val (lOut, rOut, allOut) = (left.output, right.output, output)
     val (lkE, ltE, rkE, rtE) = (leftKey, leftTs, rightKey, rightTs)
+    val incl = inclusive
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKey = UnsafeProjection.create(Seq(lkE), lOut)
       val lTs = UnsafeProjection.create(Seq(ltE), lOut)
@@ -168,7 +172,7 @@ case class AsOfJoinExec(
               rHead = if (rClean.hasNext) rClean.next().copy() else null
             } else if (rk == k) {
               val rt = rTs(rHead).getLong(0)
-              if (rt <= t) {
+              if (rt < t || (incl && rt == t)) {
                 lastTs = rt; haveLast = true
                 rHead = if (rClean.hasNext) rClean.next().copy() else null
               } else advancing = false

@@ -73,6 +73,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_minhash kernel == builtin md5 fold on random unicode/empty tokens") {
+    graft.functions.GraftFunctions.register(spark)
+    // tokens with the nasty cases: empty strings, spaces inside? no —
+    // split(' ') can't yield tokens containing spaces, but CAN yield
+    // empty strings (consecutive separators) and any unicode
+    val token = Gen.oneOf(
+      Gen.const(""),
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.listOfN(3, Gen.oneOf("é", "ß", "中", "🚀", "a")).map(_.mkString))
+    cases(Gen.listOfN(12, Gen.listOfN(8, token)), n = 6) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "toks")
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+      val builtin = df.withColumn("sig", expr(
+        "transform(sequence(0, 7), h -> array_min(transform(shingles, " +
+          "s -> md5(concat(cast(h as string), '|', s)))))"))
+        .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
+      val fused = df.withColumn("sig", expr("graft_minhash(toks, 8, 3)"))
+        .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
+      assert(fused == builtin)
+    }
+  }
+
   test("state machine currentState is stable under log shuffling") {
     val trans = Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf(1000, 1001, 1100, 1200, 1300, 1900))
     cases(Gen.listOfN(20, trans), n = 5) { rows =>

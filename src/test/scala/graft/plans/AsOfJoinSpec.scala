@@ -28,6 +28,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(100L)))
   }
 
+  test("tie contract: inclusive=false takes strictly-preceding, cursor not lost") {
+    val trades = Seq((1L, 100L), (1L, 200L)).toDF("user_id", "ts_us")
+    val quotes = Seq((1L, 90L), (1L, 100L), (1L, 200L)).toDF("user_id", "ts_us")
+    val out = AsOfJoin(trades, quotes, "user_id", "ts_us", "ts_us", "asof_us",
+        inclusive = false)
+      .select("ts_us", "asof_us").as[(Long, Option[Long])].collect().toSet
+    // at 100: the equal-ts quote is excluded, 90 wins; at 200: the quote
+    // at 100 (skipped earlier, now strictly preceding) must be seen — the
+    // merge cursor must not have consumed past it
+    assert(out == Set((100L, Some(90L)), (200L, Some(100L))))
+  }
+
   test("null contract: null keys/ts never match on either side") {
     val trades = Seq((Some(1L), Some(100L)), (None, Some(100L)), (Some(1L), None))
       .toDF("user_id", "ts_us")
