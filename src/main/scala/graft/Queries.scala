@@ -1097,6 +1097,67 @@ object Queries {
            |FROM g ORDER BY doc_id""".stripMargin),
     bench = true)
 
+  /** X2e — the full dedup resolution: LSH candidate pairs -> connected
+    * components (iterative min-label propagation) -> cluster id +
+    * survivor flag per document. The DuckDB oracle replays the whole
+    * chain — minhash signatures, band join, and a RECURSIVE closure whose
+    * min-reachable-id equals the propagated label — so the iterative
+    * DataFrame loop is hash-checked end-to-end, not just shape-tested. */
+  val x2Components = QuerySpec("x2_components",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhash(docs, "text", "doc_id"), "doc_id")
+      Dedup.components(docs, pairs, "doc_id")
+        .withColumn("is_survivor", col("cluster") === col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+           |d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, list_transform(range(1, n - 1),
+           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+           |  FROM d WHERE n >= 3),
+           |g AS (
+           |  SELECT doc_id, list_transform(range(0, 8),
+           |    h -> list_min(list_transform(shingles,
+           |      sh -> md5(CAST(h AS VARCHAR) || '|' || sh)))) AS sig
+           |  FROM s),
+           |b AS (
+           |  SELECT doc_id, band_idx,
+           |    md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
+           |  FROM g, (SELECT unnest(range(0, 4)) AS band_idx)),
+           |pairs AS (
+           |  SELECT b1.doc_id AS d1, b2.doc_id AS d2
+           |  FROM b b1 JOIN b b2 ON b1.band_idx = b2.band_idx
+           |    AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+           |  GROUP BY 1, 2),
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+           |          UNION SELECT d2, d1 FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.id),
+           |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+           |SELECT dd.doc_id,
+           |  coalesce(c.cluster, dd.doc_id) AS cluster,
+           |  coalesce(c.cluster, dd.doc_id) = dd.doc_id AS is_survivor
+           |FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
+           |ORDER BY dd.doc_id""".stripMargin))
+
+  /** X5 — deterministic portable hash sampling (train/val splits): the
+    * md5-prefix threshold reproduces bit-identically in any engine. */
+  val x5Sample = QuerySpec("x5_sample",
+    (s, d) => Scale.hashSample(T(s, d, "documents"), "doc_id", 0.125)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, source FROM documents
+           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+           |ORDER BY doc_id""".stripMargin))
+
   /** LSH candidate pairs may legitimately be empty on a corpus with no
     * near-dups — no oracle; LshSpec unit-tests candidate generation on
     * planted duplicates. */
@@ -1310,6 +1371,7 @@ object Queries {
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
     ost1State, st4Sessions,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
+    x2Components, x5Sample,
     x3TopkCosine, x3AnnLsh, x3Ivf,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe,
     mmMeta, mmDecode)

@@ -138,6 +138,49 @@ object Dedup {
       .select(col(idCol), col("simhash"))
   }
 
+  /** X2e — near-dup CLUSTER resolution: connected components over the
+    * candidate-pair graph by iterative min-label propagation, the step a
+    * real dedup pipeline needs between "similar pairs" and "keep one doc
+    * per duplicate group". Every doc's cluster id is the smallest doc id
+    * reachable through candidate pairs (so the cluster id IS the
+    * canonical survivor — deterministic, engine-independent).
+    *
+    * Shape: a driver-side loop of at most `maxIter` rounds, each round one
+    * equi-join (labels against the bidirected edge list) + one groupBy min
+    * — the standard DataFrame label-propagation used before reaching for
+    * GraphX/GraphFrames. Rounds needed = graph diameter (near-dup clusters
+    * are shallow: dup groups are cliques-ish, diameter 1-2). The driver
+    * never sees row data — only a per-round convergence count; each round
+    * is checkpointed via localCheckpoint to keep lineage flat at scale.
+    *
+    * `nodes` must contain every doc (singletons keep their own id as
+    * cluster). Returns (idCol, cluster). */
+  def components(nodes: DataFrame, pairs: DataFrame, idCol: String,
+      d1: String = "d1", d2: String = "d2", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
+      .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("src"), col(idCol).as("label"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      // each node's new label: min of its own and its neighbors' labels
+      val next = labels.join(
+          edges.join(labels.select(col("src").as("dst"),
+              col("label").as("nlabel")), Seq("dst"))
+            .groupBy(col("src")).agg(min(col("nlabel")).as("minn")),
+          Seq("src"), "left")
+        .select(col("src"), least(col("label"), col("minn")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("src"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("src").as(idCol), col("label").as("cluster"))
+  }
+
   /** X2b — LSH candidate pairs: explode band hashes, self-join per
     * (band index, band hash) bucket. The join key is the bucket, so work
     * scales with bucket sizes, never with corpus². */

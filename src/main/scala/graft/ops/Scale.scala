@@ -27,6 +27,22 @@ object Scale {
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
   }
 
+  /** Deterministic, engine-portable hash sample: keep rows whose md5 hex
+    * prefix of the id falls below the 4-nibble threshold for `rate`
+    * (granularity 1/65536). No RNG, no seed plumbing: the same row is in
+    * the sample on every engine and every run — the property a
+    * training-data split needs (DuckDB/any SQL engine reproduces it with
+    * `substr(md5(cast(id as varchar)), 1, 4) < 'xxxx'`). Narrow filter,
+    * no shuffle, pushdown-friendly. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    if (rate >= 1.0) df
+    else {
+      val threshold = f"${math.round(rate * 65536).toInt}%04x"
+      df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < lit(threshold))
+    }
+  }
+
   /** Salted two-phase aggregation for skewed group keys: repartition the
     * hot key's rows across `saltBuckets` partial groups, aggregate, then
     * combine. sum/count compose exactly (avg = sum/count downstream).

@@ -89,6 +89,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kernel(1L).forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("X2e components: labels propagate across a path graph; singletons keep own id") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    // path 1-2-3-4 (diameter 3: takes several propagation rounds), 5/6 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    val out = Dedup.components(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("X5 hashSample is deterministic, id-stable, and roughly the asked rate") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val a = Scale.hashSample(ids, "doc_id", 0.25).as[Long].collect().toSet
+    val b = Scale.hashSample(ids, "doc_id", 0.25).as[Long].collect().toSet
+    assert(a == b) // no RNG: same sample every run
+    assert(math.abs(a.size / 2000.0 - 0.25) < 0.05)
+    // monotone in rate: a smaller sample is a subset of a larger one
+    val half = Scale.hashSample(ids, "doc_id", 0.5).as[Long].collect().toSet
+    assert(a.subsetOf(half))
+    assert(Scale.hashSample(ids, "doc_id", 1.0).count() == 2000)
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.99f, 0.1f, 0.0f)),   // nearly parallel to 0
