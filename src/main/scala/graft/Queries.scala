@@ -1158,6 +1158,22 @@ object Queries {
            |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
            |ORDER BY doc_id""".stripMargin))
 
+  /** X5b — per-shard sequence packing (contiguous ~512-token bins in
+    * doc_id order within each lang). */
+  val x5Pack = QuerySpec("x5_pack",
+    (s, d) => TextOps.packSequences(T(s, d, "documents"), "text", "doc_id",
+        Seq("lang"), 512)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("bin"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tok,
+           |  CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin
+           |FROM (
+           |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+           |    sum(len(string_split(text, ' '))) OVER (
+           |      PARTITION BY lang ORDER BY doc_id) AS cum
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
   /** LSH candidate pairs may legitimately be empty on a corpus with no
     * near-dups — no oracle; LshSpec unit-tests candidate generation on
     * planted duplicates. */
@@ -1371,7 +1387,7 @@ object Queries {
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
     ost1State, st4Sessions,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
-    x2Components, x5Sample,
+    x2Components, x5Sample, x5Pack,
     x3TopkCosine, x3AnnLsh, x3Ivf,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe,
     mmMeta, mmDecode)

@@ -52,6 +52,24 @@ object TextOps {
     docs.withColumn("n_bpe",
       expr(s"size(regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"))
 
+  /** X5b — sequence packing for training batches: assign documents to
+    * ~`capacity`-token bins in deterministic (`idCol`) order within each
+    * `partKeys` shard. A doc lands in the bin its RUNNING token total
+    * (exclusive of itself) falls into — contiguous chunking, so bins fill
+    * to capacity and only the straddling doc overflows. Per-shard window
+    * (shuffle on partKeys, sort by id), never a global sort: at 100 TB the
+    * shard key is the parallelism unit, exactly how packing shards a real
+    * corpus. Adds n_tok and bin. */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+      partKeys: Seq[String], capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partKeys.map(col): _*).orderBy(col(idCol))
+    docs
+      .withColumn("n_tok", size(split(col(textCol), " ")))
+      .withColumn("bin",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / capacity))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * the minimum md5 over word 5-gram shingles (rolling-hash analog —
     * stable under small suffix/prefix edits). */

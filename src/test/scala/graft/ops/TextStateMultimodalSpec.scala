@@ -39,6 +39,28 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(fp(1L) == fp(2L)) // identical after lower()
   }
 
+  test("X5b packing matches an independent scala recomputation per shard") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, ("w " * (i % 7 + 1)).trim, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.packSequences(docs, "text", "doc_id", Seq("lang"), 10)
+      .select("doc_id", "lang", "n_tok", "bin")
+      .as[(Long, String, Int, Long)].collect()
+    // independent model: running pre-sum of token counts per lang, id order
+    val expected = out.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).iterator.map { case (id, _, n, _) =>
+        val bin = cum / 10; cum += n; (id, bin)
+      }
+    }.toMap
+    out.foreach { case (id, _, _, bin) => assert(bin == expected(id)) }
+    // and bins are non-decreasing in id order within a shard
+    out.groupBy(_._2).values.foreach { rows =>
+      val bins = rows.sortBy(_._1).map(_._4)
+      assert(bins.zip(bins.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("O-ST1 currentState is the latest action per job") {
     val log = Seq(
       (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), (1L, 1300, ts(2), 2L),
