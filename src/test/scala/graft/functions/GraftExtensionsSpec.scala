@@ -14,6 +14,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-15)
   }
 
+  test("spark.sql.extensions installs graft_minhash for SQL resolution") {
+    val r = spark.sql(
+      "SELECT graft_minhash(array('a b c d'), 2, 1) AS sig").head()
+      .getSeq[String](0)
+    assert(r.length == 2 && r.forall(_.matches("[0-9a-f]{32}")))
+    // 2-arg form (pre-shingled) resolves too
+    assert(spark.sql("SELECT graft_minhash(array('x'), 1) AS s").head()
+      .getSeq[String](0).length == 1)
+  }
+
   test("SimplifySelfCosine folds graft_cosine(x, x) to a literal") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
