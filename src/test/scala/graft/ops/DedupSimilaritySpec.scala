@@ -98,6 +98,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L))
   }
 
+  test("X2e components edge: no pairs -> every node its own singleton cluster") {
+    val nodes = (1L to 4L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val out = Dedup.components(nodes, noPairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("X5 hashSample edge rates: 0 keeps nothing, 1 keeps everything") {
+    val ids = (0L until 100L).toDF("doc_id")
+    assert(Scale.hashSample(ids, "doc_id", 0.0).count() == 0)
+    assert(Scale.hashSample(ids, "doc_id", 1.0).count() == 100)
+  }
+
   test("X5 hashSample is deterministic, id-stable, and roughly the asked rate") {
     val ids = (0L until 2000L).toDF("doc_id")
     val a = Scale.hashSample(ids, "doc_id", 0.25).as[Long].collect().toSet
