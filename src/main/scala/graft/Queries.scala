@@ -1158,6 +1158,20 @@ object Queries {
            |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
            |ORDER BY doc_id""".stripMargin))
 
+  /** X5c — stratified deterministic sampling: per-source keep rates (the
+    * "downsample noisy sources" corpus op), reproduced exactly by the
+    * oracle's CASE over the same md5 prefixes. */
+  val x5SampleBy = QuerySpec("x5_sample_by",
+    (s, d) => Scale.hashSampleBy(T(s, d, "documents"), "doc_id", "source",
+        Map("src0" -> 0.125, "src1" -> 0.5), defaultRate = 0.25)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, source FROM documents
+           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           |  CASE source WHEN 'src0' THEN '2000' WHEN 'src1' THEN '8000'
+           |    ELSE '4000' END
+           |ORDER BY doc_id""".stripMargin))
+
   /** X5b — per-shard sequence packing (contiguous ~512-token bins in
     * doc_id order within each lang). */
   val x5Pack = QuerySpec("x5_pack",
@@ -1387,7 +1401,7 @@ object Queries {
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
     ost1State, st4Sessions,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
-    x2Components, x5Sample, x5Pack,
+    x2Components, x5Sample, x5SampleBy, x5Pack,
     x3TopkCosine, x3AnnLsh, x3Ivf,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe,
     mmMeta, mmDecode)

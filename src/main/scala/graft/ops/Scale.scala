@@ -43,6 +43,28 @@ object Scale {
     }
   }
 
+  /** Stratified variant of [[hashSample]]: a different deterministic rate
+    * per stratum value (e.g. downsample a low-quality source to 10% while
+    * keeping a curated one whole). Strata absent from `rates` get
+    * `defaultRate`. Same md5-prefix mechanics, so the selection is
+    * engine-portable and reproducible; still a narrow filter — the rate
+    * lookup is a tiny CASE expression, not a join. */
+  def hashSampleBy(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    def thresh(rate: Double): String = {
+      require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+      // same 4-nibble width as the compared prefix (lexicographic compare
+      // is only numeric at equal width); rate=1.0 needs a keep-everything
+      // sentinel and 'g' > 'f' beats any hex prefix
+      if (rate >= 1.0) "g" else f"${math.round(rate * 65536).toInt}%04x"
+    }
+    val rateCase = rates.foldLeft(lit(thresh(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(thresh(rate))).otherwise(acc)
+    }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < rateCase)
+  }
+
   /** Salted two-phase aggregation for skewed group keys: repartition the
     * hot key's rows across `saltBuckets` partial groups, aggregate, then
     * combine. sum/count compose exactly (avg = sum/count downstream).

@@ -94,4 +94,33 @@ object TickPipeline {
           (jobId, current)
       }
   }
+
+  /** ST5b — flatMapGroupsWithState: unlike mapGroups (exactly one row per
+    * key per batch), this emits ZERO OR MORE rows — here one row per
+    * ACCEPTED transition, and nothing for batches of only-illegal events.
+    * That is the shape a changelog/audit stream needs (emit each applied
+    * change, stay silent otherwise); state is the same per-job current
+    * action as [[jobStates]]. */
+  def jobTransitionLog(transitions: Dataset[(Long, Int, java.sql.Timestamp)])
+      : Dataset[(Long, Int, Int)] = {
+    import transitions.sparkSession.implicits._
+    transitions.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Int, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (jobId: Long, events: Iterator[(Long, Int, java.sql.Timestamp)],
+         state: GroupState[Int]) =>
+          var current = state.getOption.getOrElse(-1)
+          val accepted = scala.collection.mutable.ListBuffer.empty[(Long, Int, Int)]
+          events.toSeq.sortBy(e => e._3.getTime).foreach { case (_, action, _) =>
+            val ok = current == -1 ||
+              Transition.legal.getOrElse(current, Set.empty).contains(action)
+            if (ok) {
+              accepted += ((jobId, current, action)) // (job, from, to)
+              current = action
+            }
+          }
+          state.update(current)
+          accepted.iterator
+      }
+  }
 }

@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == 1000) // illegal transition ignored, state kept
   }
 
+  test("ST5b flatMapGroupsWithState emits one row per ACCEPTED transition only") {
+    val in = MemoryStream[(Long, Int, Timestamp)](spark)
+    val q = TickPipeline.jobTransitionLog(in.toDS())
+      .toDF("job_id", "from", "to")
+      .writeStream.outputMode("append").format("memory").queryName("jlog").start()
+    in.addData((1L, 1000, ts(0)))
+    q.processAllAvailable()
+    in.addData((1L, 1001, ts(1)), (1L, 1300, ts(2))) // 1001->1300 illegal
+    q.processAllAvailable()
+    in.addData((2L, 1300, ts(3))) // first event always accepted (unknown start)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("jlog").as[(Long, Int, Int)].collect().toSeq.sorted
+    // job 1: 1000 accepted from -1, then 1001 accepted; the illegal 1300
+    // emits NOTHING (the flatMap contract mapGroups can't express)
+    assert(rows == Seq((1L, -1, 1000), (1L, 1000, 1001), (2L, -1, 1300)))
+  }
+
   test("J1 broadcast dim join runs unchanged on a streaming frame") {
     val in = MemoryStream[(String, String, Timestamp)](spark)
     val ticks = in.toDF().toDF("exchange", "isin", "ts")
