@@ -101,9 +101,12 @@ object Dedup {
       numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val nBands = numHashes / bandSize
-    Scale.fanOut(docs)
-      .withColumn("toks", split(col(textCol), " "))
-      .filter(size(col("toks")) >= 3)
+    // filter BEFORE the fan-out so the plan shape is what PLANS.md
+    // documents by construction (fewer rows shuffled), not an artifact of
+    // Catalyst pushing the predicate through the repartition
+    Scale.fanOut(
+        docs.withColumn("toks", split(col(textCol), " "))
+          .filter(size(col("toks")) >= 3))
       .withColumn("sig", expr(s"graft_minhash(toks, $numHashes, 3)"))
       .withColumn("bands", expr(
         s"transform(sequence(0, ${nBands - 1}), " +
@@ -178,6 +181,12 @@ object Dedup {
       labels = next
       i += 1
     }
+    // an unconverged exit would hand the caller UNDER-MERGED clusters (and
+    // wrong survivor flags) with no signal — fail loudly instead; callers
+    // with genuinely deep duplicate chains raise maxIter
+    require(converged,
+      s"components did not converge in $maxIter rounds — candidate-pair " +
+        s"graph diameter exceeds maxIter; raise maxIter")
     labels.select(col("src").as(idCol), col("label").as("cluster"))
   }
 

@@ -36,9 +36,13 @@ object Scale {
     * no shuffle, pushdown-friendly. */
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    if (rate >= 1.0) df
+    // rates in [65535.5/65536, 1.0) round to 65536, which %04x would format
+    // as the 5-char "10000" — lexicographically BELOW most 4-char prefixes,
+    // silently keeping ~6% instead of ~100%. Rounded-to-full = keep all.
+    val rounded = math.round(rate * 65536).toInt
+    if (rounded >= 65536) df
     else {
-      val threshold = f"${math.round(rate * 65536).toInt}%04x"
+      val threshold = f"$rounded%04x"
       df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < lit(threshold))
     }
   }
@@ -54,9 +58,11 @@ object Scale {
     def thresh(rate: Double): String = {
       require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
       // same 4-nibble width as the compared prefix (lexicographic compare
-      // is only numeric at equal width); rate=1.0 needs a keep-everything
+      // is only numeric at equal width); rate=1.0 — or any rate that ROUNDS
+      // to 65536, which would format 5-wide — needs a keep-everything
       // sentinel and 'g' > 'f' beats any hex prefix
-      if (rate >= 1.0) "g" else f"${math.round(rate * 65536).toInt}%04x"
+      val rounded = math.round(rate * 65536).toInt
+      if (rounded >= 65536) "g" else f"$rounded%04x"
     }
     val rateCase = rates.foldLeft(lit(thresh(defaultRate))) {
       case (acc, (stratum, rate)) =>

@@ -49,6 +49,13 @@ class PlanShapeSpec extends SparkSpec {
     // fanOut guard: the compute-heavy projection must not inherit the
     // single input split of a compacted corpus file
     assert(p.contains("RoundRobinPartitioning"))
+    // the n>=3 filter sits BELOW the fan-out exchange (fewer rows
+    // shuffled) — by construction in Dedup.minhash, not by optimizer
+    // pushdown; pin it so PLANS.md's documented shape can't drift
+    val exchangeAt = p.indexOf("RoundRobinPartitioning")
+    val filterAt = p.indexOf("Filter (")
+    assert(filterAt > exchangeAt,
+      "expected the size filter below the fan-out exchange")
     // shingling + hashing is ONE codegen'd expression — the interpreted
     // per-hash array_min folds are gone (bands still transform over the
     // 8-element sig; that is 4 tiny lambdas per row, not the hot path)

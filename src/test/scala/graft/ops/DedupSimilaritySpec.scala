@@ -98,6 +98,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L))
   }
 
+  test("X2e components fails loudly when maxIter is below the graph diameter") {
+    val nodes = (1L to 5L).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    // silent under-merge would return wrong clusters with no signal
+    intercept[IllegalArgumentException] {
+      Dedup.components(nodes, chain, "doc_id", maxIter = 1).collect()
+    }
+  }
+
   test("X2e components edge: no pairs -> every node its own singleton cluster") {
     val nodes = (1L to 4L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
@@ -110,6 +119,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val ids = (0L until 100L).toDF("doc_id")
     assert(Scale.hashSample(ids, "doc_id", 0.0).count() == 0)
     assert(Scale.hashSample(ids, "doc_id", 1.0).count() == 100)
+    // rates that ROUND to 65536 must keep everything too — %04x would
+    // format 65536 as the 5-char "10000", which compares below most
+    // 4-char prefixes and would silently keep ~6%
+    assert(Scale.hashSample(ids, "doc_id", 0.999995).count() == 100)
+    assert(Scale.hashSampleBy(ids, "doc_id", "doc_id",
+      Map.empty, defaultRate = 0.999995).count() == 100)
   }
 
   test("X5 hashSample is deterministic, id-stable, and roughly the asked rate") {
