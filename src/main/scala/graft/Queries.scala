@@ -1084,11 +1084,14 @@ object Queries {
            |  SELECT doc_id, list_transform(range(1, n - 1),
            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
            |  FROM d WHERE n >= 3),
+           |sm AS (
+           |  SELECT doc_id, list_transform(shingles, sh -> md5(sh)) AS hs
+           |  FROM s),
            |g AS (
            |  SELECT doc_id, list_transform(range(0, 8),
-           |    h -> list_min(list_transform(shingles,
-           |      sh -> md5(CAST(h AS VARCHAR) || '|' || sh)))) AS sig
-           |  FROM s)
+           |    h -> list_min(list_transform(hs,
+           |      m -> substr(m, 4*h + 1, 32 - 4*h) || substr(m, 1, 4*h)))) AS sig
+           |  FROM sm)
            |SELECT doc_id, sig[1] AS minhash0,
            |  md5(sig[1] || sig[2]) AS band0,
            |  md5(sig[3] || sig[4]) AS band1,
@@ -1121,11 +1124,14 @@ object Queries {
            |  SELECT doc_id, list_transform(range(1, n - 1),
            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
            |  FROM d WHERE n >= 3),
+           |sm AS (
+           |  SELECT doc_id, list_transform(shingles, sh -> md5(sh)) AS hs
+           |  FROM s),
            |g AS (
            |  SELECT doc_id, list_transform(range(0, 8),
-           |    h -> list_min(list_transform(shingles,
-           |      sh -> md5(CAST(h AS VARCHAR) || '|' || sh)))) AS sig
-           |  FROM s),
+           |    h -> list_min(list_transform(hs,
+           |      m -> substr(m, 4*h + 1, 32 - 4*h) || substr(m, 1, 4*h)))) AS sig
+           |  FROM sm),
            |b AS (
            |  SELECT doc_id, band_idx,
            |    md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash

@@ -14,29 +14,44 @@ import org.apache.spark.unsafe.types.UTF8String
   * token array in ONE fused kernel — word-`shingleSize`-gram shingling
   * included.
   *
-  * Semantics are EXACTLY the builtin route it replaces
-  * (Dedup.minhash pre-round-4; here for shingleSize = 3):
+  * Hash family (round 5 — one digest per shingle): each shingle is
+  * digested ONCE, and the `numHashes` family members are byte-aligned
+  * rotations of that digest's hex form,
+  *
+  *   h_i(s) = rotl(md5(shingle), 4*i hex chars),   i in [0, numHashes)
+  *   sig[i] = lexicographic min over shingles of h_i
+  *
+  * equivalently, in builtin Spark SQL (here shingleSize = 3):
   *
   *   shingles = transform(sequence(1, n-2),
   *                i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
-  *   sig = transform(sequence(0, numHashes-1),
-  *           h -> array_min(transform(shingles, s -> md5(concat(h, '|', s)))))
+  *   sig = transform(sequence(0, numHashes-1), h -> array_min(
+  *           transform(shingles, s -> concat(substring(md5(s), h*4+1, 32-h*4),
+  *                                           substring(md5(s), 1, h*4)))))
   *
-  * i.e. sig[h] = lexicographic min over word n-gram shingles of the
-  * lowercase md5 hex of UTF-8 "h|shingle" (null tokens skipped by
-  * concat_ws; fewer than shingleSize tokens yields null elements, as
-  * array_min over an empty array does). `shingleSize = 1` hashes the
-  * elements themselves (pre-shingled input). The DuckDB oracle computes
-  * the identical signature, so the kernel does not move the oracle.
+  * This is one-permutation-hashing style reuse of a single strong digest
+  * (cf. Li/Owen/Zhang, "One Permutation Hashing", NIPS 2012): ranking by
+  * rotation i orders shingles by digest bytes starting at byte 2i, so each
+  * i induces a different (dependent but uniform) ordering — exactly what
+  * LSH banding needs — at 1/numHashes of the md5 cost of the round-4
+  * family md5(i||'|'||s), which digested every shingle numHashes times.
+  * At 100 TB the signature pass is md5-bound, so this is a direct ~8x CPU
+  * cut on the corpus scan. Rotations are 4-hex-char (2-byte) aligned;
+  * 16-byte digests give at most 8 distinct members, enforced below.
+  * Null tokens are skipped by concat_ws; fewer than shingleSize tokens
+  * yields null elements, as array_min over an empty array does.
+  * `shingleSize = 1` hashes the elements themselves (pre-shingled input).
+  * The DuckDB oracle computes the identical signature with the same
+  * substr arithmetic, so the kernel does not move the oracle.
   *
   * Why custom (the graft_cosine playbook, CosineSimilarity.scala): Spark's
   * higher-order functions are CodegenFallback — the builtin route runs
-  * interpreted lambda passes per row (one to build shingles, numHashes to
-  * hash, numHashes more to fold minima), allocating every intermediate
+  * interpreted lambda passes per row, allocating every intermediate
   * string. This kernel streams token BYTES straight into a reused
-  * MessageDigest (prefix, tok[i], ' ', tok[i+1], ...) — the shingle
-  * string is never materialized — and keeps numHashes running minima as
-  * raw digest bytes; only winners are hex-encoded. Lowercase-hex
+  * MessageDigest (tok[i], ' ', tok[i+1], ...) — the shingle string is
+  * never materialized — and keeps numHashes running minima as raw digest
+  * references compared CYCLICALLY from byte offset 2i (rotation never
+  * materialized either); only winners are hex-encoded. Lowercase-hex
   * lexicographic order equals unsigned-byte order of the digests (nibble
   * -> '0'..'9','a'..'f' is monotonic), so comparing raw bytes is exact.
   *
@@ -48,11 +63,12 @@ case class MinHashSignature(child: Expression, numHashes: Int,
     shingleSize: Int = 1) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes > 0 && shingleSize > 0 =>
+    case ArrayType(StringType, _)
+        if numHashes > 0 && numHashes <= 8 && shingleSize > 0 =>
       TypeCheckResult.TypeCheckSuccess
     case _ =>
       TypeCheckResult.TypeCheckFailure(
-        s"graft_minhash expects (array<string>, positive int literal" +
+        s"graft_minhash expects (array<string>, int literal in [1,8]" +
           s"[, positive int literal]), got (${child.dataType.simpleString}, " +
           s"$numHashes, $shingleSize)")
   }
@@ -82,12 +98,6 @@ object MinHashKernel {
 
   def compute(toks: ArrayData, numHashes: Int, shingleSize: Int): ArrayData = {
     val md = mdLocal.get()
-    val prefixes = new Array[Array[Byte]](numHashes)
-    var h = 0
-    while (h < numHashes) {
-      prefixes(h) = (h.toString + "|").getBytes(StandardCharsets.UTF_8)
-      h += 1
-    }
     // token bytes fetched once; null tokens stay null (concat_ws skips
     // them — no separator either — and a null 1-gram shingle is skipped
     // entirely, as array_min skips null elements)
@@ -98,60 +108,70 @@ object MinHashKernel {
       if (!toks.isNullAt(i)) bytes(i) = toks.getUTF8String(i).getBytes
       i += 1
     }
+    // mins(h) holds the DIGEST whose rotation by 2h bytes is minimal so
+    // far; rotations are compared cyclically in place, never materialized
     val mins = new Array[Array[Byte]](numHashes)
     val nShingles = n - shingleSize + 1
     i = 0
     while (i < nShingles) {
       // 1-gram null shingle <=> null element in pre-shingled input: skip
       if (shingleSize > 1 || bytes(i) != null) {
-        h = 0
-        while (h < numHashes) {
-          md.reset()
-          md.update(prefixes(h))
-          var j = 0
-          var first = true
-          while (j < shingleSize) {
-            val b = bytes(i + j)
-            if (b != null) { // concat_ws semantics: nulls contribute nothing
-              if (!first) md.update(SPACE)
-              md.update(b)
-              first = false
-            }
-            j += 1
+        md.reset()
+        var j = 0
+        var first = true
+        while (j < shingleSize) {
+          val b = bytes(i + j)
+          if (b != null) { // concat_ws semantics: nulls contribute nothing
+            if (!first) md.update(SPACE)
+            md.update(b)
+            first = false
           }
-          val d = md.digest()
-          if (mins(h) == null || unsignedLess(d, mins(h))) mins(h) = d
+          j += 1
+        }
+        val d = md.digest() // ONE digest per shingle — the whole point
+        var h = 0
+        while (h < numHashes) {
+          if (mins(h) == null || cyclicLess(d, mins(h), 2 * h)) mins(h) = d
           h += 1
         }
       }
       i += 1
     }
     val out = new Array[Any](numHashes)
-    h = 0
+    var h = 0
     while (h < numHashes) {
-      out(h) = if (mins(h) == null) null else UTF8String.fromString(toHex(mins(h)))
+      out(h) =
+        if (mins(h) == null) null
+        else UTF8String.fromString(toHexRot(mins(h), 2 * h))
       h += 1
     }
     new GenericArrayData(out)
   }
 
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+  /** rotl(a, off bytes) < rotl(b, off bytes), compared as unsigned bytes
+    * (== hex-lexicographic order of the rotated hex strings). */
+  private def cyclicLess(a: Array[Byte], b: Array[Byte], off: Int): Boolean = {
+    val len = a.length
     var i = 0
-    while (i < a.length) {
-      val ai = a(i) & 0xff
-      val bi = b(i) & 0xff
+    while (i < len) {
+      val k = (off + i) % len
+      val ai = a(k) & 0xff
+      val bi = b(k) & 0xff
       if (ai != bi) return ai < bi
       i += 1
     }
     false
   }
 
-  private def toHex(d: Array[Byte]): String = {
-    val cs = new Array[Char](d.length * 2)
+  /** Hex of the digest rotated left by `off` bytes. */
+  private def toHexRot(d: Array[Byte], off: Int): String = {
+    val len = d.length
+    val cs = new Array[Char](len * 2)
     var i = 0
-    while (i < d.length) {
-      cs(i * 2) = hexChars((d(i) >> 4) & 0xf)
-      cs(i * 2 + 1) = hexChars(d(i) & 0xf)
+    while (i < len) {
+      val v = d((off + i) % len)
+      cs(i * 2) = hexChars((v >> 4) & 0xf)
+      cs(i * 2 + 1) = hexChars(v & 0xf)
       i += 1
     }
     new String(cs)

@@ -81,11 +81,15 @@ object Dedup {
 
   /** X2b — MinHash signatures over word 3-gram shingles.
     *
-    * Hash family: h_i(s) = md5(i || '|' || s) compared lexicographically —
-    * deterministic, portable (the DuckDB oracle computes the identical
-    * signature), and uniform enough for LSH. `numHashes` signature values
-    * are grouped into bands of `bandSize`; docs sharing any band hash are
-    * near-dup candidates.
+    * Hash family (round 5): h_i(s) = rotl(md5(s), 4i hex chars) compared
+    * lexicographically — ONE digest per shingle, one-permutation-hashing
+    * style (each rotation ranks shingles by a different starting byte of
+    * the same strong digest). Deterministic, portable (the DuckDB oracle
+    * computes the identical signature via the same substr arithmetic),
+    * uniform enough for LSH, and ~numHashes× cheaper than digesting per
+    * family member — the signature pass is md5-bound at corpus scale.
+    * `numHashes` signature values are grouped into bands of `bandSize`;
+    * docs sharing any band hash are near-dup candidates.
     *
     * Perf (round 4): the signature — word-3-gram shingling included — is
     * computed by the codegen'd functions.MinHashSignature kernel in one

@@ -79,7 +79,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
     val builtin = collectSigs(
       "transform(sequence(0, 7), h -> array_min(transform(shingles, " +
-        "s -> md5(concat(cast(h as string), '|', s)))))")
+        "s -> concat(substring(md5(s), h*4+1, 32-h*4), " +
+        "substring(md5(s), 1, h*4)))))")
     // pre-shingled input (shingleSize = 1 hashes elements as-is)
     val kernel = collectSigs("graft_minhash(shingles, 8)")
     assert(kernel == builtin)

@@ -91,7 +91,8 @@ class PropertySpec extends SparkSpec {
             "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
       val builtin = df.withColumn("sig", expr(
         "transform(sequence(0, 7), h -> array_min(transform(shingles, " +
-          "s -> md5(concat(cast(h as string), '|', s)))))"))
+          "s -> concat(substring(md5(s), h*4+1, 32-h*4), " +
+          "substring(md5(s), 1, h*4)))))"))
         .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
       val fused = df.withColumn("sig", expr("graft_minhash(toks, 8, 3)"))
         .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
