@@ -49,29 +49,44 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockKeys: Seq[String], maxDf: Int = Int.MaxValue): DataFrame = {
     val allToks = tokenSets(docs, textCol, idCol +: blockKeys)
-    val toks =
-      if (maxDf == Int.MaxValue) allToks
-      else {
-        // tokenSets is distinct per doc, so count(*) per (block, tok) IS
-        // document frequency; the semi-join shuffles on the same
-        // (block, tok) key as the pair join below — co-partitioned, and
-        // the df side never needs to fit in memory
-        val rare = allToks.groupBy((blockKeys :+ "tok").map(col): _*)
-          .agg(count(lit(1)).as("df"))
+    val (inter, sizes) =
+      if (maxDf == Int.MaxValue) {
+        // unbounded df: posting lists could be arbitrarily large, so stay
+        // with the streaming self-join — nothing is ever materialized per
+        // (block, tok) group
+        val sizes = allToks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
+        val t1 = allToks.select(
+          (blockKeys.map(col) :+ col(idCol).as("d1")) :+ col("tok"): _*)
+        val t2 = allToks.select(
+          (blockKeys.map(k => col(k).as(k + "_2")) :+ col(idCol).as("d2")) :+
+            col("tok").as("tok_2"): _*)
+        val joinCond = blockKeys.map(k => col(k) === col(k + "_2"))
+          .reduce(_ && _) && col("tok") === col("tok_2") && col("d1") < col("d2")
+        (t1.join(t2, joinCond)
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter")),
+          sizes)
+      } else {
+        // bounded df: ONE aggregation to per-(block, tok) posting lists —
+        // the df cutoff caps each list at maxDf entries, so materializing
+        // it is safe BY CONTRACT. Candidate pairs come from a
+        // double-explode of the same aggregate and per-doc set sizes from
+        // a single explode of it: the whole operator does one scan and
+        // one wide shuffle, where the previous semi-join + self-join
+        // shape recomputed the tokenize/df subtree for every consumer
+        // (AQE exchange reuse only caught part of it)
+        val postings = allToks
+          .groupBy((blockKeys :+ "tok").map(col): _*)
+          .agg(collect_list(col(idCol)).as("docs"), count(lit(1)).as("df"))
           .filter(col("df") <= maxDf)
-          .select((blockKeys :+ "tok").map(col): _*)
-        allToks.join(rare, blockKeys :+ "tok", "left_semi")
+        val docTok = postings.select(explode(col("docs")).as("d1"), col("docs"))
+        val inter = docTok.select(col("d1"), explode(col("docs")).as("d2"))
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+        val sizes = docTok.groupBy(col("d1"))
+          .agg(count(lit(1)).as("n_tok"))
+          .select(col("d1").as(idCol), col("n_tok"))
+        (inter, sizes)
       }
-    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
-    val t1 = toks.select(
-      (blockKeys.map(col) :+ col(idCol).as("d1")) :+ col("tok"): _*)
-    val t2 = toks.select(
-      (blockKeys.map(k => col(k).as(k + "_2")) :+ col(idCol).as("d2")) :+
-        col("tok").as("tok_2"): _*)
-    val joinCond = blockKeys.map(k => col(k) === col(k + "_2"))
-      .reduce(_ && _) && col("tok") === col("tok_2") && col("d1") < col("d2")
-    val inter = t1.join(t2, joinCond)
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col(idCol).as("d1"), col("n_tok").as("n1")), "d1")
       .join(sizes.select(col(idCol).as("d2"), col("n_tok").as("n2")), "d2")
