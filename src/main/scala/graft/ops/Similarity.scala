@@ -39,12 +39,20 @@ object Similarity {
   val cosineExprBuiltin: String =
     s"${dot("qv", "cv")} / (${norm("qv")} * ${norm("cv")})"
 
-  /** Hot-path cosine: the custom codegen'd Catalyst expression
-    * (functions.CosineSimilarity) — one fused loop, no allocation,
-    * bit-identical numerics to the sequential fold above. */
-  private def cosine(df: DataFrame): org.apache.spark.sql.Column = {
+  /** Precompute ‖v‖ once per ROW (codegen'd graft_dot), so the per-PAIR
+    * kernel is a single dot product: cosine(q,c) = dot/(qn·cn). The sqrt
+    * is applied to the same ascending-index partial sum the fused cosine
+    * kernel uses, so the result is bit-identical — only the flops move
+    * from O(pairs · 3dim) to O(pairs · dim + rows · dim). */
+  private def withNorm(df: DataFrame, vecCol: String, as: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    expr("graft_cosine(qv, cv)")
+    df.withColumn(as, sqrt(expr(s"graft_dot($vecCol, $vecCol)")))
+  }
+
+  /** Per-pair cosine from the precomputed norms (`qn`/`cn` columns). */
+  private def cosinePre(df: DataFrame): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))
   }
 
   /** X3a — exact top-k: for each query vector, the k nearest corpus
@@ -52,11 +60,12 @@ object Similarity {
     * broadcast); ranking is over rounded similarity with vec_id tie-break
     * so results are stable across engines. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val pairs = broadcast(queries.select(col("vec_id").as("query_id"),
-        asDouble("embedding").as("qv")))
-      .crossJoin(corpus.select(col("vec_id"), asDouble("embedding").as("cv")))
+    val pairs = broadcast(withNorm(queries.select(col("vec_id").as("query_id"),
+        asDouble("embedding").as("qv")), "qv", "qn"))
+      .crossJoin(withNorm(corpus.select(col("vec_id"),
+        asDouble("embedding").as("cv")), "cv", "cn"))
       .filter(col("query_id") =!= col("vec_id"))
-    val simmed = pairs.withColumn("sim", round(cosine(pairs), 6))
+    val simmed = pairs.withColumn("sim", round(cosinePre(pairs), 6))
     simmed
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -71,13 +80,13 @@ object Similarity {
     * "block" here; at 100 TB the block is an LSH bucket from withBucket,
     * same downstream kernel). */
   def cosineNearDupPairs(corpus: DataFrame, maxId: Long, topN: Int): DataFrame = {
-    val a = corpus.filter(col("vec_id") < maxId)
-      .select(col("vec_id").as("v1"), asDouble("embedding").as("qv"))
-    val b = corpus.filter(col("vec_id") < maxId)
-      .select(col("vec_id").as("v2"), asDouble("embedding").as("cv"))
+    val a = withNorm(corpus.filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("v1"), asDouble("embedding").as("qv")), "qv", "qn")
+    val b = withNorm(corpus.filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("v2"), asDouble("embedding").as("cv")), "cv", "cn")
     val pairs = a.join(b, col("v1") < col("v2"))
     pairs
-      .withColumn("sim", round(cosine(pairs), 6))
+      .withColumn("sim", round(cosinePre(pairs), 6))
       .select(col("v1"), col("v2"), col("sim"))
       .orderBy(col("sim").desc, col("v1"), col("v2"))
       .limit(topN)
@@ -124,35 +133,39 @@ object Similarity {
     * the assignment is one narrow pass over the corpus, and the probe join
     * is an equi-join on cid — per-cell work, never corpus × queries. */
   def ivfAssign(corpus: DataFrame, k: Int): DataFrame = {
-    val cents = broadcast(corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")))
-    val scored = corpus.select(col("vec_id"), asDouble("embedding").as("qv"))
+    val cents = broadcast(withNorm(corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")),
+      "cv", "cn"))
+    val scored = withNorm(corpus.select(col("vec_id"),
+        asDouble("embedding").as("qv")), "qv", "qn")
       .crossJoin(cents)
-    val ranked = scored.withColumn("csim", cosine(scored))
+    val ranked = scored.withColumn("csim", cosinePre(scored))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("csim").desc, col("cid"))))
+    // carry the corpus norm out so re-ranking never recomputes it
     ranked.filter(col("crnk") === 1)
-      .select(col("vec_id"), col("cid"), col("qv").as("cv"))
+      .select(col("vec_id"), col("cid"), col("qv").as("cv"), col("qn").as("cn"))
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val assigned = ivfAssign(corpus, nCentroids)
-    val cents = broadcast(corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")))
-    val qscored = queries.select(col("vec_id").as("query_id"),
-        asDouble("embedding").as("qv"))
+    val cents = broadcast(withNorm(corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")),
+      "cv", "cn"))
+    val qscored = withNorm(queries.select(col("vec_id").as("query_id"),
+        asDouble("embedding").as("qv")), "qv", "qn")
       .crossJoin(cents)
-    val probes = qscored.withColumn("csim", cosine(qscored))
+    val probes = qscored.withColumn("csim", cosinePre(qscored))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("csim").desc, col("cid"))))
       .filter(col("crnk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
     val cands = probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
-    cands.withColumn("sim", round(cosine(cands), 6))
+    cands.withColumn("sim", round(cosinePre(cands), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("vec_id"))))
@@ -183,21 +196,25 @@ object Similarity {
     * duplicates reach the same recall with far fewer tables. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 4, nTables: Int = 6, multiProbe: Boolean = true): DataFrame = {
-    val qb = withBuckets(queries, "embedding", nPlanes, nTables)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+    // norms computed BEFORE the posexplode/probe fan-out: once per vector,
+    // not once per (table x probe) copy
+    val qb = withNorm(withBuckets(queries, "embedding", nPlanes, nTables),
+        "v", "qn")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val q =
       if (!multiProbe) qb
       else qb.withColumn("bucket", explode(array(
         col("bucket") +:
           (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)))
-    val c = withBuckets(corpus, "embedding", nPlanes, nTables)
-      .select(col("vec_id"), col("v").as("cv"),
+    val c = withNorm(withBuckets(corpus, "embedding", nPlanes, nTables),
+        "v", "cn")
+      .select(col("vec_id"), col("v").as("cv"), col("cn"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cands = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
     cands
-      .withColumn("sim", round(cosine(cands), 6))
+      .withColumn("sim", round(cosinePre(cands), 6))
       // collapse multi-table/multi-probe duplicates (sim is identical on
       // every copy, so max() is just the dedup)
       .groupBy(col("query_id"), col("vec_id"))

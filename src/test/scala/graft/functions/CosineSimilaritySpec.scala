@@ -51,6 +51,23 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(e.eval(null) == null)
   }
 
+  test("graft_dot decomposition is bit-identical to the fused cosine kernel") {
+    GraftFunctions.register(spark)
+    // the precomputed-norm route Similarity uses: dot/(sqrt(dot(a,a))*...)
+    val out = vecs.select(
+      expr("graft_cosine(qv, cv)").as("fused"),
+      (expr("graft_dot(qv, cv)") /
+        (sqrt(expr("graft_dot(qv, qv)")) * sqrt(expr("graft_dot(cv, cv)"))))
+        .as("decomposed"))
+    assert(out.filter(col("fused") =!= col("decomposed")).count() == 0)
+    // ragged inputs: null, same contract as graft_cosine
+    val ragged = spark.range(2).select(
+      expr("array(cast(id as double), 1.0)").as("qv"),
+      expr("array(cast(id as double), 1.0, 2.0)").as("cv"))
+    assert(ragged.select(expr("graft_dot(qv, cv)")).collect()
+      .forall(_.isNullAt(0)))
+  }
+
   test("the expression participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     // literal inputs constant-fold to LocalTableScan, and transform()
