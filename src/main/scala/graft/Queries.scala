@@ -1394,6 +1394,59 @@ object Queries {
       .orderBy(col("n_nationkey")),
     None)
 
+  /** X4e — repetition-ratio quality signals (Gopher-style repetitious-text
+    * filter): duplicate-token and duplicate-3-gram fractions per doc.
+    * Tie-safe floor-rounding on both sides (power-of-two gram counts land
+    * exactly on .5 ulps where HALF_UP vs HALF_EVEN would diverge). */
+  val x4Repetition = QuerySpec("x4_repetition",
+    (s, d) => TextOps.withRepetition(T(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_tok"),
+        col("dup_token_frac"), col("dup_3gram_frac"))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents)
+           |SELECT doc_id, CAST(n AS INT) AS n_tok,
+           |  floor((1 - len(list_distinct(toks)) / n) * 1e6 + 0.5) / 1e6
+           |    AS dup_token_frac,
+           |  CASE WHEN n >= 3 THEN
+           |    floor((1 - len(list_distinct(list_transform(range(1, n - 1),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+           |      / (n - 2)) * 1e6 + 0.5) / 1e6
+           |  END AS dup_3gram_frac
+           |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** X3d — int8 symmetric embedding quantization: per-vector scale and
+    * quantized components (the 4x storage/bandwidth lever for ANN at
+    * corpus scale). floor(+0.5) quantizer so the oracle reproduces ties
+    * bit-exactly; the reconstruction-error bound is spec-asserted. */
+  val x3Quant = QuerySpec("x3_quant",
+    (s, d) => Similarity.quantizeInt8(T(s, d, "embeddings"), "embedding")
+      .select(col("vec_id"),
+        expr("floor(qscale * 1e6 + 0.5) / 1e6").as("qscale_r"),
+        element_at(col("q"), 1).as("q1"),
+        element_at(col("q"), 2).as("q2"),
+        element_at(col("q"), 3).as("q3"),
+        element_at(col("q"), 4).as("q4"))
+      .orderBy(col("vec_id")),
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e,
+           |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+           |      AS maxabs
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT vec_id, e,
+           |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs END AS qscale
+           |  FROM v)
+           |SELECT vec_id,
+           |  floor(qscale * 1e6 + 0.5) / 1e6 AS qscale_r,
+           |  CAST(floor(e[1] * qscale + 0.5) AS INT) AS q1,
+           |  CAST(floor(e[2] * qscale + 0.5) AS INT) AS q2,
+           |  CAST(floor(e[3] * qscale + 0.5) AS INT) AS q3,
+           |  CAST(floor(e[4] * qscale + 0.5) AS INT) AS q4
+           |FROM s ORDER BY vec_id""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
@@ -1408,8 +1461,8 @@ object Queries {
     ost1State, st4Sessions,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
     x2Components, x5Sample, x5SampleBy, x5Pack,
-    x3TopkCosine, x3AnnLsh, x3Ivf,
-    x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe,
+    x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant,
+    x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition,
     mmMeta, mmDecode)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -123,6 +123,22 @@ object Similarity {
       .withColumn("buckets", expr(s"array($buckets)"))
   }
 
+  /** X3d — symmetric int8 quantization of an embedding column: per-vector
+    * scale = 127/max|x|, q_i = floor(x_i*scale + 0.5) in [-127, 127]. At
+    * 100 TB this is THE storage/bandwidth lever for ANN — a float32 corpus
+    * shrinks 4× and the bucketed re-rank reads int8 — while recall loss is
+    * bounded by the 0.5/scale per-component error (spec-asserted).
+    * floor(+0.5) rather than round() so the oracle reproduces ties
+    * bit-exactly; zero vectors get null scale/q (nothing to quantize).
+    * Narrow projection, no shuffle. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("v", asDouble(vecCol))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qscale",
+        when(col("maxabs") > 0, lit(127.0) / col("maxabs")))
+      .withColumn("q", when(col("qscale").isNotNull,
+        expr("transform(v, x -> cast(floor(x * qscale + 0.5d) as int))")))
+
   /** X3c — IVF (inverted-file) index: corpus vectors are assigned to
     * their nearest of `k` coarse centroids; a query probes its `nProbe`
     * nearest centroids and re-ranks exactly inside those cells only.

@@ -70,6 +70,30 @@ object TextOps {
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / capacity))
   }
 
+  /** X4e — repetition-ratio quality signals (the Gopher/RefinedWeb-style
+    * repetitious-text filters): fraction of duplicate tokens and duplicate
+    * word 3-grams per document. High values flag boilerplate/spam that a
+    * training pipeline drops before dedup even runs. Pure narrow
+    * projection — no shuffle at any scale. `dup_3gram_frac` is null below
+    * 3 tokens (no 3-grams exist; also keeps sequence() from descending).
+    * Rounding uses floor(x*1e6+0.5)/1e6 on both engine and oracle: ratios
+    * with power-of-two denominators land exactly on .5 ulps where
+    * HALF_UP/HALF_EVEN would diverge. */
+  def withRepetition(docs: DataFrame, textCol: String): DataFrame = {
+    def r6(e: String) = s"floor(($e) * 1e6 + 0.5d) / 1e6"
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("dup_token_frac",
+        expr(r6("1.0d - size(array_distinct(toks)) / n_tok")))
+      .withColumn("grams", when(col("n_tok") >= 3, expr(
+        "transform(sequence(1, n_tok - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+      .withColumn("dup_3gram_frac", when(col("n_tok") >= 3,
+        expr(r6("1.0d - size(array_distinct(grams)) / (n_tok - 2)"))))
+      .drop("grams")
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * the minimum md5 over word 5-gram shingles (rolling-hash analog —
     * stable under small suffix/prefix edits). */

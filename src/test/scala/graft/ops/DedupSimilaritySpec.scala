@@ -140,6 +140,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Scale.hashSample(ids, "doc_id", 1.0).count() == 2000)
   }
 
+  test("X3d int8 quantization: range bound, reconstruction error, zero vector") {
+    val vs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector: nothing to quantize
+      (3L, Array(1e-4f, -3e-4f, 2e-4f, 5e-5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vs, "embedding")
+      .select("vec_id", "qscale", "q", "v").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2)) // null scale and q
+    for (id <- Seq(1L, 3L)) {
+      val scale = out(id).getDouble(1)
+      val q = out(id).getSeq[Int](2)
+      val v = out(id).getSeq[Double](3)
+      assert(q.forall(x => x >= -127 && x <= 127)) // symmetric int8 range
+      // per-component reconstruction error bounded by half a quantum
+      assert(q.zip(v).forall { case (qi, xi) =>
+        math.abs(qi / scale - xi) <= 0.5 / scale + 1e-12 })
+    }
+    // the max-magnitude component always hits ±127 (scale is tight)
+    assert(out(1L).getSeq[Int](2).map(math.abs).max == 127)
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.99f, 0.1f, 0.0f)),   // nearly parallel to 0

@@ -61,6 +61,22 @@ class TextStateMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("X4e repetition ratios on known strings; <3 tokens -> null 3-gram frac") {
+    val docs = Seq(
+      (1L, "a a a b"),          // 4 toks, 2 distinct; 3-grams "a a a","a a b" distinct
+      (2L, "x y"),              // too short for 3-grams
+      (3L, "w w w w")           // 1 distinct token; 3-grams "w w w" x2 -> 1 distinct of 2
+    ).toDF("doc_id", "text")
+    val out = TextOps.withRepetition(docs, "text")
+      .select("doc_id", "n_tok", "dup_token_frac", "dup_3gram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((4, 0.5, Some(0.0))))
+    assert(out(2L) == ((2, 0.0, None)))
+    assert(out(3L) == ((4, 0.75, Some(0.5))))
+  }
+
   test("O-ST1 currentState is the latest action per job") {
     val log = Seq(
       (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), (1L, 1300, ts(2), 2L),
