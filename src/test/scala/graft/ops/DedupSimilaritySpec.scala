@@ -140,6 +140,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Scale.hashSample(ids, "doc_id", 1.0).count() == 2000)
   }
 
+  test("X3d quantized top-k preserves exact ranking within quantization error") {
+    val exact = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
+      .select("vec_id", "sim", "rnk").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    val quant = Similarity.quantizedTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
+      .select("vec_id", "sim", "rnk").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    assert(quant.map(_._1).toSeq == exact.map(_._1).toSeq) // same ranking
+    // int8 quantization moves cosine by at most ~1/127 per component pair
+    assert(quant.zip(exact).forall { case ((_, qs, _), (_, es, _)) =>
+      math.abs(qs - es) < 0.02 })
+  }
+
   test("X3d int8 quantization: range bound, reconstruction error, zero vector") {
     val vs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
