@@ -1100,6 +1100,36 @@ object Queries {
            |FROM g ORDER BY doc_id""".stripMargin),
     bench = true)
 
+  /** X2c' — SimHash near-dup candidates via bit-block banding (pigeonhole:
+    * Hamming <= 3 over 16 bits guarantees one of the 4 nibble blocks
+    * matches verbatim). The DuckDB oracle replays simhash, the block
+    * equi-join, and the Hamming filter. */
+  val x2SimhashPairs = QuerySpec("x2_simhash_pairs",
+    (s, d) => Dedup.simhashCandidates(
+        Dedup.simhash(T(s, d, "documents"), "text", "doc_id"), "doc_id")
+      .orderBy(col("d1"), col("d2")),
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            |  FROM documents),
+            |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+            |v AS (
+            |  SELECT doc_id, count(*) AS n_tok,
+            |$simhashBitSums
+            |  FROM th GROUP BY doc_id),
+            |sh AS (SELECT doc_id, CAST($simhashBitTerms AS INT) AS simhash
+            |       FROM v),
+            |blk AS (
+            |  SELECT doc_id, simhash, j, (simhash >> (j * 4)) & 15 AS blk
+            |  FROM sh, (SELECT unnest(range(0, 4)) AS j)),
+            |cand AS (
+            |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2,
+            |    b1.simhash AS s1, b2.simhash AS s2
+            |  FROM blk b1 JOIN blk b2 ON b1.j = b2.j AND b1.blk = b2.blk
+            |    AND b1.doc_id < b2.doc_id)
+            |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+            |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+            |ORDER BY d1, d2""".stripMargin))
+
   /** X2e — the full dedup resolution: LSH candidate pairs -> connected
     * components (iterative min-label propagation) -> cluster id +
     * survivor flag per document. The DuckDB oracle replays the whole
@@ -1203,11 +1233,14 @@ object Queries {
       .orderBy(col("d1"), col("d2")),
     None)
 
-  private val simhashBitSums = (0 until 16).map(j =>
+  // defs, not vals: these are interpolated into oracle SQL strings that
+  // may be declared EARLIER in this object's initialization order — a val
+  // would interpolate as the literal "null" there
+  private def simhashBitSums = (0 until 16).map(j =>
     s"    CAST(sum(CASE WHEN substr(h, ${j + 1}, 1) IN " +
       s"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS BIGINT) AS s$j")
     .mkString(",\n")
-  private val simhashBitTerms = (0 until 16).map(j =>
+  private def simhashBitTerms = (0 until 16).map(j =>
     s"(CASE WHEN s$j * 2 > n_tok THEN ${1 << j} ELSE 0 END)").mkString(" + ")
 
   val x2Simhash = QuerySpec("x2_simhash",
@@ -1494,7 +1527,8 @@ object Queries {
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
     ost1State, st4Sessions,
-    x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2CosineNearDup,
+    x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
+    x2CosineNearDup,
     x2Components, x5Sample, x5SampleBy, x5Pack,
     x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition,

@@ -160,6 +160,32 @@ object Dedup {
       .select(col(idCol), col("simhash"))
   }
 
+  /** X2c' — SimHash candidate pairs by bit-block banding: split the
+    * 16-bit hash into 4 blocks of 4 bits; by pigeonhole, any pair within
+    * Hamming distance `maxHamming` <= 3 shares at least one block
+    * verbatim, so exact-matching on (block index, block value) finds
+    * every such pair with a plain equi-join — the same bucketed shape as
+    * MinHash LSH banding, never corpus². The Hamming filter after the
+    * join removes the false positives the coarse blocks admit. */
+  def simhashCandidates(sigs: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = sigs.select(col(idCol), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> shiftright(simhash, j * 4) & 15)"))
+        .as(Seq("j", "blk")))
+    val b1 = blocks.select(col(idCol).as("d1"), col("simhash").as("s1"),
+      col("j"), col("blk"))
+    val b2 = blocks.select(col(idCol).as("d2"), col("simhash").as("s2"),
+      col("j"), col("blk"))
+    b1.join(b2, Seq("j", "blk"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("s1"), col("s2"))
+      .distinct() // a pair may share several blocks
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   /** X2e — near-dup CLUSTER resolution: connected components over the
     * candidate-pair graph by iterative min-label propagation, the step a
     * real dedup pipeline needs between "similar pairs" and "keep one doc

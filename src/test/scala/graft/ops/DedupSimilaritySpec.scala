@@ -90,6 +90,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kernel(1L).forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("X2c' simhash banding finds ALL pairs within Hamming 3 (pigeonhole complete)") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, (0 until 6).map(j => words((i * 7 + j * 3) % 8)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhash(corpus, "text", "doc_id")
+    val byId = sigs.as[(Long, Int)].collect().toMap
+    // ground truth: brute-force Hamming over the collected hashes
+    val want = (for {
+      a <- byId.keys; b <- byId.keys if a < b
+      h = Integer.bitCount(byId(a) ^ byId(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashCandidates(sigs, "doc_id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want) // banding is complete AND the filter is exact
+    assert(want.nonEmpty) // the fixture actually exercises the path
+  }
+
   test("X2e components: labels propagate across a path graph; singletons keep own id") {
     val nodes = (1L to 6L).toDF("doc_id")
     // path 1-2-3-4 (diameter 3: takes several propagation rounds), 5/6 isolated
