@@ -1480,6 +1480,36 @@ object Queries {
            |  CAST(floor(e[4] * qscale + 0.5) AS INT) AS q4
            |FROM s ORDER BY vec_id""".stripMargin))
 
+  /** X4f — TF-IDF top-3 terms per document. The oracle replays tf, df,
+    * corpus size, ln scoring (same association and tie-safe floor
+    * rounding), and the (score desc, term) ranking. */
+  val x4Tfidf = QuerySpec("x4_tfidf",
+    (s, d) => TextOps.tfidfTopTerms(T(s, d, "documents"), "text", "doc_id", 3)
+      .select(col("doc_id"), col("term"), col("tf").cast("int").as("tf"),
+        col("df").cast("int").as("df"), col("tfidf"), col("term_rank"))
+      .orderBy(col("doc_id"), col("term_rank")),
+    Some("""WITH terms AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf
+           |       FROM terms GROUP BY 1, 2),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df
+           |       FROM terms GROUP BY 1),
+           |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+           |sc AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           |    floor(tf.tf * ln(n_docs / df.df) * 1e6 + 0.5) / 1e6 AS tfidf
+           |  FROM tf JOIN df USING (term), n),
+           |r AS (
+           |  SELECT doc_id, term, tf, df, tfidf,
+           |    CAST(row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY tfidf DESC, term) AS INT) AS term_rank
+           |  FROM sc)
+           |SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+           |  tfidf, term_rank
+           |FROM r WHERE term_rank <= 3
+           |ORDER BY doc_id, term_rank""".stripMargin))
+
   /** X3d — quantized top-k: exact search over the int8 view (cosine is
     * scale-invariant, so no dequantization happens anywhere). The oracle
     * replays quantization and ranks with the same tie-break. */
@@ -1531,7 +1561,7 @@ object Queries {
     x2CosineNearDup,
     x2Components, x5Sample, x5SampleBy, x5Pack,
     x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant, x3QuantTopk,
-    x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition,
+    x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     mmMeta, mmDecode)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -94,6 +94,37 @@ object TextOps {
       .drop("grams")
   }
 
+  /** X4f — TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln(N/df) over the corpus, keep the `topK` highest-scoring terms per
+    * doc (score desc, term asc tie-break — deterministic across engines).
+    *
+    * Shape at scale: one explode → (doc, term) aggregate (shuffle on the
+    * pair), df aggregate + join both keyed on term (co-partitioned), the
+    * corpus size N broadcast as a one-row cross join (never collected to
+    * the driver), final per-doc window. Every shuffle key's cardinality
+    * grows with the corpus — no all-pairs, no global sort. */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      topK: Int): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", expr(
+        "floor(tf * ln(n_docs / df) * 1e6 + 0.5) / 1e6"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("term_rank"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * the minimum md5 over word 5-gram shingles (rolling-hash analog —
     * stable under small suffix/prefix edits). */

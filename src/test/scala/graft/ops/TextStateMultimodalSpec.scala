@@ -77,6 +77,25 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(out(3L) == ((4, 0.75, Some(0.5))))
   }
 
+  test("X4f tfidf: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "common rare1 rare1 other"),
+      (2L, "common rare2 other"),
+      (3L, "common unique3")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "text", "doc_id", 2)
+      .select("doc_id", "term", "tfidf", "term_rank")
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // "common" appears in every doc: idf = ln(1) = 0 -> never top-ranked
+    assert(out.values.flatten.filter(_._2 == "common").forall(_._3 == 0.0))
+    // doc 1: rare1 has tf=2 and df=1 -> highest score
+    assert(out(1L).head._2 == "rare1")
+    assert(out(3L).head._2 == "unique3")
+    // deterministic tie-break: rare1/rare2 vs other in doc 2 — df 1 beats df 2
+    assert(out(2L).head._2 == "rare2")
+  }
+
   test("O-ST1 currentState is the latest action per job") {
     val log = Seq(
       (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), (1L, 1300, ts(2), 2L),
