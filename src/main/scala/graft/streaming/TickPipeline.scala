@@ -73,6 +73,19 @@ object TickPipeline {
       }
       .start()
 
+  /** ST7 — streaming idempotent-delivery dedup: drop re-delivered records
+    * by business key within the watermark horizon — the streaming twin of
+    * the batch exact dedup (X1) using S6's idempotence key
+    * (exchange, isin, ts). dropDuplicatesWithinWatermark keeps key state
+    * only until the watermark passes it, so state is O(keys per horizon),
+    * not O(stream) — the property that makes streaming dedup viable on an
+    * unbounded feed (plain dropDuplicates on a stream accumulates state
+    * forever). */
+  def dedupStream(ticks: DataFrame, delay: String = "10 minutes",
+      keys: Seq[String] = Seq("exchange", "isin", "ts")): DataFrame =
+    ticks.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** ST5 — the job lifecycle as streaming state: one state per job_id kept
     * in GroupState, advanced by arriving transition events; emits a row per
     * *accepted* transition. Illegal transitions (per Transition.legal) are

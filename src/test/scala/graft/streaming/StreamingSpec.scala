@@ -60,6 +60,23 @@ class StreamingSpec extends SparkSpec {
     assert(first == ((ts(0), 10.0, 12.0, 2L))) // late 555.0 never reopened it
   }
 
+  test("ST7 dropDuplicatesWithinWatermark suppresses redeliveries across batches") {
+    val in = MemoryStream[(String, String, Double, Timestamp)](spark)
+    val ticks = in.toDF().toDF("exchange", "isin", "last_price", "ts")
+    val q = TickPipeline.dedupStream(ticks, delay = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    in.addData(("bx", "DE01", 10.0, ts(0)), ("bx", "DE01", 10.0, ts(0)))
+    q.processAllAvailable()
+    // redelivery of the same (exchange, isin, ts) in a LATER batch,
+    // still inside the watermark horizon: suppressed by state
+    in.addData(("bx", "DE01", 10.0, ts(0)), ("bx", "DE02", 11.0, ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup").select("exchange", "isin", "ts")
+      .as[(String, String, Timestamp)].collect().toSeq
+    assert(out.sorted == Seq(("bx", "DE01", ts(0)), ("bx", "DE02", ts(1))))
+  }
+
   test("ST5 mapGroupsWithState advances job state, rejecting illegal moves") {
     val in = MemoryStream[(Long, Int, Timestamp)](spark)
     val q = TickPipeline.jobStates(in.toDS())
