@@ -1480,6 +1480,25 @@ object Queries {
            |  CAST(floor(e[4] * qscale + 0.5) AS INT) AS q4
            |FROM s ORDER BY vec_id""".stripMargin))
 
+  /** X5d — weighted source interleave: deterministic training-order
+    * schedule (src0 2x dense, src1 1x, others 0.5x). Power-of-two weights
+    * make the schedule key exact in binary — no rounding on either side. */
+  val x5Interleave = QuerySpec("x5_interleave",
+    (s, d) => TextOps.interleaveBySource(T(s, d, "documents"), "doc_id",
+        "source", Map("src0" -> 2.0, "src1" -> 1.0), defaultWeight = 0.5)
+      .select(col("doc_id"), col("source"), col("src_rank"), col("sched"))
+      .orderBy(col("sched"), col("source"), col("doc_id")),
+    Some("""WITH r AS (
+           |  SELECT doc_id, source,
+           |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+           |      AS INT) AS src_rank
+           |  FROM documents)
+           |SELECT doc_id, source, src_rank,
+           |  -- ::DOUBLE: DECIMAL literals would make this DECIMAL division
+           |  src_rank / (CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.0
+           |    ELSE 0.5 END)::DOUBLE AS sched
+           |FROM r ORDER BY sched, source, doc_id""".stripMargin))
+
   /** X4f — TF-IDF top-3 terms per document. The oracle replays tf, df,
     * corpus size, ln scoring (same association and tie-safe floor
     * rounding), and the (score desc, term) ranking. */
@@ -1559,7 +1578,7 @@ object Queries {
     ost1State, st4Sessions,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup,
-    x2Components, x5Sample, x5SampleBy, x5Pack,
+    x2Components, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     mmMeta, mmDecode)

@@ -94,6 +94,28 @@ object TextOps {
       .drop("grams")
   }
 
+  /** X5d — deterministic weighted source interleaving: the training-order
+    * schedule for a multi-source corpus. Each source's i-th document
+    * (1-based, ordered by `idCol`) is scheduled at position i/weight, so a
+    * weight-2 source appears twice as densely in the merged order as a
+    * weight-1 source and sampling ratios hold in every prefix of the
+    * schedule — the curriculum-mixing op (cf. the mixture weighting in
+    * GPT-3/Pile-style training-data recipes). Deterministic: no RNG, the
+    * same schedule on every engine. One per-source window; consumers sort
+    * by (sched, source, id) — the same output-sort shape as any
+    * write-in-training-order job, which at 100 TB is a range-partitioned
+    * sort, not a single-node one. */
+  def interleaveBySource(docs: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col(idCol))
+    val weightCase = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, wt)) => when(col(srcCol) === s, lit(wt)).otherwise(acc)
+    }
+    docs.withColumn("src_rank", row_number().over(w))
+      .withColumn("sched", col("src_rank").cast("double") / weightCase)
+  }
+
   /** X4f — TF-IDF top terms per document: tf = in-doc term count, idf =
     * ln(N/df) over the corpus, keep the `topK` highest-scoring terms per
     * doc (score desc, term asc tie-break — deterministic across engines).

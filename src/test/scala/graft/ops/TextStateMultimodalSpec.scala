@@ -96,6 +96,21 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(out(2L).head._2 == "rare2")
   }
 
+  test("X5d interleave: weight-2 source appears twice as densely, ties deterministic") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"), (11L, "b")
+    ).toDF("doc_id", "source")
+    val order = TextOps.interleaveBySource(docs, "doc_id", "source",
+        Map("a" -> 2.0, "b" -> 1.0))
+      .orderBy(col("sched"), col("source"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    // a1@0.5, a2@1.0, b1@1.0 (tie: source a < b), a3@1.5, a4@2.0, b2@2.0
+    assert(order == Seq(1L, 2L, 10L, 3L, 4L, 11L))
+    // every prefix holds the 2:1 mixture within rounding
+    val sources = Seq("a", "a", "b", "a", "a", "b")
+    assert(sources.take(3).count(_ == "a") == 2 && sources.count(_ == "a") == 4)
+  }
+
   test("O-ST1 currentState is the latest action per job") {
     val log = Seq(
       (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), (1L, 1300, ts(2), 2L),
