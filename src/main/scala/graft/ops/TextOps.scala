@@ -120,24 +120,29 @@ object TextOps {
     * ln(N/df) over the corpus, keep the `topK` highest-scoring terms per
     * doc (score desc, term asc tie-break — deterministic across engines).
     *
-    * Shape at scale: one explode → (doc, term) aggregate (shuffle on the
-    * pair), df aggregate + join both keyed on term (co-partitioned), the
-    * corpus size N broadcast as a one-row cross join (never collected to
-    * the driver), final per-doc window. Every shuffle key's cardinality
-    * grows with the corpus — no all-pairs, no global sort. */
+    * Shape at scale: one explode → (doc, term) aggregate, then df as a
+    * COUNT window over the same rows (tf rows ARE the distinct (doc,
+    * term) pairs) — a single lineage with no self-join, so the corpus is
+    * scanned and exploded exactly once (a separate df aggregate branch
+    * recomputes the whole chain: Catalyst prunes tf's count out of it,
+    * which also defeats AQE exchange reuse — observed, not theoretical).
+    * The corpus size N is broadcast as a one-row cross join (never
+    * collected to the driver); final per-doc ranking window. Every
+    * shuffle key's cardinality grows with the corpus — no all-pairs, no
+    * global sort. */
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
       topK: Int): DataFrame = {
     val terms = docs.select(col(idCol),
       explode(split(col(textCol), " ")).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = terms.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(df_, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", expr(
         "floor(tf * ln(n_docs / df) * 1e6 + 0.5) / 1e6"))

@@ -22,6 +22,7 @@ object RuntimePlanDump {
       def count(s: String) = s.r.findAllIn(p).size
       println(s"Scans=${count("Scan parquet")} Exchanges=${count("Exchange")} " +
         s"Reused=${count("ReusedExchange")} ShuffleReads=${count("AQEShuffleRead")}")
+      if (sys.env.contains("PLAN_FULL")) println(p)
     }
     spark.stop()
   }
