@@ -73,6 +73,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("r5 queries: bucketed equi-joins only, no cartesian anywhere") {
+    for (q <- Seq("x2_simhash_pairs", "x4_tfidf", "x5_interleave")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      // x4_tfidf legitimately broadcasts its one-row corpus count; the
+      // others must not have any nested-loop join at all
+      if (q != "x4_tfidf") assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+    // quantization is a pure narrow projection: no exchange of any kind
+    assert(!plan("x3_quant").contains("Exchange hashpartitioning"))
+  }
+
   test("projection queries prune the parquet scan to the needed columns") {
     val p = plan("q1_topk")
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))

@@ -24,6 +24,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .getSeq[String](0).length == 1)
   }
 
+  test("spark.sql.extensions installs graft_dot; minhash rejects numHashes > 8") {
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+      .getDouble(0)
+    assert(d == 11.0)
+    // the rotation family has at most 8 distinct members (2-byte steps
+    // over a 16-byte digest) — larger numHashes must fail analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash(array('x'), 9)").head()
+    }
+  }
+
   test("SimplifySelfCosine folds graft_cosine(x, x) to a literal") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
