@@ -213,17 +213,21 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      // each node's new label: min of its own and its neighbors' labels
-      val next = labels.join(
+      // each node's new label: min of its own and its neighbors' labels.
+      // Checkpointing the joined (old, new) frame lets BOTH the next
+      // label set and the convergence check read it as narrow scans —
+      // one join per round, not a second labels-vs-next join just to
+      // count changes
+      val joined = labels.join(
           edges.join(labels.select(col("src").as("dst"),
               col("label").as("nlabel")), Seq("dst"))
             .groupBy(col("src")).agg(min(col("nlabel")).as("minn")),
           Seq("src"), "left")
-        .select(col("src"), least(col("label"), col("minn")).as("label"))
+        .select(col("src"), col("label").as("old"),
+          least(col("label"), col("minn")).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("src"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = joined.filter(col("label") =!= col("old")).isEmpty
+      labels = joined.select(col("src"), col("label"))
       i += 1
     }
     // an unconverged exit would hand the caller UNDER-MERGED clusters (and
