@@ -1224,14 +1224,43 @@ object Queries {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
-  /** LSH candidate pairs may legitimately be empty on a corpus with no
-    * near-dups — no oracle; LshSpec unit-tests candidate generation on
-    * planted duplicates. */
+  /** X2b — LSH candidate pairs, oracle-checked end to end (round 5 —
+    * previously rows-only, but the whole chain is engine-portable: the
+    * DuckDB twin replays minhash signatures, banding, and the bucket
+    * join; an empty result on a near-dup-free corpus hash-matches an
+    * empty oracle, so emptiness was never a reason to skip the check). */
   val x2LshPairs = QuerySpec("x2_lsh_pairs",
     (s, d) => Dedup.lshCandidates(
         Dedup.minhash(T(s, d, "documents"), "text", "doc_id"), "doc_id")
       .orderBy(col("d1"), col("d2")),
-    None)
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, list_transform(range(1, n - 1),
+           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+           |  FROM d WHERE n >= 3),
+           |sm AS (
+           |  SELECT doc_id, list_transform(shingles, sh -> md5(sh)) AS hs
+           |  FROM s),
+           |g AS (
+           |  SELECT doc_id, list_transform(range(0, 8),
+           |    h -> list_min(list_transform(hs,
+           |      m -> substr(m, 4*h + 1, 32 - 4*h) || substr(m, 1, 4*h)))) AS sig
+           |  FROM sm),
+           |b AS (
+           |  SELECT doc_id, band_idx,
+           |    md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
+           |  FROM g, (SELECT unnest(range(0, 4)) AS band_idx)),
+           |pairs AS (
+           |  SELECT b1.doc_id AS d1, b2.doc_id AS d2,
+           |    count(*) AS n_shared_bands
+           |  FROM b b1 JOIN b b2 ON b1.band_idx = b2.band_idx
+           |    AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2, n_shared_bands FROM pairs
+           |ORDER BY d1, d2""".stripMargin))
 
   // defs, not vals: these are interpolated into oracle SQL strings that
   // may be declared EARLIER in this object's initialization order — a val
