@@ -1509,6 +1509,24 @@ object Queries {
            |  CAST(floor(e[4] * qscale + 0.5) AS INT) AS q4
            |FROM s ORDER BY vec_id""".stripMargin))
 
+  /** X4g — PII scrub: placeholder substitution + per-doc redaction
+    * counts. Patterns stay in the Java/RE2-common regex subset so the
+    * oracle's regexp functions produce the identical scrub. */
+  val x4Scrub = QuerySpec("x4_scrub",
+    (s, d) => TextOps.scrubPii(T(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_longnums"),
+        md5(col("scrubbed")).as("scrub_fp"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+            |  CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}'))
+            |    AS INT) AS n_emails,
+            |  CAST(len(regexp_extract_all(text, '${TextOps.longNumPattern}'))
+            |    AS INT) AS n_longnums,
+            |  md5(regexp_replace(regexp_replace(text,
+            |    '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+            |    '${TextOps.longNumPattern}', '<NUM>', 'g')) AS scrub_fp
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** X5d — weighted source interleave: deterministic training-order
     * schedule (src0 2x dense, src1 1x, others 0.5x). Power-of-two weights
     * make the schedule key exact in binary — no rounding on either side. */
@@ -1610,6 +1628,7 @@ object Queries {
     x2Components, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
+    x4Scrub,
     mmMeta, mmDecode)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -94,6 +94,29 @@ object TextOps {
       .drop("grams")
   }
 
+  /** X4g — PII scrubbing: replace email addresses and long digit runs
+    * (card/phone-shaped) with typed placeholder tokens, and count what was
+    * redacted per doc (the audit signal a redaction pass must emit).
+    * Patterns deliberately use the regex subset Java and RE2 interpret
+    * identically (char classes, +, {n,} — no lookaround, no backrefs) and
+    * NO backslash escapes ([.] instead of \.): Spark SQL string literals
+    * consume backslashes, DuckDB's don't, so an escaped pattern means a
+    * DIFFERENT regex on each side. Pure narrow projection — no shuffle at
+    * any scale. */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  val longNumPattern = "[0-9]{9,}"
+
+  def scrubPii(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all($textCol, '$emailPattern', 0)")))
+      .withColumn("n_longnums",
+        size(expr(s"regexp_extract_all($textCol, '$longNumPattern', 0)")))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+          longNumPattern, "<NUM>"))
+
   /** X5d — deterministic weighted source interleaving: the training-order
     * schedule for a multi-source corpus. Each source's i-th document
     * (1-based, ordered by `idCol`) is scheduled at position i/weight, so a

@@ -96,6 +96,21 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(out(2L).head._2 == "rare2")
   }
 
+  test("X4g PII scrub replaces emails and long digit runs, counting each") {
+    val docs = Seq(
+      (1L, "contact bob.smith+x@mail.example.org or 4111111111111111 now"),
+      (2L, "no pii here 12345678"), // 8 digits: below the 9-digit threshold
+      (3L, "two mails a@b.co c@d.io")
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrubPii(docs, "text")
+      .select("doc_id", "n_emails", "n_longnums", "scrubbed")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "contact <EMAIL> or <NUM> now")
+    assert(out(2L) == ((2L, 0, 0, "no pii here 12345678")))
+    assert(out(3L)._2 == 2 && out(3L)._4 == "two mails <EMAIL> <EMAIL>")
+  }
+
   test("X5d interleave: weight-2 source appears twice as densely, ties deterministic") {
     val docs = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"), (11L, "b")
