@@ -168,11 +168,20 @@ object Dedup {
     * MinHash LSH banding, never corpus². The Hamming filter after the
     * join removes the false positives the coarse blocks admit. */
   def simhashCandidates(sigs: DataFrame, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val blocks = sigs.select(col(idCol), col("simhash"),
+      maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val allBlocks = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), j -> shiftright(simhash, j * 4) & 15)"))
         .as(Seq("j", "blk")))
+    // same skew guard as lshCandidates: a 4-bit block has only 16 values,
+    // so at corpus scale EVERY block is a hot bucket — real deployments
+    // cap it (or use wider blocks); unbounded default keeps the oracle
+    val blocks =
+      if (maxBucket == Int.MaxValue) allBlocks
+      else allBlocks.withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("j"), col("blk"))))
+        .filter(col("bsz") <= maxBucket).drop("bsz")
     val b1 = blocks.select(col(idCol).as("d1"), col("simhash").as("s1"),
       col("j"), col("blk"))
     val b2 = blocks.select(col(idCol).as("d2"), col("simhash").as("s2"),
@@ -241,12 +250,29 @@ object Dedup {
 
   /** X2b — LSH candidate pairs: explode band hashes, self-join per
     * (band index, band hash) bucket. The join key is the bucket, so work
-    * scales with bucket sizes, never with corpus². */
-  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    * scales with bucket sizes, never with corpus².
+    *
+    * `maxBucket` (default unbounded, which keeps the oracle contract)
+    * is the banding analog of [[jaccardPairs]]' df cutoff: a bucket of
+    * b docs emits O(b²) pairs, so one degenerate bucket — boilerplate
+    * that hashes identically across millions of docs — is a skewed-
+    * shuffle blowup at corpus scale. Buckets above the cap are dropped:
+    * an oversized bucket means the band carries no discriminative
+    * signal at that granularity (the pairs it would emit are better
+    * found by exact dedup on the full signature). Single-lineage window
+    * count, same shuffle key as the join. */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = sigs.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    b.select(col(idCol).as("d1"), col("band_idx"), col("band_hash"))
-      .join(b.select(col(idCol).as("d2"), col("band_idx"), col("band_hash")),
+    val bounded =
+      if (maxBucket == Int.MaxValue) b
+      else b.withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_idx"), col("band_hash"))))
+        .filter(col("bsz") <= maxBucket).drop("bsz")
+    bounded.select(col(idCol).as("d1"), col("band_idx"), col("band_hash"))
+      .join(bounded.select(col(idCol).as("d2"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))

@@ -117,6 +117,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L))
   }
 
+  test("X2b/X2c' maxBucket drops degenerate buckets, keeps discriminative ones") {
+    // 40 identical docs: every band bucket has 40 members -> capped out;
+    // a separate duplicate pair sits in its own size-2 buckets and
+    // survives (identical text -> all bands collide, deterministically)
+    val planted = ((1 to 40).map(i => (i.toLong, "spam spam spam spam ham")) ++
+      Seq((100L, "alpha beta gamma delta eps"),
+          (101L, "alpha beta gamma delta eps"))).toDF("doc_id", "text")
+    val sigs = Dedup.minhash(planted, "text", "doc_id")
+    val unbounded = Dedup.lshCandidates(sigs, "doc_id").count()
+    assert(unbounded >= 40L * 39 / 2) // the degenerate clique dominates
+    val capped = Dedup.lshCandidates(sigs, "doc_id", maxBucket = 10)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 <= 40 && p._2 <= 40)) // clique gone
+    assert(capped.contains((100L, 101L))) // real near-dup pair kept
+  }
+
   test("X2e components fails loudly when maxIter is below the graph diameter") {
     val nodes = (1L to 5L).toDF("doc_id")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
