@@ -1509,6 +1509,44 @@ object Queries {
            |  CAST(floor(e[4] * qscale + 0.5) AS INT) AS q4
            |FROM s ORDER BY vec_id""".stripMargin))
 
+  /** X4h — corpus quality report: the per-(lang, source) rollup a curation
+    * pipeline runs before choosing mixture weights — doc counts, token
+    * mass, stopword mass, high-repetition share. Composes withTextStats +
+    * withRepetition, then aggregates ONLY exact integer sums (ratios are
+    * derived from them afterwards) so cross-partition float summation
+    * order can't move the result on either engine. */
+  val x4CorpusReport = QuerySpec("x4_corpus_report",
+    (s, d) => TextOps.withRepetition(
+        TextOps.withTextStats(T(s, d, "documents"), "text"), "text")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_stop")).as("total_stop"),
+        sum(when(col("dup_token_frac") > 0.2, 1).otherwise(0))
+          .as("n_high_rep"))
+      .withColumn("avg_tokens",
+        expr("floor(total_tokens / n_docs * 1e6 + 0.5) / 1e6"))
+      .orderBy(col("lang"), col("source")),
+    Some("""WITH d AS (
+           |  SELECT lang, source, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |e AS (
+           |  SELECT lang, source, n,
+           |    len(list_filter(toks, x -> x IN ('the','a','of','and')))
+           |      AS n_stop,
+           |    floor((1 - len(list_distinct(toks)) / n) * 1e6 + 0.5) / 1e6
+           |      AS dtf
+           |  FROM d)
+           |SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS total_tokens,
+           |  CAST(sum(n_stop) AS BIGINT) AS total_stop,
+           |  CAST(sum(CASE WHEN dtf > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_high_rep,
+           |  floor(CAST(sum(n) AS BIGINT) / count(*) * 1e6 + 0.5) / 1e6
+           |    AS avg_tokens
+           |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** X4g — PII scrub: placeholder substitution + per-doc redaction
     * counts. Patterns stay in the Java/RE2-common regex subset so the
     * oracle's regexp functions produce the identical scrub. */
@@ -1628,7 +1666,7 @@ object Queries {
     x2Components, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
-    x4Scrub,
+    x4Scrub, x4CorpusReport,
     mmMeta, mmDecode)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
