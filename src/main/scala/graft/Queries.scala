@@ -1448,6 +1448,39 @@ object Queries {
          |FROM documents ORDER BY doc_id""".stripMargin
     })
 
+  /** MM+X3 — the full multimodal-to-ANN composition: binary payload →
+    * partition-local feature extraction (mapPartitions decode, codec
+    * stubbed deterministically) → exact cosine top-k over the extracted
+    * features. This is the pipeline a media corpus runs (decode once,
+    * search the embedding space); the oracle replays the byte-sum
+    * features AND the search, so the composition is hash-checked end to
+    * end, not per-stage. */
+  val mmSim = QuerySpec("mm_sim",
+    (s, d) => {
+      val feats = Multimodal.decode(s,
+          Multimodal.withPayload(T(s, d, "documents"), "text", "doc_id"),
+          "doc_id")
+        .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+      Similarity.bruteForceTopK(feats.filter(col("vec_id") < 5), feats, 3)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some {
+      val fs = (0 until 8).map(k =>
+        s"CAST(list_sum(list_transform(range(0, octet_length(encode(text)))," +
+          s" i -> CASE WHEN (i // 16) % 8 = $k THEN unicode(substr(text," +
+          s" CAST(i + 1 AS INT), 1)) ELSE 0 END)) AS DOUBLE)").mkString(", ")
+      s"""WITH f AS (SELECT doc_id, [$fs] AS e FROM documents),
+         |p AS (SELECT a.doc_id AS query_id, b.doc_id AS vec_id,
+         |    round(list_cosine_similarity(a.e, b.e), 6) AS sim
+         |  FROM f a, f b WHERE a.doc_id < 5 AND a.doc_id <> b.doc_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
+         |  FROM p)
+         |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin
+    })
+
   /** F9 — uuid() is nondeterministic by design: rows-only check. */
   val f9Uuid = QuerySpec("f9_uuid",
     (s, d) => T(s, d, "nation")
@@ -1667,7 +1700,7 @@ object Queries {
     x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport,
-    mmMeta, mmDecode)
+    mmMeta, mmDecode, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }
