@@ -503,6 +503,31 @@ object Queries {
            |  ON p_retailprice >= lo AND p_retailprice < hi
            |GROUP BY band ORDER BY band""".stripMargin))
 
+  /** J6b — the same band join through Scale.binnedRangeJoin: identical
+    * results (same oracle SQL as j6), but the plan is an EQUI-join on the
+    * bin id instead of a nested loop — the shape that survives when both
+    * sides are large. */
+  val j6bRangeBinned = QuerySpec("j6b_range_binned",
+    (s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (900.0, 935.0, "low"), (935.0, 970.0, "mid"), (970.0, 1000.0, "high")))
+        .toDF("lo", "hi", "band")
+      Scale.binnedRangeJoin(T(s, d, "part"), "p_retailprice",
+          bands, "lo", "hi", binWidth = 25.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 6).as("avg_price"))
+        .orderBy(col("band"))
+    },
+    Some("""SELECT band, count(*) AS n_parts,
+           |  round(avg(p_retailprice), 6) AS avg_price
+           |FROM part JOIN (VALUES
+           |    (900.0::DOUBLE, 935.0::DOUBLE, 'low'),
+           |    (935.0::DOUBLE, 970.0::DOUBLE, 'mid'),
+           |    (970.0::DOUBLE, 1000.0::DOUBLE, 'high')) bands(lo, hi, band)
+           |  ON p_retailprice >= lo AND p_retailprice < hi
+           |GROUP BY band ORDER BY band""".stripMargin))
+
   val j7Asof = QuerySpec("j7_asof_join",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -1689,7 +1714,8 @@ object Queries {
     fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
     f10bTumbling, f12MapAccess,
     j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
-    j6RangeBand, j7Asof, j7bAsofCustom, j7cAsofTies, j8Semi, j8Anti,
+    j6RangeBand, j6bRangeBinned, j7Asof, j7bAsofCustom, j7cAsofTies,
+    j8Semi, j8Anti,
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,

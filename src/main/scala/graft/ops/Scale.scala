@@ -101,6 +101,32 @@ object Scale {
     saltedFacts.join(explodedDim, Seq(key, "salt")).drop("salt")
   }
 
+  /** Binned range join: point-in-interval joins degenerate to a
+    * nested-loop (broadcast-NL at best, cartesian at worst) because the
+    * predicate has no equi-key. When BOTH sides are large, the scalable
+    * shape is binning: each interval explodes to the `binWidth`-sized
+    * bins it overlaps, each point maps to its single bin, and the join
+    * becomes an EQUI-join on the bin id with the exact range predicate
+    * re-applied as a residual filter — same rows out, but the shuffle is
+    * keyed and partitionable. Bin count per interval = O(span/binWidth),
+    * so pick binWidth near the typical interval span (a handful of bins
+    * per interval). The standard interval-join strategy in distributed
+    * engines; composes with broadcast when one side IS small. */
+  def binnedRangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val binned = intervals.withColumn("bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    points
+      .withColumn("bin", floor(col(pointCol) / binWidth).cast("long"))
+      .join(binned, Seq("bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("bin")
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins are
     * shuffle-free (co-located scan -> SortMergeJoin without Exchange).
     * Bucketing metadata lives in the session catalog; at cluster scale

@@ -35,6 +35,23 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("binned range join equals the theta join and plans as an equi-join") {
+    val points = (0 until 500).map(i => (i.toLong, (i * 7919 % 1000).toDouble))
+      .toDF("id", "v")
+    val intervals = Seq((0.0, 120.0, "a"), (100.0, 430.0, "b"),
+      (430.0, 431.5, "c"), (990.0, 1000.0, "d")).toDF("lo", "hi", "band")
+    val theta = points.join(intervals,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "band").as[(Long, String)].collect().toSet
+    val binned = graft.ops.Scale.binnedRangeJoin(points, "v",
+        intervals, "lo", "hi", binWidth = 50.0)
+      .select("id", "band").as[(Long, String)].collect().toSet
+    assert(binned == theta) // incl. overlap region 100-120 matching twice
+    val p = planOf(graft.ops.Scale.binnedRangeJoin(points, "v",
+      intervals, "lo", "hi", binWidth = 50.0))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
