@@ -86,6 +86,28 @@ object TickPipeline {
     ticks.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** ST8 — watermarked stream-stream interval join: each tick picks up
+    * the job-event rows for its isin that happened within `horizon`
+    * BEFORE it (the "which job requested this tick" enrichment, without
+    * a static dim). The time-bound predicate is what makes this viable
+    * unbounded: with watermarks on BOTH sides Spark can prove when a
+    * buffered row can never match again and drop it, so state is
+    * O(rows per horizon) per side — an unbounded-state stream-stream
+    * join is refused by the engine outright. Inner join; a tick with no
+    * in-horizon job event is dropped (the left-outer variant needs the
+    * same bounds and emits nulls after the watermark passes). */
+  def enrichWithJobs(ticks: DataFrame, jobs: DataFrame,
+      horizon: String = "10 minutes"): DataFrame = {
+    val t = ticks.withWatermark("ts", horizon)
+    val j = jobs.withColumnRenamed("ts", "job_ts")
+      .withWatermark("job_ts", horizon)
+    t.join(j,
+      t("isin") === j("isin") &&
+        j("job_ts") <= t("ts") &&
+        j("job_ts") >= t("ts") - expr(s"INTERVAL $horizon"))
+      .drop(j("isin"))
+  }
+
   /** ST5 — the job lifecycle as streaming state: one state per job_id kept
     * in GroupState, advanced by arriving transition events; emits a row per
     * *accepted* transition. Illegal transitions (per Transition.legal) are

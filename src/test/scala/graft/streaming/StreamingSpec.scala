@@ -77,6 +77,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted == Seq(("bx", "DE01", ts(0)), ("bx", "DE02", ts(1))))
   }
 
+  test("ST8 stream-stream interval join matches only in-horizon job events") {
+    val tickIn = MemoryStream[(String, Double, Timestamp)](spark)
+    val jobIn = MemoryStream[(String, Long, Timestamp)](spark)
+    val ticks = tickIn.toDF().toDF("isin", "last_price", "ts")
+    val jobs = jobIn.toDF().toDF("isin", "job_id", "ts")
+    val q = TickPipeline.enrichWithJobs(ticks, jobs, horizon = "5 minutes")
+      .select("isin", "last_price", "job_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched")
+      .start()
+    jobIn.addData(("DE01", 7L, ts(0)), ("DE02", 8L, ts(0)))
+    tickIn.addData(("DE01", 10.0, ts(2)))   // 2 min after job 7: in horizon
+    q.processAllAvailable()
+    tickIn.addData(("DE01", 11.0, ts(20)))  // 20 min after: out of horizon
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched")
+      .as[(String, Double, Long)].collect().toSet
+    assert(out == Set(("DE01", 10.0, 7L))) // no cross-isin, no stale match
+  }
+
   test("ST5 mapGroupsWithState advances job state, rejecting illegal moves") {
     val in = MemoryStream[(Long, Int, Timestamp)](spark)
     val q = TickPipeline.jobStates(in.toDS())
