@@ -528,6 +528,28 @@ object Queries {
            |  ON p_retailprice >= lo AND p_retailprice < hi
            |GROUP BY band ORDER BY band""".stripMargin))
 
+  /** SQL1 — the SQL front-end over the same tables: temp views +
+    * spark.sql, proving the engine's surface is reachable without the
+    * DataFrame DSL (same Catalyst plan either way). Aggregates only
+    * integral-valued doubles (l_quantity), so cross-partition summation
+    * order cannot move the result. */
+  val sql1TopNations = QuerySpec("sql1_supplier_nations",
+    (s, d) => {
+      T(s, d, "supplier").createOrReplaceTempView("supplier")
+      T(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT s.s_nationkey,
+              |  count(*) AS n_items,
+              |  sum(l.l_quantity) AS total_qty
+              |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              |GROUP BY s.s_nationkey
+              |ORDER BY s.s_nationkey""".stripMargin)
+    },
+    Some("""SELECT s.s_nationkey, count(*) AS n_items,
+           |  sum(l.l_quantity) AS total_qty
+           |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |GROUP BY s.s_nationkey
+           |ORDER BY s.s_nationkey""".stripMargin))
+
   val j7Asof = QuerySpec("j7_asof_join",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -1719,7 +1741,7 @@ object Queries {
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
-    ost1State, st4Sessions,
+    ost1State, st4Sessions, sql1TopNations,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup,
     x2Components, x5Sample, x5SampleBy, x5Pack, x5Interleave,
