@@ -100,6 +100,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("binned range join == theta join for random intervals/points/binWidth") {
+    val point = Gen.chooseNum(-100.0, 100.0)
+    val interval = Gen.zip(point, Gen.chooseNum(0.0, 50.0))
+      .map { case (lo, span) => (lo, lo + span) }
+    val input = Gen.zip(Gen.listOfN(60, point), Gen.listOfN(6, interval),
+      Gen.oneOf(0.5, 3.0, 17.0, 100.0))
+    cases(input, n = 5) { case (ps, ivs, width) =>
+      val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val intervals = ivs.zipWithIndex
+        .map { case ((lo, hi), i) => (lo, hi, i.toLong) }
+        .toDF("lo", "hi", "iid")
+      val theta = points.join(intervals,
+          col("v") >= col("lo") && col("v") < col("hi"))
+        .select("id", "iid").as[(Long, Long)].collect().toSet
+      val binned = Scale.binnedRangeJoin(points, "v", intervals,
+          "lo", "hi", width)
+        .select("id", "iid").as[(Long, Long)].collect().toSet
+      assert(binned == theta)
+    }
+  }
+
+  test("int8 quantization reconstructs within half a quantum, any vector") {
+    val comp = Gen.chooseNum(-10.0f, 10.0f)
+    cases(Gen.listOfN(6, Gen.listOfN(8, comp)), n = 5) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val rows = Similarity.quantizeInt8(df, "embedding")
+        .select("qscale", "q", "v").collect()
+      rows.foreach { r =>
+        if (!r.isNullAt(0)) { // zero vectors carry null scale by contract
+          val scale = r.getDouble(0)
+          val q = r.getSeq[Int](1)
+          val v = r.getSeq[Double](2)
+          assert(q.forall(x => x >= -127 && x <= 127))
+          assert(q.zip(v).forall { case (qi, xi) =>
+            math.abs(qi / scale - xi) <= 0.5 / scale + 1e-12 })
+        }
+      }
+    }
+  }
+
   test("state machine currentState is stable under log shuffling") {
     val trans = Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf(1000, 1001, 1100, 1200, 1300, 1900))
     cases(Gen.listOfN(20, trans), n = 5) { rows =>
