@@ -1148,9 +1148,11 @@ object Queries {
     bench = true)
 
   /** X2c' — SimHash near-dup candidates via bit-block banding (pigeonhole:
-    * Hamming <= 3 over 16 bits guarantees one of the 4 nibble blocks
-    * matches verbatim). The DuckDB oracle replays simhash, the block
-    * equi-join, and the Hamming filter. */
+    * Hamming <= 3 over the 32-bit hash guarantees one of the 4
+    * byte-blocks matches verbatim; 256 values per block keeps buckets
+    * small — the old 16-bit hash saturated at this corpus size and its
+    * 4-bit blocks went near-quadratic). The DuckDB oracle replays
+    * simhash, the block equi-join, and the Hamming filter. */
   val x2SimhashPairs = QuerySpec("x2_simhash_pairs",
     (s, d) => Dedup.simhashCandidates(
         Dedup.simhash(T(s, d, "documents"), "text", "doc_id"), "doc_id")
@@ -1163,10 +1165,10 @@ object Queries {
             |  SELECT doc_id, count(*) AS n_tok,
             |$simhashBitSums
             |  FROM th GROUP BY doc_id),
-            |sh AS (SELECT doc_id, CAST($simhashBitTerms AS INT) AS simhash
+            |sh AS (SELECT doc_id, CAST($simhashBitTerms AS BIGINT) AS simhash
             |       FROM v),
             |blk AS (
-            |  SELECT doc_id, simhash, j, (simhash >> (j * 4)) & 15 AS blk
+            |  SELECT doc_id, simhash, j, (simhash >> (j * 8)) & 255 AS blk
             |  FROM sh, (SELECT unnest(range(0, 4)) AS j)),
             |cand AS (
             |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2,
@@ -1312,12 +1314,14 @@ object Queries {
   // defs, not vals: these are interpolated into oracle SQL strings that
   // may be declared EARLIER in this object's initialization order — a val
   // would interpolate as the literal "null" there
-  private def simhashBitSums = (0 until 16).map(j =>
+  private def simhashBitSums = (0 until 32).map(j =>
     s"    CAST(sum(CASE WHEN substr(h, ${j + 1}, 1) IN " +
       s"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS BIGINT) AS s$j")
     .mkString(",\n")
-  private def simhashBitTerms = (0 until 16).map(j =>
-    s"(CASE WHEN s$j * 2 > n_tok THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+  // 1L, not 1: Scala's 1 << 31 is a negative Int and DuckDB would read
+  // the emitted literal as such
+  private def simhashBitTerms = (0 until 32).map(j =>
+    s"(CASE WHEN s$j * 2 > n_tok THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
   val x2Simhash = QuerySpec("x2_simhash",
     (s, d) => Dedup.simhash(T(s, d, "documents"), "text", "doc_id")
@@ -1330,7 +1334,7 @@ object Queries {
             |  SELECT doc_id, count(*) AS n_tok,
             |$simhashBitSums
             |  FROM th GROUP BY doc_id)
-            |SELECT doc_id, CAST($simhashBitTerms AS INT) AS simhash
+            |SELECT doc_id, CAST($simhashBitTerms AS BIGINT) AS simhash
             |FROM v ORDER BY doc_id""".stripMargin))
 
   val x2CosineNearDup = QuerySpec("x2_cosine_neardup",

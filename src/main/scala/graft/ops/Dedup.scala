@@ -133,49 +133,80 @@ object Dedup {
       .select(col(idCol), col("sig"), col("bands"))
   }
 
-  /** X2c — 16-bit SimHash over distinct tokens.
+  /** X2c — 32-bit SimHash over distinct tokens.
     *
     * Bit j of a token = high bit of hex nibble j of md5(token); the doc's
     * SimHash sets bit j when the majority of its tokens have bit j set.
     * md5-nibble bits keep the hash portable (the DuckDB oracle computes the
     * identical value via substr on the same md5 hex). Near-dups differ in
-    * few bits; at scale candidates come from exact-matching on rotated
-    * bit-blocks (same groupBy shape as MinHash banding). */
+    * few bits; at scale candidates come from exact-matching on bit-blocks
+    * (same groupBy shape as MinHash banding).
+    *
+    * 32 bits, not 16 (round 5): a 16-bit space saturates — at 5000 docs
+    * the birthday collisions alone made 22% of ALL pairs "candidates"
+    * (measured). 32 bits keeps the value sign-safe as a long on both
+    * engines (bit 31 set would overflow an int; bit 63 would overflow
+    * BIGINT the same way) while collision rates drop by 2^16. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bitVotes = toks
-      .select(col(idCol) +: (0 until 16).map(j =>
+      .select(col(idCol) +: (0 until 32).map(j =>
         when(substring(col("h"), j + 1, 1)
           .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)
           .as(s"b$j")): _*)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
-        (0 until 16).map(j => sum(col(s"b$j")).as(s"s$j")): _*)
+        (0 until 32).map(j => sum(col(s"b$j")).as(s"s$j")): _*)
     bitVotes.withColumn("simhash",
-      (0 until 16).map(j =>
-        when(col(s"s$j") * 2 > col("n_tok"), lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _).cast("int"))
+      (0 until 32).map(j =>
+        when(col(s"s$j") * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).cast("long"))
       .select(col(idCol), col("simhash"))
   }
 
   /** X2c' — SimHash candidate pairs by bit-block banding: split the
-    * 16-bit hash into 4 blocks of 4 bits; by pigeonhole, any pair within
-    * Hamming distance `maxHamming` <= 3 shares at least one block
-    * verbatim, so exact-matching on (block index, block value) finds
-    * every such pair with a plain equi-join — the same bucketed shape as
-    * MinHash LSH banding, never corpus². The Hamming filter after the
-    * join removes the false positives the coarse blocks admit. */
+    * 16-bit hash into `nBlocks` equal blocks; by pigeonhole, any pair
+    * within Hamming distance `maxHamming` <= nBlocks-1 shares at least
+    * one block verbatim, so exact-matching on (block index, block value)
+    * finds every such pair with a plain equi-join — the same bucketed
+    * shape as MinHash LSH banding, never corpus². The Hamming filter
+    * after the join removes the false positives the coarse blocks admit.
+    *
+    * BLOCK WIDTH IS THE SELECTIVITY LEVER: more blocks cover deeper
+    * Hamming radii (maxHamming <= nBlocks-1) but each block partitions
+    * the corpus fewer ways, so buckets grow and the join output with
+    * them — the old 16-bit hash with 4-bit blocks partitioned only 16
+    * ways and went near-quadratic on the 5000-doc test corpus (57% of
+    * all pairs). Defaults: 4 blocks of 8 bits over the 32-bit hash —
+    * Hamming <= 3 recall with 256-way partitioning per block.
+    *
+    * Note on output size: pair ENUMERATION of a duplicate clique is
+    * inherently O(clique²) — a corpus whose docs really are
+    * near-identical (the test corpus has one hash value covering 542 of
+    * 5000 docs) yields quadratic pair mass no matter how the candidates
+    * are generated. A production dedup pass therefore feeds these pairs
+    * straight into cluster resolution ([[components]]) rather than
+    * materializing them, or short-circuits exact-hash groups via groupBy
+    * before pairing. */
   def simhashCandidates(sigs: DataFrame, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxHamming: Int = 3, nBlocks: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(32 % nBlocks == 0 && nBlocks > 0, s"nBlocks must divide 32: $nBlocks")
+    require(maxHamming < nBlocks,
+      s"pigeonhole completeness needs maxHamming < nBlocks " +
+        s"($maxHamming >= $nBlocks)")
+    val width = 32 / nBlocks
+    val mask = (1L << width) - 1
     val allBlocks = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), j -> shiftright(simhash, j * 4) & 15)"))
+        s"transform(sequence(0, ${nBlocks - 1}), " +
+          s"j -> shiftright(simhash, j * $width) & $mask)"))
         .as(Seq("j", "blk")))
-    // same skew guard as lshCandidates: a 4-bit block has only 16 values,
-    // so at corpus scale EVERY block is a hot bucket — real deployments
-    // cap it (or use wider blocks); unbounded default keeps the oracle
+    // same skew guard as lshCandidates: degenerate buckets (boilerplate
+    // hashing identically) blow up the join; unbounded default keeps the
+    // oracle contract
     val blocks =
       if (maxBucket == Int.MaxValue) allBlocks
       else allBlocks.withColumn("bsz", count(lit(1)).over(

@@ -96,16 +96,19 @@ class DedupSimilaritySpec extends SparkSpec {
       (i.toLong, (0 until 6).map(j => words((i * 7 + j * 3) % 8)).mkString(" "))
     }.toDF("doc_id", "text")
     val sigs = Dedup.simhash(corpus, "text", "doc_id")
-    val byId = sigs.as[(Long, Int)].collect().toMap
-    // ground truth: brute-force Hamming over the collected hashes
-    val want = (for {
-      a <- byId.keys; b <- byId.keys if a < b
-      h = Integer.bitCount(byId(a) ^ byId(b)) if h <= 3
-    } yield (a, b, h)).toSet
-    val got = Dedup.simhashCandidates(sigs, "doc_id")
-      .as[(Long, Long, Int)].collect().toSet
-    assert(got == want) // banding is complete AND the filter is exact
-    assert(want.nonEmpty) // the fixture actually exercises the path
+    val byId = sigs.as[(Long, Long)].collect().toMap
+    // ground truth: brute-force Hamming over the collected hashes —
+    // checked at BOTH block widths the operator supports
+    for ((maxH, nBlocks) <- Seq((1, 2), (3, 4))) {
+      val want = (for {
+        a <- byId.keys; b <- byId.keys if a < b
+        h = java.lang.Long.bitCount(byId(a) ^ byId(b)) if h <= maxH
+      } yield (a, b, h)).toSet
+      val got = Dedup.simhashCandidates(sigs, "doc_id", maxH, nBlocks)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want) // banding is complete AND the filter is exact
+      assert(want.nonEmpty) // the fixture actually exercises the path
+    }
   }
 
   test("X2e components: labels propagate across a path graph; singletons keep own id") {
