@@ -21,10 +21,18 @@ object Scale {
     * count is user-specified, AQE will NOT coalesce it back down for
     * being small in bytes — bytes are exactly the wrong signal here.
     * At 100 TB inputs arrive as many splits and the extra shuffle is
-    * wasted, so callers gate on input partitions already >= parallelism. */
+    * wasted, so callers gate on input partitions already >= parallelism.
+    *
+    * The split count is read from the DataFrame's OWN query execution
+    * (`toRdd` — the executed plan's internal-row RDD), not `df.rdd`:
+    * `.rdd` wraps the plan in a second Dataset with a DeserializeToObject
+    * conversion and plans/analyzes THAT from scratch on every call, all
+    * to answer a partition-count question the existing physical plan
+    * already knows. */
   def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    if (df.queryExecution.toRdd.getNumPartitions >= par) df
+    else df.repartition(par)
   }
 
   /** Deterministic, engine-portable hash sample: keep rows whose md5 hex
