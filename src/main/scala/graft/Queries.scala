@@ -625,6 +625,34 @@ object Queries {
            |GROUP BY p.event_id, p.user_id, p.ts_hr
            |ORDER BY p.event_id""".stripMargin))
 
+  /** J7 forward direction (round 7): the NEXT click at or after each
+    * purchase — the custom exec's `forward = true` path (smallest right
+    * ts >= left ts, matching pandas merge_asof direction='forward' /
+    * DuckDB ASOF with >=). The oracle is the set-based min() twin. */
+  val j7dAsofForward = QuerySpec("j7d_asof_forward",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts_us")
+      graft.plans.AsOfJoin(purchases, clicks, "user_id", "ts_us", "ts_us",
+          "next_click_us", forward = true)
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           |  FROM events WHERE event_type = 'purchase'),
+           |c AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us
+           |  FROM events WHERE event_type = 'click')
+           |SELECT p.event_id, p.user_id, p.ts_us, min(c.ts_us) AS next_click_us
+           |FROM p LEFT JOIN c
+           |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+           |GROUP BY p.event_id, p.user_id, p.ts_us
+           |ORDER BY p.event_id""".stripMargin))
+
   val j8Semi = QuerySpec("j8_semi_join",
     (s, d) => T(s, d, "customer")
       .join(T(s, d, "orders").filter(col("o_totalprice") > 400000),
@@ -1003,6 +1031,79 @@ object Queries {
            |FROM sess GROUP BY user_id, session_id
            |ORDER BY user_id, start_us""".stripMargin))
 
+  /** ST4 as a JUDGED result (round 7): the events table replayed through
+    * the REAL Structured Streaming pipeline — readStream parquet source →
+    * TickPipeline.bars (watermark + tumbling event-time window + OHLC
+    * aggregate) → memory sink, Trigger.AvailableNow — then the sink's
+    * table returned as the query result. Streaming thereby participates
+    * in the driver's DuckDB correctness artifact, not only in ScalaTest's
+    * stream-batch equivalence check: the oracle recomputes the same OHLC
+    * bars relationally (row_number twins of min_by/max_by with the same
+    * (ts, price) tie-break). The replay is one micro-batch, so the
+    * watermark drops nothing — exactly the batch-parity contract. */
+  val stBarsReplay = QuerySpec("st_bars_replay",
+    (s, d) => {
+      // streaming file sources need an explicit schema; take it from the
+      // batch reader (footer-only) so ns-timestamp handling matches
+      // Tables.events
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      // events.parquet is a single FILE: for a NON-glob path the file
+      // stream source force-injects basePath = the path itself, which
+      // then fails the "must be a directory" check — a {braced} glob
+      // matching exactly that file skips the injection; the explicit
+      // basePath keeps partition discovery rooted at the table dir
+      val raw = s.readStream.schema(rawSchema).option("basePath", d)
+        .parquet(s"$d/{events.parquet}")
+      val withTs = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw
+      }
+      val ticks = withTs.select(col("ts"),
+        isinFrom(col("user_id")).as("isin"),
+        col("value").as("last_price"),
+        col("value").as("volume"))
+      // complete mode: every window in the sink table (append would hold
+      // back windows the final watermark hasn't passed)
+      s.catalog.dropTempView("st_bars_replay_mem")
+      val q = graft.streaming.TickPipeline.bars(ticks, width = "15 minutes")
+        .writeStream.format("memory").queryName("st_bars_replay_mem")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st_bars_replay_mem")
+        .select(expr("unix_micros(window.start)").as("start_us"), col("isin"),
+          col("open"), col("high"), col("low"), col("close"),
+          round(col("volume"), 4).as("volume"), col("n_ticks"))
+        .orderBy(col("start_us"), col("isin"))
+    },
+    Some(s"""WITH t AS (
+            |  SELECT epoch_us(ts) AS us, $isinSql AS isin,
+            |    value AS last_price, value AS volume
+            |  FROM events),
+            |b AS (SELECT *, (us // 900000000) * 900000000 AS start_us FROM t),
+            |r AS (
+            |  SELECT start_us, isin, last_price,
+            |    row_number() OVER (PARTITION BY start_us, isin
+            |      ORDER BY us, last_price) AS rn_o,
+            |    row_number() OVER (PARTITION BY start_us, isin
+            |      ORDER BY us DESC, last_price DESC) AS rn_c
+            |  FROM b),
+            |agg AS (
+            |  SELECT start_us, isin, max(last_price) AS high,
+            |    min(last_price) AS low, round(sum(volume), 4) AS volume,
+            |    count(*) AS n_ticks
+            |  FROM b GROUP BY 1, 2)
+            |SELECT a.start_us, a.isin, o.last_price AS open, a.high, a.low,
+            |  c.last_price AS close, a.volume, a.n_ticks
+            |FROM agg a
+            |JOIN r o ON o.start_us = a.start_us AND o.isin = a.isin
+            |  AND o.rn_o = 1
+            |JOIN r c ON c.start_us = a.start_us AND c.isin = a.isin
+            |  AND c.rn_c = 1
+            |ORDER BY a.start_us, a.isin""".stripMargin))
+
   /** Q4 — pivot: event counts per user bucket, one column per event type
     * (explicit value list keeps the schema deterministic). The oracle uses
     * conditional aggregation — the portable relational equivalent. */
@@ -1152,10 +1253,20 @@ object Queries {
     * byte-blocks matches verbatim; 256 values per block keeps buckets
     * small — the old 16-bit hash saturated at this corpus size and its
     * 4-bit blocks went near-quadratic). The DuckDB oracle replays
-    * simhash, the block equi-join, and the Hamming filter. */
+    * simhash, the block equi-join, and the Hamming filter.
+    *
+    * CAPPED (round 7): blocks whose bucket exceeds 64 docs are dropped
+    * BEFORE pairing — the judged plan is now the scale plan (an
+    * oversized bucket means the block carries no discriminative signal;
+    * its members are duplicate-clique mass that belongs to exact dedup /
+    * x2_dedup_e2e cluster resolution, not pair enumeration). On this
+    * corpus the cap cuts pair mass from O(clique²)=155k to 6.7k at
+    * sf0.01 and from 15.3M to 31k at sf0.1. The oracle replays the cap
+    * with the identical window count. */
   val x2SimhashPairs = QuerySpec("x2_simhash_pairs",
     (s, d) => Dedup.simhashCandidates(
-        Dedup.simhash(T(s, d, "documents"), "text", "doc_id"), "doc_id")
+        Dedup.simhash(T(s, d, "documents"), "text", "doc_id"), "doc_id",
+        maxBucket = 64)
       .orderBy(col("d1"), col("d2")),
     Some(s"""WITH toks AS (
             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -1167,9 +1278,13 @@ object Queries {
             |  FROM th GROUP BY doc_id),
             |sh AS (SELECT doc_id, CAST($simhashBitTerms AS BIGINT) AS simhash
             |       FROM v),
-            |blk AS (
+            |blk0 AS (
             |  SELECT doc_id, simhash, j, (simhash >> (j * 8)) & 255 AS blk
             |  FROM sh, (SELECT unnest(range(0, 4)) AS j)),
+            |blk AS (
+            |  SELECT doc_id, simhash, j, blk FROM (
+            |    SELECT *, count(*) OVER (PARTITION BY j, blk) AS bsz FROM blk0)
+            |  WHERE bsz <= 64),
             |cand AS (
             |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2,
             |    b1.simhash AS s1, b2.simhash AS s2
@@ -1177,7 +1292,8 @@ object Queries {
             |    AND b1.doc_id < b2.doc_id)
             |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
             |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
-            |ORDER BY d1, d2""".stripMargin))
+            |ORDER BY d1, d2""".stripMargin),
+    bench = true)
 
   /** X2e — the full dedup resolution: LSH candidate pairs -> connected
     * components (iterative min-label propagation) -> cluster id +
@@ -1233,6 +1349,77 @@ object Queries {
            |FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
            |ORDER BY dd.doc_id""".stripMargin))
 
+  /** X2f — the composed end-to-end dedup pipeline as ONE judged query:
+    * exact-fingerprint rep collapse -> capped LSH banded candidates over
+    * reps only -> connected components -> survivor keep-list
+    * (Dedup.dedupPipeline). This is the query a real corpus run executes;
+    * no stage materializes a clique-quadratic pair list (exact groups
+    * contribute linear doc->rep edges; oversized candidate buckets are
+    * dropped by the maxBucket cap). The DuckDB twin replays every stage —
+    * fingerprint window, rep-only minhash signatures, capped band join,
+    * RECURSIVE min-reachable-id closure — so the whole composition is
+    * hash-checked end to end. */
+  val x2DedupE2e = QuerySpec("x2_dedup_e2e",
+    (s, d) => Dedup.dedupPipeline(T(s, d, "documents"), "text", "doc_id",
+        maxBucket = 64)
+      .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE
+           |fpx AS (
+           |  SELECT doc_id, text,
+           |    min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+           |  FROM documents),
+           |exact_edges AS (
+           |  SELECT rep AS d1, doc_id AS d2 FROM fpx WHERE doc_id <> rep),
+           |reps AS (SELECT doc_id, text FROM fpx WHERE doc_id = rep),
+           |d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM reps),
+           |s AS (
+           |  SELECT doc_id, list_transform(range(1, n - 1),
+           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+           |  FROM d WHERE n >= 3),
+           |sm AS (
+           |  SELECT doc_id, list_transform(shingles, sh -> md5(sh)) AS hs
+           |  FROM s),
+           |g AS (
+           |  SELECT doc_id, list_transform(range(0, 8),
+           |    h -> list_min(list_transform(hs,
+           |      m -> substr(m, 4*h + 1, 32 - 4*h) || substr(m, 1, 4*h)))) AS sig
+           |  FROM sm),
+           |b0 AS (
+           |  SELECT doc_id, band_idx,
+           |    md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
+           |  FROM g, (SELECT unnest(range(0, 4)) AS band_idx)),
+           |b AS (
+           |  SELECT doc_id, band_idx, band_hash FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash)
+           |      AS bsz
+           |    FROM b0)
+           |  WHERE bsz <= 64),
+           |cand AS (
+           |  SELECT b1.doc_id AS d1, b2.doc_id AS d2
+           |  FROM b b1 JOIN b b2 ON b1.band_idx = b2.band_idx
+           |    AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+           |  GROUP BY 1, 2),
+           |allp AS (
+           |  SELECT d1, d2 FROM exact_edges
+           |  UNION
+           |  SELECT d1, d2 FROM cand),
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM allp
+           |          UNION SELECT d2, d1 FROM allp),
+           |reach AS (
+           |  SELECT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.id),
+           |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+           |SELECT dd.doc_id,
+           |  coalesce(c.cluster, dd.doc_id) AS cluster,
+           |  coalesce(c.cluster, dd.doc_id) = dd.doc_id AS is_survivor
+           |FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
+           |ORDER BY dd.doc_id""".stripMargin),
+    bench = true)
+
   /** X5 — deterministic portable hash sampling (train/val splits): the
     * md5-prefix threshold reproduces bit-identically in any engine. */
   val x5Sample = QuerySpec("x5_sample",
@@ -1277,10 +1464,17 @@ object Queries {
     * previously rows-only, but the whole chain is engine-portable: the
     * DuckDB twin replays minhash signatures, banding, and the bucket
     * join; an empty result on a near-dup-free corpus hash-matches an
-    * empty oracle, so emptiness was never a reason to skip the check). */
+    * empty oracle, so emptiness was never a reason to skip the check).
+    *
+    * CAPPED (round 7): maxBucket=64 wired into the judged plan (the
+    * degenerate-boilerplate-bucket guard is now always on, not opt-in);
+    * the oracle replays the cap via the same window count. Inert on this
+    * corpus — the largest minhash band bucket is 9 docs — so the result
+    * is unchanged while the judged plan carries the skew guard. */
   val x2LshPairs = QuerySpec("x2_lsh_pairs",
     (s, d) => Dedup.lshCandidates(
-        Dedup.minhash(T(s, d, "documents"), "text", "doc_id"), "doc_id")
+        Dedup.minhash(T(s, d, "documents"), "text", "doc_id"), "doc_id",
+        maxBucket = 64)
       .orderBy(col("d1"), col("d2")),
     Some("""WITH d AS (
            |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -1298,10 +1492,16 @@ object Queries {
            |    h -> list_min(list_transform(hs,
            |      m -> substr(m, 4*h + 1, 32 - 4*h) || substr(m, 1, 4*h)))) AS sig
            |  FROM sm),
-           |b AS (
+           |b0 AS (
            |  SELECT doc_id, band_idx,
            |    md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
            |  FROM g, (SELECT unnest(range(0, 4)) AS band_idx)),
+           |b AS (
+           |  SELECT doc_id, band_idx, band_hash FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash)
+           |      AS bsz
+           |    FROM b0)
+           |  WHERE bsz <= 64),
            |pairs AS (
            |  SELECT b1.doc_id AS d1, b2.doc_id AS d2,
            |    count(*) AS n_shared_bands
@@ -1337,14 +1537,31 @@ object Queries {
             |SELECT doc_id, CAST($simhashBitTerms AS BIGINT) AS simhash
             |FROM v ORDER BY doc_id""".stripMargin))
 
+  // md5-derived sign-LSH bucket terms for the cosine near-dup oracle: the
+  // plane-j sign of dimension d is the first hex nibble of md5("j_d")
+  // (>= '8' => +x), and the plane sum is DuckDB's sequential list_sum —
+  // bit-identical to the engine's left-assoc fold (defs: init-order rule)
+  private def cosineBucketSqlTerm(j: Int): String =
+    s"(CASE WHEN list_sum(list_transform(v, (x, i) -> CASE WHEN " +
+      s"substr(md5('${j}_' || (i-1)::VARCHAR), 1, 1) >= '8' " +
+      s"THEN x ELSE -x END)) >= 0 THEN ${1 << j} ELSE 0 END)"
+  private def cosineBucketSql = (0 until 4).map(cosineBucketSqlTerm).mkString(" + ")
+
+  /** X2d — near-dup pairs via md5-derived sign-LSH buckets (round 7: the
+    * judged plan IS the scale plan — an equi-join on the bucket key,
+    * replacing the id-blocked O(block²) BNL; the oracle replays the md5
+    * hyperplane signs, the sequential plane-sum fold, the bucket
+    * equi-join, and the ranking). */
   val x2CosineNearDup = QuerySpec("x2_cosine_neardup",
-    (s, d) => Similarity.cosineNearDupPairs(T(s, d, "embeddings"), 200L, 20),
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-           |  FROM embeddings WHERE vec_id < 200)
-           |SELECT a.vec_id AS v1, b.vec_id AS v2,
-           |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
-           |FROM e a JOIN e b ON a.vec_id < b.vec_id
-           |ORDER BY sim DESC, v1, v2 LIMIT 20""".stripMargin))
+    (s, d) => Similarity.cosineNearDupPairs(T(s, d, "embeddings"), 20),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            |  FROM embeddings),
+            |b AS (SELECT vec_id, v, $cosineBucketSql AS bucket FROM e)
+            |SELECT a.vec_id AS v1, c.vec_id AS v2,
+            |  round(list_cosine_similarity(a.v, c.v), 6) AS sim
+            |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            |ORDER BY sim DESC, v1, v2 LIMIT 20""".stripMargin),
+    bench = true)
 
   val x3TopkCosine = QuerySpec("x3_topk_cosine",
     (s, d) => {
@@ -1668,6 +1885,32 @@ object Queries {
            |    ELSE 0.5 END)::DOUBLE AS sched
            |FROM r ORDER BY sched, source, doc_id""".stripMargin))
 
+  /** X6 — salted two-phase aggregation over a DELIBERATELY hot key (80%
+    * of lineitem lands on 'HOT'): Scale.saltedSum spreads the hot key
+    * across 16 partial groups on the first shuffle, then combines — so no
+    * single reducer carries 80% of the table, which at 100 TB is the
+    * difference between a straggler-bound stage and an even one. The
+    * oracle is the PLAIN groupBy SQL: salting must be invisible in the
+    * results (sums/counts of integers compose exactly); PlanShapeSpec
+    * asserts the first exchange partitions by (key, salt). */
+  val x6SaltedAgg = QuerySpec("x6_salted_agg",
+    (s, d) => {
+      val facts = T(s, d, "lineitem").select(
+        when(col("l_orderkey") % 10 < 8, lit("HOT"))
+          .otherwise((col("l_orderkey") % 97).cast("string")).as("skew_key"),
+        col("l_quantity").cast("long").as("qty"))
+      Scale.saltedSum(facts, "skew_key", "qty")
+        .orderBy(col("skew_key"))
+    },
+    Some("""WITH f AS (
+           |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'HOT'
+           |      ELSE CAST(l_orderkey % 97 AS VARCHAR) END AS skew_key,
+           |    CAST(l_quantity AS BIGINT) AS qty
+           |  FROM lineitem)
+           |SELECT skew_key, CAST(sum(qty) AS BIGINT) AS total, count(*) AS n
+           |FROM f GROUP BY skew_key ORDER BY skew_key""".stripMargin),
+    bench = true)
+
   /** X4f — TF-IDF top-3 terms per document. The oracle replays tf, df,
     * corpus size, ln scoring (same association and tie-safe floor
     * rounding), and the (score desc, term) ranking. */
@@ -1696,7 +1939,8 @@ object Queries {
            |SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
            |  tfidf, term_rank
            |FROM r WHERE term_rank <= 3
-           |ORDER BY doc_id, term_rank""".stripMargin))
+           |ORDER BY doc_id, term_rank""".stripMargin),
+    bench = true)
 
   /** X3d — quantized top-k: exact search over the int8 view (cosine is
     * scale-invariant, so no dequantization happens anywhere). The oracle
@@ -1731,7 +1975,8 @@ object Queries {
            |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
            |  FROM p)
            |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
-           |ORDER BY query_id, rnk""".stripMargin))
+           |ORDER BY query_id, rnk""".stripMargin),
+    bench = true)
 
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
@@ -1741,17 +1986,17 @@ object Queries {
     f10bTumbling, f12MapAccess,
     j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
     j6RangeBand, j6bRangeBinned, j7Asof, j7bAsofCustom, j7cAsofTies,
-    j8Semi, j8Anti,
+    j7dAsofForward, j8Semi, j8Anti,
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
-    ost1State, st4Sessions, sql1TopNations,
+    ost1State, st4Sessions, stBarsReplay, sql1TopNations,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup,
-    x2Components, x5Sample, x5SampleBy, x5Pack, x5Interleave,
+    x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
-    x4Scrub, x4CorpusReport,
+    x4Scrub, x4CorpusReport, x6SaltedAgg,
     mmMeta, mmDecode, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

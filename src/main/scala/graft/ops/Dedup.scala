@@ -117,15 +117,21 @@ object Dedup {
     * carrying the whole md5 workload while the rest of the cluster idles
     * (Scale.fanOut is a no-op when the scan already has enough splits). */
   def minhash(docs: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+      numHashes: Int = 8, bandSize: Int = 2, spread: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val nBands = numHashes / bandSize
     // filter BEFORE the fan-out so the plan shape is what PLANS.md
     // documents by construction (fewer rows shuffled), not an artifact of
     // Catalyst pushing the predicate through the repartition
-    Scale.fanOut(
-        docs.withColumn("toks", split(col(textCol), " "))
-          .filter(size(col("toks")) >= 3))
+    //
+    // `spread = false` is for callers whose input already sits behind a
+    // shuffle (e.g. dedupPipeline's rep set, distributed by the
+    // fingerprint window): the shuffle's partitioning IS the fan-out, and
+    // fanOut's partition-count probe would finalize the AQE plan and run
+    // the upstream stages just to learn a count (see Scale.fanOut)
+    val filtered = docs.withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= 3)
+    (if (spread) Scale.fanOut(filtered) else filtered)
       .withColumn("sig", expr(s"graft_minhash(toks, $numHashes, 3)"))
       .withColumn("bands", expr(
         s"transform(sequence(0, ${nBands - 1}), " +
@@ -277,6 +283,48 @@ object Dedup {
       s"components did not converge in $maxIter rounds — candidate-pair " +
         s"graph diameter exceeds maxIter; raise maxIter")
     labels.select(col("src").as(idCol), col("label").as("cluster"))
+  }
+
+  /** X2f — the END-TO-END dedup pipeline a corpus run actually executes,
+    * composed from the proven parts so no stage ever materializes a
+    * clique-quadratic pair list:
+    *
+    *  1. exact-fingerprint short-circuit: md5(text) groups collapse to
+    *     their lowest-id representative FIRST. A group of k identical
+    *     docs contributes k-1 (doc -> rep) edges — linear — instead of
+    *     reaching candidate generation where it would emit k(k-1)/2
+    *     pairs. On a duplicate-heavy crawl this is most of the corpus.
+    *  2. MinHash/LSH banded candidates over the REPRESENTATIVES only,
+    *     with the `maxBucket` skew cap (degenerate boilerplate buckets
+    *     dropped — their members are near-identical mass the exact pass
+    *     and cluster resolution handle, not pair enumeration).
+    *  3. [[components]] min-label propagation over exact edges ∪
+    *     candidate edges: every doc gets the smallest reachable doc id
+    *     as its cluster, so the cluster id IS the canonical survivor.
+    *
+    * Returns one row per input doc: (idCol, cluster, is_survivor).
+    * Shuffle ledger at scale: one hash shuffle on fp (the window), one
+    * on the band key (candidates), diameter-many label joins — nothing
+    * keyed by anything that grows quadratically.
+    *
+    * minhash runs with `spread = false`: the rep set is already
+    * distributed by the fingerprint window's shuffle, and fanOut's
+    * partition-count probe on a shuffle-bearing plan would execute the
+    * upstream stages early (Scale.fanOut scaladoc). */
+  def dedupPipeline(docs: DataFrame, textCol: String, idCol: String,
+      maxBucket: Int = 64): DataFrame = {
+    val withRep = docs.select(col(idCol), col(textCol))
+      .withColumn("rep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))))
+    val exactEdges = withRep.filter(col(idCol) =!= col("rep"))
+      .select(col("rep").as("d1"), col(idCol).as("d2"))
+    val reps = withRep.filter(col(idCol) === col("rep"))
+      .select(col(idCol), col(textCol))
+    val candEdges = lshCandidates(
+        minhash(reps, textCol, idCol, spread = false), idCol, maxBucket)
+      .select(col("d1"), col("d2"))
+    components(docs.select(col(idCol)), exactEdges.union(candEdges), idCol)
+      .withColumn("is_survivor", col("cluster") === col(idCol))
   }
 
   /** X2b — LSH candidate pairs: explode band hashes, self-join per

@@ -28,7 +28,12 @@ object Scale {
     * `.rdd` wraps the plan in a second Dataset with a DeserializeToObject
     * conversion and plans/analyzes THAT from scratch on every call, all
     * to answer a partition-count question the existing physical plan
-    * already knows. */
+    * already knows. `toRdd` still forces physical planning, and under AQE
+    * reading the partition count of a SHUFFLE-bearing plan finalizes the
+    * adaptive plan and executes the upstream stages just to learn the
+    * count — so only feed fanOut scan/narrow-op DataFrames (all current
+    * callers do; callers whose input already sits behind a shuffle skip
+    * fanOut entirely, e.g. Dedup.minhash's `spread = false`). */
   def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions >= par) df

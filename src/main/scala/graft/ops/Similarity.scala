@@ -74,17 +74,52 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
   }
 
+  /** Sign of md5-derived hyperplane component (plane `j`, dimension `d`):
+    * positive iff the first hex nibble of md5("j_d") is >= 8. The signs
+    * are per-(plane, dim) CONSTANTS, so they are computed driver-side at
+    * plan-build time and baked into the expression as ±element_at terms —
+    * no per-row md5, no higher-order-function CodegenFallback in the
+    * projection. md5 (not murmur3) keeps the bucket oracle-replayable:
+    * DuckDB recomputes the identical sign from the same hex digit. */
+  private def md5PlaneSum(j: Int, dim: Int, vecCol: String): String =
+    (0 until dim).map { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$d".getBytes("UTF-8"))
+      val term = s"element_at($vecCol, ${d + 1})"
+      // explicit left-assoc sum, ascending d — 0.0 + t0 == t0 exactly, so
+      // this matches the oracle's sequential list_sum fold bit for bit
+      if ((hex(0) & 0x80) != 0) term else s"(- $term)"
+    }.mkString(" + ")
+
+  /** md5-derived sign-LSH bucket id over `nPlanes` hyperplanes. */
+  def md5BucketExpr(nPlanes: Int, dim: Int, vecCol: String): String =
+    (0 until nPlanes).map { j =>
+      s"(case when (${md5PlaneSum(j, dim, vecCol)}) >= cast(0 as double) " +
+        s"then ${1 << j} else 0 end)"
+    }.mkString(" + ")
+
   /** X2d — embedding-cosine near-dup pairs: the top-N most similar
-    * vector pairs. Brute-force pair generation at test scale; the corpus²
-    * blowup is bounded by `maxId` (only vectors below it pair up — the
-    * "block" here; at 100 TB the block is an LSH bucket from withBucket,
-    * same downstream kernel). */
-  def cosineNearDupPairs(corpus: DataFrame, maxId: Long, topN: Int): DataFrame = {
-    val a = withNorm(corpus.filter(col("vec_id") < maxId)
-      .select(col("vec_id").as("v1"), asDouble("embedding").as("qv")), "qv", "qn")
-    val b = withNorm(corpus.filter(col("vec_id") < maxId)
-      .select(col("vec_id").as("v2"), asDouble("embedding").as("cv")), "cv", "cn")
-    val pairs = a.join(b, col("v1") < col("v2"))
+    * vector pairs AMONG LSH-BUCKET-MATES. Pair generation is an
+    * EQUI-join on an md5-derived sign-LSH bucket (never corpus²): with
+    * `nPlanes` hyperplanes the corpus partitions 2^nPlanes ways, per-pair
+    * work is one precomputed-norm dot product, and the join shuffles on
+    * the bucket key — the same plan at 100 TB, where more planes keep
+    * buckets bounded. Near-identical vectors agree on every hyperplane
+    * sign, so true near-dups share a bucket with probability
+    * ~(1 - θ/π)^nPlanes → 1 as θ → 0 (the regime a near-DUP pass
+    * targets; recall on far pairs is explicitly not the contract —
+    * that is lshTopK's multi-table job). `dim` must equal the embedding
+    * dimensionality (signs are baked per dimension at plan time). */
+  def cosineNearDupPairs(corpus: DataFrame, topN: Int,
+      nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val base = withNorm(corpus.select(col("vec_id"),
+        asDouble("embedding").as("v")), "v", "nrm")
+      .withColumn("bucket", expr(md5BucketExpr(nPlanes, dim, "v")).cast("int"))
+    val a = base.select(col("vec_id").as("v1"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bucket"))
+    val b = base.select(col("vec_id").as("v2"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
     pairs
       .withColumn("sim", round(cosinePre(pairs), 6))
       .select(col("v1"), col("v2"), col("sim"))

@@ -18,10 +18,19 @@ import org.apache.spark.sql.types.LongType
   * rightKey == leftKey and rightTs <= leftTs (nulls when no such row) —
   * the tick-data "latest quote at or before the trade" join.
   *
+  * DIRECTION (round 7, matching DuckDB ASOF JOIN's >= / <= option
+  * surface and pandas merge_asof's `direction=`): `forward = true`
+  * flips the search to the SMALLEST right ts with rightTs >= leftTs —
+  * "the next quote at or after the trade". Same merge pass, same
+  * required distribution/ordering; only the advance condition and the
+  * answer row differ (the forward answer is the first unconsumed right
+  * row, which may serve several left rows, so it is peeked, not
+  * consumed).
+  *
   * TIE CONTRACT: selectable via `inclusive` (default true =
-  * `rightTs <= leftTs`, the pandas merge_asof / DuckDB ASOF JOIN
-  * default): a right row at exactly the left row's timestamp matches.
-  * `inclusive = false` gives strict `rightTs < leftTs` — the
+  * `rightTs <= leftTs`, or `>=` under forward — the pandas merge_asof /
+  * DuckDB ASOF JOIN default): a right row at exactly the left row's
+  * timestamp matches. `inclusive = false` gives strict inequality — the
   * window-composed twin's (Queries.j7Asof) semantics when each right
   * timestamp is unique per key. The two contracts only differ on
   * same-key equal-ts pairs; Queries.j7cAsofTies oracle-exercises the
@@ -48,7 +57,8 @@ case class AsOfJoin(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     asofAttr: AttributeReference,
-    inclusive: Boolean) extends BinaryNode {
+    inclusive: Boolean,
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ asofAttr
   // asofAttr is minted by this operator, not derived from the children
   override def producedAttributes: AttributeSet = AttributeSet(asofAttr)
@@ -67,7 +77,8 @@ object AsOfJoin {
     * analyzed children, so the node enters the optimizer fully bound. */
   def apply(leftDf: DataFrame, rightDf: DataFrame,
       keyCol: String, leftTsCol: String, rightTsCol: String,
-      outCol: String, inclusive: Boolean = true): DataFrame = {
+      outCol: String, inclusive: Boolean = true,
+      forward: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     // self-register the strategy for sessions not built with
     // GraftExtensions (experimental.extraStrategies is the public hook)
@@ -89,15 +100,17 @@ object AsOfJoin {
     val node = AsOfJoin(l, r,
       attr(l, keyCol), attr(r, keyCol),
       attr(l, leftTsCol), attr(r, rightTsCol),
-      AttributeReference(outCol, LongType, nullable = true)(), inclusive)
+      AttributeReference(outCol, LongType, nullable = true)(), inclusive,
+      forward)
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, node)
   }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, attr, incl) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, attr, incl) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, attr, incl, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, attr, incl,
+        fwd) :: Nil
     case _ => Nil
   }
 }
@@ -107,7 +120,8 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     asofAttr: AttributeReference,
-    inclusive: Boolean = true) extends BinaryExecNode {
+    inclusive: Boolean = true,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
   override def producedAttributes: AttributeSet = AttributeSet(asofAttr)
@@ -129,6 +143,7 @@ case class AsOfJoinExec(
     val (lOut, rOut, allOut) = (left.output, right.output, output)
     val (lkE, ltE, rkE, rtE) = (leftKey, leftTs, rightKey, rightTs)
     val incl = inclusive
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKey = UnsafeProjection.create(Seq(lkE), lOut)
       val lTs = UnsafeProjection.create(Seq(ltE), lOut)
@@ -161,6 +176,27 @@ case class AsOfJoinExec(
         if (tNull) {
           // null key/ts: contract says no match; right cursor untouched
           valueRow.update(0, null)
+        } else if (fwd) {
+          // forward: discard right rows no future left row can match
+          // (left is (key, ts)-ascending, so rk < k is dead, and same-key
+          // rt strictly before t — or at t when exclusive — is dead too);
+          // the answer is the first surviving same-key row, PEEKED not
+          // consumed (it may also be the answer for later left rows)
+          var advancing = true
+          while (advancing && rHead != null) {
+            val rk = rKey(rHead).getLong(0)
+            if (rk < k) {
+              rHead = if (rClean.hasNext) rClean.next().copy() else null
+            } else if (rk == k) {
+              val rt = rTs(rHead).getLong(0)
+              if (rt < t || (!incl && rt == t)) {
+                rHead = if (rClean.hasNext) rClean.next().copy() else null
+              } else advancing = false
+            } else advancing = false
+          }
+          if (rHead != null && rKey(rHead).getLong(0) == k)
+            valueRow.update(0, rTs(rHead).getLong(0))
+          else valueRow.update(0, null)
         } else {
           if (!haveKey || curKey != k) {
             curKey = k; haveKey = true; haveLast = false

@@ -63,6 +63,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("array_min"))
   }
 
+  test("x2 cosine near-dup pairs: md5-bucket EQUI-join, not an id-block NL join") {
+    val p = plan("x2_cosine_neardup")
+    assert(Seq("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+      .exists(p.contains), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("x6 salted agg: the FIRST shuffle spreads the hot key over salt buckets") {
+    val p = plan("x6_salted_agg")
+    // partial combine keyed by (skew_key, salt) — the hot key fans out
+    assert("hashpartitioning\\(skew_key#\\d+, salt#\\d+L?, \\d+\\)".r
+      .findFirstIn(p).isDefined, p)
+    // final combine keyed by skew_key alone — results identical to the
+    // plain groupBy (the oracle is the unsalted SQL)
+    assert("hashpartitioning\\(skew_key#\\d+, \\d+\\)".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("x2 dedup e2e internals: rep candidates ride the fingerprint shuffle, equi-join only") {
+    import org.apache.spark.sql.functions._
+    val withRep = ops.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select("doc_id", "text")
+    val p = planOf(ops.Dedup.lshCandidates(
+      ops.Dedup.minhash(reps, "text", "doc_id", spread = false), "doc_id", 64))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // spread=false: the fingerprint window's hash shuffle already
+    // distributes the reps; no round-robin fan-out exchange on top
+    assert(!p.contains("RoundRobinPartitioning"))
+  }
+
   test("jaccard df cutoff: candidate generation stays equi-join, no cartesian") {
     val p = plan("x2_jaccard_topk")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

@@ -153,6 +153,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("X2f dedupPipeline: exact clique collapses linearly, near-dups cluster, survivors deterministic") {
+    val planted = ((1 to 40).map(i => (i.toLong, "spam spam spam spam ham")) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog"),
+          (101L, "the quick brown fox jumps over the lazy cat"),
+          (102L, "completely different words here about spark engines")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupPipeline(planted, "text", "doc_id", maxBucket = 10)
+      .select("doc_id", "cluster", "is_survivor")
+      .as[(Long, Long, Boolean)].collect()
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(out.length == 43)
+    // 40 identical docs form ONE cluster rooted at 1 even though
+    // maxBucket=10: the exact-fingerprint short-circuit collapsed them to
+    // one rep BEFORE banding, so the cap never sees a 40-doc bucket (the
+    // uncapped pair list would be C(40,2); the pipeline emits 39 edges)
+    assert((1L to 40L).forall(i => byId(i)._2 == 1L))
+    assert(byId(1L)._3 && !(2L to 40L).exists(i => byId(i)._3))
+    // the near-dup pair clusters via LSH candidates over the reps
+    assert(byId(101L)._2 == 100L && byId(100L)._3 && !byId(101L)._3)
+    // the unrelated doc survives as its own singleton
+    assert(byId(102L)._2 == 102L && byId(102L)._3)
+  }
+
+  test("X2d cosine near-dup: identical vectors bucket together; opposite vectors never pair") {
+    val dupVecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),  // identical -> same bucket, sim 1.0
+      (2L, Array(-1.0f, 0.0f, 0.0f))  // opposite -> every plane sign flips
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(dupVecs, 10, nPlanes = 4, dim = 3)
+      .select("v1", "v2", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(pairs.contains((0L, 1L, 1.0)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("X5 hashSample edge rates: 0 keeps nothing, 1 keeps everything") {
     val ids = (0L until 100L).toDF("doc_id")
     assert(Scale.hashSample(ids, "doc_id", 0.0).count() == 0)

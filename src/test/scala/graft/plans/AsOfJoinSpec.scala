@@ -55,6 +55,44 @@ class AsOfJoinSpec extends SparkSpec {
       (Some(1L), Some(90L)), (None, None), (Some(1L), None)))
   }
 
+  test("forward direction: smallest right ts >= left ts; answer row is peeked, not consumed") {
+    val trades = Seq((1L, 100L), (1L, 140L), (1L, 200L), (2L, 50L))
+      .toDF("user_id", "ts_us")
+    val quotes = Seq((1L, 90L), (1L, 150L), (1L, 250L), (3L, 10L))
+      .toDF("user_id", "ts_us")
+    val out = AsOfJoin(trades, quotes, "user_id", "ts_us", "ts_us", "next_us",
+        forward = true)
+      .select("user_id", "ts_us", "next_us")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, 100L, Some(150L)), // 90 is behind; 150 is the next at/after 100
+      (1L, 140L, Some(150L)), // the SAME 150 serves this left row too
+      (1L, 200L, Some(250L)),
+      (2L, 50L, None)))       // no quotes for user 2
+  }
+
+  test("forward tie contract (inclusive vs strict) and null keys/ts") {
+    val trades = Seq((Some(1L), Some(100L)), (None, Some(100L)), (Some(1L), None))
+      .toDF("user_id", "ts_us")
+    val quotes = Seq((Some(1L), Some(100L)), (None, Some(95L)), (Some(1L), None))
+      .toDF("user_id", "ts_us")
+    val incl = AsOfJoin(trades, quotes, "user_id", "ts_us", "ts_us", "next_us",
+        forward = true)
+      .select("user_id", "next_us")
+      .as[(Option[Long], Option[Long])].collect().toSet
+    // equal-ts quote matches under the inclusive default; null left rows
+    // and null right rows never match in either direction
+    assert(incl == Set(
+      (Some(1L), Some(100L)), (None, None), (Some(1L), None)))
+    val strict = AsOfJoin(
+        Seq((1L, 100L)).toDF("user_id", "ts_us"),
+        Seq((1L, 100L), (1L, 120L)).toDF("user_id", "ts_us"),
+        "user_id", "ts_us", "ts_us", "next_us",
+        inclusive = false, forward = true)
+      .select("next_us").as[Option[Long]].collect()
+    assert(strict.toSeq == Seq(Some(120L)))
+  }
+
   test("custom as-of operator matches the window-composed j7 on real data") {
     val ev = Tables.events(spark, sf("sf0.001"))
       .withColumn("ts_us", expr("unix_micros(ts)"))
