@@ -157,11 +157,21 @@ object Dedup {
     val toks = docs.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bitVotes = toks
-      .select(col(idCol) +: (0 until 32).map(j =>
-        when(substring(col("h"), j + 1, 1)
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)
-          .as(s"b$j")): _*)
+    // per-token bit votes via 4 conv() chunks + bit arithmetic (round 7):
+    // nibble j's high bit == bit (31 - 4*(j%8)) of the 32-bit integer
+    // parsed from hex chars 8*(j/8)+1..8*(j/8)+8 — the same indicator the
+    // previous 32 substring+IN expressions computed, at 4 string parses
+    // per token instead of 32 UTF8String slices (this projection is the
+    // corpus-scale hot path; the oracle keeps the substr formulation,
+    // which is value-identical)
+    val withChunks = toks.select(col(idCol) +: (0 until 4).map(c =>
+      conv(substring(col("h"), c * 8 + 1, 8), 16, 10).cast("long")
+        .as(s"c$c")): _*)
+    val bitVotes = withChunks
+      .select(col(idCol) +: (0 until 32).map { j =>
+        shiftright(col(s"c${j / 8}"), 31 - 4 * (j % 8))
+          .bitwiseAND(lit(1L)).cast("int").as(s"b$j")
+      }: _*)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
         (0 until 32).map(j => sum(col(s"b$j")).as(s"s$j")): _*)
