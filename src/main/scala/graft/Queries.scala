@@ -1545,15 +1545,19 @@ object Queries {
     s"(CASE WHEN list_sum(list_transform(v, (x, i) -> CASE WHEN " +
       s"substr(md5('${j}_' || (i-1)::VARCHAR), 1, 1) >= '8' " +
       s"THEN x ELSE -x END)) >= 0 THEN ${1 << j} ELSE 0 END)"
-  private def cosineBucketSql = (0 until 4).map(cosineBucketSqlTerm).mkString(" + ")
+  private def cosineBucketSql = (0 until 6).map(cosineBucketSqlTerm).mkString(" + ")
 
   /** X2d — near-dup pairs via md5-derived sign-LSH buckets (round 7: the
     * judged plan IS the scale plan — an equi-join on the bucket key,
     * replacing the id-blocked O(block²) BNL; the oracle replays the md5
     * hyperplane signs, the sequential plane-sum fold, the bucket
-    * equi-join, and the ranking). */
+    * equi-join, and the ranking). 6 planes = 64 buckets: the plane count
+    * is THE bucket-size lever — pair mass drops 4× vs 4 planes on this
+    * corpus while near-identical vectors (per-plane agreement → 1) still
+    * collide. */
   val x2CosineNearDup = QuerySpec("x2_cosine_neardup",
-    (s, d) => Similarity.cosineNearDupPairs(T(s, d, "embeddings"), 20),
+    (s, d) => Similarity.cosineNearDupPairs(T(s, d, "embeddings"), 20,
+        nPlanes = 6),
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
             |  FROM embeddings),
             |b AS (SELECT vec_id, v, $cosineBucketSql AS bucket FROM e)
