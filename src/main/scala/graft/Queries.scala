@@ -1545,7 +1545,9 @@ object Queries {
     s"(CASE WHEN list_sum(list_transform(v, (x, i) -> CASE WHEN " +
       s"substr(md5('${j}_' || (i-1)::VARCHAR), 1, 1) >= '8' " +
       s"THEN x ELSE -x END)) >= 0 THEN ${1 << j} ELSE 0 END)"
-  private def cosineBucketSql = (0 until 6).map(cosineBucketSqlTerm).mkString(" + ")
+  private def cosineBucketSqlN(n: Int) =
+    (0 until n).map(cosineBucketSqlTerm).mkString(" + ")
+  private def cosineBucketSql = cosineBucketSqlN(6)
 
   /** X2d — near-dup pairs via md5-derived sign-LSH buckets (round 7: the
     * judged plan IS the scale plan — an equi-join on the bucket key,
@@ -1597,8 +1599,12 @@ object Queries {
     },
     None)
 
-  /** IVF ANN — cell assignment is engine-defined: rows-only; recall is
-    * spec-tested against the exact top-k (DedupSimilaritySpec). */
+  /** IVF ANN — fully oracle-checked since round 7: centroids are the
+    * lowest-16 vec_ids (deterministic), and BOTH the cell assignment and
+    * the probe choice rank over 6dp-ROUNDED cosine with cid tie-break, so
+    * the whole index construction + probe + re-rank chain replays in
+    * DuckDB (raw-float ranking would flip on last-ulp kernel differences
+    * between engines — rounding is what buys portability). */
   val x3Ivf = QuerySpec("x3_ivf_topk",
     (s, d) => {
       val emb = T(s, d, "embeddings")
@@ -1606,7 +1612,73 @@ object Queries {
         nCentroids = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rnk"))
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           |asr AS (
+           |  SELECT e.vec_id, cents.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(list_cosine_similarity(e.v, cents.cv), 6) DESC,
+           |        cents.cid) AS crnk
+           |  FROM e, cents),
+           |assigned AS (SELECT vec_id, cid FROM asr WHERE crnk = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           |qpr AS (
+           |  SELECT q.query_id, cents.cid,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY round(list_cosine_similarity(q.qv, cents.cv), 6) DESC,
+           |        cents.cid) AS crnk
+           |  FROM q, cents),
+           |probes AS (SELECT query_id, cid FROM qpr WHERE crnk <= 4),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id
+           |  FROM probes p JOIN assigned a ON a.cid = p.cid
+           |  WHERE a.vec_id <> p.query_id),
+           |scored AS (
+           |  SELECT cand.query_id, cand.vec_id,
+           |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+           |  FROM cand
+           |  JOIN e qe ON qe.vec_id = cand.query_id
+           |  JOIN e ce ON ce.vec_id = cand.vec_id),
+           |r AS (SELECT query_id, vec_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
+           |  FROM scored)
+           |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin))
+
+  /** X3b' — oracle-checked ANN: md5-plane single-table sign-LSH with
+    * Hamming-1 multi-probe (Similarity.md5AnnTopK). The DuckDB twin
+    * replays bucket derivation, probe expansion (xor), the bucket
+    * equi-join, and the rounded re-rank — approximate search in the
+    * hash-checked artifact (x3_ann_lsh keeps the murmur3 multi-table
+    * recall story as rows-only + recall spec). */
+  val x3AnnMd5 = QuerySpec("x3_ann_md5",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.md5AnnTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |b AS (SELECT vec_id, v, ${cosineBucketSqlN(4)} AS bucket FROM e),
+            |q AS (
+            |  SELECT vec_id AS query_id, v AS qv,
+            |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+            |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+            |  FROM b WHERE vec_id < 10),
+            |scored AS (
+            |  SELECT q.query_id, c.vec_id,
+            |    round(list_cosine_similarity(q.qv, c.v), 6) AS sim
+            |  FROM q JOIN b c ON c.bucket = q.bucket
+            |  WHERE c.vec_id <> q.query_id),
+            |dedup AS (
+            |  SELECT query_id, vec_id, max(sim) AS sim
+            |  FROM scored GROUP BY 1, 2),
+            |r AS (SELECT query_id, vec_id, sim,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
+            |  FROM dedup)
+            |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
+            |ORDER BY query_id, rnk""".stripMargin))
 
   val x4TextStats = QuerySpec("x4_text_stats",
     (s, d) => TextOps.withTextStats(T(s, d, "documents"), "text")
@@ -1998,7 +2070,7 @@ object Queries {
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup,
     x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
-    x3TopkCosine, x3AnnLsh, x3Ivf, x3Quant, x3QuantTopk,
+    x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x6SaltedAgg,
     mmMeta, mmDecode, mmSim)

@@ -158,6 +158,44 @@ object Similarity {
       .withColumn("buckets", expr(s"array($buckets)"))
   }
 
+  /** X3b' — ORACLE-REPLAYABLE ANN: single-table sign-LSH over the
+    * md5-derived hyperplane family (the portable twin of [[lshTopK]]'s
+    * murmur3 planes) with Hamming-1 multi-probe and exact re-rank inside
+    * the probed buckets. Everything is deterministic arithmetic an SQL
+    * oracle reproduces bit-exactly — bucket signs from md5 hex, plane
+    * sums as sequential folds, 6dp-rounded sims with vec_id tie-break —
+    * so approximate search participates in the hash-checked correctness
+    * artifact, not only in recall specs. Candidates are an equi-join on
+    * (probed) bucket, never corpus²; recall amplification beyond
+    * single-table multi-probe stays [[lshTopK]]'s job. */
+  def md5AnnTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val c = withNorm(corpus.select(col("vec_id"),
+        asDouble("embedding").as("v")), "v", "cn")
+      .withColumn("bucket", expr(md5BucketExpr(nPlanes, dim, "v")).cast("int"))
+      .select(col("vec_id"), col("v").as("cv"), col("cn"), col("bucket"))
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+        asDouble("embedding").as("v")), "v", "qn")
+      .withColumn("bucket0", expr(md5BucketExpr(nPlanes, dim, "v")).cast("int"))
+      .withColumn("bucket", explode(array(
+        col("bucket0") +:
+          (0 until nPlanes).map(j => col("bucket0").bitwiseXOR(lit(1 << j))): _*)))
+      .select(col("query_id"), col("v").as("qv"), col("qn"), col("bucket"))
+    val cands = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+    cands
+      .withColumn("sim", round(cosinePre(cands), 6))
+      // a candidate can surface via several probes; sim is identical on
+      // every copy, so max() is just the dedup
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("sim")).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
   /** X3d — symmetric int8 quantization of an embedding column: per-vector
     * scale = 127/max|x|, q_i = floor(x_i*scale + 0.5) in [-127, 127]. At
     * 100 TB this is THE storage/bandwidth lever for ANN — a float32 corpus
@@ -206,7 +244,11 @@ object Similarity {
     val scored = withNorm(corpus.select(col("vec_id"),
         asDouble("embedding").as("qv")), "qv", "qn")
       .crossJoin(cents)
-    val ranked = scored.withColumn("csim", cosinePre(scored))
+    // assignment ranks over the 6dp-ROUNDED similarity (round 7): raw
+    // float ordering can flip on last-ulp kernel differences between
+    // engines, so rounding + the cid tie-break is what makes the cell
+    // assignment — and therefore the whole IVF result — oracle-checkable
+    val ranked = scored.withColumn("csim", round(cosinePre(scored), 6))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("csim").desc, col("cid"))))
@@ -224,7 +266,8 @@ object Similarity {
     val qscored = withNorm(queries.select(col("vec_id").as("query_id"),
         asDouble("embedding").as("qv")), "qv", "qn")
       .crossJoin(cents)
-    val probes = qscored.withColumn("csim", cosinePre(qscored))
+    // same 6dp-rounded ranking as ivfAssign (oracle-portable probe choice)
+    val probes = qscored.withColumn("csim", round(cosinePre(qscored), 6))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("csim").desc, col("cid"))))
