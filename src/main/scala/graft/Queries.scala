@@ -1104,6 +1104,63 @@ object Queries {
             |  AND c.rn_c = 1
             |ORDER BY a.start_us, a.isin""".stripMargin))
 
+  /** ST8 as a JUDGED result (round 7): two streaming sources over the
+    * same events table — ticks (clicks) and job events (purchases) —
+    * joined with the watermarked stream-stream INTERVAL join
+    * (TickPipeline.enrichWithJobs: equi on isin, job within 30 min
+    * BEFORE the tick) into a memory sink. One micro-batch replay: the
+    * inner join emits every match and watermarks drop nothing, so the
+    * result equals the relational time-bounded join the oracle runs. */
+  val stEnrichReplay = QuerySpec("st_enrich_replay",
+    (s, d) => {
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      def src: DataFrame = {
+        val raw = s.readStream.schema(rawSchema).option("basePath", d)
+          .parquet(s"$d/{events.parquet}")
+        rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _ => raw
+        }
+      }
+      val ticks = src
+        .filter(col("event_type") === "click" && col("user_id") < 30)
+        .select(isinFrom(col("user_id")).as("isin"), col("ts"),
+          col("event_id").as("tick_id"))
+      val jobs = src
+        .filter(col("event_type") === "purchase" && col("user_id") < 30)
+        .select(isinFrom(col("user_id")).as("isin"), col("ts"),
+          col("event_id").as("job_id"))
+      val joined = graft.streaming.TickPipeline
+        .enrichWithJobs(ticks, jobs, "30 minutes")
+      s.catalog.dropTempView("st_enrich_replay_mem")
+      val q = joined.select(col("tick_id"), col("job_id"),
+          expr("unix_micros(ts)").as("ts_us"),
+          expr("unix_micros(job_ts)").as("job_ts_us"))
+        .writeStream.format("memory").queryName("st_enrich_replay_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st_enrich_replay_mem").orderBy(col("tick_id"), col("job_id"))
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT event_id, user_id, ts, event_type FROM events
+            |  WHERE user_id < 30),
+            |t AS (
+            |  SELECT event_id AS tick_id, $isinSql AS isin,
+            |    epoch_us(ts) AS ts_us
+            |  FROM ev WHERE event_type = 'click'),
+            |j AS (
+            |  SELECT event_id AS job_id, $isinSql AS isin,
+            |    epoch_us(ts) AS job_ts_us
+            |  FROM ev WHERE event_type = 'purchase')
+            |SELECT t.tick_id, j.job_id, t.ts_us, j.job_ts_us
+            |FROM t JOIN j ON j.isin = t.isin
+            |  AND j.job_ts_us <= t.ts_us
+            |  AND j.job_ts_us >= t.ts_us - 1800000000
+            |ORDER BY tick_id, job_id""".stripMargin))
+
   /** Q4 — pivot: event counts per user bucket, one column per event type
     * (explicit value list keeps the schema deterministic). The oracle uses
     * conditional aggregation — the portable relational equivalent. */
@@ -1987,6 +2044,46 @@ object Queries {
            |FROM f GROUP BY skew_key ORDER BY skew_key""".stripMargin),
     bench = true)
 
+  /** X6b — salted JOIN over the same hot key: the dim side is replicated
+    * across 16 salts, facts pick a pseudo-random salt, and the join key
+    * becomes (key, salt) — so the hot key's probe rows spread over 16
+    * reducers instead of one. SHUFFLE_HASH-hinted so the judged plan IS
+    * the shuffled shape the operator exists for (a broadcast join has no
+    * skew problem to solve). Oracle = the PLAIN join: salting must be
+    * invisible in results. */
+  val x6SaltedJoin = QuerySpec("x6_salted_join",
+    (s, d) => {
+      val facts = T(s, d, "lineitem").select(
+        when(col("l_orderkey") % 10 < 8, lit("HOT"))
+          .otherwise((col("l_orderkey") % 97).cast("string")).as("skew_key"),
+        col("l_quantity").cast("long").as("qty"))
+      val dim = s.range(98).select(
+        when(col("id") === 97, lit("HOT")).otherwise(col("id").cast("string"))
+          .as("skew_key"),
+        (col("id") * 2 + 1).as("weight"))
+      Scale.saltedJoin(facts, dim.hint("SHUFFLE_HASH"), "skew_key")
+        .groupBy(col("skew_key"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("total_qty"),
+          min(col("weight")).as("weight"))
+        .orderBy(col("skew_key"))
+    },
+    Some("""WITH f AS (
+           |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'HOT'
+           |      ELSE CAST(l_orderkey % 97 AS VARCHAR) END AS skew_key,
+           |    CAST(l_quantity AS BIGINT) AS qty
+           |  FROM lineitem),
+           |dim AS (
+           |  SELECT CASE WHEN i = 97 THEN 'HOT' ELSE CAST(i AS VARCHAR) END
+           |      AS skew_key,
+           |    i * 2 + 1 AS weight
+           |  FROM range(98) t(i)),
+           |j AS (
+           |  SELECT f.skew_key, f.qty, d.weight
+           |  FROM f JOIN dim d ON d.skew_key = f.skew_key)
+           |SELECT skew_key, count(*) AS n, CAST(sum(qty) AS BIGINT) AS total_qty,
+           |  CAST(min(weight) AS BIGINT) AS weight
+           |FROM j GROUP BY skew_key ORDER BY skew_key""".stripMargin))
+
   /** X4f — TF-IDF top-3 terms per document. The oracle replays tf, df,
     * corpus size, ln scoring (same association and tie-safe floor
     * rounding), and the (score desc, term) ranking. */
@@ -2066,13 +2163,13 @@ object Queries {
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
-    ost1State, st4Sessions, stBarsReplay, sql1TopNations,
+    ost1State, st4Sessions, stBarsReplay, stEnrichReplay, sql1TopNations,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup,
     x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
-    x4Scrub, x4CorpusReport, x6SaltedAgg,
+    x4Scrub, x4CorpusReport, x6SaltedAgg, x6SaltedJoin,
     mmMeta, mmDecode, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -81,6 +81,14 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("x6 salted join: shuffled hash join keyed by (skew_key, salt)") {
+    val p = plan("x6_salted_join")
+    // the hinted shuffled shape (broadcast would have no skew to solve),
+    // keyed by (key, salt) so the hot key's probe rows spread 16 ways
+    assert("ShuffledHashJoin \\[skew_key#\\d+, salt#\\d+\\]".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("x2 dedup e2e internals: rep candidates ride the fingerprint shuffle, equi-join only") {
     import org.apache.spark.sql.functions._
     val withRep = ops.Tables.documents(spark, d).select(col("doc_id"), col("text"))
