@@ -176,6 +176,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(102L)._2 == 102L && byId(102L)._3)
   }
 
+  test("X2f dedupPipeline == candidates->components composition when the cap is inert") {
+    // identical texts yield identical signatures, so LSH pairs exact dups
+    // just as the short-circuit does — with an inert maxBucket the two
+    // routes must produce the same clusters on ANY corpus (the pipeline
+    // is an optimization of the composition, not a semantic change)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val viaParts = Dedup.components(docs,
+        Dedup.lshCandidates(Dedup.minhash(docs, "text", "doc_id"), "doc_id"),
+        "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val viaPipeline = Dedup.dedupPipeline(docs, "text", "doc_id",
+        maxBucket = Int.MaxValue)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(viaPipeline == viaParts)
+    assert(viaParts.nonEmpty)
+  }
+
   test("X2d cosine near-dup: identical vectors bucket together; opposite vectors never pair") {
     val dupVecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
