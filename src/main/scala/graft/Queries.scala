@@ -1626,6 +1626,44 @@ object Queries {
             |ORDER BY sim DESC, v1, v2 LIMIT 20""".stripMargin),
     bench = true)
 
+  /** X2d' — the EMBEDDING-space dedup pipeline composed end to end
+    * (round 7, the vector twin of x2_dedup_e2e): md5-plane bucketed
+    * cosine pairs over a threshold -> connected components -> survivor
+    * flags. Every stage is an equi-join or a per-round label join; the
+    * oracle replays buckets, the rounded threshold filter, and the
+    * RECURSIVE min-reachable closure. Threshold 0.33 is data-dependent
+    * (this synthetic corpus has no true near-dups; a real corpus runs
+    * at 0.95+ with the identical plan). */
+  val x2EmbedDedup = QuerySpec("x2_embed_dedup_e2e",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val pairs = Similarity.cosineDedupPairs(emb, 0.33)
+      Dedup.components(emb.select(col("vec_id")), pairs, "vec_id",
+          d1 = "v1", d2 = "v2")
+        .withColumn("is_survivor", col("cluster") === col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE
+            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |b AS (SELECT vec_id, v, $cosineBucketSql AS bucket FROM e),
+            |p AS (
+            |  SELECT a.vec_id AS d1, c.vec_id AS d2
+            |  FROM b a JOIN b c ON a.bucket = c.bucket
+            |    AND a.vec_id < c.vec_id
+            |  WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.33),
+            |edges AS (SELECT d1 AS src, d2 AS dst FROM p
+            |          UNION SELECT d2, d1 FROM p),
+            |reach AS (
+            |  SELECT src AS id, src AS r FROM edges
+            |  UNION
+            |  SELECT x.src, rc.r FROM edges x JOIN reach rc ON x.dst = rc.id),
+            |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+            |SELECT ee.vec_id,
+            |  coalesce(c2.cluster, ee.vec_id) AS cluster,
+            |  coalesce(c2.cluster, ee.vec_id) = ee.vec_id AS is_survivor
+            |FROM embeddings ee LEFT JOIN comp c2 ON c2.id = ee.vec_id
+            |ORDER BY ee.vec_id""".stripMargin))
+
   val x3TopkCosine = QuerySpec("x3_topk_cosine",
     (s, d) => {
       val emb = T(s, d, "embeddings")
@@ -2165,7 +2203,7 @@ object Queries {
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, sql1TopNations,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
-    x2CosineNearDup,
+    x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,

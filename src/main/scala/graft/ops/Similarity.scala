@@ -158,6 +158,28 @@ object Similarity {
       .withColumn("buckets", expr(s"array($buckets)"))
   }
 
+  /** X2d' — threshold near-dup pair generation for EMBEDDING-space
+    * dedup: all bucket-mate pairs with rounded cosine >= `threshold`
+    * (same md5-plane buckets as [[cosineNearDupPairs]], but an unranked
+    * threshold filter — the shape cluster resolution consumes). The
+    * threshold is data-dependent: a crawl corpus with true duplicates
+    * runs at 0.95+; the driver's random-embedding corpus needs a lower
+    * cut to exercise the graph at all. Returns (v1, v2). */
+  def cosineDedupPairs(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val base = withNorm(corpus.select(col("vec_id"),
+        asDouble("embedding").as("v")), "v", "nrm")
+      .withColumn("bucket", expr(md5BucketExpr(nPlanes, dim, "v")).cast("int"))
+    val a = base.select(col("vec_id").as("v1"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bucket"))
+    val b = base.select(col("vec_id").as("v2"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+    pairs.withColumn("sim", round(cosinePre(pairs), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("v1"), col("v2"))
+  }
+
   /** X3b' — ORACLE-REPLAYABLE ANN: single-table sign-LSH over the
     * md5-derived hyperplane family (the portable twin of [[lshTopK]]'s
     * murmur3 planes) with Hamming-1 multi-probe and exact re-rank inside
