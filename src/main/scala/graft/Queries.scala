@@ -1664,6 +1664,16 @@ object Queries {
             |FROM embeddings ee LEFT JOIN comp c2 ON c2.id = ee.vec_id
             |ORDER BY ee.vec_id""".stripMargin))
 
+  /** X3e — Lloyd k-means assignments (rows-only: float centroid means
+    * are summation-order-dependent across engines, so cross-engine
+    * hash-parity is out of reach BY DESIGN; determinism, inertia
+    * monotonicity, and cluster semantics are ClusteringSpec's job). */
+  val x3Kmeans = QuerySpec("x3_kmeans",
+    (s, d) => Clustering.kmeans(T(s, d, "embeddings"), 8, 3)
+      .select(col("vec_id"), col("cid"))
+      .orderBy(col("vec_id")),
+    None)
+
   val x3TopkCosine = QuerySpec("x3_topk_cosine",
     (s, d) => {
       val emb = T(s, d, "embeddings")
@@ -2205,7 +2215,7 @@ object Queries {
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
-    x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Quant, x3QuantTopk,
+    x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x6SaltedAgg, x6SaltedJoin,
     mmMeta, mmDecode, mmSim)

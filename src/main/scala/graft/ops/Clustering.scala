@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X3e — Lloyd k-means over the embedding column: the clustering pass a
+  * corpus-curation pipeline runs for cluster-balanced sampling /
+  * diversity filtering, and the principled way to train the coarse
+  * centroids [[Similarity.ivfAssign]] seeds deterministically.
+  *
+  * Scale shape per iteration: centroids are a k-row DataFrame BROADCAST
+  * against the corpus (k is small), the assignment is one narrow pass
+  * (argmin over k squared distances, row_number with cid tie-break), and
+  * the recenter is a (cid, dim) groupBy average — shuffle volume
+  * O(k × dim × partitions), independent of corpus size. The corpus
+  * projection and each round's centroids are localCheckpoint'd so the
+  * lineage stays flat over iterations (same discipline as
+  * [[Dedup.components]]); no row data ever reaches the driver.
+  *
+  * Float means are summation-order-dependent across engines, so k-means
+  * is spec-covered (determinism, inertia monotonicity, empty-cluster
+  * retention) and declared rows-only rather than oracle-hash-judged —
+  * the same honesty contract as the murmur3 ANN path. */
+object Clustering {
+
+  private def sqDist: String =
+    "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
+      "cast(0 as double), (acc, x) -> acc + x)"
+
+  /** Assign every vector to its nearest centroid (squared Euclidean,
+    * cid ascending tie-break). `cents` must have (cid, cv). Returns the
+    * corpus columns + (cid, dist2). */
+  def assign(base: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = base.crossJoin(broadcast(cents))
+      .withColumn("dist2", expr(sqDist))
+    scored
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("cid"))))
+      .filter(col("crnk") === 1)
+      .drop("crnk", "cv")
+  }
+
+  /** Lloyd iteration: deterministic seeds (lowest `k` vec_ids), `iters`
+    * assign/recenter rounds, then the final assignment. A cluster that
+    * loses all members keeps its previous centroid (standard
+    * empty-cluster handling — k never silently shrinks). Returns
+    * (vec_id, cid, dist2). */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: $k, $iters")
+    val base = corpus
+      .select(col("vec_id"), Similarity.asDouble("embedding").as("v"))
+      .localCheckpoint()
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val means = assign(base, cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
+          .as("mv"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    assign(base, cents).select(col("vec_id"), col("cid"), col("dist2"))
+  }
+
+  /** Total within-cluster squared distance of an assignment — the
+    * quantity Lloyd provably never increases (spec-asserted). */
+  def inertia(assigned: DataFrame): Double =
+    assigned.agg(sum(col("dist2"))).head().getDouble(0)
+
+  /** X5e — cluster-balanced sampling: at most `perCluster` vectors per
+    * k-means cluster, nearest-to-centroid first (vec_id tie-break) —
+    * the "diverse subset" selection a curation pipeline runs after
+    * clustering. One window over the clustered frame; no extra scan. */
+  def clusterSample(corpus: DataFrame, k: Int, iters: Int,
+      perCluster: Int): DataFrame =
+    kmeans(corpus, k, iters)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("dist2"), col("vec_id"))))
+      .filter(col("rnk") <= perCluster)
+      .select(col("vec_id"), col("cid"), col("rnk"))
+}
