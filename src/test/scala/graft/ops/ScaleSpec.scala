@@ -52,6 +52,55 @@ class ScaleSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("AQE splits the skewed partition of a hot-key sort-merge join at runtime") {
+    // the runtime complement of Scale.saltedJoin: for JOIN skew Spark's
+    // OptimizeSkewedJoin re-plans oversized partitions into chunks, so a
+    // hot key stops being one straggler task without any salting. Salting
+    // stays necessary for AGGREGATION skew (AQE has no skew-agg rule) —
+    // which is exactly the x6_salted_agg story. Thresholds are lowered so
+    // the sf-sized fixture crosses them; at 100 TB the defaults do.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the payload must be incompressible (rand): skew detection reads
+      // COMPRESSED map-output sizes, and a hot key whose rows are all
+      // near-identical lz4s below any realistic threshold — which is
+      // itself a scale lesson: repetitive hot-key payloads can hide from
+      // byte-based skew detection
+      val facts = spark.range(0, 1000000).select(
+        when(col("id") % 100 < 95, lit(0L)).otherwise(col("id") % 101)
+          .as("skew_key"),
+        (rand(42) * 1000).as("payload"))
+      val dim = spark.range(0, 101).select(col("id").as("skew_key"),
+        (col("id") * 3).as("weight"))
+      val joined = facts.join(dim, Seq("skew_key"))
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("t"))
+      // execute THIS queryExecution so the final adaptive plan is readable
+      val row = joined.collect().head
+      assert(row.getLong(0) == 1000000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "expected OptimizeSkewedJoin to mark the hot-key join:\n" +
+          plan.take(4000))
+    } finally restore()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
