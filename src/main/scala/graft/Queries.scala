@@ -2199,6 +2199,180 @@ object Queries {
            |ORDER BY query_id, rnk""".stripMargin),
     bench = true)
 
+  /** X7a — bucketed co-located join: both fact tables are written
+    * bucketed by the join key (Scale.writeBucketed), so the join needs NO
+    * exchange on either side — each bucket pair joins in place. At 100 TB
+    * this is THE lever for repeated fact-fact joins: the shuffle is paid
+    * once at write time and amortized over every subsequent join on that
+    * key. The MERGE hint keeps the judged plan the sort-merge shape the
+    * layout exists for (a tiny test side would otherwise broadcast);
+    * ScaleSpec asserts the no-Exchange plan property. Oracle = the plain
+    * join SQL: layout must be invisible in results. */
+  val x7Bucketed = QuerySpec("x7_bucketed_join",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+      Scale.writeBucketed(T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        "x7_li_bucketed", "l_orderkey", 8, Some(wh))
+      Scale.writeBucketed(T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "x7_ord_bucketed", "o_orderkey", 8, Some(wh))
+      s.table("x7_li_bucketed").hint("MERGE")
+        .join(s.table("x7_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 2) AS sum_price
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** X7b — Bloom-pruned join (runtime semi-join reduction): a selective
+    * order subset builds a key sketch (one treeAggregate pass); the
+    * codegen'd graft_bloom_contains probe then drops doomed lineitem rows
+    * AT THE SCAN, before the join shuffle — at 100 TB the shuffle of
+    * never-joining probe rows is the job cost this kills (~4% of lineitem
+    * survives here). The sketch has no false negatives and the exact join
+    * still runs, so the oracle is the PLAIN filter+join SQL: pruning must
+    * be invisible in results (false positives are dropped by the join). */
+  val x7BloomPrune = QuerySpec("x7_bloom_prune",
+    (s, d) => {
+      val urgent = T(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"))
+      val bloom = RuntimeFilter.keyBloom(urgent, "o_orderkey",
+        expectedItems = 1L << 16)
+      // exact integer cents so the small per-order sums are order-insensitive
+      // (round(sum(double)) flips on last-ulp addition-order differences in
+      // groups this small); ONE division at the end is deterministic IEEE
+      RuntimeFilter.pruneByBloom(T(s, d, "lineitem"), "l_orderkey", bloom)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+            floor((lit(1.0) - col("l_discount")) * 100 + 0.5).cast("long"))
+            / 10000.0).as("net"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH u AS (
+           |  SELECT o_orderkey FROM orders
+           |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0)
+           |SELECT o_orderkey, count(*) AS n_items,
+           |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+           |    CAST(floor((1.0 - l_discount) * 100 + 0.5) AS BIGINT))
+           |    AS BIGINT) / 10000.0 AS net
+           |FROM lineitem JOIN u ON l_orderkey = o_orderkey
+           |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
+    bench = true)
+
+  /** X7c — Z-order (Morton) layout clustering: interleave the bits of two
+    * clustering dimensions so rows close in EITHER dimension land close in
+    * the file — multi-column min/max scan pruning, the layout behind
+    * Delta/Iceberg ZORDER. The judged value is the interleave itself
+    * (exact integer bit arithmetic, replayed by the oracle via the same
+    * magic-number masks in BIGINT math); Layout.zOrderBy range-partitions
+    * + sorts by it, which is what a curated-table write runs. */
+  val x7Zorder = QuerySpec("x7_zorder",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 5000)
+        .select(col("event_id"),
+          col("user_id").bitwiseAND(lit(65535L)).as("xd"),
+          floor(col("value")).bitwiseAND(lit(65535L)).as("yd"))
+      Layout.zOrderBy(e, col("xd"), col("yd"))
+        .select(col("event_id"), col("xd"), col("yd"), col("z"))
+        .orderBy(col("z"), col("event_id"))
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id & 65535 AS xd,
+           |    CAST(floor(value) AS BIGINT) & 65535 AS yd
+           |  FROM events WHERE event_id < 5000),
+           |s1 AS (SELECT event_id, xd, yd,
+           |  (xd | (xd << 8)) & 16711935 AS x, (yd | (yd << 8)) & 16711935 AS y
+           |  FROM e),
+           |s2 AS (SELECT event_id, xd, yd,
+           |  (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y
+           |  FROM s1),
+           |s3 AS (SELECT event_id, xd, yd,
+           |  (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y
+           |  FROM s2),
+           |s4 AS (SELECT event_id, xd, yd,
+           |  (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y
+           |  FROM s3)
+           |SELECT event_id, xd, yd, x | (y << 1) AS z
+           |FROM s4 ORDER BY z, event_id""".stripMargin))
+
+  /** X7d — CDC MERGE apply: collapse a multi-version change log to the
+    * latest record per key (one window), then ONE full-outer join against
+    * the target snapshot — upserts take the change payload, deletes drop
+    * the row, untouched keys pass through. The change log here carries
+    * competing updates (seq 1 vs 2 on %14 keys) and deletes that override
+    * updates (%11==3), so latest-wins is actually exercised. floor-based
+    * 2dp rounding on both sides (round() tie behavior is not portable;
+    * see x4_tfidf). */
+  val x7MergeCdc = QuerySpec("x7_merge_cdc",
+    (s, d) => {
+      def p2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+      val o = T(s, d, "orders")
+      val target = o.select(col("o_orderkey"), col("o_orderstatus"),
+        p2(col("o_totalprice")).as("price"))
+      val upd1 = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("U1").as("o_orderstatus"),
+          p2(col("o_totalprice") + 10).as("price"))
+      val upd2 = o.filter(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+          lit("U2").as("o_orderstatus"),
+          p2(col("o_totalprice") * 2).as("price"))
+      val del = o.filter(col("o_orderkey") % 11 === 3)
+        .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("price"))
+      val ins = o.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit(1L).as("seq"), lit("U").as("op"),
+          lit("NEW").as("o_orderstatus"), lit(1.5).as("price"))
+      Cdc.applyCdc(target,
+          upd1.unionByName(upd2).unionByName(del).unionByName(ins),
+          Seq("o_orderkey"), "seq", "op")
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH t AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    floor(o_totalprice * 100 + 0.5) / 100 AS price
+           |  FROM orders),
+           |c AS (
+           |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+           |    'U1' AS o_orderstatus,
+           |    floor((o_totalprice + 10) * 100 + 0.5) / 100 AS price
+           |  FROM orders WHERE o_orderkey % 7 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 2, 'U', 'U2',
+           |    floor(o_totalprice * 2 * 100 + 0.5) / 100
+           |  FROM orders WHERE o_orderkey % 14 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 3, 'D', NULL, NULL
+           |  FROM orders WHERE o_orderkey % 11 = 3
+           |  UNION ALL
+           |  SELECT o_orderkey + 100000000, 1, 'U', 'NEW', 1.5
+           |  FROM orders WHERE o_orderkey % 13 = 0),
+           |latest AS (
+           |  SELECT * FROM (
+           |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+           |      ORDER BY seq DESC) AS rn
+           |    FROM c) WHERE rn = 1)
+           |SELECT coalesce(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+           |  coalesce(l.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           |  coalesce(l.price, t.price) AS price
+           |FROM t FULL JOIN latest l ON t.o_orderkey = l.o_orderkey
+           |WHERE l.op IS NULL OR l.op <> 'D'
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
@@ -2218,6 +2392,7 @@ object Queries {
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x6SaltedAgg, x6SaltedJoin,
+    x7Bucketed, x7BloomPrune, x7Zorder, x7MergeCdc,
     mmMeta, mmDecode, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -180,6 +180,9 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomKeyFilter(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -225,6 +228,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSignature].getName, "graft_minhash"),
       GraftFunctions.minhashBuilder))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_contains"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomKeyFilter].getName, "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => BloomKeyFilter(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
