@@ -2307,6 +2307,36 @@ object Queries {
            |SELECT event_id, xd, yd, x | (y << 1) AS z
            |FROM s4 ORDER BY z, event_id""".stripMargin))
 
+  /** X7e — partition-pruned scan: events written Hive-partitioned by day
+    * (Layout.writePartitioned), then read back with a partition-column
+    * filter — the planner prunes every other day's DIRECTORY before any
+    * file is read (PartitionFilters; plan property pinned in
+    * PlanShapeSpec). At 100 TB this is the first and cheapest scan lever:
+    * a date-partitioned event store turns a 30-day table into a 1-day
+    * scan at planning time. Oracle = the same day filter on the unsorted
+    * original table — layout must be invisible in results. Exact integer
+    * cents for the value sum (addition-order portability). */
+  val x7PartitionPrune = QuerySpec("x7_partition_prune",
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Layout.writePartitioned(
+        Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+        "day", out)
+      s.read.parquet(out)
+        .filter(col("day") === lit("2024-01-03").cast("date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+            .as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           |    / 100.0 AS sum_value
+           |FROM events
+           |WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** X7d — CDC MERGE apply: collapse a multi-version change log to the
     * latest record per key (one window), then ONE full-outer join against
     * the target snapshot — upserts take the change payload, deletes drop
@@ -2392,7 +2422,7 @@ object Queries {
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x6SaltedAgg, x6SaltedJoin,
-    x7Bucketed, x7BloomPrune, x7Zorder, x7MergeCdc,
+    x7Bucketed, x7BloomPrune, x7Zorder, x7MergeCdc, x7PartitionPrune,
     mmMeta, mmDecode, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

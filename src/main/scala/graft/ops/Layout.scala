@@ -43,6 +43,17 @@ object Layout {
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partCol` (`part=value/...`). The complementary coarse layout lever
+    * to [[zOrderBy]]: a filter on the partition column prunes whole
+    * DIRECTORIES at planning time (the scan's PartitionFilters — no file
+    * is even listed, let alone read), where Z-order prunes row groups
+    * within files via min/max stats. Partition by the column every query
+    * filters on (date, source); keep cardinality in the thousands, not
+    * millions — tiny partitions drown the driver in file listings. */
+  def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Cluster `df` on the Z-curve of two dimensions: range-partition by
     * z-value (so files own disjoint z-ranges — that is what makes file-
     * level min/max stats selective), sort within partitions (row-group-

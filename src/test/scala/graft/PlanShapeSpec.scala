@@ -131,6 +131,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))
   }
 
+  test("x7 partition prune: the day filter becomes PartitionFilters (directory prune)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    ops.Layout.writePartitioned(
+      ops.Tables.events(spark, d).withColumn("day",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts"))),
+      "day", out)
+    val p = planOf(spark.read.parquet(out).filter(
+      org.apache.spark.sql.functions.col("day") === "2024-01-03"))
+    // the predicate must land in PartitionFilters (planning-time directory
+    // prune), NOT PushedFilters (per-file row-group evaluation)
+    assert(p.contains("PartitionFilters: [isnotnull(day"),
+      "day filter not a partition filter:\n" + p.take(2000))
+  }
+
+  test("x7 bloom prune: probe Filter sits on the lineitem scan below the join") {
+    val p = plan("x7_bloom_prune")
+    // the probe may be AND-ed with null checks, so match the Filter line,
+    // not an exact node-prefix
+    assert(p.linesIterator.exists(l =>
+        l.contains("Filter ") && l.contains("graft_bloom_contains(l_orderkey")),
+      "bloom probe missing from a Filter over the lineitem scan:\n" +
+        p.take(2000))
+  }
+
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
