@@ -2403,6 +2403,52 @@ object Queries {
            |WHERE l.op IS NULL OR l.op <> 'D'
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** X3f — two-stage retrieval: quantized (int8) candidate cut at 30,
+    * exact re-rank to top-5. The oracle replays BOTH stages — the
+    * quantized ranking that defines the candidate boundary and the
+    * full-precision re-rank — with the same 6dp rounding + vec_id
+    * tie-breaks. */
+  val x3Rerank = QuerySpec("x3_rerank",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.rerankTopK(emb.filter(col("vec_id") < 10), emb,
+          candidates = 30, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e,
+           |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+           |      AS maxabs
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT vec_id, e, 127.0 / maxabs AS qscale
+           |  FROM v WHERE maxabs > 0),
+           |qt AS (
+           |  SELECT vec_id, e,
+           |    list_transform(e, x -> CAST(floor(x * qscale + 0.5)
+           |      AS DOUBLE)) AS q
+           |  FROM s),
+           |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+           |    round(list_cosine_similarity(a.q, b.q), 6) AS qsim
+           |  FROM qt a, qt b
+           |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+           |cand AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY qsim DESC, vec_id) AS rn
+           |    FROM p) WHERE rn <= 30),
+           |ex AS (SELECT c.query_id, c.vec_id,
+           |    round(list_cosine_similarity(qa.e, qb.e), 6) AS sim
+           |  FROM cand c
+           |  JOIN qt qa ON qa.vec_id = c.query_id
+           |  JOIN qt qb ON qb.vec_id = c.vec_id),
+           |r AS (SELECT query_id, vec_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
+           |  FROM ex)
+           |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin),
+    bench = true)
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
@@ -2420,6 +2466,7 @@ object Queries {
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
+    x3Rerank,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7MergeCdc, x7PartitionPrune,

@@ -250,6 +250,32 @@ object Similarity {
     bruteForceTopK(qview(queries), qview(corpus), k)
   }
 
+  /** X3f — two-stage retrieval: quantized candidate generation (the int8
+    * view — 4× less scan/shuffle bandwidth per pair) feeding an exact
+    * re-rank of the SURVIVORS only. This is the serving shape every large
+    * ANN deployment runs: a cheap coarse scorer bounds the candidate set
+    * (candidates ≈ 5–20× k), then full-precision scoring touches
+    * queries × candidates rows instead of queries × corpus. Both stages
+    * rank over 6dp-rounded similarity with vec_id tie-break, so the
+    * whole composition — including the stage-1 cut boundary — is
+    * oracle-replayable. */
+  def rerankTopK(queries: DataFrame, corpus: DataFrame,
+      candidates: Int, k: Int): DataFrame = {
+    val cand = quantizedTopK(queries, corpus, candidates)
+      .select(col("query_id"), col("vec_id"))
+    val c = withNorm(corpus.select(col("vec_id"),
+      asDouble("embedding").as("cv")), "cv", "cn")
+    val q = broadcast(withNorm(queries.select(col("vec_id").as("query_id"),
+      asDouble("embedding").as("qv")), "qv", "qn"))
+    val joined = cand.join(c, Seq("vec_id")).join(q, Seq("query_id"))
+    joined.withColumn("sim", round(cosinePre(joined), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
   /** X3c — IVF (inverted-file) index: corpus vectors are assigned to
     * their nearest of `k` coarse centroids; a query probes its `nProbe`
     * nearest centroids and re-ranks exactly inside those cells only.

@@ -318,4 +318,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.contains(1L)) // near-parallel vector lands in the same bucket
     assert(!out.contains(3L)) // opposite vector flips every plane sign
   }
+
+  test("X3f rerank with candidates = |corpus| degrades to exact brute force") {
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "vec_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val rerank = Similarity.rerankTopK(queries, emb,
+        candidates = 10000, k = 5)
+      .select("query_id", "vec_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rerank == exact)
+  }
+
+  test("X3f rerank recall@5 vs exact is high even at a tight candidate cut") {
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.rerankTopK(queries, emb, candidates = 30, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect rr).size.toDouble / exact.size
+    info(s"rerank recall@5 at cut 30: $recall")
+    // int8 quantization perturbs ranks only slightly; a 6x-over-k cut
+    // should hold nearly all true neighbors
+    assert(recall >= 0.9)
+  }
 }
