@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** X7 — physical data LAYOUT operators: multi-dimensional clustering for
@@ -42,6 +42,27 @@ object Layout {
     * values into [0, 65535] first (e.g. `& 65535`, or a rank/quantile). */
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetBytes`. Streaming sinks and fine-grained partitioned
+    * writes accrete kilobyte files; at 100 TB the per-file open/footer
+    * cost and the driver's listing memory make that a scan killer, so
+    * periodic compaction is routine table maintenance (what Delta/Iceberg
+    * run as OPTIMIZE). `coalesce`, not `repartition`: bin-packing splits
+    * needs no shuffle and no key semantics. Writes to `outPath` — never
+    * in place, a failed in-place rewrite would destroy the table. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): Long = {
+    require(inPath != outPath, "compact() must not rewrite in place")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath))
+      .getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+    n.toLong
+  }
 
   /** Hive-style partitioned write: one directory per distinct value of
     * `partCol` (`part=value/...`). The complementary coarse layout lever

@@ -52,6 +52,22 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact bin-packs a many-tiny-files directory, preserving data") {
+    val in = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_packed").toString + "/c"
+    // 32 tiny files (one per partition)
+    spark.range(0, 10000).repartition(32).write.mode("overwrite").parquet(in)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 32)
+    val nOut = Layout.compact(spark, in, out, targetBytes = 1L << 20)
+    assert(parquetFiles(out) == nOut && nOut < 32)
+    val a = spark.read.parquet(in).as[Long].collect().sorted.toSeq
+    val b = spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](Layout.compact(spark, in, in))
+  }
+
   test("z-curve locality: a small 2-D box spans a bounded z-range") {
     // the property pruning relies on: rows inside a dim-aligned box fall in
     // few contiguous z runs. For a power-of-two-aligned box the whole box
