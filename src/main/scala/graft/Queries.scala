@@ -2403,6 +2403,67 @@ object Queries {
            |WHERE l.op IS NULL OR l.op <> 'D'
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** SQL2 — subquery surface of the SQL front-end: correlated EXISTS /
+    * NOT EXISTS (Catalyst decorrelates to semi/anti joins) and an
+    * uncorrelated scalar subquery (planned as a one-row subquery
+    * broadcast). The oracle is the IDENTICAL ANSI text — both engines
+    * run the same query, so this judges the front-end's subquery
+    * semantics, not a translation. */
+  val sql2Exists = QuerySpec("sql2_exists_subquery",
+    (s, d) => {
+      Seq("customer", "orders").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql2Text)
+    },
+    Some(sql2Text))
+
+  /** Exact integer cents inside the scalar subquery: avg over a float
+    * column is summation-order-dependent across engines, but partial sums
+    * of integer-valued doubles stay exact below 2^53 in ANY order, so the
+    * threshold is bit-identical on both sides. */
+  private def sql2Text: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND floor(o.o_totalprice * 100 + 0.5) >
+      |        (SELECT avg(floor(o_totalprice * 100 + 0.5)) * 1.8 FROM orders))
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** SQL3 — explicit GROUPING SETS with grouping_id (cube/rollup's
+    * general form; a3 covers the shorthands). INT cast on grouping_id:
+    * Spark returns it as INT via this cast, DuckDB's GROUPING() is
+    * BIGINT — one explicit cast each side (see COVERAGE round-2 notes).
+    * Exact integer cents for the price mass. */
+  val sql3GroupingSets = QuerySpec("sql3_grouping_sets",
+    (s, d) => {
+      T(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+              |    AS gid,
+              |  count(*) AS n,
+              |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+              |  (o_orderstatus), ())
+              |ORDER BY gid, o_orderstatus NULLS FIRST,
+              |  o_orderpriority NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS cents
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           |  (o_orderstatus), ())
+           |ORDER BY gid, o_orderstatus NULLS FIRST,
+           |  o_orderpriority NULLS FIRST""".stripMargin))
+
   /** X3f — two-stage retrieval: quantized (int8) candidate cut at 30,
     * exact re-rank to top-5. The oracle replays BOTH stages — the
     * quantized ranking that defines the candidate boundary and the
@@ -2462,6 +2523,7 @@ object Queries {
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, sql1TopNations,
+    sql2Exists, sql3GroupingSets,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,

@@ -156,6 +156,12 @@ class PlanShapeSpec extends SparkSpec {
         p.take(2000))
   }
 
+  test("sql2: EXISTS / NOT EXISTS decorrelate to semi and anti joins") {
+    val p = plan("sql2_exists_subquery")
+    assert(p.contains("LeftSemi"), "EXISTS not a semi join:\n" + p.take(2000))
+    assert(p.contains("LeftAnti"), "NOT EXISTS not an anti join:\n" + p.take(2000))
+  }
+
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
