@@ -51,6 +51,42 @@ class CdcSpec extends SparkSpec {
     assert(e.getMessage.contains("not_in_target"))
   }
 
+  test("applyCdc over a BUCKETED target shuffles only the change log") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdc_wh").toString
+    val bigTarget = spark.range(0, 10000)
+      .select(col("id").as("k"), concat(lit("s"), col("id")).as("status"),
+        (col("id") * 1.5).as("price"))
+    Scale.writeBucketed(bigTarget, "cdc_target_bucketed", "k", 8, Some(wh))
+    val changes = spark.range(0, 500)
+      .select((col("id") * 20).as("k"), lit(1L).as("seq"), lit("U").as("op"),
+        lit("upd").as("status"), lit(9.9).as("price"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = Cdc.applyCdc(spark.table("cdc_target_bucketed"), changes,
+        Seq("k"), "seq", "op")
+      // the bucketed target scan already satisfies the full-outer SMJ's
+      // clustering requirement, so the (huge) target side joins with NO
+      // exchange — the Cdc scaladoc claim, pinned here. In the plan
+      // string the target is the SMJ's left branch (lines prefixed ":").
+      // All shuffling happens on the (small) change-log side: its window
+      // exchange plus, when spark.sql.shuffle.partitions != the bucket
+      // count, one realignment exchange to the bucket distribution —
+      // a production merge sets them equal and pays exactly one.
+      val plan = planOf(merged)
+      val targetBranch = plan.linesIterator
+        .filter(_.trim.startsWith(":")).toSeq
+      assert(targetBranch.exists(_.contains("Bucketed: true")),
+        "target scan not bucketed:\n" + plan.take(2500))
+      assert(!targetBranch.exists(_.contains("Exchange")),
+        "bucketed target side should not shuffle:\n" + plan.take(2500))
+      assert(merged.count() == 10000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS cdc_target_bucketed")
+    }
+  }
+
   test("latestWins keeps exactly one row per key (max seq)") {
     val changes = (1 to 100).map(i => (i.toLong % 10, i.toLong, "U", s"v$i", 0.0))
       .toDF("k", "seq", "op", "status", "price")
