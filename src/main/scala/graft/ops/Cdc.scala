@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** X7 — CDC / MERGE: apply a change log (upserts + deletes) to a snapshot.
   *
@@ -62,4 +63,62 @@ object Cdc {
         else col(c)
       }.toSeq: _*)
   }
+
+  // -------------------------------------------------------------------------
+  // Streaming MERGE: continuously maintain a parquet snapshot from a change
+  // stream — the foreachBatch lakehouse-upsert pattern. Snapshots are
+  // VERSIONED directories (v0, v1, ...): each micro-batch reads the latest
+  // version and writes the next, so readers never observe a half-written
+  // snapshot and a crashed batch leaves the previous version intact
+  // (overwrite-in-place would not). Old versions are the caller's retention
+  // policy to prune.
+  // -------------------------------------------------------------------------
+
+  private def latestVersion(spark: SparkSession,
+      dir: String): Option[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap(s => "^v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toInt, s.getPath.toString)))
+      .sortBy(-_._1).headOption
+  }
+
+  /** Seed the versioned snapshot (v0). */
+  def initSnapshot(target: DataFrame, dir: String): Unit =
+    target.write.mode("overwrite").parquet(s"$dir/v0")
+
+  /** The current snapshot (what a reader consumes between merges). */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot under $dir — call initSnapshot first"))._2)
+
+  /** Apply a STREAM of change records to the snapshot, one [[applyCdc]]
+    * merge per micro-batch. Cross-batch ordering is arrival order (a CDC
+    * feed's contract); within a batch latest-wins by `seqCol` as in the
+    * batch operator. State is the snapshot itself — no streaming state
+    * store, so an arbitrarily long feed maintains an arbitrarily large
+    * table with per-batch cost O(snapshot + batch). */
+  def applyCdcStream(changes: DataFrame, keys: Seq[String], seqCol: String,
+      opCol: String, dir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // empty micro-batch (idle trigger tick) must not churn a new
+        // identical version — ST2's no-op contract, applied to merges
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val (v, path) = latestVersion(s, dir).getOrElse(
+            throw new IllegalStateException(
+              s"no snapshot under $dir — call initSnapshot first"))
+          applyCdc(s.read.parquet(path), batch.toDF(), keys, seqCol, opCol)
+            .write.mode("overwrite").parquet(s"$dir/v${v + 1}")
+        }
+        ()
+      }
+      .start()
 }

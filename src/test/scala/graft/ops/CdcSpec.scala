@@ -87,6 +87,30 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("applyCdcStream maintains a versioned snapshot across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    Cdc.initSnapshot(target, dir) // v0: (1,a,10) (2,b,20) (3,c,30) (4,d,40)
+    val in = MemoryStream[(Long, Long, String, String, Double)](spark)
+    val changes = in.toDF().toDF("k", "seq", "op", "status", "price")
+    val q = Cdc.applyCdcStream(changes, Seq("k"), "seq", "op", dir,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData((2L, 1L, "U", "b2", 22.0), (5L, 1L, "U", "new", 50.0))
+      q.processAllAvailable() // batch 1: update k=2, insert k=5
+      in.addData((5L, 2L, "D", null, 0.0), (1L, 2L, "U", "a2", 11.0))
+      q.processAllAvailable() // batch 2: delete the k=5 just inserted, update k=1
+    } finally q.stop()
+    val snap = Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(snap == Seq(
+      (1L, "a2", 11.0), (2L, "b2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // versions accreted, previous ones intact (crash safety / time travel)
+    assert(spark.read.parquet(s"$dir/v0").count() == 4)
+    assert(spark.read.parquet(s"$dir/v1").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq.contains((5L, "new", 50.0)))
+  }
+
   test("latestWins keeps exactly one row per key (max seq)") {
     val changes = (1 to 100).map(i => (i.toLong % 10, i.toLong, "U", s"v$i", 0.0))
       .toDF("k", "seq", "op", "status", "price")
