@@ -95,6 +95,26 @@ object Cdc {
       throw new IllegalStateException(
         s"no snapshot under $dir — call initSnapshot first"))._2)
 
+  /** Retention: delete all but the newest `keep` snapshot versions.
+    * Never deletes the latest (keep is clamped to >= 1); returns the
+    * pruned version numbers. Run it from the maintenance cadence that
+    * also compacts (Layout.compact) — unbounded version history is the
+    * versioned-snapshot pattern's storage cost. */
+  def pruneSnapshots(spark: SparkSession, dir: String, keep: Int): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val versions = fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap(s => "^v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+          .map(m => (m.group(1).toInt, s.getPath)))
+        .sortBy(-_._1)
+      versions.drop(math.max(1, keep)).map { case (v, path) =>
+        fs.delete(path, true); v
+      }
+    }
+  }
+
   /** Apply a STREAM of change records to the snapshot, one [[applyCdc]]
     * merge per micro-batch. Cross-batch ordering is arrival order (a CDC
     * feed's contract); within a batch latest-wins by `seqCol` as in the

@@ -109,6 +109,10 @@ class CdcSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/v0").count() == 4)
     assert(spark.read.parquet(s"$dir/v1").orderBy("k")
       .as[(Long, String, Double)].collect().toSeq.contains((5L, "new", 50.0)))
+    // retention prunes old versions but never the latest
+    assert(Cdc.pruneSnapshots(spark, dir, keep = 1) == Seq(1, 0))
+    assert(Cdc.pruneSnapshots(spark, dir, keep = 0) == Seq.empty) // clamped
+    assert(Cdc.latestSnapshot(spark, dir).count() == 4)
   }
 
   test("latestWins keeps exactly one row per key (max seq)") {
