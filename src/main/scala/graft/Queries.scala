@@ -2403,6 +2403,55 @@ object Queries {
            |WHERE l.op IS NULL OR l.op <> 'D'
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** J9 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match NULL keys instead of vanishing — the semantics a dimension
+    * with an explicit "unknown" row needs. Still a hash-partitionable
+    * equi-join (nulls all hash to one partition — at scale a null-heavy
+    * fact side is a skew key like any other, handled by the X6 salting
+    * tools). NULLS FIRST pinned on both sides (engine defaults differ). */
+  val j9NullSafe = QuerySpec("j9_nullsafe_join",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 5000)
+        .select(col("event_id"), expr("nullif(user_id % 10, 7)").as("ek"))
+      val dim = s.range(10)
+        .select(expr("nullif(id, 7)").as("dk"), (col("id") * 100).as("w"))
+      e.join(dim, col("ek") <=> col("dk"))
+        .groupBy(col("ek"))
+        .agg(count(lit(1)).as("n"), min(col("w")).as("w"))
+        .orderBy(col("ek").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, nullif(user_id % 10, 7) AS ek
+           |  FROM events WHERE event_id < 5000),
+           |dim AS (
+           |  SELECT nullif(i, 7) AS dk, i * 100 AS w FROM range(10) t(i))
+           |SELECT ek, count(*) AS n, CAST(min(w) AS BIGINT) AS w
+           |FROM e JOIN dim ON ek IS NOT DISTINCT FROM dk
+           |GROUP BY ek ORDER BY ek NULLS FIRST""".stripMargin))
+
+  /** F13 — nested data: build an array of structs per row, explode it,
+    * access struct fields — the JSONL-shaped processing every training
+    * corpus with per-document annotations needs. Order is pinned by
+    * (event_id, leg name), not array position, so no ordinality parity
+    * is required across engines. */
+  val f13Nested = QuerySpec("f13_nested_structs",
+    (s, d) => Tables.events(s, d).filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        explode(array(
+          struct(lit("bid").as("name"), col("value").as("px")),
+          struct(lit("ask").as("name"), (col("value") * 1.01).as("px"))))
+          .as("leg"))
+      .select(col("event_id"), col("leg.name").as("name"),
+        col("leg.px").as("px"))
+      .orderBy(col("event_id"), col("name")),
+    Some("""WITH x AS (
+           |  SELECT event_id,
+           |    unnest([{'name': 'bid', 'px': value},
+           |            {'name': 'ask', 'px': value * 1.01}]) AS leg
+           |  FROM events WHERE event_id < 2000)
+           |SELECT event_id, leg.name AS name, leg.px AS px
+           |FROM x ORDER BY event_id, name""".stripMargin))
+
   /** SQL2 — subquery surface of the SQL front-end: correlated EXISTS /
     * NOT EXISTS (Catalyst decorrelates to semi/anti joins) and an
     * uncorrelated scalar subquery (planned as a one-row subquery
@@ -2518,7 +2567,7 @@ object Queries {
     f10bTumbling, f12MapAccess,
     j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
     j6RangeBand, j6bRangeBinned, j7Asof, j7bAsofCustom, j7cAsofTies,
-    j7dAsofForward, j8Semi, j8Anti,
+    j7dAsofForward, j8Semi, j8Anti, j9NullSafe, f13Nested,
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
