@@ -1161,6 +1161,49 @@ object Queries {
             |  AND j.job_ts_us >= t.ts_us - 1800000000
             |ORDER BY tick_id, job_id""".stripMargin))
 
+  /** ST5 as a JUDGED result (round 8): per-user running totals computed by
+    * the REAL flatMapGroupsWithState operator (TickPipeline.runningTotals)
+    * over a replayed event stream, memory sink, Trigger.AvailableNow. The
+    * state's running amount is exact integer CENTS, so the changelog is
+    * engine-portable (a running double sum would depend on summation
+    * order); the oracle is the per-key running window. One micro-batch
+    * replay: within-batch (us, event_id) ordering equals the window's
+    * ORDER BY, so the emitted seq/run_cents match row for row. */
+  val stStateReplay = QuerySpec("st_state_replay",
+    (s, d) => {
+      import s.implicits._
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema).option("basePath", d)
+        .parquet(s"$d/{events.parquet}")
+      val withUs = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("us", expr("ts div 1000"))
+        case _ => raw.withColumn("us", expr("unix_micros(ts)"))
+      }
+      val ev = withUs.filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), col("us"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .toDF("_1", "_2", "_3", "_4")
+        .as[(Long, Long, Long, Long)]
+      s.catalog.dropTempView("st_state_replay_mem")
+      val q = graft.streaming.TickPipeline.runningTotals(ev)
+        .toDF("user_id", "event_id", "seq", "run_cents")
+        .writeStream.format("memory").queryName("st_state_replay_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st_state_replay_mem").orderBy(col("user_id"), col("seq"))
+    },
+    Some("""SELECT user_id, event_id,
+           |  CAST(row_number() OVER w AS INT) AS seq,
+           |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+           |    AS BIGINT) AS run_cents
+           |FROM events WHERE user_id < 30
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |  ROWS UNBOUNDED PRECEDING)
+           |ORDER BY user_id, seq""".stripMargin))
+
   /** Q4 — pivot: event counts per user bucket, one column per event type
     * (explicit value list keeps the schema deterministic). The oracle uses
     * conditional aggregation — the portable relational equivalent. */
@@ -2513,6 +2556,70 @@ object Queries {
            |ORDER BY gid, o_orderstatus NULLS FIRST,
            |  o_orderpriority NULLS FIRST""".stripMargin))
 
+  /** SQL4 — LATERAL correlated subquery (round 8): top-2 customers by
+    * account balance per nation. The lateral subquery re-executes per
+    * outer row SEMANTICALLY; Catalyst decorrelates it into a ranked
+    * window join, so the physical plan is one shuffle — not a per-row
+    * loop. The oracle runs the identical comma-LATERAL text (both
+    * dialects accept it); balances are exact parquet doubles compared,
+    * never recomputed, so their ordering is portable. */
+  val sql4Lateral = QuerySpec("sql4_lateral",
+    (s, d) => {
+      T(s, d, "nation").createOrReplaceTempView("nation")
+      T(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+              |FROM nation n, LATERAL (
+              |  SELECT c_name, c_acctbal FROM customer c
+              |  WHERE c.c_nationkey = n.n_nationkey
+              |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+              |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    },
+    Some("""SELECT n.n_name, t.c_name, t.c_acctbal
+           |FROM nation n, LATERAL (
+           |  SELECT c_name, c_acctbal FROM customer c
+           |  WHERE c.c_nationkey = n.n_nationkey
+           |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+           |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin))
+
+  /** X8 — resample + forward-fill (ops/TimeSeries.scala): the irregular
+    * tick stream regularized onto a 15-minute grid per user, gaps
+    * carrying the last close forward. The oracle rebuilds the spine with
+    * generate_series and fills with last_value IGNORE NULLS — the same
+    * deterministic (ts, value)-descending close per bucket as the OHLC
+    * oracle, and a pure value PASSTHROUGH (no float arithmetic), so
+    * hashes match bit-exactly. */
+  val x8Resample = QuerySpec("x8_resample_ffill",
+    (s, d) => TimeSeries.resampleFfill(
+        Tables.events(s, d).filter(col("user_id") < 8)
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+            col("value")),
+        "user_id", "us", "value", 900000000L)
+      .orderBy(col("user_id"), col("bucket_us")),
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+           |  WHERE user_id < 8),
+           |b AS (SELECT user_id, (us // 900000000) * 900000000 AS bucket_us,
+           |    us, value FROM e),
+           |c AS (
+           |  SELECT user_id, bucket_us, value AS close,
+           |    row_number() OVER (PARTITION BY user_id, bucket_us
+           |      ORDER BY us DESC, value DESC) AS rn,
+           |    count(*) OVER (PARTITION BY user_id, bucket_us) AS n
+           |  FROM b),
+           |closes AS (SELECT user_id, bucket_us, close, n FROM c WHERE rn = 1),
+           |spine AS (
+           |  SELECT user_id,
+           |    unnest(generate_series(mn, mx, 900000000)) AS bucket_us
+           |  FROM (SELECT user_id, min(bucket_us) AS mn, max(bucket_us) AS mx
+           |        FROM b GROUP BY 1))
+           |SELECT s.user_id, s.bucket_us,
+           |  last_value(c2.close IGNORE NULLS) OVER (PARTITION BY s.user_id
+           |    ORDER BY s.bucket_us ROWS UNBOUNDED PRECEDING) AS px,
+           |  coalesce(c2.n, 0) AS n_ticks
+           |FROM spine s LEFT JOIN closes c2
+           |  ON c2.user_id = s.user_id AND c2.bucket_us = s.bucket_us
+           |ORDER BY s.user_id, s.bucket_us""".stripMargin))
+
   /** X3f — two-stage retrieval: quantized (int8) candidate cut at 30,
     * exact re-rank to top-5. The oracle replays BOTH stages — the
     * quantized ranking that defines the candidate boundary and the
@@ -2571,8 +2678,8 @@ object Queries {
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
-    ost1State, st4Sessions, stBarsReplay, stEnrichReplay, sql1TopNations,
-    sql2Exists, sql3GroupingSets,
+    ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
+    sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
@@ -2581,6 +2688,7 @@ object Queries {
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7MergeCdc, x7PartitionPrune,
+    x8Resample,
     mmMeta, mmDecode, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

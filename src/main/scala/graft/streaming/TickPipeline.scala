@@ -130,6 +130,36 @@ object TickPipeline {
       }
   }
 
+  /** ST5c — per-key RUNNING TOTALS as a changelog: one emitted row per
+    * input event carrying that key's cumulative event count and cumulative
+    * integer-cent amount at that point in the stream. The feature-
+    * engineering shape of GroupState (running counters a model consumes),
+    * where ST5/ST5b are its control-plane shape.
+    *
+    * Amounts are exact integer cents, so the running sum is portable —
+    * a running DOUBLE sum would depend on the engine's summation order.
+    * Within a micro-batch, events apply in (us, event_id) order; state
+    * carries (seq, cents) across batches, so replaying N batches or one
+    * yields the same changelog. */
+  def runningTotals(events: Dataset[(Long, Long, Long, Long)])
+      : Dataset[(Long, Long, Int, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Long, Int, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Int, Long)]) =>
+          var (seq, cents) = state.getOption.getOrElse((0, 0L))
+          val out = it.toSeq.sortBy(e => (e._3, e._2)).map {
+            case (_, eventId, _, amountCents) =>
+              seq += 1; cents += amountCents
+              (key, eventId, seq, cents)
+          }
+          state.update((seq, cents))
+          out.iterator
+      }
+  }
+
   /** ST5b — flatMapGroupsWithState: unlike mapGroups (exactly one row per
     * key per batch), this emits ZERO OR MORE rows — here one row per
     * ACCEPTED transition, and nothing for batches of only-illegal events.

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ticks: key 1 has a 3-bucket gap between its two ticks (step 10);
+  // key 2 has a single tick (spine of exactly one bucket)
+  private def ticks = Seq(
+    (1L, 5L, 100.0), (1L, 7L, 101.0),  // bucket 0, close = 101.0 (latest ts)
+    (1L, 41L, 99.0),                   // bucket 40
+    (2L, 23L, 55.0)                    // bucket 20
+  ).toDF("k", "us", "v")
+
+  test("resampleFfill fills gap buckets with the prior close, n_ticks=0") {
+    val out = TimeSeries.resampleFfill(ticks, "k", "us", "v", 10L)
+      .orderBy($"k", $"bucket_us").as[(Long, Long, Double, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 0L, 101.0, 2L),   // bucket close is the LAST tick, not the first
+      (1L, 10L, 101.0, 0L),  // gap rows carry the close forward
+      (1L, 20L, 101.0, 0L),
+      (1L, 30L, 101.0, 0L),
+      (1L, 40L, 99.0, 1L),
+      (2L, 20L, 55.0, 1L)))  // single-tick key: spine is its one bucket
+  }
+
+  test("resampleFfill emits no nulls: every key's spine starts at data") {
+    val out = TimeSeries.resampleFfill(ticks, "k", "us", "v", 10L)
+    assert(out.filter($"px".isNull).isEmpty)
+  }
+
+  test("resampleFfill close tie-break inside a bucket is (ts, v) descending") {
+    val t = Seq((1L, 5L, 3.0), (1L, 5L, 9.0)).toDF("k", "us", "v")
+    val out = TimeSeries.resampleFfill(t, "k", "us", "v", 10L)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.toSeq === Seq((1L, 0L, 9.0, 2L)))
+  }
+}

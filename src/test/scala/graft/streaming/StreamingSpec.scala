@@ -131,6 +131,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, -1, 1000), (1L, 1000, 1001), (2L, -1, 1300)))
   }
 
+  test("ST5c runningTotals carries (seq, cents) state across micro-batches") {
+    val in = MemoryStream[(Long, Long, Long, Long)](spark)
+    val q = TickPipeline.runningTotals(in.toDS())
+      .toDF("user_id", "event_id", "seq", "run_cents")
+      .writeStream.outputMode("append").format("memory").queryName("rt").start()
+    in.addData((1L, 10L, 100L, 250L), (1L, 11L, 50L, 100L)) // out of ts order
+    q.processAllAvailable()
+    in.addData((1L, 12L, 200L, 7L), (2L, 20L, 10L, 5L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rt").as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    assert(rows == Seq(
+      // batch 1 applies in (us, event_id) order: event 11 (us=50) first
+      (1L, 10L, 2, 350L), (1L, 11L, 1, 100L),
+      // batch 2 RESUMES key 1's state at (2, 350) — not from zero
+      (1L, 12L, 3, 357L), (2L, 20L, 1, 5L)))
+  }
+
   test("J1 broadcast dim join runs unchanged on a streaming frame") {
     val in = MemoryStream[(String, String, Timestamp)](spark)
     val ticks = in.toDF().toDF("exchange", "isin", "ts")
