@@ -10,6 +10,28 @@ class CdcSpec extends SparkSpec {
     (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
     .toDF("k", "status", "price")
 
+  /** The snapshot's routing function, replicated for assertions. */
+  private def bucketsOf(keys: Seq[Long], n: Int): Set[Int] =
+    keys.toDF("k").select(pmod(hash(col("k")), lit(n)).as("b"))
+      .as[Int].collect().toSet
+
+  private def bucketDirs(dir: String): Set[Int] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt).toSet
+
+  /** (relative path -> md5 of bytes) for every data file under `dir`. */
+  private def fileHashes(dir: String): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet")).map { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      f.getPath.stripPrefix(dir) -> md.map("%02x".format(_)).mkString
+    }.toMap
+  }
+
   test("applyCdc: upsert, latest-wins, delete, insert, pass-through") {
     val changes = Seq(
       (2L, 1L, "U", "b1", 21.0),   // update, superseded
@@ -31,6 +53,28 @@ class CdcSpec extends SparkSpec {
     val out = Cdc.applyCdc(target, changes, Seq("k"), "seq", "op")
       .orderBy("k").as[(Long, String, Double)].collect().toSeq
     assert(out.head == ((1L, "a", 11.5))) // status kept, price updated
+  }
+
+  test("applyCdc: partialUpdate=false replaces the whole payload, NULLs included") {
+    val changes = Seq((1L, 1L, "U", null.asInstanceOf[String], 11.5))
+      .toDF("k", "seq", "op", "status", "price")
+    val out = Cdc.applyCdc(target, changes, Seq("k"), "seq", "op",
+        partialUpdate = false)
+      .orderBy("k").collect()
+    assert(out.head.isNullAt(1) && out.head.getDouble(2) == 11.5) // status SET to null
+    assert(out(1).getString(1) == "b") // untouched keys keep their payload
+  }
+
+  test("latestWins: duplicate (key, seq) resolves deterministically") {
+    // a malformed log: same key, same seq, two different payloads — the
+    // name-sorted descending tie-break (op, price, status here) must pick
+    // the same winner every time
+    val dup = Seq((1L, 1L, "U", "zzz", 1.0), (1L, 1L, "U", "aaa", 2.0))
+    (1 to 5).foreach { _ =>
+      val w = Cdc.latestWins(dup.toDF("k", "seq", "op", "status", "price"),
+        Seq("k"), "seq").as[(Long, Long, String, String, Double)].head()
+      assert(w == ((1L, 1L, "U", "aaa", 2.0))) // price 2.0 > 1.0 descending
+    }
   }
 
   test("applyCdc: unknown op code fails loudly") {
@@ -87,10 +131,15 @@ class CdcSpec extends SparkSpec {
     }
   }
 
-  test("applyCdcStream maintains a versioned snapshot across micro-batches") {
+  test("applyCdcStream: key-scoped merges rewrite ONLY touched buckets; " +
+      "untouched files stay byte-identical") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val n = 8
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
-    Cdc.initSnapshot(target, dir) // v0: (1,a,10) (2,b,20) (3,c,30) (4,d,40)
+    Cdc.initSnapshot(target, dir, Seq("k"), n) // v0: (1,a,10) (2,b,20) (3,c,30) (4,d,40)
+    val v0Before = fileHashes(s"$dir/v0")
+    assert(v0Before.nonEmpty)
+
     val in = MemoryStream[(Long, Long, String, String, Double)](spark)
     val changes = in.toDF().toDF("k", "seq", "op", "status", "price")
     val q = Cdc.applyCdcStream(changes, Seq("k"), "seq", "op", dir,
@@ -101,18 +150,57 @@ class CdcSpec extends SparkSpec {
       in.addData((5L, 2L, "D", null, 0.0), (1L, 2L, "U", "a2", 11.0))
       q.processAllAvailable() // batch 2: delete the k=5 just inserted, update k=1
     } finally q.stop()
+
     val snap = Cdc.latestSnapshot(spark, dir).orderBy("k")
       .as[(Long, String, Double)].collect().toSeq
     assert(snap == Seq(
       (1L, "a2", 11.0), (2L, "b2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
-    // versions accreted, previous ones intact (crash safety / time travel)
-    assert(spark.read.parquet(s"$dir/v0").count() == 4)
-    assert(spark.read.parquet(s"$dir/v1").orderBy("k")
-      .as[(Long, String, Double)].collect().toSeq.contains((5L, "new", 50.0)))
-    // retention prunes old versions but never the latest
-    assert(Cdc.pruneSnapshots(spark, dir, keep = 1) == Seq(1, 0))
-    assert(Cdc.pruneSnapshots(spark, dir, keep = 0) == Seq.empty) // clamped
-    assert(Cdc.latestSnapshot(spark, dir).count() == 4)
+
+    // proportional writes: each version directory holds EXACTLY the
+    // buckets its batch's keys hash into, nothing else
+    assert(bucketDirs(s"$dir/v1") == bucketsOf(Seq(2L, 5L), n))
+    assert(bucketDirs(s"$dir/v2").subsetOf(bucketsOf(Seq(5L, 1L), n)))
+    // v0 was NEVER rewritten: every seed file still byte-identical
+    assert(fileHashes(s"$dir/v0") == v0Before)
+
+    // retention never deletes versions still owning live buckets: v0 holds
+    // the untouched buckets (k=3, k=4 at least), so keep=1 must spare it
+    val v0LiveBuckets = bucketsOf(Seq(3L, 4L), n) --
+      bucketsOf(Seq(1L, 2L, 5L), n)
+    if (v0LiveBuckets.nonEmpty) {
+      Cdc.pruneSnapshots(spark, dir, keep = 1)
+      assert(new java.io.File(s"$dir/v0").isDirectory,
+        "pruned a version still referenced by the latest manifest")
+      assert(Cdc.latestSnapshot(spark, dir).count() == 4)
+    }
+
+    // compaction folds every bucket into a fresh version; THEN old
+    // versions are unreferenced and prunable, and data is unchanged
+    val cv = Cdc.compactSnapshot(spark, dir)
+    val pruned = Cdc.pruneSnapshots(spark, dir, keep = 1)
+    assert(pruned.nonEmpty && !pruned.contains(cv))
+    assert(!new java.io.File(s"$dir/v0").exists())
+    val after = Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(after == snap)
+  }
+
+  test("mergeScoped: an all-deletes batch leaves an empty-but-readable bucket") {
+    val n = 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_del").toString
+    Cdc.initSnapshot(Seq((10L, "x", 1.0)).toDF("k", "status", "price"),
+      dir, Seq("k"), n)
+    Cdc.mergeScoped(
+      Seq((10L, 1L, "D", null.asInstanceOf[String], 0.0))
+        .toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir)
+    assert(Cdc.latestSnapshot(spark, dir).count() == 0)
+    // and an insert after the wipe-out still lands
+    Cdc.mergeScoped(
+      Seq((11L, 2L, "U", "y", 2.0)).toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir)
+    assert(Cdc.latestSnapshot(spark, dir).as[(Long, String, Double)]
+      .collect().toSeq == Seq((11L, "y", 2.0)))
   }
 
   test("latestWins keeps exactly one row per key (max seq)") {
