@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   *      running frame — one window shuffle on key, the same partitioning
   *      a per-key series needs for ANY frame math downstream.
   *
-  * Step 3 bounds memory: sequence length = per-key span / step, enforced
-  * by Spark's sequence size cap; a key idle for years at 1s steps should
-  * be resampled at a coarser step or split — that is a data contract, not
-  * an engine limit.
+  * Step 3 bounds memory: sequence length = per-key span / step. A key
+  * idle for years at 1s steps should be resampled at a coarser step or
+  * split — that is a data contract, and it is ENFORCED: any key whose
+  * spine would exceed `maxBucketsPerKey` fails the job loudly, naming
+  * the key, instead of materializing a giant array in one executor row.
   */
 object TimeSeries {
 
@@ -45,9 +46,16 @@ object TimeSeries {
     * `tsUsCol` must be epoch MICROSECONDS (long) — integer bucketing is
     * exact and replays identically in any engine; float seconds would
     * not. Ties inside a bucket break by (ts, value) descending, the same
-    * deterministic close the OHLC oracle uses. */
+    * deterministic close the OHLC oracle uses.
+    *
+    * `maxBucketsPerKey` caps any single key's calendar spine (the one
+    * row-local array this operator builds). The default (4M buckets ≈
+    * tens of MB of longs) is far above any sane grid and far below an
+    * executor OOM; a violating key raises with the key value in the
+    * message so the caller can fix the step or split the key. */
   def resampleFfill(df: DataFrame, keyCol: String, tsUsCol: String,
-      valueCol: String, stepUs: Long): DataFrame = {
+      valueCol: String, stepUs: Long,
+      maxBucketsPerKey: Long = 4L << 20): DataFrame = {
     val k = col(keyCol)
     val bucketed = df.select(k, col(tsUsCol).as("us"), col(valueCol).as("v"))
       .withColumn("bucket_us", expr(s"(us div ${stepUs}L) * ${stepUs}L"))
@@ -58,9 +66,18 @@ object TimeSeries {
       .withColumn("n", count(lit(1)).over(perBucket))
       .filter(col("rn") === 1)
       .select(k, col("bucket_us"), col("v").as("close"), col("n"))
+    val nBuckets = (col("mx") - col("mn")) / lit(stepUs) + 1
     val spine = bucketed.groupBy(k)
       .agg(min(col("bucket_us")).as("mn"), max(col("bucket_us")).as("mx"))
-      .select(k, explode(sequence(col("mn"), col("mx"), lit(stepUs)))
+      .select(k, explode(
+        when(nBuckets > lit(maxBucketsPerKey),
+          raise_error(concat(
+            lit(s"resampleFfill: key "), k.cast("string"),
+            lit(s" needs "), nBuckets.cast("string"),
+            lit(s" buckets at step ${stepUs}us (max $maxBucketsPerKey); " +
+              "use a coarser step or split the key")))
+            .cast("array<bigint>"))
+          .otherwise(sequence(col("mn"), col("mx"), lit(stepUs))))
         .as("bucket_us"))
     val ffill: Column = last(col("close"), ignoreNulls = true)
       .over(Window.partitionBy(k).orderBy(col("bucket_us"))

@@ -140,16 +140,23 @@ object TickPipeline {
     * a running DOUBLE sum would depend on the engine's summation order.
     * Within a micro-batch, events apply in (us, event_id) order; state
     * carries (seq, cents) across batches, so replaying N batches or one
-    * yields the same changelog. */
+    * yields the same changelog. seq is a Long: a long-lived hot key
+    * outlives 2^31 events well within this module's target scale.
+    *
+    * Memory bound: the in-batch ordering sort materializes ONE KEY's
+    * rows of ONE micro-batch per task (the engine hands groups as
+    * unordered iterators). Size triggers so a hot key's per-batch slice
+    * stays in task memory — the same per-(key, batch) bound every
+    * sorted-state operator carries. */
   def runningTotals(events: Dataset[(Long, Long, Long, Long)])
-      : Dataset[(Long, Long, Int, Long)] = {
+      : Dataset[(Long, Long, Long, Long)] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[(Int, Long), (Long, Long, Int, Long)](
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, it: Iterator[(Long, Long, Long, Long)],
-         state: GroupState[(Int, Long)]) =>
-          var (seq, cents) = state.getOption.getOrElse((0, 0L))
+         state: GroupState[(Long, Long)]) =>
+          var (seq, cents) = state.getOption.getOrElse((0L, 0L))
           val out = it.toSeq.sortBy(e => (e._3, e._2)).map {
             case (_, eventId, _, amountCents) =>
               seq += 1; cents += amountCents

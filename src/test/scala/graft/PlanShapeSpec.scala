@@ -146,6 +146,15 @@ class PlanShapeSpec extends SparkSpec {
       "day filter not a partition filter:\n" + p.take(2000))
   }
 
+  test("x7 dpp: the join-driven day filter becomes a DynamicPruningSubquery at the scan") {
+    val p = plan("x7_dpp")
+    // runtime partition pruning: the fact scan's PartitionFilters must
+    // carry a dynamicpruning expression fed by the filtered dim side —
+    // without it the join reads every day directory
+    assert(p.contains("dynamicpruning"),
+      "no DynamicPruningSubquery in the fact scan:\n" + p.take(3000))
+  }
+
   test("x7 bloom prune: probe Filter sits on the lineitem scan below the join") {
     val p = plan("x7_bloom_prune")
     // the probe may be AND-ed with null checks, so match the Filter line,

@@ -68,6 +68,107 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.compact(spark, in, in))
   }
 
+  /** Bit-at-a-time N-dim reference interleave. */
+  private def mortonRefN(xs: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    val n = xs.length
+    for (i <- xs.indices; b <- 0 until bits)
+      z |= ((xs(i) >> b) & 1L) << (n * b + i)
+    z
+  }
+
+  test("zValueN matches the bit-at-a-time reference on 3 dims (16 bits each)") {
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.fill(1000)(
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong,
+        rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L, 0L), (65535L, 65535L, 65535L), (65535L, 0L, 1L))
+    val got = pts.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        Layout.zValueN(Seq(col("x"), col("y"), col("w"))).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, w, z) =>
+      assert(z == mortonRefN(Seq(x, y, w), 16), s"($x,$y,$w)")
+    }
+  }
+
+  test("zValueN on 2 dims equals the magic-number zValue") {
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val diff = pts.toDF("x", "y")
+      .select((Layout.zValueN(Seq(col("x"), col("y"))) =!=
+        Layout.zValue(col("x"), col("y"))).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
+  test("zValueN masks each dim to its bit budget and fits a signed 64-bit") {
+    // 4 dims -> 15 bits each -> 60-bit result; overflow bits masked away
+    val got = Seq((1L << 15 | 5L, 3L, 2L, 1L)).toDF("a", "b", "c", "d")
+      .select(Layout.zValueN(Seq(col("a"), col("b"), col("c"), col("d"))))
+      .as[Long].head()
+    assert(got == mortonRefN(Seq(5L, 3L, 2L, 1L), 15))
+    assert(got >= 0L)
+  }
+
+  test("3-dim z-curve locality + min/max pruning: an aligned box is one z run") {
+    // rows inside an 8x8x8 dim-aligned box occupy 512 CONSECUTIVE z values
+    // — the property that lets per-file min/max stats prune a 3-column
+    // predicate after zOrderByN clustering
+    val zs = for (x <- 512L until 520L; y <- 1024L until 1032L;
+                  w <- 2048L until 2056L)
+      yield mortonRefN(Seq(x, y, w), 16)
+    assert(zs.max - zs.min == 511)
+
+    // and end-to-end: cluster 3-D data, then check the files (partitions)
+    // that contain box rows are a small subset — i.e. min/max on z prunes
+    val rnd = new scala.util.Random(19)
+    val df = Seq.fill(8000)((rnd.nextInt(4096).toLong,
+      rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong)).toDF("x", "y", "w")
+    val parts = Layout.zOrderByN(df, Seq(col("x"), col("y"), col("w")),
+        partitions = 8)
+      .withColumn("hit", col("x") < 256 && col("y") < 256 && col("w") < 256)
+      .select("z", "hit").rdd
+      .mapPartitions(it => {
+        val rows = it.toSeq
+        Iterator.single((rows.nonEmpty && rows.exists(_.getBoolean(1)),
+          rows.nonEmpty))
+      }).collect()
+    val withBox = parts.count(_._1)
+    val nonEmpty = parts.count(_._2)
+    // the box is 1/4096 of each dim-cube = z-prefix-localized; it must not
+    // smear across all 8 files
+    assert(withBox <= math.max(1, nonEmpty / 4),
+      s"box rows hit $withBox of $nonEmpty z-ranged files — no locality")
+  }
+
+  test("quantileBucket balances skewed data and is monotone in the value") {
+    val rnd = new scala.util.Random(23)
+    // heavily skewed: 90% of mass in [0,10), long tail to 10000
+    val vals = Seq.fill(5000)(
+      if (rnd.nextDouble() < 0.9) rnd.nextDouble() * 10
+      else rnd.nextDouble() * 10000)
+    val df = vals.toDF("v")
+    val bucketed = df.select(col("v"),
+      Layout.quantileBucket(df, "v", 16).as("qb"))
+    val sizes = bucketed.groupBy("qb").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.keys.forall(b => b >= 0 && b < 16))
+    // equal-frequency: every bucket within 2x of the ideal share
+    val ideal = 5000.0 / 16
+    sizes.values.foreach(n => assert(n < ideal * 2 && n > ideal / 2,
+      s"bucket sizes unbalanced: $sizes"))
+    // monotone: sorting by (qb, v) == sorting by v
+    val byBucket = bucketed.orderBy("qb", "v").select("v").as[Double].collect()
+    assert(byBucket.toSeq == vals.sorted)
+  }
+
+  test("compact guard: trailing-slash spelling of the same dir is rejected") {
+    val in = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    spark.range(0, 10).write.mode("overwrite").parquet(in)
+    intercept[IllegalArgumentException](Layout.compact(spark, in, in + "/"))
+  }
+
   test("z-curve locality: a small 2-D box spans a bounded z-range") {
     // the property pruning relies on: rows inside a dim-aligned box fall in
     // few contiguous z runs. For a power-of-two-aligned box the whole box

@@ -37,4 +37,22 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect()
     assert(out.toSeq === Seq((1L, 0L, 9.0, 2L)))
   }
+
+  test("resampleFfill: a key whose spine exceeds maxBucketsPerKey fails loudly") {
+    // key 7 idle for 1000 steps; cap at 100 — must raise naming the key,
+    // not materialize the spine
+    val idle = Seq((7L, 0L, 1.0), (7L, 10000L, 2.0)).toDF("k", "us", "v")
+    val e = intercept[Exception] {
+      TimeSeries.resampleFfill(idle, "k", "us", "v", 10L,
+        maxBucketsPerKey = 100L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("resampleFfill") && msg.contains("7"),
+      s"expected a loud per-key guard failure, got: $msg")
+    // well-behaved keys under the same cap still resample fine
+    val ok = TimeSeries.resampleFfill(ticks, "k", "us", "v", 10L,
+      maxBucketsPerKey = 100L)
+    assert(ok.count() == 6)
+  }
 }

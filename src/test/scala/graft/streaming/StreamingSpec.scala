@@ -141,12 +141,12 @@ class StreamingSpec extends SparkSpec {
     in.addData((1L, 12L, 200L, 7L), (2L, 20L, 10L, 5L))
     q.processAllAvailable()
     q.stop()
-    val rows = spark.table("rt").as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    val rows = spark.table("rt").as[(Long, Long, Long, Long)].collect().toSeq.sorted
     assert(rows == Seq(
       // batch 1 applies in (us, event_id) order: event 11 (us=50) first
-      (1L, 10L, 2, 350L), (1L, 11L, 1, 100L),
+      (1L, 10L, 2L, 350L), (1L, 11L, 1L, 100L),
       // batch 2 RESUMES key 1's state at (2, 350) — not from zero
-      (1L, 12L, 3, 357L), (2L, 20L, 1, 5L)))
+      (1L, 12L, 3L, 357L), (2L, 20L, 1L, 5L)))
   }
 
   test("J1 broadcast dim join runs unchanged on a streaming frame") {
