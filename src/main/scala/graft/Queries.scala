@@ -2765,6 +2765,82 @@ object Queries {
            |WHERE c.op IS NULL OR c.op <> 'D'
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** X7j — snapshot CHANGE DATA FEED (round 9): diff two versions of the
+    * key-scoped snapshot into I/U/D change rows. The manifest makes the
+    * diff proportional to change — buckets owned by the same version in
+    * both manifests are the same physical files and are skipped unread;
+    * only rewritten buckets are scanned and full-outer-joined. The
+    * fixture replays the x7_merge_cdc change set through mergeScoped and
+    * diffs v0 -> v1; the oracle classifies the SAME latest-wins change
+    * log against the target directly (CDC in = CDF out). */
+  val x7SnapshotDiff = QuerySpec("x7_snapshot_diff",
+    (s, d) => {
+      def p2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+      val o = T(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdf")
+        .toString + "/snap"
+      Cdc.initSnapshot(
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          p2(col("o_totalprice")).as("price")),
+        dir, Seq("o_orderkey"), nBuckets = 16)
+      val upd1 = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("U1").as("o_orderstatus"),
+          p2(col("o_totalprice") + 10).as("price"))
+      val upd2 = o.filter(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+          lit("U2").as("o_orderstatus"),
+          p2(col("o_totalprice") * 2).as("price"))
+      val del = o.filter(col("o_orderkey") % 11 === 3)
+        .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("price"))
+      val ins = o.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit(1L).as("seq"), lit("U").as("op"),
+          lit("NEW").as("o_orderstatus"), lit(1.5).as("price"))
+      Cdc.mergeScoped(
+        upd1.unionByName(upd2).unionByName(del).unionByName(ins),
+        Seq("o_orderkey"), "seq", "op", dir)
+      Cdc.snapshotDiff(s, dir, 0, 1).orderBy(col("o_orderkey"))
+    },
+    Some("""WITH t AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    floor(o_totalprice * 100 + 0.5) / 100 AS price
+           |  FROM orders),
+           |c AS (
+           |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+           |    'U1' AS o_orderstatus,
+           |    floor((o_totalprice + 10) * 100 + 0.5) / 100 AS price
+           |  FROM orders WHERE o_orderkey % 7 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 2, 'U', 'U2',
+           |    floor(o_totalprice * 2 * 100 + 0.5) / 100
+           |  FROM orders WHERE o_orderkey % 14 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 3, 'D', NULL, NULL
+           |  FROM orders WHERE o_orderkey % 11 = 3
+           |  UNION ALL
+           |  SELECT o_orderkey + 100000000, 1, 'U', 'NEW', 1.5
+           |  FROM orders WHERE o_orderkey % 13 = 0),
+           |latest AS (
+           |  SELECT * FROM (
+           |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+           |      ORDER BY seq DESC) AS rn
+           |    FROM c) WHERE rn = 1)
+           |SELECT l.o_orderkey,
+           |  CASE WHEN l.op = 'D' THEN 'D'
+           |       WHEN t.o_orderkey IS NULL THEN 'I'
+           |       ELSE 'U' END AS change_op,
+           |  CASE WHEN l.op = 'D' THEN NULL
+           |       ELSE coalesce(l.o_orderstatus, t.o_orderstatus)
+           |       END AS o_orderstatus,
+           |  CASE WHEN l.op = 'D' THEN NULL
+           |       ELSE coalesce(l.price, t.price) END AS price
+           |FROM latest l LEFT JOIN t USING (o_orderkey)
+           |WHERE NOT (l.op = 'D' AND t.o_orderkey IS NULL)
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** The N-dim interleave's oracle: 16 bit-extract terms per dimension,
     * `((dim >> b) & 1) << (3b + i)` — plain BIGINT arithmetic in any
     * engine. Generated, not hand-typed, so Spark and the oracle cannot
@@ -2888,7 +2964,7 @@ object Queries {
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
-    x7PartitionPrune, x7Dpp, x7Compact, stMergeReplay,
+    x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, stMergeReplay,
     x8Resample,
     mmMeta, mmDecode, mmSim)
 

@@ -121,7 +121,7 @@ object Cdc {
   // ---------------------------------------------------------------------
 
   private final case class Manifest(nBuckets: Int, schemaDdl: String,
-      buckets: Map[Int, Int])
+      keys: Seq[String], buckets: Map[Int, Int])
 
   private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -146,6 +146,8 @@ object Cdc {
       m: Manifest): Unit = {
     val body = s"""{"nBuckets":${m.nBuckets},""" +
       s""""schema":"${jsonEsc(m.schemaDdl)}",""" +
+      m.keys.map(k => s""""${jsonEsc(k)}"""")
+        .mkString(""""keys":[""", ",", "],") +
       m.buckets.toSeq.sortBy(_._1)
         .map { case (b, v) => s""""$b":$v""" }
         .mkString(""""buckets":{""", ",", "}}")
@@ -170,6 +172,7 @@ object Cdc {
     Manifest(
       (jv \ "nBuckets").extract[Int],
       (jv \ "schema").extract[String],
+      (jv \ "keys").extract[Seq[String]],
       (jv \ "buckets").extract[Map[String, Int]]
         .map { case (k, v) => k.toInt -> v })
   }
@@ -214,7 +217,7 @@ object Cdc {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/v0")
     writeManifest(spark, dir, 0,
-      Manifest(nBuckets, target.schema.toDDL,
+      Manifest(nBuckets, target.schema.toDDL, keys,
         (0 until nBuckets).map(_ -> 0).toMap))
   }
 
@@ -222,13 +225,71 @@ object Cdc {
     * bucket read from the version that last rewrote it — at most one
     * parquet load per distinct live version, partition-pruned to its
     * buckets. */
-  def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val v = requireVersion(spark, dir)
-    val m = readManifest(spark, dir, v)
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshotAt(spark, dir, requireVersion(spark, dir))
+
+  /** Time travel: the snapshot as of `version` — every committed version
+    * keeps its own complete manifest, so any un-pruned version resolves
+    * the same way the latest does. Retention ([[pruneSnapshots]]) is what
+    * bounds how far back this reaches. */
+  def snapshotAt(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val m = readManifest(spark, dir, version)
     m.buckets.groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq
       .map { case (ver, bs) => readBuckets(spark, dir, ver, m.schemaDdl, bs) }
       .reduce(_.unionByName(_))
       .drop("bucket")
+  }
+
+  /** Change-data-feed between two snapshot versions: one row per key
+    * whose state differs, labeled `change_op` I (inserted), U (payload
+    * changed), or D (deleted), carrying the TO-side payload (NULL for
+    * deletes). Unchanged keys emit nothing.
+    *
+    * The manifest makes this proportional to CHANGE, not table size:
+    * a bucket whose owning version is the same in both manifests points
+    * at the same physical files — identical by construction, skipped
+    * without reading a byte. Only buckets that were rewritten between
+    * the two versions are scanned and full-outer-joined (on the
+    * manifest's own merge keys, null-safe payload compare). */
+  def snapshotDiff(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val mf = readManifest(spark, dir, fromVersion)
+    val mt = readManifest(spark, dir, toVersion)
+    require(mf.nBuckets == mt.nBuckets && mf.keys == mt.keys,
+      s"snapshots $fromVersion and $toVersion do not share bucketing " +
+        s"(${mf.nBuckets}/${mf.keys} vs ${mt.nBuckets}/${mt.keys})")
+    val changed = mf.buckets.collect {
+      case (b, vFrom) if mt.buckets(b) != vFrom => b
+    }.toSeq.sorted
+    val schema = StructType.fromDDL(mf.schemaDdl)
+    val payload = schema.fieldNames.filterNot(mf.keys.contains).toSeq
+    def side(m: Manifest, tag: String): DataFrame =
+      m.buckets.view.filterKeys(changed.contains).toSeq
+        .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+        .map { case (ver, bs) => readBuckets(spark, dir, ver, m.schemaDdl, bs) }
+        .reduceOption(_.unionByName(_))
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType.fromDDL(m.schemaDdl).add("bucket", IntegerType)))
+        .drop("bucket")
+        .select(mf.keys.map(col) ++
+          payload.map(c => col(c).as(s"_${tag}_$c")): _*)
+    // presence markers: NULL payload alone can't distinguish "absent key"
+    // from "present with NULL payload", a constant column can
+    val f = side(mf, "f").withColumn("_f_present", lit(1))
+    val t = side(mt, "t").withColumn("_t_present", lit(1))
+    val both = f.join(t, mf.keys.toSeq, "full_outer")
+    val changedPayload = payload
+      .map(c => !(col(s"_f_$c") <=> col(s"_t_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    both
+      .withColumn("change_op",
+        when(col("_f_present").isNull, "I")
+          .when(col("_t_present").isNull, "D")
+          .when(changedPayload, "U"))
+      .filter(col("change_op").isNotNull)
+      .select(mf.keys.map(col) ++ Seq(col("change_op")) ++
+        payload.map(c => col(s"_t_$c").as(c)): _*)
   }
 
   /** ONE key-scoped merge: route the batch's keys to buckets, read ONLY
@@ -246,6 +307,12 @@ object Cdc {
     import spark.implicits._
     val v = requireVersion(spark, dir)
     val m = readManifest(spark, dir, v)
+    // the snapshot's bucketing is a function of ITS keys; merging by any
+    // other key would route rows to wrong directories and corrupt every
+    // later partition-pruned read — fail at the first batch, loudly
+    require(keys == m.keys,
+      s"merge keys $keys do not match the snapshot's bucketing keys " +
+        s"${m.keys} under $dir")
     val touched = batch.select(bucketOf(keys, m.nBuckets).as("bucket"))
       .distinct().as[Int].head(m.nBuckets).toSeq.sorted
     if (touched.nonEmpty) {

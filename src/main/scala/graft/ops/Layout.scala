@@ -71,11 +71,16 @@ object Layout {
     * collapse most rows into a few codes. Heavy hitters collapse
     * duplicate boundaries (their bucket just stays big — correct, a
     * single value cannot be split). Returns the bucket expression to
-    * feed [[zValueN]]. */
+    * feed [[zValueN]].
+    *
+    * Capped at 1024 buckets (10 bits): assignment is an O(buckets)
+    * per-row scan of the boundary array — cheap codegen at 10 bits,
+    * a scan killer at 16 — and clustering resolution beyond ~row-group
+    * count buys nothing (min/max pruning is row-group-granular). */
   def quantileBucket(df: DataFrame, c: String, buckets: Int,
       relErr: Double = 0.001): Column = {
-    require(buckets >= 2 && buckets <= 65536,
-      s"buckets must be in [2, 65536], got $buckets")
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024], got $buckets")
     val bounds = df.stat
       .approxQuantile(c, (1 until buckets).map(_.toDouble / buckets).toArray,
         relErr)

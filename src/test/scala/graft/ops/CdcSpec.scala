@@ -203,6 +203,43 @@ class CdcSpec extends SparkSpec {
       .collect().toSeq == Seq((11L, "y", 2.0)))
   }
 
+  test("snapshotAt time-travels; snapshotDiff labels I/U/D and skips unchanged") {
+    val n = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_tt").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), n)
+    Cdc.mergeScoped(Seq(
+        (2L, 1L, "U", "b2", 22.0),                        // payload change -> U
+        (3L, 2L, "D", null.asInstanceOf[String], 0.0),    // delete -> D
+        (5L, 3L, "U", "new", 50.0),                       // insert -> I
+        (4L, 4L, "U", "d", 40.0))                         // upsert to SAME payload -> no diff row
+        .toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir)
+    // time travel: v0 is still the seed
+    assert(Cdc.snapshotAt(spark, dir, 0).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq == Seq(
+        (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    val diff = Cdc.snapshotDiff(spark, dir, 0, 1).orderBy("k").collect()
+    assert(diff.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "U"), (3L, "D"), (5L, "I")))
+    // D rows carry NULL payload; U/I carry the to-side payload
+    assert(diff(1).isNullAt(2) && diff(1).isNullAt(3))
+    assert(diff(0).getString(2) == "b2" && diff(2).getDouble(3) == 50.0)
+    // diff of a version with itself is empty (same manifest, zero buckets read)
+    assert(Cdc.snapshotDiff(spark, dir, 1, 1).isEmpty)
+  }
+
+  test("mergeScoped rejects keys that don't match the snapshot's bucketing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_keys").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), 4)
+    val e = intercept[IllegalArgumentException] {
+      Cdc.mergeScoped(
+        Seq((1L, 1L, "U", "x", 1.0)).toDF("status", "seq", "op", "k", "price")
+          .select(col("k"), col("seq"), col("op"), col("status"), col("price")),
+        Seq("status"), "seq", "op", dir)
+    }
+    assert(e.getMessage.contains("bucketing keys"))
+  }
+
   test("latestWins keeps exactly one row per key (max seq)") {
     val changes = (1 to 100).map(i => (i.toLong % 10, i.toLong, "U", s"v$i", 0.0))
       .toDF("k", "seq", "op", "status", "price")

@@ -163,6 +163,28 @@ class LayoutSpec extends SparkSpec {
     assert(byBucket.toSeq == vals.sorted)
   }
 
+  test("quantileBucket + zOrderByN: skewed columns still cluster with disjoint z-ranges") {
+    val rnd = new scala.util.Random(29)
+    // both dims heavily skewed — raw masking would collapse most rows
+    // into a few z codes; quantile bucketing restores resolution
+    val df = Seq.fill(4000)((math.pow(rnd.nextDouble(), 8) * 1e6,
+      math.pow(rnd.nextDouble(), 8) * 1e6)).toDF("a", "b")
+    val qa = Layout.quantileBucket(df, "a", 256)
+    val qb = Layout.quantileBucket(df, "b", 256)
+    val parts = Layout.zOrderByN(df, Seq(qa, qb), partitions = 4)
+      .select("z").rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect().filter(_.nonEmpty)
+    parts.foreach(p => assert(p == p.sorted))
+    val ranges = parts.map(p => (p.min, p.max)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    // resolution actually used: many distinct z codes, not a collapsed few
+    assert(parts.flatten.distinct.size > 1000)
+  }
+
   test("compact guard: trailing-slash spelling of the same dir is rejected") {
     val in = java.nio.file.Files.createTempDirectory("graft_guard").toString
     spark.range(0, 10).write.mode("overwrite").parquet(in)
