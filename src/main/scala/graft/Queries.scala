@@ -2610,6 +2610,62 @@ object Queries {
            |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
            |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin))
 
+  /** SQL5 — recursive CTE (round 9): a parent-chain walk (node -> node/2
+    * up to the root) per customer, rolled up to depth + path sum. Both
+    * engines run the IDENTICAL ANSI text, so this judges the front-end's
+    * recursive-union semantics (seed, step, termination) — the iterative
+    * DataFrame twin of this shape is x2_components' loop; here the ENGINE
+    * drives the iteration. Integer path values keep the rollup exact. */
+  private val sql5Text: String =
+    """WITH RECURSIVE chain(custkey, node, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 200
+      |  UNION ALL
+      |  SELECT custkey, CAST(floor(node / 2) AS BIGINT), depth + 1
+      |  FROM chain WHERE node > 0
+      |)
+      |SELECT custkey, CAST(max(depth) AS INT) AS depth,
+      |  CAST(sum(node) AS BIGINT) AS path_sum
+      |FROM chain GROUP BY custkey ORDER BY custkey""".stripMargin
+
+  val sql5Recursive = QuerySpec("sql5_recursive",
+    (s, d) => {
+      T(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(sql5Text)
+    },
+    Some(sql5Text))
+
+  /** F14 — higher-order array functions (round 9): transform / filter /
+    * aggregate / zip_with over the real embedding arrays. Element math is
+    * integer-ized FIRST (floor-milli longs), so every fold is exact and
+    * order-free — the float elements only cross an order-sensitive
+    * operation after quantization. zip_with(q, q, *) folded equals the
+    * oracle's transform-square sum, judging the zip lane without needing
+    * a DuckDB zip lambda. */
+  val f14HigherOrder = QuerySpec("f14_higher_order",
+    (s, d) => {
+      val e = transform(col("embedding"), x => x.cast("double"))
+      val q = transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long"))
+      T(s, d, "embeddings").select(
+        col("vec_id"),
+        size(filter(e, x => x > 0)).as("n_pos"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("sum_milli"),
+        aggregate(zip_with(q, q, (a, b) => a * b), lit(0L),
+          (acc, x) => acc + x).as("dot_milli"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e,
+           |    list_transform(embedding::DOUBLE[],
+           |      x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+           |  FROM embeddings)
+           |SELECT vec_id,
+           |  CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_pos,
+           |  CAST(list_sum(q) AS BIGINT) AS sum_milli,
+           |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+           |    AS dot_milli
+           |FROM v ORDER BY vec_id""".stripMargin))
+
   /** X8 — resample + forward-fill (ops/TimeSeries.scala): the irregular
     * tick stream regularized onto a 15-minute grid per user, gaps
     * carrying the last close forward. The oracle rebuilds the spine with
@@ -2956,6 +3012,7 @@ object Queries {
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
+    sql5Recursive, f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
