@@ -2610,6 +2610,40 @@ object Queries {
            |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
            |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin))
 
+  /** X4i — overlapping document chunking (round 9): split each document
+    * into fixed-size token windows with overlap (size 64, stride 48) —
+    * the preprocessing every RAG index and long-context pretraining mix
+    * runs. One narrow pass: tokenize, explode the stride-spaced start
+    * offsets (sequence — distributed, no driver loop), slice the token
+    * array per start. Chunk count per doc = ceil(tokens/stride), so
+    * output scales linearly with corpus tokens; no shuffle at all before
+    * the declared output sort. */
+  val x4Chunk = QuerySpec("x4_chunk",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      T(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(48)))
+            .as("start"), col("toks"))
+        .select(col("doc_id"), (col("start") / 48).cast("int").as("chunk_idx"),
+          least(lit(64), size(col("toks")) - col("start")).as("n_tokens"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(64)))
+            .as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks
+           |  FROM documents WHERE doc_id < 200),
+           |st AS (
+           |  SELECT doc_id, toks,
+           |    unnest(generate_series(0, len(toks) - 1, 48)) AS start
+           |  FROM t)
+           |SELECT doc_id, CAST(start / 48 AS INT) AS chunk_idx,
+           |  CAST(least(64, len(toks) - start) AS INT) AS n_tokens,
+           |  array_to_string(toks[start + 1 : start + 64], ' ') AS chunk
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin))
+
   /** SQL5 — recursive CTE (round 9): a parent-chain walk (node -> node/2
     * up to the root) per customer, rolled up to depth + path sum. Both
     * engines run the IDENTICAL ANSI text, so this judges the front-end's
@@ -3019,7 +3053,7 @@ object Queries {
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
-    x4Scrub, x4CorpusReport, x6SaltedAgg, x6SaltedJoin,
+    x4Scrub, x4CorpusReport, x4Chunk, x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, stMergeReplay,
     x8Resample,
