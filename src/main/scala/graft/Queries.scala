@@ -2610,6 +2610,41 @@ object Queries {
            |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
            |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin))
 
+  /** Q4b — unpivot / melt (round 9): the inverse of Q4's pivot — wide
+    * per-type count columns back to (bucket, event_type, n) rows via the
+    * native UNPIVOT clause (Spark parses it to Expand: one pass, no
+    * shuffle beyond the pivot's own aggregation). The oracle melts with
+    * UNION ALL — the portable relational spelling. Composing pivot →
+    * unpivot also round-trips Q4's output, which is what pins the two as
+    * inverses. */
+  val q4bUnpivot = QuerySpec("q4b_unpivot",
+    (s, d) => {
+      Tables.events(s, d)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .createOrReplaceTempView("q4b_wide")
+      s.sql("""SELECT user_bucket, event_type, n
+              |FROM q4b_wide
+              |UNPIVOT (n FOR event_type IN (click, view, purchase))
+              |ORDER BY user_bucket, event_type""".stripMargin)
+    },
+    Some("""WITH w AS (
+           |  SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+           |    count(*) FILTER (WHERE event_type = 'click') AS click,
+           |    count(*) FILTER (WHERE event_type = 'view') AS view,
+           |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+           |  FROM events GROUP BY 1)
+           |SELECT user_bucket, event_type, CAST(n AS BIGINT) AS n FROM (
+           |  SELECT user_bucket, 'click' AS event_type, click AS n FROM w
+           |  UNION ALL
+           |  SELECT user_bucket, 'view', view FROM w
+           |  UNION ALL
+           |  SELECT user_bucket, 'purchase', purchase FROM w)
+           |ORDER BY user_bucket, event_type""".stripMargin))
+
   /** X4i — overlapping document chunking (round 9): split each document
     * into fixed-size token windows with overlap (size 64, stride 48) —
     * the preprocessing every RAG index and long-context pretraining mix
@@ -3043,7 +3078,7 @@ object Queries {
     j7dAsofForward, j8Semi, j8Anti, j9NullSafe, f13Nested,
     a1Pricing, a2Distinct, a2Hll, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
-    q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, fExplode,
+    q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, q4bUnpivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     sql5Recursive, f14HigherOrder,
