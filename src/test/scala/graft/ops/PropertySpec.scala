@@ -157,4 +157,59 @@ class PropertySpec extends SparkSpec {
         b.orderBy("job_id").collect().toSeq)
     }
   }
+
+  test("applyCdc == in-memory MERGE model on random change logs") {
+    // target keys 0..9; random logs of upserts/deletes with unique seqs.
+    // Reference model: sort by seq, fold into a map (upsert sets value,
+    // delete removes) — applyCdc must produce exactly that state.
+    val change = Gen.zip(
+      Gen.chooseNum(0L, 14L),                // key (some absent from target)
+      Gen.oneOf("U", "U", "U", "D"),         // bias toward upserts
+      Gen.chooseNum(1, 999))                 // payload
+    cases(Gen.listOfN(25, change), n = 8) { rows =>
+      val target = (0L to 9L).map(k => (k, k * 10.0)).toDF("k", "price")
+      val log = rows.zipWithIndex.map { case ((k, op, v), i) =>
+        (k, i.toLong, op, if (op == "D") null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(v.toDouble))
+      }
+      val model = scala.collection.mutable.Map((0L to 9L).map(k => k -> k * 10.0): _*)
+      log.sortBy(_._2).foreach { case (k, _, op, v) =>
+        if (op == "D") model.remove(k) else model(k) = v.doubleValue()
+      }
+      val got = Cdc.applyCdc(target,
+          log.toDF("k", "seq", "op", "price"), Seq("k"), "seq", "op")
+        .orderBy("k").as[(Long, Double)].collect().toSeq
+      assert(got == model.toSeq.sortBy(_._1),
+        s"log=${log.sortBy(_._2)}")
+    }
+  }
+
+  test("mergeScoped snapshot == batch applyCdc on random split points") {
+    // the key-scoped streaming path must equal the batch operator for ANY
+    // partitioning of the same log into sequential batches
+    val change = Gen.zip(Gen.chooseNum(0L, 14L), Gen.oneOf("U", "U", "D"),
+      Gen.chooseNum(1, 999))
+    cases(Gen.zip(Gen.listOfN(16, change), Gen.chooseNum(1, 15)), n = 4) {
+      case (rows, splitAt) =>
+        val target = (0L to 9L).map(k => (k, k * 10.0)).toDF("k", "price")
+        val log = rows.zipWithIndex.map { case ((k, op, v), i) =>
+          (k, i.toLong, op, if (op == "D") null.asInstanceOf[java.lang.Double]
+            else java.lang.Double.valueOf(v.toDouble))
+        }
+        val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString
+        Cdc.initSnapshot(target, dir, Seq("k"), 4)
+        log.splitAt(splitAt).productIterator.foreach { half =>
+          val batch = half.asInstanceOf[Seq[(Long, Long, String, java.lang.Double)]]
+          if (batch.nonEmpty)
+            Cdc.mergeScoped(batch.toDF("k", "seq", "op", "price"),
+              Seq("k"), "seq", "op", dir)
+        }
+        val streamed = Cdc.latestSnapshot(spark, dir)
+          .orderBy("k").as[(Long, Double)].collect().toSeq
+        val batched = Cdc.applyCdc(target,
+            log.toDF("k", "seq", "op", "price"), Seq("k"), "seq", "op")
+          .orderBy("k").as[(Long, Double)].collect().toSeq
+        assert(streamed == batched, s"split=$splitAt log=$log")
+    }
+  }
 }
