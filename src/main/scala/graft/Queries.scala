@@ -2677,7 +2677,8 @@ object Queries {
            |SELECT doc_id, CAST(start / 48 AS INT) AS chunk_idx,
            |  CAST(least(64, len(toks) - start) AS INT) AS n_tokens,
            |  array_to_string(toks[start + 1 : start + 64], ' ') AS chunk
-           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin))
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin),
+    bench = true)
 
   /** SQL5 — recursive CTE (round 9): a parent-chain walk (node -> node/2
     * up to the root) per customer, rolled up to depth + path sum. Both
@@ -2733,7 +2734,8 @@ object Queries {
            |  CAST(list_sum(q) AS BIGINT) AS sum_milli,
            |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
            |    AS dot_milli
-           |FROM v ORDER BY vec_id""".stripMargin))
+           |FROM v ORDER BY vec_id""".stripMargin),
+    bench = true)
 
   /** X8 — resample + forward-fill (ops/TimeSeries.scala): the irregular
     * tick stream regularized onto a 15-minute grid per user, gaps
@@ -3065,7 +3067,8 @@ object Queries {
            |    / 100.0 AS sum_value
            |FROM (SELECT CAST(ts AS DATE) AS day, value FROM events) e
            |JOIN hot USING (day)
-           |GROUP BY 1 ORDER BY day""".stripMargin))
+           |GROUP BY 1 ORDER BY day""".stripMargin),
+    bench = true)
 
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
