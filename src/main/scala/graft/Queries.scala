@@ -44,6 +44,19 @@ object Queries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
+  /** oncePerDir memoizes JVM-wide, but saveAsTable registers in a SESSION
+    * catalog: a later session in the same JVM hits the cache yet lacks the
+    * table. Re-register the on-disk bucketed layout when absent — external
+    * table DDL over the already-written files, no data rewrite. */
+  private def ensureBucketedTable(s: SparkSession, name: String,
+      path: String, key: String, buckets: Int): Unit =
+    if (!s.catalog.tableExists(name)) {
+      val ddl = s.read.parquet(path).schema.toDDL
+      s.sql(s"CREATE TABLE $name ($ddl) USING parquet " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+    }
+
   /** isin synthesized from a numeric column: XFC + zero-padded (x % 84 + 1)
     * — always hits the 84-row dim. */
   private def isinFrom(c: org.apache.spark.sql.Column) =
@@ -2273,7 +2286,7 @@ object Queries {
   val x7Bucketed = QuerySpec("x7_bucketed_join",
     (s, d) => {
       val tag = dirTag(d)
-      oncePerDir("bucketed_wh", d) { wh =>
+      val wh = oncePerDir("bucketed_wh", d) { wh =>
         Scale.writeBucketed(T(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
           s"x7_li_bucketed_$tag", "l_orderkey", 8, Some(wh))
@@ -2281,6 +2294,10 @@ object Queries {
           .select(col("o_orderkey"), col("o_orderpriority")),
           s"x7_ord_bucketed_$tag", "o_orderkey", 8, Some(wh))
       }
+      ensureBucketedTable(s, s"x7_li_bucketed_$tag",
+        s"$wh/x7_li_bucketed_$tag", "l_orderkey", 8)
+      ensureBucketedTable(s, s"x7_ord_bucketed_$tag",
+        s"$wh/x7_ord_bucketed_$tag", "o_orderkey", 8)
       s.table(s"x7_li_bucketed_$tag").hint("MERGE")
         .join(s.table(s"x7_ord_bucketed_$tag"),
           col("l_orderkey") === col("o_orderkey"))
@@ -2968,6 +2985,106 @@ object Queries {
            |WHERE NOT (l.op = 'D' AND t.o_orderkey IS NULL)
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** X7k — SERVING-path point lookup (round 10): fetch the CURRENT rows
+    * for three exact keys from the merged key-scoped snapshot — the
+    * reference's actual hot path (job by `downloader_jq_id`,
+    * `main.py:108-122`) against the lakehouse layout. The snapshot is
+    * seeded from orders and mutated by the x7_merge_cdc change set once
+    * (oncePerDir); the lookup routes each key to its bucket with
+    * driver-side Murmur3 (metadata math), consults the manifest's
+    * per-bucket stats, and reads ONLY the owning `v{N}/bucket={b}` leaf
+    * directories — CdcSpec pins inputFiles to exactly one bucket. The
+    * three probes are one updated key, one untouched key, one DELETED
+    * key (returns nothing); the oracle replays the merge and the same
+    * min()-derived keys, so key selection can never drift between
+    * engines. */
+  val x7PointLookup = QuerySpec("x7_point_lookup",
+    (s, d) => {
+      def p2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+      val o = T(s, d, "orders")
+      val root = oncePerDir("point_snap", d) { tmp =>
+        Cdc.initSnapshot(
+          o.select(col("o_orderkey"), col("o_orderstatus"),
+            p2(col("o_totalprice")).as("price")),
+          s"$tmp/snap", Seq("o_orderkey"), nBuckets = 16)
+        val upd1 = o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+            lit("U1").as("o_orderstatus"),
+            p2(col("o_totalprice") + 10).as("price"))
+        val upd2 = o.filter(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+            lit("U2").as("o_orderstatus"),
+            p2(col("o_totalprice") * 2).as("price"))
+        val del = o.filter(col("o_orderkey") % 11 === 3)
+          .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+            lit(null).cast("string").as("o_orderstatus"),
+            lit(null).cast("double").as("price"))
+        val ins = o.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit(1L).as("seq"), lit("U").as("op"),
+            lit("NEW").as("o_orderstatus"), lit(1.5).as("price"))
+        Cdc.mergeScoped(
+          upd1.unionByName(upd2).unionByName(del).unionByName(ins),
+          Seq("o_orderkey"), "seq", "op", s"$tmp/snap")
+      }
+      // probe keys derived from the data (identical min() terms in the
+      // oracle): updated / untouched / deleted. One column-pruned scan;
+      // the .head is the serving call site itself, not a data path.
+      val ks = o.agg(
+        min(when(col("o_orderkey") % 7 === 0, col("o_orderkey"))),
+        min(when(col("o_orderkey") % 7 =!= 0 &&
+          col("o_orderkey") % 11 =!= 3, col("o_orderkey"))),
+        min(when(col("o_orderkey") % 11 === 3 &&
+          col("o_orderkey") % 7 =!= 0, col("o_orderkey")))).head()
+      val probes = (0 until 3).flatMap(i =>
+        if (ks.isNullAt(i)) None else Some(Seq[Any](ks.getLong(i))))
+      Cdc.pointLookup(s, s"$root/snap", probes)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH t AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    floor(o_totalprice * 100 + 0.5) / 100 AS price
+           |  FROM orders),
+           |c AS (
+           |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+           |    'U1' AS o_orderstatus,
+           |    floor((o_totalprice + 10) * 100 + 0.5) / 100 AS price
+           |  FROM orders WHERE o_orderkey % 7 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 2, 'U', 'U2',
+           |    floor(o_totalprice * 2 * 100 + 0.5) / 100
+           |  FROM orders WHERE o_orderkey % 14 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 3, 'D', NULL, NULL
+           |  FROM orders WHERE o_orderkey % 11 = 3
+           |  UNION ALL
+           |  SELECT o_orderkey + 100000000, 1, 'U', 'NEW', 1.5
+           |  FROM orders WHERE o_orderkey % 13 = 0),
+           |latest AS (
+           |  SELECT * FROM (
+           |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+           |      ORDER BY seq DESC) AS rn
+           |    FROM c) WHERE rn = 1),
+           |merged AS (
+           |  SELECT coalesce(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+           |    coalesce(l.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           |    coalesce(l.price, t.price) AS price
+           |  FROM t FULL JOIN latest l ON t.o_orderkey = l.o_orderkey
+           |  WHERE l.op IS NULL OR l.op <> 'D'),
+           |ks AS (
+           |  SELECT
+           |    min(CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey END) AS ku,
+           |    min(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 3
+           |      THEN o_orderkey END) AS kp,
+           |    min(CASE WHEN o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
+           |      THEN o_orderkey END) AS kd
+           |  FROM orders)
+           |SELECT m.o_orderkey, m.o_orderstatus, m.price
+           |FROM merged m, ks
+           |WHERE m.o_orderkey IN (ks.ku, ks.kp, ks.kd)
+           |ORDER BY o_orderkey""".stripMargin),
+    bench = true)
+
   /** The N-dim interleave's oracle: 16 bit-extract terms per dimension,
     * `((dim >> b) & 1) << (3b + i)` — plain BIGINT arithmetic in any
     * engine. Generated, not hand-typed, so Spark and the oracle cannot
@@ -3093,7 +3210,8 @@ object Queries {
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x4Chunk, x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
-    x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, stMergeReplay,
+    x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
+    stMergeReplay,
     x8Resample,
     mmMeta, mmDecode, mmSim)
 

@@ -2,10 +2,12 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, RowOrdering}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types._
 
 /** X7 — CDC / MERGE: apply a change log (upserts + deletes) to a snapshot.
   *
@@ -40,21 +42,32 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   */
 object Cdc {
 
+  /** A concurrent writer committed the version this writer was about to
+    * claim. The losing attempt's staging directory is removed and NOTHING
+    * it wrote is visible — re-read the latest version and retry the merge
+    * on top of it (standard optimistic-concurrency retry loop, the same
+    * contract Delta/Iceberg commit conflicts carry). */
+  final class SnapshotCommitConflict(msg: String) extends RuntimeException(msg)
+
   /** Latest change per key by `seqCol` (strictly monotone per key —
     * CDC logs carry an LSN/offset with exactly that property).
     *
     * A malformed log CAN carry two records sharing (key, seq); the window
-    * therefore adds every remaining column (name-sorted, descending,
-    * nulls last) as a deterministic tie-break, so a replay — or the
-    * DuckDB oracle — can never pick a different winner than this engine
-    * did. The tie-break never fires on a well-formed log. */
+    * therefore adds every remaining ORDERABLE column (name-sorted,
+    * descending, nulls last) as a deterministic tie-break, so a replay —
+    * or the DuckDB oracle — can never pick a different winner than this
+    * engine did. Non-orderable payload types (maps) are skipped — they
+    * cannot participate in a sort, and a well-formed log never needs the
+    * tie-break at all. */
   def latestWins(changes: DataFrame, keys: Seq[String],
       seqCol: String): DataFrame = {
-    val tieBreak = changes.columns
-      .filterNot(c => keys.contains(c) || c == seqCol).sorted
+    val tieBreak = changes.schema.fields
+      .filterNot(f => keys.contains(f.name) || f.name == seqCol)
+      .filter(f => RowOrdering.isOrderable(f.dataType))
+      .map(_.name).sorted
       .map(col(_).desc_nulls_last)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc +: tieBreak: _*)
+      .orderBy(col(seqCol).desc +: tieBreak.toSeq: _*)
     changes.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
@@ -111,17 +124,38 @@ object Cdc {
   //   dir/v1/_MANIFEST.json          {"buckets":{"0":0,...,"3":1,...}}
   //
   // The manifest maps every bucket to the version directory holding its
-  // current files; it is written LAST (tmp + atomic rename), so it is the
-  // commit point — a crashed batch leaves a version directory without a
-  // manifest, which every reader and the next merge ignore/overwrite.
+  // current files, and carries per-bucket stats (row count, min/max of
+  // the merge keys) for data skipping. COMMIT PROTOCOL: a writer builds
+  // the ENTIRE version — data files and manifest — in a hidden
+  // `_stage_v{N}_{uuid}` directory, then claims `v{N}` with one directory
+  // rename. The rename is the commit point:
+  //   * a crashed attempt leaves only a `_stage_*` directory, which every
+  //     reader ignores (underscore prefix; the version regex never
+  //     matches) and retention sweeps;
+  //   * two writers racing for the same version cannot both win — the
+  //     loser's rename hits an existing `v{N}` (or lands nested inside
+  //     it, caught by the commit-id read-back) and raises a loud
+  //     [[SnapshotCommitConflict]]; nothing it wrote is visible.
   // Readers resolve the latest manifest and read each bucket from its
   // owning version; untouched buckets are THE SAME physical files across
   // versions (never copied), which is what makes per-merge write cost
   // O(touched buckets) instead of O(table).
   // ---------------------------------------------------------------------
 
+  /** Per-bucket data-skipping stats, recorded at the write that last
+    * rewrote the bucket: exact row count plus min/max of each merge-key
+    * column (as strings; None for key types whose string form does not
+    * order like the value — see [[statable]]). On a HASH-bucketed layout
+    * each bucket samples the whole key domain, so the min/max range is
+    * wide; the stats still kill reads of emptied buckets (rows == 0 after
+    * an all-deletes merge) and out-of-range probes at the domain edges,
+    * and the row counts are the table's free COUNT(*) metadata. */
+  private final case class BucketStats(rows: Long,
+      keyMin: Seq[Option[String]], keyMax: Seq[Option[String]])
+
   private final case class Manifest(nBuckets: Int, schemaDdl: String,
-      keys: Seq[String], buckets: Map[Int, Int])
+      keys: Seq[String], buckets: Map[Int, Int],
+      stats: Map[Int, BucketStats] = Map.empty, commitId: String = "")
 
   private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -131,6 +165,25 @@ object Cdc {
     * clusters, so the same key always routes to the same directory. */
   private def bucketOf(keys: Seq[String], nBuckets: Int): Column =
     pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  /** Key types whose cast-to-string round-trips AND orders like the
+    * value (lexicographic == natural): integrals compare as longs, ISO
+    * dates and plain strings compare as strings. Floats/timestamps are
+    * excluded — their string forms don't order reliably ("0.5" vs "0.50")
+    * and a WRONG bound silently drops rows, so those keys just carry no
+    * min/max (conservative: never pruned). */
+  private def statable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType => true
+    case _ => false
+  }
+
+  private def inRange(dt: DataType, v: Any, lo: String, hi: String): Boolean =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val x = v.toString.toLong; x >= lo.toLong && x <= hi.toLong
+      case _ => val x = v.toString; x >= lo && x <= hi
+    }
 
   private def jsonEsc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -142,22 +195,22 @@ object Cdc {
     case c => c.toString
   }
 
-  private def writeManifest(spark: SparkSession, dir: String, version: Int,
-      m: Manifest): Unit = {
-    val body = s"""{"nBuckets":${m.nBuckets},""" +
+  private def manifestJson(m: Manifest): String = {
+    val statsJson = m.stats.toSeq.sortBy(_._1).map { case (b, st) =>
+      def arr(xs: Seq[Option[String]]) = xs
+        .map(_.map(s => "\"" + jsonEsc(s) + "\"").getOrElse("null"))
+        .mkString("[", ",", "]")
+      s""""$b":{"rows":${st.rows},"min":${arr(st.keyMin)},"max":${arr(st.keyMax)}}"""
+    }.mkString(""""stats":{""", ",", "}")
+    s"""{"nBuckets":${m.nBuckets},""" +
+      s""""commit":"${jsonEsc(m.commitId)}",""" +
       s""""schema":"${jsonEsc(m.schemaDdl)}",""" +
       m.keys.map(k => s""""${jsonEsc(k)}"""")
         .mkString(""""keys":[""", ",", "],") +
       m.buckets.toSeq.sortBy(_._1)
         .map { case (b, v) => s""""$b":$v""" }
-        .mkString(""""buckets":{""", ",", "}}")
-    val fs = hadoopFs(spark, dir)
-    val tmp = new Path(s"$dir/v$version/_MANIFEST.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(s"$dir/v$version/_MANIFEST.json")
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"manifest commit failed for $dst")
+        .mkString(""""buckets":{""", ",", "},") +
+      statsJson + "}"
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -169,16 +222,32 @@ object Cdc {
     import org.json4s._
     implicit val fmt: Formats = DefaultFormats
     val jv = org.json4s.jackson.JsonMethods.parse(text)
+    val stats = jv \ "stats" match {
+      case JObject(fields) => fields.map { case (b, v) =>
+        def arr(name: String): Seq[Option[String]] = v \ name match {
+          case JArray(xs) => xs.map {
+            case JString(s) => Some(s)
+            case _ => None
+          }
+          case _ => Seq.empty
+        }
+        b.toInt -> BucketStats((v \ "rows").extract[Long], arr("min"), arr("max"))
+      }.toMap
+      case _ => Map.empty[Int, BucketStats]
+    }
     Manifest(
       (jv \ "nBuckets").extract[Int],
       (jv \ "schema").extract[String],
       (jv \ "keys").extract[Seq[String]],
       (jv \ "buckets").extract[Map[String, Int]]
-        .map { case (k, v) => k.toInt -> v })
+        .map { case (k, v) => k.toInt -> v },
+      stats,
+      jv \ "commit" match { case org.json4s.JString(s) => s; case _ => "" })
   }
 
   /** Highest version with a COMMITTED manifest (crashed, manifest-less
-    * attempts are invisible). */
+    * attempts are invisible — with the staged commit they only ever exist
+    * as `_stage_*` directories, which the version regex never matches). */
   private def latestVersion(spark: SparkSession,
       dir: String): Option[Int] = {
     val p = new Path(dir)
@@ -195,9 +264,99 @@ object Cdc {
     latestVersion(spark, dir).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $dir — call initSnapshot first"))
 
+  /** Test-only interleave seam: invoked after a writer has fully staged a
+    * version (data + manifest) and immediately before it claims the
+    * version directory. A no-op in production; CdcSpec swaps in a
+    * competing commit here to prove the conflict path deterministically. */
+  private[graft] var commitFence: () => Unit = () => ()
+
+  /** Stage-then-rename commit of version `newV`: `writeData` fills a
+    * hidden staging directory, per-bucket stats are computed from the
+    * staged files (a column-pruned scan of the merge keys only, over the
+    * TOUCHED data only), the manifest is written into staging, and one
+    * directory rename claims `v{newV}`. If the rename finds the version
+    * already claimed — or lands nested inside a concurrently created one
+    * (Hadoop rename-into-existing-dir semantics; caught by reading back
+    * the commit id) — the attempt raises [[SnapshotCommitConflict]] and
+    * its staging is deleted: EXACTLY ONE writer wins a version, losers
+    * are loud, and no committed data is ever overwritten. */
+  private def commitVersion(spark: SparkSession, dir: String, newV: Int,
+      manifest: Manifest, written: Seq[Int])(
+      writeData: String => Unit): Unit = {
+    val fs = hadoopFs(spark, dir)
+    val uuid = java.util.UUID.randomUUID.toString.take(8)
+    val stage = s"$dir/_stage_v${newV}_$uuid"
+    try {
+      writeData(stage)
+      val stats = manifest.stats ++
+        computeStats(spark, stage, manifest.schemaDdl, manifest.keys, written)
+      val m = manifest.copy(stats = stats, commitId = uuid)
+      val mf = fs.create(new Path(s"$stage/_MANIFEST.json"), true)
+      try mf.write(manifestJson(m).getBytes("UTF-8")) finally mf.close()
+      commitFence()
+      val dst = new Path(s"$dir/v$newV")
+      def conflict(): Nothing = throw new SnapshotCommitConflict(
+        s"v$newV under $dir was committed by a concurrent writer; this " +
+          s"attempt is dropped (staging removed, nothing visible) — " +
+          s"re-read the latest version and retry")
+      if (fs.exists(dst)) conflict()
+      if (!fs.rename(new Path(stage), dst)) conflict()
+      // read-back: if a racer claimed dst between the exists check and the
+      // rename, our rename may have landed INSIDE it — the committed
+      // manifest is then the winner's, not ours
+      if (readManifest(spark, dir, newV).commitId != uuid) conflict()
+    } finally {
+      // success renames staging away; on any failure a leftover stage is
+      // invisible to readers but still deleted here to not leak disk
+      fs.delete(new Path(stage), true)
+      ()
+    }
+  }
+
+  /** Exact per-bucket row counts + merge-key min/max from a just-written
+    * version directory. Reads ONLY the key columns (column-pruned parquet
+    * scan) of ONLY the written buckets; the collected result is driver
+    * metadata bounded by nBuckets. Buckets the write emptied out (legal
+    * all-deletes merge) get explicit zero-row entries, which is what lets
+    * [[pointLookup]] skip them without a filesystem probe. */
+  private def computeStats(spark: SparkSession, stagePath: String,
+      schemaDdl: String, keys: Seq[String],
+      written: Seq[Int]): Map[Int, BucketStats] = {
+    val schema = StructType.fromDDL(schemaDdl)
+    val aggs = count(lit(1)).as("_rows") +:
+      keys.zipWithIndex.flatMap { case (k, i) =>
+        if (statable(schema(k).dataType))
+          Seq(min(col(k)).cast("string").as(s"_min_$i"),
+            max(col(k)).cast("string").as(s"_max_$i"))
+        else
+          Seq(lit(null).cast("string").as(s"_min_$i"),
+            lit(null).cast("string").as(s"_max_$i"))
+      }
+    val present = spark.read
+      .schema(StructType.fromDDL(schemaDdl).add("bucket", IntegerType))
+      .parquet(stagePath)
+      .groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        r.getInt(0) -> BucketStats(r.getLong(1),
+          keys.indices.map(i => Option(r.getString(2 + 2 * i))),
+          keys.indices.map(i => Option(r.getString(3 + 2 * i))))
+      }.toMap
+    val zero = BucketStats(0L, keys.map(_ => None), keys.map(_ => None))
+    written.map(b => b -> present.getOrElse(b, zero)).toMap
+  }
+
+  /** Exact row count per bucket from a committed manifest — the
+    * snapshot's free COUNT(*) metadata (test/ops introspection). */
+  private[graft] def statsOf(spark: SparkSession, dir: String,
+      version: Int): Map[Int, Long] =
+    readManifest(spark, dir, version).stats.view.mapValues(_.rows).toMap
+
   /** One version directory's rows for `buckets`, schema pinned from the
     * manifest (an explicit schema also makes a version whose touched
-    * buckets all emptied out — a legal all-deletes merge — readable). */
+    * buckets all emptied out — a legal all-deletes merge — readable, and
+    * null-fills columns that post-date the files under additive schema
+    * evolution). */
   private def readBuckets(spark: SparkSession, dir: String, version: Int,
       schemaDdl: String, buckets: Seq[Int]): DataFrame =
     spark.read
@@ -213,12 +372,14 @@ object Cdc {
       nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = target.sparkSession
-    target.withColumn("bucket", bucketOf(keys, nBuckets))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/v0")
-    writeManifest(spark, dir, 0,
+    commitVersion(spark, dir, 0,
       Manifest(nBuckets, target.schema.toDDL, keys,
-        (0 until nBuckets).map(_ -> 0).toMap))
+        (0 until nBuckets).map(_ -> 0).toMap),
+      0 until nBuckets) { stage =>
+      target.withColumn("bucket", bucketOf(keys, nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    }
   }
 
   /** The current snapshot (what a reader consumes between merges): each
@@ -240,6 +401,58 @@ object Cdc {
       .drop("bucket")
   }
 
+  /** SERVING-path point read — the downloader's actual hot path (job by
+    * `downloader_jq_id`, `main.py:108-122`) against the snapshot: fetch
+    * the current rows for a handful of exact keys, touching ONLY the
+    * buckets those keys hash into.
+    *
+    * Route: each key tuple's bucket is computed ON THE DRIVER with the
+    * same seed-42 Murmur3 the layout used (metadata math, no job); the
+    * manifest's stats then drop probes into emptied buckets (rows == 0)
+    * or outside the bucket's key min/max; what survives is read as
+    * explicit `v{owner}/bucket={b}` leaf directories — a 100 TB snapshot
+    * answers a point lookup from the files of one bucket, never a table
+    * scan, and an absent key in an empty bucket reads ZERO files. */
+  def pointLookup(spark: SparkSession, dir: String, keyRows: Seq[Seq[Any]],
+      version: Option[Int] = None): DataFrame = {
+    require(keyRows.nonEmpty, "pointLookup needs at least one key tuple")
+    val v = version.getOrElse(requireVersion(spark, dir))
+    val m = readManifest(spark, dir, v)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val keyTypes = m.keys.map(k => schema(k).dataType)
+    keyRows.foreach(r => require(r.length == m.keys.length,
+      s"key tuple has ${r.length} values, snapshot keys are ${m.keys}"))
+    def bucketFor(r: Seq[Any]): Int = {
+      val h = new Murmur3Hash(r.zip(keyTypes).map { case (value, dt) =>
+        Literal.create(value, dt)
+      }).eval(InternalRow.empty).asInstanceOf[Int]
+      ((h % m.nBuckets) + m.nBuckets) % m.nBuckets
+    }
+    val surviving = keyRows.filter { r =>
+      m.stats.get(bucketFor(r)).forall(st =>
+        st.rows > 0 && m.keys.indices.forall { i =>
+          (st.keyMin.lift(i).flatten, st.keyMax.lift(i).flatten) match {
+            case (Some(lo), Some(hi)) => inRange(keyTypes(i), r(i), lo, hi)
+            case _ => true // no stats for this key column: can't prune
+          }
+        })
+    }
+    val fs = hadoopFs(spark, dir)
+    val paths = surviving.map(bucketFor).distinct.sorted
+      .map(b => s"$dir/v${m.buckets(b)}/bucket=$b")
+      .filter(p => fs.exists(new Path(p)))
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else {
+      val pred = surviving.map(r =>
+        m.keys.zip(r).zip(keyTypes).map { case ((k, value), dt) =>
+          col(k) === lit(value).cast(dt)
+        }.reduce(_ && _)).reduce(_ || _)
+      spark.read.schema(schema).parquet(paths: _*).filter(pred)
+    }
+  }
+
   /** Change-data-feed between two snapshot versions: one row per key
     * whose state differs, labeled `change_op` I (inserted), U (payload
     * changed), or D (deleted), carrying the TO-side payload (NULL for
@@ -250,7 +463,10 @@ object Cdc {
     * at the same physical files — identical by construction, skipped
     * without reading a byte. Only buckets that were rewritten between
     * the two versions are scanned and full-outer-joined (on the
-    * manifest's own merge keys, null-safe payload compare). */
+    * manifest's own merge keys, null-safe payload compare). Both sides
+    * read with the TO-side schema (the wider one under additive
+    * evolution — a column that post-dates the from-version null-fills,
+    * which is exactly its state back then). */
   def snapshotDiff(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
     val mf = readManifest(spark, dir, fromVersion)
@@ -258,19 +474,24 @@ object Cdc {
     require(mf.nBuckets == mt.nBuckets && mf.keys == mt.keys,
       s"snapshots $fromVersion and $toVersion do not share bucketing " +
         s"(${mf.nBuckets}/${mf.keys} vs ${mt.nBuckets}/${mt.keys})")
+    val toSchema = StructType.fromDDL(mt.schemaDdl)
+    val fromSchema = StructType.fromDDL(mf.schemaDdl)
+    require(fromSchema.fields.forall(f =>
+        toSchema.fields.exists(t => t.name == f.name && t.dataType == f.dataType)),
+      s"snapshotDiff: schema of v$toVersion is not an additive widening " +
+        s"of v$fromVersion (${fromSchema.toDDL} vs ${toSchema.toDDL})")
     val changed = mf.buckets.collect {
       case (b, vFrom) if mt.buckets(b) != vFrom => b
     }.toSeq.sorted
-    val schema = StructType.fromDDL(mf.schemaDdl)
-    val payload = schema.fieldNames.filterNot(mf.keys.contains).toSeq
+    val payload = toSchema.fieldNames.filterNot(mf.keys.contains).toSeq
     def side(m: Manifest, tag: String): DataFrame =
       m.buckets.view.filterKeys(changed.contains).toSeq
         .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
-        .map { case (ver, bs) => readBuckets(spark, dir, ver, m.schemaDdl, bs) }
+        .map { case (ver, bs) => readBuckets(spark, dir, ver, mt.schemaDdl, bs) }
         .reduceOption(_.unionByName(_))
         .getOrElse(spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType.fromDDL(m.schemaDdl).add("bucket", IntegerType)))
+          toSchema.add("bucket", IntegerType)))
         .drop("bucket")
         .select(mf.keys.map(col) ++
           payload.map(c => col(c).as(s"_${tag}_$c")): _*)
@@ -293,19 +514,42 @@ object Cdc {
   }
 
   /** ONE key-scoped merge: route the batch's keys to buckets, read ONLY
-    * those buckets of the current snapshot, [[applyCdc]], write the merged
-    * buckets as v(N+1), commit a manifest that points the touched buckets
-    * at v(N+1) and everything else at wherever it already lives.
+    * those buckets of the current snapshot, [[applyCdc]], stage the merged
+    * buckets + manifest, commit v(N+1) with one rename ([[commitVersion]]
+    * — a concurrent writer makes this raise [[SnapshotCommitConflict]],
+    * never a silent overwrite).
+    *
+    * `expectedVersion` is the optimistic-concurrency token: a caller that
+    * planned its batch against version E passes Some(E), and the merge
+    * refuses (loudly) if anything committed in between — the read-
+    * validate-commit loop Delta/Iceberg transactions run.
+    *
+    * KEY TYPES are aligned to the snapshot's before routing: a batch
+    * whose key column arrives narrower (INT where the snapshot is
+    * BIGINT) is cast — both the touched-set and the written rows then
+    * hash identically — and a value the snapshot's type cannot hold
+    * fails the job rather than silently routing to a wrong bucket.
+    *
+    * SCHEMA EVOLUTION is additive-widen: a batch payload column the
+    * snapshot lacks is appended to the schema (old buckets null-fill on
+    * read — exactly the reference's duck-typed envelope growth,
+    * `main.py:214-215`); a same-name column with a DIFFERENT type is
+    * rejected loudly (cast in the feed, once, explicitly).
     *
     * Per-batch cost: read+write of touched buckets + the batch itself —
     * independent of table size when the batch's key spread is. The touched
     * set is driver metadata bounded by nBuckets (it IS the partition
     * pruning list), never the data. */
   def mergeScoped(batch: DataFrame, keys: Seq[String], seqCol: String,
-      opCol: String, dir: String, partialUpdate: Boolean = true): Unit = {
+      opCol: String, dir: String, partialUpdate: Boolean = true,
+      expectedVersion: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val v = requireVersion(spark, dir)
+    expectedVersion.foreach(ev => if (ev != v)
+      throw new SnapshotCommitConflict(
+        s"merge planned against v$ev but the snapshot under $dir is at " +
+          s"v$v — re-read and retry"))
     val m = readManifest(spark, dir, v)
     // the snapshot's bucketing is a function of ITS keys; merging by any
     // other key would route rows to wrong directories and corrupt every
@@ -313,67 +557,121 @@ object Cdc {
     require(keys == m.keys,
       s"merge keys $keys do not match the snapshot's bucketing keys " +
         s"${m.keys} under $dir")
-    val touched = batch.select(bucketOf(keys, m.nBuckets).as("bucket"))
+    val snapSchema = StructType.fromDDL(m.schemaDdl)
+    // align batch key TYPES to the snapshot's (hash(int) != hash(bigint):
+    // an unaligned batch would compute `touched` from one hash and write
+    // buckets from another — silent loss); unrepresentable values fail
+    val aligned = batch.select(batch.columns.map { c =>
+      val want = if (m.keys.contains(c)) Some(snapSchema(c).dataType) else None
+      want match {
+        case Some(t) if batch.schema(c).dataType != t =>
+          when(col(c).isNotNull && col(c).cast(t).isNull,
+            raise_error(concat(
+              lit(s"mergeScoped: key '$c' value "), col(c).cast("string"),
+              lit(s" does not fit the snapshot's ${t.sql}"))).cast(t))
+            .otherwise(col(c).cast(t)).as(c)
+        case _ => col(c)
+      }
+    }.toSeq: _*)
+    // payload contract: same name => same type (loud otherwise); genuinely
+    // new columns widen the schema additively
+    val payloadCols = batch.columns
+      .filterNot(c => m.keys.contains(c) || c == seqCol || c == opCol)
+    val conflicts = payloadCols.flatMap(c => snapSchema.fields
+      .find(_.name == c).filter(_.dataType != batch.schema(c).dataType)
+      .map(f => s"$c (batch ${batch.schema(c).dataType.sql} vs " +
+        s"snapshot ${f.dataType.sql})"))
+    require(conflicts.isEmpty,
+      s"mergeScoped: payload type conflict — evolution is additive-only, " +
+        s"cast the feed explicitly: ${conflicts.mkString("; ")}")
+    val newCols = payloadCols.filterNot(snapSchema.fieldNames.contains)
+    val widened = newCols.foldLeft(snapSchema)((sch, c) =>
+      sch.add(c, batch.schema(c).dataType, nullable = true))
+    val touched = aligned.select(bucketOf(keys, m.nBuckets).as("bucket"))
       .distinct().as[Int].head(m.nBuckets).toSeq.sorted
     if (touched.nonEmpty) {
-      val target = m.buckets.view.filterKeys(touched.contains).toSeq
+      val base = m.buckets.view.filterKeys(touched.contains).toSeq
         .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
         .map { case (ver, bs) =>
           readBuckets(spark, dir, ver, m.schemaDdl, bs) }
         .reduce(_.unionByName(_))
         .drop("bucket")
+      val target = newCols.foldLeft(base)((t, c) =>
+        t.withColumn(c, lit(null).cast(batch.schema(c).dataType)))
       val newV = v + 1
-      // repartition by bucket so each touched bucket lands as one writer's
-      // files (read amplification beats the one extra shuffle of TOUCHED
-      // data; without it every join task writes a sliver into every bucket)
-      applyCdc(target, batch, keys, seqCol, opCol, partialUpdate)
-        .withColumn("bucket", bucketOf(keys, m.nBuckets))
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/v$newV")
-      writeManifest(spark, dir, newV,
-        m.copy(buckets = m.buckets ++ touched.map(_ -> newV)))
+      commitVersion(spark, dir, newV,
+        m.copy(schemaDdl = widened.toDDL,
+          buckets = m.buckets ++ touched.map(_ -> newV)),
+        touched) { stage =>
+        // repartition by bucket so each touched bucket lands as one
+        // writer's files (read amplification beats the one extra shuffle
+        // of TOUCHED data; without it every join task writes a sliver
+        // into every bucket)
+        applyCdc(target, aligned, keys, seqCol, opCol, partialUpdate)
+          .withColumn("bucket", bucketOf(keys, m.nBuckets))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+      }
     }
   }
 
   /** Retention: delete snapshot versions that are (a) older than the
-    * newest `keep` (clamped to >= 1) and (b) not referenced by the latest
-    * manifest — referenced versions still HOLD live buckets and are never
-    * deleted regardless of age (that is the cost of file reuse; run
-    * [[compactSnapshot]] first to re-own every bucket and make history
-    * prunable). Returns pruned version numbers, newest first. */
+    * newest `keep` committed versions (clamped to >= 1) and (b) not
+    * referenced by ANY retained manifest — a retained version's buckets
+    * may live in far older version directories (that is the cost of file
+    * reuse), and every retained version must stay fully readable, so the
+    * live set is the UNION of bucket owners across all retained
+    * manifests, not just the latest's. Run [[compactSnapshot]] first to
+    * re-own every bucket and make history prunable.
+    *
+    * Also sweeps `_stage_*` directories — crashed or conflicted attempts,
+    * invisible to every reader. Sweeping an IN-FLIGHT writer's staging
+    * makes that writer's commit rename fail with a loud
+    * [[SnapshotCommitConflict]] (never silent corruption); schedule
+    * retention away from writers, or accept their retry.
+    * Returns pruned version numbers, newest first. */
   def pruneSnapshots(spark: SparkSession, dir: String, keep: Int): Seq[Int] = {
-    latestVersion(spark, dir) match {
-      case None => Seq.empty
-      case Some(latest) =>
-        val live = readManifest(spark, dir, latest).buckets.values.toSet + latest
-        val fs = hadoopFs(spark, dir)
-        val versions = fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
-          .flatMap(s => "^v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
-            .map(m => (m.group(1).toInt, s.getPath)))
-          .sortBy(-_._1)
-        versions.drop(math.max(1, keep))
-          .filterNot { case (v, _) => live.contains(v) }
-          .map { case (v, path) => fs.delete(path, true); v }
-    }
+    val fs = hadoopFs(spark, dir)
+    if (!fs.exists(new Path(dir))) return Seq.empty
+    val entries = fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
+    entries.filter(_.getPath.getName.startsWith("_stage_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val versions = entries
+      .flatMap(s => "^v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toInt, s.getPath)))
+      .sortBy(-_._1)
+    val committed = versions.map(_._1)
+      .filter(v => fs.exists(new Path(s"$dir/v$v/_MANIFEST.json")))
+    if (committed.isEmpty) return Seq.empty
+    val retained = committed.take(math.max(1, keep))
+    val live = retained.toSet ++
+      retained.flatMap(rv => readManifest(spark, dir, rv).buckets.values)
+    versions
+      .filterNot { case (v, _) => live.contains(v) }
+      .map { case (v, path) => fs.delete(path, true); v }
   }
 
   /** Maintenance rewrite: fold every live bucket into one fresh version so
     * older versions hold no live data and [[pruneSnapshots]] can reclaim
     * them. The one deliberately O(table) operation — run it on the same
-    * cadence as Layout.compact, not per batch. */
+    * cadence as Layout.compact, not per batch. Commits through the same
+    * staged rename as merges, so racing a concurrent merge loses loudly
+    * instead of dropping its buckets. */
   def compactSnapshot(spark: SparkSession, dir: String): Int = {
     val v = requireVersion(spark, dir)
     val m = readManifest(spark, dir, v)
     val newV = v + 1
-    // bucket routing is stable (same keys, same nBuckets), so this is a
-    // straight re-ownership rewrite — the partition column rides along
-    m.buckets.groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq
-      .map { case (ver, bs) => readBuckets(spark, dir, ver, m.schemaDdl, bs) }
-      .reduce(_.unionByName(_))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/v$newV")
-    writeManifest(spark, dir, newV,
-      m.copy(buckets = m.buckets.keys.map(_ -> newV).toMap))
+    commitVersion(spark, dir, newV,
+      m.copy(buckets = m.buckets.keys.map(_ -> newV).toMap),
+      m.buckets.keys.toSeq) { stage =>
+      // bucket routing is stable (same keys, same nBuckets), so this is a
+      // straight re-ownership rewrite — the partition column rides along
+      m.buckets.groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq
+        .map { case (ver, bs) => readBuckets(spark, dir, ver, m.schemaDdl, bs) }
+        .reduce(_.unionByName(_))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    }
     newV
   }
 
@@ -382,13 +680,26 @@ object Cdc {
     * feed's contract); within a batch latest-wins by `seqCol` as in the
     * batch operator. State is the snapshot itself — no streaming state
     * store — and per-batch write cost is proportional to the batch's key
-    * spread (touched buckets), NOT table size. */
+    * spread (touched buckets), NOT table size.
+    *
+    * CRASH SAFETY composes from two halves: the snapshot side commits a
+    * version only via the staged rename (a killed batch leaves an
+    * invisible `_stage_*` dir that the redone batch simply ignores), and
+    * the `checkpoint` (pass one for anything long-lived) makes the source
+    * replay exactly the unfinished micro-batch after a restart. Replaying
+    * an ALREADY-committed batch is content-idempotent anyway — re-upserts
+    * write the same values, re-deletes hit absent keys — so the worst
+    * case of a crash between snapshot commit and checkpoint advance is
+    * one redundant (but identical) version, never corruption. */
   def applyCdcStream(changes: DataFrame, keys: Seq[String], seqCol: String,
       opCol: String, dir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    changes.writeStream
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val base = changes.writeStream
       .outputMode("append")
       .trigger(trigger)
+    checkpoint.foreach(c => base.option("checkpointLocation", c))
+    base
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         // empty micro-batch (idle trigger tick) must not churn a new
         // identical version — ST2's no-op contract, applied to merges
@@ -399,4 +710,5 @@ object Cdc {
         ()
       }
       .start()
+  }
 }

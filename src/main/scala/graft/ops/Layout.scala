@@ -54,6 +54,11 @@ object Layout {
   def zValueN(dims: Seq[Column]): Column = {
     val n = dims.length
     require(n >= 1, "zValueN needs at least one dimension")
+    // 62/n == 0 past 62 dims -> an empty term list; name the budget
+    // instead of letting reduce throw an opaque empty-collection error
+    require(n <= 62,
+      s"zValueN supports at most 62 dimensions (each needs >= 1 bit of " +
+        s"the 62-bit signed-long budget), got $n")
     val bits = math.min(16, 62 / n)
     val terms = for {
       (d, i) <- dims.zipWithIndex

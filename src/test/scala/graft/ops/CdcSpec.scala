@@ -240,6 +240,227 @@ class CdcSpec extends SparkSpec {
     assert(e.getMessage.contains("bucketing keys"))
   }
 
+  test("concurrent writers: exactly one commits a version, the loser " +
+      "raises SnapshotCommitConflict and leaves nothing visible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_race").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), 4)
+    val bA = Seq((1L, 1L, "U", "A", 1.0)).toDF("k", "seq", "op", "status", "price")
+    val bB = Seq((2L, 1L, "U", "B", 2.0)).toDF("k", "seq", "op", "status", "price")
+    // writer A stages v1 fully, then — in the window before its rename —
+    // writer B commits v1 first (the deterministic two-writer interleave)
+    @volatile var fired = false
+    Cdc.commitFence = () =>
+      if (!fired) { fired = true; Cdc.mergeScoped(bB, Seq("k"), "seq", "op", dir) }
+    val e = try intercept[Cdc.SnapshotCommitConflict] {
+      Cdc.mergeScoped(bA, Seq("k"), "seq", "op", dir)
+    } finally Cdc.commitFence = () => ()
+    assert(e.getMessage.contains("concurrent"))
+    // the winner's commit is intact, the loser dropped loudly — no
+    // partially-applied state, no silently lost buckets
+    assert(Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq == Seq(
+        (1L, "a", 10.0), (2L, "B", 2.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // the losing attempt's staging directory was reclaimed
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_stage_")))
+    // the standard OCC recovery: re-read and retry on top of the winner
+    Cdc.mergeScoped(bA, Seq("k"), "seq", "op", dir)
+    assert(Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().head == ((1L, "A", 1.0)))
+  }
+
+  test("mergeScoped: a stale expectedVersion token is refused loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_occ").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), 4)
+    val b1 = Seq((1L, 1L, "U", "x", 1.0)).toDF("k", "seq", "op", "status", "price")
+    val b2 = Seq((2L, 1L, "U", "y", 2.0)).toDF("k", "seq", "op", "status", "price")
+    Cdc.mergeScoped(b1, Seq("k"), "seq", "op", dir,
+      expectedVersion = Some(0)) // fresh token: commits v1
+    val e = intercept[Cdc.SnapshotCommitConflict] {
+      Cdc.mergeScoped(b2, Seq("k"), "seq", "op", dir,
+        expectedVersion = Some(0)) // stale: someone committed in between
+    }
+    assert(e.getMessage.contains("v0") && e.getMessage.contains("v1"))
+    Cdc.mergeScoped(b2, Seq("k"), "seq", "op", dir,
+      expectedVersion = Some(1)) // re-read, retry
+    assert(Cdc.latestSnapshot(spark, dir).count() == 4)
+  }
+
+  test("pointLookup reads ONLY the owning bucket's files; empty buckets " +
+      "and out-of-range probes read zero files") {
+    val n = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_pt").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), n)
+    Cdc.mergeScoped(
+      Seq((2L, 1L, "U", "b2", 22.0)).toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir)
+    // merged key: served from v1, from its single bucket directory
+    val hit = Cdc.pointLookup(spark, dir, Seq(Seq(2L)))
+    assert(hit.as[(Long, String, Double)].collect().toSeq ==
+      Seq((2L, "b2", 22.0)))
+    val b2 = bucketsOf(Seq(2L), n).head
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.forall(f => f.contains(s"/v1/bucket=$b2")))
+    // untouched key: served from the SEED version's bucket only
+    val b3 = bucketsOf(Seq(3L), n).head
+    if (b3 != b2) {
+      val hit3 = Cdc.pointLookup(spark, dir, Seq(Seq(3L)))
+      assert(hit3.inputFiles.nonEmpty &&
+        hit3.inputFiles.forall(f => f.contains(s"/v0/bucket=$b3")))
+    }
+    // a key routing to an EMPTY bucket: stats say rows=0, no file touched
+    val occupied = bucketsOf(Seq(1L, 2L, 3L, 4L), n)
+    val emptyKey = (10L to 500L)
+      .find(k => !occupied.contains(bucketsOf(Seq(k), n).head)).get
+    val miss = Cdc.pointLookup(spark, dir, Seq(Seq(emptyKey)))
+    assert(miss.inputFiles.isEmpty && miss.count() == 0)
+    // a probe far outside the bucket's key [min,max] but routing to an
+    // OCCUPIED bucket: the manifest stats prune it to zero files even
+    // though the bucket directory exists and has data
+    val far = (1000000L to 1000500L)
+      .find(k => occupied.contains(bucketsOf(Seq(k), n).head)).get
+    val missFar = Cdc.pointLookup(spark, dir, Seq(Seq(far)))
+    assert(missFar.inputFiles.isEmpty && missFar.count() == 0)
+    // the manifest's row counts are the snapshot's free COUNT(*) metadata
+    assert(Cdc.statsOf(spark, dir, 1).values.sum == 4L)
+  }
+
+  test("mergeScoped: additive schema evolution — new payload column " +
+      "null-backfills old buckets; type conflicts fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_evo").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), 8)
+    Cdc.mergeScoped(
+      Seq((2L, 1L, "U", "b2", 22.0, "hello"))
+        .toDF("k", "seq", "op", "status", "price", "note"),
+      Seq("k"), "seq", "op", dir)
+    val snap = Cdc.latestSnapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("k", "status", "price", "note"))
+    assert(snap.orderBy("k")
+      .as[(Long, String, Double, Option[String])].collect().toSeq == Seq(
+        (1L, "a", 10.0, None), (2L, "b2", 22.0, Some("hello")),
+        (3L, "c", 30.0, None), (4L, "d", 40.0, None)))
+    // time travel keeps the pre-evolution shape
+    assert(Cdc.snapshotAt(spark, dir, 0).columns.toSeq ==
+      Seq("k", "status", "price"))
+    // the change feed crosses the widening (from-side null-fills)
+    val diff = Cdc.snapshotDiff(spark, dir, 0, 1)
+    assert(diff.columns.contains("note") && diff.count() == 1)
+    // a same-name column with a different type is a contract violation
+    val e = intercept[IllegalArgumentException] {
+      Cdc.mergeScoped(
+        Seq((2L, 2L, "U", "x", "NaN-ish"))
+          .toDF("k", "seq", "op", "status", "price"), // price arrives STRING
+        Seq("k"), "seq", "op", dir)
+    }
+    assert(e.getMessage.contains("type conflict"))
+  }
+
+  test("mergeScoped aligns batch key TYPES to the snapshot's — an INT " +
+      "batch key routes to the BIGINT hash's bucket") {
+    val n = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_kt").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), n)
+    // k arrives as INT; hash(2:int) != hash(2L:bigint), so without the
+    // alignment the manifest's touched set and the written bucket dirs
+    // would disagree — silent data loss
+    Cdc.mergeScoped(
+      Seq((2, 1L, "U", "b2", 22.0)).toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir)
+    assert(bucketDirs(s"$dir/v1") == bucketsOf(Seq(2L), n))
+    assert(Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq == Seq(
+        (1L, "a", 10.0), (2L, "b2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("latestWins tolerates non-orderable payload types (map column)") {
+    val changes = Seq((1L, 1L, "U", Map("a" -> 1)), (1L, 2L, "U", Map("b" -> 2)))
+      .toDF("k", "seq", "op", "attrs")
+    // maps can't sort — they must be skipped by the tie-break, not fail
+    // the whole query at analysis time
+    val out = Cdc.latestWins(changes, Seq("k"), "seq").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L)
+  }
+
+  test("pruneSnapshots keeps versions referenced by ANY retained " +
+      "manifest — retained time travel stays readable") {
+    val n = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_ret").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), n)
+    // two merges touching DIFFERENT buckets, so v2's manifest references
+    // v0, v1 and v2 all at once
+    val k2 = (5L to 200L)
+      .find(k => bucketsOf(Seq(k), n).head != bucketsOf(Seq(1L), n).head).get
+    Cdc.mergeScoped(
+      Seq((1L, 1L, "U", "a1", 11.0)).toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir)
+    Cdc.mergeScoped(
+      Seq((k2, 2L, "U", "new", 1.0)).toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir)
+    val v2Content = Cdc.snapshotAt(spark, dir, 2).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    Cdc.compactSnapshot(spark, dir) // v3 owns every bucket
+    // keep=2 retains v3 AND v2; v2's buckets still live in v0/v1, so the
+    // union-of-retained-manifests live set must spare them (the r9 bug:
+    // live from the LATEST manifest only would reclaim v0/v1 here)
+    assert(Cdc.pruneSnapshots(spark, dir, keep = 2).isEmpty)
+    assert(Cdc.snapshotAt(spark, dir, 2).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq == v2Content)
+    // keep=1: only v3 retained, which owns everything — history reclaimed
+    assert(Cdc.pruneSnapshots(spark, dir, keep = 1).toSet == Set(0, 1, 2))
+    assert(Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq == v2Content)
+  }
+
+  test("applyCdcStream: checkpoint restart resumes exactly where it " +
+      "stopped; a crashed attempt's staging dir is invisible and swept") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_resume").toString
+    val snap = s"$root/snap"; val chDir = s"$root/changes"
+    val ckpt = s"$root/ckpt"
+    Cdc.initSnapshot(target, snap, Seq("k"), 8)
+    def addFile(row: (Long, Long, String, String, Double)): Unit =
+      Seq(row).toDF("k", "seq", "op", "status", "price")
+        .coalesce(1).write.mode("append").parquet(chDir)
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, seq BIGINT, op STRING, status STRING, price DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chDir)
+    def versions(): Set[Int] =
+      Option(new java.io.File(snap).listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^v(\\d+)$".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt)).toSet
+    // run 1: two single-file micro-batches, then the query STOPS (the
+    // "kill after batch 2 of 4" point — AvailableNow drains and exits)
+    addFile((2L, 1L, "U", "b2", 22.0))
+    addFile((5L, 1L, "U", "new", 50.0))
+    Cdc.applyCdcStream(stream(), Seq("k"), "seq", "op", snap,
+      checkpoint = Some(ckpt)).awaitTermination()
+    assert(versions() == Set(0, 1, 2))
+    // a writer that died mid-commit leaves only a staging dir: readers
+    // never see it and the resumed stream is unaffected
+    val dead = new java.io.File(s"$snap/_stage_v3_dead")
+    assert(dead.mkdirs())
+    java.nio.file.Files.writeString(dead.toPath.resolve("junk"), "crashed")
+    assert(Cdc.latestSnapshot(spark, snap).count() == 5)
+    // run 2: two more files arrive; the SAME checkpoint replays only them
+    addFile((1L, 2L, "U", "a2", 11.0))
+    addFile((5L, 2L, "D", null, 0.0))
+    Cdc.applyCdcStream(stream(), Seq("k"), "seq", "op", snap,
+      checkpoint = Some(ckpt)).awaitTermination()
+    assert(versions() == Set(0, 1, 2, 3, 4))
+    assert(Cdc.latestSnapshot(spark, snap).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq == Seq(
+        (1L, "a2", 11.0), (2L, "b2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // run 3: nothing new — no batch fires, no version churn
+    Cdc.applyCdcStream(stream(), Seq("k"), "seq", "op", snap,
+      checkpoint = Some(ckpt)).awaitTermination()
+    assert(versions() == Set(0, 1, 2, 3, 4))
+    // retention sweeps the crashed staging dir (and nothing live)
+    Cdc.pruneSnapshots(spark, snap, keep = 99)
+    assert(!dead.exists())
+    assert(versions() == Set(0, 1, 2, 3, 4))
+  }
+
   test("latestWins keeps exactly one row per key (max seq)") {
     val changes = (1 to 100).map(i => (i.toLong % 10, i.toLong, "U", s"v$i", 0.0))
       .toDF("k", "seq", "op", "status", "price")

@@ -111,6 +111,20 @@ class LayoutSpec extends SparkSpec {
     assert(got >= 0L)
   }
 
+  test("zValueN past 62 dims is refused with the bit-budget named") {
+    // 62/n truncates to 0 bits past 62 dims — must be a loud contract
+    // error, not an opaque empty-reduce failure
+    val e = intercept[IllegalArgumentException] {
+      Layout.zValueN((1 to 63).map(i => lit(i.toLong)))
+    }
+    assert(e.getMessage.contains("62"))
+    // 62 dims is the edge: 1 bit each, still a valid interleave
+    val edge = Seq(1).toDF("x")
+      .select(Layout.zValueN((1 to 62).map(i => lit(i % 2L))))
+      .as[Long].head()
+    assert(edge >= 0L)
+  }
+
   test("3-dim z-curve locality + min/max pruning: an aligned box is one z run") {
     // rows inside an 8x8x8 dim-aligned box occupy 512 CONSECUTIVE z values
     // — the property that lets per-file min/max stats prune a 3-column
