@@ -15,6 +15,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
   }
 
+  test("flagship demotes gracefully: with broadcasts disabled the fact " +
+      "joins become shuffle joins with hash-identical results") {
+    // the PLANS.md claim that AQE demotion past the broadcast threshold is
+    // results-invisible, pinned: only the explicitly hinted 84-row-scale
+    // nation broadcast survives threshold=-1, the orders/customer joins
+    // fall back to shuffle strategies, and the output is identical
+    val fn = Queries.byName("flagship_revenue_by_nation").fn
+    val expected = fn(spark, d).collect().map(_.toString).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = fn(spark, d)
+      assert(df.collect().map(_.toString).toSeq == expected)
+      // post-execution adaptive plan; drop the "Initial Plan" echo so the
+      // hinted broadcast isn't double-counted
+      val p = planOf(df).split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "no shuffle join after broadcast demotion:\n" + p.take(2000))
+      val hinted = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(hinted <= 1,
+        s"only the hinted nation dim may stay broadcast, found $hinted:\n" +
+          p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("x7_bucketed_join re-registers its catalog tables from the " +
+      "on-disk layout after a catalog drop (oncePerDir is JVM-wide)") {
+    val fn = Queries.byName("x7_bucketed_join").fn
+    val expected = fn(spark, d).collect().map(_.toString).toSeq // setup
+    // simulate a later session with a cold catalog: the JVM-wide setup
+    // cache hits, but the session tables are gone — the query must
+    // recreate them as external bucketed DDL, not rewrite data
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("x7_li_bucketed_") ||
+        n.startsWith("x7_ord_bucketed_"))
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+    val df = fn(spark, d)
+    assert(df.collect().map(_.toString).toSeq == expected)
+    assert(planOf(df).contains("Bucketed: true"),
+      "re-registered table lost its bucketing metadata")
+  }
+
   test("j1/j2 dim joins broadcast the 84-row dim") {
     assert(plan("j1_dim_forward").contains("BroadcastHashJoin"))
     assert(plan("j2_dim_reverse").contains("BroadcastHashJoin"))
