@@ -2998,35 +2998,78 @@ object Queries {
     * key (returns nothing); the oracle replays the merge and the same
     * min()-derived keys, so key selection can never drift between
     * engines. */
+  /** Shared fixture for the serving/CDF/IVM snapshot queries: the orders
+    * table seeded into a 16-bucket key-scoped snapshot (v0), then the
+    * x7_merge_cdc change set merged once (v1). Built once per sf dir;
+    * every consumer's oracle replays the identical change classes. */
+  private def mergeCdcSnapshot(s: SparkSession, d: String): String = {
+    def p2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+    val o = T(s, d, "orders")
+    oncePerDir("point_snap", d) { tmp =>
+      Cdc.initSnapshot(
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          p2(col("o_totalprice")).as("price")),
+        s"$tmp/snap", Seq("o_orderkey"), nBuckets = 16)
+      val upd1 = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("U1").as("o_orderstatus"),
+          p2(col("o_totalprice") + 10).as("price"))
+      val upd2 = o.filter(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+          lit("U2").as("o_orderstatus"),
+          p2(col("o_totalprice") * 2).as("price"))
+      val del = o.filter(col("o_orderkey") % 11 === 3)
+        .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("price"))
+      val ins = o.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit(1L).as("seq"), lit("U").as("op"),
+          lit("NEW").as("o_orderstatus"), lit(1.5).as("price"))
+      Cdc.mergeScoped(
+        upd1.unionByName(upd2).unionByName(del).unionByName(ins),
+        Seq("o_orderkey"), "seq", "op", s"$tmp/snap")
+    }
+  }
+
+  /** The merged-state CTE chain shared by every oracle over the
+    * [[mergeCdcSnapshot]] fixture (identical change classes). */
+  private val mergedSnapshotSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    floor(o_totalprice * 100 + 0.5) / 100 AS price
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+      |    'U1' AS o_orderstatus,
+      |    floor((o_totalprice + 10) * 100 + 0.5) / 100 AS price
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', 'U2',
+      |    floor(o_totalprice * 2 * 100 + 0.5) / 100
+      |  FROM orders WHERE o_orderkey % 14 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', NULL, NULL
+      |  FROM orders WHERE o_orderkey % 11 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 1, 'U', 'NEW', 1.5
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY seq DESC) AS rn
+      |    FROM c) WHERE rn = 1),
+      |merged AS (
+      |  SELECT coalesce(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+      |    coalesce(l.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+      |    coalesce(l.price, t.price) AS price
+      |  FROM t FULL JOIN latest l ON t.o_orderkey = l.o_orderkey
+      |  WHERE l.op IS NULL OR l.op <> 'D')""".stripMargin
+
   val x7PointLookup = QuerySpec("x7_point_lookup",
     (s, d) => {
-      def p2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+      val root = mergeCdcSnapshot(s, d)
       val o = T(s, d, "orders")
-      val root = oncePerDir("point_snap", d) { tmp =>
-        Cdc.initSnapshot(
-          o.select(col("o_orderkey"), col("o_orderstatus"),
-            p2(col("o_totalprice")).as("price")),
-          s"$tmp/snap", Seq("o_orderkey"), nBuckets = 16)
-        val upd1 = o.filter(col("o_orderkey") % 7 === 0)
-          .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
-            lit("U1").as("o_orderstatus"),
-            p2(col("o_totalprice") + 10).as("price"))
-        val upd2 = o.filter(col("o_orderkey") % 14 === 0)
-          .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
-            lit("U2").as("o_orderstatus"),
-            p2(col("o_totalprice") * 2).as("price"))
-        val del = o.filter(col("o_orderkey") % 11 === 3)
-          .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
-            lit(null).cast("string").as("o_orderstatus"),
-            lit(null).cast("double").as("price"))
-        val ins = o.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-            lit(1L).as("seq"), lit("U").as("op"),
-            lit("NEW").as("o_orderstatus"), lit(1.5).as("price"))
-        Cdc.mergeScoped(
-          upd1.unionByName(upd2).unionByName(del).unionByName(ins),
-          Seq("o_orderkey"), "seq", "op", s"$tmp/snap")
-      }
       // probe keys derived from the data (identical min() terms in the
       // oracle): updated / untouched / deleted. One column-pruned scan;
       // the .head is the serving call site itself, not a data path.
@@ -3041,49 +3084,77 @@ object Queries {
       Cdc.pointLookup(s, s"$root/snap", probes)
         .orderBy(col("o_orderkey"))
     },
-    Some("""WITH t AS (
-           |  SELECT o_orderkey, o_orderstatus,
-           |    floor(o_totalprice * 100 + 0.5) / 100 AS price
-           |  FROM orders),
-           |c AS (
-           |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
-           |    'U1' AS o_orderstatus,
-           |    floor((o_totalprice + 10) * 100 + 0.5) / 100 AS price
-           |  FROM orders WHERE o_orderkey % 7 = 0
-           |  UNION ALL
-           |  SELECT o_orderkey, 2, 'U', 'U2',
-           |    floor(o_totalprice * 2 * 100 + 0.5) / 100
-           |  FROM orders WHERE o_orderkey % 14 = 0
-           |  UNION ALL
-           |  SELECT o_orderkey, 3, 'D', NULL, NULL
-           |  FROM orders WHERE o_orderkey % 11 = 3
-           |  UNION ALL
-           |  SELECT o_orderkey + 100000000, 1, 'U', 'NEW', 1.5
-           |  FROM orders WHERE o_orderkey % 13 = 0),
-           |latest AS (
-           |  SELECT * FROM (
-           |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
-           |      ORDER BY seq DESC) AS rn
-           |    FROM c) WHERE rn = 1),
-           |merged AS (
-           |  SELECT coalesce(t.o_orderkey, l.o_orderkey) AS o_orderkey,
-           |    coalesce(l.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-           |    coalesce(l.price, t.price) AS price
-           |  FROM t FULL JOIN latest l ON t.o_orderkey = l.o_orderkey
-           |  WHERE l.op IS NULL OR l.op <> 'D'),
-           |ks AS (
-           |  SELECT
-           |    min(CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey END) AS ku,
-           |    min(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 3
-           |      THEN o_orderkey END) AS kp,
-           |    min(CASE WHEN o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
-           |      THEN o_orderkey END) AS kd
-           |  FROM orders)
-           |SELECT m.o_orderkey, m.o_orderstatus, m.price
-           |FROM merged m, ks
-           |WHERE m.o_orderkey IN (ks.ku, ks.kp, ks.kd)
-           |ORDER BY o_orderkey""".stripMargin),
+    Some(s"""$mergedSnapshotSql,
+            |ks AS (
+            |  SELECT
+            |    min(CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey END) AS ku,
+            |    min(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 3
+            |      THEN o_orderkey END) AS kp,
+            |    min(CASE WHEN o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
+            |      THEN o_orderkey END) AS kd
+            |  FROM orders)
+            |SELECT m.o_orderkey, m.o_orderstatus, m.price
+            |FROM merged m, ks
+            |WHERE m.o_orderkey IN (ks.ku, ks.kp, ks.kd)
+            |ORDER BY o_orderkey""".stripMargin),
     bench = true)
+
+  /** X7l — INCREMENTAL VIEW MAINTENANCE over the change feed (round 10):
+    * a grouped aggregate (count + exact-cents sum per order status) is
+    * maintained across a snapshot version WITHOUT rescanning the table —
+    * the v0 aggregate plus the CDF's deltas: each changed key SUBTRACTS
+    * its preimage's contribution (`_before_*` columns, U/D rows) and ADDS
+    * its postimage's (U/I rows). Cost ∝ change (the diff reads only
+    * rewritten buckets), which is what keeps a 100 TB materialized
+    * aggregate maintainable at a minutes cadence. Integer-cents
+    * arithmetic makes incremental == recompute EXACTLY; the oracle is
+    * the direct aggregate over the merged state, so the pass proves the
+    * equivalence, not just self-consistency. */
+  val x7IncrAgg = QuerySpec("x7_incr_agg",
+    (s, d) => {
+      val root = mergeCdcSnapshot(s, d)
+      val snap = s"$root/snap"
+      def cents(c: org.apache.spark.sql.Column) =
+        floor(c * 100 + 0.5).cast("long")
+      // the stored MV: the aggregate as of v0
+      val base = Cdc.snapshotAt(s, snap, 0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("price"))).as("cents"))
+      // the maintenance delta: preimage out, postimage in
+      val diff = Cdc.snapshotDiff(s, snap, 0, 1, includeBefore = true)
+      val minus = diff.filter(col("change_op").isin("U", "D"))
+        .select(col("_before_o_orderstatus").as("o_orderstatus"),
+          lit(-1L).as("n"), (-cents(col("_before_price"))).as("cents"))
+      val plus = diff.filter(col("change_op").isin("U", "I"))
+        .select(col("o_orderstatus"),
+          lit(1L).as("n"), cents(col("price")).as("cents"))
+      base.unionByName(minus).unionByName(plus)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .filter(col("n") =!= 0) // a group whose last row left disappears
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""$mergedSnapshotSql
+            |SELECT o_orderstatus, count(*) AS n,
+            |  CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT))
+            |    AS BIGINT) AS cents
+            |FROM merged GROUP BY o_orderstatus
+            |ORDER BY o_orderstatus""".stripMargin),
+    bench = true)
+
+  /** X7m — metadata-only COUNT(*) (round 10): the snapshot's row count
+    * answered from the manifest's per-bucket stats alone — zero parquet
+    * files opened, zero jobs run, O(1) in table size. The lakehouse
+    * equivalent of Delta/Iceberg serving SELECT COUNT(*) from snapshot
+    * metadata; the oracle counts the merged state the hard way. */
+  val x7MetaCount = QuerySpec("x7_meta_count",
+    (s, d) => {
+      val root = mergeCdcSnapshot(s, d)
+      import s.implicits._
+      Seq(Cdc.snapshotCount(s, s"$root/snap")).toDF("n_rows")
+    },
+    Some(s"""$mergedSnapshotSql
+            |SELECT CAST(count(*) AS BIGINT) AS n_rows FROM merged""".stripMargin))
 
   /** The N-dim interleave's oracle: 16 bit-extract terms per dimension,
     * `((dim >> b) & 1) << (3b + i)` — plain BIGINT arithmetic in any
@@ -3211,7 +3282,7 @@ object Queries {
     x4Scrub, x4CorpusReport, x4Chunk, x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
-    stMergeReplay,
+    x7IncrAgg, x7MetaCount, stMergeReplay,
     x8Resample,
     mmMeta, mmDecode, mmSim)
 

@@ -466,9 +466,16 @@ object Cdc {
     * manifest's own merge keys, null-safe payload compare). Both sides
     * read with the TO-side schema (the wider one under additive
     * evolution — a column that post-dates the from-version null-fills,
-    * which is exactly its state back then). */
+    * which is exactly its state back then).
+    *
+    * `includeBefore = true` additionally emits `_before_<col>` PREIMAGE
+    * columns (the from-side payload: NULL for inserts, the deleted row's
+    * values for deletes) — what Delta's change feed calls
+    * update_preimage, and exactly what incremental view maintenance
+    * needs: an aggregate is updated by SUBTRACTING the preimage's
+    * contribution and ADDING the postimage's, never by rescanning. */
   def snapshotDiff(spark: SparkSession, dir: String, fromVersion: Int,
-      toVersion: Int): DataFrame = {
+      toVersion: Int, includeBefore: Boolean = false): DataFrame = {
     val mf = readManifest(spark, dir, fromVersion)
     val mt = readManifest(spark, dir, toVersion)
     require(mf.nBuckets == mt.nBuckets && mf.keys == mt.keys,
@@ -510,7 +517,28 @@ object Cdc {
           .when(changedPayload, "U"))
       .filter(col("change_op").isNotNull)
       .select(mf.keys.map(col) ++ Seq(col("change_op")) ++
-        payload.map(c => col(s"_t_$c").as(c)): _*)
+        payload.map(c => col(s"_t_$c").as(c)) ++
+        (if (includeBefore)
+          payload.map(c => col(s"_f_$c").as(s"_before_$c"))
+        else Seq.empty): _*)
+  }
+
+  /** The snapshot's row count from MANIFEST STATS ALONE — no data file
+    * opened, no job run. Every write since the stats were introduced
+    * records exact per-bucket counts, so this is the lakehouse "COUNT(*)
+    * from metadata" answer: O(1) regardless of table size. Fails loudly
+    * on a pre-stats manifest rather than guessing. */
+  def snapshotCount(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Long = {
+    val v = version.getOrElse(requireVersion(spark, dir))
+    val m = readManifest(spark, dir, v)
+    val missing = m.buckets.keys.filterNot(m.stats.contains)
+    require(missing.isEmpty,
+      s"snapshot v$v under $dir predates per-bucket stats (buckets " +
+        s"without counts: ${missing.toSeq.sorted.take(5).mkString(",")}…) " +
+        s"— run compactSnapshot once to backfill, or count the data")
+    // .iterator: .keys is a Set and a Set.map would collapse equal counts
+    m.buckets.keys.iterator.map(b => m.stats(b).rows).sum
   }
 
   /** ONE key-scoped merge: route the batch's keys to buckets, read ONLY

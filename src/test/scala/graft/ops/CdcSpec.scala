@@ -228,6 +228,62 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.snapshotDiff(spark, dir, 1, 1).isEmpty)
   }
 
+  test("snapshotDiff preimages: _before_ columns carry the from-side " +
+      "payload (NULL for inserts), enabling incremental aggregates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_pre").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), 8)
+    Cdc.mergeScoped(Seq(
+        (2L, 1L, "U", "b2", 22.0),                     // U: before=(b,20)
+        (3L, 2L, "D", null.asInstanceOf[String], 0.0), // D: before=(c,30)
+        (5L, 3L, "U", "new", 50.0))                    // I: before=NULL
+        .toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir)
+    val diff = Cdc.snapshotDiff(spark, dir, 0, 1, includeBefore = true)
+      .orderBy("k").collect()
+    assert(diff.map(_.getString(1)).toSeq == Seq("U", "D", "I"))
+    // U row: postimage new, preimage old
+    assert(diff(0).getString(2) == "b2" && diff(0).getString(4) == "b" &&
+      diff(0).getDouble(5) == 20.0)
+    // D row: postimage NULL, preimage = the deleted row
+    assert(diff(1).isNullAt(2) && diff(1).getString(4) == "c" &&
+      diff(1).getDouble(5) == 30.0)
+    // I row: preimage NULL
+    assert(diff(2).isNullAt(4) && diff(2).isNullAt(5))
+    // incremental maintenance closes exactly: base + delta == recompute
+    val baseSum = Cdc.snapshotAt(spark, dir, 0)
+      .agg(sum(col("price"))).head.getDouble(0)
+    val delta = diff.map { r =>
+      (if (r.getString(1) != "I") -r.getDouble(5) else 0.0) +
+        (if (r.getString(1) != "D") r.getDouble(3) else 0.0)
+    }.sum
+    val direct = Cdc.latestSnapshot(spark, dir)
+      .agg(sum(col("price"))).head.getDouble(0)
+    assert(math.abs(baseSum + delta - direct) < 1e-9)
+    // default shape unchanged: no _before_ columns unless asked
+    assert(!Cdc.snapshotDiff(spark, dir, 0, 1).columns.exists(_.startsWith("_before_")))
+  }
+
+  test("snapshotCount answers from manifest stats with ZERO data reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_cnt").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), 8)
+    assert(Cdc.snapshotCount(spark, dir) == 4L)
+    Cdc.mergeScoped(Seq(
+        (5L, 1L, "U", "new", 50.0),                     // insert
+        (3L, 2L, "D", null.asInstanceOf[String], 0.0))  // delete
+        .toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir)
+    assert(Cdc.snapshotCount(spark, dir) == 4L) // +1 -1
+    assert(Cdc.snapshotCount(spark, dir, Some(0)) == 4L) // time travel
+    // and it really is metadata-only: poison every parquet file, count
+    // still answers (any data-path read would now explode)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+        .toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](0, 1)))
+    assert(Cdc.snapshotCount(spark, dir) == 4L)
+  }
+
   test("mergeScoped rejects keys that don't match the snapshot's bucketing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_keys").toString
     Cdc.initSnapshot(target, dir, Seq("k"), 4)
