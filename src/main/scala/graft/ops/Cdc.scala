@@ -643,6 +643,34 @@ object Cdc {
     }
   }
 
+  /** [[mergeScoped]] wrapped in the standard optimistic-concurrency retry
+    * loop: pin the attempt to the version observed NOW, and on a
+    * [[SnapshotCommitConflict]] re-read and re-merge on top of whatever
+    * the competing writer committed (the batch's semantics are
+    * key-latest-wins, so re-applying it to a newer base is exactly the
+    * serialized order). Gives up loudly after `maxRetries` conflicts —
+    * livelock under pathological contention should page someone, not
+    * spin. This is what a multi-writer deployment calls instead of raw
+    * mergeScoped. */
+  def mergeWithRetry(batch: DataFrame, keys: Seq[String], seqCol: String,
+      opCol: String, dir: String, partialUpdate: Boolean = true,
+      maxRetries: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        mergeScoped(batch, keys, seqCol, opCol, dir, partialUpdate,
+          expectedVersion = Some(requireVersion(spark, dir)))
+        done = true
+      } catch {
+        case e: SnapshotCommitConflict =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
   /** Retention: delete snapshot versions that are (a) older than the
     * newest `keep` committed versions (clamped to >= 1) and (b) not
     * referenced by ANY retained manifest — a retained version's buckets

@@ -212,4 +212,78 @@ class PropertySpec extends SparkSpec {
         assert(streamed == batched, s"split=$splitAt log=$log")
     }
   }
+
+  test("snapshot lifecycle model: random merge/compact sequences preserve " +
+      "latest state, metadata count, time travel, and diff closure") {
+    // drive the whole versioned-snapshot surface against an in-memory
+    // model: merges (latest-wins upsert/delete) and compactions in random
+    // order; afterwards EVERY recorded version must time-travel to its
+    // model state, the manifest count must equal the model size without
+    // touching data, and replaying snapshotDiff(0, latest) onto the seed
+    // model must land exactly on the final model (CDF closure)
+    val change = Gen.zip(Gen.chooseNum(0L, 14L), Gen.oneOf("U", "U", "D"),
+      Gen.chooseNum(1, 999))
+    val step = Gen.oneOf("M", "M", "M", "C")
+    cases(Gen.zip(Gen.listOfN(5, step), Gen.listOfN(5, Gen.listOfN(4, change))),
+      n = 3) { case (steps, batches) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_life").toString
+      var model = (0L to 9L).map(k => k -> k * 10.0).toMap
+      val byVersion = scala.collection.mutable.Map(0 -> model)
+      Cdc.initSnapshot(model.toSeq.toDF("k", "price"), dir, Seq("k"), 4)
+      var v = 0
+      var seq = 0L
+      steps.zip(batches).foreach {
+        case ("C", _) =>
+          v = Cdc.compactSnapshot(spark, dir)
+          byVersion(v) = model
+        case (_, rows) =>
+          val batch = rows.map { case (k, op, p) =>
+            seq += 1
+            (k, seq, op, if (op == "D") null.asInstanceOf[java.lang.Double]
+              else java.lang.Double.valueOf(p.toDouble))
+          }
+          batch.groupBy(_._1).foreach { case (k, rs) =>
+            val w = rs.maxBy(_._2)
+            if (w._3 == "D") model -= k else model += k -> w._4.doubleValue()
+          }
+          Cdc.mergeScoped(batch.toDF("k", "seq", "op", "price"),
+            Seq("k"), "seq", "op", dir)
+          v += 1
+          byVersion(v) = model
+      }
+      def state(ver: Int): Map[Long, Double] =
+        Cdc.snapshotAt(spark, dir, ver).as[(Long, Double)].collect().toMap
+      assert(state(v) == model, s"latest != model after $steps")
+      assert(Cdc.snapshotCount(spark, dir) == model.size.toLong)
+      byVersion.foreach { case (ver, m) =>
+        assert(state(ver) == m, s"time travel to v$ver diverged")
+      }
+      val replayed = Cdc.snapshotDiff(spark, dir, 0, v).collect()
+        .foldLeft(byVersion(0)) { (m, r) =>
+          if (r.getString(1) == "D") m - r.getLong(0)
+          else m + (r.getLong(0) -> r.getDouble(2))
+        }
+      assert(replayed == model, "CDF replay onto v0 missed the final state")
+    }
+  }
+
+  test("mergeWithRetry absorbs a commit conflict and lands both merges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    Cdc.initSnapshot((0L to 3L).map(k => (k, k * 10.0)).toDF("k", "price"),
+      dir, Seq("k"), 4)
+    val mine = Seq((1L, 1L, "U", java.lang.Double.valueOf(111.0)))
+      .toDF("k", "seq", "op", "price")
+    val theirs = Seq((2L, 1L, "U", java.lang.Double.valueOf(222.0)))
+      .toDF("k", "seq", "op", "price")
+    @volatile var fired = false
+    Cdc.commitFence = () =>
+      if (!fired) { fired = true; Cdc.mergeScoped(theirs, Seq("k"), "seq", "op", dir) }
+    try Cdc.mergeWithRetry(mine, Seq("k"), "seq", "op", dir)
+    finally Cdc.commitFence = () => ()
+    // first attempt lost the race, the retry serialized after the winner:
+    // BOTH merges are in the final state, nothing silently dropped
+    assert(Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((0L, 0.0), (1L, 111.0), (2L, 222.0), (3L, 30.0)))
+  }
 }
