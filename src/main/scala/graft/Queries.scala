@@ -1922,6 +1922,50 @@ object Queries {
            |      || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS minshingle
            |FROM d WHERE n >= 5 ORDER BY doc_id""".stripMargin))
 
+  /** X4j — benchmark decontamination (round 10): every 17th document
+    * plays the held-out eval set; the remaining corpus is flagged when it
+    * shares any word 5-gram with it (documents carries planted near-dup
+    * families, so real hits exist). The match is one md5-shingle
+    * equi-join — the oracle replays the identical shingling with
+    * explicit token concatenation (the x4_fingerprint-proven md5 twin),
+    * so engine and oracle cannot drift on tokenization. */
+  val x4Decontaminate = QuerySpec("x4_decontaminate",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      TextOps.decontaminate(
+          docs.filter(col("doc_id") % 17 =!= 3),
+          docs.filter(col("doc_id") % 17 === 3).select(col("text")),
+          "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("n_contaminated"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tr AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents WHERE doc_id % 17 <> 3),
+           |b AS (
+           |  SELECT string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents WHERE doc_id % 17 = 3),
+           |tsh AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, nt - 3),
+           |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |      || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS sh
+           |  FROM tr WHERE nt >= 5),
+           |bsh AS (
+           |  SELECT DISTINCT unnest(list_transform(range(1, nt - 3),
+           |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |      || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS sh
+           |  FROM b WHERE nt >= 5),
+           |hits AS (
+           |  SELECT doc_id, count(DISTINCT sh) AS n_contaminated
+           |  FROM tsh JOIN bsh USING (sh) GROUP BY doc_id)
+           |SELECT tr.doc_id,
+           |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
+           |FROM tr LEFT JOIN hits h USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
+
   val x4TokenBpe = QuerySpec("x4_token_bpe",
     (s, d) => TextOps.withBpeCount(T(s, d, "documents"), "text")
       .select(col("doc_id"), col("n_bpe").cast("int").as("n_bpe"),
@@ -3279,7 +3323,8 @@ object Queries {
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
-    x4Scrub, x4CorpusReport, x4Chunk, x6SaltedAgg, x6SaltedJoin,
+    x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate,
+    x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
     x7IncrAgg, x7MetaCount, stMergeReplay,

@@ -175,6 +175,39 @@ object TextOps {
         col("tfidf"), col("term_rank"))
   }
 
+  /** Benchmark DECONTAMINATION: flag training documents that share any
+    * word n-gram with a held-out benchmark/eval set — the preprocessing
+    * step that keeps eval answers out of a training mix (what C4/Llama
+    * pipelines run with 8-13-gram overlap). Both sides are reduced to
+    * md5 shingle keys and matched with ONE hash equi-join — never a
+    * doc × benchmark text comparison: at 100 TB the corpus side shuffles
+    * (or Spark broadcasts the benchmark's distinct shingles, which for a
+    * real eval suite are tiny), the per-doc hit count is a partial agg,
+    * and docs shorter than n tokens are clean by construction. Returns
+    * the docs with `n_contaminated` (distinct matching shingles) and a
+    * boolean `contaminated`. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2 && n <= 32, s"shingle width must be in [2, 32], got $n")
+    def shingles(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) = df
+      .withColumn("_ltoks", split(lower(col(textCol)), " "))
+      .withColumn("_nlt", size(col("_ltoks")))
+      .withColumn("sh", explode(when(col("_nlt") >= n, expr(
+        s"transform(sequence(1, _nlt - ${n - 1}), " +
+          s"i -> md5(array_join(slice(_ltoks, i, $n), ' ')))"))
+        .otherwise(array())))
+      .select(keep :+ col("sh"): _*)
+    val benchShingles = shingles(benchmark, Seq.empty).distinct()
+    // md5-per-shingle is compute-heavy; spread few-split corpus inputs
+    val hits = shingles(Scale.fanOut(docs), Seq(col(idCol)))
+      .join(benchShingles, "sh")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("sh")).as("n_contaminated"))
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * the minimum md5 over word 5-gram shingles (rolling-hash analog —
     * stable under small suffix/prefix edits). */

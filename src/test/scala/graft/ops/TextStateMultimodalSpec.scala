@@ -126,6 +126,25 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(sources.take(3).count(_ == "a") == 2 && sources.count(_ == "a") == 4)
   }
 
+  test("X4j decontaminate flags planted n-gram overlap, leaves clean and " +
+      "short docs alone") {
+    val bench = Seq("the quick brown fox jumps over the lazy dog tonight")
+      .toDF("text")
+    val train = Seq(
+      // shares the 8-gram "quick brown fox jumps over the lazy dog"
+      (1L, "a story where the quick brown fox jumps over the lazy dog again"),
+      (2L, "completely unrelated text about spark shuffle partitions and joins overall"),
+      (3L, "too short to shingle")) // < 8 tokens: clean by construction
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(train, bench, "text", "doc_id", n = 8)
+      .select(col("doc_id"), col("n_contaminated"), col("contaminated"))
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 2L, true), (2L, 0L, false), (3L, 0L, false)))
+    // n=8 over "...quick brown fox jumps over the lazy dog again": the
+    // planted window matches at two alignments (the benchmark 10-token
+    // text contributes 3 distinct 8-grams; the doc shares exactly 2)
+  }
+
   test("O-ST1 currentState is the latest action per job") {
     val log = Seq(
       (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), (1L, 1300, ts(2), 2L),
