@@ -77,6 +77,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x4 decontamination matches on the shingle-hash equi-join, never " +
+      "doc x benchmark") {
+    val p = plan("x4_decontaminate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination must stay an equi-join:\n" + p.take(2000))
+    assert(p.contains("sh#") || p.contains("[sh"),
+      "join key should be the shingle hash:\n" + p.take(2000))
+  }
+
   test("x2 LSH candidate generation is a key-equi join (shuffle on bucket), not all-pairs") {
     val p = planOf(ops.Dedup.lshCandidates(
       ops.Dedup.minhash(ops.Tables.documents(spark, d), "text", "doc_id"),
