@@ -381,6 +381,31 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.statsOf(spark, dir, 1).values.sum == 4L)
   }
 
+  test("pointLookup routes COMPOSITE keys (long + string) exactly like " +
+      "the layout's hash — one bucket read, strings stat-pruned") {
+    val n = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toString
+    val t = (0L to 19L).map(k => (k, s"ex${k % 3}", k * 1.5))
+      .toDF("k", "venue", "price")
+    Cdc.initSnapshot(t, dir, Seq("k", "venue"), n)
+    // the driver-side Murmur3 must CHAIN over both key columns in the
+    // same order as hash(k, venue) — a seed-order mismatch would read a
+    // wrong (likely empty) bucket and silently return nothing
+    val hit = Cdc.pointLookup(spark, dir, Seq(Seq(7L, "ex1")))
+    assert(hit.as[(Long, String, Double)].collect().toSeq ==
+      Seq((7L, "ex1", 10.5)))
+    val owning = t.where(col("k") === 7)
+      .select(pmod(hash(col("k"), col("venue")), lit(n)).as("b"))
+      .as[Int].head()
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.forall(_.contains(s"/v0/bucket=$owning")))
+    // absent composite key: present k, wrong venue -> zero rows (and the
+    // string min/max stats prune a venue far outside the domain)
+    assert(Cdc.pointLookup(spark, dir, Seq(Seq(7L, "ex2"))).count() == 0)
+    val far = Cdc.pointLookup(spark, dir, Seq(Seq(7L, "zzzz")))
+    assert(far.count() == 0)
+  }
+
   test("mergeScoped: additive schema evolution — new payload column " +
       "null-backfills old buckets; type conflicts fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_evo").toString
