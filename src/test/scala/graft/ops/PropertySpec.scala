@@ -267,6 +267,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decontaminate == brute-force n-gram overlap model on random docs") {
+    // tiny vocabulary so overlap actually occurs; the model is the naive
+    // set intersection the operator must never be allowed to drift from
+    val doc = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e"))
+    cases(Gen.zip(Gen.listOfN(6, doc), Gen.listOfN(3, doc)), n = 4) {
+      case (docs, bench) =>
+        val g = 3
+        def grams(toks: List[String]): Set[String] =
+          if (toks.length < g) Set.empty
+          else toks.sliding(g).map(_.mkString(" ")).toSet
+        val benchGrams = bench.flatMap(grams).toSet
+        val expected = docs.zipWithIndex.map { case (t, i) =>
+          (i.toLong, grams(t).count(benchGrams.contains).toLong)
+        }
+        val got = TextOps.decontaminate(
+            docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+              .toDF("doc_id", "text"),
+            bench.map(t => Tuple1(t.mkString(" "))).toDF("text"),
+            "text", "doc_id", n = g)
+          .select(col("doc_id"), col("n_contaminated"))
+          .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+        assert(got == expected, s"docs=$docs bench=$bench")
+    }
+  }
+
+  test("pointLookup finds every present key and nothing else, any nBuckets") {
+    val keys = Gen.listOfN(20, Gen.chooseNum(-1000000L, 1000000L))
+    cases(Gen.zip(keys, Gen.chooseNum(1, 32)), n = 4) { case (ks, n) =>
+      val present = ks.distinct
+      val dir = java.nio.file.Files.createTempDirectory("graft_pt_prop").toString
+      Cdc.initSnapshot(present.map(k => (k, k * 2.0)).toDF("k", "price"),
+        dir, Seq("k"), n)
+      // every present key resolves to exactly its row (driver-side hash
+      // routing == the layout's hash, for ANY bucket count incl. 1)
+      present.foreach { k =>
+        val got = Cdc.pointLookup(spark, dir, Seq(Seq(k)))
+          .as[(Long, Double)].collect().toSeq
+        assert(got == Seq((k, k * 2.0)), s"k=$k n=$n")
+      }
+      // absent keys (just outside the domain) resolve to nothing
+      val absent = (1 to 5).map(i => 1000000L + i)
+      assert(Cdc.pointLookup(spark, dir, absent.map(Seq[Any](_)))
+        .isEmpty, s"absent probe hit, n=$n")
+      // and a batched lookup of everything equals the table
+      assert(Cdc.pointLookup(spark, dir, present.map(Seq[Any](_)))
+        .count() == present.size.toLong)
+    }
+  }
+
   test("mergeWithRetry absorbs a commit conflict and lands both merges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_retry").toString
     Cdc.initSnapshot((0L to 3L).map(k => (k, k * 10.0)).toDF("k", "price"),
