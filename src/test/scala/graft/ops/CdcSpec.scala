@@ -542,6 +542,51 @@ class CdcSpec extends SparkSpec {
     assert(versions() == Set(0, 1, 2, 3, 4))
   }
 
+  test("replaying an already-applied batch is content-idempotent (the " +
+      "crash-between-commit-and-checkpoint case)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_idem").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), 8)
+    val batch = Seq(
+      (2L, 1L, "U", "b2", 22.0),
+      (3L, 2L, "D", null.asInstanceOf[String], 0.0),
+      (5L, 3L, "U", "new", 50.0))
+      .toDF("k", "seq", "op", "status", "price")
+    Cdc.mergeScoped(batch, Seq("k"), "seq", "op", dir)
+    val once = Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    // the stream redoing a batch whose snapshot commit survived a crash:
+    // re-upserts write the same values, the re-delete hits an absent key
+    Cdc.mergeScoped(batch, Seq("k"), "seq", "op", dir)
+    val twice = Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(twice == once)
+    assert(Cdc.snapshotCount(spark, dir) == once.size.toLong)
+  }
+
+  test("applyCdcStream widens the schema when a new column arrives " +
+      "mid-stream (additive evolution, streaming path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_sevo").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), 8)
+    // the widened feed: same stream schema carries the new column; the
+    // FIRST batch that actually delivers it widens the snapshot
+    val in = MemoryStream[(Long, Long, String, String, Double, String)](spark)
+    val q = Cdc.applyCdcStream(
+      in.toDF().toDF("k", "seq", "op", "status", "price", "note"),
+      Seq("k"), "seq", "op", dir,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData((2L, 1L, "U", "b2", 22.0, "annotated"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = Cdc.latestSnapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("k", "status", "price", "note"))
+    assert(snap.orderBy("k")
+      .as[(Long, String, Double, Option[String])].collect().toSeq == Seq(
+        (1L, "a", 10.0, None), (2L, "b2", 22.0, Some("annotated")),
+        (3L, "c", 30.0, None), (4L, "d", 40.0, None)))
+  }
+
   test("latestWins keeps exactly one row per key (max seq)") {
     val changes = (1 to 100).map(i => (i.toLong % 10, i.toLong, "U", s"v$i", 0.0))
       .toDF("k", "seq", "op", "status", "price")
