@@ -2327,6 +2327,63 @@ object Queries {
     * layout exists for (a tiny test side would otherwise broadcast);
     * ScaleSpec asserts the no-Exchange plan property. Oracle = the plain
     * join SQL: layout must be invisible in results. */
+  /** X3g — product quantization + asymmetric-distance search (round 10):
+    * the corpus is PQ-encoded (4 subspaces × 16 deterministic codes —
+    * 64 float dims become 4 byte-sized codes, the ~64× compression that
+    * lets a 100 TB embedding index fit in memory) and queries rank the
+    * corpus through the classic ADC lookup table without ever re-reading
+    * the float vectors. Encoding argmin is 6dp-rounded L2² with code-id
+    * tie-break and partial dots travel as 1e-6 fixed-point longs, so the
+    * oracle replays the ENTIRE chain — codebook, encoding, LUT, ranking
+    * — in plain SQL. */
+  val x3PqTopk = QuerySpec("x3_pq_topk",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, 5,
+          dim = 64, m = 4, ks = 16)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |sub AS (SELECT unnest(range(0, 4)) AS sub),
+           |cb AS (
+           |  SELECT sub, CAST(vec_id AS INT) AS code,
+           |    e[sub*16+1 : sub*16+16] AS cv
+           |  FROM v, sub WHERE vec_id < 16),
+           |sv AS (
+           |  SELECT vec_id, sub, e[sub*16+1 : sub*16+16] AS sv
+           |  FROM v, sub),
+           |enc0 AS (
+           |  SELECT sv.vec_id, sv.sub, cb.code,
+           |    round(list_sum(list_transform(range(1, 17),
+           |      i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))), 6) AS d2
+           |  FROM sv JOIN cb USING (sub)),
+           |enc AS (
+           |  SELECT vec_id, sub, code FROM (
+           |    SELECT enc0.*, row_number() OVER (PARTITION BY vec_id, sub
+           |      ORDER BY d2, code) AS crnk
+           |    FROM enc0) WHERE crnk = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+           |    CAST(floor(list_sum(list_transform(range(1, 17),
+           |      i -> q.e[cb.sub*16+i] * cb.cv[i])) * 1e6 + 0.5)
+           |      AS BIGINT) AS pfix
+           |  FROM v q, cb WHERE q.vec_id < 10),
+           |adc AS (
+           |  SELECT l.query_id, e.vec_id,
+           |    CAST(sum(l.pfix) AS BIGINT) / 1e6 AS adc
+           |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+           |  WHERE l.query_id <> e.vec_id
+           |  GROUP BY l.query_id, e.vec_id),
+           |r AS (
+           |  SELECT query_id, vec_id, adc,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc DESC, vec_id) AS INT) AS rnk
+           |  FROM adc)
+           |SELECT query_id, vec_id, adc, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin),
+    bench = true)
+
   val x7Bucketed = QuerySpec("x7_bucketed_join",
     (s, d) => {
       val tag = dirTag(d)
@@ -3321,7 +3378,7 @@ object Queries {
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
-    x3Rerank,
+    x3Rerank, x3PqTopk,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate,
     x6SaltedAgg, x6SaltedJoin,

@@ -305,6 +305,86 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("qv").as("cv"), col("qn").as("cn"))
   }
 
+  /** X3g — PRODUCT QUANTIZATION codebook: the vector space is split into
+    * `m` contiguous subspaces of dim/m dimensions; each subspace gets
+    * `ks` code vectors. Codes here are a deterministic sample (the
+    * subvectors of the `ks` lowest vec_ids) exactly as [[ivfAssign]]'s
+    * centroids — per-subspace Lloyd training changes code QUALITY, not
+    * the operator shape, and determinism is what makes the whole PQ
+    * chain oracle-replayable. Returns (sub, code, cv). */
+  def pqCodebook(corpus: DataFrame, dim: Int, m: Int, ks: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split evenly into $m subspaces")
+    val w = dim / m
+    corpus.filter(col("vec_id") < ks)
+      .select(col("vec_id").cast("int").as("code"),
+        asDouble("embedding").as("v"))
+      .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
+      .select(col("sub"), col("code"),
+        expr(s"slice(v, sub * $w + 1, $w)").as("cv"))
+  }
+
+  /** PQ ENCODE: each corpus vector becomes `m` small code ids — its
+    * nearest codebook entry per subspace (L2², 6dp-rounded, code-id
+    * tie-break: the same rounded-argmin discipline as ivfAssign, so the
+    * encoding is engine-portable). dim·8 bytes of float64 shrink to m
+    * single-byte codes — the ~64× corpus compression that lets an ANN
+    * index of a 100 TB embedding table live in memory. One narrow pass
+    * over the corpus joined against the broadcast codebook. */
+  def pqEncode(corpus: DataFrame, dim: Int, m: Int, ks: Int): DataFrame = {
+    val w = dim / m
+    val sv = corpus.select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(v, sub * $w + 1, $w)").as("sv"))
+    val scored = sv.join(broadcast(pqCodebook(corpus, dim, m, ks)), Seq("sub"))
+      .withColumn("d2", round(expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"), 6))
+    scored.withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2"), col("code"))))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** X3g — ASYMMETRIC-DISTANCE top-k over the PQ codes: approx
+    * dot(q, v) = Σ_sub dot(q_sub, codebook[sub][code(v, sub)]). The
+    * per-(query, sub, code) partial dots form the classic PQ lookup
+    * table — queries × m × ks rows, broadcast — so scoring the corpus is
+    * ONE broadcast equi-join on (sub, code) against the m-rows-per-vector
+    * code table plus a partial aggregate: the corpus's float vectors are
+    * never read again after encoding. Partial dots are carried as exact
+    * 1e-6 fixed-point longs, so the sum is addition-order-free and the
+    * ranking engine-portable. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, m: Int = 4, ks: Int = 16): DataFrame = {
+    val w = dim / m
+    val codes = pqEncode(corpus, dim, m, ks)
+    val qsub = queries
+      .select(col("vec_id").as("query_id"), asDouble("embedding").as("v"))
+      .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
+      .select(col("query_id"), col("sub"),
+        expr(s"slice(v, sub * $w + 1, $w)").as("qv"))
+    val lut = broadcast(qsub
+      .join(broadcast(pqCodebook(corpus, dim, m, ks)), Seq("sub"))
+      .withColumn("pfix", floor(expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
+          "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
+        .cast("long"))
+      .select(col("query_id"), col("sub"), col("code"), col("pfix")))
+    val scored = codes.join(lut, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("pfix")) / 1e6).as("adc"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val assigned = ivfAssign(corpus, nCentroids)

@@ -295,6 +295,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(self.count() >= 0) // shape sanity; identity pairs are excluded
   }
 
+  test("X3g PQ: codebook entries encode to themselves; ADC on a planted " +
+      "codebook vector equals the exact fixed-point dot") {
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
+    // a codebook entry's nearest code in every subspace is ITSELF (d2=0,
+    // code-id tie-break cannot move an exact zero)
+    val codes = Similarity.pqEncode(emb, dim = 64, m = 4, ks = 16)
+    val selfCodes = codes.filter(col("vec_id") < 16)
+      .filter(col("code") =!= col("vec_id").cast("int"))
+    assert(selfCodes.count() == 0, "a codebook vector drifted off itself")
+    assert(codes.groupBy("vec_id").count()
+      .filter(col("count") =!= 4).count() == 0, "every vector gets 4 codes")
+    // ADC against a corpus vector that IS a codebook entry reconstructs
+    // the exact (1e-6 fixed-point) dot product: quantization error is
+    // zero by construction there
+    val q = emb.filter(col("vec_id") === 40)
+    val target = 3L
+    val adc = Similarity.pqTopK(q, emb, 500, dim = 64, m = 4, ks = 16)
+      .filter(col("vec_id") === target)
+      .select("adc").as[Double].head()
+    val exact = q.crossJoin(emb.filter(col("vec_id") === target)
+        .select(Similarity.asDouble("embedding").as("cv")))
+      .select(expr("aggregate(zip_with(" +
+        "transform(embedding, x -> cast(x as double)), cv, " +
+        "(x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"))
+      .as[Double].head()
+    // same fixed-point grid, but ADC rounds per-subspace partials while
+    // the exact dot rounds once — allow the 4 half-ulp-of-1e-6 slots
+    assert(math.abs(adc - exact) < 4e-6, s"adc=$adc exact=$exact")
+  }
+
   test("X3b multi-probe LSH: recall@5 >= 0.9, at least as good as single-probe") {
     val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 20)
