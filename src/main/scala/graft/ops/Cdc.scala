@@ -731,6 +731,39 @@ object Cdc {
     newV
   }
 
+  /** Re-bucket the snapshot to a different bucket count — the resize a
+    * growing table eventually needs (per-merge write cost scales with
+    * table/nBuckets, so a table that grew 100× wants proportionally more
+    * buckets to keep touched-bucket rewrites small). O(table) like
+    * [[compactSnapshot]], committed through the same staged rename; the
+    * new manifest carries the new bucket count, so every later merge,
+    * point lookup and stats read routes with it automatically. Versions
+    * from before the resize keep their own manifests and stay
+    * time-travelable; only [[snapshotDiff]] across the boundary refuses
+    * (bucket ownership is not comparable across bucketings — it says so
+    * loudly). */
+  def rebucketSnapshot(spark: SparkSession, dir: String,
+      newBuckets: Int): Int = {
+    require(newBuckets > 0, s"nBuckets must be positive, got $newBuckets")
+    val v = requireVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val newV = v + 1
+    commitVersion(spark, dir, newV,
+      m.copy(nBuckets = newBuckets,
+        buckets = (0 until newBuckets).map(_ -> newV).toMap,
+        stats = Map.empty),
+      0 until newBuckets) { stage =>
+      m.buckets.groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq
+        .map { case (ver, bs) => readBuckets(spark, dir, ver, m.schemaDdl, bs) }
+        .reduce(_.unionByName(_))
+        .drop("bucket")
+        .withColumn("bucket", bucketOf(m.keys, newBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    }
+    newV
+  }
+
   /** Apply a STREAM of change records to the snapshot, one [[mergeScoped]]
     * merge per micro-batch. Cross-batch ordering is arrival order (a CDC
     * feed's contract); within a batch latest-wins by `seqCol` as in the

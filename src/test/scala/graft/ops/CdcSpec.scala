@@ -587,6 +587,46 @@ class CdcSpec extends SparkSpec {
         (3L, "c", 30.0, None), (4L, "d", 40.0, None)))
   }
 
+  test("rebucketSnapshot resizes the rewrite unit: merges, point lookups " +
+      "and counts route with the new bucket count; history stays readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_rb").toString
+    Cdc.initSnapshot(target, dir, Seq("k"), 2) // grown table, too-few buckets
+    Cdc.mergeScoped(
+      Seq((5L, 1L, "U", "new", 50.0)).toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir) // v1
+    val before = Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    val rv = Cdc.rebucketSnapshot(spark, dir, 16) // v2
+    // data identical, counts served from the new stats
+    assert(Cdc.latestSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq == before)
+    assert(Cdc.snapshotCount(spark, dir) == 5L)
+    // the new manifest routes by 16 buckets: the rewritten dirs are the
+    // 16-bucket hash homes, and a point lookup reads exactly one of them
+    assert(bucketDirs(s"$dir/v$rv") == bucketsOf(Seq(1L, 2L, 3L, 4L, 5L), 16))
+    val hit = Cdc.pointLookup(spark, dir, Seq(Seq(5L)))
+    assert(hit.as[(Long, String, Double)].collect().toSeq ==
+      Seq((5L, "new", 50.0)))
+    val b5 = bucketsOf(Seq(5L), 16).head
+    assert(hit.inputFiles.forall(_.contains(s"/v$rv/bucket=$b5")))
+    // merges after the resize route with 16 buckets too
+    Cdc.mergeScoped(
+      Seq((2L, 2L, "U", "b2", 22.0)).toDF("k", "seq", "op", "status", "price"),
+      Seq("k"), "seq", "op", dir) // v3
+    assert(bucketDirs(s"$dir/v${rv + 1}") == bucketsOf(Seq(2L), 16))
+    // pre-resize versions time-travel with THEIR bucketing
+    assert(Cdc.snapshotAt(spark, dir, 0).count() == 4)
+    assert(Cdc.pointLookup(spark, dir, Seq(Seq(5L)), version = Some(1))
+      .as[(Long, String, Double)].collect().toSeq == Seq((5L, "new", 50.0)))
+    // diff across the bucketing boundary refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(spark, dir, 1, rv)
+    }
+    assert(e.getMessage.contains("bucketing"))
+    // diff within one bucketing era still works
+    assert(Cdc.snapshotDiff(spark, dir, rv, rv + 1).count() == 1)
+  }
+
   test("latestWins keeps exactly one row per key (max seq)") {
     val changes = (1 to 100).map(i => (i.toLong % 10, i.toLong, "U", s"v$i", 0.0))
       .toDF("k", "seq", "op", "status", "price")
