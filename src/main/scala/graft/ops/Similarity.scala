@@ -385,6 +385,59 @@ object Similarity {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** X3g — IVF-PQ composed (the full FAISS serving shape): IVF bounds
+    * WHICH vectors are scored (a query touches only its nProbe cells),
+    * PQ bounds WHAT is read per vector (m byte codes + the broadcast ADC
+    * table, never the floats). Candidates come from the cid equi-join,
+    * then ADC-score exactly those (query, vector) pairs. Residual
+    * encoding (PQ over vector − centroid) is the production refinement —
+    * it changes code quality, not the operator shape, exactly like
+    * Lloyd-trained centroids vs the deterministic sample used here. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 4, ks: Int = 16, nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val w = dim / m
+    val assigned = ivfAssign(corpus, nCentroids).select(col("vec_id"), col("cid"))
+    val cents = broadcast(withNorm(corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")),
+      "cv", "cn"))
+    val qscored = withNorm(queries.select(col("vec_id").as("query_id"),
+        asDouble("embedding").as("qv")), "qv", "qn")
+      .crossJoin(cents)
+    val probes = qscored.withColumn("csim", round(cosinePre(qscored), 6))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("cid"))
+    val candidates = probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val codes = pqEncode(corpus, dim, m, ks)
+    val qsub = queries
+      .select(col("vec_id").as("query_id"), asDouble("embedding").as("v"))
+      .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
+      .select(col("query_id"), col("sub"),
+        expr(s"slice(v, sub * $w + 1, $w)").as("qv"))
+    val lut = broadcast(qsub
+      .join(broadcast(pqCodebook(corpus, dim, m, ks)), Seq("sub"))
+      .withColumn("pfix", floor(expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
+          "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
+        .cast("long"))
+      .select(col("query_id"), col("sub"), col("code"), col("pfix")))
+    val scored = candidates.join(codes, Seq("vec_id"))
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("pfix")) / 1e6).as("adc"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val assigned = ivfAssign(corpus, nCentroids)

@@ -325,6 +325,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(adc - exact) < 4e-6, s"adc=$adc exact=$exact")
   }
 
+  test("X3g IVF-PQ composition: results are IVF candidates scored with " +
+      "the SAME ADC values as pure PQ") {
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivfpq = Similarity.ivfPqTopK(queries, emb, 5, dim = 64,
+      nCentroids = 8, nProbe = 4)
+      .select("query_id", "vec_id", "adc")
+      .as[(Long, Long, Double)].collect()
+    assert(ivfpq.nonEmpty)
+    // every scored pair must come from a probed IVF cell…
+    val assigned = Similarity.ivfAssign(emb, 8)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val probed = queries.select("vec_id").as[Long].collect().map { q =>
+      q -> Similarity.ivfTopK(queries.filter(col("vec_id") === q), emb, 500,
+        nCentroids = 8, nProbe = 4)
+        .select("vec_id").as[Long].collect().toSet
+    }.toMap
+    ivfpq.foreach { case (q, v, _) =>
+      assert(probed(q).contains(v), s"($q,$v) scored outside probed cells")
+    }
+    // …and its ADC score is identical to the unrestricted PQ scorer's
+    // (IVF restricts the candidate set, never changes the metric)
+    val pq = Similarity.pqTopK(queries, emb, 500, dim = 64)
+      .select("query_id", "vec_id", "adc")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, v, a) => (q, v) -> a }.toMap
+    ivfpq.foreach { case (q, v, a) =>
+      assert(pq((q, v)) == a, s"ADC drifted for ($q,$v)")
+    }
+  }
+
   test("X3b multi-probe LSH: recall@5 >= 0.9, at least as good as single-probe") {
     val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 20)
