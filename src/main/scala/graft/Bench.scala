@@ -134,7 +134,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal seconds in the driver-parsed line: sub-0.1ms precision is
+    // below measurement noise, and the compact form is what keeps the final
+    // line inside the driver's 2000-char stdout tail window (see below)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + esc(k) + "\":\"" + esc(v) + "\""
@@ -147,11 +152,22 @@ object Bench {
       case (sb, rr, br) =>
         "\"" + n + s"""":{"shuffle_bytes":$sb,"rows_read":$rr,"bytes_read":$br}"""
     }).mkString("{", ",", "}")
-    val json =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metricsJson,"errors":$errJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // compact driver-facing line WITHOUT the metrics map: the driver keeps
+    // only the final ~2000 chars of stdout and parses the last line. Round
+    // 10's single full line (3384 chars with 31 queries' metrics) overflowed
+    // that window and the round lost its driver-side perf record — so the
+    // full JSON goes to bench_out.json + an EARLIER stdout line, and the
+    // FINAL line is the compact form only.
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
-    // printed last so the JSON is the final stdout line of the forked JVM
-    println(json)
+    println(full)
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} chars > 1900 — driver tail window at risk")
+    // printed last so the compact JSON is the final stdout line of the forked JVM
+    println(compact)
   }
 }

@@ -166,22 +166,74 @@ object Cdc {
   private def bucketOf(keys: Seq[String], nBuckets: Int): Column =
     pmod(hash(keys.map(col): _*), lit(nBuckets))
 
-  /** Key types whose cast-to-string round-trips AND orders like the
-    * value (lexicographic == natural): integrals compare as longs, ISO
-    * dates and plain strings compare as strings. Floats/timestamps are
-    * excluded — their string forms don't order reliably ("0.5" vs "0.50")
-    * and a WRONG bound silently drops rows, so those keys just carry no
-    * min/max (conservative: never pruned). */
+  /** Key types the manifest records min/max bounds for. Bounds are stored
+    * as strings whose DECODED comparison is exact for the type (see
+    * [[encodeStat]]) — a wrong bound silently drops rows on the serving
+    * path, so every encoding here must order IDENTICALLY to Spark's own
+    * min/max ordering for the type. Types without such an encoding simply
+    * carry no bounds (conservative: never pruned). */
   private def statable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType |
-         DateType => true
+         DateType | FloatType | DoubleType | TimestampType => true
     case _ => false
+  }
+
+  /** IEEE-754 bits remapped so SIGNED-long order == floating order:
+    * non-negative doubles keep their bits (already ascending, sign 0);
+    * negative doubles keep the sign bit and flip the magnitude bits
+    * (magnitude order is reversed for negatives). -0.0 normalizes to 0.0
+    * first (Spark aggregates treat them equal, so a bound of 0.0 must
+    * admit a -0.0 probe) and NaN canonicalizes via doubleToLongBits to
+    * the largest value — both matching Spark's ordering. float widens to
+    * double losslessly (same order). */
+  private def sortableBits(d: Double): Long = {
+    val n = if (d == 0.0d) 0.0d else d
+    val bits = java.lang.Double.doubleToLongBits(n)
+    if (bits < 0) bits ^ Long.MaxValue else bits
+  }
+
+  private def toMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case l: Long => l
+    case other => throw new IllegalArgumentException(
+      s"timestamp key probe must be java.sql.Timestamp / Instant / Long " +
+        s"micros, got ${other.getClass.getName}")
+  }
+
+  /** Manifest encoding of one min/max bound. Integrals/strings/ISO dates
+    * keep their natural string form (readable manifests, and the decoded
+    * compare is exact); floats/timestamps — whose string forms do NOT
+    * order ("0.5" vs "0.50") — encode as longs: sortable IEEE bits and
+    * epoch micros respectively. */
+  private def encodeStat(dt: DataType, v: Any): String = dt match {
+    case FloatType => sortableBits(v.asInstanceOf[Float].toDouble).toString
+    case DoubleType => sortableBits(v.asInstanceOf[Double]).toString
+    case TimestampType => toMicros(v).toString
+    case _ => v.toString
   }
 
   private def inRange(dt: DataType, v: Any, lo: String, hi: String): Boolean =
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         val x = v.toString.toLong; x >= lo.toLong && x <= hi.toLong
+      case FloatType | DoubleType =>
+        val x = sortableBits(v.toString.toDouble)
+        x >= lo.toLong && x <= hi.toLong
+      case TimestampType =>
+        val x = toMicros(v); x >= lo.toLong && x <= hi.toLong
+      case StringType =>
+        // Spark's min/max ordered these as UTF8String (UTF-8 byte order);
+        // Java String compare is UTF-16 code-unit order, which DISAGREES
+        // for supplementary vs high-BMP characters — compare in the same
+        // binary order the bounds were computed under, or an occupied
+        // bucket could be wrongly pruned on the serving path
+        import org.apache.spark.unsafe.types.UTF8String
+        val u = UTF8String.fromString(v.toString)
+        u.compareTo(UTF8String.fromString(lo)) >= 0 &&
+          u.compareTo(UTF8String.fromString(hi)) <= 0
       case _ => val x = v.toString; x >= lo && x <= hi
     }
 
@@ -303,8 +355,13 @@ object Cdc {
       if (!fs.rename(new Path(stage), dst)) conflict()
       // read-back: if a racer claimed dst between the exists check and the
       // rename, our rename may have landed INSIDE it — the committed
-      // manifest is then the winner's, not ours
-      if (readManifest(spark, dir, newV).commitId != uuid) conflict()
+      // manifest is then the winner's, not ours. The nested copy lives at
+      // v{N}/_stage_..., which the top-level finally/prune sweeps never
+      // reach — reclaim it here or it leaks disk for the version's lifetime
+      if (readManifest(spark, dir, newV).commitId != uuid) {
+        fs.delete(new Path(dst, s"_stage_v${newV}_$uuid"), true)
+        conflict()
+      }
     } finally {
       // success renames staging away; on any failure a leftover stage is
       // invisible to readers but still deleted here to not leak disk
@@ -323,14 +380,16 @@ object Cdc {
       schemaDdl: String, keys: Seq[String],
       written: Seq[Int]): Map[Int, BucketStats] = {
     val schema = StructType.fromDDL(schemaDdl)
+    val keyTypes = keys.map(k => schema(k).dataType)
+    // min/max collected in the NATIVE type and encoded driver-side
+    // ([[encodeStat]]) — a cast-to-string inside the agg would bake in the
+    // unorderable decimal/ISO forms for floats/timestamps
     val aggs = count(lit(1)).as("_rows") +:
       keys.zipWithIndex.flatMap { case (k, i) =>
         if (statable(schema(k).dataType))
-          Seq(min(col(k)).cast("string").as(s"_min_$i"),
-            max(col(k)).cast("string").as(s"_max_$i"))
+          Seq(min(col(k)).as(s"_min_$i"), max(col(k)).as(s"_max_$i"))
         else
-          Seq(lit(null).cast("string").as(s"_min_$i"),
-            lit(null).cast("string").as(s"_max_$i"))
+          Seq(lit(null).as(s"_min_$i"), lit(null).as(s"_max_$i"))
       }
     val present = spark.read
       .schema(StructType.fromDDL(schemaDdl).add("bucket", IntegerType))
@@ -338,9 +397,11 @@ object Cdc {
       .groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
+        def enc(idx: Int, i: Int): Option[String] =
+          Option(r.get(idx)).map(v => encodeStat(keyTypes(i), v))
         r.getInt(0) -> BucketStats(r.getLong(1),
-          keys.indices.map(i => Option(r.getString(2 + 2 * i))),
-          keys.indices.map(i => Option(r.getString(3 + 2 * i))))
+          keys.indices.map(i => enc(2 + 2 * i, i)),
+          keys.indices.map(i => enc(3 + 2 * i, i)))
       }.toMap
     val zero = BucketStats(0L, keys.map(_ => None), keys.map(_ => None))
     written.map(b => b -> present.getOrElse(b, zero)).toMap
@@ -593,11 +654,18 @@ object Cdc {
       val want = if (m.keys.contains(c)) Some(snapSchema(c).dataType) else None
       want match {
         case Some(t) if batch.schema(c).dataType != t =>
-          when(col(c).isNotNull && col(c).cast(t).isNull,
+          // overflow probe via try_cast, NOT cast: under ANSI (Spark 4's
+          // default) a plain cast throws before this guard evaluates, and
+          // with ANSI off integral narrowing WRAPS instead of nulling —
+          // either way a cast-based probe misses exactly the values that
+          // would route to a wrong bucket. try_cast nulls on overflow
+          // under both settings.
+          val probe = expr(s"try_cast(`$c` AS ${t.sql})")
+          when(col(c).isNotNull && probe.isNull,
             raise_error(concat(
               lit(s"mergeScoped: key '$c' value "), col(c).cast("string"),
               lit(s" does not fit the snapshot's ${t.sql}"))).cast(t))
-            .otherwise(col(c).cast(t)).as(c)
+            .otherwise(probe).as(c)
         case _ => col(c)
       }
     }.toSeq: _*)

@@ -406,6 +406,40 @@ class CdcSpec extends SparkSpec {
     assert(far.count() == 0)
   }
 
+  test("pointLookup stat-prunes TIMESTAMP- and DOUBLE-keyed snapshots: " +
+      "out-of-range probes read zero files (typed bounds, not strings)") {
+    import java.sql.Timestamp
+    // timestamp key: bounds stored as epoch micros, so a probe a year out
+    // of range must prune even though its ISO string would compare wrong
+    val tsDir = java.nio.file.Files.createTempDirectory("graft_cdc_ts").toString
+    val tsRows = (0 until 20)
+      .map(i => (Timestamp.valueOf(f"2024-03-01 10:00:${i}%02d"), s"r$i"))
+      .toDF("ts", "payload")
+    Cdc.initSnapshot(tsRows, tsDir, Seq("ts"), 1) // ONE bucket: always occupied
+    val tsHit = Cdc.pointLookup(spark, tsDir,
+      Seq(Seq(Timestamp.valueOf("2024-03-01 10:00:07"))))
+    assert(tsHit.as[(Timestamp, String)].collect().toSeq ==
+      Seq((Timestamp.valueOf("2024-03-01 10:00:07"), "r7")))
+    val tsMiss = Cdc.pointLookup(spark, tsDir,
+      Seq(Seq(Timestamp.valueOf("2025-03-01 10:00:00"))))
+    assert(tsMiss.inputFiles.isEmpty && tsMiss.count() == 0)
+    // double key: bounds stored as sortable IEEE bits — "9.5" < "10.5"
+    // numerically but not lexically, so a string encoding would both
+    // wrongly admit and wrongly prune; the typed one does neither
+    val dDir = java.nio.file.Files.createTempDirectory("graft_cdc_dbl").toString
+    val dRows = Seq(9.5, 10.5, 120.25, -3.5).map(d => (d, s"p$d"))
+      .toDF("price", "payload")
+    Cdc.initSnapshot(dRows, dDir, Seq("price"), 1)
+    assert(Cdc.pointLookup(spark, dDir, Seq(Seq(10.5)))
+      .as[(Double, String)].collect().toSeq == Seq((10.5, "p10.5")))
+    val inRangeMiss = Cdc.pointLookup(spark, dDir, Seq(Seq(50.0)))
+    assert(inRangeMiss.count() == 0) // inside [min,max]: reads, finds none
+    val dMiss = Cdc.pointLookup(spark, dDir, Seq(Seq(1000.0)))
+    assert(dMiss.inputFiles.isEmpty && dMiss.count() == 0)
+    val dMissLow = Cdc.pointLookup(spark, dDir, Seq(Seq(-99.0)))
+    assert(dMissLow.inputFiles.isEmpty && dMissLow.count() == 0)
+  }
+
   test("mergeScoped: additive schema evolution — new payload column " +
       "null-backfills old buckets; type conflicts fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_evo").toString
@@ -451,6 +485,27 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.latestSnapshot(spark, dir).orderBy("k")
       .as[(Long, String, Double)].collect().toSeq == Seq(
         (1L, "a", 10.0), (2L, "b2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("mergeScoped key-overflow guard fires the FRIENDLY error under " +
+      "default ANSI mode — a LONG that doesn't fit an INT key never " +
+      "wraps into a wrong bucket") {
+    val n = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_ovf").toString
+    val intKeyed = Seq((1, "a"), (2, "b")).toDF("k", "status")
+    Cdc.initSnapshot(intKeyed, dir, Seq("k"), n)
+    val tooBig = Seq((Int.MaxValue.toLong + 7L, 1L, "U", "x"))
+      .toDF("k", "seq", "op", "status")
+    val e = intercept[Exception] {
+      Cdc.mergeScoped(tooBig, Seq("k"), "seq", "op", dir)
+    }
+    // the guard's raise_error, not an opaque ANSI cast failure — and
+    // never a silent integral wrap (which would route to a wrong bucket)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("does not fit")), msgs(e).mkString(" | "))
+    // snapshot untouched — still v0
+    assert(Cdc.latestSnapshot(spark, dir).count() == 2)
   }
 
   test("latestWins tolerates non-orderable payload types (map column)") {
