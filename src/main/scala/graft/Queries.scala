@@ -1552,6 +1552,55 @@ object Queries {
            |ORDER BY dd.doc_id""".stripMargin),
     bench = true)
 
+  /** X2h — exact substring-span dedup (round 11): maximal verbatim
+    * 8-token-plus spans shared between document pairs — the Lee et al.
+    * suffix-overlap family the whole-doc near-dup ops can't see. The
+    * corpus's planted near-dup families share real spans (25 pairs, up
+    * to 93 tokens at sf0.01), so the judged result is non-trivial. The
+    * oracle replays the identical positional md5 shingling (the
+    * x4_decontaminate-proven twin), the occurrence cutoff, the
+    * self-equi-join, and the gaps-and-islands diagonal merge in plain
+    * SQL. PlanShapeSpec pins no-cartesian on the engine plan. */
+  val x2SpanPairs = QuerySpec("x2_span_pairs",
+    (s, d) => Dedup.spanPairs(T(s, d, "documents"), "text", "doc_id",
+        n = 8, maxOcc = 64)
+      .orderBy(col("id_a"), col("id_b"), col("a_start"), col("b_start")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, CAST(pos AS INT) AS pos,
+           |    md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]
+           |      || ' ' || toks[pos+3] || ' ' || toks[pos+4] || ' ' ||
+           |      toks[pos+5] || ' ' || toks[pos+6] || ' ' || toks[pos+7]) AS sh
+           |  FROM (SELECT doc_id, toks, unnest(range(1, nt - 6)) AS pos
+           |        FROM d WHERE nt >= 8)),
+           |bounded AS (
+           |  SELECT doc_id, pos, sh FROM (
+           |    SELECT doc_id, pos, sh,
+           |      count(*) OVER (PARTITION BY sh) AS occ FROM sh)
+           |  WHERE occ <= 64),
+           |hits AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    a.pos AS pos_a, b.pos AS pos_b
+           |  FROM bounded a JOIN bounded b
+           |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+           |isl AS (
+           |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+           |    pos_a - row_number() OVER (
+           |      PARTITION BY id_a, id_b, pos_a - pos_b
+           |      ORDER BY pos_a) AS island
+           |  FROM hits),
+           |spans AS (
+           |  SELECT id_a, id_b, min(pos_a) AS a_start,
+           |    CAST(min(pos_a) - diag AS INT) AS b_start,
+           |    CAST(max(pos_a) - min(pos_a) + 8 AS INT) AS span_tokens
+           |  FROM isl GROUP BY id_a, id_b, diag, island)
+           |SELECT id_a, id_b, a_start, b_start, span_tokens FROM spans
+           |ORDER BY id_a, id_b, a_start, b_start""".stripMargin),
+    bench = true)
+
   /** X5 — deterministic portable hash sampling (train/val splits): the
     * md5-prefix threshold reproduces bit-identically in any engine. */
   val x5Sample = QuerySpec("x5_sample",
@@ -2375,6 +2424,83 @@ object Queries {
            |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
            |  WHERE l.query_id <> e.vec_id
            |  GROUP BY l.query_id, e.vec_id),
+           |r AS (
+           |  SELECT query_id, vec_id, adc,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc DESC, vec_id) AS INT) AS rnk
+           |  FROM adc)
+           |SELECT query_id, vec_id, adc, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin))
+
+  /** X3g — IVF-PQ composed (round 11, promoted from spec-only): the full
+    * FAISS serving shape. IVF bounds WHICH vectors a query scores (its
+    * nProbe cells only), PQ bounds WHAT is read per scored vector (m byte
+    * codes against the broadcast ADC table — floats never re-read). This
+    * is the benched PQ lane: the unrestricted full-corpus ADC scan
+    * (x3_pq_topk) stays judged as the IndexPQ baseline, but the shape a
+    * 100 TB index actually serves is this composition. Oracle = the
+    * x3_ivf_topk assignment/probe CTE chain feeding the x3_pq_topk
+    * codebook/encode/LUT chain, ADC restricted to the candidate pairs. */
+  val x3IvfPq = QuerySpec("x3_ivf_pq",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, 5,
+          dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),
+           |asr AS (
+           |  SELECT v.vec_id, cents.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY round(list_cosine_similarity(v.e, cents.cv), 6) DESC,
+           |        cents.cid) AS crnk
+           |  FROM v, cents),
+           |assigned AS (SELECT vec_id, cid FROM asr WHERE crnk = 1),
+           |qpr AS (
+           |  SELECT q.vec_id AS query_id, cents.cid,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(list_cosine_similarity(q.e, cents.cv), 6) DESC,
+           |        cents.cid) AS crnk
+           |  FROM v q, cents WHERE q.vec_id < 10),
+           |probes AS (SELECT query_id, cid FROM qpr WHERE crnk <= 4),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id
+           |  FROM probes p JOIN assigned a ON a.cid = p.cid
+           |  WHERE a.vec_id <> p.query_id),
+           |sub AS (SELECT unnest(range(0, 4)) AS sub),
+           |cb AS (
+           |  SELECT sub, CAST(vec_id AS INT) AS code,
+           |    e[sub*16+1 : sub*16+16] AS cv
+           |  FROM v, sub WHERE vec_id < 16),
+           |sv AS (
+           |  SELECT vec_id, sub, e[sub*16+1 : sub*16+16] AS sv
+           |  FROM v, sub),
+           |enc0 AS (
+           |  SELECT sv.vec_id, sv.sub, cb.code,
+           |    round(list_sum(list_transform(range(1, 17),
+           |      i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))), 6) AS d2
+           |  FROM sv JOIN cb USING (sub)),
+           |enc AS (
+           |  SELECT vec_id, sub, code FROM (
+           |    SELECT enc0.*, row_number() OVER (PARTITION BY vec_id, sub
+           |      ORDER BY d2, code) AS crnk
+           |    FROM enc0) WHERE crnk = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+           |    CAST(floor(list_sum(list_transform(range(1, 17),
+           |      i -> q.e[cb.sub*16+i] * cb.cv[i])) * 1e6 + 0.5)
+           |      AS BIGINT) AS pfix
+           |  FROM v q, cb WHERE q.vec_id < 10),
+           |adc AS (
+           |  SELECT c.query_id, c.vec_id,
+           |    CAST(sum(l.pfix) AS BIGINT) / 1e6 AS adc
+           |  FROM cand c
+           |  JOIN enc e ON e.vec_id = c.vec_id
+           |  JOIN lut l ON l.query_id = c.query_id
+           |    AND l.sub = e.sub AND l.code = e.code
+           |  GROUP BY c.query_id, c.vec_id),
            |r AS (
            |  SELECT query_id, vec_id, adc,
            |    CAST(row_number() OVER (PARTITION BY query_id
@@ -3376,9 +3502,9 @@ object Queries {
     sql5Recursive, f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
-    x2Components, x2DedupE2e, x5Sample, x5SampleBy, x5Pack, x5Interleave,
+    x2Components, x2DedupE2e, x2SpanPairs, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
-    x3Rerank, x3PqTopk,
+    x3Rerank, x3PqTopk, x3IvfPq,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate,
     x6SaltedAgg, x6SaltedJoin,

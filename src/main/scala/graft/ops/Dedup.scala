@@ -367,4 +367,72 @@ object Dedup {
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
+
+  /** X2h — EXACT SUBSTRING-SPAN dedup (round 11): maximal verbatim token
+    * spans of >= `n` tokens shared between document PAIRS — the Lee et
+    * al. "Deduplicating Training Data Makes Language Models Better"
+    * family. MinHash/SimHash/Jaccard catch whole-document near-dups; a
+    * 50-token verbatim quote inside two otherwise-distinct documents
+    * slips past all of them, and it is exactly the memorization vector
+    * that op exists to remove.
+    *
+    * Suffix arrays are the single-node tool; the shuffle-shaped
+    * equivalent is positional shingles + diagonal islands:
+    *
+    *  1. stride-1 word `n`-gram md5 keys WITH their 1-based start
+    *     position — the same shingling [[graft.ops.TextOps.decontaminate]]
+    *     proved oracle-portable, plus `posexplode` for the offset;
+    *  2. occurrence cutoff: shingle keys appearing more than `maxOcc`
+    *     times corpus-wide are dropped (boilerplate / degenerate
+    *     repetition — the df-cutoff contract of [[jaccardPairs]]; a
+    *     shingle's pair fan-out is bounded at maxOcc² by construction);
+    *  3. ONE hash equi-join of the corpus against itself on the shingle
+    *     key (`id_a < id_b` halves it) — never doc × doc, work scales
+    *     with sum(occ²) over surviving shingles;
+    *  4. adjacent hits merge into MAXIMAL spans per (pair, diagonal):
+    *     two n-gram hits at consecutive positions on the same diagonal
+    *     (pos_a − pos_b constant) overlap by n−1 tokens, so a run of
+    *     consecutive pos_a values IS one contiguous shared span —
+    *     classic gaps-and-islands (pos_a − row_number), one window over
+    *     the pair/diagonal shuffle key.
+    *
+    * Returns (id_a, id_b, a_start, b_start, span_tokens): span_tokens =
+    * run length + n − 1 tokens starting at a_start in doc a and b_start
+    * in doc b. A span shared k times emits one row per placement pair —
+    * deduplication policy (which copy to cut) is the caller's. */
+  def spanPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, maxOcc: Int = 64): DataFrame = {
+    require(n >= 2 && n <= 32, s"span shingle width must be in [2, 32], got $n")
+    val sh = Scale.fanOut(docs) // md5-per-shingle is compute-heavy (cf. minhash)
+      .withColumn("_ltoks", split(lower(col(textCol)), " "))
+      .withColumn("_nlt", size(col("_ltoks")))
+      .filter(col("_nlt") >= n)
+      .select(col(idCol),
+        posexplode(expr(s"transform(sequence(1, _nlt - ${n - 1}), " +
+          s"i -> md5(array_join(slice(_ltoks, i, $n), ' ')))"))
+          .as(Seq("pos0", "sh")))
+      .select(col(idCol), (col("pos0") + 1).cast("int").as("pos"), col("sh"))
+    // corpus-wide occurrence count per shingle key, same shuffle key as
+    // the join; keys above the cap carry no span signal at this width
+    val bounded = sh.withColumn("occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("occ") <= maxOcc).drop("occ")
+    val hits = bounded.select(col(idCol).as("id_a"),
+        col("pos").as("pos_a"), col("sh"))
+      .join(bounded.select(col(idCol).as("id_b"),
+        col("pos").as("pos_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    hits.withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("island", col("pos_a") - row_number().over(wIsl))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+      .agg(min(col("pos_a")).as("a_start"),
+        (max(col("pos_a")) - min(col("pos_a")) + n).cast("int").as("span_tokens"))
+      .select(col("id_a"), col("id_b"), col("a_start"),
+        (col("a_start") - col("diag")).cast("int").as("b_start"),
+        col("span_tokens"))
+  }
 }

@@ -87,6 +87,16 @@ class PlanShapeSpec extends SparkSpec {
       "join key should be the shingle hash:\n" + p.take(2000))
   }
 
+  test("x2 span dedup joins on the positional shingle hash — never " +
+      "doc x doc") {
+    val p = plan("x2_span_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "span candidate generation must stay an equi-join:\n" + p.take(2000))
+    assert(p.contains("sh#") || p.contains("[sh"),
+      "join key should be the shingle hash:\n" + p.take(2000))
+  }
+
   test("x2 LSH candidate generation is a key-equi join (shuffle on bucket), not all-pairs") {
     val p = planOf(ops.Dedup.lshCandidates(
       ops.Dedup.minhash(ops.Tables.documents(spark, d), "text", "doc_id"),

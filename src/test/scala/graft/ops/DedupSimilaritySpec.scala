@@ -111,6 +111,37 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("X2h spanPairs merges adjacent shingle hits into MAXIMAL spans; " +
+      "disjoint spans stay separate; sub-n overlaps emit nothing") {
+    val run = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
+    val tail = (1 to 9).map(i => s"t$i").mkString(" ")  // 9 more, shared later
+    val corpus = Seq(
+      // doc 1: [run][9 unique][tail] ; doc 2: [5 unique][run][tail]
+      (1L, s"$run u1 u2 u3 u4 u5 u6 u7 u8 u9 $tail"),
+      (2L, s"v1 v2 v3 v4 v5 $run $tail"),
+      // doc 3: shares only a 7-token prefix of run with doc 1 — below n=8
+      (3L, "w1 w2 w3 w4 w5 w6 w7 z1 z2 z3 z4 z5 z6 z7 z8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanPairs(corpus, "text", "doc_id", n = 8)
+      .orderBy("id_a", "id_b", "a_start")
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq
+    // the 12-token run: windows 1..5 in doc1 / 6..10 in doc2, one diagonal,
+    // merged to ONE maximal span of 12 — not five 8-gram hits
+    // the 9-token tail: a SECOND span on a different diagonal
+    assert(out == Seq((1L, 2L, 1, 6, 12), (1L, 2L, 22, 18, 9)))
+    // doc 3's 7-token overlap with doc 1 is invisible at n=8
+    assert(!out.exists(r => r._1 == 3L || r._2 == 3L))
+  }
+
+  test("X2h spanPairs occurrence cutoff drops boilerplate shingles") {
+    // the same 8-token sentence in 5 docs: occ = 5 per shingle key
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = (1L to 5L).map(i => (i, s"$boiler only$i")).toDF("doc_id", "text")
+    assert(Dedup.spanPairs(corpus, "text", "doc_id", n = 8).count() == 10) // 5C2
+    assert(Dedup.spanPairs(corpus, "text", "doc_id", n = 8, maxOcc = 4)
+      .count() == 0)
+  }
+
   test("X2e components: labels propagate across a path graph; singletons keep own id") {
     val nodes = (1L to 6L).toDF("doc_id")
     // path 1-2-3-4 (diameter 3: takes several propagation rounds), 5/6 isolated
