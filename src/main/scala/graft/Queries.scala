@@ -2026,6 +2026,34 @@ object Queries {
            |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** X4k — REAL greedy BPE encode (round 11): documents tokenized by the
+    * frozen learned merge table (TextOps.defaultMerges = bpeLearn on the
+    * corpus, spec-pinned), applied as the sentinel-space replace chain.
+    * The oracle SQL is GENERATED from the same merge list — one nested
+    * replace() per merge, identical rewriting — so engine and oracle
+    * apply the identical tokenizer (the x7_zorder3 generated-SQL
+    * discipline). `enc` hash-matches the full rewritten string, n_bpe
+    * the token count that drives packing/chunking budgets. */
+  private def bpeEncodeSql(merges: Seq[(String, String)]): String = {
+    val inner = merges.foldLeft(
+      "regexp_replace(replace(lower(text), ' ', '|'), '([^|])', ' \\1 ', 'g')") {
+      case (s, (x, y)) => s"replace($s, ' $x  $y ', ' $x$y ')"
+    }
+    s"""WITH e AS (SELECT doc_id, $inner AS enc FROM documents)
+       |SELECT doc_id,
+       |  CAST((length(enc) - length(replace(enc, ' ', ''))) / 2 AS INT)
+       |    AS n_bpe,
+       |  enc
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  val x4BpeEncode = QuerySpec("x4_bpe_encode",
+    (s, d) => TextOps.bpeEncode(T(s, d, "documents"), "text",
+        TextOps.defaultMerges)
+      .select(col("doc_id"), col("n_bpe"), col("enc"))
+      .orderBy(col("doc_id")),
+    Some(bpeEncodeSql(TextOps.defaultMerges)))
+
   val mmMeta = QuerySpec("mm_meta",
     (s, d) => Multimodal.withPayload(T(s, d, "documents"), "text", "doc_id")
       .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
@@ -3505,7 +3533,8 @@ object Queries {
     x2Components, x2DedupE2e, x2SpanPairs, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq,
-    x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4Repetition, x4Tfidf,
+    x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode,
+    x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate,
     x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** X4 — text analysis operators for a training-data pipeline (driver north
@@ -207,6 +207,133 @@ object TextOps {
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
+
+  /** X4k — REAL greedy BPE training (round 11; replaces nothing — the
+    * regex "BPE-ish" count in [[withBpeCount]] stays as the cheap
+    * estimator, this is the actual tokenizer).
+    *
+    * Classic Sennrich formulation over the word-frequency dictionary:
+    * start from characters, repeatedly merge the globally most frequent
+    * adjacent symbol pair. Each iteration is ONE distributed aggregation
+    * (explode adjacent pairs → sum word freq → top-1); only the single
+    * winning pair crosses to the driver, and the evolving state is the
+    * VOCABULARY (distinct words), not the corpus — at 100 TB you train on
+    * the word-freq dict of a deterministic hash-sample, which is exactly
+    * how production tokenizers are fit. localCheckpoint per round keeps
+    * the re-tokenization lineage flat (cf. Dedup.components).
+    *
+    * DETERMINISM CONTRACT: the winner is (count DESC, x ASC, y ASC) — an
+    * integer tie-break, so the learned table is a pure function of the
+    * corpus. The shipped [[defaultMerges]] is bpeLearn(sf0.001 documents,
+    * 32) frozen in code (a tokenizer's merges.txt is a static artifact);
+    * TextBpeSpec re-derives it from the corpus and fails on drift. */
+  def bpeLearn(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    var words = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("toks"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (!exhausted && merges.length < numMerges) {
+      val top = words.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS x, toks[i] AS y))")).as("p"), col("freq"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        def q(s: String) = s.replace("'", "''")
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        merges += ((x, y))
+        // greedy left-fold: leftmost occurrence merges first, a merge's
+        // output can immediately pair with the NEXT symbol — the same
+        // semantics the sentinel-space replace chain in [[bpeEncode]]
+        // applies, so train and apply can never disagree
+        words = words.withColumn("toks", expr(
+          s"aggregate(toks, cast(array() as array<string>), (acc, t) -> " +
+            s"if(size(acc) = 0, array(t), " +
+            s"if(element_at(acc, -1) = '${q(x)}' AND t = '${q(y)}', " +
+            s"concat(slice(acc, 1, size(acc) - 1), array('${q(x)}${q(y)}')), " +
+            s"concat(acc, array(t)))))"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BPE merge application as deterministic string rewriting — the
+    * "iterated replace" formulation. Every symbol travels as ` sym `
+    * (single leading + trailing space, so adjacent symbols read `x  y`),
+    * word boundaries as `|` (never a symbol character — merges cannot
+    * cross words). One `replace(' x  y ', ' xy ')` pass per merge, in
+    * rank order: left-to-right non-overlapping replacement IS BPE's
+    * leftmost-first merge, one pass suffices because a merge's output
+    * symbol can never recreate its own pair, and earlier pairs cannot
+    * be recreated by later merges (their components were consumed into
+    * longer symbols — the merge-table component invariant). The chain
+    * is a single narrow codegen'd projection: no shuffle, no UDF —
+    * applying a frozen tokenizer to 100 TB is embarrassingly parallel.
+    *
+    * Returns docs + `enc` (the rewritten sentinel string — lossless:
+    * dropping spaces and mapping '|' back to ' ' restores lower(text))
+    * and `n_bpe` (token count = half the space count, each symbol
+    * carrying exactly two). */
+  def bpeEncode(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    def rep(c: Column, from: String, to: String): Column =
+      call_function("replace", c, lit(from), lit(to))
+    val base = regexp_replace(
+      rep(lower(col(textCol)), " ", "|"), "([^|])", " $1 ")
+    val enc = merges.foldLeft(base) { case (c, (x, y)) =>
+      rep(c, s" $x  $y ", s" $x$y ")
+    }
+    docs.withColumn("enc", enc)
+      .withColumn("n_bpe",
+        ((length(col("enc")) - length(rep(col("enc"), " ", ""))) / 2)
+          .cast("int"))
+  }
+
+  /** bpeLearn(documents @ sf0.001, 32) — frozen train artifact (see
+    * [[bpeLearn]]'s determinism contract; TextBpeSpec re-derives it). */
+  val defaultMerges: Seq[(String, String)] = Seq(
+    ("e", "r"),
+    ("o", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("s", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("m", "er"),
+    ("a", "t"),
+    ("a", "n"),
+    ("c", "an"),
+    ("s", "can"),
+    ("c", "o"),
+    ("co", "lu"),
+    ("colu", "m"),
+    ("colum", "n"),
+    ("d", "ow"),
+    ("in", "dow"),
+    ("w", "indow"),
+    ("d", "er"),
+    ("or", "der"),
+    ("or", "t"),
+    ("s", "ort"),
+    ("par", "t"),
+    ("u", "p"),
+    ("a", "g"),
+    ("ag", "g"),
+    ("a", "lu"),
+    ("alu", "e"),
+    ("v", "alue"),
+    ("in", "e"))
 
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * the minimum md5 over word 5-gram shingles (rolling-hash analog —
