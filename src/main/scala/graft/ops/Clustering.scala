@@ -52,6 +52,22 @@ object Clustering {
     val base = corpus
       .select(col("vec_id"), Similarity.asDouble("embedding").as("v"))
       .localCheckpoint()
+    assign(base, lloyd(base, k, iters))
+      .select(col("vec_id"), col("cid"), col("dist2"))
+  }
+
+  /** The trained CENTROIDS themselves, (cid, cv) — what
+    * [[Similarity.ivfTopKWith]] plugs in as a Lloyd-quality coarse
+    * quantizer (same deterministic seeds as the sampled twin, so
+    * iters = 0 degenerates to it exactly). */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: $k, $iters")
+    lloyd(corpus
+      .select(col("vec_id"), Similarity.asDouble("embedding").as("v"))
+      .localCheckpoint(), k, iters)
+  }
+
+  private def lloyd(base: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .localCheckpoint()
@@ -66,7 +82,7 @@ object Clustering {
         .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
         .localCheckpoint()
     }
-    assign(base, cents).select(col("vec_id"), col("cid"), col("dist2"))
+    cents
   }
 
   /** Total within-cluster squared distance of an assignment — the

@@ -285,10 +285,22 @@ object Similarity {
     * not the operator shape. At 100 TB: centroids broadcast (k is small),
     * the assignment is one narrow pass over the corpus, and the probe join
     * is an equi-join on cid — per-cell work, never corpus × queries. */
-  def ivfAssign(corpus: DataFrame, k: Int): DataFrame = {
-    val cents = broadcast(withNorm(corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")),
-      "cv", "cn"))
+  /** The deterministic-sample coarse centroids (lowest `k` vec_ids) —
+    * the oracle-replayable seed choice every judged IVF query uses. */
+  private def sampledCents(corpus: DataFrame, k: Int): DataFrame =
+    corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv"))
+
+  def ivfAssign(corpus: DataFrame, k: Int): DataFrame =
+    ivfAssignWith(corpus, sampledCents(corpus, k))
+
+  /** [[ivfAssign]] against an EXPLICIT centroid frame (cid, cv) — the
+    * seam that lets Lloyd-trained centroids ([[graft.ops.Clustering
+    * .trainCentroids]]) drop into the same assignment/probe machinery
+    * the deterministic-sample (oracle-checked) path uses. */
+  def ivfAssignWith(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(withNorm(
+      centroids.select(col("cid"), col("cv")), "cv", "cn"))
     val scored = withNorm(corpus.select(col("vec_id"),
         asDouble("embedding").as("qv")), "qv", "qn")
       .crossJoin(cents)
@@ -331,13 +343,20 @@ object Similarity {
     * single-byte codes — the ~64× corpus compression that lets an ANN
     * index of a 100 TB embedding table live in memory. One narrow pass
     * over the corpus joined against the broadcast codebook. */
-  def pqEncode(corpus: DataFrame, dim: Int, m: Int, ks: Int): DataFrame = {
+  def pqEncode(corpus: DataFrame, dim: Int, m: Int, ks: Int): DataFrame =
+    pqEncodeWith(corpus, dim, m, pqCodebook(corpus, dim, m, ks))
+
+  /** [[pqEncode]] against an EXPLICIT codebook (sub, code, cv) — the
+    * seam for Lloyd-trained per-subspace codebooks
+    * ([[pqCodebookTrained]]); same rounded-argmin encoding. */
+  def pqEncodeWith(corpus: DataFrame, dim: Int, m: Int,
+      codebook: DataFrame): DataFrame = {
     val w = dim / m
     val sv = corpus.select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
       .select(col("vec_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("sv"))
-    val scored = sv.join(broadcast(pqCodebook(corpus, dim, m, ks)), Seq("sub"))
+    val scored = sv.join(broadcast(codebook), Seq("sub"))
       .withColumn("d2", round(expr(
         "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
           "cast(0 as double), (acc, v) -> acc + v)"), 6))
@@ -346,6 +365,51 @@ object Similarity {
           .orderBy(col("d2"), col("code"))))
       .filter(col("crnk") === 1)
       .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** Lloyd-TRAINED per-subspace PQ codebook: the [[pqCodebook]]
+    * deterministic sample as seeds, then `iters` assign/recenter rounds
+    * PER SUBSPACE — all m subspaces train in the same distributed pass
+    * (the subspace id is just one more key column). Per iteration:
+    * subvectors join the broadcast codebook (ks × m rows), L2² argmin
+    * with code tie-break, then a (sub, code, d) groupBy average; a code
+    * that loses all members keeps its previous vector (k never shrinks
+    * — [[graft.ops.Clustering.kmeans]]'s empty-cluster rule).
+    * localCheckpoint per round keeps lineage flat. Deterministic for a
+    * fixed corpus+seeds, but float means are summation-order-dependent
+    * across ENGINES, so trained codebooks are spec-covered (recall@10
+    * pinned >= the sampled twin's), never oracle-hash-judged — the
+    * x3_kmeans honesty contract. */
+  def pqCodebookTrained(corpus: DataFrame, dim: Int, m: Int, ks: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val w = dim / m
+    val sv = corpus.select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(v, sub * $w + 1, $w)").as("sv"))
+      .localCheckpoint()
+    var cb = pqCodebook(corpus, dim, m, ks).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+            "cast(0 as double), (acc, v) -> acc + v)"))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("d2"), col("code"))))
+        .filter(col("crnk") === 1)
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("code"), col("d")).agg(avg(col("x")).as("mn"))
+        .groupBy(col("sub"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, mn))), s -> s.mn)")
+          .as("mv"))
+      cb = cb.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cb
   }
 
   /** X3g — ASYMMETRIC-DISTANCE top-k over the PQ codes: approx
@@ -358,16 +422,23 @@ object Similarity {
     * 1e-6 fixed-point longs, so the sum is addition-order-free and the
     * ranking engine-portable. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      dim: Int, m: Int = 4, ks: Int = 16): DataFrame = {
+      dim: Int, m: Int = 4, ks: Int = 16): DataFrame =
+    pqTopKWith(queries, corpus, k, dim, m, pqCodebook(corpus, dim, m, ks))
+
+  /** [[pqTopK]] against an EXPLICIT codebook (sub, code, cv) — trained
+    * codebooks ride the same encode/LUT/fixed-point machinery; recall
+    * pinned vs the sampled twin in DedupSimilaritySpec. */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, m: Int, codebook: DataFrame): DataFrame = {
     val w = dim / m
-    val codes = pqEncode(corpus, dim, m, ks)
+    val codes = pqEncodeWith(corpus, dim, m, codebook)
     val qsub = queries
       .select(col("vec_id").as("query_id"), asDouble("embedding").as("v"))
       .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
       .select(col("query_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("qv"))
     val lut = broadcast(qsub
-      .join(broadcast(pqCodebook(corpus, dim, m, ks)), Seq("sub"))
+      .join(broadcast(codebook), Seq("sub"))
       .withColumn("pfix", floor(expr(
         "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
           "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
@@ -439,11 +510,20 @@ object Similarity {
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(corpus, nCentroids)
-    val cents = broadcast(withNorm(corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")),
-      "cv", "cn"))
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKWith(queries, corpus, k, sampledCents(corpus, nCentroids), nProbe)
+
+  /** [[ivfTopK]] against an EXPLICIT centroid frame (cid, cv): identical
+    * probe/re-rank machinery, pluggable centroid quality. Trained
+    * centroids stay spec-covered rather than oracle-hash-judged (float
+    * means are summation-order-dependent across engines — the
+    * x3_kmeans honesty contract); DedupSimilaritySpec pins their
+    * recall@10 against the sampled twin. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int): DataFrame = {
+    val cents = broadcast(withNorm(
+      centroids.select(col("cid"), col("cv")), "cv", "cn"))
+    val assigned = ivfAssignWith(corpus, centroids)
     val qscored = withNorm(queries.select(col("vec_id").as("query_id"),
         asDouble("embedding").as("qv")), "qv", "qn")
       .crossJoin(cents)

@@ -387,6 +387,104 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  private def recallHarness(emb: org.apache.spark.sql.DataFrame,
+      nQueries: Int) = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    (queries, exact)
+  }
+
+  private def pqDistortion(emb: org.apache.spark.sql.DataFrame,
+      iters: Int): Double = {
+    val cb = Similarity.pqCodebookTrained(emb, 64, 4, 16, iters)
+    val sv = emb.select(col("vec_id"),
+        Similarity.asDouble("embedding").as("v"))
+      .withColumn("sub", explode(expr("sequence(0, 3)")))
+      .select(col("vec_id"), col("sub"),
+        expr("slice(v, sub * 16 + 1, 16)").as("sv"))
+    sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"))
+      .groupBy(col("vec_id"), col("sub")).agg(min(col("d2")).as("d2"))
+      .agg(sum(col("d2"))).head().getDouble(0)
+  }
+
+  test("X3c/X3g Lloyd-TRAINED quantizers cut quantization error on the " +
+      "real corpus; iters=0 degenerates to the sampled twins exactly") {
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
+    val (queries, exact) = recallHarness(emb, 20)
+    def results(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(got: Set[(Long, Long)]): Double =
+      (exact intersect got).size.toDouble / exact.size
+    // the PROVABLE Lloyd property: quantization error strictly improves
+    // (driver embeddings are near-uniform random — recall@k at a fixed
+    // probe budget is noise there, the LSH worst case; the clustered
+    // corpus test below is where recall measurably moves)
+    def ivfInertia(iters: Int): Double = Clustering.inertia(
+      Clustering.assign(
+        emb.select(col("vec_id"), Similarity.asDouble("embedding").as("v")),
+        Clustering.trainCentroids(emb, 16, iters)))
+    val (i0, i5) = (ivfInertia(0), ivfInertia(5))
+    info(s"IVF inertia: sampled $i0, Lloyd-trained $i5")
+    assert(i5 < i0 * 0.8, s"Lloyd should cut inertia >20%: $i0 -> $i5")
+    val (d0, d5) = (pqDistortion(emb, 0), pqDistortion(emb, 5))
+    info(s"PQ distortion: sampled $d0, Lloyd-trained $d5")
+    assert(d5 < d0 * 0.8, s"Lloyd should cut distortion >20%: $d0 -> $d5")
+    // zero iterations IS the sampled twin (seam introduces no drift)
+    val ivfSampled = results(
+      Similarity.ivfTopK(queries, emb, 10, nCentroids = 16, nProbe = 4))
+    val pqSampled = results(Similarity.pqTopK(queries, emb, 10, dim = 64))
+    info(s"recall@10 on random corpus: IVF sampled ${recall(ivfSampled)}, " +
+      s"PQ sampled ${recall(pqSampled)}")
+    assert(results(Similarity.ivfTopKWith(queries, emb, 10,
+      Clustering.trainCentroids(emb, 16, 0), nProbe = 4)) == ivfSampled)
+    assert(results(Similarity.pqTopKWith(queries, emb, 10, dim = 64, m = 4,
+      Similarity.pqCodebookTrained(emb, 64, 4, 16, 0))) == pqSampled)
+  }
+
+  test("X3c/X3g on a CLUSTERED corpus, Lloyd-trained quantizers beat the " +
+      "deterministic-sample twins on recall@10") {
+    // 8 well-separated clusters of 15 vectors; ids ordered so the
+    // lowest-16-id seed sample lands almost entirely in clusters 0-1 —
+    // the degenerate seeding Lloyd exists to escape. All integer-derived
+    // (no RNG): cluster centers are distinct lattice points, members are
+    // small deterministic perturbations.
+    val clustered = (0 until 120).map { i =>
+      val c = i / 15
+      val v = Array.tabulate(64) { d =>
+        val center = (((c * 31 + d * 17) % 13) - 6).toFloat
+        val jitter = (((i * 7 + d * 3) % 5) - 2) * 0.05f
+        center + jitter
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val (queries, exact) = recallHarness(clustered, 20)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val ivfSampled = recall(
+      Similarity.ivfTopK(queries, clustered, 10, nCentroids = 16, nProbe = 4))
+    val ivfTrained = recall(Similarity.ivfTopKWith(queries, clustered, 10,
+      Clustering.trainCentroids(clustered, 16, 5), nProbe = 4))
+    info(s"clustered IVF recall@10: sampled $ivfSampled, trained $ivfTrained")
+    assert(ivfTrained >= ivfSampled,
+      s"trained $ivfTrained < sampled $ivfSampled")
+    val pqSampled = recall(
+      Similarity.pqTopK(queries, clustered, 10, dim = 64))
+    val pqTrained = recall(Similarity.pqTopKWith(queries, clustered, 10,
+      dim = 64, m = 4, Similarity.pqCodebookTrained(clustered, 64, 4, 16, 5)))
+    info(s"clustered PQ recall@10: sampled $pqSampled, trained $pqTrained")
+    assert(pqTrained >= pqSampled, s"trained $pqTrained < sampled $pqSampled")
+    assert(ivfTrained + pqTrained > ivfSampled + pqSampled,
+      "Lloyd training should strictly improve recall somewhere on " +
+        "cluster-structured data")
+  }
+
   test("X3b multi-probe LSH: recall@5 >= 0.9, at least as good as single-probe") {
     val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 20)
