@@ -2067,64 +2067,91 @@ object Queries {
            |  CAST(floor(octet_length(encode(text)) / 100) + 1 AS INT) AS n_frames
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Decode plumbing runs the stubbed codec (no media libs in-container),
-    * but the stub is deterministic byte arithmetic and documents.text is
-    * all-ASCII, so the DuckDB oracle can recompute the 8-dim feature sums
-    * byte-for-byte (unicode(char) == byte value). Features flattened to
-    * scalar columns: array columns crash the driver's pandas sort. */
+  /** The PPM image-construction + channel-sum CTE chain shared by the
+    * mm_decode and mm_sim oracles: rebuild the EXACT P6 payload
+    * withPpmPayload writes (header + text-repeated RGB bytes), then
+    * re-derive every decoded feature with integer arithmetic —
+    * documents.text is all-ASCII so unicode(char) == byte value. */
+  private val ppmOracleCtes: String =
+    """base AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w, 6 AS h,
+      |    CASE WHEN text = '' THEN ' ' ELSE text END AS t
+      |  FROM documents),
+      |img AS (
+      |  SELECT doc_id, w, h,
+      |    octet_length(encode('P6' || chr(10) || w || ' ' || h ||
+      |      chr(10) || '255' || chr(10))) + w * h * 3 AS plen,
+      |    rpad(t, w * h * 3, t) AS pix
+      |  FROM base),
+      |ch AS (
+      |  SELECT doc_id, w, h, plen,
+      |    CAST(list_sum(list_transform(range(0, w * h),
+      |      p -> unicode(substr(pix, CAST(3 * p + 1 AS INT), 1)))) AS INT) AS sr,
+      |    CAST(list_sum(list_transform(range(0, w * h),
+      |      p -> unicode(substr(pix, CAST(3 * p + 2 AS INT), 1)))) AS INT) AS sg,
+      |    CAST(list_sum(list_transform(range(0, w * h),
+      |      p -> unicode(substr(pix, CAST(3 * p + 3 AS INT), 1)))) AS INT) AS sb
+      |  FROM img)""".stripMargin
+
+  /** The decode step is a REAL P6/PPM parse (round 11): withPpmPayload
+    * emits valid netpbm images, Multimodal.ppmDecode actually parses the
+    * header and aggregates the RGB planes, and every feature is an exact
+    * integer — so the oracle rebuilds the image bytes AND replays the
+    * decode arithmetic; nothing stubbed remains in the chain. Features
+    * flattened to scalar columns: array columns crash the driver's
+    * pandas sort. */
   val mmDecode = QuerySpec("mm_decode",
     (s, d) => {
       val dec = Multimodal.decode(s,
-        Multimodal.withPayload(T(s, d, "documents"), "text", "doc_id"), "doc_id")
+        Multimodal.withPpmPayload(T(s, d, "documents"), "text", "doc_id"),
+        "doc_id")
       dec.select(
           col("doc_id") +: col("n_sampled") +:
             (0 until 8).map(k =>
               element_at(col("features"), k + 1).cast("int").as(s"f$k")): _*)
         .orderBy(col("doc_id"))
     },
-    Some {
-      val fs = (0 until 8).map(k =>
-        s"  CAST(list_sum(list_transform(range(0, octet_length(encode(text)))," +
-          s" i -> CASE WHEN (i // 16) % 8 = $k THEN unicode(substr(text," +
-          s" CAST(i + 1 AS INT), 1)) ELSE 0 END)) AS INT) AS f$k").mkString(",\n")
-      s"""SELECT doc_id,
-         |  CAST(ceil(octet_length(encode(text)) / 100.0) AS INT) AS n_sampled,
-         |$fs
-         |FROM documents ORDER BY doc_id""".stripMargin
-    })
+    Some(s"""WITH $ppmOracleCtes
+            |SELECT doc_id,
+            |  CAST((plen - 1) // 100 + 1 AS INT) AS n_sampled,
+            |  w AS f0, CAST(h AS INT) AS f1, 255 AS f2,
+            |  CAST(w * h AS INT) AS f3,
+            |  sr AS f4, sg AS f5, sb AS f6,
+            |  CAST(sr + sg + sb AS INT) AS f7
+            |FROM ch ORDER BY doc_id""".stripMargin))
 
-  /** MM+X3 — the full multimodal-to-ANN composition: binary payload →
-    * partition-local feature extraction (mapPartitions decode, codec
-    * stubbed deterministically) → exact cosine top-k over the extracted
-    * features. This is the pipeline a media corpus runs (decode once,
-    * search the embedding space); the oracle replays the byte-sum
-    * features AND the search, so the composition is hash-checked end to
-    * end, not per-stage. */
+  /** MM+X3 — the full multimodal-to-ANN composition: real P6 payload →
+    * partition-local REAL parse + feature extraction (mapPartitions
+    * decode) → exact cosine top-k over the extracted features. This is
+    * the pipeline a media corpus runs (decode once, search the embedding
+    * space); the oracle rebuilds the images, replays the decode
+    * arithmetic AND the search, so the composition is hash-checked end
+    * to end, not per-stage. */
   val mmSim = QuerySpec("mm_sim",
     (s, d) => {
       val feats = Multimodal.decode(s,
-          Multimodal.withPayload(T(s, d, "documents"), "text", "doc_id"),
+          Multimodal.withPpmPayload(T(s, d, "documents"), "text", "doc_id"),
           "doc_id")
         .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
       Similarity.bruteForceTopK(feats.filter(col("vec_id") < 5), feats, 3)
         .orderBy(col("query_id"), col("rnk"))
     },
-    Some {
-      val fs = (0 until 8).map(k =>
-        s"CAST(list_sum(list_transform(range(0, octet_length(encode(text)))," +
-          s" i -> CASE WHEN (i // 16) % 8 = $k THEN unicode(substr(text," +
-          s" CAST(i + 1 AS INT), 1)) ELSE 0 END)) AS DOUBLE)").mkString(", ")
-      s"""WITH f AS (SELECT doc_id, [$fs] AS e FROM documents),
-         |p AS (SELECT a.doc_id AS query_id, b.doc_id AS vec_id,
-         |    round(list_cosine_similarity(a.e, b.e), 6) AS sim
-         |  FROM f a, f b WHERE a.doc_id < 5 AND a.doc_id <> b.doc_id),
-         |r AS (SELECT query_id, vec_id, sim,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
-         |  FROM p)
-         |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 3
-         |ORDER BY query_id, rnk""".stripMargin
-    })
+    Some(s"""WITH $ppmOracleCtes,
+            |f AS (SELECT doc_id,
+            |    [CAST(w AS DOUBLE), CAST(h AS DOUBLE), CAST(255 AS DOUBLE),
+            |     CAST(w * h AS DOUBLE), CAST(sr AS DOUBLE),
+            |     CAST(sg AS DOUBLE), CAST(sb AS DOUBLE),
+            |     CAST(sr + sg + sb AS DOUBLE)] AS e
+            |  FROM ch),
+            |p AS (SELECT a.doc_id AS query_id, b.doc_id AS vec_id,
+            |    round(list_cosine_similarity(a.e, b.e), 6) AS sim
+            |  FROM f a, f b WHERE a.doc_id < 5 AND a.doc_id <> b.doc_id),
+            |r AS (SELECT query_id, vec_id, sim,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
+            |  FROM p)
+            |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 3
+            |ORDER BY query_id, rnk""".stripMargin))
 
   /** F9 — uuid() is nondeterministic by design: rows-only check. */
   val f9Uuid = QuerySpec("f9_uuid",

@@ -184,14 +184,42 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(Multimodal.resize(bytes, 0).isEmpty)
   }
 
-  test("multimodal stub decode is deterministic and batch-shaped") {
-    val df = Multimodal.withPayload(
-      Seq((1L, "abcdef"), (2L, "abcdef")).toDF("doc_id", "text"), "text", "doc_id")
+  test("ppmDecode parses a hand-built P6 image exactly; rejects " +
+      "malformed bytes instead of emitting garbage") {
+    val img = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val f = Multimodal.ppmDecode(img).get
+    // [w, h, maxval, n_pixels, sumR, sumG, sumB, sumAll]
+    assert(f.toSeq == Seq(2f, 1f, 255f, 2f, 50f, 70f, 90f, 210f))
+    // malformed: wrong magic, truncated pixels, non-numeric header
+    assert(Multimodal.ppmDecode("JPEG".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.ppmDecode(
+      "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2)).isEmpty)
+    assert(Multimodal.ppmDecode("P6\nx y\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.ppmDecode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("multimodal decode runs the REAL P6 parse batch-shaped over " +
+      "constructed payloads; malformed payloads yield null features") {
+    val df = Multimodal.withPpmPayload(
+      Seq((0L, "abcdef"), (8L, "abcdef")).toDF("doc_id", "text"),
+      "text", "doc_id")
     val out = Multimodal.decode(spark, df, "doc_id")
       .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
-    assert(out(1L) == out(2L)) // same bytes -> same features
-    assert(out(1L).length == 8)
-    assert(out(1L).head == ("abcdef".map(_.toInt).sum).toFloat)
+    // both ids have width 8 + id % 8 = 8: same bytes -> same features
+    assert(out(0L) == out(8L))
+    assert(out(0L).length == 8)
+    assert(out(0L).take(4) == Seq(8f, 6f, 255f, 48f)) // w, h, maxval, npix
+    // pixel bytes are "abcdef" repeated to 144 chars: 24 copies, and the
+    // channel split at stride 3 picks (a,d) / (b,e) / (c,f) per copy
+    assert(out(0L)(4) == 24f * ('a' + 'd'))
+    assert(out(0L)(5) == 24f * ('b' + 'e'))
+    assert(out(0L)(6) == 24f * ('c' + 'f'))
+    // a non-PPM payload decodes to null features, not a task failure
+    val bad = Seq((1L, Array[Byte]('n', 'o', 'p', 'e')))
+      .toDF("doc_id", "payload")
+    val badOut = Multimodal.decode(spark, bad, "doc_id")
+    assert(badOut.filter(col("features").isNull).count() == 1)
   }
 
   private def ts(s: Int) = new Timestamp(1704067200000L + s * 1000L)
