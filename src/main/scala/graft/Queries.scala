@@ -3189,7 +3189,11 @@ object Queries {
            |  coalesce(c.price, t.price) AS price
            |FROM t FULL JOIN c ON t.o_orderkey = c.o_orderkey
            |WHERE c.op IS NULL OR c.op <> 'D'
-           |ORDER BY o_orderkey""".stripMargin))
+           |ORDER BY o_orderkey""".stripMargin),
+    // benched (round 11): the continuous merge lane — per-micro-batch
+    // key-scoped rewrite + checkpointed stream, each run on a fresh
+    // snapshot dir (the replay IS the operator; nothing memoizable)
+    bench = true)
 
   /** X7j — snapshot CHANGE DATA FEED (round 9): diff two versions of the
     * key-scoped snapshot into I/U/D change rows. The manifest makes the
@@ -3201,34 +3205,12 @@ object Queries {
     * log against the target directly (CDC in = CDF out). */
   val x7SnapshotDiff = QuerySpec("x7_snapshot_diff",
     (s, d) => {
-      def p2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
-      val o = T(s, d, "orders")
-      val dir = java.nio.file.Files.createTempDirectory("graft_cdf")
-        .toString + "/snap"
-      Cdc.initSnapshot(
-        o.select(col("o_orderkey"), col("o_orderstatus"),
-          p2(col("o_totalprice")).as("price")),
-        dir, Seq("o_orderkey"), nBuckets = 16)
-      val upd1 = o.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
-          lit("U1").as("o_orderstatus"),
-          p2(col("o_totalprice") + 10).as("price"))
-      val upd2 = o.filter(col("o_orderkey") % 14 === 0)
-        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
-          lit("U2").as("o_orderstatus"),
-          p2(col("o_totalprice") * 2).as("price"))
-      val del = o.filter(col("o_orderkey") % 11 === 3)
-        .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
-          lit(null).cast("string").as("o_orderstatus"),
-          lit(null).cast("double").as("price"))
-      val ins = o.filter(col("o_orderkey") % 13 === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-          lit(1L).as("seq"), lit("U").as("op"),
-          lit("NEW").as("o_orderstatus"), lit(1.5).as("price"))
-      Cdc.mergeScoped(
-        upd1.unionByName(upd2).unionByName(del).unionByName(ins),
-        Seq("o_orderkey"), "seq", "op", dir)
-      Cdc.snapshotDiff(s, dir, 0, 1).orderBy(col("o_orderkey"))
+      // shared memoized fixture (identical change classes) — benched
+      // since round 11, so the timed part is the CDF READ: manifest
+      // compare, rewritten-bucket scan, full-outer classify. The write
+      // side is paid once per sf dir.
+      val root = mergeCdcSnapshot(s, d)
+      Cdc.snapshotDiff(s, s"$root/snap", 0, 1).orderBy(col("o_orderkey"))
     },
     Some("""WITH t AS (
            |  SELECT o_orderkey, o_orderstatus,
@@ -3265,7 +3247,8 @@ object Queries {
            |       ELSE coalesce(l.price, t.price) END AS price
            |FROM latest l LEFT JOIN t USING (o_orderkey)
            |WHERE NOT (l.op = 'D' AND t.o_orderkey IS NULL)
-           |ORDER BY o_orderkey""".stripMargin))
+           |ORDER BY o_orderkey""".stripMargin),
+    bench = true)
 
   /** X7k — SERVING-path point lookup (round 10): fetch the CURRENT rows
     * for three exact keys from the merged key-scoped snapshot — the
