@@ -2565,6 +2565,93 @@ object Queries {
            |ORDER BY query_id, rnk""".stripMargin),
     bench = true)
 
+  /** X3g'' — RESIDUAL IVF-PQ (round 11): PQ codes quantize v − c(v)
+    * (FAISS IndexIVFPQ's default encoding) and the score decomposes
+    * exactly into the broadcast (query × centroid) dot plus the
+    * residual-ADC term. The whole chain — assignment, residual
+    * subtraction, residual codebook, encoding, both fixed-point score
+    * terms — is deterministic arithmetic, so the oracle replays it all
+    * in plain SQL. */
+  val x3IvfPqResidual = QuerySpec("x3_ivf_pq_residual",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.ivfPqResidualTopK(emb.filter(col("vec_id") < 10), emb, 5,
+          dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),
+           |asr AS (
+           |  SELECT v.vec_id, cents.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY round(list_cosine_similarity(v.e, cents.cv), 6) DESC,
+           |        cents.cid) AS crnk
+           |  FROM v, cents),
+           |assigned AS (SELECT vec_id, cid FROM asr WHERE crnk = 1),
+           |qpr AS (
+           |  SELECT q.vec_id AS query_id, cents.cid,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(list_cosine_similarity(q.e, cents.cv), 6) DESC,
+           |        cents.cid) AS crnk
+           |  FROM v q, cents WHERE q.vec_id < 10),
+           |probes AS (SELECT query_id, cid FROM qpr WHERE crnk <= 4),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id, a.cid
+           |  FROM probes p JOIN assigned a ON a.cid = p.cid
+           |  WHERE a.vec_id <> p.query_id),
+           |res AS (
+           |  SELECT a.vec_id,
+           |    list_transform(range(1, 65), i -> ve.e[i] - c.cv[i]) AS r
+           |  FROM assigned a
+           |  JOIN v ve ON ve.vec_id = a.vec_id
+           |  JOIN cents c ON c.cid = a.cid),
+           |sub AS (SELECT unnest(range(0, 4)) AS sub),
+           |rcb AS (
+           |  SELECT sub, CAST(vec_id - 16 AS INT) AS code,
+           |    r[sub*16+1 : sub*16+16] AS cv
+           |  FROM res, sub WHERE vec_id >= 16 AND vec_id < 32),
+           |rsv AS (
+           |  SELECT vec_id, sub, r[sub*16+1 : sub*16+16] AS sv
+           |  FROM res, sub),
+           |enc0 AS (
+           |  SELECT rsv.vec_id, rsv.sub, rcb.code,
+           |    round(list_sum(list_transform(range(1, 17),
+           |      i -> (rsv.sv[i] - rcb.cv[i]) * (rsv.sv[i] - rcb.cv[i]))), 6) AS d2
+           |  FROM rsv JOIN rcb USING (sub)),
+           |enc AS (
+           |  SELECT vec_id, sub, code FROM (
+           |    SELECT enc0.*, row_number() OVER (PARTITION BY vec_id, sub
+           |      ORDER BY d2, code) AS crnk
+           |    FROM enc0) WHERE crnk = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS query_id, rcb.sub, rcb.code,
+           |    CAST(floor(list_sum(list_transform(range(1, 17),
+           |      i -> q.e[rcb.sub*16+i] * rcb.cv[i])) * 1e6 + 0.5)
+           |      AS BIGINT) AS pfix
+           |  FROM v q, rcb WHERE q.vec_id < 10),
+           |qc AS (
+           |  SELECT q.vec_id AS query_id, c.cid,
+           |    CAST(floor(list_sum(list_transform(range(1, 65),
+           |      i -> q.e[i] * c.cv[i])) * 1e6 + 0.5) AS BIGINT) AS qcfix
+           |  FROM v q, cents c WHERE q.vec_id < 10),
+           |adc AS (
+           |  SELECT c.query_id, c.vec_id,
+           |    (CAST(sum(l.pfix) AS BIGINT) + max(qc2.qcfix)) / 1e6 AS adc
+           |  FROM cand c
+           |  JOIN enc e ON e.vec_id = c.vec_id
+           |  JOIN lut l ON l.query_id = c.query_id
+           |    AND l.sub = e.sub AND l.code = e.code
+           |  JOIN qc qc2 ON qc2.query_id = c.query_id AND qc2.cid = c.cid
+           |  GROUP BY c.query_id, c.vec_id),
+           |r AS (
+           |  SELECT query_id, vec_id, adc,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc DESC, vec_id) AS INT) AS rnk
+           |  FROM adc)
+           |SELECT query_id, vec_id, adc, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin))
+
   val x7Bucketed = QuerySpec("x7_bucketed_join",
     (s, d) => {
       val tag = dirTag(d)
@@ -3542,7 +3629,7 @@ object Queries {
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x2SpanPairs, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
-    x3Rerank, x3PqTopk, x3IvfPq,
+    x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode,
     x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate,

@@ -381,7 +381,16 @@ object Similarity {
     * pinned >= the sampled twin's), never oracle-hash-judged — the
     * x3_kmeans honesty contract. */
   def pqCodebookTrained(corpus: DataFrame, dim: Int, m: Int, ks: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    pqCodebookTrainedWith(corpus, dim, m, pqCodebook(corpus, dim, m, ks),
+      iters)
+
+  /** [[pqCodebookTrained]] from an EXPLICIT seed codebook (sub, code,
+    * cv) — the seam that lets RESIDUAL training seed from non-degenerate
+    * samples (a residual frame's lowest ids are the coarse centroids
+    * themselves, whose residuals are exactly zero). */
+  def pqCodebookTrainedWith(corpus: DataFrame, dim: Int, m: Int,
+      seedCodebook: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val w = dim / m
     val sv = corpus.select(col("vec_id"), asDouble("embedding").as("v"))
@@ -389,7 +398,7 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("sv"))
       .localCheckpoint()
-    var cb = pqCodebook(corpus, dim, m, ks).localCheckpoint()
+    var cb = seedCodebook.localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = sv.join(broadcast(cb), Seq("sub"))
         .withColumn("d2", expr(
@@ -466,8 +475,9 @@ object Similarity {
     * Lloyd-trained centroids vs the deterministic sample used here. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       m: Int = 4, ks: Int = 16, nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, codebook: Option[DataFrame] = None): DataFrame = {
     val w = dim / m
+    val cb = codebook.getOrElse(pqCodebook(corpus, dim, m, ks))
     val assigned = ivfAssign(corpus, nCentroids).select(col("vec_id"), col("cid"))
     val cents = broadcast(withNorm(corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), asDouble("embedding").as("cv")),
@@ -484,14 +494,14 @@ object Similarity {
     val candidates = probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
-    val codes = pqEncode(corpus, dim, m, ks)
+    val codes = pqEncodeWith(corpus, dim, m, cb)
     val qsub = queries
       .select(col("vec_id").as("query_id"), asDouble("embedding").as("v"))
       .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
       .select(col("query_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("qv"))
     val lut = broadcast(qsub
-      .join(broadcast(pqCodebook(corpus, dim, m, ks)), Seq("sub"))
+      .join(broadcast(cb), Seq("sub"))
       .withColumn("pfix", floor(expr(
         "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
           "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
@@ -501,6 +511,108 @@ object Similarity {
       .join(lut, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg((sum(col("pfix")) / 1e6).as("adc"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** X3g'' — RESIDUAL IVF-PQ (round 11): the production FAISS
+    * IndexIVFPQ encoding. PQ codes quantize the RESIDUAL v − c(v)
+    * (vector minus its assigned coarse centroid) instead of the raw
+    * vector: residuals live in a ball around the origin an order of
+    * magnitude tighter than the raw space, so the same ks codes spend
+    * their resolution where the data actually is. Scoring decomposes
+    * exactly: dot(q, v) = dot(q, c(v)) + dot(q, v − c(v)) — the first
+    * term is a broadcast (query × centroid) table (nCentroids rows per
+    * query, computed once), the second is the standard residual-ADC
+    * lookup. Everything stays in the judged arithmetic discipline
+    * (deterministic sampled codebooks, 6dp-rounded argmins, 1e-6
+    * fixed-point partials), so the ENTIRE residual chain — assignment,
+    * residuals, codebook, encoding, both score terms — replays in the
+    * DuckDB oracle. DedupSimilaritySpec pins the accuracy win over
+    * raw-vector PQ (ADC error and recall on clustered data). */
+  /** The residual frame (vec_id, embedding = v − centroid(v)) the
+    * residual-PQ path quantizes — exposed so trained residual codebooks
+    * can be fit on exactly this distribution (what FAISS does). */
+  def residuals(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val centsPlain = sampledCents(corpus, nCentroids)
+    ivfAssignWith(corpus, centsPlain)
+      .join(broadcast(centsPlain.select(col("cid"), col("cv").as("centv"))),
+        Seq("cid"))
+      .select(col("vec_id"),
+        expr("zip_with(cv, centv, (a, b) -> a - b)").as("embedding"))
+  }
+
+  /** Deterministic residual codebook seeds: residuals of the first ks
+    * NON-centroid vec_ids. The lowest nCentroids ids ARE the coarse
+    * centroids, whose residuals are exactly zero — sampling them would
+    * collapse the codebook to the origin and every ADC term to the
+    * centroid dot alone. */
+  def residualCodebookSampled(corpus: DataFrame, dim: Int, m: Int, ks: Int,
+      nCentroids: Int): DataFrame = {
+    val w = dim / m
+    residuals(corpus, nCentroids)
+      .filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + ks)
+      .select((col("vec_id") - nCentroids).cast("int").as("code"),
+        col("embedding").as("rv"))
+      .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
+      .select(col("sub"), col("code"),
+        expr(s"slice(rv, sub * $w + 1, $w)").as("cv"))
+  }
+
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, m: Int = 4, ks: Int = 16, nCentroids: Int = 16,
+      nProbe: Int = 4, residualCodebook: Option[DataFrame] = None): DataFrame = {
+    val w = dim / m
+    val centsPlain = sampledCents(corpus, nCentroids)
+    val cents = broadcast(withNorm(centsPlain, "cv", "cn"))
+    val assigned = ivfAssignWith(corpus, centsPlain)
+    val residFrame = residuals(corpus, nCentroids)
+    val rcb = residualCodebook.getOrElse(
+      residualCodebookSampled(corpus, dim, m, ks, nCentroids))
+    val codes = pqEncodeWith(residFrame, dim, m, rcb)
+    val qsub = queries
+      .select(col("vec_id").as("query_id"), asDouble("embedding").as("v"))
+      .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
+      .select(col("query_id"), col("sub"),
+        expr(s"slice(v, sub * $w + 1, $w)").as("qv"))
+    val lut = broadcast(qsub.join(broadcast(rcb), Seq("sub"))
+      .withColumn("pfix", floor(expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
+          "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
+        .cast("long"))
+      .select(col("query_id"), col("sub"), col("code"), col("pfix")))
+    // the exact first term: fixed-point dot(q, centroid), one row per
+    // (query, centroid) — nCentroids × |queries| rows, broadcast
+    val qc = broadcast(queries
+      .select(col("vec_id").as("query_id"), asDouble("embedding").as("qe"))
+      .crossJoin(broadcast(centsPlain.select(col("cid"), col("cv").as("centv"))))
+      .withColumn("qcfix", floor(expr(
+        "aggregate(zip_with(qe, centv, (x, y) -> x * y), " +
+          "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
+        .cast("long"))
+      .select(col("query_id"), col("cid"), col("qcfix")))
+    val qscored = withNorm(queries.select(col("vec_id").as("query_id"),
+        asDouble("embedding").as("qv")), "qv", "qn")
+      .crossJoin(cents)
+    val probes = qscored.withColumn("csim", round(cosinePre(qscored), 6))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("cid"))
+    val candidates = probes
+      .join(assigned.select(col("vec_id"), col("cid")), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cid"))
+    val scored = candidates.join(codes, Seq("vec_id"))
+      .join(lut, Seq("query_id", "sub", "code"))
+      .join(qc, Seq("query_id", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(((sum(col("pfix")) + max(col("qcfix"))) / 1e6).as("adc"))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc").desc, col("vec_id"))))
