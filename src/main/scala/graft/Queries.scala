@@ -1561,45 +1561,86 @@ object Queries {
     * x4_decontaminate-proven twin), the occurrence cutoff, the
     * self-equi-join, and the gaps-and-islands diagonal merge in plain
     * SQL. PlanShapeSpec pins no-cartesian on the engine plan. */
+  /** The positional-shingle → hits → islands → maximal-spans CTE chain
+    * shared by the x2_span_pairs and x2_span_cut oracles. */
+  private val spanOracleCtes: String =
+    """d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+      |    len(string_split(lower(text), ' ')) AS nt
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(pos AS INT) AS pos,
+      |    md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]
+      |      || ' ' || toks[pos+3] || ' ' || toks[pos+4] || ' ' ||
+      |      toks[pos+5] || ' ' || toks[pos+6] || ' ' || toks[pos+7]) AS sh
+      |  FROM (SELECT doc_id, toks, unnest(range(1, nt - 6)) AS pos
+      |        FROM d WHERE nt >= 8)),
+      |bounded AS (
+      |  SELECT doc_id, pos, sh FROM (
+      |    SELECT doc_id, pos, sh,
+      |      count(*) OVER (PARTITION BY sh) AS occ FROM sh)
+      |  WHERE occ <= 64),
+      |hits AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.pos AS pos_a, b.pos AS pos_b
+      |  FROM bounded a JOIN bounded b
+      |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+      |    pos_a - row_number() OVER (
+      |      PARTITION BY id_a, id_b, pos_a - pos_b
+      |      ORDER BY pos_a) AS island
+      |  FROM hits),
+      |spans AS (
+      |  SELECT id_a, id_b, min(pos_a) AS a_start,
+      |    CAST(min(pos_a) - diag AS INT) AS b_start,
+      |    CAST(max(pos_a) - min(pos_a) + 8 AS INT) AS span_tokens
+      |  FROM isl GROUP BY id_a, id_b, diag, island)""".stripMargin
+
   val x2SpanPairs = QuerySpec("x2_span_pairs",
     (s, d) => Dedup.spanPairs(T(s, d, "documents"), "text", "doc_id",
         n = 8, maxOcc = 64)
       .orderBy(col("id_a"), col("id_b"), col("a_start"), col("b_start")),
-    Some("""WITH d AS (
-           |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
-           |    len(string_split(lower(text), ' ')) AS nt
-           |  FROM documents),
-           |sh AS (
-           |  SELECT doc_id, CAST(pos AS INT) AS pos,
-           |    md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]
-           |      || ' ' || toks[pos+3] || ' ' || toks[pos+4] || ' ' ||
-           |      toks[pos+5] || ' ' || toks[pos+6] || ' ' || toks[pos+7]) AS sh
-           |  FROM (SELECT doc_id, toks, unnest(range(1, nt - 6)) AS pos
-           |        FROM d WHERE nt >= 8)),
-           |bounded AS (
-           |  SELECT doc_id, pos, sh FROM (
-           |    SELECT doc_id, pos, sh,
-           |      count(*) OVER (PARTITION BY sh) AS occ FROM sh)
-           |  WHERE occ <= 64),
-           |hits AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |    a.pos AS pos_a, b.pos AS pos_b
-           |  FROM bounded a JOIN bounded b
-           |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
-           |isl AS (
-           |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
-           |    pos_a - row_number() OVER (
-           |      PARTITION BY id_a, id_b, pos_a - pos_b
-           |      ORDER BY pos_a) AS island
-           |  FROM hits),
-           |spans AS (
-           |  SELECT id_a, id_b, min(pos_a) AS a_start,
-           |    CAST(min(pos_a) - diag AS INT) AS b_start,
-           |    CAST(max(pos_a) - min(pos_a) + 8 AS INT) AS span_tokens
-           |  FROM isl GROUP BY id_a, id_b, diag, island)
-           |SELECT id_a, id_b, a_start, b_start, span_tokens FROM spans
-           |ORDER BY id_a, id_b, a_start, b_start""".stripMargin),
+    // concatenated AFTER stripMargin: the CTE block has continuation
+    // lines starting with the SQL || operator, which an outer
+    // stripMargin would eat the first pipe of
+    Some("WITH " + spanOracleCtes + "\n" +
+      """SELECT id_a, id_b, a_start, b_start, span_tokens FROM spans
+        |ORDER BY id_a, id_b, a_start, b_start""".stripMargin),
     bench = true)
+
+  /** X2h' — the span-dedup CUT LIST (round 11): keep-lowest-id policy
+    * (every span removed from the higher-id side; for a k-way shared
+    * span all docs but the lowest collect cuts), overlapping/adjacent
+    * cuts merged per doc into minimal disjoint token ranges via a
+    * running-max interval union. The oracle replays the policy and the
+    * window-based merge on top of the shared span chain. */
+  val x2SpanCut = QuerySpec("x2_span_cut",
+    (s, d) => Dedup.spanCutList(T(s, d, "documents"), "text", "doc_id",
+        n = 8, maxOcc = 64)
+      .orderBy(col("doc_id"), col("cut_start")),
+    Some("WITH " + spanOracleCtes + ",\n" +
+      """cuts AS (
+        |  SELECT id_b AS doc_id, b_start AS s,
+        |    b_start + span_tokens - 1 AS e
+        |  FROM spans),
+        |marked AS (
+            |  SELECT doc_id, s, e,
+            |    CASE WHEN s > coalesce(max(e) OVER (
+            |        PARTITION BY doc_id ORDER BY s, e
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            |      -2147483648) + 1
+            |    THEN 1 ELSE 0 END AS fresh
+            |  FROM cuts),
+            |grps AS (
+            |  SELECT doc_id, s, e,
+            |    sum(fresh) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+            |  FROM marked)
+            |SELECT doc_id, CAST(min(s) AS INT) AS cut_start,
+            |  CAST(max(e) AS INT) AS cut_end,
+            |  CAST(max(e) - min(s) + 1 AS INT) AS cut_tokens
+            |FROM grps GROUP BY doc_id, grp
+            |ORDER BY doc_id, cut_start""".stripMargin))
 
   /** X5 — deterministic portable hash sampling (train/val splits): the
     * md5-prefix threshold reproduces bit-identically in any engine. */
@@ -3627,7 +3668,7 @@ object Queries {
     sql5Recursive, f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
-    x2Components, x2DedupE2e, x2SpanPairs, x5Sample, x5SampleBy, x5Pack, x5Interleave,
+    x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode,

@@ -400,6 +400,45 @@ object Dedup {
     * run length + n − 1 tokens starting at a_start in doc a and b_start
     * in doc b. A span shared k times emits one row per placement pair —
     * deduplication policy (which copy to cut) is the caller's. */
+  /** X2h' — span-dedup POLICY: turn [[spanPairs]] into the per-document
+    * CUT LIST a pipeline actually applies. Keep-lowest-id: every span is
+    * removed from the HIGHER-id side of its pair, so one copy (the
+    * lowest id that carries it) survives — for a span shared by k docs,
+    * all C(k,2) pairs exist, every doc but the lowest collects a cut,
+    * and the lowest keeps it (the Lee et al. all-but-one contract,
+    * reached with pairwise local decisions — no global coordination).
+    * Overlapping/adjacent cuts within a doc merge into maximal intervals
+    * via a second gaps-and-islands window (running max of interval end
+    * over the doc's cuts ordered by start), so the output is the minimal
+    * set of disjoint token ranges to delete. One window over the
+    * (doc, start) shuffle key; cost linear in span-pair output.
+    * Returns (doc_id, cut_start, cut_end, cut_tokens), 1-based
+    * inclusive. */
+  def spanCutList(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, maxOcc: Int = 64): DataFrame = {
+    val cuts = spanPairs(docs, textCol, idCol, n, maxOcc)
+      .select(col("id_b").as(idCol), col("b_start").as("s"),
+        (col("b_start") + col("span_tokens") - 1).as("e"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    cuts
+      // a cut starts a NEW merged interval iff it begins after every
+      // earlier cut ended (adjacent ranges merge too: s = prevMax + 1
+      // still overlaps token-wise once both are deleted)
+      .withColumn("fresh",
+        when(col("s") > coalesce(max(col("e")).over(wPrev),
+          lit(Int.MinValue)) + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("fresh")).over(wRun))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("s")).cast("int").as("cut_start"),
+        max(col("e")).cast("int").as("cut_end"))
+      .select(col(idCol), col("cut_start"), col("cut_end"),
+        (col("cut_end") - col("cut_start") + 1).cast("int").as("cut_tokens"))
+  }
+
   def spanPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 8, maxOcc: Int = 64): DataFrame = {
     require(n >= 2 && n <= 32, s"span shingle width must be in [2, 32], got $n")

@@ -133,6 +133,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 3L || r._2 == 3L))
   }
 
+  test("X2h' spanCutList: keep-lowest-id policy (k-way span cut " +
+      "everywhere but the lowest doc), adjacent/overlapping cuts merged") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val dd = (1 to 8).map(i => s"d$i").mkString(" ")
+    val corpus = Seq(
+      // 3-way shared span: doc 1 keeps it, docs 2 and 3 cut it
+      (1L, s"$boiler u1 u2"),
+      (2L, s"v1 $boiler"),
+      (3L, s"$boiler w1 w2"),
+      // doc 12 shares tokens 1-8 with doc 10 and 9-16 with doc 11:
+      // two ADJACENT cuts must merge into one [1,16] interval
+      (10L, s"$c junka1 junka2"),
+      (11L, s"$dd junkb1 junkb2"),
+      (12L, s"$c $dd")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanCutList(corpus, "text", "doc_id", n = 8)
+      .orderBy("doc_id", "cut_start")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (2L, 2, 9, 8),   // boiler sits at tokens 2-9 in doc 2
+      (3L, 1, 8, 8),   // cuts from pairs (1,3) AND (2,3) collapse to one
+      (12L, 1, 16, 16) // adjacent [1,8] + [9,16] merged
+    ), out.toString)
+    // the lowest-id carrier of each span is never cut
+    assert(!out.exists(r => Set(1L, 10L, 11L).contains(r._1)))
+  }
+
   test("X2h spanPairs occurrence cutoff drops boilerplate shingles") {
     // the same 8-token sentence in 5 docs: occ = 5 per shingle key
     val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
