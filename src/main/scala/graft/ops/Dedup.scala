@@ -451,17 +451,22 @@ object Dedup {
           s"i -> md5(array_join(slice(_ltoks, i, $n), ' ')))"))
           .as(Seq("pos0", "sh")))
       .select(col(idCol), (col("pos0") + 1).cast("int").as("pos"), col("sh"))
-    // corpus-wide occurrence count per shingle key, same shuffle key as
-    // the join; keys above the cap carry no span signal at this width
-    val bounded = sh.withColumn("occ", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("occ") <= maxOcc).drop("occ")
-    val hits = bounded.select(col(idCol).as("id_a"),
-        col("pos").as("pos_a"), col("sh"))
-      .join(bounded.select(col(idCol).as("id_b"),
-        col("pos").as("pos_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
+    // POSTING-LIST shape, not a self-join (the x2_jaccard_topk round-5
+    // lesson): the occurrence cap makes each per-shingle list at most
+    // maxOcc entries — safe to materialize BY CONTRACT — so ONE
+    // aggregation on sh replaces two computations of the md5-shingle
+    // subtree plus an equi-join; hit pairs come from a double-explode
+    // of the same aggregate. One scan, one shuffle, no join.
+    val postings = sh.groupBy(col("sh"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("pos").as("p")))
+        .as("occs"))
+      .filter(size(col("occs")) <= maxOcc)
+    val hits = postings
+      .select(explode(col("occs")).as("a"), col("occs"))
+      .select(col("a"), explode(col("occs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.p").as("pos_a"), col("b.p").as("pos_b"))
     val wIsl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("diag"))
       .orderBy(col("pos_a"))

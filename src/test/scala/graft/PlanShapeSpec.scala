@@ -87,14 +87,23 @@ class PlanShapeSpec extends SparkSpec {
       "join key should be the shingle hash:\n" + p.take(2000))
   }
 
-  test("x2 span dedup joins on the positional shingle hash — never " +
-      "doc x doc") {
+  test("x2 span dedup candidates come from a posting-list aggregate on " +
+      "the shingle hash — ONE shuffle, no join of any kind") {
     val p = plan("x2_span_pairs")
     assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "span candidate generation must stay an equi-join:\n" + p.take(2000))
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "span candidate generation must be the posting-list double-explode," +
+        " not a self-join (which computes the md5 subtree twice):\n" +
+        p.take(2000))
     assert(p.contains("sh#") || p.contains("[sh"),
-      "join key should be the shingle hash:\n" + p.take(2000))
+      "aggregation key should be the shingle hash:\n" + p.take(2000))
+    // exactly one hash-partitioned data exchange (on sh) before the
+    // islands window's (id_a, id_b, diag) exchange and the output sort —
+    // the fan-out round-robin is the only other exchange
+    assert(p.contains("Generate explode"),
+      "posting lists must double-explode:\n" + p.take(2000))
   }
 
   test("x2 LSH candidate generation is a key-equi join (shuffle on bucket), not all-pairs") {
