@@ -221,21 +221,31 @@ object Dedup {
           s"j -> shiftright(simhash, j * $width) & $mask)"))
         .as(Seq("j", "blk")))
     // same skew guard as lshCandidates: degenerate buckets (boilerplate
-    // hashing identically) blow up the join; unbounded default keeps the
-    // oracle contract
-    val blocks =
-      if (maxBucket == Int.MaxValue) allBlocks
-      else allBlocks.withColumn("bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("j"), col("blk"))))
-        .filter(col("bsz") <= maxBucket).drop("bsz")
-    val b1 = blocks.select(col(idCol).as("d1"), col("simhash").as("s1"),
-      col("j"), col("blk"))
-    val b2 = blocks.select(col(idCol).as("d2"), col("simhash").as("s2"),
-      col("j"), col("blk"))
-    b1.join(b2, Seq("j", "blk"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("s1"), col("s2"))
+    // hashing identically) blow up the pairing; unbounded default keeps
+    // the oracle contract. Capped path is the posting-list double-explode
+    // (r11): one aggregation instead of a window count plus a self-join
+    // that computed the simhash subtree twice.
+    val pairs =
+      if (maxBucket == Int.MaxValue) {
+        val b1 = allBlocks.select(col(idCol).as("d1"),
+          col("simhash").as("s1"), col("j"), col("blk"))
+        val b2 = allBlocks.select(col(idCol).as("d2"),
+          col("simhash").as("s2"), col("j"), col("blk"))
+        b1.join(b2, Seq("j", "blk"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"), col("s1"), col("s2"))
+      } else {
+        val postings = allBlocks.groupBy(col("j"), col("blk"))
+          .agg(collect_list(struct(col(idCol).as("id"),
+            col("simhash").as("s"))).as("occs"))
+          .filter(size(col("occs")) <= maxBucket)
+        postings.select(explode(col("occs")).as("a"), col("occs"))
+          .select(col("a"), explode(col("occs")).as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("d1"), col("b.id").as("d2"),
+            col("a.s").as("s1"), col("b.s").as("s2"))
+      }
+    pairs
       .distinct() // a pair may share several blocks
       .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("int"))
       .filter(col("hamming") <= maxHamming)
@@ -354,18 +364,29 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = sigs.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val bounded =
-      if (maxBucket == Int.MaxValue) b
-      else b.withColumn("bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band_idx"), col("band_hash"))))
-        .filter(col("bsz") <= maxBucket).drop("bsz")
-    bounded.select(col(idCol).as("d1"), col("band_idx"), col("band_hash"))
-      .join(bounded.select(col(idCol).as("d2"), col("band_idx"), col("band_hash")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    if (maxBucket == Int.MaxValue)
+      // unbounded buckets can be corpus-sized — never materialized; the
+      // streaming self-join is the only safe shape (oracle contract)
+      b.select(col(idCol).as("d1"), col("band_idx"), col("band_hash"))
+        .join(b.select(col(idCol).as("d2"), col("band_idx"), col("band_hash")),
+          Seq("band_idx", "band_hash"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    else {
+      // capped buckets are posting lists ≤ maxBucket entries — safe to
+      // materialize BY CONTRACT, so one aggregation replaces the window
+      // count AND the self-join (which computed the signature subtree
+      // twice — the x2_jaccard_topk round-5 lesson, applied here r11)
+      val postings = b.groupBy(col("band_idx"), col("band_hash"))
+        .agg(collect_list(col(idCol)).as("docs"))
+        .filter(size(col("docs")) <= maxBucket)
+      postings.select(explode(col("docs")).as("d1"), col("docs"))
+        .select(col("d1"), explode(col("docs")).as("d2"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    }
   }
 
   /** X2h — EXACT SUBSTRING-SPAN dedup (round 11): maximal verbatim token
