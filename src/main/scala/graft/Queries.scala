@@ -1394,7 +1394,8 @@ object Queries {
     * x2_dedup_e2e cluster resolution, not pair enumeration). On this
     * corpus the cap cuts pair mass from O(clique²)=155k to 6.7k at
     * sf0.01 and from 15.3M to 31k at sf0.1. The oracle replays the cap
-    * with the identical window count. */
+    * by bucket size (round 11: the Spark side enforces it as a
+    * posting-list length filter — same predicate, one aggregation). */
   val x2SimhashPairs = QuerySpec("x2_simhash_pairs",
     (s, d) => Dedup.simhashCandidates(
         Dedup.simhash(T(s, d, "documents"), "text", "doc_id"), "doc_id",
@@ -1682,6 +1683,86 @@ object Queries {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** X5e — count-min sketch over the corpus vocabulary (round 11): build
+    * a sketch from the token stream, then point-estimate every distinct
+    * token against it, alongside the exact count so the overcount-only
+    * guarantee (est >= exact, always) is visible in the judged rows. The
+    * md5-derived bucket hashing makes the ENTIRE sketch — cell counters
+    * included — bit-replayable in DuckDB, so this is an oracle-checked
+    * sketch, not a rows-only one like HLL (whose cell layout is
+    * engine-defined). The sketch is sized 2×16 BELOW this corpus's
+    * 31-token vocabulary on purpose: the driver corpus is frequency-flat
+    * (every token ≈ 880 occurrences), so only a cramped sketch makes the
+    * collision overcounts the judge should see nonzero; production sizes
+    * w ≈ e/eps against the true key cardinality, and the build cost does
+    * not change shape — the groupBy key space is d×w, so partial agg
+    * bounds the shuffle at d×w rows per partition regardless of corpus
+    * size, and the probe side broadcasts the sketch. */
+  val x5Cms = QuerySpec("x5_cms_estimate",
+    (s, d) => {
+      val toks = T(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cms = Sketch.cmsBuild(toks, "tok", 2, 16)
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      Sketch.cmsEstimate(cms, toks.distinct(), "tok", 2, 16)
+        .join(exact, Seq("tok"))
+        .select(col("tok"), col("est"), col("exact"))
+        .orderBy(col("tok"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |rws AS (SELECT unnest(range(0, 2)) AS r),
+           |cells AS (
+           |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+           |      1, 8))::BIGINT % 16 AS b,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM toks, rws GROUP BY r, b),
+           |probes AS (SELECT DISTINCT tok FROM toks),
+           |fan AS (
+           |  SELECT p.tok, rws.r,
+           |    ('0x' || substr(md5(CAST(rws.r AS VARCHAR) || ':' || p.tok),
+           |      1, 8))::BIGINT % 16 AS b
+           |  FROM probes p, rws),
+           |est AS (
+           |  SELECT f.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+           |  FROM fan f LEFT JOIN cells c ON c.r = f.r AND c.b = f.b
+           |  GROUP BY f.tok),
+           |exact AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS exact
+           |  FROM toks GROUP BY tok)
+           |SELECT e.tok, e.est, x.exact
+           |FROM est e JOIN exact x USING (tok)
+           |ORDER BY tok""".stripMargin),
+    bench = true)
+
+  /** X5d — weighted sampling without replacement (round 11): 64 docs
+    * drawn with probability proportional to token count, the "spend the
+    * token budget where the tokens are" sampling a curriculum builder
+    * uses. Integer ticket-min race (see [[Sketch.weightedSample]]): no
+    * log/pow in the key, so the draw — not just the mechanism — replays
+    * bit-identically in the oracle. */
+  val x5Weighted = QuerySpec("x5_weighted",
+    (s, d) => Sketch.weightedSample(
+        T(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok")),
+        "doc_id", "n_tok", 64)
+      .orderBy(col("sample_key"), col("doc_id")),
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id, n_tok, unnest(range(1, n_tok + 1)) AS tick
+           |  FROM d),
+           |r AS (
+           |  SELECT doc_id, n_tok,
+           |    min(md5(CAST(doc_id AS VARCHAR) || ':' ||
+           |      CAST(tick AS VARCHAR))) AS sample_key
+           |  FROM t GROUP BY doc_id, n_tok)
+           |SELECT doc_id, n_tok, sample_key FROM r
+           |ORDER BY sample_key, doc_id LIMIT 64""".stripMargin),
+    bench = true)
+
   /** X2b — LSH candidate pairs, oracle-checked end to end (round 5 —
     * previously rows-only, but the whole chain is engine-portable: the
     * DuckDB twin replays minhash signatures, banding, and the bucket
@@ -1690,9 +1771,11 @@ object Queries {
     *
     * CAPPED (round 7): maxBucket=64 wired into the judged plan (the
     * degenerate-boilerplate-bucket guard is now always on, not opt-in);
-    * the oracle replays the cap via the same window count. Inert on this
-    * corpus — the largest minhash band bucket is 9 docs — so the result
-    * is unchanged while the judged plan carries the skew guard. */
+    * the oracle replays the cap by bucket size (round 11: the Spark
+    * side enforces it as a posting-list length filter — same predicate,
+    * one aggregation). Inert on this corpus — the largest minhash band
+    * bucket is 9 docs — so the result is unchanged while the judged
+    * plan carries the skew guard. */
   val x2LshPairs = QuerySpec("x2_lsh_pairs",
     (s, d) => Dedup.lshCandidates(
         Dedup.minhash(T(s, d, "documents"), "text", "doc_id"), "doc_id",
@@ -3669,6 +3752,7 @@ object Queries {
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x5Sample, x5SampleBy, x5Pack, x5Interleave,
+    x5Cms, x5Weighted,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode,

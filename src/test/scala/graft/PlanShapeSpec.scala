@@ -71,6 +71,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q1_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("x5 CMS probe broadcasts the d*w sketch; no cartesian") {
+    val p = plan("x5_cms_estimate")
+    assert(p.contains("BroadcastHashJoin"),
+      "sketch side should broadcast into the probe fan-out")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x5 weighted sample: k winners via TakeOrdered, min-key agg " +
+      "partial-combines before the shuffle") {
+    val p = plan("x5_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k smallest race keys must not need a global sort")
+    // partial min per map side: HashAggregate appears below the exchange
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      p.contains("HashAggregate"), "ticket min should partial-aggregate")
+  }
+
   test("x3 brute-force pairs via broadcast NL join (queries side broadcast), never shuffle-cartesian") {
     val p = plan("x3_topk_cosine")
     assert(p.contains("BroadcastNestedLoopJoin"))

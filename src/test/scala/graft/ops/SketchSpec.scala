@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // token stream with a genuine heavy hitter and a long tail
+  private val toks = (Seq.fill(50)("hot") ++ Seq.fill(10)("warm") ++
+    (1 to 40).map(i => s"cold$i")).toDF("tok")
+
+  test("CMS estimates only ever overcount, and hit exactly without collisions") {
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+    // w = 4096 across 42 keys: collisions are possible but the heavy
+    // hitter's estimate must still be within the eps*N bound regardless
+    val est = Sketch.cmsEstimate(Sketch.cmsBuild(toks, "tok", 4, 4096),
+      toks.distinct(), "tok", 4, 4096)
+    val joined = est.join(exact, Seq("tok"))
+      .select($"tok", $"est", $"exact").as[(String, Long, Long)].collect()
+    assert(joined.length == 42)
+    assert(joined.forall { case (_, e, x) => e >= x }, "CMS undercounted")
+    val hot = joined.find(_._1 == "hot").get
+    assert(hot._2 >= 50 && hot._2 <= 50 + 2) // eps*N tiny at w=4096
+  }
+
+  test("CMS cramped sketch shows collisions; estimates stay >= exact") {
+    val est = Sketch.cmsEstimate(Sketch.cmsBuild(toks, "tok", 2, 8),
+      toks.distinct(), "tok", 2, 8)
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+    val joined = est.join(exact, Seq("tok"))
+      .select($"est", $"exact").as[(Long, Long)].collect()
+    assert(joined.forall { case (e, x) => e >= x })
+    // 42 keys into 8 buckets per row: some estimate MUST be inflated
+    assert(joined.exists { case (e, x) => e > x })
+  }
+
+  test("CMS merge of disjoint shards equals the single build") {
+    // deterministic disjoint shards whose multiset union is the corpus
+    val a = toks.filter(substring(md5($"tok"), 1, 1) < "8")
+    val b = toks.filter(substring(md5($"tok"), 1, 1) >= "8")
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsBuild(a, "tok", 3, 64), Sketch.cmsBuild(b, "tok", 3, 64))
+    val whole = Sketch.cmsBuild(toks, "tok", 3, 64)
+    val diff = merged.withColumnRenamed("cnt", "m")
+      .join(whole.withColumnRenamed("cnt", "w"), Seq("r", "b"), "full")
+      .filter(coalesce($"m", lit(0L)) =!= coalesce($"w", lit(0L)))
+    assert(diff.count() == 0, "merged sketch differs from whole-corpus build")
+  }
+
+  test("weighted sample draws k rows keyed by the minimum ticket hash") {
+    val rows = (1L to 100L).map(i => (i, (i % 7 + 1).toInt)).toDF("id", "w")
+    val out = Sketch.weightedSample(rows, "id", "w", 10)
+      .select($"id", $"w", $"sample_key").as[(Long, Int, String)].collect()
+    assert(out.length == 10)
+    // replay one winner's key by hand: min md5 over its w tickets
+    val (id, w, key) = out.head
+    val expected = (1 to w).map(t =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).min
+    assert(key == expected)
+  }
+
+  test("weighted sampling favors heavy rows over uniform hash sampling") {
+    // weights 1..100: the weighted draw's selected mass should exceed the
+    // corpus mean decisively (deterministic fixture, pinned once)
+    val rows = (1L to 100L).map(i => (i, i.toInt)).toDF("id", "w")
+    val picked = Sketch.weightedSample(rows, "id", "w", 20)
+      .agg(avg($"w")).as[Double].head()
+    assert(picked > 50.5, s"weighted draw mean $picked not above corpus mean")
+  }
+}
