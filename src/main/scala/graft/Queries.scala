@@ -1236,6 +1236,62 @@ object Queries {
            |  ROWS UNBOUNDED PRECEDING)
            |ORDER BY user_id, seq""".stripMargin))
 
+  /** ST5d — the SAME running-totals changelog computed by Spark 4's
+    * transformWithState (StatefulProcessor + typed ValueState handle +
+    * RocksDB state store), judged against the IDENTICAL window oracle as
+    * `st_state_replay`. Having both judged pins the two stateful APIs to
+    * each other through the oracle: fMGWS (the stable API) and
+    * transformWithState (the one that scales state shape — named state
+    * variables, TTL, timers) must produce the same changelog row for
+    * row. The RocksDB provider conf is set for the query and restored
+    * after (the provider is per-query-start; neighbors keep the
+    * default). */
+  val stStateTws = QuerySpec("st_state_tws",
+    (s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val raw = s.readStream.schema(rawSchema).option("basePath", d)
+          .parquet(s"$d/{events.parquet}")
+        val withUs = rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("us", expr("ts div 1000"))
+          case _ => raw.withColumn("us", expr("unix_micros(ts)"))
+        }
+        val ev = withUs.filter(col("user_id") < 30)
+          .select(col("user_id"), col("event_id"), col("us"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .toDF("_1", "_2", "_3", "_4")
+          .as[(Long, Long, Long, Long)]
+        s.catalog.dropTempView("st_state_tws_mem")
+        val q = graft.streaming.TickPipeline.runningTotalsTws(ev)
+          .toDF("user_id", "event_id", "seq", "run_cents")
+          .writeStream.format("memory").queryName("st_state_tws_mem")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st_state_tws_mem").orderBy(col("user_id"), col("seq"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some("""SELECT user_id, event_id,
+           |  row_number() OVER w AS seq,
+           |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+           |    AS BIGINT) AS run_cents
+           |FROM events WHERE user_id < 30
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |  ROWS UNBOUNDED PRECEDING)
+           |ORDER BY user_id, seq""".stripMargin))
+
   /** Q4 — pivot: event counts per user bucket, one column per event type
     * (explicit value list keeps the schema deterministic). The oracle uses
     * conditional aggregation — the portable relational equivalent. */
@@ -3747,6 +3803,7 @@ object Queries {
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, q4bUnpivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
+    stStateTws,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     sql5Recursive, f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,

@@ -149,6 +149,36 @@ class StreamingSpec extends SparkSpec {
       (1L, 12L, 3L, 357L), (2L, 20L, 1L, 5L)))
   }
 
+  test("ST5d transformWithState twin emits the identical changelog, " +
+      "state carried across batches in RocksDB") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Long, Long)](spark)
+      val q = TickPipeline.runningTotalsTws(in.toDS())
+        .toDF("user_id", "event_id", "seq", "run_cents")
+        .writeStream.outputMode("append").format("memory").queryName("rtt").start()
+      in.addData((1L, 10L, 100L, 250L), (1L, 11L, 50L, 100L))
+      q.processAllAvailable()
+      in.addData((1L, 12L, 200L, 7L), (2L, 20L, 10L, 5L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("rtt").as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      // identical to the ST5c fMGWS expectation — the two APIs are pinned
+      // to each other through the same fixture
+      assert(rows == Seq(
+        (1L, 10L, 2L, 350L), (1L, 11L, 1L, 100L),
+        (1L, 12L, 3L, 357L), (2L, 20L, 1L, 5L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("J1 broadcast dim join runs unchanged on a streaming frame") {
     val in = MemoryStream[(String, String, Timestamp)](spark)
     val ticks = in.toDF().toDF("exchange", "isin", "ts")
