@@ -48,6 +48,25 @@ class SketchSpec extends SparkSpec {
     assert(diff.count() == 0, "merged sketch differs from whole-corpus build")
   }
 
+  test("HLL registers merge by elementwise max; estimate lands in the " +
+      "1.04/sqrt(m) band") {
+    val ids = (1L to 20000L).toDF("id")
+    val whole = Sketch.hllRegisters(ids, "id")
+    // shard split by value: merge must equal the whole-corpus build
+    val merged = Sketch.hllMerge(
+      Sketch.hllRegisters(ids.filter($"id" <= 9000L), "id"),
+      Sketch.hllRegisters(ids.filter($"id" > 9000L), "id"))
+    val diff = whole.withColumnRenamed("reg", "w")
+      .join(merged.withColumnRenamed("reg", "m"), Seq("bucket"), "full")
+      .filter(coalesce($"w", lit(0)) =!= coalesce($"m", lit(0)))
+    assert(diff.count() == 0, "merged registers differ from whole build")
+    val est = Sketch.hllEstimate(whole)
+      .select($"est_fp").as[Long].head() / 1e4
+    // 3 sigma at m=64: 1.04/8 = 13% per sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.39,
+      s"HLL estimate $est implausibly far from 20000")
+  }
+
   test("weighted sample draws k rows keyed by the minimum ticket hash") {
     val rows = (1L to 100L).map(i => (i, (i % 7 + 1).toInt)).toDF("id", "w")
     val out = Sketch.weightedSample(rows, "id", "w", 10)
