@@ -809,6 +809,63 @@ object Queries {
            |FROM regs, z
            |ORDER BY bucket""".stripMargin))
 
+  /** A2d — per-group approx distinct via the md5-HLL (round 11): one
+    * 64-register sketch per return flag, estimating distinct orders,
+    * with the exact count alongside. This is the realistic shape —
+    * distinct-per-dimension at sketch cost — and the whole thing
+    * (grouped registers, per-group exact-dyadic Z, fixed-point
+    * estimate) replays in the oracle. */
+  val a2HllGrouped = QuerySpec("a2_hll_grouped",
+    (s, d) => {
+      val li = T(s, d, "lineitem")
+      val est = Sketch.hllEstimateBy(
+        Sketch.hllRegistersBy(li, "l_orderkey", Seq("l_returnflag")),
+        Seq("l_returnflag"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("est_fp"), col("exact_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH v AS (
+           |  SELECT l_returnflag AS g,
+           |    md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+           |p AS (
+           |  SELECT g, CAST(('0x' || substr(h, 1, 2))::BIGINT // 4 AS INT)
+           |      AS bucket,
+           |    ltrim(substr(h, 3, 13), '0') AS nz,
+           |    len(ltrim(substr(h, 3, 13), '0')) AS nzl
+           |  FROM v),
+           |r AS (
+           |  SELECT g, bucket, CAST(1 + CASE WHEN nz = '' THEN 52
+           |    ELSE 4 * (13 - nzl) +
+           |      CASE WHEN substr(nz, 1, 1) IN
+           |          ('8','9','a','b','c','d','e','f') THEN 0
+           |        WHEN substr(nz, 1, 1) IN ('4','5','6','7') THEN 1
+           |        WHEN substr(nz, 1, 1) IN ('2','3') THEN 2
+           |        ELSE 3 END
+           |    END AS INT) AS rho
+           |  FROM p),
+           |regs AS (
+           |  SELECT s.g, s.bucket, CAST(coalesce(max(r.rho), 0) AS INT) AS reg
+           |  FROM (SELECT DISTINCT g, b.bucket
+           |        FROM v, (SELECT CAST(unnest(range(0, 64)) AS INT)
+           |          AS bucket) b) s
+           |  LEFT JOIN r ON r.g = s.g AND r.bucket = s.bucket
+           |  GROUP BY s.g, s.bucket),
+           |est AS (
+           |  SELECT g, CAST(floor(0.7213::DOUBLE / (1.0::DOUBLE
+           |    + 1.079::DOUBLE / 64) * 4096 / sum(pow(2.0, -reg)) * 1e4
+           |    + 0.5) AS BIGINT) AS est_fp
+           |  FROM regs GROUP BY g),
+           |exact AS (
+           |  SELECT l_returnflag AS g,
+           |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT e.g AS l_returnflag, e.est_fp, x.exact_orders
+           |FROM est e JOIN exact x USING (g)
+           |ORDER BY l_returnflag""".stripMargin))
+
   val a3Rollup = QuerySpec("a3_rollup",
     (s, d) => T(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1740,6 +1797,48 @@ object Queries {
             |  CAST(max(e) - min(s) + 1 AS INT) AS cut_tokens
             |FROM grps GROUP BY doc_id, grp
             |ORDER BY doc_id, cut_start""".stripMargin))
+
+  /** X2h'' — apply the cut list: the cleaned corpus after span deletion
+    * (the rewrite a Lee-et-al pipeline actually ships). clean_md5 pins
+    * every surviving token and its order without hauling the text
+    * through the artifact; the oracle rebuilds the cut intervals, anti-
+    * filters token positions, and re-joins in position order. */
+  val x2SpanApply = QuerySpec("x2_span_apply",
+    (s, d) => Dedup.spanApply(T(s, d, "documents"), "text", "doc_id",
+        n = 8, maxOcc = 64)
+      .orderBy(col("doc_id")),
+    Some("WITH " + spanOracleCtes + ",\n" +
+      """cuts AS (
+        |  SELECT id_b AS doc_id, b_start AS s,
+        |    b_start + span_tokens - 1 AS e
+        |  FROM spans),
+        |marked AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (
+        |        PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -2147483648) + 1
+        |    THEN 1 ELSE 0 END AS fresh
+        |  FROM cuts),
+        |grps AS (
+        |  SELECT doc_id, s, e,
+        |    sum(fresh) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+        |  FROM marked),
+        |merged AS (
+        |  SELECT doc_id, min(s) AS cs, max(e) AS ce
+        |  FROM grps GROUP BY doc_id, grp),
+        |toks2 AS (
+        |  SELECT doc_id, unnest(range(1, nt + 1)) AS pos, toks
+        |  FROM d),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.toks[t.pos] AS tok
+        |  FROM toks2 t
+        |  WHERE NOT EXISTS (SELECT 1 FROM merged m
+        |    WHERE m.doc_id = t.doc_id AND t.pos BETWEEN m.cs AND m.ce))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+        |FROM kept GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin))
 
   /** X5 — deterministic portable hash sampling (train/val splits): the
     * md5-prefix threshold reproduces bit-identically in any engine. */
@@ -3841,7 +3940,7 @@ object Queries {
     j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
     j6RangeBand, j6bRangeBinned, j7Asof, j7bAsofCustom, j7cAsofTies,
     j7dAsofForward, j8Semi, j8Anti, j9NullSafe, f13Nested,
-    a1Pricing, a2Distinct, a2Hll, a2HllMd5, a3Rollup, a3Cube, a4Ohlc,
+    a1Pricing, a2Distinct, a2Hll, a2HllMd5, a2HllGrouped, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, q4bUnpivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
@@ -3850,7 +3949,7 @@ object Queries {
     sql5Recursive, f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
-    x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x5Sample, x5SampleBy, x5Pack, x5Interleave,
+    x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Pack, x5Interleave,
     x5Cms, x5Weighted,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,

@@ -460,6 +460,38 @@ object Dedup {
         (col("cut_end") - col("cut_start") + 1).cast("int").as("cut_tokens"))
   }
 
+  /** X2h'' — APPLY the span-dedup cut list (round 11): delete every cut
+    * token range from its document and return the cleaned corpus —
+    * (id, n_kept, clean_md5), docs that keep at least one token. This is
+    * the rewrite step a Lee-et-al pipeline actually runs after the
+    * policy decision; md5 of the rejoined text (rather than the text
+    * itself) keeps the judged rows narrow while still pinning every
+    * surviving token and its order.
+    *
+    * Scale shape: the cut list is bounded by span output (≪ corpus);
+    * the kept-token anti-join is doc-id equi with a residual range
+    * predicate, so tokens shuffle once on doc id; the per-doc
+    * reassembly sorts ONE document's tokens (sort_array over a
+    * doc-length list, partition-local). Nothing quadratic, nothing
+    * keyed wider than a doc. */
+  def spanApply(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, maxOcc: Int = 64): DataFrame = {
+    val cuts = spanCutList(docs, textCol, idCol, n, maxOcc)
+      .withColumnRenamed(idCol, "_cut_id")
+    val toks = docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(cuts,
+      toks(idCol) === cuts("_cut_id") &&
+        toks("pos") >= cuts("cut_start") && toks("pos") <= cuts("cut_end"),
+      "left_anti")
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("clean_md5"))
+  }
+
   def spanPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 8, maxOcc: Int = 64): DataFrame = {
     require(n >= 2 && n <= 32, s"span shingle width must be in [2, 32], got $n")

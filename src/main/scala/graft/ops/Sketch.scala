@@ -123,6 +123,46 @@ object Sketch {
       .select(col("bucket"), coalesce(col("reg"), lit(0)).as("reg"))
   }
 
+  /** Grouped [[hllRegisters]]: one 64-register sketch PER GROUP — the
+    * realistic per-dimension approx-distinct shape (distinct users per
+    * day, distinct sources per language). The groupBy key space is
+    * |groups| × 64, so the shuffle stays sketch-sized per group no
+    * matter how many values flow in; the register spine is completed per
+    * group so empty registers read 0 for the estimate. */
+  def hllRegistersBy(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val h = md5(col(valueCol).cast("string"))
+    val bucket = shiftright(
+      conv(substring(h, 1, 2), 16, 10).cast("long"), 2).cast("int")
+    val tail = substring(h, 3, 13)
+    val nz = ltrim(tail, "0")
+    val nibLead =
+      when(substring(nz, 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(substring(nz, 1, 1).isin("4", "5", "6", "7"), 1)
+        .when(substring(nz, 1, 1).isin("2", "3"), 2)
+        .otherwise(3)
+    val zeros = when(nz === "", lit(52))
+      .otherwise(lit(4) * (lit(13) - length(nz)) + nibLead)
+    val g = groupCols.map(col)
+    val observed = df.select(g :+ bucket.as("bucket") :+ (zeros + 1).as("rho"): _*)
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(max(col("rho")).cast("int").as("reg"))
+    val spine = df.select(g: _*).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(64).select(col("id").cast("int").as("bucket"))))
+    spine.join(observed, groupCols :+ "bucket", "left")
+      .select(g :+ col("bucket") :+ coalesce(col("reg"), lit(0)).as("reg"): _*)
+  }
+
+  /** Per-group (uncorrected) HLL estimate from [[hllRegistersBy]] output:
+    * one row per group, 1e4 fixed-point. Same exact-dyadic-Z portability
+    * argument as [[hllEstimate]]. */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64)) * lit(4096)
+        / sum(pow(lit(2.0), -col("reg"))) * lit(1e4) + lit(0.5))
+        .cast("long").as("est_fp"))
+
   /** Merge per-shard register tables (same m): elementwise max. */
   def hllMerge(regs: DataFrame*): DataFrame = {
     require(regs.nonEmpty, "hllMerge needs at least one register table")

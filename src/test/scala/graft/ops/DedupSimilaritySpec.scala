@@ -161,6 +161,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.exists(r => Set(1L, 10L, 11L).contains(r._1)))
   }
 
+  test("X2h'' spanApply deletes exactly the cut ranges and drops " +
+      "fully-cut docs") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$boiler u1 u2"),   // lowest id: keeps everything
+      (2L, s"v1 $boiler post"), // loses tokens 2-9, keeps v1 + post
+      (3L, boiler)              // fully cut: absent from output
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanApply(corpus, "text", "doc_id", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Seq(
+      (1L, 10L, m(s"$boiler u1 u2")),
+      (2L, 2L, m("v1 post"))), out.toString)
+  }
+
   test("X2h spanPairs occurrence cutoff drops boilerplate shingles") {
     // the same 8-token sentence in 5 docs: occ = 5 per shingle key
     val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
