@@ -71,6 +71,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q1_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("x2 span apply: kept tokens via doc-id-equi anti-join, no cartesian") {
+    val p = plan("x2_span_apply")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), "cut ranges should anti-join, not filter-scan")
+  }
+
   test("x5 CMS probe broadcasts the d*w sketch; no cartesian") {
     val p = plan("x5_cms_estimate")
     assert(p.contains("BroadcastHashJoin"),
