@@ -1864,6 +1864,31 @@ object Queries {
            |    ELSE '4000' END
            |ORDER BY doc_id""".stripMargin))
 
+  /** X5g — temperature-scaled multilingual resampling (round 11): the
+    * corpus-balancing alpha-sampling of multilingual pretraining — keep
+    * stratum l at rate sqrt(n_min/n_l) (alpha = 0.5), so the head
+    * language (en, 218 docs at this sf) is sqrt-compressed toward the
+    * rarest (fr, 64) while fr itself is kept whole. The keep rule is the
+    * exact-integer form `h² · n_l < 65536² · n_min` over the md5 16-bit
+    * uniform — no float pow/sqrt — which is what lets the oracle replay
+    * the DRAW (which docs), not just the rates. Histogram = one tiny
+    * partial-agg shuffle broadcast back; the filter is map-side. */
+  val x5Temperature = QuerySpec("x5_temperature",
+    (s, d) => Scale.temperatureSample(T(s, d, "documents"), "doc_id", "lang")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("""WITH n AS (SELECT lang, count(*) AS n_l FROM documents
+           |  GROUP BY lang),
+           |m AS (SELECT min(n_l) AS n_min FROM n),
+           |h AS (SELECT doc_id, lang, source,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           |      AS hv
+           |  FROM documents)
+           |SELECT doc_id, lang, source
+           |FROM h JOIN n USING (lang), m
+           |WHERE hv * hv * n.n_l < 4294967296 * m.n_min
+           |ORDER BY doc_id""".stripMargin))
+
   /** X5b — per-shard sequence packing (contiguous ~512-token bins in
     * doc_id order within each lang). */
   val x5Pack = QuerySpec("x5_pack",
@@ -1959,6 +1984,62 @@ object Queries {
            |SELECT doc_id, n_tok, sample_key FROM r
            |ORDER BY sample_key, doc_id LIMIT 64""".stripMargin),
     bench = true)
+
+  /** X5h — histogram-quantile estimate (round 11): the mergeable
+    * equi-width histogram answers quantiles from one pass + nBins
+    * counters — the distributed alternative to the exact percentile's
+    * sort-the-world semantics — with est and exact side by side like
+    * x5_cms_estimate, so the one-bin-width error bound is visible in
+    * the judged rows. The whole chain (exact bounds, bin floor
+    * arithmetic, cumulative pick, linear interpolation) replays in
+    * DuckDB because the expression shapes are pinned: width computed
+    * first then one divide, 6dp rounding only at the end. */
+  val x5HistQ = QuerySpec("x5_histq",
+    (s, d) => {
+      val v = T(s, d, "orders").select(col("o_totalprice"))
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val est = Sketch.histQuantile(
+        Sketch.histBuild(v, "o_totalprice", 32), 32, qs)
+      val ex = v.select(col("o_totalprice").cast("double").as("x"))
+        .agg(expr("percentile(x, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
+          .as("es"))
+        .select(posexplode(col("es")).as(Seq("i", "e")))
+        .select(element_at(array(qs.map(lit): _*), col("i").cast("int") + 1)
+          .as("q"), round(col("e"), 6).as("q_exact"))
+      est.join(ex, "q").orderBy(col("q"))
+    },
+    Some("""WITH v AS (SELECT o_totalprice::DOUBLE AS x FROM orders),
+           |b AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
+           |h AS (
+           |  SELECT least(31, CAST(floor((x - lo) / ((hi - lo) / 32))
+           |      AS INT)) AS bin,
+           |    count(*) AS cnt, min(lo) AS lo, min(hi) AS hi
+           |  FROM v, b GROUP BY 1),
+           |c AS (
+           |  SELECT bin, cnt, lo, hi,
+           |    sum(cnt) OVER (ORDER BY bin) AS cum,
+           |    sum(cnt) OVER (ORDER BY bin) - cnt AS below,
+           |    sum(cnt) OVER () AS n
+           |  FROM h),
+           |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+           |pick AS (
+           |  SELECT q, min(bin) AS bin FROM qs JOIN c ON c.cum >= q * c.n
+           |  GROUP BY q),
+           |ex AS (SELECT
+           |    round(percentile_cont(0.25) WITHIN GROUP (ORDER BY x), 6) AS e1,
+           |    round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY x), 6) AS e2,
+           |    round(percentile_cont(0.75) WITHIN GROUP (ORDER BY x), 6) AS e3,
+           |    round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY x), 6) AS e4,
+           |    round(percentile_cont(0.99) WITHIN GROUP (ORDER BY x), 6) AS e5
+           |  FROM v),
+           |exl AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+           |    unnest([e1, e2, e3, e4, e5]) AS q_exact FROM ex)
+           |SELECT p.q,
+           |  round(c.lo + ((c.hi - c.lo) / 32) * (p.bin
+           |    + (p.q * c.n - c.below) / c.cnt), 6) AS q_est,
+           |  exl.q_exact
+           |FROM pick p JOIN c ON c.bin = p.bin JOIN exl ON exl.q = p.q
+           |ORDER BY p.q""".stripMargin))
 
   /** X2b — LSH candidate pairs, oracle-checked end to end (round 5 —
     * previously rows-only, but the whole chain is engine-portable: the
@@ -2229,6 +2310,67 @@ object Queries {
             |  FROM dedup)
             |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
             |ORDER BY query_id, rnk""".stripMargin))
+
+  /** X3k — reciprocal-rank fusion (round 11): the hybrid-retrieval
+    * combiner over the engine's own two proven lists — the EXACT cosine
+    * top-5 (x3_topk_cosine) and the md5-plane multiprobe ANN top-5
+    * (x3_ann_md5). Score = Σ 1e9 div (60 + rank) in fixed point, so the
+    * fused ordering is exact-integer; the oracle composes the two
+    * already-proven CTE chains and replays the fusion bit for bit. The
+    * fusion itself touches only |Q|×k rows per list — corpus-sized work
+    * stays in the retrieval lanes. */
+  val x3Rrf = QuerySpec("x3_rrf",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.rrfFuse(
+        Similarity.bruteForceTopK(q, emb, 5),
+        Similarity.md5AnnTopK(q, emb, 5), 5)
+        .orderBy(col("query_id"), col("rrf_rnk"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            |  FROM embeddings),
+            |p AS (SELECT q.vec_id AS query_id, c.vec_id,
+            |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
+            |  FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+            |la AS (SELECT * FROM (
+            |    SELECT query_id, vec_id,
+            |      CAST(row_number() OVER (PARTITION BY query_id
+            |        ORDER BY sim DESC, vec_id) AS INT) AS rnk_a
+            |    FROM p) WHERE rnk_a <= 5),
+            |b AS (SELECT vec_id, v, ${cosineBucketSqlN(4)} AS bucket FROM e),
+            |q2 AS (
+            |  SELECT vec_id AS query_id, v AS qv,
+            |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+            |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+            |  FROM b WHERE vec_id < 10),
+            |sc AS (
+            |  SELECT q2.query_id, c.vec_id,
+            |    round(list_cosine_similarity(q2.qv, c.v), 6) AS sim
+            |  FROM q2 JOIN b c ON c.bucket = q2.bucket
+            |  WHERE c.vec_id <> q2.query_id),
+            |dd AS (SELECT query_id, vec_id, max(sim) AS sim
+            |  FROM sc GROUP BY 1, 2),
+            |lb AS (SELECT * FROM (
+            |    SELECT query_id, vec_id,
+            |      CAST(row_number() OVER (PARTITION BY query_id
+            |        ORDER BY sim DESC, vec_id) AS INT) AS rnk_b
+            |    FROM dd) WHERE rnk_b <= 5),
+            |f AS (
+            |  SELECT coalesce(la.query_id, lb.query_id) AS query_id,
+            |    coalesce(la.vec_id, lb.vec_id) AS vec_id, rnk_a, rnk_b,
+            |    CAST(coalesce(1000000000 // (60 + rnk_a), 0)
+            |      + coalesce(1000000000 // (60 + rnk_b), 0) AS BIGINT)
+            |      AS score_fp
+            |  FROM la FULL JOIN lb
+            |    ON la.query_id = lb.query_id AND la.vec_id = lb.vec_id)
+            |SELECT * FROM (
+            |  SELECT query_id, vec_id, rnk_a, rnk_b, score_fp,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY score_fp DESC, vec_id) AS INT) AS rrf_rnk
+            |  FROM f)
+            |WHERE rrf_rnk <= 5 ORDER BY query_id, rrf_rnk""".stripMargin),
+    bench = true)
 
   val x4TextStats = QuerySpec("x4_text_stats",
     (s, d) => TextOps.withTextStats(T(s, d, "documents"), "text")
@@ -4040,9 +4182,9 @@ object Queries {
     sql5Recursive, f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
-    x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Pack, x5Interleave,
-    x5Cms, x5Weighted,
-    x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
+    x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Interleave,
+    x5Cms, x5Weighted, x5HistQ,
+    x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode,
     x4Repetition, x4Tfidf,

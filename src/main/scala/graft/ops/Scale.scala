@@ -84,6 +84,37 @@ object Scale {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < rateCase)
   }
 
+  /** X5g — temperature-scaled stratum resampling: the multilingual-corpus
+    * balancing op (the alpha-sampling of multilingual pretraining sets —
+    * flatten stratum shares so the head language stops dominating without
+    * dropping the tail). With stratum sizes n_l, alpha = 0.5 sampling
+    * keeps stratum l at rate sqrt(n_min / n_l): the rarest stratum is
+    * kept whole and every larger one is sqrt-compressed toward it.
+    *
+    * The draw is the same deterministic md5 16-bit uniform as
+    * [[hashSample]] (h = first 4 md5 nibbles of the id, u = h/65536); the
+    * keep rule is the EXACT-INTEGER form of `u < sqrt(n_min/n_l)`:
+    * `h² · n_l < 65536² · n_min`. No float pow/sqrt anywhere, so any
+    * engine replays the draw bit for bit (h² < 2^32; exact while stratum
+    * counts stay below 2^31 rows — beyond that, pre-divide all counts by
+    * a common power of two, the rule only uses their ratio).
+    *
+    * Scale shape: the stratum histogram is one partial-agg shuffle
+    * collapsing to |strata| rows, broadcast back; the keep filter is
+    * map-side. One tiny shuffle regardless of corpus size, no global
+    * ordering anywhere. */
+  def temperatureSample(df: DataFrame, idCol: String,
+      strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_stratum"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("n_stratum")).as("n_min"))))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(withMin), strataCol)
+      .filter(h * h * col("n_stratum") < lit(65536L * 65536L) * col("n_min"))
+      .drop("n_stratum", "n_min")
+  }
+
   /** Salted two-phase aggregation for skewed group keys: repartition the
     * hot key's rows across `saltBuckets` partial groups, aggregate, then
     * combine. sum/count compose exactly (avg = sum/count downstream).

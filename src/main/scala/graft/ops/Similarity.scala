@@ -218,6 +218,38 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
   }
 
+  /** X3k — reciprocal-rank fusion of two retrieval lists (the standard
+    * hybrid-retrieval combiner): each list contributes 1/(k0 + rank) for
+    * the items it ranked, the fused order is by the summed score. Scores
+    * are held in FIXED POINT — `1e9 div (k0 + rank)`, integer division —
+    * so the race key is exact-integer and any engine replays the fused
+    * ranking (float addition would be safe for two terms, but integer
+    * keys make ties and ordering provably portable; vec_id breaks the
+    * frequent exact score ties, e.g. both lists agreeing on a rank).
+    *
+    * Scale shape: inputs are already top-k lists (|queries| × k rows
+    * each), so the full-outer fusion join and the per-query window touch
+    * only retrieval RESULTS — the corpus-sized work stays inside the
+    * retrieval lanes that produced the lists. Expects `query_id, vec_id,
+    * rnk` in both inputs. */
+  def rrfFuse(listA: DataFrame, listB: DataFrame, k: Int,
+      k0: Int = 60): DataFrame = {
+    val a = listA.select(col("query_id"), col("vec_id"),
+      col("rnk").as("rnk_a"))
+    val b = listB.select(col("query_id"), col("vec_id"),
+      col("rnk").as("rnk_b"))
+    a.join(b, Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("score_fp",
+        coalesce(expr(s"1000000000L div (${k0}L + rnk_a)"), lit(0L)) +
+          coalesce(expr(s"1000000000L div (${k0}L + rnk_b)"), lit(0L)))
+      .withColumn("rrf_rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_fp").desc, col("vec_id"))))
+      .filter(col("rrf_rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk_a"), col("rnk_b"),
+        col("score_fp"), col("rrf_rnk"))
+  }
+
   /** X3d — symmetric int8 quantization of an embedding column: per-vector
     * scale = 127/max|x|, q_i = floor(x_i*scale + 0.5) in [-127, 127]. At
     * 100 TB this is THE storage/bandwidth lever for ANN — a float32 corpus

@@ -213,4 +213,76 @@ object Sketch {
       .orderBy(col("sample_key"), col(idCol))
       .limit(k)
   }
+
+  /** X5h — mergeable equi-width histogram: THE one-pass distributed
+    * quantile structure. The sketch is nBins counters regardless of
+    * corpus size (the CMS contract): partial aggregation collapses every
+    * partition to at most nBins rows before the single shuffle, and
+    * shard histograms built against the SAME bounds merge by adding
+    * counts ([[histMerge]]) — so per-shard quantile state rolls up
+    * cluster-wide without ever sorting or shuffling the values, with
+    * estimate error bounded by one bin width by construction.
+    *
+    * `bounds` is a 1-row (lo, hi) frame — global exact min/max (one tiny
+    * agg, broadcast back). bin = least(nBins-1, floor((x - lo) /
+    * ((hi - lo) / nBins))); the expression SHAPE (width computed first,
+    * then one divide) is part of the contract — the oracle replays the
+    * identical IEEE rounding sequence. NULLs drop; x = hi lands in the
+    * last bin via the clamp. */
+  def histBuildWith(df: DataFrame, valueCol: String, nBins: Int,
+      bounds: DataFrame): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    df.select(col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", least(lit(nBins - 1),
+        floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(nBins)))
+          .cast("int")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"))
+  }
+
+  /** [[histBuildWith]] with bounds computed from `df` itself. */
+  def histBuild(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    val v = df.select(col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    histBuildWith(df, valueCol, nBins,
+      v.agg(min(col("x")).as("lo"), max(col("x")).as("hi")))
+  }
+
+  /** Merge shard histograms built with [[histBuildWith]] over the same
+    * global bounds: cells add elementwise; bins absent on a shard are
+    * implicit zeros. */
+  def histMerge(hists: DataFrame*): DataFrame =
+    hists.reduce(_ unionByName _)
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"))
+
+  /** Interpolated quantile estimates from a [[histBuild]] histogram: for
+    * each q, the first bin whose cumulative count reaches q·N, linearly
+    * interpolated inside — est = lo + width·(bin + (q·N − below)/cnt),
+    * 6dp-rounded. |est − exact| ≤ one bin width (SketchSpec-pinned).
+    * Everything here runs over ≤ nBins rows (the unpartitioned rank
+    * window is metadata-sized; the corpus was consumed by histBuild's
+    * single pass), so quantile SERVING is O(nBins·|qs|) no matter the
+    * data scale. */
+  def histQuantile(hist: DataFrame, nBins: Int,
+      qs: Seq[Double]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val c = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bin"))))
+      .withColumn("below", col("cum") - col("cnt"))
+      .crossJoin(broadcast(hist.groupBy().agg(sum(col("cnt")).as("n"))))
+    broadcast(qs.toDF("q")).join(c, col("cum") >= col("q") * col("n"))
+      .groupBy(col("q")).agg(min(col("bin")).as("bin"))
+      .join(c, "bin")
+      .select(col("q"),
+        round(col("lo") + ((col("hi") - col("lo")) / lit(nBins)) *
+          (col("bin") + (col("q") * col("n") - col("below")) / col("cnt")),
+          6).as("q_est"))
+  }
 }

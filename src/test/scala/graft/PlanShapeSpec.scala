@@ -77,6 +77,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "cut ranges should anti-join, not filter-scan")
   }
 
+  test("x5 temperature sampling: histogram broadcast back, filter map-side") {
+    val p = plan("x5_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |strata|-row histogram must broadcast, not shuffle the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x3 RRF fuses two top-k lists without a cartesian product") {
+    val p = plan("x3_rrf")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("FullOuter"), "fusion join must be full-outer")
+  }
+
   test("x5 CMS probe broadcasts the d*w sketch; no cartesian") {
     val p = plan("x5_cms_estimate")
     assert(p.contains("BroadcastHashJoin"),

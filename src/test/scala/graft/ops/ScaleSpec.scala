@@ -122,4 +122,22 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bucketed_a")
     spark.sql("DROP TABLE IF EXISTS bucketed_b")
   }
+
+  test("temperature sampling keeps the rarest stratum whole and " +
+      "sqrt-compresses the head") {
+    // 1000 'big' rows vs 40 'small': alpha=0.5 keeps small at rate 1.0
+    // (h² < 65536² always) and big at sqrt(40/1000) ≈ 0.2
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (2001 to 2040).map(i => (i.toLong, "small"))).toDF("id", "s")
+    val kept = Scale.temperatureSample(df, "id", "s")
+    val bySt = kept.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(bySt("small") == 40L, "rarest stratum must be kept whole")
+    val expect = 1000 * math.sqrt(40.0 / 1000.0)
+    assert(math.abs(bySt("big") - expect) < 60,
+      s"head stratum ${bySt("big")} should be near sqrt-rate ${expect.round}")
+    // deterministic: same rows on every run, and a subset of the input
+    val again = Scale.temperatureSample(df, "id", "s")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+  }
 }

@@ -89,4 +89,33 @@ class SketchSpec extends SparkSpec {
       .agg(avg($"w")).as[Double].head()
     assert(picked > 50.5, s"weighted draw mean $picked not above corpus mean")
   }
+
+  test("X5h histogram: shard-merge equals whole-corpus build, estimates " +
+      "within one bin width of exact") {
+    val v = (1 to 4000).map(i => (i.toLong, (i * 37) % 1000 + (i % 7) * 0.25))
+      .toDF("id", "x")
+    val nBins = 32
+    val whole = Sketch.histBuild(v, "x", nBins)
+    // shards built against the same GLOBAL bounds merge exactly
+    val bounds = v.agg(min($"x".cast("double")).as("lo"),
+      max($"x".cast("double")).as("hi"))
+    val merged = Sketch.histMerge(
+      Sketch.histBuildWith(v.filter($"id" % 2 === 0), "x", nBins, bounds),
+      Sketch.histBuildWith(v.filter($"id" % 2 =!= 0), "x", nBins, bounds))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select($"bin", $"cnt").as[(Int, Long)].collect().toMap
+    assert(m(merged) == m(whole), "shard histograms must add to the whole")
+    // one-bin-width error bound against the exact percentile
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val est = Sketch.histQuantile(whole, nBins, qs)
+      .as[(Double, Double)].collect().toMap
+    val width = v.agg((max($"x") - min($"x")) / nBins).as[Double].head()
+    val exact = v.agg(expr(
+        s"percentile(x, array(${qs.mkString("D,")}D))")).as[Seq[Double]]
+      .head()
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= width + 1e-9,
+        s"q=$q est=${est(q)} exact=$ex beyond one bin width $width")
+    }
+  }
 }
