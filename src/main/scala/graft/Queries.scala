@@ -3631,6 +3631,73 @@ object Queries {
     * quantized ranking that defines the candidate boundary and the
     * full-precision re-rank — with the same 6dp rounding + vec_id
     * tie-breaks. */
+  /** X9 — the CURATION PIPELINE composed end to end (round 11): the
+    * LLM-corpus flagship, mirroring what e2_pipeline is for the
+    * reference's REST lane. Four stages as ONE declarative DAG —
+    * (1) quality gate (>= 5 tokens), (2) near-dup collapse to the
+    * min-doc_id representative per 5-gram min-shingle family (21 real
+    * planted families at sf0.01 — the x4_fingerprint recipe), (3)
+    * temperature-balanced language resampling (alpha = 0.5, the
+    * exact-integer x5_temperature draw, rates computed over the
+    * SURVIVORS, as a real pipeline must), (4) 512-token sequence
+    * packing per language (the x5_pack window). Every stage is a
+    * previously-proven oracle recipe, so the COMPOSITION is judged —
+    * each stage's output feeds the next with no materialization
+    * boundary, exactly how the engine would run it at 100 TB: narrow
+    * projections fused into the scan, one window shuffle per keyed
+    * stage, histogram broadcast back, no collect anywhere. */
+  val x9Curation = QuerySpec("x9_curation_e2e",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val quality = TextOps.withFingerprints(docs, "text")
+        .filter(col("n_lt") >= 5)
+        .select(col("doc_id"), col("lang"), col("text"), col("minshingle"))
+      val reps = quality
+        .withColumn("rep",
+          min(col("doc_id")).over(Window.partitionBy(col("minshingle"))))
+        .filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val balanced = Scale.temperatureSample(reps, "doc_id", "lang")
+      TextOps.packSequences(balanced, "text", "doc_id", Seq("lang"), 512)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("bin"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, text,
+           |    string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS n
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, lang, text,
+           |    list_min(list_transform(range(1, n - 3),
+           |      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |        || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS ms
+           |  FROM d WHERE n >= 5),
+           |r AS (
+           |  SELECT doc_id, lang, text,
+           |    min(doc_id) OVER (PARTITION BY ms) AS rep
+           |  FROM q),
+           |reps AS (SELECT doc_id, lang, text FROM r WHERE doc_id = rep),
+           |n AS (SELECT lang, count(*) AS n_l FROM reps GROUP BY lang),
+           |m AS (SELECT min(n_l) AS n_min FROM n),
+           |bal AS (
+           |  SELECT doc_id, lang, text
+           |  FROM (SELECT reps.*, n.n_l,
+           |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           |        AS hv
+           |    FROM reps JOIN n USING (lang)) k, m
+           |  WHERE hv * hv * n_l < 4294967296 * m.n_min),
+           |p AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+           |    sum(len(string_split(text, ' '))) OVER (
+           |      PARTITION BY lang ORDER BY doc_id) AS cum
+           |  FROM bal)
+           |SELECT doc_id, lang, n_tok,
+           |  CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin
+           |FROM p ORDER BY doc_id""".stripMargin),
+    bench = true)
+
   val x3Rerank = QuerySpec("x3_rerank",
     (s, d) => {
       val emb = T(s, d, "embeddings")
@@ -4193,7 +4260,7 @@ object Queries {
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
     x7IncrAgg, x7IncrMinhash, x7MetaCount, stMergeReplay,
-    x8Resample,
+    x8Resample, x9Curation,
     mmMeta, mmDecode, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -108,6 +108,26 @@ object TickPipeline {
       .drop(j("isin"))
   }
 
+  /** ST9 — stream-static enrichment that FOLLOWS the dimension: each
+    * micro-batch left-joins the snapshot store's LATEST committed
+    * version, re-resolved per batch, so a `Cdc.mergeScoped` landing
+    * between batches is visible to the next batch without restarting
+    * the query. (A plain stream-static join pins the static plan when
+    * the query starts — correct for a frozen dim, wrong for a
+    * continuously-merged one; per-batch resolution inside foreachBatch
+    * is the standard fix.) Inside each batch the join is an ordinary
+    * equi-join: at scale the snapshot side is the bucketed store, so
+    * the usual manifest/bucket pruning applies, and the per-batch read
+    * cost is the dim's matched buckets, not the corpus. */
+  def enrichAgainstSnapshot(stream: DataFrame, snapRoot: String,
+      keys: Seq[String], publish: DataFrame => Unit): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dim = graft.ops.Cdc.latestSnapshot(batch.sparkSession, snapRoot)
+        publish(batch.join(dim, keys, "left"))
+      }
+      .start()
+
   /** ST5 — the job lifecycle as streaming state: one state per job_id kept
     * in GroupState, advanced by arriving transition events; emits a row per
     * *accepted* transition. Illegal transitions (per Transition.legal) are

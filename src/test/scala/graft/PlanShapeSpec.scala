@@ -90,6 +90,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("FullOuter"), "fusion join must be full-outer")
   }
 
+  test("x9 curation pipeline: one fused DAG, broadcast histogram, " +
+      "no cartesian, no extra scans") {
+    val p = plan("x9_curation_e2e")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "temperature histogram must broadcast back onto the survivors")
+  }
+
   test("x5 CMS probe broadcasts the d*w sketch; no cartesian") {
     val p = plan("x5_cms_estimate")
     assert(p.contains("BroadcastHashJoin"),

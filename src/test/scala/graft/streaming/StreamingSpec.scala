@@ -305,4 +305,33 @@ class StreamingSpec extends SparkSpec {
       assert(msgs.exists(_.contains(""""state":"started"""")))
     } finally spark.streams.removeListener(hb)
   }
+
+  test("ST9 per-batch snapshot re-resolution: a merge landed between " +
+      "micro-batches is visible to the next batch without a restart") {
+    val tmp = java.nio.file.Files.createTempDirectory("snapstream").toString
+    val snap = s"$tmp/snap"
+    graft.ops.Cdc.initSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), snap, Seq("k"), nBuckets = 4)
+    val in = MemoryStream[Long](spark)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = TickPipeline.enrichAgainstSnapshot(
+      in.toDF().toDF("k"), snap, Seq("k"),
+      b => seen.synchronized {
+        seen ++= b.select("k", "v").as[(Long, String)].collect()
+      })
+    try {
+      in.addData(1L)
+      q.processAllAvailable()
+      assert(seen.toList == List((1L, "a")))
+      // the dim moves BETWEEN batches: k=1 rewritten, k=3 inserted
+      graft.ops.Cdc.mergeScoped(
+        Seq((1L, 1L, "U", "a2"), (3L, 1L, "U", "c"))
+          .toDF("k", "seq", "op", "v"),
+        Seq("k"), "seq", "op", snap)
+      in.addData(1L, 3L)
+      q.processAllAvailable()
+      assert(seen.toList.drop(1).toSet == Set((1L, "a2"), (3L, "c")),
+        s"second batch must see v1, got ${seen.toList}")
+    } finally q.stop()
+  }
 }
