@@ -2372,6 +2372,75 @@ object Queries {
             |WHERE rrf_rnk <= 5 ORDER BY query_id, rrf_rnk""".stripMargin),
     bench = true)
 
+  /** The MMR oracle, GENERATED step by step (the zorder3Sql discipline:
+    * the greedy unroll is mechanical, so Spark and the oracle cannot
+    * disagree on it by typo). Built by plain concatenation — no
+    * stripMargin over interpolated SQL. */
+  private def mmrSql(nCand: Int, k: Int): String = {
+    val base =
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      "p AS (SELECT q.vec_id AS query_id, c.vec_id,\n" +
+      "    round(list_cosine_similarity(q.v, c.v), 6) AS sim\n" +
+      "  FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),\n" +
+      "cand AS (SELECT query_id, vec_id,\n" +
+      "    CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS r_fp\n" +
+      "  FROM (SELECT query_id, vec_id, sim,\n" +
+      "      row_number() OVER (PARTITION BY query_id\n" +
+      "        ORDER BY sim DESC, vec_id) AS rn\n" +
+      s"    FROM p) WHERE rn <= $nCand),\n" +
+      "pair AS (SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,\n" +
+      "    CAST(floor(round(list_cosine_similarity(va.v, vb.v), 6) * 1e6\n" +
+      "      + 0.5) AS BIGINT) AS s_fp\n" +
+      "  FROM cand a JOIN cand b ON a.query_id = b.query_id\n" +
+      "    AND a.vec_id <> b.vec_id\n" +
+      "  JOIN e va ON va.vec_id = a.vec_id\n" +
+      "  JOIN e vb ON vb.vec_id = b.vec_id),\n" +
+      "s1 AS (SELECT query_id, vec_id, 7 * r_fp AS mmr_fp, 1 AS pick_rank\n" +
+      "  FROM (SELECT query_id, vec_id, r_fp,\n" +
+      "      row_number() OVER (PARTITION BY query_id\n" +
+      "        ORDER BY r_fp DESC, vec_id) AS rn\n" +
+      "    FROM cand) WHERE rn = 1)"
+    val steps = (2 to k).map { t =>
+      val sel = if (t == 2) "sel2 AS (SELECT * FROM s1)"
+      else s"sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s${t - 1})"
+      sel + ",\n" +
+      s"m$t AS (SELECT p.query_id, p.a_id, max(p.s_fp) AS m_fp\n" +
+      s"  FROM pair p JOIN sel$t s ON s.query_id = p.query_id\n" +
+      s"    AND s.vec_id = p.b_id GROUP BY 1, 2),\n" +
+      s"s$t AS (SELECT query_id, vec_id, mmr_fp, $t AS pick_rank\n" +
+      s"  FROM (SELECT c.query_id, c.vec_id,\n" +
+      s"      7 * c.r_fp - 3 * m.m_fp AS mmr_fp,\n" +
+      s"      row_number() OVER (PARTITION BY c.query_id\n" +
+      s"        ORDER BY 7 * c.r_fp - 3 * m.m_fp DESC, c.vec_id) AS rn\n" +
+      s"    FROM cand c JOIN m$t m ON m.query_id = c.query_id\n" +
+      s"      AND m.a_id = c.vec_id\n" +
+      s"    WHERE NOT EXISTS (SELECT 1 FROM sel$t s\n" +
+      s"      WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id))\n" +
+      s"  WHERE rn = 1)"
+    }
+    val union = (1 to k).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+    base + ",\n" + steps.mkString(",\n") + "\n" +
+      s"SELECT query_id, pick_rank, vec_id, mmr_fp FROM ($union)\n" +
+      "ORDER BY query_id, pick_rank"
+  }
+
+  /** X3l — MMR diversified retrieval (round 11): greedy maximal marginal
+    * relevance over the exact top-20 candidates, k = 5 picks, λ = 0.7.
+    * The WHOLE greedy draw — every per-step argmax — is judged, because
+    * the race key is exact-integer (6dp-rounded sims fixed-pointed, λ as
+    * the 7/3 integer weights) and the oracle unrolls the same k steps
+    * mechanically. Candidate and pair frames are |Q|·nCand and
+    * |Q|·nCand² rows; the corpus is touched only by the retrieval lane
+    * that produced the candidates. */
+  val x3Mmr = QuerySpec("x3_mmr",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.mmrSelect(emb.filter(col("vec_id") < 10), emb,
+          nCand = 20, k = 5)
+        .orderBy(col("query_id"), col("pick_rank"))
+    },
+    Some(mmrSql(20, 5)))
+
   val x4TextStats = QuerySpec("x4_text_stats",
     (s, d) => TextOps.withTextStats(T(s, d, "documents"), "text")
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
@@ -4251,7 +4320,7 @@ object Queries {
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Interleave,
     x5Cms, x5Weighted, x5HistQ,
-    x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
+    x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode,
     x4Repetition, x4Tfidf,

@@ -250,6 +250,71 @@ object Similarity {
         col("score_fp"), col("rrf_rnk"))
   }
 
+  /** X3l — greedy MMR (maximal marginal relevance) diversification of a
+    * retrieval list: picks k results one at a time, each maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the standard
+    * redundancy remover for retrieved training contexts (near-identical
+    * passages crowd out coverage; MMR trades a little relevance for it).
+    *
+    * Everything in the race is INTEGER: relevance and pairwise sims are
+    * 6dp-rounded then fixed-pointed (`floor(sim·1e6 + 0.5)`), λ = 0.7
+    * enters as the exact weights 7 and 3 (×10), so every greedy pick —
+    * an argmax per query per step — is an exact-integer draw any engine
+    * replays, tie-broken by vec_id. Greedy selection is inherently
+    * sequential in k, so the k steps unroll into the plan (k is small by
+    * definition of the op); each step touches only the |Q|·nCand
+    * candidate/pair frames, never the corpus — at 100 TB the corpus cost
+    * lives in the retrieval lane that produced the candidates, and the
+    * pair table is |Q|·nCand² rows restricted per query (an equi-join on
+    * query_id, never corpus×corpus). */
+  def mmrSelect(queries: DataFrame, corpus: DataFrame, nCand: Int,
+      k: Int): DataFrame = {
+    val cand = bruteForceTopK(queries, corpus, nCand)
+      .withColumn("r_fp", floor(col("sim") * 1e6 + 0.5).cast("long"))
+      .select(col("query_id"), col("vec_id"), col("r_fp"))
+    val av = withNorm(corpus.select(col("vec_id").as("a_id"),
+      asDouble("embedding").as("qv")), "qv", "qn")
+    val bv = withNorm(corpus.select(col("vec_id").as("b_id"),
+      asDouble("embedding").as("cv")), "cv", "cn")
+    val pairs0 = cand.select(col("query_id"), col("vec_id").as("a_id"))
+      .join(cand.select(col("query_id"), col("vec_id").as("b_id")),
+        Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .join(av, "a_id").join(bv, "b_id")
+    val pair = pairs0
+      .withColumn("s_fp",
+        floor(round(cosinePre(pairs0), 6) * 1e6 + 0.5).cast("long"))
+      .select(col("query_id"), col("a_id"), col("b_id"), col("s_fp"))
+    val w = Window.partitionBy(col("query_id"))
+    var all = cand
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("r_fp").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"),
+        (col("r_fp") * 7).as("mmr_fp"), lit(1).as("pick_rank"))
+    for (t <- 2 to k) {
+      val m = pair
+        .join(all.select(col("query_id"), col("vec_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("s_fp")).as("m_fp"))
+        .withColumnRenamed("a_id", "vec_id")
+      val pick = cand
+        .join(all.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(m, Seq("query_id", "vec_id"))
+        .withColumn("mmr_fp", col("r_fp") * 7 - col("m_fp") * 3)
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("mmr_fp").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("mmr_fp"),
+          lit(t).as("pick_rank"))
+      all = all.unionByName(pick)
+    }
+    all.select(col("query_id"), col("pick_rank"), col("vec_id"),
+      col("mmr_fp"))
+  }
+
   /** X3d — symmetric int8 quantization of an embedding column: per-vector
     * scale = 127/max|x|, q_i = floor(x_i*scale + 0.5) in [-127, 127]. At
     * 100 TB this is THE storage/bandwidth lever for ANN — a float32 corpus

@@ -634,4 +634,29 @@ class DedupSimilaritySpec extends SparkSpec {
     // should hold nearly all true neighbors
     assert(recall >= 0.9)
   }
+
+  test("X3l MMR: pick 1 is the relevance top-1, picks are k distinct " +
+      "candidates, and diversification actually reorders") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val mmr = Similarity.mmrSelect(q, emb, nCand = 20, k = 5)
+      .select($"query_id", $"pick_rank", $"vec_id")
+      .as[(Long, Int, Long)].collect()
+    val topk = Similarity.bruteForceTopK(q, emb, 5)
+      .select($"query_id", $"rnk", $"vec_id")
+      .as[(Long, Int, Long)].collect()
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.forall(_._2.map(_._3).distinct.length == 5),
+      "each query must get 5 distinct picks")
+    val top1 = topk.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(byQ.forall { case (qid, picks) =>
+      picks.find(_._2 == 1).get._3 == top1(qid)
+    }, "MMR pick 1 must equal the relevance top-1")
+    // λ = 0.7 trades relevance for diversity: at least one query's pick
+    // SET must differ from its pure-relevance top-5
+    val topSets = topk.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byQ.exists { case (qid, picks) =>
+      picks.map(_._3).toSet != topSets(qid)
+    }, "diversification changed nothing — λ weighting is inert")
+  }
 }
