@@ -2011,8 +2011,8 @@ object Queries {
     Some("""WITH v AS (SELECT o_totalprice::DOUBLE AS x FROM orders),
            |b AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
            |h AS (
-           |  SELECT least(31, CAST(floor((x - lo) / ((hi - lo) / 32))
-           |      AS INT)) AS bin,
+           |  SELECT greatest(0, least(31,
+           |      CAST(floor((x - lo) / ((hi - lo) / 32)) AS INT))) AS bin,
            |    count(*) AS cnt, min(lo) AS lo, min(hi) AS hi
            |  FROM v, b GROUP BY 1),
            |c AS (
@@ -4093,6 +4093,52 @@ object Queries {
             |ORDER BY o_orderstatus""".stripMargin),
     bench = true)
 
+  /** X7o — INCREMENTAL HISTOGRAM MAINTENANCE (round 11): the x7_incr_agg
+    * contract applied to the x5_histq sketch — the standing equi-width
+    * histogram follows the snapshot through a merge via CDF
+    * preimage/postimage deltas (preimage bins subtract, postimage bins
+    * add), at cost ∝ rewritten buckets, never a corpus rescan. Bounds
+    * stay PINNED at the base version (the only choice that keeps shard
+    * and delta histograms addable); merged values that wander past them
+    * clamp into the edge bins on both the maintained and the
+    * directly-recomputed side — histBuildWith's greatest/least clamp
+    * exists exactly for this. Judged in the strongest form: maintained
+    * == the oracle's DIRECT recompute over the merged state, bin for
+    * bin, count for count. */
+  val x7IncrHist = QuerySpec("x7_incr_hist",
+    (s, d) => {
+      val root = mergeCdcSnapshot(s, d)
+      val snap = s"$root/snap"
+      val v0 = Cdc.snapshotAt(s, snap, 0)
+      val bounds = v0.agg(min(col("price").cast("double")).as("lo"),
+        max(col("price").cast("double")).as("hi"))
+      val h0 = Sketch.histBuildWith(v0, "price", 32, bounds)
+        .select(col("bin"), col("cnt"))
+      val diff = Cdc.snapshotDiff(s, snap, 0, 1, includeBefore = true)
+      val rem = Sketch.histBuildWith(
+          diff.filter(col("change_op").isin("U", "D"))
+            .select(col("_before_price").as("price")),
+          "price", 32, bounds)
+        .select(col("bin"), (-col("cnt")).as("cnt"))
+      val add = Sketch.histBuildWith(
+          diff.filter(col("change_op").isin("U", "I"))
+            .select(col("price")),
+          "price", 32, bounds)
+        .select(col("bin"), col("cnt"))
+      h0.unionByName(add).unionByName(rem)
+        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0)
+        .orderBy(col("bin"))
+    },
+    Some(mergedSnapshotSql + ",\n" +
+      "b AS (SELECT min(price) AS lo, max(price) AS hi FROM t)\n" +
+      "SELECT CAST(greatest(0, least(31,\n" +
+      "    CAST(floor((price - lo) / ((hi - lo) / 32)) AS INT))) AS INT)\n" +
+      "    AS bin,\n" +
+      "  count(*) AS cnt\n" +
+      "FROM merged, b GROUP BY 1 ORDER BY bin"),
+    bench = true)
+
   /** X7m — metadata-only COUNT(*) (round 10): the snapshot's row count
     * answered from the manifest's per-bucket stats alone — zero parquet
     * files opened, zero jobs run, O(1) in table size. The lakehouse
@@ -4328,7 +4374,7 @@ object Queries {
     x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
-    x7IncrAgg, x7IncrMinhash, x7MetaCount, stMergeReplay,
+    x7IncrAgg, x7IncrMinhash, x7IncrHist, x7MetaCount, stMergeReplay,
     x8Resample, x9Curation,
     mmMeta, mmDecode, mmSim)
 

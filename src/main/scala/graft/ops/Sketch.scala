@@ -224,20 +224,23 @@ object Sketch {
     * estimate error bounded by one bin width by construction.
     *
     * `bounds` is a 1-row (lo, hi) frame — global exact min/max (one tiny
-    * agg, broadcast back). bin = least(nBins-1, floor((x - lo) /
-    * ((hi - lo) / nBins))); the expression SHAPE (width computed first,
-    * then one divide) is part of the contract — the oracle replays the
-    * identical IEEE rounding sequence. NULLs drop; x = hi lands in the
-    * last bin via the clamp. */
+    * agg, broadcast back). bin = greatest(0, least(nBins-1,
+    * floor((x - lo) / ((hi - lo) / nBins)))); the expression SHAPE
+    * (width computed first, then one divide) is part of the contract —
+    * the oracle replays the identical IEEE rounding sequence. NULLs
+    * drop; x = hi lands in the last bin via the clamp, and out-of-range
+    * values under FIXED bounds (the incremental-maintenance case, where
+    * bounds stay pinned at a base version while merges move values past
+    * them) clamp into the edge bins instead of corrupting bin ids. */
   def histBuildWith(df: DataFrame, valueCol: String, nBins: Int,
       bounds: DataFrame): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     df.select(col(valueCol).cast("double").as("x"))
       .filter(col("x").isNotNull)
       .crossJoin(broadcast(bounds))
-      .withColumn("bin", least(lit(nBins - 1),
+      .withColumn("bin", greatest(lit(0), least(lit(nBins - 1),
         floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(nBins)))
-          .cast("int")))
+          .cast("int"))))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("cnt"), min(col("lo")).as("lo"),
         min(col("hi")).as("hi"))
