@@ -2041,6 +2041,62 @@ object Queries {
            |FROM pick p JOIN c ON c.bin = p.bin JOIN exl ON exl.q = p.q
            |ORDER BY p.q""".stripMargin))
 
+  /** X5h' — GROUPED histogram quantiles (round 11): per-event-type
+    * distribution sketches answering p50/p90/p99 — the serving-layer
+    * "latency percentiles per endpoint" shape — with exact percentiles
+    * alongside (the a5 recipe) so the error bound is visible per group.
+    * Shuffle key space is |groups|×nBins; the rank windows partition by
+    * group, so serving parallelizes across groups. */
+  val x5HistQBy = QuerySpec("x5_histq_by",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val qs = Seq(0.5, 0.9, 0.99)
+      val est = Sketch.histQuantileBy(
+        Sketch.histBuildBy(ev, "value", "event_type", 32),
+        "event_type", 32, qs)
+      val ex = ev.select(col("event_type"), col("value").cast("double").as("x"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(x, array(0.5D, 0.9D, 0.99D))").as("es"))
+        .select(col("event_type"), posexplode(col("es")).as(Seq("i", "e")))
+        .select(col("event_type"),
+          element_at(array(qs.map(lit): _*), col("i").cast("int") + 1)
+            .as("q"),
+          round(col("e"), 6).as("q_exact"))
+      est.join(ex, Seq("event_type", "q"))
+        .orderBy(col("event_type"), col("q"))
+    },
+    Some("""WITH v AS (SELECT event_type AS g, value::DOUBLE AS x FROM events),
+           |b AS (SELECT g, min(x) AS lo, max(x) AS hi FROM v GROUP BY g),
+           |h AS (
+           |  SELECT v.g, greatest(0, least(31,
+           |      CAST(floor((x - lo) / ((hi - lo) / 32)) AS INT))) AS bin,
+           |    count(*) AS cnt, min(lo) AS lo, min(hi) AS hi
+           |  FROM v JOIN b USING (g) GROUP BY 1, 2),
+           |c AS (
+           |  SELECT g, bin, cnt, lo, hi,
+           |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+           |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt AS below,
+           |    sum(cnt) OVER (PARTITION BY g) AS n
+           |  FROM h),
+           |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+           |pick AS (
+           |  SELECT g, q, min(bin) AS bin FROM qs JOIN c ON c.cum >= q * c.n
+           |  GROUP BY 1, 2),
+           |ex AS (SELECT g,
+           |    round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY x), 6) AS e1,
+           |    round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY x), 6) AS e2,
+           |    round(percentile_cont(0.99) WITHIN GROUP (ORDER BY x), 6) AS e3
+           |  FROM v GROUP BY g),
+           |exl AS (SELECT g, unnest([0.5, 0.9, 0.99]) AS q,
+           |    unnest([e1, e2, e3]) AS q_exact FROM ex)
+           |SELECT p.g AS event_type, p.q,
+           |  round(c.lo + ((c.hi - c.lo) / 32) * (p.bin
+           |    + (p.q * c.n - c.below) / c.cnt), 6) AS q_est,
+           |  exl.q_exact
+           |FROM pick p JOIN c ON c.g = p.g AND c.bin = p.bin
+           |JOIN exl ON exl.g = p.g AND exl.q = p.q
+           |ORDER BY event_type, p.q""".stripMargin))
+
   /** X2b — LSH candidate pairs, oracle-checked end to end (round 5 —
     * previously rows-only, but the whole chain is engine-portable: the
     * DuckDB twin replays minhash signatures, banding, and the bucket
@@ -4365,7 +4421,7 @@ object Queries {
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Interleave,
-    x5Cms, x5Weighted, x5HistQ,
+    x5Cms, x5Weighted, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode,

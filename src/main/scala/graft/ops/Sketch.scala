@@ -263,6 +263,46 @@ object Sketch {
       .agg(sum(col("cnt")).as("cnt"), min(col("lo")).as("lo"),
         min(col("hi")).as("hi"))
 
+  /** Grouped [[histBuildWith]]: per-group exact bounds, per-group bins —
+    * the shuffle key space is |groups| × nBins, so partial aggregation
+    * still bounds the map-side output regardless of corpus size. */
+  def histBuildBy(df: DataFrame, valueCol: String, groupCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val v = df.select(col(groupCol), col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val bounds = v.groupBy(col(groupCol))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    v.join(broadcast(bounds), groupCol)
+      .withColumn("bin", greatest(lit(0), least(lit(nBins - 1),
+        floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(nBins)))
+          .cast("int"))))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"), min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"))
+  }
+
+  /** Grouped [[histQuantile]]: the rank windows partition by the group,
+    * so quantile serving parallelizes across groups and touches
+    * |groups| × nBins rows total. */
+  def histQuantileBy(hist: DataFrame, groupCol: String, nBins: Int,
+      qs: Seq[Double]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val c = hist
+      .withColumn("cum", sum(col("cnt")).over(wg.orderBy(col("bin"))))
+      .withColumn("below", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wg))
+    broadcast(qs.toDF("q")).join(c, col("cum") >= col("q") * col("n"))
+      .groupBy(col(groupCol), col("q")).agg(min(col("bin")).as("bin"))
+      .join(c, Seq(groupCol, "bin"))
+      .select(col(groupCol), col("q"),
+        round(col("lo") + ((col("hi") - col("lo")) / lit(nBins)) *
+          (col("bin") + (col("q") * col("n") - col("below")) / col("cnt")),
+          6).as("q_est"))
+  }
+
   /** Interpolated quantile estimates from a [[histBuild]] histogram: for
     * each q, the first bin whose cumulative count reaches q·N, linearly
     * interpolated inside — est = lo + width·(bin + (q·N − below)/cnt),
