@@ -415,6 +415,30 @@ object Queries {
            |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY start_us, event_type""".stripMargin))
 
+  /** F10c — HOPPING (sliding) windows (round 11): width 30 min, slide
+    * 15 min — every event lands in exactly width/slide = 2 windows. The
+    * oracle decomposes the hop arithmetic exactly: window starts are
+    * ((epoch // slide) − k) · slide for k ∈ {0, 1}, a 2-row unnest cross
+    * join — no window-function machinery needed to replay Spark's
+    * window() semantics. Completes the window-family coverage
+    * (tumbling f10b, session st4, hopping here). */
+  val f10cHopping = QuerySpec("f10c_hopping_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(expr("unix_micros(window.start)").as("start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("start_us"), col("event_type")),
+    Some("""WITH w AS (
+           |  SELECT ((epoch_us(ts) // 900000000) - k) * 900000000
+           |      AS start_us,
+           |    event_type, value
+           |  FROM events, (SELECT unnest([0, 1]) AS k))
+           |SELECT start_us, event_type, count(*) AS n,
+           |  round(sum(value), 4) AS sum_value
+           |FROM w GROUP BY 1, 2 ORDER BY start_us, event_type""".stripMargin))
+
   val f12MapAccess = QuerySpec("f12_map_access",
     (s, d) => Tables.events(s, d).filter(col("event_id") < 5000)
       .withColumn("m",
@@ -4407,7 +4431,7 @@ object Queries {
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
     p7StatusFilter, p8Dispatch,
     fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
-    f10bTumbling, f12MapAccess,
+    f10bTumbling, f10cHopping, f12MapAccess,
     j1DimForward, j2DimReverse, j3ShuffleHash, j4SortMerge, j5Theta,
     j6RangeBand, j6bRangeBinned, j7Asof, j7bAsofCustom, j7cAsofTies,
     j7dAsofForward, j8Semi, j8Anti, j9NullSafe, f13Nested,
