@@ -2121,6 +2121,36 @@ object Queries {
            |JOIN exl ON exl.g = p.g AND exl.q = p.q
            |ORDER BY event_type, p.q""".stripMargin))
 
+  /** X8b — batch sessionization (round 11): per-user activity sessions
+    * with a 30-minute gap rule — the gaps-and-islands batch twin of the
+    * st4 streaming session windows. One window shuffle on user_id; the
+    * race is all-integer (epoch-µs gaps, 0/1 running sum, event_id tie
+    * break), so the oracle replays every session boundary. */
+  val x8Sessionize = QuerySpec("x8_sessionize",
+    (s, d) => TimeSeries.sessionize(Tables.events(s, d), "user_id", "ts",
+        "event_id", 1800000000L)
+      .withColumn("session_id", col("session_id").cast("long"))
+      .withColumn("n_events", col("n_events").cast("long"))
+      .orderBy(col("user_id"), col("session_id")),
+    Some("""WITH o AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           |f AS (
+           |  SELECT user_id, event_id, us,
+           |    CASE WHEN lag(us) OVER (PARTITION BY user_id
+           |        ORDER BY us, event_id) IS NULL
+           |      OR us - lag(us) OVER (PARTITION BY user_id
+           |        ORDER BY us, event_id) > 1800000000
+           |    THEN 1 ELSE 0 END AS new_s
+           |  FROM o),
+           |s AS (
+           |  SELECT user_id, us,
+           |    CAST(sum(new_s) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id) AS BIGINT) AS session_id
+           |  FROM f)
+           |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  min(us) AS start_us, max(us) AS end_us
+           |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
+
   /** X2b — LSH candidate pairs, oracle-checked end to end (round 5 —
     * previously rows-only, but the whole chain is engine-portable: the
     * DuckDB twin replays minhash signatures, banding, and the bucket
@@ -4455,7 +4485,7 @@ object Queries {
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
     x7IncrAgg, x7IncrMinhash, x7IncrHist, x7MetaCount, stMergeReplay,
-    x8Resample, x9Curation,
+    x8Resample, x8Sessionize, x9Curation,
     mmMeta, mmDecode, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

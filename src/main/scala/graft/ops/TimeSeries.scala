@@ -86,4 +86,32 @@ object TimeSeries {
       .select(k, col("bucket_us"), ffill.as("px"),
         coalesce(col("n"), lit(0L)).as("n_ticks"))
   }
+
+  /** X8b — batch sessionization (gaps-and-islands): per key, a new
+    * session starts where the gap to the previous event exceeds
+    * `gapUs`; session ids are the running count of session starts. The
+    * standard user-activity segmentation, and the batch twin of the
+    * streaming session windows (st4) — same semantics, replayable
+    * arithmetic instead of state-store timers.
+    *
+    * Scale shape: ONE window shuffle on the key (lag, flag and running
+    * sum all ride the same (key, ts) partitioning), then the per-session
+    * aggregate partial-combines on (key, session_id). All-integer race:
+    * epoch-µs gaps and a 0/1 running sum, with `tieCol` breaking
+    * duplicate timestamps deterministically on both engines. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(expr(s"unix_micros($tsCol)"), col(tieCol))
+    events
+      .withColumn("us", expr(s"unix_micros($tsCol)"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+  }
 }
