@@ -55,4 +55,28 @@ class TimeSeriesSpec extends SparkSpec {
       maxBucketsPerKey = 100L)
     assert(ok.count() == 6)
   }
+
+  test("X8b sessionize: sessions partition the events, intra-session " +
+      "gaps stay within the rule, inter-session gaps exceed it") {
+    def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // user 1: two sessions (gap 45 > 30); user 2: one session incl. an
+    // exactly-30-min gap (NOT a boundary: rule is strictly greater)
+    val ev = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(29)), (1L, 12L, ts(74)),
+      (2L, 20L, ts(0)), (2L, 21L, ts(30)), (2L, 22L, ts(59))
+    ).toDF("user_id", "event_id", "ts")
+    val out = TimeSeries.sessionize(ev, "user_id", "ts", "event_id",
+        1800000000L)
+      .select($"user_id", $"session_id", $"n_events", $"start_us", $"end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(_._3).sum == 6, "sessions must partition the events")
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 3L)))
+    // inter-session gap for user 1 exceeds the rule
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1(1)._4 - u1(0)._5 > 1800000000L)
+    // user 2's exactly-30-min gap stayed inside one session
+    assert(out.filter(_._1 == 2L).head._5 - out.filter(_._1 == 2L).head._4
+      == 59L * 60000000L)
+  }
 }
