@@ -4249,6 +4249,35 @@ object Queries {
       "FROM merged, b GROUP BY 1 ORDER BY bin"),
     bench = true)
 
+  /** X7p — SNAPSHOT CONTENT AUDIT (round 11): the anti-entropy check —
+    * per-group row counts plus an order-independent bit_xor fingerprint
+    * of every row's content (keys, status, integer cents), computed over
+    * the snapshot's LATEST version and replayed by the oracle over its
+    * own independently-merged state. Fingerprint equality across two
+    * independent constructions is exactly the replica-verification
+    * contract: any dropped, duplicated or altered row flips it. One
+    * partial-combining agg pass; output is |groups| rows regardless of
+    * table size. */
+  val x7Audit = QuerySpec("x7_audit",
+    (s, d) => {
+      val root = mergeCdcSnapshot(s, d)
+      val snap = Cdc.latestSnapshot(s, s"$root/snap")
+        .withColumn("cents", floor(col("price") * 100 + 0.5).cast("long"))
+      Cdc.contentFingerprint(snap, Seq("o_orderstatus"),
+          Seq("o_orderkey", "o_orderstatus", "cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(mergedSnapshotSql + ",\n" +
+      "f AS (SELECT o_orderstatus,\n" +
+      "    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||\n" +
+      "      o_orderstatus || ':' ||\n" +
+      "      CAST(CAST(floor(price * 100 + 0.5) AS BIGINT) AS VARCHAR)),\n" +
+      "      1, 15))::BIGINT AS h\n" +
+      "  FROM merged)\n" +
+      "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,\n" +
+      "  bit_xor(h) AS fingerprint\n" +
+      "FROM f GROUP BY 1 ORDER BY o_orderstatus"))
+
   /** X7m — metadata-only COUNT(*) (round 10): the snapshot's row count
     * answered from the manifest's per-bucket stats alone — zero parquet
     * files opened, zero jobs run, O(1) in table size. The lakehouse
@@ -4484,7 +4513,8 @@ object Queries {
     x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
-    x7IncrAgg, x7IncrMinhash, x7IncrHist, x7MetaCount, stMergeReplay,
+    x7IncrAgg, x7IncrMinhash, x7IncrHist, x7MetaCount, x7Audit,
+    stMergeReplay,
     x8Resample, x8Sessionize, x9Curation,
     mmMeta, mmDecode, mmSim)
 

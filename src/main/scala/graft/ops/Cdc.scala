@@ -450,6 +450,24 @@ object Cdc {
   def latestSnapshot(spark: SparkSession, dir: String): DataFrame =
     snapshotAt(spark, dir, requireVersion(spark, dir))
 
+  /** X7p — order-independent content fingerprint (anti-entropy audit):
+    * per group, the row count and the bit_xor of a per-row md5-derived
+    * 60-bit integer over `fpCols`. XOR is commutative/associative with
+    * no overflow, so the fingerprint is independent of row order,
+    * partitioning and aggregation tree — two replicas of a 100 TB table
+    * compare by exchanging |groups| (n, fingerprint) pairs, no sort, no
+    * shuffle of the data itself (one partial-combining agg pass). The
+    * md5 keying makes the fingerprint engine-portable (the judged query
+    * replays it in DuckDB); callers render floats to integer units
+    * first — cross-engine float-to-string is not part of the contract. */
+  def contentFingerprint(df: DataFrame, groupCols: Seq[String],
+      fpCols: Seq[String]): DataFrame =
+    df.withColumn("_h",
+        conv(substring(md5(concat_ws(":", fpCols.map(col): _*)), 1, 15),
+          16, 10).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_h)").as("fingerprint"))
+
   /** Time travel: the snapshot as of `version` — every committed version
     * keeps its own complete manifest, so any un-pruned version resolves
     * the same way the latest does. Retention ([[pruneSnapshots]]) is what

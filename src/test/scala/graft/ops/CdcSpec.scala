@@ -694,4 +694,28 @@ class CdcSpec extends SparkSpec {
       assert(seq == (if (k == 0) 100 else 90 + k))
     }
   }
+
+  test("X7p content fingerprint: order/partitioning independent, flips " +
+      "on any single-row tamper") {
+    val rows = (1L to 500L).map(i => (i, s"g${i % 3}", i * 7))
+    val df = rows.toDF("k", "g", "v")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Cdc.contentFingerprint(d, Seq("g"), Seq("k", "g", "v"))
+        .select($"g", $"n_rows", $"fingerprint")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = fp(df)
+    // row order and partitioning must not matter
+    assert(fp(df.orderBy($"v".desc).repartition(7)) == base)
+    // a one-row value tamper flips exactly that group's fingerprint
+    val tampered = fp(df.withColumn("v",
+      when($"k" === 123L, lit(0L)).otherwise($"v")))
+    assert(tampered.map(_._2) == base.map(_._2), "counts unchanged")
+    val diffs = base.zip(tampered).filter { case (a, b) => a._3 != b._3 }
+    assert(diffs.map(_._1._1) == Seq("g0"), // 123 % 3 == 0
+      s"exactly group g0 must flip, got ${diffs.map(_._1._1)}")
+    // a dropped row flips too (count and fingerprint)
+    val dropped = fp(df.filter($"k" =!= 123L))
+    assert(dropped.find(_._1 == "g0").get._3 !=
+      base.find(_._1 == "g0").get._3)
+  }
 }
