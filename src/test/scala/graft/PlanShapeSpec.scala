@@ -98,6 +98,14 @@ class PlanShapeSpec extends SparkSpec {
       "temperature histogram must broadcast back onto the survivors")
   }
 
+  test("x3 MMR: pair frame is a query_id equi-join, no cartesian; the " +
+      "only NL join is the declared broadcast exact-retrieval baseline") {
+    val p = plan("x3_mmr")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "exact retrieval kernel broadcasts the 10-query side by design")
+  }
+
   test("x5 CMS probe broadcasts the d*w sketch; no cartesian") {
     val p = plan("x5_cms_estimate")
     assert(p.contains("BroadcastHashJoin"),
