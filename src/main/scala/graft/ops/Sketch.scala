@@ -228,7 +228,9 @@ object Sketch {
     * floor((x - lo) / ((hi - lo) / nBins)))); the expression SHAPE
     * (width computed first, then one divide) is part of the contract —
     * the oracle replays the identical IEEE rounding sequence. NULLs
-    * drop; x = hi lands in the last bin via the clamp, and out-of-range
+    * drop; a DEGENERATE range (hi == lo, all values equal) collapses to
+    * bin 0 instead of dividing by zero; x = hi lands in the last bin via
+    * the clamp, and out-of-range
     * values under FIXED bounds (the incremental-maintenance case, where
     * bounds stay pinned at a base version while merges move values past
     * them) clamp into the edge bins instead of corrupting bin ids. */
@@ -238,9 +240,10 @@ object Sketch {
     df.select(col(valueCol).cast("double").as("x"))
       .filter(col("x").isNotNull)
       .crossJoin(broadcast(bounds))
-      .withColumn("bin", greatest(lit(0), least(lit(nBins - 1),
-        floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(nBins)))
-          .cast("int"))))
+      .withColumn("bin", when(col("hi") === col("lo"), lit(0))
+        .otherwise(greatest(lit(0), least(lit(nBins - 1),
+          floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(nBins)))
+            .cast("int")))))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("cnt"), min(col("lo")).as("lo"),
         min(col("hi")).as("hi"))
@@ -274,9 +277,10 @@ object Sketch {
     val bounds = v.groupBy(col(groupCol))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
     v.join(broadcast(bounds), groupCol)
-      .withColumn("bin", greatest(lit(0), least(lit(nBins - 1),
-        floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(nBins)))
-          .cast("int"))))
+      .withColumn("bin", when(col("hi") === col("lo"), lit(0))
+        .otherwise(greatest(lit(0), least(lit(nBins - 1),
+          floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(nBins)))
+            .cast("int")))))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("cnt"), min(col("lo")).as("lo"),
         min(col("hi")).as("hi"))

@@ -118,4 +118,15 @@ class SketchSpec extends SparkSpec {
         s"q=$q est=${est(q)} exact=$ex beyond one bin width $width")
     }
   }
+
+  test("X5h histogram: a constant column collapses to bin 0 and serves " +
+      "the constant, not a divide-by-zero") {
+    val v = Seq.fill(100)(42.0).toDF("x")
+    val h = Sketch.histBuild(v, "x", 16)
+    assert(h.select($"bin", $"cnt").as[(Int, Long)].collect().toSeq ==
+      Seq((0, 100L)))
+    val est = Sketch.histQuantile(h, 16, Seq(0.5, 0.99))
+      .as[(Double, Double)].collect().toMap
+    assert(est(0.5) == 42.0 && est(0.99) == 42.0)
+  }
 }
