@@ -2151,6 +2151,29 @@ object Queries {
            |  min(us) AS start_us, max(us) AS end_us
            |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
 
+  /** X4m — corpus-LM quality score (round 11): train bigram statistics
+    * on the corpus and score every document's average conditional
+    * probability in ppm, all-integer (see TextOps.lmScore) — the
+    * engine-portable stand-in for CCNet's perplexity filter, judged to
+    * the last ppm. */
+  val x4LmScore = QuerySpec("x4_lm_score",
+    (s, d) => TextOps.lmScore(T(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, toks[i] AS w, toks[i+1] AS w2
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           |    FROM t)),
+           |c2 AS (SELECT w, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+           |c1 AS (SELECT w, count(*) AS c1 FROM b GROUP BY 1),
+           |s AS (
+           |  SELECT b.doc_id, (c2.c2 * 1000000) // c1.c1 AS p_ppm
+           |  FROM b JOIN c2 USING (w, w2) JOIN c1 USING (w))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
+           |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin))
+
   /** X2b — LSH candidate pairs, oracle-checked end to end (round 5 —
     * previously rows-only, but the whole chain is engine-portable: the
     * DuckDB twin replays minhash signatures, banding, and the bucket
@@ -4507,7 +4530,7 @@ object Queries {
     x5Cms, x5Weighted, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
-    x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode,
+    x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode, x4LmScore,
     x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate,
     x6SaltedAgg, x6SaltedJoin,

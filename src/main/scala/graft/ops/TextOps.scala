@@ -338,6 +338,37 @@ object TextOps {
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * the minimum md5 over word 5-gram shingles (rolling-hash analog —
     * stable under small suffix/prefix edits). */
+  /** X4m — corpus-LM quality score (the CCNet-style "how typical is this
+    * document of the corpus" filter), made engine-portable: instead of
+    * float log-perplexity (libm ln diverges in the last ulp across
+    * engines), the score is the document's AVERAGE bigram conditional
+    * probability in ppm — `avg over bigrams of (cnt(w1,w2)·1e6 div
+    * cnt(w1·))` — integer division end to end, monotone in the same
+    * quality signal (repetitive/boilerplate text scores high, unusual
+    * token transitions score low). Train and score in one DAG: bigram
+    * counts are two partial-combining aggregations over the token
+    * stream, scoring is an equi-join back on the bigram key. At 100 TB
+    * the count frames are vocabulary-bigram-sized — the classic
+    * shuffle-join shape, with the skew of hot bigrams absorbed by the
+    * partial agg. Documents with < 2 tokens have no bigrams and drop
+    * out (nothing to score). */
+  def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val bi = docs
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+    val c2 = bi.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("w", "w2")).join(c1, Seq("w"))
+      .withColumn("p_ppm", expr("c2 * 1000000L div c1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("score_ppm"))
+  }
+
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
     Scale.fanOut(docs) // md5-per-shingle is compute-heavy; spread few-split inputs
       .withColumn("fp", md5(lower(col(textCol))))
