@@ -2151,6 +2151,33 @@ object Queries {
            |  min(us) AS start_us, max(us) AS end_us
            |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
 
+  /** X5i — shard materialization (round 11): packSequences' bins become
+    * actual training shards — docs concatenated in id order per
+    * (lang, bin), judged by count, token total and the shard's content
+    * md5. The fingerprint is the artifact a downstream tokenizer
+    * verifies; hash-matching the oracle's independently-ordered
+    * string_agg proves both the membership AND the byte order of every
+    * shard. */
+  val x5Shard = QuerySpec("x5_shard",
+    (s, d) => TextOps.materializeShards(
+        TextOps.packSequences(T(s, d, "documents"), "text", "doc_id",
+          Seq("lang"), 512),
+        "text", "doc_id", Seq("lang"))
+      .orderBy(col("lang"), col("bin")),
+    Some("""WITH p AS (
+           |  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tok,
+           |    sum(len(string_split(text, ' '))) OVER (
+           |      PARTITION BY lang ORDER BY doc_id) AS cum
+           |  FROM documents),
+           |a AS (
+           |  SELECT doc_id, lang, text, n_tok,
+           |    CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin
+           |  FROM p)
+           |SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS shard_md5
+           |FROM a GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin))
+
   /** X4m — corpus-LM quality score (round 11): train bigram statistics
     * on the corpus and score every document's average conditional
     * probability in ppm, all-integer (see TextOps.lmScore) — the
@@ -4526,7 +4553,7 @@ object Queries {
     sql5Recursive, f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
-    x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Interleave,
+    x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5Cms, x5Weighted, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,

@@ -70,6 +70,28 @@ object TextOps {
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / capacity))
   }
 
+  /** X5i — shard materialization: the step AFTER [[packSequences]] that
+    * actually produces the training shards — per (shard key, bin),
+    * member docs concatenate in deterministic id order into one
+    * sequence, summarized by count, token total and a content md5 (the
+    * shard's integrity fingerprint, what a downstream tokenizer job
+    * verifies before consuming). The concat itself is per-bin bounded
+    * (~capacity tokens by packing's contract), so collect_list holds
+    * one training sequence, never a corpus partition; the heavy
+    * ordering work rides packSequences' existing per-shard window
+    * shuffle, and this aggregation partial-combines on (key, bin). */
+  def materializeShards(packed: DataFrame, textCol: String, idCol: String,
+      partKeys: Seq[String]): DataFrame = {
+    val keys = partKeys.map(col) :+ col("bin")
+    packed
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        md5(concat_ws(" ",
+          expr(s"transform(sort_array(collect_list(struct($idCol, " +
+            s"$textCol))), x -> x.$textCol)"))).as("shard_md5"))
+  }
+
   /** X4e — repetition-ratio quality signals (the Gopher/RefinedWeb-style
     * repetitious-text filters): fraction of duplicate tokens and duplicate
     * word 3-grams per document. High values flag boilerplate/spam that a
