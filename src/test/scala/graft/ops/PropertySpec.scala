@@ -335,4 +335,49 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq ==
       Seq((0L, 0.0), (1L, 111.0), (2L, 222.0), (3L, 30.0)))
   }
+
+  test("temperature sampling invariants on random strata: subset of " +
+      "input, rarest stratum whole, kept rates monotone in stratum size") {
+    val strata = Gen.listOfN(4, Gen.chooseNum(20, 400))
+    cases(strata, n = 6) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, si) =>
+        (0 until sz).map(i => (si.toLong * 100000 + i, s"s$si"))
+      }
+      val df = rows.toDF("id", "g")
+      val kept = Scale.temperatureSample(df, "id", "g")
+        .groupBy("g").count().as[(String, Long)].collect().toMap
+      val bySize = sizes.zipWithIndex.map { case (sz, si) =>
+        (sz, kept.getOrElse(s"s$si", 0L))
+      }
+      val minSz = sizes.min
+      // the (a) rarest stratum survives whole
+      bySize.filter(_._1 == minSz).foreach { case (sz, k) =>
+        assert(k == sz, s"rarest stratum $sz kept $k")
+      }
+      // (b) nothing is invented, every stratum keeps at most its size
+      bySize.foreach { case (sz, k) => assert(k <= sz) }
+      // (c) kept FRACTION decreases as stratum size grows (within md5
+      // noise: compare against the exact sqrt rate with slack)
+      bySize.foreach { case (sz, k) =>
+        val expect = sz * math.sqrt(minSz.toDouble / sz)
+        assert(math.abs(k - expect) < 12 + 0.15 * expect,
+          s"stratum size $sz kept $k, expected ~${expect.round}")
+      }
+    }
+  }
+
+  test("content fingerprint is invariant under permutation and " +
+      "partitioning for random tables") {
+    val table = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(-500L, 500L)))
+    cases(table, n = 6) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, s"g${g % 3}", v) }
+        .toDF("k", "g", "v")
+      def fp(d: org.apache.spark.sql.DataFrame) =
+        Cdc.contentFingerprint(d, Seq("g"), Seq("k", "g", "v"))
+          .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(fp(df) == fp(df.orderBy(col("v"), col("k").desc).repartition(5)))
+    }
+  }
 }
