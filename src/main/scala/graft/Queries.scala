@@ -2149,7 +2149,8 @@ object Queries {
            |  FROM f)
            |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
            |  min(us) AS start_us, max(us) AS end_us
-           |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
+           |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin),
+    bench = true)
 
   /** X5i — shard materialization (round 11): packSequences' bins become
     * actual training shards — docs concatenated in id order per
@@ -2199,7 +2200,8 @@ object Queries {
            |  FROM b JOIN c2 USING (w, w2) JOIN c1 USING (w))
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
-           |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin))
+           |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    bench = true)
 
   /** X2b — LSH candidate pairs, oracle-checked end to end (round 5 —
     * previously rows-only, but the whole chain is engine-portable: the
