@@ -2730,7 +2730,8 @@ object Queries {
     * the token count that drives packing/chunking budgets. */
   private def bpeEncodeSql(merges: Seq[(String, String)]): String = {
     val inner = merges.foldLeft(
-      "regexp_replace(replace(lower(text), ' ', '|'), '([^|])', ' \\1 ', 'g')") {
+      "regexp_replace(replace(replace(lower(text), '|', ''), ' ', '|'), " +
+        "'([^|])', ' \\1 ', 'g')") {
       case (s, (x, y)) => s"replace($s, ' $x  $y ', ' $x$y ')"
     }
     s"""WITH e AS (SELECT doc_id, $inner AS enc FROM documents)

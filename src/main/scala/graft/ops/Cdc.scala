@@ -220,7 +220,17 @@ object Cdc {
       case ByteType | ShortType | IntegerType | LongType =>
         val x = v.toString.toLong; x >= lo.toLong && x <= hi.toLong
       case FloatType | DoubleType =>
-        val x = sortableBits(v.toString.toDouble)
+        // encode the probe EXACTLY as encodeStat encoded the bounds: a
+        // Float widens via toDouble (exact), never via toString — for
+        // most floats (0.1f) toString.toDouble parses to a DIFFERENT
+        // double than the exact widening, so a probe equal to a bucket's
+        // recorded min/max would map to different sortable bits and the
+        // occupied bucket would be silently pruned (round-12 ADVICE fix)
+        val x = v match {
+          case f: java.lang.Float => sortableBits(f.toDouble)
+          case d: java.lang.Double => sortableBits(d)
+          case other => sortableBits(other.toString.toDouble)
+        }
         x >= lo.toLong && x <= hi.toLong
       case TimestampType =>
         val x = toMicros(v); x >= lo.toLong && x <= hi.toLong

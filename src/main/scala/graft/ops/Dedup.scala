@@ -17,6 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Skew guard shared by every CAPPED candidate generator: keep only
+    * rows whose bucket (by `keys`) holds at most `cap` members, WITHOUT
+    * ever materializing an over-cap bucket. Order matters (round-12 fix):
+    * the cap must be enforced BEFORE `collect_list`, or a corpus-wide hot
+    * bucket — identical boilerplate hashing to one band/block/shingle,
+    * the exact degenerate case the caps exist for — is still built as ONE
+    * giant aggregation row before being dropped, an executor-memory
+    * hazard proportional to the hottest bucket.
+    *
+    * Shape: per-key counts first (count partial-aggregates map-side, so
+    * the extra shuffle carries one tiny (key, n) row per key per input
+    * partition — bounded by key cardinality, never by bucket size), keep
+    * keys with n <= cap, LEFT SEMI the rows against the survivors. Hot
+    * buckets' rows stream through the probe side of that join and miss —
+    * no operator anywhere holds more than `cap` members of any bucket,
+    * so a downstream collect_list is safe BY CONSTRUCTION. The price is
+    * one extra evaluation of the key subtree for the count pass (compute,
+    * not memory — the scan-side cost a 100 TB run can pay; buffering a
+    * corpus-sized bucket is the one it cannot). */
+  private def capBuckets(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val surviving = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= cap)
+      .select(keys.map(col): _*)
+    rows.join(surviving, keys, "left_semi")
+  }
+
   /** X1 — exact dedup by key columns, keeping the lowest id per group.
     * `groupBy().agg(min)` rather than dropDuplicates() so the survivor row
     * is deterministic (dropDuplicates keeps an arbitrary row). */
@@ -66,18 +93,17 @@ object Dedup {
           .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter")),
           sizes)
       } else {
-        // bounded df: ONE aggregation to per-(block, tok) posting lists —
-        // the df cutoff caps each list at maxDf entries, so materializing
-        // it is safe BY CONTRACT. Candidate pairs come from a
-        // double-explode of the same aggregate and per-doc set sizes from
-        // a single explode of it: the whole operator does one scan and
-        // one wide shuffle, where the previous semi-join + self-join
-        // shape recomputed the tokenize/df subtree for every consumer
-        // (AQE exchange reuse only caught part of it)
-        val postings = allToks
+        // bounded df: the cutoff is enforced BEFORE any list exists
+        // ([[capBuckets]] — pre-count, filter, semi-join), so each
+        // surviving per-(block, tok) posting list is at most maxDf
+        // entries and materializing it is safe BY CONSTRUCTION — a hot
+        // token's rows are dropped streaming, never buffered. Candidate
+        // pairs come from a double-explode of the one aggregate and
+        // per-doc set sizes from a single explode of it: one scan of the
+        // surviving rows, one wide shuffle
+        val postings = capBuckets(allToks, blockKeys :+ "tok", maxDf)
           .groupBy((blockKeys :+ "tok").map(col): _*)
-          .agg(collect_list(col(idCol)).as("docs"), count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
+          .agg(collect_list(col(idCol)).as("docs"))
         val docTok = postings.select(explode(col("docs")).as("d1"), col("docs"))
         val inter = docTok.select(col("d1"), explode(col("docs")).as("d2"))
           .filter(col("d1") < col("d2"))
@@ -223,8 +249,8 @@ object Dedup {
     // same skew guard as lshCandidates: degenerate buckets (boilerplate
     // hashing identically) blow up the pairing; unbounded default keeps
     // the oracle contract. Capped path is the posting-list double-explode
-    // (r11): one aggregation instead of a window count plus a self-join
-    // that computed the simhash subtree twice.
+    // (r11), with the cap enforced BEFORE collecting ([[capBuckets]],
+    // r12) so a hot block never materializes as one row.
     val pairs =
       if (maxBucket == Int.MaxValue) {
         val b1 = allBlocks.select(col(idCol).as("d1"),
@@ -235,10 +261,10 @@ object Dedup {
           .filter(col("d1") < col("d2"))
           .select(col("d1"), col("d2"), col("s1"), col("s2"))
       } else {
-        val postings = allBlocks.groupBy(col("j"), col("blk"))
+        val postings = capBuckets(allBlocks, Seq("j", "blk"), maxBucket)
+          .groupBy(col("j"), col("blk"))
           .agg(collect_list(struct(col(idCol).as("id"),
             col("simhash").as("s"))).as("occs"))
-          .filter(size(col("occs")) <= maxBucket)
         postings.select(explode(col("occs")).as("a"), col("occs"))
           .select(col("a"), explode(col("occs")).as("b"))
           .filter(col("a.id") < col("b.id"))
@@ -358,8 +384,9 @@ object Dedup {
     * shuffle blowup at corpus scale. Buckets above the cap are dropped:
     * an oversized bucket means the band carries no discriminative
     * signal at that granularity (the pairs it would emit are better
-    * found by exact dedup on the full signature). Single-lineage window
-    * count, same shuffle key as the join. */
+    * found by exact dedup on the full signature). Cap enforcement is
+    * pre-count + semi-join ([[capBuckets]]) — over-cap buckets are
+    * never materialized. */
   def lshCandidates(sigs: DataFrame, idCol: String,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = sigs.select(col(idCol),
@@ -374,13 +401,14 @@ object Dedup {
         .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("n_shared_bands"))
     else {
-      // capped buckets are posting lists ≤ maxBucket entries — safe to
-      // materialize BY CONTRACT, so one aggregation replaces the window
-      // count AND the self-join (which computed the signature subtree
-      // twice — the x2_jaccard_topk round-5 lesson, applied here r11)
-      val postings = b.groupBy(col("band_idx"), col("band_hash"))
+      // capped path: [[capBuckets]] drops over-cap buckets BEFORE the
+      // posting lists exist (r12 fix), so every collected list is ≤
+      // maxBucket entries BY CONSTRUCTION; one aggregation then replaces
+      // the window count AND the self-join (which computed the signature
+      // subtree twice — the x2_jaccard_topk round-5 lesson)
+      val postings = capBuckets(b, Seq("band_idx", "band_hash"), maxBucket)
+        .groupBy(col("band_idx"), col("band_hash"))
         .agg(collect_list(col(idCol)).as("docs"))
-        .filter(size(col("docs")) <= maxBucket)
       postings.select(explode(col("docs")).as("d1"), col("docs"))
         .select(col("d1"), explode(col("docs")).as("d2"))
         .filter(col("d1") < col("d2"))
@@ -505,15 +533,15 @@ object Dedup {
           .as(Seq("pos0", "sh")))
       .select(col(idCol), (col("pos0") + 1).cast("int").as("pos"), col("sh"))
     // POSTING-LIST shape, not a self-join (the x2_jaccard_topk round-5
-    // lesson): the occurrence cap makes each per-shingle list at most
-    // maxOcc entries — safe to materialize BY CONTRACT — so ONE
-    // aggregation on sh replaces two computations of the md5-shingle
-    // subtree plus an equi-join; hit pairs come from a double-explode
-    // of the same aggregate. One scan, one shuffle, no join.
-    val postings = sh.groupBy(col("sh"))
+    // lesson), with the occurrence cutoff enforced BEFORE collection
+    // ([[capBuckets]], r12): boilerplate shingles above maxOcc are
+    // dropped streaming, so each collected per-shingle list is at most
+    // maxOcc entries BY CONSTRUCTION; hit pairs come from a
+    // double-explode of the one aggregate.
+    val postings = capBuckets(sh, Seq("sh"), maxOcc)
+      .groupBy(col("sh"))
       .agg(collect_list(struct(col(idCol).as("id"), col("pos").as("p")))
         .as("occs"))
-      .filter(size(col("occs")) <= maxOcc)
     val hits = postings
       .select(explode(col("occs")).as("a"), col("occs"))
       .select(col("a"), explode(col("occs")).as("b"))

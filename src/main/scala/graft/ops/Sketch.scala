@@ -203,7 +203,14 @@ object Sketch {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    df.select(col(idCol), col(weightCol),
+    // weight <= 0 means ZERO tickets — excluded from the race. The filter
+    // is load-bearing, not cosmetic: Spark's sequence(1, w) defaults to
+    // step -1 when w < 1, so without it a weight of 0 would mint tickets
+    // [1, 0] and negatives even more — dead rows entering the draw with
+    // INVERTED probability (round-12 ADVICE fix; DuckDB's end-exclusive
+    // range(1, w+1) already gave the oracle the empty-sequence semantics)
+    df.filter(col(weightCol).cast("int") >= 1)
+      .select(col(idCol), col(weightCol),
         explode(sequence(lit(1), col(weightCol).cast("int"))).as("_t"))
       .select(col(idCol), col(weightCol),
         md5(concat(col(idCol).cast("string"), lit(":"),

@@ -252,7 +252,12 @@ object TextOps {
   def bpeLearn(docs: DataFrame, textCol: String,
       numMerges: Int): Seq[(String, String)] = {
     var words = docs
-      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      // literal '|' is STRIPPED from the symbol universe (round-12 ADVICE
+      // fix): [[bpeEncode]] uses '|' as its word-boundary sentinel, so a
+      // corpus '|' must never become a trainable symbol — train and apply
+      // strip it identically, keeping the two sides consistent
+      .select(explode(split(translate(lower(col(textCol)), "|", ""), " "))
+        .as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("toks"), col("freq"))
@@ -292,8 +297,13 @@ object TextOps {
   /** BPE merge application as deterministic string rewriting — the
     * "iterated replace" formulation. Every symbol travels as ` sym `
     * (single leading + trailing space, so adjacent symbols read `x  y`),
-    * word boundaries as `|` (never a symbol character — merges cannot
-    * cross words). One `replace(' x  y ', ' xy ')` pass per merge, in
+    * word boundaries as `|`. The sentinel is kept out of the symbol
+    * universe by construction: a literal '|' in the input is STRIPPED
+    * before encoding, in lock-step with [[bpeLearn]]'s identical strip
+    * (round-12 ADVICE fix — previously a corpus '|' was
+    * indistinguishable from a boundary after the space rewrite, so
+    * merges could cross word boundaries and the decode contract broke).
+    * One `replace(' x  y ', ' xy ')` pass per merge, in
     * rank order: left-to-right non-overlapping replacement IS BPE's
     * leftmost-first merge, one pass suffices because a merge's output
     * symbol can never recreate its own pair, and earlier pairs cannot
@@ -302,16 +312,17 @@ object TextOps {
     * is a single narrow codegen'd projection: no shuffle, no UDF —
     * applying a frozen tokenizer to 100 TB is embarrassingly parallel.
     *
-    * Returns docs + `enc` (the rewritten sentinel string — lossless:
-    * dropping spaces and mapping '|' back to ' ' restores lower(text))
-    * and `n_bpe` (token count = half the space count, each symbol
-    * carrying exactly two). */
+    * Returns docs + `enc` (the rewritten sentinel string — lossless
+    * modulo the stripped '|': dropping spaces and mapping '|' back to
+    * ' ' restores lower(text) with literal '|' removed) and `n_bpe`
+    * (token count = half the space count, each symbol carrying exactly
+    * two). */
   def bpeEncode(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     def rep(c: Column, from: String, to: String): Column =
       call_function("replace", c, lit(from), lit(to))
     val base = regexp_replace(
-      rep(lower(col(textCol)), " ", "|"), "([^|])", " $1 ")
+      rep(rep(lower(col(textCol)), "|", ""), " ", "|"), "([^|])", " $1 ")
     val enc = merges.foldLeft(base) { case (c, (x, y)) =>
       rep(c, s" $x  $y ", s" $x$y ")
     }

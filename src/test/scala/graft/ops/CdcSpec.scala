@@ -440,6 +440,31 @@ class CdcSpec extends SparkSpec {
     assert(dMissLow.inputFiles.isEmpty && dMissLow.count() == 0)
   }
 
+  test("pointLookup FLOAT-keyed snapshot: probes equal to a bucket's " +
+      "recorded min/max hit — probe encoding must widen exactly, " +
+      "not via toString (r12 ADVICE regression)") {
+    // 0.1f widens exactly to 0.100000001490116...; "0.1".toDouble parses
+    // to 0.1 < that, so a toString round-trip in the probe encoder maps
+    // the bucket's own MIN below the stored bound and silently prunes an
+    // occupied bucket — the exact silent-row-drop this test pins
+    val fDir = java.nio.file.Files.createTempDirectory("graft_cdc_flt").toString
+    val fRows = Seq(0.1f, 0.7f, 55.3f).map(f => (f, s"p$f"))
+      .toDF("price", "payload")
+    Cdc.initSnapshot(fRows, fDir, Seq("price"), 1) // ONE bucket: occupied
+    // probe == bucket min (the value whose widened/parsed doubles differ)
+    val atMin = Cdc.pointLookup(spark, fDir, Seq(Seq(0.1f)))
+    assert(atMin.as[(Float, String)].collect().toSeq == Seq((0.1f, "p0.1")))
+    // probe == bucket max
+    val atMax = Cdc.pointLookup(spark, fDir, Seq(Seq(55.3f)))
+    assert(atMax.as[(Float, String)].collect().toSeq == Seq((55.3f, "p55.3")))
+    // interior float: reads the bucket, finds its row
+    assert(Cdc.pointLookup(spark, fDir, Seq(Seq(0.7f)))
+      .count() == 1)
+    // genuinely out-of-range float still prunes to zero files
+    val fMiss = Cdc.pointLookup(spark, fDir, Seq(Seq(1000.5f)))
+    assert(fMiss.inputFiles.isEmpty && fMiss.count() == 0)
+  }
+
   test("mergeScoped: additive schema evolution — new payload column " +
       "null-backfills old buckets; type conflicts fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_evo").toString

@@ -81,6 +81,19 @@ class SketchSpec extends SparkSpec {
     assert(key == expected)
   }
 
+  test("weighted sample EXCLUDES zero/negative weights — no phantom " +
+      "tickets from sequence's descending default (r12 ADVICE)") {
+    // sequence(1, 0) in Spark is [1, 0] (step defaults to -1), so without
+    // the guard a weight-0 row would enter the race with TWO tickets and
+    // a negative weight with more — inverted probability for rows that
+    // should have none. DuckDB's range(1, w+1) is end-exclusive = empty,
+    // so the oracle always had the exclusion semantics.
+    val rows = Seq((1L, 5), (2L, 0), (3L, -3), (4L, 7)).toDF("id", "w")
+    val ids = Sketch.weightedSample(rows, "id", "w", 10)
+      .select($"id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L), s"non-positive weights must be excluded: $ids")
+  }
+
   test("weighted sampling favors heavy rows over uniform hash sampling") {
     // weights 1..100: the weighted draw's selected mass should exceed the
     // corpus mean decisively (deterministic fixture, pinned once)

@@ -44,6 +44,32 @@ class TextBpeSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("X4k literal '|' in the corpus is stripped by BOTH bpeLearn and " +
+      "bpeEncode — the boundary sentinel can never collide (r12 ADVICE)") {
+    // pre-fix, "a|b" became "a|b" -> sentinel rewrite made the literal
+    // pipe indistinguishable from a word boundary, so merges could cross
+    // words and the decode contract broke; now '|' is out of the symbol
+    // universe on both sides
+    val docs = Seq((1L, "a|b c"), (2L, "ab c")).toDF("doc_id", "text")
+    // learn sees "a|b" as "ab": the (a, b) pair is trainable
+    val learned = TextOps.bpeLearn(docs, "text", 1)
+    assert(learned == Seq(("a", "b")))
+    val out = TextOps.bpeEncode(docs, "text", learned)
+    // both docs encode identically: strip made them the same corpus
+    val encs = out.orderBy("doc_id").select("enc").as[String].collect()
+    assert(encs(0) == encs(1))
+    assert(out.select("n_bpe").as[Int].collect().toSeq == Seq(2, 2))
+    // decode restores lower(text) with '|' removed
+    val rt = out.withColumn("rt",
+      call_function("replace",
+        call_function("replace", col("enc"), lit(" "), lit("")),
+        lit("|"), lit(" ")))
+      .withColumn("want",
+        call_function("replace", lower(col("text")), lit("|"), lit("")))
+      .filter(col("rt") =!= col("want"))
+    assert(rt.count() == 0)
+  }
+
   test("X4k defaultMerges IS bpeLearn(sf0.001 documents, 32) — the frozen " +
       "artifact cannot drift from its derivation") {
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
