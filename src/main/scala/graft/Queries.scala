@@ -2203,6 +2203,49 @@ object Queries {
            |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin),
     bench = true)
 
+  /** X4m' — HELD-OUT corpus-LM scoring (round 12): fit the bigram
+    * statistics on one deterministic hash-split of the corpus and score
+    * the DISJOINT other split — the honest CCNet shape (self-training
+    * inflates repetitive documents' scores; see TextOps.lmScore).
+    * Split = md5(doc_id) 4-nibble prefix vs '8000' (Scale.hashSample at
+    * rate 0.5 — engine-portable, so the oracle reproduces the exact
+    * membership). Eval bigrams unseen in training score 0 ppm (LEFT
+    * join + coalesce on both engines). */
+  val x4LmScoreHoldout = QuerySpec("x4_lm_score_holdout",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val train = Scale.hashSample(docs, "doc_id", 0.5)
+      val eval = docs.filter(
+        substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("8000"))
+      TextOps.lmScore(eval, "text", "doc_id", train = Some(train))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tr AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
+           |ev AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '8000'),
+           |tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
+           |tb AS (
+           |  SELECT toks[i] AS w, toks[i+1] AS w2
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           |    FROM tt)),
+           |c2 AS (SELECT w, w2, count(*) AS c2 FROM tb GROUP BY 1, 2),
+           |c1 AS (SELECT w, count(*) AS c1 FROM tb GROUP BY 1),
+           |et AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ev),
+           |eb AS (
+           |  SELECT doc_id, toks[i] AS w, toks[i+1] AS w2
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           |    FROM et)),
+           |s AS (
+           |  SELECT eb.doc_id,
+           |    coalesce((c2.c2 * 1000000) // c1.c1, 0) AS p_ppm
+           |  FROM eb LEFT JOIN c2 USING (w, w2) LEFT JOIN c1 USING (w))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
+           |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin))
+
   /** X2b — LSH candidate pairs, oracle-checked end to end (round 5 —
     * previously rows-only, but the whole chain is engine-portable: the
     * DuckDB twin replays minhash signatures, banding, and the bucket
@@ -3785,6 +3828,103 @@ object Queries {
     },
     Some(sql5Text))
 
+  /** SQL6 — TPC-H Q3-style SHIPPING PRIORITY (round 12): the classic
+    * 3-table decision-support join — filtered dim (customer segment) ⨝
+    * orders ⨝ lineitem with per-table date predicates, aggregate, top-k.
+    * This is the multi-join shape Catalyst's join reordering + AQE
+    * actually optimize: both selective filters sit BELOW their joins
+    * (pushdown), the segment-filtered customer side broadcasts at the
+    * judged SF (and would shuffle cleanly at 100 TB — equi keys, no
+    * skew), and the top-k is TakeOrderedAndProject, never a global
+    * sort. Revenue in exact integer cents (floor(x·100+0.5)) so the
+    * sum hash-matches across engines in any partial order. Shared SQL
+    * text: Spark and DuckDB run the identical statement. */
+  private def sql6Text: String =
+    """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+      |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer c, orders o, lineitem l
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND c.c_custkey = o.o_custkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue_cents DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  val sql6Q3Shipping = QuerySpec("sql6_q3_shipping",
+    (s, d) => {
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql6Text)
+    },
+    Some(sql6Text),
+    bench = true)
+
+  /** SQL7 — TPC-H Q18-style LARGE-VOLUME ORDERS: HAVING over an
+    * aggregate inside an IN subquery, then a 3-table join back to name
+    * the customers. The subquery is the interesting plan element: Spark
+    * rewrites IN (GROUP BY ... HAVING) as a LeftSemi against the
+    * pre-aggregated lineitem — aggregation BEFORE the join, so the semi
+    * side is |orders over threshold|, not |lineitem|. Quantities are
+    * integer-valued doubles; casting each to BIGINT before summing
+    * keeps the threshold and output exact on both engines. */
+  private def sql7Text: String =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+      |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM customer c, orders o, lineitem l
+      |WHERE o.o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY total_cents DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  val sql7Q18BigOrders = QuerySpec("sql7_q18_big_orders",
+    (s, d) => {
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql7Text)
+    },
+    Some(sql7Text),
+    bench = true)
+
+  /** SQL8 — TPC-H Q10-style RETURNED-ITEM REVENUE: the 4-table shape
+    * (two fact-sized sides + two dims) — lineitem filtered to returns ⨝
+    * date-windowed orders ⨝ customer ⨝ nation, revenue per customer,
+    * top-k. Exercises join ORDERING proper: the optimizer must put the
+    * orders⨝lineitem equi-join first and hang the dim lookups off it
+    * (nation is broadcast at any scale; customer broadcasts here and
+    * shuffles at 100 TB). Same exact-cents discipline as SQL6. */
+  private def sql8Text: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+      |    + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM customer c, orders o, lineitem l, nation n
+      |WHERE c.c_custkey = o.o_custkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      |  AND l.l_returnflag = 'R'
+      |  AND c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY rev_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  val sql8Q10Returns = QuerySpec("sql8_q10_returns",
+    (s, d) => {
+      Seq("customer", "orders", "lineitem", "nation").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql8Text)
+    },
+    Some(sql8Text),
+    bench = true)
+
   /** F14 — higher-order array functions (round 9): transform / filter /
     * aggregate / zip_with over the real embedding arrays. Element math is
     * integer-ized FIRST (floor-milli longs), so every fold is exact and
@@ -4302,6 +4442,45 @@ object Queries {
       "FROM merged, b GROUP BY 1 ORDER BY bin"),
     bench = true)
 
+  /** X10 — DISTRIBUTION DRIFT between two snapshot versions (round 12):
+    * the streaming drift monitor's kernel (DriftMonitor.l1DriftFrame),
+    * judged batch-to-batch — bin v1's values against the BASELINE
+    * (v0) histogram's pinned bounds, per-bin integer shares
+    * floor(cnt·1e6/n), L1-sum the share deltas. Exact-integer end to
+    * end, so the ppm alarm value itself is oracle-replayed, not just
+    * the mechanism. The streaming wrapper (ST10) stays unit-covered;
+    * this is the same code path on the same sketch. */
+  val x10Drift = QuerySpec("x10_drift",
+    (s, d) => {
+      val root = mergeCdcSnapshot(s, d)
+      val snap = s"$root/snap"
+      val v0 = Cdc.snapshotAt(s, snap, 0)
+      val bounds = v0.agg(min(col("price").cast("double")).as("lo"),
+        max(col("price").cast("double")).as("hi"))
+      val baseline = Sketch.histBuildWith(v0, "price", 32, bounds)
+      graft.streaming.DriftMonitor.l1DriftFrame(
+        Cdc.latestSnapshot(s, snap), "price", baseline, 32)
+    },
+    Some(mergedSnapshotSql + ",\n" +
+      "b AS (SELECT min(price) AS lo, max(price) AS hi FROM t),\n" +
+      "h0 AS (SELECT CAST(greatest(0, least(31,\n" +
+      "    CAST(floor((price - lo) / ((hi - lo) / 32)) AS INT))) AS INT)\n" +
+      "    AS bin, count(*) AS cnt\n" +
+      "  FROM t, b GROUP BY 1),\n" +
+      "h1 AS (SELECT CAST(greatest(0, least(31,\n" +
+      "    CAST(floor((price - lo) / ((hi - lo) / 32)) AS INT))) AS INT)\n" +
+      "    AS bin, count(*) AS cnt\n" +
+      "  FROM merged, b GROUP BY 1),\n" +
+      "s0 AS (SELECT bin,\n" +
+      "    CAST(floor(cnt * 1000000 / (SELECT sum(cnt) FROM h0)) AS BIGINT)\n" +
+      "    AS sh FROM h0),\n" +
+      "s1 AS (SELECT bin,\n" +
+      "    CAST(floor(cnt * 1000000 / (SELECT sum(cnt) FROM h1)) AS BIGINT)\n" +
+      "    AS sh FROM h1)\n" +
+      "SELECT CAST(sum(abs(coalesce(s1.sh, 0) - coalesce(s0.sh, 0)))\n" +
+      "    AS BIGINT) AS l1_ppm\n" +
+      "FROM s0 FULL OUTER JOIN s1 USING (bin)"))
+
   /** X7p — SNAPSHOT CONTENT AUDIT (round 11): the anti-entropy check —
     * per-group row counts plus an order-independent bit_xor fingerprint
     * of every row's content (keys, status, integer cents), computed over
@@ -4384,6 +4563,20 @@ object Queries {
     * signature chain x2_minhash_sig proved portable). Deleted docs
     * leave the index; updated docs re-sign; short docs (< 3 tokens)
     * stay absent on both sides. */
+  /** The docSigSnapshot fixture's MERGED FINAL STATE in DuckDB — shared
+    * by every oracle that direct-recomputes over it (x7_incr_minhash,
+    * x7_incr_cms). Single-sourced so a fixture change cannot drift the
+    * oracles apart (the mergedSnapshotSql discipline). Pre-stripped;
+    * compose by concatenation (stripMargin would eat leading ||). */
+  private val docsFinSql: String =
+    """fin AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id < 50 THEN text || ' updated text appended'
+      |      ELSE text END AS text
+      |  FROM documents
+      |  WHERE NOT (doc_id >= 300 AND doc_id < 400
+      |    AND doc_id % 7 = 0))""".stripMargin
+
   val x7IncrMinhash = QuerySpec("x7_incr_minhash",
     (s, d) => {
       val root = docSigSnapshot(s, d)
@@ -4405,14 +4598,8 @@ object Queries {
           element_at(col("bands"), 4).as("band3"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH fin AS (
-           |  SELECT doc_id,
-           |    CASE WHEN doc_id < 50 THEN text || ' updated text appended'
-           |      ELSE text END AS text
-           |  FROM documents
-           |  WHERE NOT (doc_id >= 300 AND doc_id < 400
-           |    AND doc_id % 7 = 0)),
-           |d AS (
+    Some("WITH " + docsFinSql + ",\n" +
+      """d AS (
            |  SELECT doc_id, string_split(text, ' ') AS toks,
            |    len(string_split(text, ' ')) AS n
            |  FROM fin),
@@ -4434,6 +4621,49 @@ object Queries {
            |  md5(sig[5] || sig[6]) AS band2,
            |  md5(sig[7] || sig[8]) AS band3
            |FROM g ORDER BY doc_id""".stripMargin),
+    bench = true)
+
+  /** X7q — INCREMENTAL CMS MAINTENANCE (round 12): the standing
+    * count-min sketch follows the document snapshot through a merge via
+    * CDF deltas — the cleanest member of the index-follows-the-snapshot
+    * family because CMS cells are ADDITIVE: the preimage's cells
+    * subtract, the postimage's cells add, and the maintained sketch is
+    * cell-for-cell the one a full rebuild over the merged corpus would
+    * produce (judged exactly so, against the oracle's direct recompute
+    * over the merged state). Cost ∝ changed documents' tokens — the
+    * 100 TB story is a vocabulary-frequency sketch that stays fresh
+    * under merges without ever re-reading the corpus; the three frames
+    * meet in one d×w-bounded aggregation. */
+  val x7IncrCms = QuerySpec("x7_incr_cms",
+    (s, d) => {
+      val root = docSigSnapshot(s, d)
+      val snap = s"$root/snap"
+      def toks(df: DataFrame): DataFrame =
+        df.select(explode(split(col("text"), " ")).as("tok"))
+      val cms0 = Sketch.cmsBuild(toks(Cdc.snapshotAt(s, snap, 0)),
+        "tok", 2, 16)
+      val diff = Cdc.snapshotDiff(s, snap, 0, 1, includeBefore = true)
+      val minus = Sketch.cmsBuild(
+          toks(diff.filter(col("change_op").isin("U", "D"))
+            .select(col("_before_text").as("text"))), "tok", 2, 16)
+        .select(col("r"), col("b"), (-col("cnt")).as("cnt"))
+      val plus = Sketch.cmsBuild(
+          toks(diff.filter(col("change_op").isin("I", "U"))
+            .select(col("text"))), "tok", 2, 16)
+      cms0.unionByName(plus).unionByName(minus)
+        .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0) // a cell whose last token left vanishes
+        .orderBy(col("r"), col("b"))
+    },
+    Some("WITH " + docsFinSql + ",\n" +
+      """toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM fin),
+        |rws AS (SELECT unnest(range(0, 2)) AS r)
+        |SELECT CAST(r AS INT) AS r,
+        |  ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+        |    1, 8))::BIGINT % 16 AS b,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks, rws GROUP BY r, b ORDER BY r, b""".stripMargin),
     bench = true)
 
   /** The N-dim interleave's oracle: 16 bit-extract terms per dimension,
@@ -4553,7 +4783,8 @@ object Queries {
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
     stStateTws,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
-    sql5Recursive, f14HigherOrder,
+    sql5Recursive, sql6Q3Shipping, sql7Q18BigOrders, sql8Q10Returns,
+    f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
@@ -4561,12 +4792,14 @@ object Queries {
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode, x4LmScore,
+    x4LmScoreHoldout,
     x4Repetition, x4Tfidf,
     x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate,
     x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
-    x7IncrAgg, x7IncrMinhash, x7IncrHist, x7MetaCount, x7Audit,
+    x7IncrAgg, x7IncrMinhash, x7IncrHist, x7IncrCms, x7MetaCount, x7Audit,
+    x10Drift,
     stMergeReplay,
     x8Resample, x8Sessionize, x9Curation,
     mmMeta, mmDecode, mmSim)

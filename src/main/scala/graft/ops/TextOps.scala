@@ -385,18 +385,34 @@ object TextOps {
     * shuffle-join shape, with the skew of hot bigrams absorbed by the
     * partial agg. Documents with < 2 tokens have no bigrams and drop
     * out (nothing to score). */
-  def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val bi = docs
-      .select(col(idCol), posexplode(split(col(textCol), " "))
-        .as(Seq("pos", "w")))
-      .withColumn("w2", lead(col("w"), 1).over(w))
-      .filter(col("w2").isNotNull)
-    val c2 = bi.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    bi.join(c2, Seq("w", "w2")).join(c1, Seq("w"))
-      .withColumn("p_ppm", expr("c2 * 1000000L div c1"))
+  /** `train` (round 12): the corpus the statistics are fit on. Default
+    * None trains on `docs` itself — the one-DAG shape above — but
+    * self-training INFLATES the score of repetitive/duplicated
+    * documents (each scored doc's own bigrams sit in the counts, so a
+    * doc duplicated k times raises its own conditional probabilities —
+    * the opposite of the CCNet quality-filter intent). A real filter
+    * fits on a disjoint held-out split ([[Scale.hashSample]] keeps the
+    * split deterministic and engine-portable) and scores the rest.
+    * Bigrams absent from the training stats score 0 ppm (LEFT join +
+    * coalesce — P(w2|w) = 0 under the trained model); on the
+    * self-trained path a miss is impossible, so the left join is
+    * value-identical to the previous inner shape. */
+  def lmScore(docs: DataFrame, textCol: String, idCol: String,
+      train: Option[DataFrame] = None): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("pos"))
+      df.select(col(idCol), posexplode(split(col(textCol), " "))
+          .as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(w))
+        .filter(col("w2").isNotNull)
+    }
+    val bi = bigrams(docs)
+    val tbi = train.map(bigrams).getOrElse(bi)
+    val c2 = tbi.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = tbi.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("w", "w2"), "left").join(c1, Seq("w"), "left")
+      .withColumn("p_ppm", expr("coalesce((c2 * 1000000L) div c1, 0L)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p_ppm) div count(1)").as("score_ppm"))

@@ -111,6 +111,43 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(out(3L)._2 == 2 && out(3L)._4 == "two mails <EMAIL> <EMAIL>")
   }
 
+  test("X4m lmScore: a duplicated doc scores HIGHER self-trained, EQUAL " +
+      "under held-out training (r12 — the CCNet self-inclusion hazard)") {
+    // doc 1's bigram (alpha, beta) is DILUTED by doc 2's (alpha, gamma):
+    // c2/c1 = 1/2 self-trained, so duplication has room to inflate it
+    // ((1+k)/(2+k) -> 1); an undiluted fixture would sit at the 1e6
+    // ceiling where inflation is invisible
+    val base = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "iota kappa lambda mu"))
+    val train = Seq(
+      (101L, "alpha beta"),
+      (102L, "alpha gamma"),
+      (103L, "nu xi omicron pi"))
+    def score(corpus: Seq[(Long, String)], tr: Option[Seq[(Long, String)]]) =
+      TextOps.lmScore(corpus.toDF("doc_id", "text"), "text", "doc_id",
+          train = tr.map(_.toDF("doc_id", "text")))
+        .filter(col("doc_id") === 1L).select("score_ppm").as[Long].head()
+    // self-trained: duplicating doc 1 five times inflates its own bigram
+    // stats, so its score RISES — the bias held-out training removes
+    val dup = base ++ (10L to 14L).map(i => (i, "alpha beta"))
+    val selfBase = score(base, None)
+    val selfDup = score(dup, None)
+    assert(selfDup > selfBase,
+      s"self-trained score must inflate under duplication: $selfDup <= $selfBase")
+    // held-out: the training stats never see the duplicates, so doc 1's
+    // score is IDENTICAL whether or not the eval corpus duplicates it
+    assert(score(base, Some(train)) == score(dup, Some(train)))
+    // unseen bigrams score 0 ppm, not dropped: doc 3 shares no bigram
+    // with the training split but still reports its n_bigrams
+    val d3 = TextOps.lmScore(base.toDF("doc_id", "text"), "text", "doc_id",
+        train = Some(train.toDF("doc_id", "text")))
+      .filter(col("doc_id") === 3L)
+      .select("n_bigrams", "score_ppm").as[(Long, Long)].head()
+    assert(d3 == ((3L, 0L)))
+  }
+
   test("X5d interleave: weight-2 source appears twice as densely, ties deterministic") {
     val docs = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"), (11L, "b")
