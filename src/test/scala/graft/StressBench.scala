@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev/bench-aux main (round 12): measure the text/dedup lanes at REAL
+  * row counts. The driver's `documents` fixture is 500 rows at every sf
+  * (TESTDATA.md), so every judged x2/x4/x9 wall-time is job overhead and
+  * a skew defect in candidate generation is invisible — the r11 judge's
+  * capped-generator finding was exactly such a bug. This harness
+  * generates a >= 100k-doc synthetic corpus from pure exprs (no data
+  * files, no RNG — md5-of-id words, so the corpus is bit-identical on
+  * every run) with the three adversarial plants the lanes exist for:
+  *
+  *  - BOILERPLATE HOT BUCKET: ids % 20 == 0 (5%) share ONE identical
+  *    text, so every band/block/shingle bucket they produce is
+  *    corpus-wide — the degenerate case the caps must drop streaming.
+  *  - NEAR-DUPS: ids % 20 == 6 repeat id-1's text with the last word
+  *    changed — must SURVIVE the caps and surface as candidate pairs.
+  *  - VERBATIM SPANS: ids % 20 in {7, 8} open with the same unique
+  *    12-token span per 20-block (two carriers per span) — the Lee-et-al
+  *    case spanPairs must find while boilerplate shingles are capped.
+  *
+  * Run: `sbt "Test/runMain graft.StressBench [nDocs] [outDir]"`.
+  * Emits one JSON line (times, shuffle bytes, result counts); results
+  * are recorded in BASELINE.md. Stage list: the four capped candidate
+  * generators plus the two judged end-to-end pipelines (x2_dedup_e2e,
+  * x9_curation_e2e) replayed over the synthetic corpus via their real
+  * QuerySpec fns (the corpus is written as <tmp>/documents.parquet so
+  * the judged code paths run unmodified).
+  */
+object StressBench {
+
+  private final class Listener extends org.apache.spark.scheduler.SparkListener {
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+    }
+  }
+
+  /** k-word deterministic pseudo-text: md5-derived 6-hex-char words. */
+  private def words(seed: String, k: Int): String =
+    s"array_join(transform(sequence(1, $k), j -> " +
+      s"substring(md5(concat($seed, '_', cast(j as string))), 1, 6)), ' ')"
+
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val boiler = Seq.tabulate(40)(j => s"boil$j").mkString(" ")
+    spark.range(0, n).selectExpr(
+      "id as doc_id",
+      s"""CASE
+         |  WHEN id % 20 = 0 THEN '$boiler'
+         |  WHEN id % 20 = 6 THEN concat(array_join(slice(transform(
+         |    sequence(1, 40), j -> substring(md5(concat(
+         |    cast(id - 1 as string), '_', cast(j as string))), 1, 6)),
+         |    1, 39), ' '), ' nearly')
+         |  WHEN id % 20 = 7 OR id % 20 = 8 THEN concat(
+         |    ${words("concat('sp', cast(id div 20 as string))", 12)},
+         |    ' ', ${words("cast(id as string)", 28)})
+         |  ELSE ${words("cast(id as string)", 40)}
+         |END as text""".stripMargin,
+      // lang is constant per 20-block so planted near-dup pairs share
+      // their jaccard block (a per-id rule split every pair across langs)
+      "CASE WHEN (id div 20) % 10 < 6 THEN 'en' " +
+        "WHEN (id div 20) % 10 < 9 THEN 'de' ELSE 'fr' END as lang",
+      "concat('s', cast(id % 4 as string)) as source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val out = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft_stress").toString
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    corpus(spark, n).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+
+    val listener = new Listener
+    spark.sparkContext.addSparkListener(listener)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long, Long)]
+    def stage(name: String)(df: => DataFrame): Unit = {
+      listener.shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val cnt = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus drain
+      results(name) = (dt, cnt, listener.shuffleBytes.get())
+      System.err.println(f"[stress] $name%-16s ${dt}%8.2f s  rows=$cnt  " +
+        f"shuffle=${listener.shuffleBytes.get() / 1e6}%.1f MB")
+    }
+
+    stage("lsh_capped")(ops.Dedup.lshCandidates(
+      ops.Dedup.minhash(docs, "text", "doc_id"), "doc_id", maxBucket = 64))
+    stage("simhash_capped")(ops.Dedup.simhashCandidates(
+      ops.Dedup.simhash(docs, "text", "doc_id"), "doc_id", maxBucket = 64))
+    stage("jaccard_capped")(ops.Dedup.jaccardPairs(
+      docs, "text", "doc_id", Seq("lang"), maxDf = 64)
+      .filter(col("jac") >= 0.5))
+    stage("span_capped")(ops.Dedup.spanPairs(
+      docs, "text", "doc_id", n = 8, maxOcc = 64))
+    stage("dedup_e2e")(Queries.byName("x2_dedup_e2e").fn(spark, out))
+    stage("curation_e2e")(Queries.byName("x9_curation_e2e").fn(spark, out))
+
+    // sanity: the plants must be FOUND (caps did not eat the signal).
+    // ~n/20 near-dup pairs from LSH; ~n/20 span groups from spanPairs.
+    val lshPairs = results("lsh_capped")._2
+    val spanPairs = results("span_capped")._2
+    val jacPairs = results("jaccard_capped")._2
+    require(lshPairs >= n / 20 * 9 / 10,
+      s"LSH lost planted near-dups: $lshPairs < ${n / 20 * 9 / 10}")
+    require(spanPairs >= n / 20 * 9 / 10,
+      s"spanPairs lost planted spans: $spanPairs < ${n / 20 * 9 / 10}")
+    require(jacPairs >= n / 20 * 9 / 10,
+      s"jaccard lost planted near-dups: $jacPairs < ${n / 20 * 9 / 10}")
+    // simhash banding is EXPECTED to return 0 here: 8-bit blocks
+    // partition a 100k corpus only 256 ways per block index, so every
+    // bucket exceeds the cap — the documented saturation of 32-bit
+    // simhash at ~blocks·cap docs (see BASELINE.md round-12 notes)
+
+    val json = results.map { case (k, (dt, cnt, sb)) =>
+      f""""$k":{"sec":$dt%.2f,"rows":$cnt,"shuffle_bytes":$sb}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"n_docs":$n,"stages":$json}""")
+    spark.stop()
+  }
+}
