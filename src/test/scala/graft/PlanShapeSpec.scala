@@ -140,20 +140,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("x2 span dedup candidates come from a posting-list aggregate on " +
-      "the shingle hash — ONE shuffle, no join of any kind") {
+      "the shingle hash — the only join is the cap's LEFT SEMI (r12)") {
     val p = plan("x2_span_pairs")
     assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
-      !p.contains("BroadcastHashJoin"),
-      "span candidate generation must be the posting-list double-explode," +
-        " not a self-join (which computes the md5 subtree twice):\n" +
+      !p.contains("BroadcastNestedLoopJoin"),
+      "span candidate generation must stay keyed:\n" + p.take(2000))
+    // r12: capBuckets pre-filters over-cap shingles with a pre-count +
+    // LEFT SEMI join BEFORE collect_list — the semi is the ONLY join
+    // allowed in the plan (an inner/outer join of the corpus against
+    // itself would be the self-join shape the posting list replaced)
+    assert(p.contains("LeftSemi"),
+      "the occurrence cap must pre-filter via a semi-join BEFORE the " +
+        "posting list is collected:\n" + p.take(2000))
+    assert(p.linesIterator.filter(_.contains("Join"))
+      .forall(_.contains("LeftSemi")),
+      "no corpus self-join — candidates come from the double-explode:\n" +
         p.take(2000))
     assert(p.contains("sh#") || p.contains("[sh"),
       "aggregation key should be the shingle hash:\n" + p.take(2000))
-    // exactly one hash-partitioned data exchange (on sh) before the
-    // islands window's (id_a, id_b, diag) exchange and the output sort —
-    // the fan-out round-robin is the only other exchange
     assert(p.contains("Generate explode"),
       "posting lists must double-explode:\n" + p.take(2000))
   }
