@@ -3160,6 +3160,71 @@ object Queries {
            |ORDER BY query_id, rnk""".stripMargin),
     bench = true)
 
+  /** X3i — binary (sign) quantization + Hamming top-k: 64 float dims
+    * pack into ONE long (32× compression — the 8-bytes-per-vector tier
+    * that makes a trillion-row index memory-resident at 100 TB) and the
+    * per-pair kernel is bit_count(xor), two codegen'd integer ops. The
+    * oracle replays Hamming through the sign-dot identity
+    * (dim − Σsᵢqᵢ)/2 on ±1 lists — exact integers on both engines. */
+  val x3BinaryTopk = QuerySpec("x3_binary_topk",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.binaryTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH s AS (SELECT vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |      x -> CASE WHEN x > 0 THEN 1 ELSE -1 END) AS sg
+           |  FROM embeddings),
+           |p AS (SELECT q.vec_id AS query_id, c.vec_id,
+           |    CAST((64 - CAST(list_dot_product(q.sg, c.sg) AS BIGINT)) / 2
+           |      AS INT) AS hamming
+           |  FROM s q, s c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |r AS (SELECT query_id, vec_id, hamming,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY hamming, vec_id) AS INT) AS rnk
+           |  FROM p)
+           |SELECT query_id, vec_id, hamming, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin),
+    bench = true)
+
+  /** X3i (serving shape) — binary candidates → exact re-rank: the coarse
+    * pass reads 8 bytes/vector, floats are touched for queries × 25
+    * candidate rows only. Cut boundary (exact Hamming, vec_id tie-break)
+    * and final ranking (6dp cosine) both replay in the oracle. */
+  val x3BinaryRerank = QuerySpec("x3_binary_rerank",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.binaryRerankTopK(emb.filter(col("vec_id") < 10), emb,
+          candidates = 25, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH s AS (SELECT vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |      x -> CASE WHEN x > 0 THEN 1 ELSE -1 END) AS sg
+           |  FROM embeddings),
+           |p AS (SELECT q.vec_id AS query_id, c.vec_id,
+           |    CAST((64 - CAST(list_dot_product(q.sg, c.sg) AS BIGINT)) / 2
+           |      AS INT) AS hamming
+           |  FROM s q, s c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |b AS (SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY hamming, vec_id) AS brnk
+           |  FROM p),
+           |cand AS (SELECT query_id, vec_id FROM b WHERE brnk <= 25),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |x AS (SELECT c.query_id, c.vec_id,
+           |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+           |  FROM cand c
+           |  JOIN e qe ON qe.vec_id = c.query_id
+           |  JOIN e ce ON ce.vec_id = c.vec_id),
+           |r AS (SELECT query_id, vec_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
+           |  FROM x)
+           |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin))
+
   /** X7a — bucketed co-located join: both fact tables are written
     * bucketed by the join key (Scale.writeBucketed), so the join needs NO
     * exchange on either side — each bucket pair joins in place. At 100 TB
@@ -4790,6 +4855,7 @@ object Queries {
     x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5Cms, x5Weighted, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
+    x3BinaryTopk, x3BinaryRerank,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode, x4LmScore,
     x4LmScoreHoldout,

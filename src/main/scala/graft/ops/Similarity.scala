@@ -774,6 +774,73 @@ object Similarity {
     * corpus (0.59 without probing; spec-pinned >= 0.9) — near-uniform
     * data is LSH's worst case, so real corpora with genuinely-near
     * duplicates reach the same recall with far fewer tables. */
+  /** X3i — BINARY (sign) quantization: every dimension collapses to its
+    * sign bit and the whole `dim`-wide float vector packs into ONE 64-bit
+    * long (dim <= 64) — a 32× compression over float32, the most
+    * aggressive point on the quantization ladder (float → int8 → PQ →
+    * 1-bit). At 100 TB the per-vector footprint is 8 BYTES: a
+    * trillion-vector index fits in a few TB of executor memory, and the
+    * per-pair scoring kernel is two integer instructions
+    * (`bit_count(xor)`) instead of a 64-wide float dot — both codegen'd
+    * builtins, no UDF. Sign-bit Hamming is a monotone estimator of
+    * angular distance (Goemans–Williamson: P[sign agree] = 1 − θ/π per
+    * hyperplane; here the hyperplanes are the coordinate axes), so it
+    * ranks, and the standard deployment re-scores survivors at full
+    * precision ([[binaryRerankTopK]]). The bit-pack fold adds each
+    * `shiftleft(1, i)` exactly once, so the packed long is deterministic
+    * and the Hamming count is oracle-replayable via the sign-dot identity
+    * hamming = (dim − Σ sᵢqᵢ)/2 with s,q ∈ {−1,+1}. */
+  def binarize(df: DataFrame, vecCol: String, dim: Int,
+      as: String = "bits"): DataFrame = {
+    require(dim <= 64, s"binarize packs into one long; dim=$dim > 64")
+    df.withColumn(as, expr(
+      s"aggregate(sequence(0, ${dim - 1}), cast(0 as bigint), " +
+        s"(acc, i) -> acc + if(element_at($vecCol, i + 1) > cast(0 as float), " +
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"))
+  }
+
+  /** Top-k by Hamming distance over the packed sign bits. The corpus-side
+    * scan reads ONE long per vector; queries broadcast. Ties break on
+    * vec_id (ascending Hamming = descending similarity). */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int = 64): DataFrame = {
+    val q = broadcast(binarize(queries, "embedding", dim)
+      .select(col("vec_id").as("query_id"), col("bits").as("qbits")))
+    val c = binarize(corpus, "embedding", dim)
+      .select(col("vec_id"), col("bits"))
+    val pairs = c.crossJoin(q).filter(col("query_id") =!= col("vec_id"))
+    pairs
+      .withColumn("hamming", expr("cast(bit_count(qbits ^ bits) as int)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("hamming"), col("rnk"))
+  }
+
+  /** X3i (serving shape) — binary candidate generation + exact cosine
+    * re-rank of the survivors: the coarse pass touches 8 bytes/vector,
+    * full-precision floats are read for queries × candidates rows only.
+    * Same composition contract as [[rerankTopK]]: both stages rank over
+    * a deterministic key (exact Hamming, then 6dp-rounded cosine with
+    * vec_id tie-break), so the cut boundary replays in the oracle. */
+  def binaryRerankTopK(queries: DataFrame, corpus: DataFrame,
+      candidates: Int, k: Int, dim: Int = 64): DataFrame = {
+    val cand = binaryTopK(queries, corpus, candidates, dim)
+      .select(col("query_id"), col("vec_id"))
+    val c = withNorm(corpus.select(col("vec_id"),
+      asDouble("embedding").as("cv")), "cv", "cn")
+    val q = broadcast(withNorm(queries.select(col("vec_id").as("query_id"),
+      asDouble("embedding").as("qv")), "qv", "qn"))
+    val joined = cand.join(c, Seq("vec_id")).join(q, Seq("query_id"))
+    joined.withColumn("sim", round(cosinePre(joined), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 4, nTables: Int = 6, multiProbe: Boolean = true): DataFrame = {
     // norms computed BEFORE the posexplode/probe fan-out: once per vector,

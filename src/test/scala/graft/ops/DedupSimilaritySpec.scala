@@ -706,4 +706,39 @@ class DedupSimilaritySpec extends SparkSpec {
       picks.map(_._3).toSet != topSets(qid)
     }, "diversification changed nothing — λ weighting is inert")
   }
+
+  test("X3i binary quantization packs one long per vector; Hamming ranks " +
+      "and the rerank stage dominates the coarse pass") {
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
+    val b = Similarity.binarize(emb, "embedding", 64)
+    // the 32x compression claim IS the schema: 64 float dims -> one long
+    assert(b.schema("bits").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // bit i set iff dimension i is strictly positive — checked
+    // definitionally on a real row
+    val row = b.select(col("bits"),
+      Similarity.asDouble("embedding").as("v")).head()
+    val bits = row.getLong(0)
+    val v = row.getSeq[Double](1)
+    (0 until 64).foreach { i =>
+      assert((((bits >> i) & 1L) == 1L) == (v(i) > 0),
+        s"bit $i disagrees with sign of dim $i")
+    }
+    val (queries, exact) = recallHarness(emb, 20)
+    def results(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(got: Set[(Long, Long)]): Double =
+      (exact intersect got).size.toDouble / exact.size
+    val coarse = recall(results(Similarity.binaryTopK(queries, emb, 10)))
+    val rr = recall(results(
+      Similarity.binaryRerankTopK(queries, emb, candidates = 50, k = 10)))
+    info(s"recall@10: binary coarse $coarse, binary+rerank(50) $rr")
+    // near-uniform random embeddings are the sign-sketch worst case
+    // (true neighbors sit near cos 0.3); even there 1 bit/dim must beat
+    // chance (10/500 = 0.02) by an order of magnitude, and exact
+    // re-scoring of 50 candidates must recover most of the exact set
+    assert(coarse >= 0.2, s"coarse binary recall collapsed: $coarse")
+    assert(rr >= 0.5, s"rerank recall collapsed: $rr")
+    assert(rr >= coarse, "exact re-scoring cannot lose recall")
+  }
 }
