@@ -4546,6 +4546,50 @@ object Queries {
       "    AS BIGINT) AS l1_ppm\n" +
       "FROM s0 FULL OUTER JOIN s1 USING (bin)"))
 
+  /** X10b — PAGERANK over the customer↔supplier trade graph (round 12):
+    * iterative link centrality — the curation signal CommonCrawl-scale
+    * pipelines weight page/domain quality with — in EXACT integer ppm
+    * fixed point (contrib = score div outdeg; damp = 150000 +
+    * (850·Σ) div 1000), so all three unrolled iterations hash-match the
+    * oracle's CTE chain. Per iteration: one equi-join of the static
+    * degree-annotated edge frame against the node-sized rank frame +
+    * one partial-combining sum — shuffles on node ids only, state is
+    * one row per node. */
+  val x10Pagerank = QuerySpec("x10_pagerank",
+    (s, d) => Graph.pageRank(
+        Graph.tradeEdges(T(s, d, "lineitem"), T(s, d, "orders")), 3)
+      .orderBy(col("node")),
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT src, dst FROM e0
+           |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+           |        FROM e GROUP BY src),
+           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score
+           |       FROM deg),
+           |c1 AS (SELECT e.dst AS node,
+           |    CAST(sum(r.score // d.outdeg) AS BIGINT) AS c
+           |  FROM e JOIN r0 r ON e.src = r.node
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+           |r1 AS (SELECT node,
+           |    CAST(150000 + (850 * c) // 1000 AS BIGINT) AS score FROM c1),
+           |c2 AS (SELECT e.dst AS node,
+           |    CAST(sum(r.score // d.outdeg) AS BIGINT) AS c
+           |  FROM e JOIN r1 r ON e.src = r.node
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+           |r2 AS (SELECT node,
+           |    CAST(150000 + (850 * c) // 1000 AS BIGINT) AS score FROM c2),
+           |c3 AS (SELECT e.dst AS node,
+           |    CAST(sum(r.score // d.outdeg) AS BIGINT) AS c
+           |  FROM e JOIN r2 r ON e.src = r.node
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+           |r3 AS (SELECT node,
+           |    CAST(150000 + (850 * c) // 1000 AS BIGINT) AS score FROM c3)
+           |SELECT node, score FROM r3 ORDER BY node""".stripMargin),
+    bench = true)
+
   /** X7p — SNAPSHOT CONTENT AUDIT (round 11): the anti-entropy check —
     * per-group row counts plus an order-independent bit_xor fingerprint
     * of every row's content (keys, status, integer cents), computed over
@@ -4865,7 +4909,7 @@ object Queries {
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
     x7IncrAgg, x7IncrMinhash, x7IncrHist, x7IncrCms, x7MetaCount, x7Audit,
-    x10Drift,
+    x10Drift, x10Pagerank,
     stMergeReplay,
     x8Resample, x8Sessionize, x9Curation,
     mmMeta, mmDecode, mmSim)
