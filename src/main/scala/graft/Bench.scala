@@ -96,7 +96,9 @@ object Bench {
     // the plan, which is exactly why they are the regression signal).
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
-    var errors = List.empty[(String, String)]
+    // keyed by query name: the SAME failure in both timed passes must not
+    // produce duplicate JSON keys (r12's artifact carried each error twice)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val metrics = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     def timedPass(): Seq[(String, Double)] = SparkEntry.benchQueries.map { name =>
       listener.reset()
@@ -104,7 +106,7 @@ object Bench {
       val ok =
         try { exec(name, sfDir); true }
         catch { case e: Throwable =>
-          errors ::= (name -> e.toString.take(200))
+          errors.getOrElseUpdate(name, e.toString.take(200))
           System.err.println(s"[bench] $name FAILED: $e")
           false
         }
@@ -157,11 +159,25 @@ object Bench {
     // compact driver-facing line WITHOUT the metrics map: the driver keeps
     // only the final ~2000 chars of stdout and parses the last line. Round
     // 10's single full line (3384 chars with 31 queries' metrics) overflowed
-    // that window and the round lost its driver-side perf record — so the
-    // full JSON goes to bench_out.json + an EARLIER stdout line, and the
-    // FINAL line is the compact form only.
-    val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // that window, and round 12's compact line did too (2985 chars — four
+    // failing queries' 200-char exception strings, each duplicated across
+    // the two timed passes). So: full JSON goes to bench_out.json + an
+    // EARLIER stdout line; the FINAL line is the compact form, with error
+    // messages hard-capped and a precision fallback if the benched set ever
+    // grows the line past the window again.
+    def compactLine(decimals: Int, errCap: Int): String = {
+      def f(v: Double): String =
+        if (v < 0) "-1"
+        else BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toString
+      val q = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val e = errors.map { case (k, v) =>
+        "\"" + esc(k) + "\":\"" + esc(v.take(errCap)) + "\""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$q,"errors":$e,"sf":"$sfDir"}"""
+    }
+    val compact = Seq(compactLine(4, 80), compactLine(3, 40), compactLine(2, 0))
+      .find(_.length <= 1900).getOrElse(compactLine(2, 0))
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
     println(full)

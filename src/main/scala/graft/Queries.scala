@@ -1209,11 +1209,7 @@ object Queries {
       // basePath keeps partition discovery rooted at the table dir
       val raw = s.readStream.schema(rawSchema).option("basePath", d)
         .parquet(s"$d/{events.parquet}")
-      val withTs = rawSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => raw
-      }
+      val withTs = graft.ops.Tables.normalizeTs(raw)
       val ticks = withTs.select(col("ts"),
         isinFrom(col("user_id")).as("isin"),
         col("value").as("last_price"),
@@ -1269,15 +1265,9 @@ object Queries {
   val stEnrichReplay = QuerySpec("st_enrich_replay",
     (s, d) => {
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      def src: DataFrame = {
-        val raw = s.readStream.schema(rawSchema).option("basePath", d)
-          .parquet(s"$d/{events.parquet}")
-        rawSchema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          case _ => raw
-        }
-      }
+      def src: DataFrame = graft.ops.Tables.normalizeTs(
+        s.readStream.schema(rawSchema).option("basePath", d)
+          .parquet(s"$d/{events.parquet}"))
       val ticks = src
         .filter(col("event_type") === "click" && col("user_id") < 30)
         .select(isinFrom(col("user_id")).as("isin"), col("ts"),
@@ -1330,11 +1320,8 @@ object Queries {
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val raw = s.readStream.schema(rawSchema).option("basePath", d)
         .parquet(s"$d/{events.parquet}")
-      val withUs = rawSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("us", expr("ts div 1000"))
-        case _ => raw.withColumn("us", expr("unix_micros(ts)"))
-      }
+      val withUs = graft.ops.Tables.normalizeTs(raw)
+        .withColumn("us", expr("unix_micros(ts)"))
       val ev = withUs.filter(col("user_id") < 30)
         .select(col("user_id"), col("event_id"), col("us"),
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
@@ -1380,11 +1367,8 @@ object Queries {
         val rawSchema = s.read.parquet(s"$d/events.parquet").schema
         val raw = s.readStream.schema(rawSchema).option("basePath", d)
           .parquet(s"$d/{events.parquet}")
-        val withUs = rawSchema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            raw.withColumn("us", expr("ts div 1000"))
-          case _ => raw.withColumn("us", expr("unix_micros(ts)"))
-        }
+        val withUs = graft.ops.Tables.normalizeTs(raw)
+          .withColumn("us", expr("unix_micros(ts)"))
         val ev = withUs.filter(col("user_id") < 30)
           .select(col("user_id"), col("event_id"), col("us"),
             expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))

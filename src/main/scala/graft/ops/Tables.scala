@@ -20,17 +20,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark 4
-    * only reads with spark.sql.legacy.parquet.nanosAsLong=true (as a long).
-    * Converted here to a µs TimestampType via exact integer division —
-    * the same ns->µs truncation DuckDB applies, so oracle parity holds. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-      case _ => raw
+  /** The events table's ts physical type has varied across driver data
+    * regenerations: parquet TIMESTAMP(NANOS) (readable only as a long via
+    * spark.sql.legacy.parquet.nanosAsLong=true), and naive TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ.
+    * Both are normalized here to a µs TimestampType so every downstream
+    * query (unix_micros, window(), session_window, stream replays) sees one
+    * stable type. The NTZ→LTZ cast under the UTC session timezone is an
+    * identity on the stored micros — exactly the naive-epoch reading DuckDB
+    * applies — and the ns path truncates ns→µs the same way DuckDB does,
+    * so oracle parity holds on either physical encoding. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** Normalize the `ts` column from any of the observed physical encodings
+    * to a µs TimestampType. Shared by the batch loader above and the
+    * streaming replay readers (which must apply the same rule to a
+    * readStream frame built from the batch-inferred schema). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -196,13 +196,9 @@ class StreamingSpec extends SparkSpec {
   test("stream-batch equivalence: hourly counts over events match batch") {
     val d = sf("sf0.001")
     val batch = Tables.events(spark, d)
-    // stream reads the raw long-nanos ts (nanosAsLong), converted by the
-    // same expression Tables.events applies on the batch side
-    val rawSchema = org.apache.spark.sql.types.StructType(batch.schema.map {
-      case f if f.name == "ts" =>
-        f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
+    // stream reads the file-native ts encoding (the batch-inferred schema),
+    // normalized by the same rule Tables.events applies on the batch side
+    val rawSchema = spark.read.parquet(s"$d/events.parquet").schema
     // FileStreamSource wants a directory; stage the single file into one
     val dir = java.nio.file.Files.createTempDirectory("evstream")
     java.nio.file.Files.copy(
@@ -213,7 +209,7 @@ class StreamingSpec extends SparkSpec {
     def hourly(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
-    val q = hourly(stream.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val q = hourly(Tables.normalizeTs(stream))
       .writeStream.outputMode("complete").format("memory").queryName("sb").start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("sb").orderBy("h").collect().toSeq
