@@ -2736,6 +2736,99 @@ object Queries {
            |FROM tr LEFT JOIN hits h USING (doc_id)
            |ORDER BY doc_id""".stripMargin))
 
+  /** X5m — PORTABLE BLOOM FILTER BUILD (round 13): the benchmark split's
+    * 5-gram keys compressed to a k=3, m=1024-bit filter, judged as its
+    * set-bit-position SET — the md5-twin discipline (a2_hll_md5,
+    * x5_cms_estimate) applied to Bloom: engine-portable hash math means
+    * the filter CONTENTS are oracle-replayable, not just its verdicts.
+    * Output is bounded at m rows whatever the corpus; per-shard filters
+    * union-merge (SketchSpec pins merge == whole-build). */
+  val x5Bloom = QuerySpec("x5_bloom",
+    (s, d) => {
+      val bench = T(s, d, "documents").filter(col("doc_id") % 17 === 3)
+      Sketch.bloomBuild(
+          TextOps.benchmarkShingles(bench, "text", 5), "sh", 3, 1024)
+        .orderBy(col("pos"))
+    },
+    Some("""WITH b AS (
+           |  SELECT string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents WHERE doc_id % 17 = 3),
+           |bsh AS (
+           |  SELECT DISTINCT unnest(list_transform(range(1, nt - 3),
+           |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |      || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS sh
+           |  FROM b WHERE nt >= 5),
+           |ks AS (SELECT unnest(range(0, 3)) AS i)
+           |SELECT DISTINCT
+           |  ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sh), 1, 8))
+           |    ::BIGINT % 1024 AS pos
+           |FROM bsh, ks ORDER BY pos""".stripMargin))
+
+  /** X4f — BLOOM-GATED DECONTAMINATION (round 13): the x4_decontaminate
+    * semantics re-expressed as the 100 TB plan — the benchmark's shingle
+    * set compresses to an m-bit filter that rides into the corpus scan
+    * as an array literal, so corpus shingles are membership-tested
+    * MAP-SIDE (codegen'd element_at + shifts, zero join, zero shuffle of
+    * corpus shingles; the exact lane shuffles every one of them into an
+    * equi-join). The only shuffle left is the per-doc count agg. False
+    * positives are deterministic md5 math, so the oracle replays the
+    * same verdicts bit for bit — and a curation gate tolerates them in
+    * the safe direction (may drop a clean doc, never leaks a
+    * contaminated one). m=2^16, k=3 puts the judged corpus in a
+    * realistic sub-1% FP regime. */
+  val x4DecontaminateBloom = QuerySpec("x4_decontaminate_bloom",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      TextOps.decontaminateBloom(
+          docs.filter(col("doc_id") % 17 =!= 3),
+          docs.filter(col("doc_id") % 17 === 3).select(col("text")),
+          "text", "doc_id", n = 5, k = 3, m = 1 << 16)
+        .select(col("doc_id"), col("n_flagged"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tr AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents WHERE doc_id % 17 <> 3),
+           |b AS (
+           |  SELECT string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents WHERE doc_id % 17 = 3),
+           |tsh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(1, nt - 3),
+           |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |      || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS sh
+           |  FROM tr WHERE nt >= 5),
+           |bsh AS (
+           |  SELECT DISTINCT unnest(list_transform(range(1, nt - 3),
+           |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |      || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS sh
+           |  FROM b WHERE nt >= 5),
+           |ks AS (SELECT unnest(range(0, 3)) AS i),
+           |bpos AS (
+           |  SELECT DISTINCT
+           |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sh), 1, 8))
+           |      ::BIGINT % 65536 AS pos
+           |  FROM bsh, ks),
+           |dp AS (
+           |  SELECT doc_id, sh, i,
+           |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sh), 1, 8))
+           |      ::BIGINT % 65536 AS pos
+           |  FROM tsh, ks),
+           |hit AS (
+           |  SELECT doc_id, sh FROM dp JOIN bpos USING (pos)
+           |  GROUP BY doc_id, sh HAVING count(*) = 3),
+           |flag AS (
+           |  SELECT doc_id, count(*) AS n_flagged FROM hit GROUP BY doc_id)
+           |SELECT tr.doc_id,
+           |  CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           |  coalesce(f.n_flagged, 0) > 0 AS contaminated
+           |FROM tr LEFT JOIN flag f USING (doc_id)
+           |ORDER BY doc_id""".stripMargin),
+    bench = true)
+
   val x4TokenBpe = QuerySpec("x4_token_bpe",
     (s, d) => TextOps.withBpeCount(T(s, d, "documents"), "text")
       .select(col("doc_id"), col("n_bpe").cast("int").as("n_bpe"),
@@ -3974,6 +4067,49 @@ object Queries {
     Some(sql8Text),
     bench = true)
 
+  /** SQL9 — TPC-H Q21's plan shape (round 13): "suppliers who blocked
+    * an order" — fact ⋈ dim with BOTH a correlated EXISTS and a
+    * correlated NOT EXISTS against the SAME fact table, then agg +
+    * ordered top-k. (Faithful Q21 keys on receipt > commit dates the
+    * driver tables don't carry; `l_returnflag = 'R'` stands in as the
+    * "late" predicate — the join/semi/anti structure, the part that
+    * exercises the optimizer, is Q21's exactly.) Catalyst plans the
+    * EXISTS as a LeftSemi and the NOT EXISTS as a LeftAnti on the
+    * l_orderkey equi-key — self-(semi)joins of the big table shuffled
+    * once on the same key, then reused; at 100 TB orderkey-bucketing
+    * the fact table makes all three passes co-located. The identical
+    * SQL text runs on both engines (sql2 discipline); counts are
+    * integers and the top-k tie-breaks on s_suppkey, so the result is
+    * hash-stable. */
+  private val sql9Text: String =
+    """SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_blocked
+      |FROM supplier s
+      |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_suppkey, s.s_name
+      |ORDER BY n_blocked DESC, s.s_suppkey
+      |LIMIT 25""".stripMargin
+
+  val sql9Q21Blocked = QuerySpec("sql9_q21_blocked",
+    (s, d) => {
+      Seq("supplier", "orders", "lineitem").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql9Text)
+    },
+    Some(sql9Text),
+    bench = true)
+
   /** F14 — higher-order array functions (round 9): transform / filter /
     * aggregate / zip_with over the real embedding arrays. Element math is
     * integer-ized FIRST (floor-milli longs), so every fold is exact and
@@ -4574,6 +4710,40 @@ object Queries {
            |SELECT node, score FROM r3 ORDER BY node""".stripMargin),
     bench = true)
 
+  /** X10c — TRIANGLE COUNTING (round 13): per-node triangle
+    * participation over the co-supply graph (suppliers adjacent when
+    * they supply the same part), by degree-ordered edge orientation —
+    * the clustering/cohesion signal of graph-based corpus curation
+    * (spam farms are triangle-dense, legitimate link neighborhoods are
+    * sparse). The scale contract is the orientation itself: every wedge
+    * is generated at its lowest-degree corner, bounding the join
+    * fan-out at O(√m) per node — a celebrity node never self-joins at
+    * its full degree (Graph.triangles scaladoc). The per-part clique
+    * blowup in the FIXTURE is bounded the same way the Dedup candidate
+    * generators are: per-part set sizes are pre-counted and hot parts
+    * dropped BEFORE the pair self-join; the oracle replays the cap. The
+    * count is exact integer, so the whole result hash-checks against
+    * DuckDB's naive three-way self-join. */
+  val x10Triangles = QuerySpec("x10_triangles",
+    (s, d) => Graph.triangles(Graph.coSupplyEdges(T(s, d, "lineitem"), 499L))
+      .orderBy(col("node")),
+    Some("""WITH sp AS (
+           |  SELECT DISTINCT l_partkey AS p, CAST(l_suppkey AS BIGINT) AS s
+           |  FROM lineitem WHERE l_partkey % 499 = 0),
+           |ok AS (SELECT p FROM sp GROUP BY p HAVING count(*) <= 1000),
+           |spb AS (SELECT sp.p, sp.s FROM sp JOIN ok USING (p)),
+           |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+           |      FROM spb x JOIN spb y ON x.p = y.p AND x.s < y.s),
+           |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+           |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+           |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |c AS (SELECT u AS node FROM t
+           |      UNION ALL SELECT v FROM t
+           |      UNION ALL SELECT w FROM t)
+           |SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+           |FROM c GROUP BY node ORDER BY node""".stripMargin),
+    bench = true)
+
   /** X7p — SNAPSHOT CONTENT AUDIT (round 11): the anti-entropy check —
     * per-group row counts plus an order-independent bit_xor fingerprint
     * of every row's content (keys, status, integer cents), computed over
@@ -4877,6 +5047,7 @@ object Queries {
     stStateTws,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     sql5Recursive, sql6Q3Shipping, sql7Q18BigOrders, sql8Q10Returns,
+    sql9Q21Blocked,
     f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
@@ -4888,12 +5059,13 @@ object Queries {
     x4TextStats, x4LangId, x4Fingerprint, x4TokenBpe, x4BpeEncode, x4LmScore,
     x4LmScoreHoldout,
     x4Repetition, x4Tfidf,
-    x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate,
+    x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate, x4DecontaminateBloom,
+    x5Bloom,
     x6SaltedAgg, x6SaltedJoin,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
     x7IncrAgg, x7IncrMinhash, x7IncrHist, x7IncrCms, x7MetaCount, x7Audit,
-    x10Drift, x10Pagerank,
+    x10Drift, x10Pagerank, x10Triangles,
     stMergeReplay,
     x8Resample, x8Sessionize, x9Curation,
     mmMeta, mmDecode, mmSim)

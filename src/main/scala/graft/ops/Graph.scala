@@ -58,6 +58,85 @@ object Graph {
     rank.select(col("src").as("node"), col("score"))
   }
 
+  /** Per-node triangle participation counts over an undirected graph,
+    * by degree-ordered edge orientation (Suri & Vassilvitskii 2011, the
+    * MapReduce-era fix for "the curse of the last reducer"; same shape
+    * Spark GraphX's TriangleCount uses).
+    *
+    * Naive wedge enumeration joins the adjacency list with itself on the
+    * wedge center, so one celebrity node with degree d contributes d²
+    * pairs — the classic skew killer. Orienting every edge from its
+    * (degree, id)-smaller endpoint to the larger one makes each
+    * undirected edge appear exactly once, every wedge is generated at
+    * its LOWEST-degree corner, and the oriented out-degree is O(√m) on
+    * any graph (and O(arboricity) on real-world ones) — so the wedge
+    * join's fan-out is bounded per node regardless of raw degree. The
+    * triangle check is then one equi-join of wedges against oriented
+    * edges. All three shuffles are node-/edge-keyed equi-joins; nothing
+    * is ever all-pairs.
+    *
+    * Exact integer end to end (counts), so the whole result is
+    * oracle-hash-checkable against a naive three-way self-join. */
+  def triangles(edges: DataFrame): DataFrame = {
+    // normalize to undirected unique pairs (a < b), no self-loops
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    // orient: (degree, id)-smaller endpoint -> larger; carry the head's
+    // rank so the wedge join below can order its two heads without
+    // another degree lookup
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    // wedges at the low corner u, heads rank-ordered x < y, so the pair
+    // (x, y) is itself in oriented orientation and closes iff it is an
+    // oriented edge — one equi-join, each triangle found exactly once
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")),
+        Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tri = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** Co-supply demo graph: suppliers are adjacent when they supply the
+    * same part (a co-occurrence projection, the document↔entity shape of
+    * web-corpus link analysis). Per-part supplier sets become cliques, so
+    * a hot part with k suppliers would emit k² pair instances — the cap
+    * is enforced BEFORE the pair self-join by pre-counting the per-part
+    * set size and semi-joining the survivors (the same
+    * cap-before-materialize discipline as the Dedup candidate
+    * generators). `partMod` thins the part space deterministically so
+    * fixtures stay oracle-replayable at every scale factor. */
+  def coSupplyEdges(lineitem: DataFrame, partMod: Long,
+      maxPerPart: Int = 1000): DataFrame = {
+    val sp = lineitem.filter(col("l_partkey") % partMod === 0)
+      .select(col("l_partkey").as("p"), col("l_suppkey").cast("long").as("s"))
+      .distinct()
+    val ok = sp.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxPerPart).select(col("p"))
+    val bounded = sp.join(ok, Seq("p"), "left_semi")
+    bounded.as("x")
+      .join(bounded.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst"))
+      .distinct()
+  }
+
   /** The driver-table demo graph: the bipartite customer↔supplier
     * trade graph from `lineitem ⋈ orders`, symmetrized (both directions)
     * so rank circulates. Customer c → node 2c, supplier s → node 2s+1

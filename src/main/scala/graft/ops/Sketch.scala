@@ -78,6 +78,61 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Portable Bloom filter, materialized AS DATA: the set of set bit
+    * positions of a k-hash, m-bit filter over `valueCol` — position i of
+    * a value is the CMS row hash (first 32 md5 bits of "i:v") mod m, so
+    * filter contents and every membership verdict (false positives
+    * included) replay bit-identically in any engine. This is the
+    * oracle-checkable twin of the engine-native `stat.bloomFilter`
+    * behind RuntimeFilter (x7_bloom_prune), the same md5-twin discipline
+    * as the HLL below. Build is one explode + distinct — the output is
+    * bounded at m rows no matter the corpus; per-shard filters merge by
+    * union-distinct without re-reading shards. */
+  def bloomBuild(df: DataFrame, valueCol: String, k: Int, m: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"bloom needs 1 <= k <= 16, got $k")
+    require(m >= 64 && m % 64 == 0,
+      s"bloom bit count must be a positive multiple of 64, got $m")
+    val cells = (0 until k).map(i => bucket(col(valueCol), i, m))
+    df.select(explode(array(cells: _*)).as("pos")).distinct()
+  }
+
+  /** Driver-side packed bitset of a [[bloomBuild]] positions frame. The
+    * collect is bounded at m rows BY CONTRACT (distinct positions mod m
+    * — enforced, not assumed: any position outside [0, m) throws), the
+    * same bounded-collect class as the manifest stats; the result is the
+    * 8·(m/64)-byte artifact that ships to executors inside a literal. */
+  def bloomBits(positions: DataFrame, m: Int): Array[Long] = {
+    require(m >= 64 && m % 64 == 0,
+      s"bloom bit count must be a positive multiple of 64, got $m")
+    val words = new Array[Long](m / 64)
+    positions.select(col("pos").cast("long")).collect().foreach { r =>
+      val p = r.getLong(0)
+      require(p >= 0 && p < m, s"bloom position $p outside [0, $m)")
+      words((p >> 6).toInt) |= 1L << (p & 63)
+    }
+    words
+  }
+
+  /** Membership test against a packed bitset: all k md5 positions set.
+    * The filter rides along as an array literal (broadcast-class, tiny)
+    * and the test is element_at + integer shifts — codegen'd built-ins
+    * on the corpus side, NO join and NO shuffle: this is what makes
+    * Bloom pre-filtering the 100 TB shape for membership-style passes
+    * (decontamination, blocklists) — the corpus is touched exactly once,
+    * map-side. */
+  def bloomContains(value: Column, bits: Array[Long], k: Int, m: Int): Column = {
+    require(bits.length * 64 == m,
+      s"bitset carries ${bits.length * 64} bits, expected $m")
+    val arr = typedLit(bits.toSeq)
+    (0 until k).map { i =>
+      val pos = bucket(value, i, m)
+      val word = element_at(arr,
+        (call_function("shiftright", pos, lit(6)) + 1).cast("int"))
+      call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
   /** HyperLogLog with md5-derived hashing — the oracle-checkable twin of
     * `approx_count_distinct` (whose datasketches register layout is
     * engine-defined, hence that query is rows-only). Same pattern as the

@@ -211,23 +211,66 @@ object TextOps {
   def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String,
       idCol: String, n: Int = 8): DataFrame = {
     require(n >= 2 && n <= 32, s"shingle width must be in [2, 32], got $n")
-    def shingles(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) = df
-      .withColumn("_ltoks", split(lower(col(textCol)), " "))
-      .withColumn("_nlt", size(col("_ltoks")))
-      .withColumn("sh", explode(when(col("_nlt") >= n, expr(
-        s"transform(sequence(1, _nlt - ${n - 1}), " +
-          s"i -> md5(array_join(slice(_ltoks, i, $n), ' ')))"))
-        .otherwise(array())))
-      .select(keep :+ col("sh"): _*)
-    val benchShingles = shingles(benchmark, Seq.empty).distinct()
+    val benchShingles = shingleKeys(benchmark, textCol, n, Seq.empty).distinct()
     // md5-per-shingle is compute-heavy; spread few-split corpus inputs
-    val hits = shingles(Scale.fanOut(docs), Seq(col(idCol)))
+    val hits = shingleKeys(Scale.fanOut(docs), textCol, n, Seq(col(idCol)))
       .join(benchShingles, "sh")
       .groupBy(col(idCol))
       .agg(countDistinct(col("sh")).as("n_contaminated"))
     docs.join(hits, Seq(idCol), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** The distinct word-n-gram md5 keys of a benchmark/eval frame — the
+    * set both decontamination lanes guard against (the exact lane joins
+    * it; the Bloom lane compresses it via Sketch.bloomBuild). */
+  def benchmarkShingles(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 32, s"shingle width must be in [2, 32], got $n")
+    shingleKeys(df, textCol, n, Seq.empty).distinct()
+  }
+
+  /** The word-n-gram md5 keys of every document, one output row per
+    * shingle — shared by exact decontamination (equi-join on the key)
+    * and the Bloom lane below (map-side membership test on the key). */
+  private def shingleKeys(df: DataFrame, textCol: String, n: Int,
+      keep: Seq[org.apache.spark.sql.Column]): DataFrame = df
+    .withColumn("_ltoks", split(lower(col(textCol)), " "))
+    .withColumn("_nlt", size(col("_ltoks")))
+    .withColumn("sh", explode(when(col("_nlt") >= n, expr(
+      s"transform(sequence(1, _nlt - ${n - 1}), " +
+        s"i -> md5(array_join(slice(_ltoks, i, $n), ' ')))"))
+      .otherwise(array())))
+    .select(keep :+ col("sh"): _*)
+
+  /** Benchmark decontamination through a PORTABLE BLOOM FILTER
+    * (Sketch.bloomBuild/bloomContains) instead of the exact shingle
+    * equi-join above. The benchmark's shingle keys compress to an m-bit
+    * filter that rides into the corpus pass as a broadcast-class array
+    * literal, so the corpus side is touched exactly ONCE, map-side — no
+    * shuffle of corpus shingles at all; the only shuffle left is the
+    * per-doc count aggregation (partial-combining). That is the trade
+    * the Bloom lane exists for at 100 TB: `decontaminate` shuffles every
+    * corpus shingle into the join; this never moves them. The cost is a
+    * deterministic false-positive rate (~(1-e^{-kn/m})^k) flagging a
+    * clean shingle as dirty — acceptable for a KEEP/DROP curation gate
+    * (drops a clean doc, never leaks a contaminated one), and because
+    * the k md5 positions are engine-portable math, the oracle replays
+    * the exact same verdicts, false positives included. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 8, k: Int = 3,
+      m: Int = 1 << 16): DataFrame = {
+    require(n >= 2 && n <= 32, s"shingle width must be in [2, 32], got $n")
+    val bits = Sketch.bloomBits(
+      Sketch.bloomBuild(shingleKeys(benchmark, textCol, n, Seq.empty),
+        "sh", k, m), m)
+    val flagged = shingleKeys(Scale.fanOut(docs), textCol, n, Seq(col(idCol)))
+      .filter(Sketch.bloomContains(col("sh"), bits, k, m))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("sh")).as("n_flagged"))
+    docs.join(flagged, Seq(idCol), "left")
+      .withColumn("n_flagged", coalesce(col("n_flagged"), lit(0L)))
+      .withColumn("contaminated", col("n_flagged") > 0)
   }
 
   /** X4k — REAL greedy BPE training (round 11; replaces nothing — the

@@ -29,6 +29,45 @@ class GraphSpec extends SparkSpec {
     assert(r2 == r)
   }
 
+  test("X10c triangles: K4 counts, path is triangle-free, input noise normalizes") {
+    // K4 on {1,2,3,4}: 4 triangles, each node in C(3,2) = 3 of them —
+    // fed in MESSY form (reversed duplicates, a self-loop) to pin the
+    // undirected normalization
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 3L), (3L, 3L)).toDF("src", "dst")
+    val r = Graph.triangles(k4).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a path has wedges but no closures: empty result, not zero rows per node
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangles(path).count() == 0)
+  }
+
+  test("X10c triangles: hub-and-spoke skew — wedges form at low-degree corners only") {
+    // star hub 1 with 30 leaves plus ONE leaf-leaf edge: exactly 1
+    // triangle. Degree orientation points every star edge INTO the hub,
+    // so the hub (degree 30) generates zero wedges — the skew contract.
+    val edges = ((2 to 31).map(l => (1L, l.toLong)) :+ (2L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.triangles(edges).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("X10c co-supply edges: per-part clique, cap drops hot parts before the pair join") {
+    val li = Seq(
+      // part 0: suppliers 1,2,3 -> triangle clique
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 3L),
+      // part 499: suppliers 4,5 -> one edge
+      (499L, 4L), (499L, 5L),
+      // part 7: filtered out by partMod
+      (7L, 8L), (7L, 9L)).toDF("l_partkey", "l_suppkey")
+    val e = Graph.coSupplyEdges(li, 499L).as[(Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    // cap 2: part 0's 3-supplier set is dropped entirely, part 499 survives
+    val capped = Graph.coSupplyEdges(li, 499L, maxPerPart = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((4L, 5L)))
+  }
+
   test("X10b trade-graph edges: disjoint id spaces, symmetrized") {
     val li = Seq((10L, 3L)).toDF("l_orderkey", "l_suppkey")
     val ord = Seq((10L, 7L)).toDF("o_orderkey", "o_custkey")

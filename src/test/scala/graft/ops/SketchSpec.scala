@@ -48,6 +48,57 @@ class SketchSpec extends SparkSpec {
     assert(diff.count() == 0, "merged sketch differs from whole-corpus build")
   }
 
+  test("X5m bloom: no false negatives, shard-merge equals whole-build, " +
+      "bitset round-trips the position set") {
+    val m = 1024
+    val whole = Sketch.bloomBuild(toks, "tok", 3, m)
+    // every inserted value must test positive (Bloom's one hard promise)
+    val bits = Sketch.bloomBits(whole, m)
+    val neg = toks.distinct()
+      .filter(!Sketch.bloomContains($"tok", bits, 3, m)).count()
+    assert(neg == 0, "bloom false negative")
+    // union of shard filters == filter of the union
+    val sh1 = Sketch.bloomBuild(toks.filter($"tok" === "hot"), "tok", 3, m)
+    val sh2 = Sketch.bloomBuild(toks.filter($"tok" =!= "hot"), "tok", 3, m)
+    val merged = sh1.unionByName(sh2).distinct()
+      .as[Long].collect().toSet
+    assert(merged == whole.as[Long].collect().toSet)
+    // the packed bitset carries exactly the position set
+    val popcount = bits.map(java.lang.Long.bitCount).sum
+    assert(popcount == whole.count())
+    // a value never inserted, whose positions are unset, tests negative
+    val clean = Seq("definitely-absent-token-xyz").toDF("tok")
+    val cleanPos = Sketch.bloomBuild(clean, "tok", 3, m)
+      .as[Long].collect().toSet
+    if (cleanPos.intersect(merged).size < 3)
+      assert(clean.filter(
+        Sketch.bloomContains($"tok", bits, 3, m)).count() == 0)
+  }
+
+  test("X5m bloom membership verdict == positions-subset semantics " +
+      "(the oracle's replay rule)") {
+    val m = 256 // cramped: force real false positives
+    val inserted = (1 to 60).map(i => s"key$i").toDF("tok")
+    val bits = Sketch.bloomBits(Sketch.bloomBuild(inserted, "tok", 3, m), m)
+    val posSet = Sketch.bloomBuild(inserted, "tok", 3, m)
+      .as[Long].collect().toSet
+    val probes = (1 to 400).map(i => s"probe$i").toDF("tok")
+    val got = probes
+      .withColumn("hit", Sketch.bloomContains($"tok", bits, 3, m))
+      .as[(String, Boolean)].collect().toMap
+    // replay: a probe hits iff ALL its 3 positions are in the set
+    val posCols: Seq[org.apache.spark.sql.Column] = $"tok" +:
+      (0 until 3).map(i =>
+        conv(substring(md5(concat(lit(s"$i"), lit(":"), $"tok")), 1, 8),
+          16, 10).cast("long") % m)
+    val byProbe = probes.select(posCols: _*)
+      .collect().map(r => r.getString(0) ->
+        (1 to 3).map(r.getLong).forall(posSet.contains))
+    assert(byProbe.forall { case (k, v) => got(k) == v })
+    // cramped filter really does produce some false positives
+    assert(got.values.count(identity) > 0)
+  }
+
   test("HLL registers merge by elementwise max; estimate lands in the " +
       "1.04/sqrt(m) band") {
     val ids = (1L to 20000L).toDF("id")

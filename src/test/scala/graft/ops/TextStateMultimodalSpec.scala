@@ -182,6 +182,34 @@ class TextStateMultimodalSpec extends SparkSpec {
     // text contributes 3 distinct 8-grams; the doc shares exactly 2)
   }
 
+  test("X4f bloom decontamination: flags a superset of the exact lane, " +
+      "and agrees with it at generous m") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+    val train = docs.filter(col("doc_id") % 17 =!= 3)
+    val bench = docs.filter(col("doc_id") % 17 === 3).select(col("text"))
+    val exact = TextOps.decontaminate(train, bench, "text", "doc_id", n = 5)
+      .filter(col("contaminated")).select(col("doc_id"))
+      .as[Long].collect().toSet
+    // no false negatives at ANY m: exact-contaminated ⊆ bloom-contaminated
+    val tight = TextOps.decontaminateBloom(train, bench, "text", "doc_id",
+        n = 5, k = 3, m = 1024)
+      .filter(col("contaminated")).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(exact.subsetOf(tight))
+    // at generous m the false-positive mass vanishes and the two lanes
+    // agree doc for doc, count for count
+    val wide = TextOps.decontaminateBloom(train, bench, "text", "doc_id",
+        n = 5, k = 3, m = 1 << 20)
+      .select(col("doc_id"), col("n_flagged"), col("contaminated"))
+      .orderBy(col("doc_id")).as[(Long, Long, Boolean)].collect().toSeq
+    val exactFull = TextOps.decontaminate(train, bench, "text", "doc_id",
+        n = 5)
+      .select(col("doc_id"), col("n_contaminated"), col("contaminated"))
+      .orderBy(col("doc_id")).as[(Long, Long, Boolean)].collect().toSeq
+    assert(wide == exactFull)
+  }
+
   test("O-ST1 currentState is the latest action per job") {
     val log = Seq(
       (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), (1L, 1300, ts(2), 2L),
