@@ -84,6 +84,38 @@ object Scale {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < rateCase)
   }
 
+  /** X5n — deterministic EXACT-proportion stratified train/val/test split
+    * (round 13). `hashSample`'s per-row threshold draw holds proportions
+    * only in expectation; evaluation splits want them EXACT per stratum
+    * (a 64-doc language must not lose its val set to hash luck). Rows are
+    * ranked within each stratum by a salted md5 ticket (tie: id) and
+    * assigned by exact integer rank thresholds — rank·100 ≤ n·pct, no
+    * float division — so every engine derives the identical assignment
+    * and each stratum's proportions hold to ±1 row.
+    *
+    * Scale: ONE shuffle on the stratum key; the rank window sorts each
+    * stratum within its partitions. A stratum is a language/domain here —
+    * thousands to millions of rows, dozens of strata — the cardinality
+    * regime window functions are built for. For UNBOUNDED strata (or no
+    * strata at all) use [[hashSample]]'s threshold form instead: exact
+    * proportions per stratum inherently require ranking that stratum. */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+      pctTrain: Int, pctVal: Int): DataFrame = {
+    require(pctTrain > 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"need pctTrain > 0, pctVal >= 0, sum <= 100; got $pctTrain/$pctVal")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    val ticket = md5(concat(lit("split:"), col(idCol).cast("string")))
+    df.withColumn("_rk",
+        row_number().over(w.orderBy(ticket, col(idCol))))
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("split",
+        when(col("_rk") * 100 <= col("_n") * pctTrain, "train")
+          .when(col("_rk") * 100 <= col("_n") * (pctTrain + pctVal), "val")
+          .otherwise("test"))
+      .drop("_rk", "_n")
+  }
+
   /** X5g — temperature-scaled stratum resampling: the multilingual-corpus
     * balancing op (the alpha-sampling of multilingual pretraining sets —
     * flatten stratum shares so the head language stops dominating without

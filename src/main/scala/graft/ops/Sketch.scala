@@ -96,6 +96,28 @@ object Sketch {
     df.select(explode(array(cells: _*)).as("pos")).distinct()
   }
 
+  /** Per-group [[bloomBuild]]: one (group, pos) row per set bit of each
+    * group's filter — the shape of a DATA-SKIPPING index (one Bloom
+    * filter per storage bucket/file, Delta/Iceberg-style: probe every
+    * group's filter with a token, scan only the groups that hit).
+    * Bounded at |groups|·m rows; per-group filters stay independently
+    * rebuildable, which is what makes the index maintainable under
+    * partial rewrites (x7_incr_bloom). */
+  def bloomBuildBy(df: DataFrame, valueCol: String, groupCol: String,
+      k: Int, m: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"bloom needs 1 <= k <= 16, got $k")
+    require(m >= 64 && m % 64 == 0,
+      s"bloom bit count must be a positive multiple of 64, got $m")
+    val cells = (0 until k).map(i => bucket(col(valueCol), i, m))
+    df.select(col(groupCol), explode(array(cells: _*)).as("pos")).distinct()
+  }
+
+  /** Engine-portable shard assignment: the CMS row-0 md5 bucket of a key
+    * (first 32 bits of md5("0:key") mod w) — the md5 twin of
+    * `pmod(hash(key), w)` storage bucketing, used where a judged artifact
+    * must carry its shard id through the oracle. */
+  def shardOf(value: Column, w: Int): Column = bucket(value, 0, w)
+
   /** Driver-side packed bitset of a [[bloomBuild]] positions frame. The
     * collect is bounded at m rows BY CONTRACT (distinct positions mod m
     * — enforced, not assumed: any position outside [0, m) throws), the

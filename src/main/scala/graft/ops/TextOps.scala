@@ -35,6 +35,45 @@ object TextOps {
         round(least(lit(1.0), col("n_tokens") / 100.0) * 0.5 +
           least(lit(1.0), col("n_stop") / 10.0) * 0.5, 6))
 
+  /** X4o — Gopher-style RULE-BASED QUALITY GATE (round 13; Rae et al.
+    * 2021 §A1.1's repetition-free subset of rules, integer-exact): the
+    * cheap deterministic filter pass that runs BEFORE model-based
+    * scoring in a curation pipeline (x4_lm_score is the expensive
+    * stage; x9_curation_e2e composes gates like this one). Each rule is
+    * a boolean column so downstream can audit WHY a doc fell, not just
+    * that it fell; `keep_rules` is their conjunction.
+    *
+    * Every ratio threshold is expressed by integer CROSS-MULTIPLICATION
+    * (3·n_tok ≤ chars ≤ 10·n_tok, 10·n_sym ≤ n_tok, 5·n_alpha ≥
+    * 4·n_tok) — no float division anywhere, so verdicts replay exactly
+    * in any engine; the whole gate is one narrow projection over the
+    * scan, zero shuffle at any corpus size. */
+  def withQualityRules(docs: DataFrame, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000): DataFrame = {
+    val d = docs
+      .withColumn("_lt", lower(col(textCol)))
+      .withColumn("_qtoks", split(col("_lt"), " "))
+      .withColumn("_ntok", size(col("_qtoks")))
+      // single-space tokening ⇒ word-char mass = len - (n_tok - 1)
+      .withColumn("_wchars", length(col("_lt")) - (col("_ntok") - 1))
+      .withColumn("_nsym", length(col("_lt")) -
+        length(regexp_replace(col("_lt"), "[^a-z0-9 ]", "")))
+      .withColumn("_nalpha",
+        expr("size(filter(_qtoks, t -> t rlike '[a-z]'))"))
+      .withColumn("_nstop", expr(s"size(filter(_qtoks, t -> t IN $stopList))"))
+    d.withColumn("r_len",
+        col("_ntok") >= minTokens && col("_ntok") <= maxTokens)
+      .withColumn("r_word_len",
+        lit(3) * col("_ntok") <= col("_wchars") &&
+          col("_wchars") <= lit(10) * col("_ntok"))
+      .withColumn("r_symbol", lit(10) * col("_nsym") <= col("_ntok"))
+      .withColumn("r_alpha", lit(5) * col("_nalpha") >= lit(4) * col("_ntok"))
+      .withColumn("r_stop", col("_nstop") >= 2)
+      .withColumn("keep_rules", col("r_len") && col("r_word_len") &&
+        col("r_symbol") && col("r_alpha") && col("r_stop"))
+      .drop("_lt", "_qtoks", "_ntok", "_wchars", "_nsym", "_nalpha", "_nstop")
+  }
+
   /** Language-ID n-gram heuristic: stopword-marker vote. With >= 2 English
     * marker hits the doc is called 'en', else 'und' (ISO 639-3
     * undetermined). Real corpora would extend the marker lists per

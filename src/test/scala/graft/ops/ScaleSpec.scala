@@ -140,4 +140,29 @@ class ScaleSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("X5n stratified split: exact per-stratum proportions, total " +
+      "disjoint cover, deterministic") {
+    // uneven strata incl. a tiny one — the case hash-threshold splits lose
+    val df = ((1 to 200).map(i => (i.toLong, "big")) ++
+      (201 to 230).map(i => (i.toLong, "mid")) ++
+      (231 to 235).map(i => (i.toLong, "tiny"))).toDF("id", "s")
+    val out = Scale.stratifiedSplit(df, "id", "s", 80, 10)
+      .select($"id", $"s", $"split").as[(Long, String, String)]
+      .collect().toSeq
+    assert(out.size == 235 && out.map(_._1).distinct.size == 235)
+    val byStratum = out.groupBy(_._2).view.mapValues(
+      _.groupBy(_._3).view.mapValues(_.size).toMap).toMap
+    // exact floor thresholds: rank·100 <= n·pct
+    assert(byStratum("big") == Map("train" -> 160, "val" -> 20, "test" -> 20))
+    assert(byStratum("mid") == Map("train" -> 24, "val" -> 3, "test" -> 3))
+    // n=5: train = floor-threshold 4, val rank·100<=450 adds none — the
+    // tiny stratum keeps its test doc rather than rounding it away
+    assert(byStratum("tiny") == Map("train" -> 4, "test" -> 1))
+    // re-run is bit-identical
+    val again = Scale.stratifiedSplit(df, "id", "s", 80, 10)
+      .select($"id", $"s", $"split").as[(Long, String, String)]
+      .collect().toSeq
+    assert(again.sorted == out.sorted)
+  }
 }

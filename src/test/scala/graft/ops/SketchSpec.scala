@@ -99,6 +99,30 @@ class SketchSpec extends SparkSpec {
     assert(got.values.count(identity) > 0)
   }
 
+  test("X7r per-shard bloom: touched-shard rebuild == direct recompute; " +
+      "union-only maintenance would leak deleted bits") {
+    val nSh = 4; val k = 2; val m = 256
+    def idx(df: org.apache.spark.sql.DataFrame) = Sketch.bloomBuildBy(
+      df.select(Sketch.shardOf($"id", nSh).as("shard"),
+        explode(split($"text", " ")).as("tok")), "tok", "shard", k, m)
+    val base = (1L to 40L).map(i => (i, s"common tok$i")).toDF("id", "text")
+    // delete doc 7 (its unique token must LEAVE the index), update doc 8
+    val fin = base.filter($"id" =!= 7L)
+      .withColumn("text", when($"id" === 8L, "common fresh8").otherwise($"text"))
+    val changedShards = Seq(7L, 8L)
+      .toDF("id").select(Sketch.shardOf($"id", nSh).as("shard")).distinct()
+    val maintained = idx(base).join(changedShards, Seq("shard"), "left_anti")
+      .unionByName(idx(fin.join(changedShards.withColumnRenamed("shard", "s"),
+        Sketch.shardOf($"id", nSh) === $"s", "left_semi")))
+    val direct = idx(fin)
+    assert(maintained.as[(Long, Long)].collect().toSet ==
+      direct.as[(Long, Long)].collect().toSet)
+    // the naive OR-union (bloom bits are monotone) cannot forget tok7:
+    // doc 7's positions survive in base ∪ fin — rebuild is REQUIRED
+    val orOnly = idx(base).unionByName(idx(fin)).distinct()
+    assert(orOnly.count() > direct.count())
+  }
+
   test("HLL registers merge by elementwise max; estimate lands in the " +
       "1.04/sqrt(m) band") {
     val ids = (1L to 20000L).toDF("id")

@@ -182,6 +182,32 @@ class TextStateMultimodalSpec extends SparkSpec {
     // text contributes 3 distinct 8-grams; the doc shares exactly 2)
   }
 
+  test("X4o gopher rules: each rule trips on its planted violation, " +
+      "clean doc keeps") {
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "runs far away into the deep green woods of the north tonight"
+    val docs = Seq(
+      (1L, good), // passes every rule
+      (2L, "too short of a doc"), // r_len (< 20 tokens)
+      (3L, Seq.fill(25)("a").mkString(" ")), // r_word_len (mean 1 < 3)
+      (4L, good + " " + Seq.fill(8)("#!?").mkString(" ")), // r_symbol
+      (5L, good.replaceAll("[a-z]", "7")), // r_alpha (and stop/symbol…)
+      (6L, Seq.fill(22)("quantum flux node").mkString(" ")
+        .split(" ").take(22).mkString(" "))) // r_stop: no markers
+      .toDF("doc_id", "text")
+    val r = TextOps.withQualityRules(docs, "text", minTokens = 20)
+      .select($"doc_id", $"r_len", $"r_word_len", $"r_symbol", $"r_alpha",
+        $"r_stop", $"keep_rules")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._7, "clean doc must keep")
+    assert(!r(2L)._2 && !r(2L)._7, "short doc fails r_len")
+    assert(!r(3L)._3 && !r(3L)._7, "1-char words fail r_word_len")
+    assert(!r(4L)._4 && !r(4L)._7, "symbol-heavy doc fails r_symbol")
+    assert(!r(5L)._5 && !r(5L)._7, "digit soup fails r_alpha")
+    assert(!r(6L)._6 && !r(6L)._7, "stopword-free doc fails r_stop")
+  }
+
   test("X4f bloom decontamination: flags a superset of the exact lane, " +
       "and agrees with it at generous m") {
     val d = sf("sf0.001")
