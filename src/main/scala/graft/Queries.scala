@@ -2283,6 +2283,112 @@ object Queries {
            |SELECT d1, d2, n_shared_bands FROM pairs
            |ORDER BY d1, d2""".stripMargin))
 
+  /** X2i — MINHASH ESTIMATOR QUALITY, judged in-engine (round 13): for
+    * every capped LSH candidate pair, the 8-hash signature estimate
+    * (matching positions × 125000 ppm — E[match share] = Jaccard, the
+    * Broder minhash identity) SIDE BY SIDE with the exact 3-shingle
+    * Jaccard in integer ppm. This is the measurement that justifies
+    * trusting the estimator everywhere else in the x2 lane — and it is
+    * judged, not argued: both columns replay in the oracle. Scale
+    * shape: the estimate side is |pairs| narrow zip_with's over 8-long
+    * arrays (the production path); the exact side explodes pair ×
+    * shingle — the expensive VALIDATION harness, bounded here by the
+    * same bucket caps that bound the candidate set itself. */
+  val x2MinhashEst = QuerySpec("x2_minhash_est",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val sigs = Dedup.minhash(docs, "text", "doc_id")
+      val pairs = Dedup.lshCandidates(sigs, "doc_id", maxBucket = 64)
+        .select(col("d1"), col("d2"))
+      val sh = docs.withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+      val est = pairs
+        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")),
+          Seq("d1"))
+        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")),
+          Seq("d2"))
+        .select(col("d1"), col("d2"),
+          expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))")
+            .as("n_match"))
+      pairs
+        .join(inter, Seq("d1", "d2"), "left")
+        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")),
+          Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")),
+          Seq("d2"))
+        .join(est, Seq("d1", "d2"))
+        .select(col("d1"), col("d2"),
+          (col("n_match") * 125000).cast("long").as("est_ppm"),
+          expr("CAST(coalesce(n_inter, 0) * 1000000 div " +
+            "(n1 + n2 - coalesce(n_inter, 0)) AS BIGINT)").as("jac_ppm"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, list_transform(range(1, n - 1),
+           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+           |  FROM d WHERE n >= 3),
+           |sm AS (
+           |  SELECT doc_id, list_transform(shingles, sh -> md5(sh)) AS hs
+           |  FROM s),
+           |g AS (
+           |  SELECT doc_id, list_transform(range(0, 8),
+           |    h -> list_min(list_transform(hs,
+           |      m -> substr(m, 4*h + 1, 32 - 4*h) || substr(m, 1, 4*h)))) AS sig
+           |  FROM sm),
+           |b0 AS (
+           |  SELECT doc_id, band_idx,
+           |    md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
+           |  FROM g, (SELECT unnest(range(0, 4)) AS band_idx)),
+           |b AS (
+           |  SELECT doc_id, band_idx, band_hash FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash)
+           |      AS bsz
+           |    FROM b0)
+           |  WHERE bsz <= 64),
+           |pairs AS (
+           |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+           |  FROM b b1 JOIN b b2 ON b1.band_idx = b2.band_idx
+           |    AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id),
+           |shx AS (
+           |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM s),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1),
+           |inter AS (
+           |  SELECT p.d1, p.d2, count(*) AS n_inter
+           |  FROM pairs p
+           |  JOIN shx a ON a.doc_id = p.d1
+           |  JOIN shx b2 ON b2.doc_id = p.d2 AND b2.sh = a.sh
+           |  GROUP BY 1, 2),
+           |estm AS (
+           |  SELECT p.d1, p.d2,
+           |    len(list_filter(range(1, 9), i -> g1.sig[i] = g2.sig[i]))
+           |      AS n_match
+           |  FROM pairs p
+           |  JOIN g g1 ON g1.doc_id = p.d1
+           |  JOIN g g2 ON g2.doc_id = p.d2)
+           |SELECT p.d1, p.d2,
+           |  CAST(e.n_match * 125000 AS BIGINT) AS est_ppm,
+           |  CAST(coalesce(i.n_inter, 0) * 1000000 //
+           |    (s1.n_sh + s2.n_sh - coalesce(i.n_inter, 0)) AS BIGINT)
+           |    AS jac_ppm
+           |FROM pairs p
+           |JOIN estm e ON e.d1 = p.d1 AND e.d2 = p.d2
+           |LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2
+           |JOIN sizes s1 ON s1.doc_id = p.d1
+           |JOIN sizes s2 ON s2.doc_id = p.d2
+           |ORDER BY p.d1, p.d2""".stripMargin))
+
   // defs, not vals: these are interpolated into oracle SQL strings that
   // may be declared EARLIER in this object's initialization order — a val
   // would interpolate as the literal "null" there
@@ -4171,6 +4277,36 @@ object Queries {
     Some(sql9Text),
     bench = true)
 
+  /** SQL10 — TPC-H Q2's plan shape (round 13): a CORRELATED SCALAR
+    * subquery (per-part minimum supplier balance) in the WHERE clause.
+    * Catalyst's RewriteCorrelatedScalarSubquery turns it into a
+    * pre-aggregated (partkey → min) frame LEFT-joined back on the
+    * correlation key — the decorrelation rewrite is the thing under
+    * test, completing the subquery tour (sql2 EXISTS/NOT EXISTS +
+    * uncorrelated scalar, sql7 IN-over-HAVING, sql9 semi/anti).
+    * Equality on s_acctbal is exact (min SELECTS a stored parquet
+    * double, no arithmetic); DISTINCT collapses repeat (part, supplier)
+    * lineitems; integer-keyed ORDER makes the result hash-stable. */
+  private val sql10Text: String =
+    """SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_acctbal
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |WHERE p.p_size < 10
+      |  AND s.s_acctbal = (
+      |    SELECT min(s2.s_acctbal)
+      |    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    WHERE l2.l_partkey = p.p_partkey)
+      |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin
+
+  val sql10Q2MinCost = QuerySpec("sql10_q2_min_cost",
+    (s, d) => {
+      Seq("part", "supplier", "lineitem").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql10Text)
+    },
+    Some(sql10Text))
+
   /** F14 — higher-order array functions (round 9): transform / filter /
     * aggregate / zip_with over the real embedding arrays. Element math is
     * integer-ized FIRST (floor-milli longs), so every fold is exact and
@@ -5159,9 +5295,10 @@ object Queries {
     stStateTws,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     sql5Recursive, sql6Q3Shipping, sql7Q18BigOrders, sql8Q10Returns,
-    sql9Q21Blocked,
+    sql9Q21Blocked, sql10Q2MinCost,
     f14HigherOrder,
-    x1Dedup, x2Jaccard, x2Minhash, x2LshPairs, x2Simhash, x2SimhashPairs,
+    x1Dedup, x2Jaccard, x2Minhash, x2MinhashEst, x2LshPairs, x2Simhash,
+    x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5Cms, x5Weighted, x5HistQ, x5HistQBy,
