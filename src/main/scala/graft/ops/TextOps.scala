@@ -290,12 +290,25 @@ object TextOps {
     * shuffle of corpus shingles at all; the only shuffle left is the
     * per-doc count aggregation (partial-combining). That is the trade
     * the Bloom lane exists for at 100 TB: `decontaminate` shuffles every
-    * corpus shingle into the join; this never moves them. The cost is a
-    * deterministic false-positive rate (~(1-e^{-kn/m})^k) flagging a
-    * clean shingle as dirty — acceptable for a KEEP/DROP curation gate
-    * (drops a clean doc, never leaks a contaminated one), and because
-    * the k md5 positions are engine-portable math, the oracle replays
-    * the exact same verdicts, false positives included. */
+    * corpus shingle into the join (or, when the benchmark is small
+    * enough, broadcasts a per-executor hash table of ALL its shingles);
+    * this ships a FIXED m/8-byte artifact regardless of benchmark
+    * cardinality — a 10M-shingle eval suite is a ~1 GB broadcast hash
+    * table but still a 128 KB bloom at m=2^20. The cost is a
+    * deterministic false-positive rate (~(1-e^{-kn/m})^k per probe)
+    * flagging a clean shingle as dirty — acceptable for a KEEP/DROP
+    * curation gate (drops a clean doc, never leaks a contaminated one),
+    * and because the k md5 positions are engine-portable math, the
+    * oracle replays the exact same verdicts, false positives included.
+    *
+    * SIZE m TO THE BENCHMARK, not the corpus: per-probe FP compounds
+    * over each doc's ~|tokens| probes, so doc-level false-drop ≈
+    * probes · (load)^k. Rule of thumb: m ≳ 50 bits per benchmark
+    * shingle keeps doc-level false-drops per-mille (measured in
+    * BASELINE.md round 13: a 3.6k-shingle eval set at m=2^16 —
+    * 18 bits/shingle — false-dropped 11% of a 100k-doc corpus; at
+    * m=2^20 — 290 bits/shingle — it false-dropped 5 docs, i.e. 5e-5,
+    * exactly the probes·load^k model's prediction). */
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 8, k: Int = 3,
       m: Int = 1 << 16): DataFrame = {

@@ -298,6 +298,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "NOT EXISTS not an anti join:\n" + p.take(2000))
   }
 
+  test("sql9: the Q21-shape's EXISTS/NOT EXISTS are semi/anti joins, " +
+      "supplier dim broadcast, top-k as TakeOrdered") {
+    val p = plan("sql9_q21_blocked")
+    assert(p.contains("LeftSemi"), "EXISTS not semi:\n" + p.take(2000))
+    assert(p.contains("LeftAnti"), "NOT EXISTS not anti:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit not TakeOrdered:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sql10: the correlated scalar subquery decorrelates to an " +
+      "aggregate joined on the correlation key") {
+    val p = plan("sql10_q2_min_cost")
+    // RewriteCorrelatedScalarSubquery leaves ONE pre-aggregated min
+    // frame joined back — no per-row subquery execution survives
+    assert(p.contains("min("), "no decorrelated min aggregate:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x10_triangles: every join is an equi-join — no cartesian, " +
+      "no broadcast of the corpus side") {
+    val p = plan("x10_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("x4_decontaminate_bloom: corpus side carries NO join at all — " +
+      "the filter rides as a literal, the only shuffle is the count agg") {
+    val p = plan("x4_decontaminate_bloom")
+    // the doc-side membership pass must be join-free: the benchmark
+    // reaches the corpus only through the collected bitset literal, so
+    // the planned joins are exactly the final left-join of per-doc
+    // counts back onto docs (1) — not a shingle-level equi-join
+    val joins = "Join".r.findAllIn(p).size
+    assert(p.contains("shiftright"), "bitset test not in the plan:\n" + p.take(1500))
+    assert(joins <= 2, s"expected only the count re-join, found $joins joins:\n" +
+      p.take(2000))
+  }
+
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -112,6 +112,59 @@ object StressBench {
     stage("dedup_e2e")(Queries.byName("x2_dedup_e2e").fn(spark, out))
     stage("curation_e2e")(Queries.byName("x9_curation_e2e").fn(spark, out))
 
+    // ---- decontamination: exact equi-join vs Bloom map-side gate over
+    // the SAME corpus and eval set (docs with id % 1000 == 3, ~n/1000).
+    // The measured contrast is the point: the exact lane shuffles every
+    // corpus shingle into the join; the bloom lane's only shuffle is the
+    // per-doc count agg.
+    val evalSet = docs.filter(col("doc_id") % 1000 === 3).select(col("text"))
+    val trainSet = docs.filter(col("doc_id") % 1000 =!= 3)
+    stage("decon_exact")(ops.TextOps.decontaminate(
+      trainSet, evalSet, "text", "doc_id", n = 5).filter(col("contaminated")))
+    // m=2^16 is DELIBERATELY undersized for this eval set (18 bits per
+    // benchmark shingle): the measured doc-level false-drop rate is the
+    // evidence behind decontaminateBloom's m-sizing rule. m=2^20 is the
+    // sized filter (~290 bits/shingle) — flags must match exact.
+    stage("decon_bloom_u16")(ops.TextOps.decontaminateBloom(
+      trainSet, evalSet, "text", "doc_id", n = 5, k = 3, m = 1 << 16)
+      .filter(col("contaminated")))
+    stage("decon_bloom_20")(ops.TextOps.decontaminateBloom(
+      trainSet, evalSet, "text", "doc_id", n = 5, k = 3, m = 1 << 20)
+      .filter(col("contaminated")))
+
+    // ---- triangle counting on a deliberately skewed graph: one hub of
+    // degree n/2 (spokes + a leaf chain closing ~n/2 hub triangles) plus
+    // (n/2)/10 disjoint 10-cliques (120 triangles each). The orientation
+    // sends every spoke INTO the hub, so the hub generates ZERO wedges —
+    // naive center-joined wedges would be C(n/2, 2) rows at the hub
+    // alone (12.5M at n=10k, 1.25G at n=100k), which is why the naive
+    // stage runs at a fixed small n while the oriented one runs at full n.
+    def skewGraph(m: Long): DataFrame = {
+      val spokes = spark.range(1, m / 2)
+        .selectExpr("cast(0 as long) as src", "id as dst")
+      val chain = spark.range(1, m / 2 - 1)
+        .selectExpr("id as src", "id + 1 as dst")
+      val cliques = spark.range(m / 2, m).selectExpr("id as src",
+        s"explode(sequence(id + 1, least((id div 10) * 10 + 9, ${m - 1}))) as dst")
+      spokes.unionAll(chain).unionAll(cliques)
+    }
+    def naiveTriangles(edges: DataFrame): DataFrame = {
+      val und = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val adj = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      val wedges = adj.select(col("a").as("c"), col("b").as("x"))
+        .join(adj.select(col("a").as("c"), col("b").as("y")), Seq("c"))
+        .filter(col("x") < col("y"))
+      wedges.join(und.select(col("a").as("x"), col("b").as("y")),
+          Seq("x", "y"))
+        .select(explode(array(col("c"), col("x"), col("y"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+    }
+    stage("tri_oriented")(ops.Graph.triangles(skewGraph(n)))
+    stage("tri_oriented_10k")(ops.Graph.triangles(skewGraph(10000L)))
+    stage("tri_naive_10k")(naiveTriangles(skewGraph(10000L)))
+
     // sanity: the plants must be FOUND (caps did not eat the signal).
     // ~n/20 near-dup pairs from LSH; ~n/20 span groups from spanPairs.
     val lshPairs = results("lsh_capped")._2
@@ -127,6 +180,21 @@ object StressBench {
     // partition a 100k corpus only 256 ways per block index, so every
     // bucket exceeds the cap — the documented saturation of 32-bit
     // simhash at ~blocks·cap docs (see BASELINE.md round-12 notes)
+    //
+    // bloom decontamination must flag AT LEAST what the exact lane flags
+    // (no false negatives) and the oriented triangle pass must cover the
+    // clique nodes
+    require(results("decon_bloom_u16")._2 >= results("decon_exact")._2,
+      "bloom decontamination lost exact-lane hits")
+    // the sized filter's residual FPs must sit at the model's level:
+    // probes·(load)^k ≈ 100k·36·1.1e-6 ≈ 4 docs here (measured 5) — an
+    // order-of-magnitude bound, not equality (Bloom never promises 0)
+    require(results("decon_bloom_20")._2 >= results("decon_exact")._2 &&
+      results("decon_bloom_20")._2 <= results("decon_exact")._2 + 40,
+      "sized bloom FPs off-model: " +
+        s"""${results("decon_bloom_20")._2} vs exact ${results("decon_exact")._2}""")
+    require(results("tri_oriented")._2 >= n / 2,
+      s"oriented triangles missed clique nodes: ${results("tri_oriented")._2}")
 
     val json = results.map { case (k, (dt, cnt, sb)) =>
       f""""$k":{"sec":$dt%.2f,"rows":$cnt,"shuffle_bytes":$sb}"""
