@@ -1047,6 +1047,45 @@ object Queries {
            |FROM r WHERE event_id < 10000 ORDER BY event_id""".stripMargin),
     bench = true)
 
+  /** W4 — value-picking window functions (round 13): first/last with
+    * IGNORE NULLS (the "latest known value" idiom — here: last click
+    * value within the trailing 4-row frame) and nth_value. No
+    * arithmetic touches the doubles — every output SELECTS a stored
+    * value, so cross-engine parity is exact; (us, event_id) ordering
+    * makes frames deterministic. Completes the window-function surface
+    * next to ranking (w1), lag/lead (w2), frames (w3) and
+    * distribution (w1b). */
+  val w4ValueWindows = QuerySpec("w4_value_windows",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id") < 20)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("v",
+          when(col("event_type") === "click", col("value")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wTrail = w.rowsBetween(-3, org.apache.spark.sql.expressions
+        .Window.currentRow)
+      e.select(col("user_id"), col("event_id"),
+          first(col("v"), ignoreNulls = true).over(w).as("first_click"),
+          last(col("v"), ignoreNulls = true).over(wTrail).as("last_click_4"),
+          nth_value(col("value"), 2).over(w).as("second_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+           |    CASE WHEN event_type = 'click' THEN value END AS v
+           |  FROM events WHERE user_id < 20)
+           |SELECT user_id, event_id,
+           |  first_value(v IGNORE NULLS) OVER w AS first_click,
+           |  last_value(v IGNORE NULLS) OVER wt AS last_click_4,
+           |  nth_value(value, 2) OVER w AS second_value
+           |FROM e
+           |WINDOW
+           |  w AS (PARTITION BY user_id ORDER BY us, event_id),
+           |  wt AS (PARTITION BY user_id ORDER BY us, event_id
+           |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           |ORDER BY user_id, event_id""".stripMargin))
+
   val w1bDistribution = QuerySpec("w1b_distribution",
     (s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1992,6 +2031,36 @@ object Queries {
            |SELECT doc_id, n_tok, sample_key FROM r
            |ORDER BY sample_key, doc_id LIMIT 64""".stripMargin),
     bench = true)
+
+  /** X5j — per-group weighted sampling (round 13): the x5_weighted race
+    * within each language — Sketch.weightedSampleBy. Deterministic
+    * integer tickets, rank window per stratum; the oracle replays the
+    * identical race and rank. */
+  val x5WeightedBy = QuerySpec("x5_weighted_by",
+    (s, d) => Sketch.weightedSampleBy(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tok")),
+        "doc_id", "n_tok", "lang", 8)
+      .orderBy(col("lang"), col("sample_key"), col("doc_id")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id, lang, n_tok,
+           |    unnest(range(1, n_tok + 1)) AS tick
+           |  FROM d),
+           |r AS (
+           |  SELECT lang, doc_id, n_tok,
+           |    min(md5(CAST(doc_id AS VARCHAR) || ':' ||
+           |      CAST(tick AS VARCHAR))) AS sample_key
+           |  FROM t GROUP BY lang, doc_id, n_tok),
+           |rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY lang
+           |    ORDER BY sample_key, doc_id) AS rn
+           |  FROM r)
+           |SELECT lang, doc_id, n_tok, sample_key FROM rk
+           |WHERE rn <= 8 ORDER BY lang, sample_key, doc_id""".stripMargin))
 
   /** X5h — histogram-quantile estimate (round 11): the mergeable
     * equi-width histogram answers quantiles from one pass + nBins
@@ -5289,7 +5358,8 @@ object Queries {
     j6RangeBand, j6bRangeBinned, j7Asof, j7bAsofCustom, j7cAsofTies,
     j7dAsofForward, j8Semi, j8Anti, j9NullSafe, f13Nested,
     a1Pricing, a2Distinct, a2Hll, a2HllMd5, a2HllGrouped, a3Rollup, a3Cube, a4Ohlc,
-    w1Rank, w1bDistribution, w2LagLead, w3Frames, fMathDate, a5Percentiles,
+    w1Rank, w1bDistribution, w2LagLead, w3Frames, w4ValueWindows,
+    fMathDate, a5Percentiles,
     q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, q4bUnpivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
     stStateTws,
@@ -5301,7 +5371,7 @@ object Queries {
     x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
-    x5Cms, x5Weighted, x5HistQ, x5HistQBy,
+    x5Cms, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
     x3BinaryTopk, x3BinaryRerank,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,

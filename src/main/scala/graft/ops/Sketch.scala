@@ -298,6 +298,31 @@ object Sketch {
       .limit(k)
   }
 
+  /** Per-group weighted sampling without replacement (round 13): the
+    * [[weightedSample]] Efraimidis–Spirakis race run WITHIN each
+    * stratum — "the k best-drawn docs PER LANGUAGE, weight ∝ quality" —
+    * the grouped form every mixture-building pipeline actually calls.
+    * Same integer-ticket determinism (min md5 ticket per row), with the
+    * global TakeOrdered limit replaced by a rank window per group key:
+    * one shuffle on the group key after the ticket race partial-aggs,
+    * state ∝ k·|groups|. */
+  def weightedSampleBy(df: DataFrame, idCol: String, weightCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val raced = df.filter(col(weightCol).cast("int") >= 1)
+      .select(col(groupCol), col(idCol), col(weightCol),
+        explode(sequence(lit(1), col(weightCol).cast("int"))).as("_t"))
+      .select(col(groupCol), col(idCol), col(weightCol),
+        md5(concat(col(idCol).cast("string"), lit(":"),
+          col("_t").cast("string"))).as("_tkey"))
+      .groupBy(col(groupCol), col(idCol), col(weightCol))
+      .agg(min(col("_tkey")).as("sample_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("sample_key"), col(idCol))
+    raced.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
   /** X5h — mergeable equi-width histogram: THE one-pass distributed
     * quantile structure. The sketch is nBins counters regardless of
     * corpus size (the CMS contract): partial aggregation collapses every

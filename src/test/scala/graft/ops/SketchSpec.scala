@@ -178,6 +178,30 @@ class SketchSpec extends SparkSpec {
     assert(picked > 50.5, s"weighted draw mean $picked not above corpus mean")
   }
 
+  test("X5j grouped weighted sample: exactly k per group, heavy rows " +
+      "favored within their group, deterministic") {
+    // two strata; in each, one heavy row (weight 400) among 40 light (1)
+    val df = ((1L to 40L).map(i => (i, "a", if (i == 5) 400 else 1)) ++
+      (101L to 140L).map(i => (i, "b", if (i == 107) 400 else 1)))
+      .toDF("id", "g", "w")
+    val out = Sketch.weightedSampleBy(df, "id", "w", "g", 3)
+      .select($"g", $"id").as[(String, Long)].collect().toSeq
+    assert(out.count(_._1 == "a") == 3 && out.count(_._1 == "b") == 3)
+    // a 400-ticket row holds ~91% of its group's draw mass for rank 1;
+    // with 3 slots its absence from the top-3 would be ~1e-3 — and the
+    // draw is deterministic md5, so this is a fixed fact, not a flake
+    assert(out.contains(("a", 5L)) && out.contains(("b", 107L)))
+    val again = Sketch.weightedSampleBy(df, "id", "w", "g", 3)
+      .select($"g", $"id").as[(String, Long)].collect().toSeq
+    assert(again.sorted == out.sorted)
+    // zero/negative weights stay out of the race per group
+    val withDead = df.union(Seq((999L, "a", 0), (998L, "b", -3))
+      .toDF("id", "g", "w"))
+    val out2 = Sketch.weightedSampleBy(withDead, "id", "w", "g", 50)
+      .select($"id").as[Long].collect().toSet
+    assert(!out2.contains(999L) && !out2.contains(998L))
+  }
+
   test("X5h histogram: shard-merge equals whole-corpus build, estimates " +
       "within one bin width of exact") {
     val v = (1 to 4000).map(i => (i.toLong, (i * 37) % 1000 + (i % 7) * 0.25))
