@@ -2641,6 +2641,88 @@ object Queries {
            |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin))
 
+  /** X3r — IVF RECALL@5 judged in-engine (round 13): the x2_minhash_est
+    * pattern applied to the similarity lane — the approximate index's
+    * quality METRIC is itself a judged query, not a spec-only claim.
+    * Per query: |IVF top-5 ∩ exact top-5| · 200000 ppm, computed by one
+    * semi-join of the two (query, vec) lists; queries whose probed
+    * cells miss every true neighbor surface with recall 0 rather than
+    * dropping out. Both input lanes already hash-match their own
+    * oracles, so this composition is judged end to end (the oracle
+    * replays BOTH retrievals and the intersection). At 100 TB the
+    * exact side runs on a held-out query sample — recall estimation
+    * never needs the full corpus scanned more than once per query
+    * batch, and the metric frame is |Q| rows. */
+  val x3IvfRecall = QuerySpec("x3_ivf_recall",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(q, emb, 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val exact = Similarity.bruteForceTopK(q, emb, 5)
+        .select(col("query_id"), col("vec_id"))
+      val hits = exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hit"), lit(0L)) * 200000).cast("long")
+            .as("recall_ppm"))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           |asr AS (
+           |  SELECT e.vec_id, cents.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(list_cosine_similarity(e.v, cents.cv), 6) DESC,
+           |        cents.cid) AS crnk
+           |  FROM e, cents),
+           |assigned AS (SELECT vec_id, cid FROM asr WHERE crnk = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           |qpr AS (
+           |  SELECT q.query_id, cents.cid,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY round(list_cosine_similarity(q.qv, cents.cv), 6) DESC,
+           |        cents.cid) AS crnk
+           |  FROM q, cents),
+           |probes AS (SELECT query_id, cid FROM qpr WHERE crnk <= 4),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id
+           |  FROM probes p JOIN assigned a ON a.cid = p.cid
+           |  WHERE a.vec_id <> p.query_id),
+           |scored AS (
+           |  SELECT cand.query_id, cand.vec_id,
+           |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+           |  FROM cand
+           |  JOIN e qe ON qe.vec_id = cand.query_id
+           |  JOIN e ce ON ce.vec_id = cand.vec_id),
+           |ivf5 AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY sim DESC, vec_id) AS rnk
+           |    FROM scored) WHERE rnk <= 5),
+           |exp AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    round(list_cosine_similarity(q.qv, e.v), 6) AS sim
+           |  FROM q, e WHERE e.vec_id <> q.query_id),
+           |ex5 AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY sim DESC, vec_id) AS rnk
+           |    FROM exp) WHERE rnk <= 5),
+           |hits AS (
+           |  SELECT x.query_id, count(*) AS n
+           |  FROM ex5 x JOIN ivf5 i
+           |    ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+           |  GROUP BY 1)
+           |SELECT q.query_id,
+           |  CAST(coalesce(h.n, 0) * 200000 AS BIGINT) AS recall_ppm
+           |FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+           |ORDER BY q.query_id""".stripMargin))
+
   /** X3b' — oracle-checked ANN: md5-plane single-table sign-LSH with
     * Hamming-1 multi-probe (Similarity.md5AnnTopK). The DuckDB twin
     * replays bucket derivation, probe expansion (xor), the bucket
@@ -5372,7 +5454,8 @@ object Queries {
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5Cms, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,
-    x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3Kmeans, x3Quant, x3QuantTopk,
+    x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3IvfRecall,
+    x3Kmeans, x3Quant, x3QuantTopk,
     x3BinaryTopk, x3BinaryRerank,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4GopherRules, x5Split, x4LangId, x4Fingerprint,
