@@ -2352,6 +2352,74 @@ object Queries {
            |SELECT d1, d2, n_shared_bands FROM pairs
            |ORDER BY d1, d2""".stripMargin))
 
+  /** X2j — EDIT-DISTANCE VERIFICATION of candidate pairs (round 13):
+    * the fine-verification stage a production dedup pipeline runs AFTER
+    * candidate generation — LSH narrows corpus² to a candidate list,
+    * then character-level Levenshtein (the built-in codegen'd
+    * `levenshtein`, identical semantics in DuckDB) confirms or rejects
+    * each pair; `verified` = distance ≤ 20% of the longer doc via
+    * integer cross-multiplication. Cost is per-CANDIDATE (O(|t1|·|t2|)
+    * each), which is exactly why it must sit behind the capped
+    * generator and never before it. */
+  val x2EditDist = QuerySpec("x2_edit_dist",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.lshCandidates(
+          Dedup.minhash(docs, "text", "doc_id"), "doc_id", maxBucket = 64)
+        .select(col("d1"), col("d2"))
+      pairs
+        .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")),
+          Seq("d1"))
+        .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")),
+          Seq("d2"))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2")).as("edit_dist"),
+          length(col("t1")).as("len1"), length(col("t2")).as("len2"))
+        .withColumn("verified",
+          col("edit_dist") * 5 <= greatest(col("len1"), col("len2")))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, list_transform(range(1, n - 1),
+           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+           |  FROM d WHERE n >= 3),
+           |sm AS (
+           |  SELECT doc_id, list_transform(shingles, sh -> md5(sh)) AS hs
+           |  FROM s),
+           |g AS (
+           |  SELECT doc_id, list_transform(range(0, 8),
+           |    h -> list_min(list_transform(hs,
+           |      m -> substr(m, 4*h + 1, 32 - 4*h) || substr(m, 1, 4*h)))) AS sig
+           |  FROM sm),
+           |b0 AS (
+           |  SELECT doc_id, band_idx,
+           |    md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
+           |  FROM g, (SELECT unnest(range(0, 4)) AS band_idx)),
+           |b AS (
+           |  SELECT doc_id, band_idx, band_hash FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash)
+           |      AS bsz
+           |    FROM b0)
+           |  WHERE bsz <= 64),
+           |pairs AS (
+           |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+           |  FROM b b1 JOIN b b2 ON b1.band_idx = b2.band_idx
+           |    AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id)
+           |SELECT p.d1, p.d2,
+           |  CAST(levenshtein(a.text, c.text) AS INT) AS edit_dist,
+           |  CAST(length(a.text) AS INT) AS len1,
+           |  CAST(length(c.text) AS INT) AS len2,
+           |  levenshtein(a.text, c.text) * 5 <=
+           |    greatest(length(a.text), length(c.text)) AS verified
+           |FROM pairs p
+           |JOIN documents a ON a.doc_id = p.d1
+           |JOIN documents c ON c.doc_id = p.d2
+           |ORDER BY p.d1, p.d2""".stripMargin))
+
   /** X2i — MINHASH ESTIMATOR QUALITY, judged in-engine (round 13): for
     * every capped LSH candidate pair, the 8-hash signature estimate
     * (matching positions × 125000 ppm — E[match share] = Jaccard, the
@@ -5449,7 +5517,8 @@ object Queries {
     sql5Recursive, sql6Q3Shipping, sql7Q18BigOrders, sql8Q10Returns,
     sql9Q21Blocked, sql10Q2MinCost,
     f14HigherOrder,
-    x1Dedup, x2Jaccard, x2Minhash, x2MinhashEst, x2LshPairs, x2Simhash,
+    x1Dedup, x2Jaccard, x2Minhash, x2MinhashEst, x2EditDist, x2LshPairs,
+    x2Simhash,
     x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
