@@ -136,15 +136,20 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    // 4-decimal seconds in the driver-parsed line: sub-0.1ms precision is
-    // below measurement noise, and the compact form is what keeps the final
-    // line inside the driver's 2000-char stdout tail window (see below)
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      "\"" + esc(k) + "\":\"" + esc(v) + "\""
+    // ONE formatting path for both the full and compact lines (a drift
+    // between them would desynchronize bench_out.json from the
+    // driver-parsed line): 4-decimal seconds by default — sub-0.1ms is
+    // below measurement noise — with reduced precision only as the
+    // compact fallback. -1 is the failure sentinel; it must survive any
+    // precision setting.
+    def fmtAt(v: Double, decimals: Int): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toString
+    def qsAt(decimals: Int): String =
+      results.map { case (k, v) => "\"" + k + "\":" + fmtAt(v, decimals) }
+        .mkString("{", ",", "}")
+    def errAt(cap: Int): String = errors.map { case (k, v) =>
+      "\"" + esc(k) + "\":\"" + esc(v.take(cap)) + "\""
     }.mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
@@ -155,7 +160,7 @@ object Bench {
         "\"" + n + s"""":{"shuffle_bytes":$sb,"rows_read":$rr,"bytes_read":$br}"""
     }).mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metricsJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsAt(4)},"metrics":$metricsJson,"errors":${errAt(Int.MaxValue)},"sf":"$sfDir"}"""
     // compact driver-facing line WITHOUT the metrics map: the driver keeps
     // only the final ~2000 chars of stdout and parses the last line. Round
     // 10's single full line (3384 chars with 31 queries' metrics) overflowed
@@ -165,19 +170,11 @@ object Bench {
     // EARLIER stdout line; the FINAL line is the compact form, with error
     // messages hard-capped and a precision fallback if the benched set ever
     // grows the line past the window again.
-    def compactLine(decimals: Int, errCap: Int): String = {
-      def f(v: Double): String =
-        if (v < 0) "-1"
-        else BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toString
-      val q = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-        .mkString("{", ",", "}")
-      val e = errors.map { case (k, v) =>
-        "\"" + esc(k) + "\":\"" + esc(v.take(errCap)) + "\""
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$q,"errors":$e,"sf":"$sfDir"}"""
-    }
-    val compact = Seq(compactLine(4, 80), compactLine(3, 40), compactLine(2, 0))
-      .find(_.length <= 1900).getOrElse(compactLine(2, 0))
+    def compactLine(decimals: Int, errCap: Int): String =
+      s"""{"metric":"total","value":${fmtAt(total, decimals)},"unit":"sec","queries":${qsAt(decimals)},"errors":${errAt(errCap)},"sf":"$sfDir"}"""
+    val candidates =
+      Seq(compactLine(4, 80), compactLine(3, 40), compactLine(2, 0))
+    val compact = candidates.find(_.length <= 1900).getOrElse(candidates.last)
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
     println(full)

@@ -88,13 +88,18 @@ object Sketch {
     * as the HLL below. Build is one explode + distinct — the output is
     * bounded at m rows no matter the corpus; per-shard filters merge by
     * union-distinct without re-reading shards. */
-  def bloomBuild(df: DataFrame, valueCol: String, k: Int, m: Int): DataFrame = {
+  /** The k md5 bit positions of a value — single source of truth for the
+    * hash derivation both builds AND [[bloomContains]] replay; the
+    * oracle-parity contract lives here. */
+  private def bloomCells(valueCol: String, k: Int, m: Int): Column = {
     require(k >= 1 && k <= 16, s"bloom needs 1 <= k <= 16, got $k")
     require(m >= 64 && m % 64 == 0,
       s"bloom bit count must be a positive multiple of 64, got $m")
-    val cells = (0 until k).map(i => bucket(col(valueCol), i, m))
-    df.select(explode(array(cells: _*)).as("pos")).distinct()
+    array((0 until k).map(i => bucket(col(valueCol), i, m)): _*)
   }
+
+  def bloomBuild(df: DataFrame, valueCol: String, k: Int, m: Int): DataFrame =
+    df.select(explode(bloomCells(valueCol, k, m)).as("pos")).distinct()
 
   /** Per-group [[bloomBuild]]: one (group, pos) row per set bit of each
     * group's filter — the shape of a DATA-SKIPPING index (one Bloom
@@ -104,13 +109,9 @@ object Sketch {
     * rebuildable, which is what makes the index maintainable under
     * partial rewrites (x7_incr_bloom). */
   def bloomBuildBy(df: DataFrame, valueCol: String, groupCol: String,
-      k: Int, m: Int): DataFrame = {
-    require(k >= 1 && k <= 16, s"bloom needs 1 <= k <= 16, got $k")
-    require(m >= 64 && m % 64 == 0,
-      s"bloom bit count must be a positive multiple of 64, got $m")
-    val cells = (0 until k).map(i => bucket(col(valueCol), i, m))
-    df.select(col(groupCol), explode(array(cells: _*)).as("pos")).distinct()
-  }
+      k: Int, m: Int): DataFrame =
+    df.select(col(groupCol), explode(bloomCells(valueCol, k, m)).as("pos"))
+      .distinct()
 
   /** Engine-portable shard assignment: the CMS row-0 md5 bucket of a key
     * (first 32 bits of md5("0:key") mod w) — the md5 twin of

@@ -144,8 +144,15 @@ object StressBench {
         .selectExpr("cast(0 as long) as src", "id as dst")
       val chain = spark.range(1, m / 2 - 1)
         .selectExpr("id as src", "id + 1 as dst")
-      val cliques = spark.range(m / 2, m).selectExpr("id as src",
-        s"explode(sequence(id + 1, least((id div 10) * 10 + 9, ${m - 1}))) as dst")
+      // clique-top ids (and a possible last id) are filtered OUT before
+      // the sequence: for them start > stop, and Spark's sequence()
+      // defaults to step -1 — emitting a self-loop plus a bridge edge
+      // into the NEXT clique (review finding; the same inverted-sequence
+      // trap weightedSample's weight filter guards against)
+      val cliques = spark.range(m / 2, m)
+        .filter(s"id % 10 <> 9 AND id < ${m - 1}")
+        .selectExpr("id as src",
+          s"explode(sequence(id + 1, least((id div 10) * 10 + 9, ${m - 1}))) as dst")
       spokes.unionAll(chain).unionAll(cliques)
     }
     def naiveTriangles(edges: DataFrame): DataFrame = {
@@ -156,9 +163,13 @@ object StressBench {
       val wedges = adj.select(col("a").as("c"), col("b").as("x"))
         .join(adj.select(col("a").as("c"), col("b").as("y")), Seq("c"))
         .filter(col("x") < col("y"))
+      // each triangle closes exactly ONE wedge per corner, so counting
+      // the CENTER (not all three nodes) yields per-node participation
+      // identical to Graph.triangles — exploding all corners would
+      // triple-count (review finding)
       wedges.join(und.select(col("a").as("x"), col("b").as("y")),
           Seq("x", "y"))
-        .select(explode(array(col("c"), col("x"), col("y"))).as("node"))
+        .select(col("c").as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
     }
     stage("tri_oriented")(ops.Graph.triangles(skewGraph(n)))
@@ -190,7 +201,8 @@ object StressBench {
     // probes·(load)^k ≈ 100k·36·1.1e-6 ≈ 4 docs here (measured 5) — an
     // order-of-magnitude bound, not equality (Bloom never promises 0)
     require(results("decon_bloom_20")._2 >= results("decon_exact")._2 &&
-      results("decon_bloom_20")._2 <= results("decon_exact")._2 + 40,
+      results("decon_bloom_20")._2 <=
+        results("decon_exact")._2 + math.max(40L, n / 2500),
       "sized bloom FPs off-model: " +
         s"""${results("decon_bloom_20")._2} vs exact ${results("decon_exact")._2}""")
     require(results("tri_oriented")._2 >= n / 2,
