@@ -156,6 +156,99 @@ object Queries {
             |FROM ticks ORDER BY downloader_jq_id""".stripMargin),
     bench = true)
 
+  // ---- S9 beyond parquet: judged CSV and JSON scans (round 14) --------
+  // The fixture file is DERIVED from the driver's parquet tables at query
+  // time (written fresh on every call — rewriting a <=10k-row file is
+  // noise, and it keeps the file consistent with whichever sf dir the
+  // caller passed), parked at a FIXED path so the static oracle SQL can
+  // read the IDENTICAL bytes with DuckDB's read_csv/read_json. The
+  // judged operator is the schema'd scan back; the write is fixture
+  // setup, same division as the x7 layout queries.
+  private val s9FixtureRoot = "/root/repo/target/graft_fixtures"
+
+  /** Spark file sinks write a part-file directory; move the single
+    * coalesced part to `dest` so both engines read one well-known file.
+    * Staging dir is per-thread-temp; REPLACE_EXISTING makes rewrites
+    * atomic-enough for the strictly sequential verify/bench callers. */
+  private def writeSingleFile(df: DataFrame, format: String,
+      dest: String): Unit = {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_s9_stage").toString
+    df.coalesce(1).write.mode("overwrite").format(format)
+      .option("header", "true").option("escape", "\"").save(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written under $staging"))
+    val destPath = java.nio.file.Paths.get(dest)
+    java.nio.file.Files.createDirectories(destPath.getParent)
+    java.nio.file.Files.move(part.toPath, destPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** S9-csv — RFC4180 round trip, schema'd scan, both engines reading the
+    * same file. The `tricky` column embeds separators and quotes so the
+    * quote/escape contract is actually exercised (Spark's writer default
+    * escape is backslash — NOT RFC4180 — hence the explicit
+    * escape="\"" on both the writer and the reader; DuckDB's reader is
+    * RFC4180-native). At 100 TB a CSV scan is schema'd + splittable
+    * exactly like this one: explicit schema (no inference pass over the
+    * corpus) and a plain projection that pushes column pruning into the
+    * scan. */
+  val s9CsvScan = QuerySpec("s9_csv_scan",
+    (s, d) => {
+      val dest = s"$s9FixtureRoot/s9_documents.csv"
+      writeSingleFile(
+        T(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          concat(col("lang"), lit(",\""), col("source"), lit("\" "),
+            substring(col("text"), 1, 24)).as("tricky")),
+        "csv", dest)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, " +
+          "n_chars BIGINT, tricky STRING")
+        .option("header", "true").option("escape", "\"")
+        .csv(dest)
+        .filter(col("n_chars") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source, n_chars, tricky
+           |FROM read_csv('/root/repo/target/graft_fixtures/s9_documents.csv',
+           |  header=true,
+           |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR',
+           |           'n_chars':'BIGINT','tricky':'VARCHAR'})
+           |WHERE n_chars > 0 ORDER BY doc_id""".stripMargin))
+
+  /** S9-json — newline-delimited JSON round trip over the events table
+    * (one JSON object per line = the splittable layout; a single
+    * multi-MB array would serialize the whole scan through one task).
+    * ts travels as unix micros: integer-exact on any engine, the same
+    * no-float/no-format-drift discipline as the ppm kernels. The props
+    * column is a JSON-in-string payload, so the scan must round-trip
+    * embedded quotes/escapes — with the explicit schema it stays an
+    * opaque VARCHAR on both sides (f6_from_json covers parsing it). */
+  val s9JsonScan = QuerySpec("s9_json_scan",
+    (s, d) => {
+      val dest = s"$s9FixtureRoot/s9_events.json"
+      writeSingleFile(
+        Tables.events(s, d).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props")),
+        "json", dest)
+      s.read
+        .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .json(dest)
+        .filter(col("event_type") =!= "noop")
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, ts_us, user_id, event_type, value, props
+           |FROM read_json('/root/repo/target/graft_fixtures/s9_events.json',
+           |  format='newline_delimited',
+           |  columns={'event_id':'BIGINT','ts_us':'BIGINT','user_id':'BIGINT',
+           |           'event_type':'VARCHAR','value':'DOUBLE','props':'VARCHAR'})
+           |WHERE event_type <> 'noop' ORDER BY event_id""".stripMargin))
+
   val p1SplitDecode = QuerySpec("p1_split_decode",
     (s, d) => {
       val withValue = Tables.events(s, d).filter(col("event_id") < 5000)
@@ -1583,11 +1676,13 @@ object Queries {
     bench = true)
 
   /** X2c' — SimHash near-dup candidates via bit-block banding (pigeonhole:
-    * Hamming <= 3 over the 32-bit hash guarantees one of the 4
-    * byte-blocks matches verbatim; 256 values per block keeps buckets
-    * small — the old 16-bit hash saturated at this corpus size and its
-    * 4-bit blocks went near-quadratic). The DuckDB oracle replays
-    * simhash, the block equi-join, and the Hamming filter.
+    * Hamming <= 3 over the 60-bit hash guarantees one of the 4
+    * 15-bit blocks matches verbatim; 32,768 values per block keeps
+    * buckets small well past the corpus sizes where the old 32-bit
+    * hash's 256-value blocks saturated the cap — r12 StressBench
+    * measured ZERO candidates at 100k docs, the round-14 reason for the
+    * width). The DuckDB oracle replays simhash, the block equi-join,
+    * and the Hamming filter.
     *
     * CAPPED (round 7): blocks whose bucket exceeds 64 docs are dropped
     * BEFORE pairing — the judged plan is now the scale plan (an
@@ -1614,7 +1709,7 @@ object Queries {
             |sh AS (SELECT doc_id, CAST($simhashBitTerms AS BIGINT) AS simhash
             |       FROM v),
             |blk0 AS (
-            |  SELECT doc_id, simhash, j, (simhash >> (j * 8)) & 255 AS blk
+            |  SELECT doc_id, simhash, j, (simhash >> (j * 15)) & 32767 AS blk
             |  FROM sh, (SELECT unnest(range(0, 4)) AS j)),
             |blk AS (
             |  SELECT doc_id, simhash, j, blk FROM (
@@ -1683,6 +1778,24 @@ object Queries {
            |  coalesce(c.cluster, dd.doc_id) = dd.doc_id AS is_survivor
            |FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
            |ORDER BY dd.doc_id""".stripMargin))
+
+  /** X2e' — the SAME cluster resolution via large-star/small-star
+    * contraction (round 14): identical min-reachable-id contract,
+    * logarithmic rounds instead of O(diameter) — the variant a
+    * chain-shaped pair graph (span-dedup output) needs. Judged against
+    * the IDENTICAL recursive oracle as x2_components: two different
+    * iterative algorithms, one hash — the strongest equivalence check
+    * available. */
+  val x2ComponentsStar = QuerySpec("x2_components_star",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhash(docs, "text", "doc_id"), "doc_id")
+      Dedup.componentsStar(docs, pairs, "doc_id")
+        .withColumn("is_survivor", col("cluster") === col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    x2Components.oracle)
 
   /** X2f — the composed end-to-end dedup pipeline as ONE judged query:
     * exact-fingerprint rep collapse -> capped LSH banded candidates over
@@ -2529,13 +2642,19 @@ object Queries {
   // defs, not vals: these are interpolated into oracle SQL strings that
   // may be declared EARLIER in this object's initialization order — a val
   // would interpolate as the literal "null" there
-  private def simhashBitSums = (0 until 32).map(j =>
-    s"    CAST(sum(CASE WHEN substr(h, ${j + 1}, 1) IN " +
-      s"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS BIGINT) AS s$j")
-    .mkString(",\n")
-  // 1L, not 1: Scala's 1 << 31 is a negative Int and DuckDB would read
+  // 60-bit signature (round 14), two bits per md5 nibble: bit j reads
+  // nibble j/2 — even j is the nibble's high bit (hex '8'..'f'), odd j
+  // its second bit (hex '4'..'7' and 'c'..'f') — replaying
+  // Dedup.simhash's chunk arithmetic nibble for nibble
+  private def simhashBitSums = (0 until graft.ops.Dedup.SimhashBits).map { j =>
+    val chars = if (j % 2 == 0) "('8','9','a','b','c','d','e','f')"
+      else "('4','5','6','7','c','d','e','f')"
+    s"    CAST(sum(CASE WHEN substr(h, ${j / 2 + 1}, 1) IN " +
+      s"$chars THEN 1 ELSE 0 END) AS BIGINT) AS s$j"
+  }.mkString(",\n")
+  // 1L, not 1: Scala's 1 << 32+ wraps as Int and DuckDB would read
   // the emitted literal as such
-  private def simhashBitTerms = (0 until 32).map(j =>
+  private def simhashBitTerms = (0 until graft.ops.Dedup.SimhashBits).map(j =>
     s"(CASE WHEN s$j * 2 > n_tok THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
   val x2Simhash = QuerySpec("x2_simhash",
@@ -5126,6 +5245,50 @@ object Queries {
            |SELECT node, score FROM r3 ORDER BY node""".stripMargin),
     bench = true)
 
+  /** X10b' — PAGERANK WITH DANGLING MASS (round 14): judged on the
+    * UN-symmetrized trade graph, where every supplier is a sink — the
+    * graph class plain pageRank is silently wrong on (sinks drop their
+    * mass; total rank deflates). Same exact integer-ppm contract, plus
+    * the redistribution term: dsh = (Σ dangling score) div N added to
+    * every node's damped input each round. The oracle unrolls all three
+    * iterations — dangling sum, floor-divided share, contribution join,
+    * and the left join that keeps in-degree-0 customers alive — so the
+    * mechanism is hash-checked end to end, not just "ranks look sane". */
+  val x10PagerankDangling = QuerySpec("x10_pagerank_dangling",
+    (s, d) => Graph.pageRankDangling(
+        Graph.tradeEdgesDirected(T(s, d, "lineitem"), T(s, d, "orders")), 3)
+      .orderBy(col("node")),
+    Some {
+      val iters = (1 to 3).map { i =>
+        s"""d$i AS (SELECT CAST(coalesce(sum(score), 0) AS BIGINT)
+           |    // (SELECT n FROM nn) AS dsh
+           |  FROM r${i - 1} WHERE outdeg IS NULL),
+           |c$i AS (SELECT e.dst AS node,
+           |    CAST(sum(r.score // r.outdeg) AS BIGINT) AS c
+           |  FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+           |r$i AS (SELECT nd.node, nd.outdeg,
+           |    CAST(150000 + (850 * (coalesce(c$i.c, 0) +
+           |      (SELECT dsh FROM d$i))) // 1000 AS BIGINT) AS score
+           |  FROM nd LEFT JOIN c$i ON nd.node = c$i.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+         |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |nd AS (SELECT nodes.node, deg.outdeg FROM nodes
+         |       LEFT JOIN deg ON nodes.node = deg.src),
+         |r0 AS (SELECT node, outdeg, CAST(1000000 AS BIGINT) AS score
+         |       FROM nd),
+         |$iters
+         |fin AS (SELECT node, score FROM r3)
+         |SELECT node, score FROM fin ORDER BY node""".stripMargin
+    })
+
   /** X10c — TRIANGLE COUNTING (round 13): per-node triangle
     * participation over the co-supply graph (suppliers adjacent when
     * they supply the same part), by degree-ordered edge orientation —
@@ -5500,6 +5663,7 @@ object Queries {
 
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
+    s9CsvScan, s9JsonScan,
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
     p7StatusFilter, p8Dispatch,
     fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
@@ -5521,7 +5685,7 @@ object Queries {
     x2Simhash,
     x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
-    x2Components, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
+    x2Components, x2ComponentsStar, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5Cms, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3IvfRecall,
     x3Kmeans, x3Quant, x3QuantTopk,
@@ -5538,7 +5702,7 @@ object Queries {
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
     x7IncrAgg, x7IncrMinhash, x7IncrHist, x7IncrCms, x7IncrBloom,
     x7MetaCount, x7Audit,
-    x10Drift, x10Pagerank, x10Triangles,
+    x10Drift, x10Pagerank, x10PagerankDangling, x10Triangles,
     stMergeReplay,
     x8Resample, x8Sessionize, x9Curation,
     mmMeta, mmDecode, mmSim)

@@ -32,16 +32,28 @@ object Dedup {
     * keys with n <= cap, LEFT SEMI the rows against the survivors. Hot
     * buckets' rows stream through the probe side of that join and miss —
     * no operator anywhere holds more than `cap` members of any bucket,
-    * so a downstream collect_list is safe BY CONSTRUCTION. The price is
-    * one extra evaluation of the key subtree for the count pass (compute,
-    * not memory — the scan-side cost a 100 TB run can pay; buffering a
-    * corpus-sized bucket is the one it cannot). */
+    * so a downstream collect_list is safe BY CONSTRUCTION.
+    *
+    * The keyed frame is localCheckpoint'd (round 14): the count pass and
+    * the pairing pass both consume it, and Catalyst does not dedupe
+    * repeated DataFrame subtrees — without truncation the (usually
+    * md5-heavy) shingle/band/block subtree would be EVALUATED TWICE per
+    * run, the direct cause of the only two r13 bench regressions
+    * (x2_span_pairs 1.49×, x2_dedup_e2e 1.17× vs r11). The narrow
+    * (key, id[, pos]) frame persists once to executor storage
+    * (MEMORY_AND_DISK, spills — a per-row cost, never a per-bucket one,
+    * so the no-over-cap-bucket guarantee is untouched); eager = false
+    * defers the checkpoint materialization to the first action (under
+    * AQE, construction may still finalize upstream exchange stages —
+    * e.g. a fanOut repartition — but never the md5 compute above them,
+    * which is the expensive part this fix de-duplicates). */
   private def capBuckets(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val surviving = rows.groupBy(keys.map(col): _*)
+    val keyed = rows.localCheckpoint(eager = false)
+    val surviving = keyed.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= cap)
       .select(keys.map(col): _*)
-    rows.join(surviving, keys, "left_semi")
+    keyed.join(surviving, keys, "left_semi")
   }
 
   /** X1 — exact dedup by key columns, keeping the lowest id per group.
@@ -165,64 +177,82 @@ object Dedup {
       .select(col(idCol), col("sig"), col("bands"))
   }
 
-  /** X2c — 32-bit SimHash over distinct tokens.
+  /** Signature width shared by [[simhash]] and [[simhashCandidates]].
+    * 60, not 32 (round 14): signature width bounds how many ways each
+    * banding block can partition the corpus, and the r12 StressBench
+    * MEASURED the 32-bit ceiling — 8-bit blocks partition only 256 ways,
+    * so at ≥ ~blocks·cap docs every bucket exceeds the cap and the
+    * capped generator returns zero candidates (BASELINE.md "SATURATED").
+    * 60 bits gives 15-bit default blocks (32,768-way partitioning —
+    * buckets stay under any sane cap into the multi-million-doc range)
+    * while staying BIGINT-SIGN-SAFE on both engines: bit 59 < 2^60 fits
+    * a positive long, the same argument the 32-bit version made against
+    * bit 31/int (bit 63 would flip BIGINT's sign and break the oracle's
+    * shiftright arithmetic). Not 64: sign-safety is the binding
+    * constraint, and 60 = 2²·3·5 offers divisible block counts
+    * (2/3/4/5/6/10/12/15). */
+  val SimhashBits = 60
+
+  /** X2c — 60-bit SimHash over distinct tokens.
     *
-    * Bit j of a token = high bit of hex nibble j of md5(token); the doc's
-    * SimHash sets bit j when the majority of its tokens have bit j set.
-    * md5-nibble bits keep the hash portable (the DuckDB oracle computes the
-    * identical value via substr on the same md5 hex). Near-dups differ in
-    * few bits; at scale candidates come from exact-matching on bit-blocks
-    * (same groupBy shape as MinHash banding).
-    *
-    * 32 bits, not 16 (round 5): a 16-bit space saturates — at 5000 docs
-    * the birthday collisions alone made 22% of ALL pairs "candidates"
-    * (measured). 32 bits keeps the value sign-safe as a long on both
-    * engines (bit 31 set would overflow an int; bit 63 would overflow
-    * BIGINT the same way) while collision rates drop by 2^16. */
+    * Token bit j = bit (3 − j%2) of hex nibble j/2 of md5(token) — two
+    * bits per nibble, nibbles 0..29, so one digest yields all 60
+    * indicator bits (one-bit-per-nibble would need a second digest past
+    * 32 bits, doubling the md5 cost of the corpus-scale hot path). The
+    * doc's SimHash sets bit j when the majority of its tokens have bit j
+    * set. md5-nibble bits keep the hash portable: the DuckDB oracle
+    * computes the identical value via substr + IN on the same md5 hex
+    * (high nibble bit = '8'..'f', second bit = '4'..'7' ∪ 'c'..'f'). */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("h", md5(col("tok")))
     // per-token bit votes via 4 conv() chunks + bit arithmetic (round 7):
-    // nibble j's high bit == bit (31 - 4*(j%8)) of the 32-bit integer
-    // parsed from hex chars 8*(j/8)+1..8*(j/8)+8 — the same indicator the
-    // previous 32 substring+IN expressions computed, at 4 string parses
-    // per token instead of 32 UTF8String slices (this projection is the
-    // corpus-scale hot path; the oracle keeps the substr formulation,
-    // which is value-identical)
+    // chunk c = the 32-bit integer parsed from hex chars 8c+1..8c+8, so
+    // nibble n occupies bits (31−4·(n%8))..(28−4·(n%8)) of chunk n/8 and
+    // signature bit j (nibble n = j/2, nibble-bit 3−j%2) is chunk bit
+    // (31 − 4·(n%8) − j%2) — 4 string parses per token instead of 60
+    // UTF8String slices (the oracle keeps the substr formulation, which
+    // is value-identical)
     val withChunks = toks.select(col(idCol) +: (0 until 4).map(c =>
       conv(substring(col("h"), c * 8 + 1, 8), 16, 10).cast("long")
         .as(s"c$c")): _*)
     val bitVotes = withChunks
-      .select(col(idCol) +: (0 until 32).map { j =>
-        shiftright(col(s"c${j / 8}"), 31 - 4 * (j % 8))
+      .select(col(idCol) +: (0 until SimhashBits).map { j =>
+        val n = j / 2
+        shiftright(col(s"c${n / 8}"), 31 - 4 * (n % 8) - j % 2)
           .bitwiseAND(lit(1L)).cast("int").as(s"b$j")
       }: _*)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
-        (0 until 32).map(j => sum(col(s"b$j")).as(s"s$j")): _*)
+        (0 until SimhashBits).map(j => sum(col(s"b$j")).as(s"s$j")): _*)
     bitVotes.withColumn("simhash",
-      (0 until 32).map(j =>
+      (0 until SimhashBits).map(j =>
         when(col(s"s$j") * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).cast("long"))
       .select(col(idCol), col("simhash"))
   }
 
   /** X2c' — SimHash candidate pairs by bit-block banding: split the
-    * 16-bit hash into `nBlocks` equal blocks; by pigeonhole, any pair
-    * within Hamming distance `maxHamming` <= nBlocks-1 shares at least
-    * one block verbatim, so exact-matching on (block index, block value)
-    * finds every such pair with a plain equi-join — the same bucketed
-    * shape as MinHash LSH banding, never corpus². The Hamming filter
-    * after the join removes the false positives the coarse blocks admit.
+    * [[SimhashBits]]-bit hash into `nBlocks` equal blocks; by pigeonhole,
+    * any pair within Hamming distance `maxHamming` <= nBlocks-1 shares at
+    * least one block verbatim, so exact-matching on (block index, block
+    * value) finds every such pair with a plain equi-join — the same
+    * bucketed shape as MinHash LSH banding, never corpus². The Hamming
+    * filter after the join removes the false positives the coarse blocks
+    * admit.
     *
     * BLOCK WIDTH IS THE SELECTIVITY LEVER: more blocks cover deeper
     * Hamming radii (maxHamming <= nBlocks-1) but each block partitions
     * the corpus fewer ways, so buckets grow and the join output with
     * them — the old 16-bit hash with 4-bit blocks partitioned only 16
     * ways and went near-quadratic on the 5000-doc test corpus (57% of
-    * all pairs). Defaults: 4 blocks of 8 bits over the 32-bit hash —
-    * Hamming <= 3 recall with 256-way partitioning per block.
+    * all pairs), and the old 32-bit hash's 8-bit blocks saturated the
+    * cap at ~blocks·cap docs (r12 StressBench: ZERO candidates at 100k —
+    * the round-14 reason the signature is now 60 bits). Defaults:
+    * 4 blocks of 15 bits — Hamming <= 3 recall with 32,768-way
+    * partitioning per block; deeper radii raise nBlocks (any divisor of
+    * 60: 5 blocks of 12 bits covers Hamming <= 4, and so on).
     *
     * Note on output size: pair ENUMERATION of a duplicate clique is
     * inherently O(clique²) — a corpus whose docs really are
@@ -235,11 +265,12 @@ object Dedup {
   def simhashCandidates(sigs: DataFrame, idCol: String,
       maxHamming: Int = 3, nBlocks: Int = 4,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(32 % nBlocks == 0 && nBlocks > 0, s"nBlocks must divide 32: $nBlocks")
+    require(SimhashBits % nBlocks == 0 && nBlocks > 0,
+      s"nBlocks must divide $SimhashBits: $nBlocks")
     require(maxHamming < nBlocks,
       s"pigeonhole completeness needs maxHamming < nBlocks " +
         s"($maxHamming >= $nBlocks)")
-    val width = 32 / nBlocks
+    val width = SimhashBits / nBlocks
     val mask = (1L << width) - 1
     val allBlocks = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(
@@ -330,6 +361,90 @@ object Dedup {
         s"graph diameter exceeds maxIter; raise maxIter")
     labels.select(col("src").as(idCol), col("label").as("cluster"))
   }
+
+  /** X2e' — connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the O(log² n)-round answer to
+    * [[components]]' O(diameter) min-label propagation. Label
+    * propagation is the right tool for the shallow clique-ish clusters
+    * LSH candidates produce, but span-dedup output is CHAIN-shaped (doc
+    * A overlaps B overlaps C …): a k-long chain costs k label rounds —
+    * the driver loop, not the shuffles, becomes the bottleneck. Star
+    * contraction collapses chains exponentially:
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ {u}) — one groupBy-min on the bidirected
+    *    adjacency + one same-key join, emitted as (v, m);
+    *  - small-star(u), on (hi → lo)-normalized edges: u and every
+    *    smaller neighbor re-attach to the minimum — same two-shuffle
+    *    shape on the hi key.
+    *
+    * Both steps preserve connectivity and never introduce cross-
+    * component edges (each new edge connects two nodes already joined
+    * through u), so at the fixed point the edge set is a star forest
+    * whose centers are the component minima — the identical
+    * min-reachable-id contract as [[components]], hash-checked against
+    * the same RECURSIVE oracle. Per round: two groupBy-min + two
+    * joins + one distinct, all keyed on node ids, each round
+    * localCheckpoint'd (lineage truncation, same loop discipline as
+    * [[components]]). Convergence = edge set unchanged over a full
+    * round (size + except — both narrow on the checkpointed frame).
+    *
+    * Returns ((idCol, cluster), rounds) — rounds exposed so scale
+    * harnesses can assert the logarithmic round count directly. */
+  def componentsStarWithRounds(nodes: DataFrame, pairs: DataFrame,
+      idCol: String, d1: String = "d1", d2: String = "d2",
+      maxIter: Int = 30): (DataFrame, Int) = {
+    // normalize to (hi, lo), drop self-loops/dups
+    var edges = pairs
+      .select(greatest(col(d1), col(d2)).as("hi"),
+        least(col(d1), col(d2)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    var i = 0
+    var converged = edges.isEmpty
+    while (!converged && i < maxIter) {
+      // LARGE-STAR over the bidirected adjacency: (u, nbr) both ways
+      val adj = edges.select(col("hi").as("u"), col("lo").as("nbr"))
+        .unionAll(edges.select(col("lo").as("u"), col("hi").as("nbr")))
+      val lsMin = adj.groupBy(col("u"))
+        .agg(min(col("nbr")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = adj.join(lsMin, Seq("u"))
+        .filter(col("nbr") > col("u"))
+        .select(col("nbr").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // SMALL-STAR on (hi -> lo) edges: min over N⁻(u) ∪ {u} (all
+      // neighbors are < u, so the min neighbor IS the min); u and every
+      // non-min small neighbor attach to it
+      val ssMin = afterLarge.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val joined = afterLarge.join(ssMin, Seq("hi"))
+      val afterSmall = joined.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionAll(ssMin.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint()
+      converged = afterSmall.count() == edges.count() &&
+        afterSmall.except(edges).isEmpty
+      edges = afterSmall
+      i += 1
+    }
+    require(converged || edges.isEmpty,
+      s"componentsStar did not converge in $maxIter rounds — raise maxIter")
+    // star forest: every edge is (member, component-min); roots and
+    // singletons keep their own id
+    val labels = nodes.select(col(idCol))
+      .join(edges.select(col("hi").as(idCol), col("lo").as("cluster")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+    (labels, i)
+  }
+
+  /** [[componentsStarWithRounds]] without the round count — the drop-in
+    * alternative to [[components]] for deep (chain-shaped) pair graphs. */
+  def componentsStar(nodes: DataFrame, pairs: DataFrame, idCol: String,
+      d1: String = "d1", d2: String = "d2", maxIter: Int = 30): DataFrame =
+    componentsStarWithRounds(nodes, pairs, idCol, d1, d2, maxIter)._1
 
   /** X2f — the END-TO-END dedup pipeline a corpus run actually executes,
     * composed from the proven parts so no stage ever materializes a

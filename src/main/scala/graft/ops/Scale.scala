@@ -106,8 +106,12 @@ object Scale {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
     val ticket = md5(concat(lit("split:"), col(idCol).cast("string")))
+    // rank is an int (row_number's type): the ×100 must happen in long
+    // arithmetic or strata beyond ~21.4M rows silently overflow (or throw
+    // under ANSI mode) and corrupt the assignment — exactly the regime
+    // the scaladoc above promises ("millions of rows per stratum")
     df.withColumn("_rk",
-        row_number().over(w.orderBy(ticket, col(idCol))))
+        row_number().over(w.orderBy(ticket, col(idCol))).cast("long"))
       .withColumn("_n", count(lit(1)).over(w))
       .withColumn("split",
         when(col("_rk") * 100 <= col("_n") * pctTrain, "train")

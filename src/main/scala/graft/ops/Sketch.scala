@@ -146,6 +146,13 @@ object Sketch {
   def bloomContains(value: Column, bits: Array[Long], k: Int, m: Int): Column = {
     require(bits.length * 64 == m,
       s"bitset carries ${bits.length * 64} bits, expected $m")
+    // k MUST equal the k used at bloomBuild time: probing with fewer
+    // hashes than were set admits extra false positives, probing with
+    // more produces FALSE NEGATIVES — breaking Bloom's one hard promise.
+    // The bitset itself cannot witness its k (any k "fits" an m-bit
+    // array), so the bounds check here is the loudest guard available;
+    // callers carry (k, m) alongside the bits as the filter's identity.
+    require(k >= 1 && k <= 16, s"bloom needs 1 <= k <= 16, got $k")
     val arr = typedLit(bits.toSeq)
     (0 until k).map { i =>
       val pos = bucket(value, i, m)

@@ -197,6 +197,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L))
   }
 
+  test("X2e' componentsStar: identical labels to components on a mixed " +
+      "graph; a 1k-long chain converges in logarithmic rounds") {
+    // mixed shape: path (diameter 3), separate pair, two singletons —
+    // star contraction must agree with label propagation exactly
+    val nodes = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("d1", "d2")
+    val lp = Dedup.components(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.componentsStar(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(star == lp)
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+
+    // the O(diameter) vs O(log²) separation, measured: a 1000-link chain
+    // is 1000 label-propagation rounds (components' default maxIter
+    // fails loudly on it) but must collapse to one star in ~log rounds
+    val chainNodes = spark.range(0, 1000).selectExpr("id as doc_id")
+    val chainPairs = spark.range(0, 999)
+      .selectExpr("id as d1", "id + 1 as d2")
+    intercept[IllegalArgumentException] {
+      Dedup.components(chainNodes, chainPairs, "doc_id").collect()
+    }
+    val (labels, rounds) =
+      Dedup.componentsStarWithRounds(chainNodes, chainPairs, "doc_id")
+    assert(rounds <= 15, s"1k chain took $rounds star rounds")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 1000 && got.forall(_._2 == 0L))
+
+    // empty pair set: every node a singleton, zero rounds
+    val (single, r0) = Dedup.componentsStarWithRounds(
+      nodes, pairs.filter(col("d1") < 0), "doc_id")
+    assert(r0 == 0)
+    assert(single.as[(Long, Long)].collect().toMap ==
+      (1L to 8L).map(i => i -> i).toMap)
+  }
+
   test("X2b/X2c' maxBucket drops degenerate buckets, keeps discriminative ones") {
     // 40 identical docs: every band bucket has 40 members -> capped out;
     // a separate duplicate pair sits in its own size-2 buckets and
