@@ -124,6 +124,48 @@ object Bench {
       // -1 marks a failure: propagate it rather than min-ing it away
       name -> (if (t < 0 || t2 < 0) -1.0 else math.min(t, t2))
     }
+    val (full, compact) = render(results, metrics.toMap, errors.toSeq, sfDir)
+    Files.writeString(Paths.get("bench_out.json"), full + "\n")
+    spark.stop()
+    println(full)
+    if (compact.length > CompactBudget)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} chars > $CompactBudget — driver tail window at risk")
+    // printed last so the compact JSON is the final stdout line of the forked JVM
+    println(compact)
+  }
+
+  /** Hard budget for the driver-facing final stdout line: the driver keeps
+    * only the final ~2000 chars of stdout and parses the last line, so the
+    * compact JSON must fit with margin for the trailing newline + any
+    * interleaved [success] noise. */
+  private[graft] val CompactBudget = 1900
+
+  /** Pure artifact formatter, factored out of [[main]] so BenchContractSpec
+    * can pin the driver-facing invariants (single parseable line, length
+    * budget, deduped errors, -1 failure sentinel) against a synthetic worst
+    * case — round 12's driver artifact was lost to an stdout-format
+    * regression and only caught a round later.
+    *
+    * Returns (full, compact): `full` carries everything (per-query plan
+    * metrics, uncapped error strings) and goes to bench_out.json + an early
+    * stdout line; `compact` is the FINAL stdout line the driver parses.
+    *
+    * ONE formatting path for both lines (a drift between them would
+    * desynchronize bench_out.json from the driver-parsed line): 4-decimal
+    * seconds by default — sub-0.1ms is below measurement noise — with
+    * reduced precision only as the compact fallback. -1 is the failure
+    * sentinel; it must survive any precision setting. Round 10's single
+    * full line (3384 chars with 31 queries' metrics) overflowed the
+    * driver's tail window, and round 12's compact line did too (2985 chars
+    * — four failing queries' 200-char exception strings, each duplicated
+    * across the two timed passes). So error messages are hard-capped, error
+    * keys deduped (first message wins), and precision degrades before the
+    * line is ever allowed past the budget. */
+  private[graft] def render(
+      results: Seq[(String, Double)],
+      metrics: Map[String, (Long, Long, Long)],
+      errors: Seq[(String, String)],
+      sfDir: String): (String, String) = {
     // full JSON string escape incl. control chars — Spark exception
     // toStrings are multi-line, and a raw \n here would make the driver's
     // json.load fail exactly when errors need reporting
@@ -136,19 +178,20 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    // ONE formatting path for both the full and compact lines (a drift
-    // between them would desynchronize bench_out.json from the
-    // driver-parsed line): 4-decimal seconds by default — sub-0.1ms is
-    // below measurement noise — with reduced precision only as the
-    // compact fallback. -1 is the failure sentinel; it must survive any
-    // precision setting.
+    // dedupe defensively even though main's LinkedHashMap already keys by
+    // query name — duplicate JSON keys are exactly the r12 failure class
+    val dedupedErrors = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      errors.foreach { case (k, v) => seen.getOrElseUpdate(k, v) }
+      seen.toSeq
+    }
     def fmtAt(v: Double, decimals: Int): String =
       if (v < 0) "-1"
       else BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toString
     def qsAt(decimals: Int): String =
       results.map { case (k, v) => "\"" + k + "\":" + fmtAt(v, decimals) }
         .mkString("{", ",", "}")
-    def errAt(cap: Int): String = errors.map { case (k, v) =>
+    def errAt(cap: Int): String = dedupedErrors.map { case (k, v) =>
       "\"" + esc(k) + "\":\"" + esc(v.take(cap)) + "\""
     }.mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
@@ -161,26 +204,11 @@ object Bench {
     }).mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsAt(4)},"metrics":$metricsJson,"errors":${errAt(Int.MaxValue)},"sf":"$sfDir"}"""
-    // compact driver-facing line WITHOUT the metrics map: the driver keeps
-    // only the final ~2000 chars of stdout and parses the last line. Round
-    // 10's single full line (3384 chars with 31 queries' metrics) overflowed
-    // that window, and round 12's compact line did too (2985 chars — four
-    // failing queries' 200-char exception strings, each duplicated across
-    // the two timed passes). So: full JSON goes to bench_out.json + an
-    // EARLIER stdout line; the FINAL line is the compact form, with error
-    // messages hard-capped and a precision fallback if the benched set ever
-    // grows the line past the window again.
     def compactLine(decimals: Int, errCap: Int): String =
       s"""{"metric":"total","value":${fmtAt(total, decimals)},"unit":"sec","queries":${qsAt(decimals)},"errors":${errAt(errCap)},"sf":"$sfDir"}"""
     val candidates =
       Seq(compactLine(4, 80), compactLine(3, 40), compactLine(2, 0))
-    val compact = candidates.find(_.length <= 1900).getOrElse(candidates.last)
-    Files.writeString(Paths.get("bench_out.json"), full + "\n")
-    spark.stop()
-    println(full)
-    if (compact.length > 1900)
-      System.err.println(s"[bench] WARNING compact line ${compact.length} chars > 1900 — driver tail window at risk")
-    // printed last so the compact JSON is the final stdout line of the forked JVM
-    println(compact)
+    val compact = candidates.find(_.length <= CompactBudget).getOrElse(candidates.last)
+    (full, compact)
   }
 }

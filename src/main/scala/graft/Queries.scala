@@ -2000,6 +2000,147 @@ object Queries {
         |FROM kept GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin))
 
+  /** X2i — winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS,
+    * round 14): from each sliding window of w=8 consecutive 4-gram md5
+    * hashes keep the minimum (rightmost on ties). The oracle replays the
+    * tie rule with a composite string — md5hex ∥ zero-padded (1e9 − pos)
+    * — whose lexicographic min IS (min hash, max pos), the same ordering
+    * Spark computes via min(struct(h, −pos)). Any verbatim run of
+    * ≥ w + k − 1 = 11 tokens shared by two docs shares a fingerprint,
+    * at ~2/(w+1) of the shingle volume. */
+  val x2Winnow = QuerySpec("x2_winnow",
+    (s, d) => Dedup.winnow(T(s, d, "documents"), "text", "doc_id",
+        k = 4, w = 8)
+      .orderBy(col("doc_id"), col("fp_pos"), col("fp")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, nt - 3 AS m, i AS pos,
+           |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |      || ' ' || toks[i+3]) AS h
+           |  FROM (SELECT doc_id, toks, nt, unnest(range(1, nt - 2)) AS i
+           |    FROM d WHERE nt >= 4)),
+           |sel AS (
+           |  SELECT doc_id, m, pos,
+           |    min(h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
+           |      OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS s
+           |  FROM sh)
+           |SELECT DISTINCT doc_id,
+           |  CAST(1000000000 - CAST(substr(s, 33, 10) AS BIGINT) AS INT)
+           |    AS fp_pos,
+           |  substr(s, 1, 32) AS fp
+           |FROM sel
+           |WHERE pos <= greatest(m - 7, 1)
+           |ORDER BY doc_id, fp_pos, fp""".stripMargin),
+    bench = true)
+
+  /** X2i' — winnowing candidate pairs: docs sharing >= 2 distinct
+    * fingerprints via ONE equi-join on the fingerprint hash, hot
+    * boilerplate fingerprints cut at 64 occurrences (capBuckets — the
+    * df-cutoff contract shared by every candidate generator). */
+  val x2WinnowPairs = QuerySpec("x2_winnow_pairs",
+    (s, d) => Dedup.winnowPairs(T(s, d, "documents"), "text", "doc_id",
+        k = 4, w = 8, maxOcc = 64, minShared = 2)
+      .orderBy(col("d1"), col("d2")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, nt - 3 AS m, i AS pos,
+           |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           |      || ' ' || toks[i+3]) AS h
+           |  FROM (SELECT doc_id, toks, nt, unnest(range(1, nt - 2)) AS i
+           |    FROM d WHERE nt >= 4)),
+           |sel AS (
+           |  SELECT doc_id, m, pos,
+           |    min(h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
+           |      OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS s
+           |  FROM sh),
+           |fp AS (
+           |  SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
+           |  FROM sel WHERE pos <= greatest(m - 7, 1)),
+           |ok AS (
+           |  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 64)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(count(*) AS BIGINT) AS n_shared
+           |FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
+           |WHERE a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY d1, d2""".stripMargin))
+
+  /** X5n — exact heavy hitters through a Misra–Gries candidate pass
+    * (round 14): every token with count·(k+1) > N over the corpus token
+    * stream, k = 32. The per-partition MG summaries (mapPartitions, k
+    * counters) guarantee a candidate SUPERSET of every true heavy hitter
+    * — summed MG loss is ≤ N/(k+1) — and the exact broadcast-semi-join
+    * recount plus the exact integer threshold make the final rows
+    * partitioning-independent, which is what lets an approximate-sketch
+    * lane be hash-judged: the oracle computes the same answer the naive
+    * way (full-vocabulary groupBy), the engine never shuffles more than
+    * k·partitions candidate values. */
+  val x5HeavyHitters = QuerySpec("x5_heavy_hitters",
+    (s, d) => Sketch.heavyHitters(
+        T(s, d, "documents").select(
+          explode(split(lower(col("text")), " ")).as("tok")),
+        "tok", k = 32)
+      .orderBy(col("value")),
+    Some("""WITH t AS (
+           |  SELECT unnest(string_split(lower(text), ' ')) AS value
+           |  FROM documents),
+           |n AS (SELECT count(*) AS n FROM t)
+           |SELECT value, CAST(count(*) AS BIGINT) AS cnt
+           |FROM t, n
+           |GROUP BY value, n.n
+           |HAVING count(*) * 33 > n.n
+           |ORDER BY value""".stripMargin),
+    bench = true)
+
+  /** X4n — integer-ppm Naive-Bayes classifier (round 14): add-one
+    * smoothed class-conditional token stats fit on the doc_id % 5 <> 0
+    * split, label predicted for the held-out rest by argmax of the
+    * SUMMED per-token conditional probability in ppm (integer div end to
+    * end — the lmScore portability discipline; ties to the smallest
+    * label). The fastText-quality-classifier slot of a curation
+    * pipeline, as pure dataflow. */
+  val x4NbClassify = QuerySpec("x4_nb_classify",
+    (s, d) => TextOps.nbClassify(T(s, d, "documents"), "text", "doc_id",
+        "lang", trainFilter = col("doc_id") % 5 =!= 0)
+      .orderBy(col("doc_id")),
+    Some("""WITH tr AS (
+           |  SELECT doc_id, lang,
+           |    unnest(string_split(lower(text), ' ')) AS w
+           |  FROM documents WHERE doc_id % 5 <> 0),
+           |te AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |v AS (SELECT count(DISTINCT w) AS v FROM tr),
+           |ct AS (
+           |  SELECT lang AS cls, count(*) + (SELECT v FROM v) AS denom
+           |  FROM tr GROUP BY 1),
+           |sc AS (
+           |  SELECT te.doc_id, ct.cls,
+           |    sum(((coalesce(wc.c_wc, 0) + 1) * 1000000) // ct.denom)
+           |      AS score_ppm
+           |  FROM te CROSS JOIN ct
+           |  LEFT JOIN (
+           |    SELECT w, lang AS cls, count(*) AS c_wc
+           |    FROM tr GROUP BY 1, 2) wc
+           |    ON wc.w = te.w AND wc.cls = ct.cls
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT doc_id, cls AS predicted, score_ppm,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score_ppm DESC, cls) AS rk
+           |  FROM sc)
+           |SELECT doc_id, predicted, CAST(score_ppm AS BIGINT) AS score_ppm
+           |FROM r WHERE rk = 1
+           |ORDER BY doc_id""".stripMargin))
+
   /** X5 — deterministic portable hash sampling (train/val splits): the
     * md5-prefix threshold reproduces bit-identically in any engine. */
   val x5Sample = QuerySpec("x5_sample",
@@ -5685,7 +5826,9 @@ object Queries {
     x2Simhash,
     x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
-    x2Components, x2ComponentsStar, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply, x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
+    x2Components, x2ComponentsStar, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply,
+    x2Winnow, x2WinnowPairs, x5HeavyHitters, x4NbClassify,
+    x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5Cms, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3IvfRecall,
     x3Kmeans, x3Quant, x3QuantTopk,

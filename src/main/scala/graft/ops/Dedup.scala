@@ -675,4 +675,89 @@ object Dedup {
         (col("a_start") - col("diag")).cast("int").as("b_start"),
         col("span_tokens"))
   }
+
+  /** X2i — WINNOWING document fingerprints (round 14): the Schleimer/
+    * Wilkerson/Aiken MOSS algorithm — from each sliding window of `w`
+    * consecutive k-gram hashes, keep the minimum (rightmost occurrence
+    * on ties), and the distinct selected (position, hash) set is the
+    * document's fingerprint. Guarantee: any verbatim token run of at
+    * least w + k − 1 tokens shared by two documents shares at least one
+    * fingerprint — so fingerprint equi-joins find long quotes with a
+    * ~2/(w+1) density sample of the shingle stream instead of all of it.
+    * [[spanPairs]] keeps EVERY surviving shingle (exact maximal spans,
+    * full positional evidence); winnowing is the sublinear-index cousin
+    * a 100 TB corpus builds FIRST — fingerprint volume is ~2/(w+1) of
+    * shingle volume, so the candidate join runs over a table ~(w+1)/2×
+    * smaller at the same detection floor.
+    *
+    * Shapes: shingling is the [[spanPairs]] kernel (stride-1 word
+    * n-gram md5 WITH 1-based position); window-min selection is ONE
+    * window pass per doc — min over the [pos, pos+w−1] row frame of
+    * struct(hash, −pos): struct ordering compares hash first, then
+    * −pos, so the min IS (minimal hash, rightmost position) — the
+    * MOSS tie rule without a second pass. Truncated trailing frames
+    * (fewer than w hashes) are not windows and are filtered out,
+    * except the degenerate whole-doc window when a doc has fewer than
+    * w hashes total (standard winnowing boundary). DISTINCT collapses
+    * the same selection made by overlapping windows. md5-hex hashes
+    * compare lexicographically — identical in any engine, no float, no
+    * seed, fully oracle-portable.
+    *
+    * Returns (idCol, fp_pos, fp): fingerprint position (1-based shingle
+    * start) and hash. Cost: one narrow projection + one window shuffle
+    * on doc id; output ~2·m/(w+1) rows per doc of m shingles. */
+  def winnow(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, w: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 32, s"k-gram width must be in [2, 32], got $k")
+    require(w >= 2, s"winnowing window must be >= 2, got $w")
+    val sh = Scale.fanOut(docs) // md5-per-shingle is compute-heavy (cf. spanPairs)
+      .withColumn("_ltoks", split(lower(col(textCol)), " "))
+      .withColumn("_nlt", size(col("_ltoks")))
+      .filter(col("_nlt") >= k)
+      .select(col(idCol), col("_nlt"),
+        posexplode(expr(s"transform(sequence(1, _nlt - ${k - 1}), " +
+          s"i -> md5(array_join(slice(_ltoks, i, $k), ' ')))"))
+          .as(Seq("pos0", "h")))
+      .select(col(idCol), (col("_nlt") - k + 1).as("m"),
+        (col("pos0") + 1).cast("int").as("pos"), col("h"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    sh.withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      // real windows only: starts 1..m−w+1, or the single whole-doc
+      // window at pos 1 when m < w
+      .filter(col("pos") <= greatest(col("m") - w + 1, lit(1)))
+      .select(col(idCol), (-col("sel.np")).cast("int").as("fp_pos"),
+        col("sel.h").as("fp"))
+      .distinct()
+  }
+
+  /** X2i' — winnowing CANDIDATE PAIRS: documents sharing at least
+    * `minShared` fingerprints, by one equi-join on the fingerprint hash
+    * over [[winnow]] output — the MOSS match step. Fingerprints hot
+    * across the corpus (boilerplate) are dropped above `maxOcc` via the
+    * same pre-count semi-join as every other candidate generator
+    * ([[capBuckets]] — over-cap posting lists are never materialized),
+    * so pair fan-out is bounded at maxOcc² per fingerprint. Positions
+    * are deliberately NOT carried here: span reconstruction belongs to
+    * [[spanPairs]] on the candidate subset; this operator's contract is
+    * the cheap corpus-scale candidate cut. */
+  def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, w: Int = 8, maxOcc: Int = 64,
+      minShared: Int = 2): DataFrame = {
+    // a hash selected at several positions of the same doc is ONE
+    // fingerprint for matching purposes — dedupe before the posting join
+    // so n_shared counts distinct shared hashes, not position pairs
+    val fp = winnow(docs, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val postings = capBuckets(fp, Seq("fp"), maxOcc)
+      .groupBy(col("fp"))
+      .agg(collect_list(col(idCol)).as("ids"))
+    postings.select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -449,4 +449,67 @@ object Sketch {
           (col("bin") + (col("q") * col("n") - col("below")) / col("cnt")),
           6).as("q_est"))
   }
+
+  /** X5n — EXACT heavy hitters via a Misra–Gries candidate pass
+    * (round 14): every value whose count strictly exceeds N/(k+1), with
+    * its EXACT count — the frequent-items query a naive
+    * groupBy-then-filter answers by shuffling the FULL distinct value
+    * space (token-vocabulary-sized at 100 TB: the one shuffle this lane
+    * exists to avoid).
+    *
+    * Two passes, both bounded:
+    *  1. CANDIDATES — per-partition Misra–Gries with k counters
+    *     (mapPartitions, O(k) memory). The merge-safety argument: local
+    *     MG undercounts any value by at most n_p/(k+1) (each decrement
+    *     retires k+1 stream items), so summed over partitions the loss
+    *     is ≤ N/(k+1) — any value with true count > N/(k+1) therefore
+    *     SURVIVES in at least one partition's summary. Union of
+    *     summaries = a superset of every true heavy hitter, at most
+    *     k·partitions rows regardless of corpus size.
+    *  2. EXACT RECOUNT — the stream re-aggregated AFTER a broadcast
+    *     semi-join on the candidate set, so the groupBy key space is ≤
+    *     k·partitions values, not the vocabulary; then the exact
+    *     threshold filter cnt·(k+1) > N (integer arithmetic, no
+    *     division).
+    *
+    * Because pass 2 recounts exactly and applies the exact threshold,
+    * the RESULT is partitioning-independent and engine-portable — MG
+    * approximation affects only which non-hitters briefly ride along as
+    * candidates. That is what makes an approximate-sketch lane
+    * hash-judgeable against a DuckDB oracle.
+    *
+    * Returns (value, cnt), every value with cnt·(k+1) > N. */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values = df.select(col(valueCol).cast("string").as("value"))
+      .filter(col("value").isNotNull)
+      .localCheckpoint(eager = false) // both passes read the same stream once
+    val candidates = values.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        counters.get(v) match {
+          case Some(c) => counters.update(v, c + 1)
+          case None if counters.size < k => counters.update(v, 1L)
+          case None =>
+            // decrement-all: retires one occurrence of k+1 distinct
+            // values (v included) — the charge argument behind the
+            // N/(k+1) loss bound
+            val dead = new scala.collection.mutable.ArrayBuffer[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1)
+            }
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("value").distinct()
+    val n = values.groupBy().agg(count(lit(1)).as("n"))
+    values.join(broadcast(candidates), Seq("value"), "left_semi")
+      .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("value"), col("cnt"))
+  }
 }

@@ -513,6 +513,69 @@ object TextOps {
         expr("sum(p_ppm) div count(1)").as("score_ppm"))
   }
 
+  /** X4n — supervised Naive-Bayes-style text classifier (round 14):
+    * train multinomial class-conditional token statistics on a labeled
+    * split, predict the label for every other document — the
+    * fastText-style quality/language classifier slot of a curation
+    * pipeline (CCNet's lid.bin, GPT-3's WebText-vs-CommonCrawl filter),
+    * here as pure dataflow with no model binary.
+    *
+    * Engine-portability: classic NB sums log-probabilities; libm log
+    * diverges in the last ulp across engines, so — like [[lmScore]] —
+    * the score is the SUM of integer per-token add-one-smoothed
+    * conditional probabilities in ppm: p_ppm(w|c) = ((cnt(w,c)+1)·1e6)
+    * div (cnt(c)+V), V = train vocabulary size. Sum-of-p is monotone in
+    * the same per-token evidence (each token votes for the classes that
+    * saw it most), every step is integer division, and the argmax —
+    * highest score, ties to the lexicographically smallest label — is
+    * deterministic on any engine.
+    *
+    * Scale shape: training counts are vocabulary×classes-sized partial-
+    * combining aggregates; scoring joins the token stream once on the
+    * token key (hot-token skew absorbed by the partial agg) against the
+    * per-class stat table fanned to |classes| rows per token by a
+    * BROADCAST of the class list; the per-class denominators and priors
+    * are a |classes|-row broadcast. One token-stream shuffle end to end;
+    * nothing sized by the corpus except the stream itself.
+    *
+    * Returns (idCol, predicted, score_ppm) for every doc NOT in the
+    * train split (unseen tokens contribute the smoothed floor 1e6 div
+    * (cnt(c)+V) — exactly the add-one contract). */
+  def nbClassify(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, trainFilter: Column): DataFrame = {
+    def tokens(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(labelCol),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+    val train = docs.filter(trainFilter)
+    val test = docs.filter(!trainFilter)
+    val trainToks = tokens(train).localCheckpoint(eager = false)
+    val vocab = trainToks.select(col("w")).distinct()
+      .groupBy().agg(count(lit(1)).as("v"))
+    // per-class token totals + add-one denominator (|classes| rows)
+    val classTotals = trainToks.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("c_tokens"))
+      .crossJoin(broadcast(vocab))
+      .select(col("cls"), (col("c_tokens") + col("v")).as("denom"))
+    // (token, class) counts — vocabulary×classes-sized
+    val wc = trainToks.groupBy(col("w"), col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("c_wc"))
+    // every test token votes for EVERY class: broadcast the class list,
+    // left-join the (w, cls) stats, absent pairs smooth to c_wc = 0
+    val scored = tokens(test).drop(labelCol)
+      .crossJoin(broadcast(classTotals))
+      .join(wc, Seq("w", "cls"), "left")
+      .withColumn("p_ppm",
+        expr("((coalesce(c_wc, 0L) + 1L) * 1000000L) div denom"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("p_ppm")).as("score_ppm"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_ppm").desc, col("cls"))
+    scored.withColumn("_rk", row_number().over(best))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col("cls").as("predicted"), col("score_ppm"))
+  }
+
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
     Scale.fanOut(docs) // md5-per-shingle is compute-heavy; spread few-split inputs
       .withColumn("fp", md5(lower(col(textCol))))

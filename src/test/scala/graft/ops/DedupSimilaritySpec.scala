@@ -778,4 +778,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rr >= 0.5, s"rerank recall collapsed: $rr")
     assert(rr >= coarse, "exact re-scoring cannot lose recall")
   }
+
+  test("X2i winnow: the MOSS guarantee — any shared run of >= w+k-1 " +
+      "tokens shares a fingerprint; density ~ 2/(w+1)") {
+    val (k, w) = (4, 8)
+    // two documents sharing an 11-token verbatim quote (= w+k-1) inside
+    // otherwise-disjoint token streams
+    val quote = (1 to 11).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"a$i").mkString(" ") + " " + quote),
+      (2L, quote + " " + (1 to 40).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val fp = Dedup.winnow(docs, "text", "doc_id", k, w)
+    val byDoc = fp.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // density: m shingles -> expected ~2m/(w+1) fingerprints; allow 3x slack
+    val m = 60 - k + 1
+    assert(byDoc(3L) <= 3 * 2 * m / (w + 1), s"density blown: ${byDoc(3L)}")
+    val shared = fp.filter($"doc_id" === 1L).select("fp")
+      .intersect(fp.filter($"doc_id" === 2L).select("fp")).count()
+    assert(shared >= 1, "w+k-1 shared run must share a fingerprint")
+    // doc 3 shares no tokens with doc 1 — no common fingerprint
+    val disjoint = fp.filter($"doc_id" === 1L).select("fp")
+      .intersect(fp.filter($"doc_id" === 3L).select("fp")).count()
+    assert(disjoint == 0L)
+  }
+
+  test("X2i winnow: short docs (fewer than w hashes) still fingerprint " +
+      "via the whole-doc window") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text") // m=2 < w
+    val fp = Dedup.winnow(docs, "text", "doc_id", k = 4, w = 8)
+      .as[(Long, Int, String)].collect()
+    assert(fp.length == 1, s"one whole-doc window -> one fingerprint: ${fp.toSeq}")
+  }
+
+  test("X2i' winnowPairs: finds the planted quote pair, drops corpus-hot " +
+      "boilerplate fingerprints at maxOcc") {
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ")
+    val boiler = (1 to 20).map(i => s"x$i").mkString(" ")
+    val planted = Seq(
+      (100L, (1 to 30).map(i => s"a$i").mkString(" ") + " " + quote),
+      (101L, quote + " " + (1 to 30).map(i => s"b$i").mkString(" ")))
+    // 40 docs all carrying the same boilerplate: its fingerprints exceed
+    // maxOcc=8 and must not generate O(40^2) pairs
+    val noise = (200L until 240L).map(i =>
+      (i, boiler + s" u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h"))
+    val docs = (planted ++ noise).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 4, w = 4, maxOcc = 8, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 100L && p._2 == 101L),
+      s"planted quote pair missing from $pairs")
+    val boilerPairs = pairs.count(p => p._1 >= 200L)
+    assert(boilerPairs == 0, s"capped boilerplate still produced $boilerPairs pairs")
+  }
 }

@@ -231,6 +231,34 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("X5n heavyHitters: exact counts for every value over threshold, " +
+      "nothing under it, vocabulary far larger than k") {
+    // 3 planted hitters in a 500-value noise vocabulary, spread over many
+    // partitions so the MG candidate pass has to merge partial summaries
+    val hot = Seq("a" -> 2000, "b" -> 1200, "c" -> 700)
+    val noise = (1 to 500).map(i => s"n$i" -> 6)
+    val rows = (hot ++ noise).flatMap { case (v, c) => Seq.fill(c)(v) }
+    // deterministic shuffle so hot values interleave across partitions
+    val df = rows.zipWithIndex.sortBy { case (v, i) => (i * 2654435761L) % 9973 }
+      .map(_._1).toDF("v").repartition(16)
+    val n = rows.size // 6900
+    val k = 8 // threshold n/9 ≈ 767: a and b qualify, c (700) must not
+    val got = Sketch.heavyHitters(df, "v", k)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2000L, "b" -> 1200L), s"got $got")
+    assert(got.values.forall(_ * (k + 1) > n))
+  }
+
+  test("X5n heavyHitters: result is partitioning-independent") {
+    val rows = Seq.fill(300)("x") ++ (1 to 200).map(i => s"y$i")
+    Seq(1, 7, 32).foreach { parts =>
+      val got = Sketch.heavyHitters(
+          rows.toDF("v").repartition(parts), "v", 4)
+        .as[(String, Long)].collect().toMap
+      assert(got == Map("x" -> 300L), s"parts=$parts got $got")
+    }
+  }
+
   test("X5h histogram: a constant column collapses to bin 0 and serves " +
       "the constant, not a divide-by-zero") {
     val v = Seq.fill(100)(42.0).toDF("x")

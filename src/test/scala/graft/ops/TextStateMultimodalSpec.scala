@@ -236,6 +236,38 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(wide == exactFull)
   }
 
+  test("X4n nbClassify: learns class-token association, smooths unseen " +
+      "tokens, breaks exact ties to the smaller label") {
+    // two classes with disjoint signature vocabularies + shared filler
+    val docs = Seq(
+      (1L, "cat cat whiskers purr filler", "feline"),
+      (2L, "purr cat whiskers filler filler", "feline"),
+      (3L, "dog bark fetch bone filler", "canine"),
+      (4L, "bark dog bone filler filler", "canine"),
+      // held-out (doc_id % 5 == 0): one clearly feline, one clearly canine
+      (5L, "cat purr whiskers cat", "feline"),
+      (10L, "dog bark bone fetch", "canine"),
+      // held-out doc of ONLY filler: identical evidence for both classes
+      // -> tie must deterministically resolve to 'canine' (lexicographic)
+      (15L, "filler filler filler", "feline")
+    ).toDF("doc_id", "text", "lang")
+    val pred = TextOps.nbClassify(docs, "text", "doc_id", "lang",
+        trainFilter = col("doc_id") % 5 =!= 0)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(pred == Map(5L -> "feline", 10L -> "canine", 15L -> "canine"),
+      s"got $pred")
+  }
+
+  test("X4n nbClassify: train rows never appear in the output") {
+    val docs = Seq(
+      (1L, "a b", "x"), (2L, "a b", "x"), (5L, "a b", "y"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.nbClassify(docs, "text", "doc_id", "lang",
+      trainFilter = col("doc_id") % 5 =!= 0)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("O-ST1 currentState is the latest action per job") {
     val log = Seq(
       (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), (1L, 1300, ts(2), 2L),
