@@ -2073,6 +2073,44 @@ object Queries {
            |GROUP BY 1, 2 HAVING count(*) >= 2
            |ORDER BY d1, d2""".stripMargin))
 
+  /** X2j — threshold Jaccard similarity join with AllPairs/PPJoin
+    * prefix filtering (round 14): every pair with distinct-4-gram-set
+    * Jaccard >= 1/2. The engine indexes only each doc's rarest-first
+    * |d|−⌈|d|/2⌉+1 shingle prefix for the candidate join, then verifies
+    * candidates EXACTLY with the integer cross-multiply 3·n_inter >=
+    * n1+n2 — so the result equals the naive all-pairs threshold join
+    * the oracle computes, on any engine and any partitioning (pruning
+    * affects cost, never the result). */
+  val x2JaccardPrefix = QuerySpec("x2_jaccard_prefix",
+    (s, d) => Dedup.prefixJaccardPairs(T(s, d, "documents"), "text",
+        "doc_id", k = 4, tNum = 1, tDen = 2)
+      .orderBy(col("d1"), col("d2")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents),
+           |s0 AS (
+           |  SELECT doc_id,
+           |    ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+           |      || toks[i+2] || ' ' || toks[i+3]), 1, 15))::BIGINT AS sh
+           |  FROM (SELECT doc_id, toks, nt, unnest(range(1, nt - 2)) AS i
+           |    FROM d WHERE nt >= 4)),
+           |s AS (SELECT DISTINCT doc_id, sh FROM s0),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+           |i AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           |  FROM s a JOIN s b USING (sh)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT i.d1, i.d2, CAST(c AS BIGINT) AS n_inter,
+           |  CAST(za.n AS BIGINT) AS n1, CAST(zb.n AS BIGINT) AS n2,
+           |  CAST((c * 1000000) // (za.n + zb.n - c) AS BIGINT) AS jac_ppm
+           |FROM i
+           |JOIN sz za ON za.doc_id = i.d1
+           |JOIN sz zb ON zb.doc_id = i.d2
+           |WHERE c * 3 >= za.n + zb.n
+           |ORDER BY d1, d2""".stripMargin),
+    bench = true)
+
   /** X5n — exact heavy hitters through a Misra–Gries candidate pass
     * (round 14): every token with count·(k+1) > N over the corpus token
     * stream, k = 32. The per-partition MG summaries (mapPartitions, k
@@ -4786,6 +4824,38 @@ object Queries {
     },
     Some(sql10Text))
 
+  /** SQL11 — the TPC-H Q17 small-quantity-order shape (round 14): a
+    * correlated scalar AGGREGATE subquery in the WHERE clause — the
+    * decorrelation case Q2 (sql10) doesn't cover: the optimizer must
+    * rewrite "qty below a per-part aggregate of the SAME fact table"
+    * into an aggregate-then-join, or the fact table re-scans per row.
+    * Q17's 0.2·avg threshold is expressed as the integer cross-multiply
+    * qty·5·count < sum (quantities are integral, sums < 2^53 — exact in
+    * ANY engine's double), and revenue is summed in integer cents, so
+    * the identical ANSI text hash-matches with no float boundary. */
+  private val sql11Text: String =
+    """SELECT p.p_brand,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(count(*) AS BIGINT) AS n_small
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_size <= 5
+      |  AND l.l_quantity * 5 * (SELECT count(*) FROM lineitem l2
+      |      WHERE l2.l_partkey = p.p_partkey)
+      |    < (SELECT sum(l2.l_quantity) FROM lineitem l2
+      |      WHERE l2.l_partkey = p.p_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
+  val sql11Q17SmallQty = QuerySpec("sql11_q17_small_qty",
+    (s, d) => {
+      Seq("part", "lineitem").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql11Text)
+    },
+    Some(sql11Text),
+    bench = true)
+
   /** F14 — higher-order array functions (round 9): transform / filter /
     * aggregate / zip_with over the real embedding arrays. Element math is
     * integer-ized FIRST (floor-milli longs), so every fold is exact and
@@ -5820,14 +5890,14 @@ object Queries {
     stStateTws,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     sql5Recursive, sql6Q3Shipping, sql7Q18BigOrders, sql8Q10Returns,
-    sql9Q21Blocked, sql10Q2MinCost,
+    sql9Q21Blocked, sql10Q2MinCost, sql11Q17SmallQty,
     f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2MinhashEst, x2EditDist, x2LshPairs,
     x2Simhash,
     x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup,
     x2Components, x2ComponentsStar, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply,
-    x2Winnow, x2WinnowPairs, x5HeavyHitters, x4NbClassify,
+    x2Winnow, x2WinnowPairs, x2JaccardPrefix, x5HeavyHitters, x4NbClassify,
     x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5Cms, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3IvfRecall,

@@ -676,6 +676,79 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** X2j — THRESHOLD Jaccard SIMILARITY JOIN with PREFIX FILTERING
+    * (round 14): all document pairs whose distinct-k-gram-set Jaccard
+    * is >= tNum/tDen, by the AllPairs/PPJoin prefix principle (Bayardo
+    * et al., "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et
+    * al. PPJoin): order each doc's shingles RAREST-FIRST (global df
+    * asc, hash asc) and index only the first |d| − ceil(t·|d|) + 1 of
+    * them — two sets with Jaccard >= t MUST collide inside these
+    * prefixes, so the candidate equi-join runs over a (1−t)-fraction
+    * slice of the posting volume and the df ordering pushes corpus-hot
+    * boilerplate OUT of the prefixes (the skew control — no cap
+    * needed, so unlike [[jaccardPairs]]' maxDf contract the result is
+    * EXACTLY the full threshold join).
+    *
+    * Candidates then verify EXACTLY: one (id, shingle)-keyed equi-join
+    * counts each candidate pair's true intersection, and the threshold
+    * applies as the integer cross-multiply n_inter·(tDen+tNum) >=
+    * tNum·(n1+n2) — no float in the verdict, so the lane hash-matches
+    * a naive-oracle replay on any engine (the heavyHitters contract:
+    * the pruning strategy affects cost, never the result).
+    *
+    * Shuffle ledger: one df aggregate (vocabulary-sized, partial-
+    * combining), one per-doc rank window, the prefix equi-join
+    * (prefix-volume postings), and a verification join proportional to
+    * candidate pairs × set size. Nothing corpus-quadratic.
+    *
+    * Returns (d1, d2, n_inter, n1, n2, jac_ppm). */
+  def prefixJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(k >= 2 && k <= 32, s"shingle width must be in [2, 32], got $k")
+    require(tNum >= 1 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    // shingles carried as 60-bit integers (15 md5 hex chars — the same
+    // BIGINT-sign-safe md5-twin encoding simhash uses), not 32-char hex
+    // strings: the df aggregate, rank window and posting join all
+    // shuffle this column, and 8 bytes vs 32 cuts those exchanges ~3×.
+    // The oracle applies the identical '0x'||substr(md5,1,15) cast, so
+    // any (astronomically unlikely, ~2^-60-scale) truncation collision
+    // is SHARED with the oracle rather than a divergence.
+    val sets = Scale.fanOut(docs)
+      .withColumn("_ltoks", split(lower(col(textCol)), " "))
+      .withColumn("_nlt", size(col("_ltoks")))
+      .filter(col("_nlt") >= k)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(sequence(1, _nlt - ${k - 1}), " +
+          s"i -> cast(conv(substring(md5(array_join(slice(_ltoks, i, $k), " +
+          s"' ')), 1, 15), 16, 10) as bigint))"))).as("sh"))
+      .localCheckpoint(eager = false) // df, prefix and verify all read it
+    val df_ = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("sh"))
+    val ranked = sets.join(df_, "sh")
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+    // prefix length |d| − ceil(t·|d|) + 1; integer ceil = (t·n+tDen−1) div tDen
+    val prefixes = ranked.filter(
+      col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+    val cands = prefixes.select(col(idCol).as("d1"), col("sh"))
+      .join(prefixes.select(col(idCol).as("d2"), col("sh")), "sh")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
+    val inter = cands
+      .join(sets.select(col(idCol).as("d1"), col("sh")), Seq("d1"))
+      .join(sets.select(col(idCol).as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("n_tok").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("n_tok").as("n2")), "d2")
+      .filter(col("n_inter") * (tDen + tNum) >= (col("n1") + col("n2")) * tNum)
+      .select(col("d1"), col("d2"), col("n_inter"), col("n1"), col("n2"),
+        expr("(n_inter * 1000000L) div (n1 + n2 - n_inter)").as("jac_ppm"))
+  }
+
   /** X2i — WINNOWING document fingerprints (round 14): the Schleimer/
     * Wilkerson/Aiken MOSS algorithm — from each sliding window of `w`
     * consecutive k-gram hashes, keep the minimum (rightmost occurrence

@@ -9,6 +9,24 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     planOf(Queries.byName(name).fn(spark, d))
 
+  /** Join NODES in the executed plan, counted structurally (not "Join"
+    * substrings — operator names reappear in condition/reuse/AQE
+    * annotation lines). CartesianProductExec is a BaseJoinExec too. */
+  private def countJoins(sp: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val self = sp match {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => 1
+      case _ => 0
+    }
+    val nested = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countJoins(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        countJoins(q.plan)
+      case _ => 0
+    }
+    self + nested + sp.children.map(countJoins).sum
+  }
+
   test("flagship broadcasts the nation dim and pushes the shipdate filter") {
     val p = plan("flagship_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))
@@ -331,29 +349,47 @@ class PlanShapeSpec extends SparkSpec {
     // the doc-side membership pass must be join-free: the benchmark
     // reaches the corpus only through the collected bitset literal, so
     // the planned joins are exactly the final left-join of per-doc
-    // counts back onto docs (1) — not a shingle-level equi-join. Count
-    // join NODES structurally (not "Join" substrings — operator names
-    // reappear in condition/reuse/AQE annotation lines, which made the
-    // old string bound brittle across plan renderings)
-    def countJoins(sp: org.apache.spark.sql.execution.SparkPlan): Int = {
-      val self = sp match {
-        // CartesianProductExec is a BaseJoinExec too — one case covers all
-        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => 1
-        case _ => 0
-      }
-      val nested = sp match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          countJoins(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          countJoins(q.plan)
-        case _ => 0
-      }
-      self + nested + sp.children.map(countJoins).sum
-    }
+    // counts back onto docs (1) — not a shingle-level equi-join.
     val joins = countJoins(df.queryExecution.executedPlan)
     assert(p.contains("shiftright"), "bitset test not in the plan:\n" + p.take(1500))
     assert(joins <= 1, s"expected only the count re-join, found $joins joins:\n" +
       p.take(2000))
+  }
+
+  test("x5_heavy_hitters: candidate set joins back by BROADCAST — the " +
+      "token stream is never shuffled on the token key") {
+    val df = Queries.byName("x5_heavy_hitters").fn(spark, d)
+    val p = planOf(df)
+    // the recount semi-join must be broadcast (candidates ≤ k·partitions
+    // rows); a SortMergeJoin/ShuffledHashJoin here would mean the full
+    // stream shuffled on the value key — the vocabulary-sized shuffle
+    // this lane exists to avoid. (The final threshold crossJoin against
+    // the 1-row N is broadcast-nested-loop by construction.)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "candidate recount is not a broadcast semi-join:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "token stream shuffled for a join:\n" + p.take(2000))
+  }
+
+  test("x2_winnow: fingerprint selection is join-free — one window pass " +
+      "over the shingle stream") {
+    val df = Queries.byName("x2_winnow").fn(spark, d)
+    assert(countJoins(df.queryExecution.executedPlan) == 0,
+      "winnowing must not join:\n" + planOf(df).take(2000))
+    assert(planOf(df).contains("Window"),
+      "window-min selection missing:\n" + planOf(df).take(1500))
+  }
+
+  test("x4_nb_classify: class fan-out broadcasts; no cartesian between " +
+      "corpus-sized frames") {
+    val df = Queries.byName("x4_nb_classify").fn(spark, d)
+    val p = planOf(df)
+    // the |classes|-row stats fan-out must ride a broadcast; the only
+    // allowed non-broadcast join is the (w, cls) stats equi-join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "class fan-out not broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "corpus-sized cartesian in the classifier plan:\n" + p.take(2000))
   }
 
   test("driver smoke: entry returns rows at sf0.001") {

@@ -112,6 +112,36 @@ object StressBench {
     stage("dedup_e2e")(Queries.byName("x2_dedup_e2e").fn(spark, out))
     stage("curation_e2e")(Queries.byName("x9_curation_e2e").fn(spark, out))
 
+    // ---- round-14 lanes ----
+    // winnowing: near-dup plants share a 39-token verbatim prefix and
+    // span plants a 12-token run — both >= w+k-1 = 11, so each MUST
+    // share a fingerprint; boilerplate fingerprints occur n/20 > maxOcc
+    // times and are capped out of the pair join
+    stage("winnow_fp")(ops.Dedup.winnow(docs, "text", "doc_id", k = 4, w = 8))
+    stage("winnow_pairs")(ops.Dedup.winnowPairs(docs, "text", "doc_id",
+      k = 4, w = 8, maxOcc = 64, minShared = 1))
+    // prefix-filtered EXACT threshold Jaccard join: run over the corpus
+    // minus the boilerplate clique (an exact join's output on a 5%
+    // identical-text clique is C(n/20, 2) pairs — correct but quadratic
+    // BY CONTRACT; real pipelines collapse exact dups first, see
+    // dedupPipeline). The remaining expected output is the planted
+    // near-dup pairs.
+    val noBoiler = docs.filter(col("doc_id") % 20 =!= 0)
+    stage("jaccard_prefix")(ops.Dedup.prefixJaccardPairs(
+      noBoiler, "text", "doc_id", k = 4, tNum = 1, tDen = 2))
+    // heavy hitters over the full token stream: vocabulary ~3.4M distinct
+    // md5 words at n=100k (the naive groupBy's shuffle), 41 planted hot
+    // tokens (40 boilerplate words + 'nearly', each n/20 = N/800
+    // occurrences); k=1024 puts the threshold at N/1025 just under the
+    // plant count, so the exact answer is precisely the 41 plants
+    val tokStream = docs.select(
+      explode(split(lower(col("text")), " ")).as("tok"))
+    stage("heavy_hitters")(ops.Sketch.heavyHitters(tokStream, "tok", 1024))
+    stage("hh_naive")(tokStream.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tokStream.groupBy().agg(count(lit(1)).as("n"))))
+      .filter(col("cnt") * 1025 > col("n")))
+
     // ---- decontamination: exact equi-join vs Bloom map-side gate over
     // the SAME corpus and eval set (docs with id % 1000 == 3, ~n/1000).
     // The measured contrast is the point: the exact lane shuffles every
@@ -217,6 +247,19 @@ object StressBench {
         s"""${results("decon_bloom_20")._2} vs exact ${results("decon_exact")._2}""")
     require(results("tri_oriented")._2 >= n / 2,
       s"oriented triangles missed clique nodes: ${results("tri_oriented")._2}")
+    // round-14 plants: winnowing is GUARANTEED (>= 11-token runs) to pair
+    // every near-dup and span plant; the prefix join is an exact
+    // threshold join, so it must find every near-dup pair (jac ≈ 36/38)
+    require(results("winnow_pairs")._2 >= n / 20 * 9 / 10 + n / 20,
+      s"winnowing lost planted pairs: ${results("winnow_pairs")._2} " +
+        s"< ${n / 20 * 9 / 10 + n / 20} (near-dups + spans are guaranteed)")
+    require(results("jaccard_prefix")._2 >= n / 20 * 9 / 10,
+      s"prefix join lost planted near-dups: ${results("jaccard_prefix")._2}")
+    require(results("heavy_hitters")._2 == results("hh_naive")._2,
+      "MG heavy hitters != naive recount: " +
+        s"""${results("heavy_hitters")._2} vs ${results("hh_naive")._2}""")
+    require(results("heavy_hitters")._2 == 41,
+      s"expected exactly the 41 planted hot tokens: ${results("heavy_hitters")._2}")
 
     val json = results.map { case (k, (dt, cnt, sb)) =>
       f""""$k":{"sec":$dt%.2f,"rows":$cnt,"shuffle_bytes":$sb}"""

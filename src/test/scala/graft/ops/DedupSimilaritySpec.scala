@@ -779,6 +779,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rr >= coarse, "exact re-scoring cannot lose recall")
   }
 
+  test("X2j prefixJaccardPairs: equals the naive threshold join exactly, " +
+      "including boundary pairs at jaccard == t") {
+    // docs engineered around the t = 1/2 boundary on distinct 2-gram sets
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                            // self vs 2: high overlap
+      (2L, (1 to 30).map(i => if (i <= 24) s"w$i" else s"z$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"q$i").mkString(" ")),        // disjoint
+      (4L, base)                                             // exact dup of 1 -> jac 1.0
+    ).toDF("doc_id", "text")
+    def naive(k: Int): Set[(Long, Long, Long)] = {
+      val sets = docs.collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ")
+        r.getLong(0) -> toks.sliding(k).map(_.mkString(" ")).toSet
+      }.toMap
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        c = (sa intersect sb).size
+        if c * 3 >= sa.size + sb.size
+      } yield (a, b, c.toLong)).toSet
+    }
+    val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+        k = 2, tNum = 1, tDen = 2)
+      .select($"d1", $"d2", $"n_inter").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == naive(2), s"engine $got vs naive ${naive(2)}")
+    assert(got.contains((1L, 4L, 29L)), "exact-dup pair missing")
+  }
+
+  test("X2j prefixJaccardPairs: the prefix index is a strict subset of " +
+      "the posting volume and hot shingles fall outside prefixes") {
+    // rarest-first ordering: a boilerplate shingle present in EVERY doc
+    // has maximal df, so it must never appear in any doc's prefix when
+    // the doc has rarer shingles to index first
+    val boiler = "common common common common common"
+    val docs = (1L to 20L).map(i =>
+      (i, boiler + " " + (1 to 10).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+      k = 2, tNum = 1, tDen = 2)
+    // docs share ONLY the boilerplate shingles: 5 of ~15 distinct
+    // 2-grams -> jaccard well under 1/2, so the exact join is empty
+    assert(out.count() == 0L)
+  }
+
   test("X2i winnow: the MOSS guarantee — any shared run of >= w+k-1 " +
       "tokens shares a fingerprint; density ~ 2/(w+1)") {
     val (k, w) = (4, 8)
