@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** X1/X2 — deduplication operators for large-scale text corpora
@@ -217,19 +217,36 @@ object Dedup {
     val withChunks = toks.select(col(idCol) +: (0 until 4).map(c =>
       conv(substring(col("h"), c * 8 + 1, 8), 16, 10).cast("long")
         .as(s"c$c")): _*)
-    val bitVotes = withChunks
-      .select(col(idCol) +: (0 until SimhashBits).map { j =>
-        val n = j / 2
-        shiftright(col(s"c${n / 8}"), 31 - 4 * (n % 8) - j % 2)
-          .bitwiseAND(lit(1L)).cast("int").as(s"b$j")
+    // vote accumulators PACKED 4-per-long in 16-bit lanes (round 14):
+    // the vote shuffle row narrows from 60 sum columns to 15, which is
+    // the agg exchange's dominant width at corpus scale. A lane
+    // accumulates at most one unit per token, so it cannot carry into
+    // its neighbor while n_tok <= 65535 — docs beyond that raise loudly
+    // below (votes would be silently corrupt, and a 65k-DISTINCT-token
+    // document is pathological input a pipeline should see named).
+    def bit(j: Int): Column = {
+      val n = j / 2
+      shiftright(col(s"c${n / 8}"), 31 - 4 * (n % 8) - j % 2)
+        .bitwiseAND(lit(1L))
+    }
+    val packed = withChunks
+      .select(col(idCol) +: (0 until SimhashBits / 4).map { g =>
+        (0 until 4).map(f => shiftleft(bit(4 * g + f), 16 * f))
+          .reduce(_ + _).as(s"p$g")
       }: _*)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
-        (0 until SimhashBits).map(j => sum(col(s"b$j")).as(s"s$j")): _*)
-    bitVotes.withColumn("simhash",
-      (0 until SimhashBits).map(j =>
-        when(col(s"s$j") * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).cast("long"))
+        (0 until SimhashBits / 4).map(g => sum(col(s"p$g")).as(s"p$g")): _*)
+    def vote(j: Int): Column =
+      shiftright(col(s"p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xffffL))
+    packed
+      .withColumn("_guard", when(col("n_tok") > 0xffffL, raise_error(concat(
+        lit("simhash: doc with >65535 distinct tokens overflows the " +
+          "packed vote lanes: "), col(idCol).cast("string")))).otherwise(lit(0)))
+      .withColumn("simhash",
+        (0 until SimhashBits).map(j =>
+          when(vote(j) * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long") + col("_guard"))
       .select(col(idCol), col("simhash"))
   }
 

@@ -779,6 +779,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rr >= coarse, "exact re-scoring cannot lose recall")
   }
 
+  test("X2c simhash packed vote lanes: unchanged signature on normal docs, " +
+      "loud failure past 65535 distinct tokens") {
+    // reference signature computed the unpacked way, bit for bit
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha alpha alpha beta")).toDF("doc_id", "text")
+    val got = Dedup.simhash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val expected = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ").distinct
+      val hs = toks.map { t =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val sig = (0 until 60).map { j =>
+        val nib = j / 2
+        val votes = hs.map(h => (Integer.parseInt(h(nib).toString, 16)
+          >> (3 - j % 2)) & 1).sum
+        if (votes * 2 > toks.length) 1L << j else 0L
+      }.sum
+      r.getLong(0) -> sig
+    }.toMap
+    assert(got == expected, s"packed $got vs unpacked $expected")
+    val big = (0 until 65536).map(i => s"t$i").mkString(" ")
+    val ex = intercept[Exception] {
+      Dedup.simhash(Seq((9L, big)).toDF("doc_id", "text"), "text", "doc_id")
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("X2j prefixJaccardPairs: equals the naive threshold join exactly, " +
       "including boundary pairs at jaccard == t") {
     // docs engineered around the t = 1/2 boundary on distinct 2-gram sets
