@@ -1249,6 +1249,41 @@ object Queries {
            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
     bench = true)
 
+  /** Q1b — grouped top-k via the typed `TopKAggregator`
+    * (functions/TopKAggregator.scala): top-10 events by value per
+    * event_type WITHOUT the window-sort shuffle. The window formulation
+    * exchanges every row; the Aggregator's partial phase emits at most
+    * k rows per (group, map task), so the exchange is bounded by
+    * k × groups × partitions at any corpus size. Oracle = the window
+    * formulation — same rows, radically different physical plan.
+    * Values are passthrough doubles (no float arithmetic), ids unique,
+    * ties broken (score DESC, id ASC) on both sides: hashes match. */
+  val q1bGroupedTopK = QuerySpec("q1b_grouped_topk",
+    (s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.TopKAggregator(10)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .as[(String, Long, Double)]
+        .map { case (g, id, v) => (g, graft.functions.Ranked(id, v)) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.toColumn.name("topk"))
+        .select(col("key").as("event_type"), posexplode(col("topk.items")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("event_id"), col("col.score").as("value"))
+        .orderBy(col("event_type"), col("rank"))
+    },
+    Some("""WITH ranked AS (
+           |  SELECT event_type, event_id, value,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY value DESC, event_id) AS rnk
+           |  FROM events)
+           |SELECT event_type, CAST(rnk AS INT) AS rank, event_id, value
+           |FROM ranked WHERE rnk <= 10
+           |ORDER BY event_type, rank""".stripMargin),
+    bench = true)
+
   val q2Union = QuerySpec("q2_union_exchanges",
     (s, d) => {
       val btsp = Tables.events(s, d).filter(col("event_type") === "click")
@@ -4856,6 +4891,77 @@ object Queries {
     Some(sql11Text),
     bench = true)
 
+  /** SQL12 — TPC-H Q22 shape ("global sales opportunity"): dormant wealthy
+    * customers — above-average balance within selected country codes AND no
+    * recent orders. Exercises the two remaining decorrelation patterns in
+    * one statement: an UNcorrelated scalar aggregate threshold and a
+    * correlated NOT EXISTS anti-join. The driver customer dim has no phone
+    * column, so cntrycode derives from c_nationkey; every customer has SOME
+    * order, so "dormant" = no order since mid-1999 (non-empty anti-join,
+    * verified at sf0.001/0.01/0.1). Float-free: balances as integer cents, the
+    * above-average comparison cross-multiplied (bal*n > sum). Catalyst
+    * plans the NOT EXISTS as a LeftAnti hash join and broadcasts the 1-row
+    * threshold — at 100 TB the anti-join shuffles on custkey, the scalar
+    * subquery is free. Identical text runs on both engines. */
+  private val sql12Text: String =
+    """WITH potential AS (
+      |  SELECT c_custkey,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+      |    c_nationkey % 7 AS cntrycode
+      |  FROM customer WHERE c_nationkey % 7 IN (1, 3, 5)),
+      |pos AS (
+      |  SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM potential WHERE bal_cents > 0)
+      |SELECT p.cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(p.bal_cents) AS BIGINT) AS totacctbal_cents
+      |FROM potential p, pos
+      |WHERE p.bal_cents * pos.n > pos.s
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = p.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')
+      |GROUP BY p.cntrycode
+      |ORDER BY p.cntrycode""".stripMargin
+
+  val sql12Q22Dormant = QuerySpec("sql12_q22_dormant",
+    (s, d) => {
+      Seq("customer", "orders").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql12Text)
+    },
+    Some(sql12Text),
+    bench = true)
+
+  /** SQL13 — TPC-H Q15 shape (top supplier): a named aggregate view joined
+    * back against its own MAX — the "equal to a scalar aggregate of the
+    * same derived table" pattern. Catalyst evaluates the `revenue` CTE
+    * twice (once for the join, once under max) unless the optimizer reuses
+    * the subquery — either way both sides shuffle only the 100-row
+    * supplier-grained aggregate, never lineitem twice the full width.
+    * Revenue is exact integer cents (the float product is floored per row
+    * identically on both engines). */
+  private val sql13Text: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS total_rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_rev_cents = (SELECT max(total_rev_cents) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  val sql13Q15TopSupplier = QuerySpec("sql13_q15_top_supplier",
+    (s, d) => {
+      Seq("supplier", "lineitem").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql13Text)
+    },
+    Some(sql13Text))
+
   /** F14 — higher-order array functions (round 9): transform / filter /
     * aggregate / zip_with over the real embedding arrays. Element math is
     * integer-ized FIRST (floor-milli longs), so every fold is exact and
@@ -5872,6 +5978,128 @@ object Queries {
            |GROUP BY 1 ORDER BY day""".stripMargin),
     bench = true)
 
+  // ===========================================================================
+  // X11 — data-quality expectations (ops/Quality.scala)
+  // ===========================================================================
+
+  /** The shared rule set for the X11 family: each rule has real violations
+    * in the driver data (values run to ~490, user_ids to 149, ~20% of
+    * events are 'error', props.k is uniform 0..99), so the report, the
+    * quarantine and the profile all exercise non-trivial paths. */
+  private def eventRules = Seq(
+    Quality.Rule("value_le_400", col("value") <= 400.0),
+    Quality.Rule("user_lt_140", col("user_id") < 140),
+    Quality.Rule("no_error_events", col("event_type") =!= "error"),
+    Quality.Rule("props_k_le_80",
+      get_json_object(col("props"), "$.k").cast("long") <= 80))
+
+  /** X11a — per-rule violation report: ONE aggregate pass over the batch
+    * (map-side partial sums, 1-row exchange) no matter how many rules;
+    * the unpivot to report rows is driver-cheap `stack`. ppm is floored
+    * integer math on both engines. */
+  val x11Expectations = QuerySpec("x11_expectations",
+    (s, d) => Quality.violationReport(Tables.events(s, d), eventRules)
+      .orderBy(col("rule")),
+    Some("""WITH agg AS (SELECT count(*) AS n_rows,
+           |  sum(CASE WHEN NOT coalesce(value <= 400.0, false)
+           |      THEN 1 ELSE 0 END) AS f0,
+           |  sum(CASE WHEN NOT coalesce(user_id < 140, false)
+           |      THEN 1 ELSE 0 END) AS f1,
+           |  sum(CASE WHEN NOT coalesce(event_type <> 'error', false)
+           |      THEN 1 ELSE 0 END) AS f2,
+           |  sum(CASE WHEN NOT coalesce(
+           |        CAST(json_extract_string(props, '$.k') AS BIGINT) <= 80,
+           |        false) THEN 1 ELSE 0 END) AS f3
+           |  FROM events)
+           |SELECT rule, n_rows, CAST(n_fail AS BIGINT) AS n_fail,
+           |  CAST(floor(n_fail * 1000000 / n_rows) AS BIGINT) AS fail_ppm
+           |FROM (
+           |  SELECT 'value_le_400' AS rule, n_rows, f0 AS n_fail FROM agg
+           |  UNION ALL SELECT 'user_lt_140', n_rows, f1 FROM agg
+           |  UNION ALL SELECT 'no_error_events', n_rows, f2 FROM agg
+           |  UNION ALL SELECT 'props_k_le_80', n_rows, f3 FROM agg) t
+           |ORDER BY rule""".stripMargin),
+    bench = true)
+
+  /** X11b — the quarantine side: rows failing ANY rule, tagged with the
+    * comma-joined list of failed rule names (rule declaration order —
+    * both engines skip the non-failed NULL slots). Narrow projection +
+    * filter; no shuffle before the output sort. */
+  val x11Quarantine = QuerySpec("x11_quarantine",
+    (s, d) => {
+      val (_, bad) = Quality.quarantine(Tables.events(s, d), eventRules)
+      bad.select(col("event_id"),
+          array_join(col("_failed"), ",").as("failed"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH f AS (SELECT event_id,
+           |  concat_ws(',',
+           |    CASE WHEN NOT coalesce(value <= 400.0, false)
+           |      THEN 'value_le_400' END,
+           |    CASE WHEN NOT coalesce(user_id < 140, false)
+           |      THEN 'user_lt_140' END,
+           |    CASE WHEN NOT coalesce(event_type <> 'error', false)
+           |      THEN 'no_error_events' END,
+           |    CASE WHEN NOT coalesce(
+           |        CAST(json_extract_string(props, '$.k') AS BIGINT) <= 80,
+           |        false) THEN 'props_k_le_80' END) AS failed
+           |  FROM events)
+           |SELECT event_id, failed FROM f WHERE failed <> ''
+           |ORDER BY event_id""".stripMargin))
+
+  /** X11c — per-column profile (completeness / distinctness / bounds) in
+    * one aggregate pass over a 5-column projection. The profiled columns
+    * are integer/string-ized FIRST (cents, epoch-µs) so min/max string
+    * forms are engine-independent; exact distinct for the oracle (the
+    * 100 TB path flips `exactDistinct=false` → mergeable HLL partials,
+    * no Expand). */
+  val x11Profile = QuerySpec("x11_profile",
+    (s, d) => {
+      val proj = Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("value_cents"),
+        expr("unix_micros(ts)").as("ts_us"))
+      Quality.profile(proj,
+          Seq("event_id", "user_id", "event_type", "value_cents", "ts_us"))
+        .orderBy(col("column_name"))
+    },
+    Some("""WITH src AS (SELECT event_id, user_id, event_type,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+           |    epoch_us(ts) AS ts_us FROM events),
+           |p AS (
+           |  SELECT 'event_id' AS column_name, count(event_id) AS n_non_null,
+           |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |    count(DISTINCT event_id) AS n_distinct,
+           |    CAST(min(event_id) AS VARCHAR) AS min_val,
+           |    CAST(max(event_id) AS VARCHAR) AS max_val FROM src
+           |  UNION ALL
+           |  SELECT 'user_id', count(user_id),
+           |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           |    count(DISTINCT user_id),
+           |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+           |  FROM src
+           |  UNION ALL
+           |  SELECT 'event_type', count(event_type),
+           |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           |    count(DISTINCT event_type),
+           |    CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+           |  FROM src
+           |  UNION ALL
+           |  SELECT 'value_cents', count(value_cents),
+           |    sum(CASE WHEN value_cents IS NULL THEN 1 ELSE 0 END),
+           |    count(DISTINCT value_cents),
+           |    CAST(min(value_cents) AS VARCHAR), CAST(max(value_cents) AS VARCHAR)
+           |  FROM src
+           |  UNION ALL
+           |  SELECT 'ts_us', count(ts_us),
+           |    sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END),
+           |    count(DISTINCT ts_us),
+           |    CAST(min(ts_us) AS VARCHAR), CAST(max(ts_us) AS VARCHAR)
+           |  FROM src)
+           |SELECT column_name, n_non_null, CAST(n_null AS BIGINT) AS n_null,
+           |  n_distinct, min_val, max_val
+           |FROM p ORDER BY column_name""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -5885,12 +6113,14 @@ object Queries {
     a1Pricing, a2Distinct, a2Hll, a2HllMd5, a2HllGrouped, a3Rollup, a3Cube, a4Ohlc,
     w1Rank, w1bDistribution, w2LagLead, w3Frames, w4ValueWindows,
     fMathDate, a5Percentiles,
-    q1TopK, q2Union, q3Intersect, q3Except, q4Pivot, q4bUnpivot, fExplode,
+    q1TopK, q1bGroupedTopK, q2Union, q3Intersect, q3Except, q4Pivot,
+    q4bUnpivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
     stStateTws,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     sql5Recursive, sql6Q3Shipping, sql7Q18BigOrders, sql8Q10Returns,
-    sql9Q21Blocked, sql10Q2MinCost, sql11Q17SmallQty,
+    sql9Q21Blocked, sql10Q2MinCost, sql11Q17SmallQty, sql12Q22Dormant,
+    sql13Q15TopSupplier,
     f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2MinhashEst, x2EditDist, x2LshPairs,
     x2Simhash,
@@ -5916,6 +6146,7 @@ object Queries {
     x7IncrAgg, x7IncrMinhash, x7IncrHist, x7IncrCms, x7IncrBloom,
     x7MetaCount, x7Audit,
     x10Drift, x10Pagerank, x10PagerankDangling, x10Triangles,
+    x11Expectations, x11Quarantine, x11Profile,
     stMergeReplay,
     x8Resample, x8Sessionize, x9Curation,
     mmMeta, mmDecode, mmSim)

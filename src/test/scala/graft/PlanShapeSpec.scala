@@ -89,6 +89,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q1_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q1b grouped top-k: partial ObjectHashAggregate before the " +
+      "exchange, no Window operator") {
+    val p = plan("q1b_grouped_topk")
+    // the typed Aggregator runs map-side (partial_topkaggregator) so the
+    // group exchange carries <= k rows per group per task — the whole
+    // point vs the window formulation, which would shuffle every row
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.toLowerCase.contains("partial_topkaggregator"))
+    assert(!p.contains("Window"), "grouped top-k must not fall back to a window sort")
+  }
+
+  test("x11 expectations: all rules fold into ONE aggregate pass " +
+      "(single scan, no join, 1-row exchange)") {
+    val df = Queries.byName("x11_expectations").fn(spark, d)
+    val sp = df.queryExecution.executedPlan
+    assert(countJoins(sp) == 0)
+    val p = sp.toString
+    // one events scan feeds the whole report
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("x2 span apply: kept tokens via doc-id-equi anti-join, no cartesian") {
     val p = plan("x2_span_apply")
     assert(!p.contains("CartesianProduct"))
