@@ -1766,16 +1766,12 @@ object Queries {
     * chain — minhash signatures, band join, and a RECURSIVE closure whose
     * min-reachable-id equals the propagated label — so the iterative
     * DataFrame loop is hash-checked end-to-end, not just shape-tested. */
-  val x2Components = QuerySpec("x2_components",
-    (s, d) => {
-      val docs = T(s, d, "documents")
-      val pairs = Dedup.lshCandidates(
-        Dedup.minhash(docs, "text", "doc_id"), "doc_id")
-      Dedup.components(docs, pairs, "doc_id")
-        .withColumn("is_survivor", col("cluster") === col("doc_id"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH RECURSIVE
+  /** The oracle's connected-components construction (shared by
+    * x2_components, x2_components_star and x5_split_leakfree): replays
+    * the minhash → banded LSH pairs → transitive closure chain and ends
+    * at `comp(id, cluster)`. Callers append their own final SELECT. */
+  private val componentsOracleCte: String =
+    """WITH RECURSIVE
            |d AS (
            |  SELECT doc_id, string_split(text, ' ') AS toks,
            |    len(string_split(text, ' ')) AS n
@@ -1807,12 +1803,56 @@ object Queries {
            |  SELECT src AS id, src AS r FROM edges
            |  UNION
            |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.id),
-           |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
-           |SELECT dd.doc_id,
-           |  coalesce(c.cluster, dd.doc_id) AS cluster,
-           |  coalesce(c.cluster, dd.doc_id) = dd.doc_id AS is_survivor
-           |FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
-           |ORDER BY dd.doc_id""".stripMargin))
+      |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+  val x2Components = QuerySpec("x2_components",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhash(docs, "text", "doc_id"), "doc_id")
+      Dedup.components(docs, pairs, "doc_id")
+        .withColumn("is_survivor", col("cluster") === col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(componentsOracleCte +
+      """
+        |SELECT dd.doc_id,
+        |  coalesce(c.cluster, dd.doc_id) AS cluster,
+        |  coalesce(c.cluster, dd.doc_id) = dd.doc_id AS is_survivor
+        |FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
+        |ORDER BY dd.doc_id""".stripMargin))
+
+  /** X5o — LEAKAGE-FREE SPLIT (round 14): the near-dup-aware train/val/
+    * test assignment — the split draw hashes the duplicate-component id,
+    * so near-dup pairs can never straddle train/test (the in-corpus twin
+    * of x4_decontaminate's eval-set guard). The oracle rebuilds the
+    * whole chain: minhash → LSH pairs → recursive closure → md5-prefix
+    * threshold on the CLUSTER id (80% → 0xcccd, 90% → 0xe666 — the
+    * round(pct·65536/100) thresholds leakFreeSplit derives). Hash-match
+    * proves both the component inheritance AND the draw. */
+  val x5SplitLeakfree = QuerySpec("x5_split_leakfree",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhash(docs, "text", "doc_id"), "doc_id")
+      Scale.leakFreeSplit(Dedup.components(docs, pairs, "doc_id"),
+          "cluster", 80, 10)
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(componentsOracleCte +
+      """
+        |SELECT dd.doc_id,
+        |  coalesce(c.cluster, dd.doc_id) AS cluster,
+        |  CASE WHEN substr(md5('leak:' ||
+        |      CAST(coalesce(c.cluster, dd.doc_id) AS VARCHAR)), 1, 4)
+        |      < 'cccd' THEN 'train'
+        |    WHEN substr(md5('leak:' ||
+        |      CAST(coalesce(c.cluster, dd.doc_id) AS VARCHAR)), 1, 4)
+        |      < 'e666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
+        |ORDER BY dd.doc_id""".stripMargin))
 
   /** X2e' — the SAME cluster resolution via large-star/small-star
     * contraction (round 14): identical min-reachable-id contract,
@@ -3654,6 +3694,49 @@ object Queries {
             |  CAST(sr + sg + sb AS INT) AS f7
             |FROM ch ORDER BY doc_id""".stripMargin))
 
+  /** MM-RZ — REAL nearest-neighbor image resize (round 14; retires the
+    * byte-stub resize from the judged surface): every 2nd pixel in x and
+    * y of the P6 payload, re-emitted as a valid half-size P6 and decoded
+    * by the same parser. The oracle recomputes each output pixel's SOURCE
+    * pixel index (p = 2·y·w + 2·x) against the rebuilt pixel plane, so
+    * the resample geometry itself is hash-checked, not just "some bytes
+    * survived". The pre-transform slots into decode's partition-local
+    * mapPartitions batch — plan shape unchanged from mm_decode. */
+  val mmResize = QuerySpec("mm_resize",
+    (s, d) => {
+      val dec = Multimodal.decode(s,
+        Multimodal.withPpmPayload(T(s, d, "documents"), "text", "doc_id"),
+        "doc_id",
+        pre = b => Multimodal.ppmResize(b, 2).getOrElse(Array.emptyByteArray))
+      dec.select(
+          col("doc_id") +: col("n_sampled") +:
+            (0 until 8).map(k =>
+              element_at(col("features"), k + 1).cast("int").as(s"f$k")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $ppmOracleCtes,
+            |rz AS (
+            |  SELECT doc_id, (w + 1) // 2 AS w2,
+            |    CAST(list_sum(list_transform(range(0, ((w + 1) // 2) * 3),
+            |      q -> unicode(substr(pix, CAST(3 * ((q // ((w + 1) // 2)) * 2 * w
+            |        + (q % ((w + 1) // 2)) * 2) + 1 AS INT), 1)))) AS INT) AS sr,
+            |    CAST(list_sum(list_transform(range(0, ((w + 1) // 2) * 3),
+            |      q -> unicode(substr(pix, CAST(3 * ((q // ((w + 1) // 2)) * 2 * w
+            |        + (q % ((w + 1) // 2)) * 2) + 2 AS INT), 1)))) AS INT) AS sg,
+            |    CAST(list_sum(list_transform(range(0, ((w + 1) // 2) * 3),
+            |      q -> unicode(substr(pix, CAST(3 * ((q // ((w + 1) // 2)) * 2 * w
+            |        + (q % ((w + 1) // 2)) * 2) + 3 AS INT), 1)))) AS INT) AS sb,
+            |    octet_length(encode('P6' || chr(10) || ((w + 1) // 2) ||
+            |      ' 3' || chr(10) || '255' || chr(10))) +
+            |      ((w + 1) // 2) * 9 AS plen2
+            |  FROM img)
+            |SELECT doc_id, CAST((plen2 - 1) // 100 + 1 AS INT) AS n_sampled,
+            |  CAST(w2 AS INT) AS f0, 3 AS f1, 255 AS f2,
+            |  CAST(w2 * 3 AS INT) AS f3,
+            |  sr AS f4, sg AS f5, sb AS f6,
+            |  CAST(sr + sg + sb AS INT) AS f7
+            |FROM rz ORDER BY doc_id""".stripMargin))
+
   /** MM+X3 — the full multimodal-to-ANN composition: real P6 payload →
     * partition-local REAL parse + feature extraction (mapPartitions
     * decode) → exact cosine top-k over the extracted features. This is
@@ -3982,6 +4065,70 @@ object Queries {
            |  FROM p)
            |SELECT query_id, vec_id, hamming, rnk FROM r WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin),
+    bench = true)
+
+  /** X3m — RANKING-QUALITY EVAL (round 14): recall@5 / MRR / nDCG@5 of
+    * the 1-bit-quantized Hamming ranking against the exact float top-5 —
+    * the eval report every ANN lane ships with. Metrics are exact
+    * integer ppm; the nDCG log2 discounts are computed ONCE in Scala
+    * (ndcgWeightsPpm) and spliced as literals into BOTH the Spark plan
+    * and this generated oracle, so the only float logs in the contract
+    * are constants shared by construction. The oracle replays the
+    * binary ranking (x3_binary_topk's text), the exact ranking
+    * (x3_topk_cosine's text) and the metric arithmetic end to end. */
+  private val x3EvalRankText: String = {
+    val w = Similarity.ndcgWeightsPpm(5)
+    val caseW = w.zipWithIndex
+      .map { case (wi, i) => s"WHEN ${i + 1} THEN $wi" }.mkString(" ")
+    s"""WITH s AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CASE WHEN x > 0 THEN 1 ELSE -1 END) AS sg
+       |  FROM embeddings),
+       |hp AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |    CAST((64 - CAST(list_dot_product(q.sg, c.sg) AS BIGINT)) / 2
+       |      AS INT) AS hamming
+       |  FROM s q, s c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |predk AS (SELECT query_id, vec_id, p_rnk FROM (
+       |    SELECT query_id, vec_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, vec_id) AS INT) AS p_rnk
+       |    FROM hp) WHERE p_rnk <= 5),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
+       |  FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |t AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM x) WHERE rnk <= 5),
+       |m AS (SELECT p.query_id, p.p_rnk
+       |  FROM predk p JOIN t ON t.query_id = p.query_id
+       |    AND t.vec_id = p.vec_id),
+       |agg AS (SELECT query_id, count(*) AS n_hit, min(p_rnk) AS best_rnk,
+       |    sum(CASE p_rnk $caseW END) AS dcg
+       |  FROM m GROUP BY query_id)
+       |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(floor(coalesce(n_hit, 0) * 1000000 / 5) AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(coalesce(floor(1000000 / best_rnk), 0) AS BIGINT) AS mrr_ppm,
+       |  CAST(floor(coalesce(dcg, 0) * 1000000 / ${w.sum}) AS BIGINT)
+       |    AS ndcg_ppm
+       |FROM (SELECT DISTINCT query_id FROM t) q
+       |LEFT JOIN agg USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
+  val x3EvalRank = QuerySpec("x3_eval_rank",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.evalRanking(
+          Similarity.binaryTopK(q, emb, 5),
+          Similarity.bruteForceTopK(q, emb, 5), 5)
+        .orderBy(col("query_id"))
+    },
+    Some(x3EvalRankText),
     bench = true)
 
   /** X3i (serving shape) — binary candidates → exact re-rank: the coarse
@@ -5620,6 +5767,49 @@ object Queries {
     * dropped BEFORE the pair self-join; the oracle replays the cap. The
     * count is exact integer, so the whole result hash-checks against
     * DuckDB's naive three-way self-join. */
+  /** X10d — K-CORE DECOMPOSITION (round 14): iterative peeling on the
+    * thinned customer↔supplier trade graph (bipartite, so degrees have a
+    * real gradient and removals CASCADE — low-order customers peel
+    * first, dropping supplier degrees below k, peeling more; measured
+    * 2-3 productive rounds at every SF, always ≤ the 5 unrolled, with a
+    * non-empty 4-core: 42/393/4443 nodes at sf0.001/0.01/0.1). The
+    * oracle unrolls the identical 5 synchronous rounds as chained CTEs —
+    * degree agg, ≥k filter, two-sided edge semi-join — so the cascade
+    * mechanism itself is hash-checked, not just the final membership. */
+  private val x10KcoreText: String = {
+    // every u{i} is referenced 4x by round i+1 (degree UNION ALL reads it
+    // twice, the semi-join once more, plus the final rollup) — DuckDB
+    // inlines plain CTEs, which would re-evaluate u0 4^5 times; AS
+    // MATERIALIZED pins each round to evaluate once (oracle-side syntax
+    // only; Spark never parses this text)
+    val rounds = (1 to 5).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
+         |  SELECT a AS v FROM u${i - 1} UNION ALL SELECT b FROM u${i - 1}) t
+         |  GROUP BY v),
+         |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE dg >= 4),
+         |u$i AS MATERIALIZED (SELECT u.a, u.b FROM u${i - 1} u
+         |  JOIN k$i x ON u.a = x.v JOIN k$i y ON u.b = y.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_partkey % 17 = 0),
+       |$rounds
+       |SELECT v AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT a AS v FROM u5 UNION ALL SELECT b FROM u5) t
+       |GROUP BY v ORDER BY node""".stripMargin
+  }
+
+  val x10Kcore = QuerySpec("x10_kcore",
+    (s, d) => Graph.kCore(
+        Graph.tradeEdgesDirected(
+          T(s, d, "lineitem").filter(col("l_partkey") % 17 === 0),
+          T(s, d, "orders")), 4, 5)
+      .orderBy(col("node")),
+    Some(x10KcoreText),
+    bench = true)
+
   val x10Triangles = QuerySpec("x10_triangles",
     (s, d) => Graph.triangles(Graph.coSupplyEdges(T(s, d, "lineitem"), 499L))
       .orderBy(col("node")),
@@ -6129,10 +6319,11 @@ object Queries {
     x2Components, x2ComponentsStar, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply,
     x2Winnow, x2WinnowPairs, x2JaccardPrefix, x5HeavyHitters, x4NbClassify,
     x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
+    x5SplitLeakfree,
     x5Cms, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3IvfRecall,
     x3Kmeans, x3Quant, x3QuantTopk,
-    x3BinaryTopk, x3BinaryRerank,
+    x3BinaryTopk, x3BinaryRerank, x3EvalRank,
     x3Rerank, x3PqTopk, x3IvfPq, x3IvfPqResidual,
     x4TextStats, x4GopherRules, x5Split, x4LangId, x4Fingerprint,
     x4TokenBpe, x4BpeEncode, x4LmScore,
@@ -6145,11 +6336,11 @@ object Queries {
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
     x7IncrAgg, x7IncrMinhash, x7IncrHist, x7IncrCms, x7IncrBloom,
     x7MetaCount, x7Audit,
-    x10Drift, x10Pagerank, x10PagerankDangling, x10Triangles,
+    x10Drift, x10Pagerank, x10PagerankDangling, x10Triangles, x10Kcore,
     x11Expectations, x11Quarantine, x11Profile,
     stMergeReplay,
     x8Resample, x8Sessionize, x9Curation,
-    mmMeta, mmDecode, mmSim)
+    mmMeta, mmDecode, mmResize, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -120,6 +120,41 @@ object Scale {
       .drop("_rk", "_n")
   }
 
+  /** X5o — near-dup-aware (leakage-free) train/val/test split (round 14):
+    * the split draw hashes the duplicate-CLUSTER id, not the row id, so
+    * every member of a near-dup component inherits one assignment and a
+    * near-duplicate pair can never straddle train/test — the contamination
+    * channel a row-hashed split ([[hashSample]], [[stratifiedSplit]])
+    * leaves wide open on an undeduplicated corpus (test leakage via
+    * near-dups is exactly what x4_decontaminate guards AGAINST eval sets;
+    * this is the same guard INSIDE the corpus).
+    *
+    * Input must already carry the component id (from [[graft.ops.Dedup]]
+    * `components`/`componentsStar` — (doc_id, cluster)). The draw is the
+    * [[hashSample]] md5-16-bit-prefix uniform, salted, thresholded at
+    * round(pct·65536/100) — engine-portable, no RNG. Narrow projection:
+    * the split itself adds NO shuffle on top of the component
+    * computation. Proportions hold in expectation at COMPONENT
+    * granularity (the correct unit — leakage-free splitting cannot
+    * promise row-exact proportions when components are atomic). */
+  def leakFreeSplit(withCluster: DataFrame, clusterCol: String,
+      pctTrain: Int, pctVal: Int, salt: String = "leak"): DataFrame = {
+    require(pctTrain > 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"need pctTrain > 0, pctVal >= 0, sum <= 100; got $pctTrain/$pctVal")
+    // same 5-char-format hazard as hashSampleBy: a pct that rounds to
+    // 65536 must use a keep-everything sentinel ('g' > any hex prefix)
+    def thresh(pct: Int): String = {
+      val r = math.round(pct * 65536.0 / 100).toInt
+      if (r >= 65536) "g" else f"$r%04x"
+    }
+    val p = substring(
+      md5(concat(lit(s"$salt:"), col(clusterCol).cast("string"))), 1, 4)
+    withCluster.withColumn("split",
+      when(p < lit(thresh(pctTrain)), "train")
+        .when(p < lit(thresh(pctTrain + pctVal)), "val")
+        .otherwise("test"))
+  }
+
   /** X5g — temperature-scaled stratum resampling: the multilingual-corpus
     * balancing op (the alpha-sampling of multilingual pretraining sets —
     * flatten stratum shares so the head language stops dominating without

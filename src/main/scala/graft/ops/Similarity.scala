@@ -872,4 +872,54 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
   }
+
+  /** Position-discount weights for [[evalRanking]]: w(i) =
+    * floor(10^6 / log2(i + 1)) — the standard nDCG discount in exact
+    * integer ppm. Computed ONCE driver-side and spliced as literals into
+    * both the Spark plan and the generated oracle SQL, so cross-engine
+    * float-log drift is structurally impossible. */
+  def ndcgWeightsPpm(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** X3m — ranking-quality evaluation (round 14): per-query recall@k,
+    * MRR and nDCG of a predicted top-k ranking against an exact
+    * ground-truth top-k — the eval harness every ANN/quantization lane
+    * in this file reports through at deployment ("how much did 1-bit
+    * quantization hurt ranking?" is a number, not a feeling).
+    *
+    * Both inputs are (query_id, vec_id, rnk) top-k frames. All three
+    * metrics are exact integer ppm: recall = hits·10^6/k floored; MRR =
+    * 10^6/best-matched-rank floored (0 when nothing matched); nDCG uses
+    * [[ndcgWeightsPpm]] integer discounts, ideal DCG = Σ w(1..k)
+    * (ground truth has exactly k relevant items by construction).
+    *
+    * Scale shape: inputs are queries×k rows — one (query_id, vec_id)
+    * equi-join plus one query-keyed partial-combining aggregation;
+    * nothing touches the corpus. The left join from the truth spine
+    * keeps zero-hit queries in the report (their metrics read 0, which
+    * is exactly the alert a recall regression should raise). */
+  def evalRanking(pred: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1,100], got $k")
+    val w = ndcgWeightsPpm(k)
+    val idcg = w.sum
+    val matched = pred.filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("p_rnk"))
+      .join(truth.filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+    val per = matched.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_hit"),
+      min(col("p_rnk")).as("best_rnk"),
+      sum(element_at(array(w.map(lit): _*), col("p_rnk").cast("int")))
+        .as("dcg"))
+    truth.select(col("query_id")).distinct()
+      .join(per, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+        floor(coalesce(col("n_hit"), lit(0L)) * lit(1000000L) / lit(k))
+          .cast("long").as("recall_ppm"),
+        coalesce(floor(lit(1000000L) / col("best_rnk")), lit(0L))
+          .cast("long").as("mrr_ppm"),
+        floor(coalesce(col("dcg"), lit(0L)) * lit(1000000L) / lit(idcg))
+          .cast("long").as("ndcg_ppm"))
+  }
 }

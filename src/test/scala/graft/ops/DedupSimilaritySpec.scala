@@ -906,4 +906,32 @@ class DedupSimilaritySpec extends SparkSpec {
     val boilerPairs = pairs.count(p => p._1 >= 200L)
     assert(boilerPairs == 0, s"capped boilerplate still produced $boilerPairs pairs")
   }
+
+  test("X3m evalRanking: recall/MRR/nDCG hand-check, zero-hit query reports zeros") {
+    // truth q1: {10,20,30}; pred q1: 20@1 (hit), 99@2 (miss), 10@3 (hit)
+    // truth q2: {40,50,60}; pred q2: all misses
+    val truth = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 40L, 1), (2L, 50L, 2), (2L, 60L, 3))
+      .toDF("query_id", "vec_id", "rnk")
+    val pred = Seq((1L, 20L, 1), (1L, 99L, 2), (1L, 10L, 3),
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3))
+      .toDF("query_id", "vec_id", "rnk")
+    val r = Similarity.evalRanking(pred, truth, 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    val w = Similarity.ndcgWeightsPpm(3)
+    assert(w == Seq(1000000L, 630929L, 500000L))
+    val idcg = w.sum
+    val expNdcg = ((w(0) + w(2)) * 1000000L) / idcg  // exact: fits a Long
+    assert(r(1L) == ((2L, 666666L, 1000000L, expNdcg)))
+    assert(r(2L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("X3m evalRanking: perfect prediction scores 10^6 across the board") {
+    val truth = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3))
+      .toDF("query_id", "vec_id", "rnk")
+    val r = Similarity.evalRanking(truth, truth, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((7L, 3L, 1000000L, 1000000L, 1000000L)))
+  }
 }

@@ -75,4 +75,30 @@ class GraphSpec extends SparkSpec {
     // customer 7 -> node 14 (even), supplier 3 -> node 7 (odd), both ways
     assert(e == Set((14L, 7L), (7L, 14L)))
   }
+
+  test("X10d k-core: chain peels by CASCADE, one hop per synchronous round") {
+    // triangle {1,2,3} with a tail 3-4-5-6. For k=2 the tail unravels
+    // from the end — node 6 first, then 5, then 4 — which raw-degree
+    // filtering could never do (4 and 5 start with degree 2 >= k).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    def core(rounds: Int): Map[Long, Long] =
+      Graph.kCore(edges, 2, rounds).as[(Long, Long)].collect().toMap
+    // round 1 removes only 6; round 2 only 5; round 3 only 4
+    assert(core(1).keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(core(2).keySet == Set(1L, 2L, 3L, 4L))
+    assert(core(3) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // fixpoint: extra rounds are no-ops
+    assert(core(5) == core(3))
+  }
+
+  test("X10d k-core: over-k graph survives intact, under-k graph empties; " +
+      "input orientation and duplicates normalize away") {
+    // K4 is its own 3-core; duplicate/reversed input edges collapse
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.kCore(k4, 3, 2).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.kCore(k4, 4, 3).count() == 0)
+  }
 }

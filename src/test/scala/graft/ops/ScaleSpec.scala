@@ -165,4 +165,24 @@ class ScaleSpec extends SparkSpec {
       .collect().toSeq
     assert(again.sorted == out.sorted)
   }
+
+  test("X5o leak-free split: cluster members share one assignment; " +
+      "100% train uses the sentinel threshold") {
+    // 300 docs in 100 3-doc clusters (cluster id = id / 3 * 3)
+    val df = (0L until 300L).map(i => (i, i / 3 * 3)).toDF("doc_id", "cluster")
+    val out = Scale.leakFreeSplit(df, "cluster", 80, 10)
+      .select($"doc_id", $"cluster", $"split")
+      .as[(Long, Long, String)].collect()
+    // no component straddles a split boundary
+    val perCluster = out.groupBy(_._2).values
+    assert(perCluster.forall(_.map(_._3).distinct.length == 1))
+    // all three splits materialize and proportions are hash-plausible
+    val bySplit = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 150 && bySplit("train") < 290)
+    // pct rounding to 65536 must keep everything (no 5-char hex trap)
+    val allTrain = Scale.leakFreeSplit(df, "cluster", 100, 0)
+      .select($"split").distinct().as[String].collect().toSeq
+    assert(allTrain == Seq("train"))
+  }
 }

@@ -322,6 +322,35 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(Multimodal.ppmDecode(Array.emptyByteArray).isEmpty)
   }
 
+  test("ppmResize keeps every factor-th pixel and re-emits a VALID P6 " +
+      "the parser round-trips; malformed input resizes to None") {
+    // 4x2 image, pixel (x,y) = (10x+y, 100+x, 200+y) — identifiable
+    val pix = for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3)
+      yield (c match {
+        case 0 => 10 * x + y
+        case 1 => 100 + x
+        case _ => 200 + y
+      }).toByte
+    val img = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ pix
+    val half = Multimodal.ppmResize(img, 2).get
+    // 2x1 out: pixels from source (0,0) and (2,0)
+    val f = Multimodal.ppmDecode(half).get
+    assert(f.toSeq.take(4) == Seq(2f, 1f, 255f, 2f))
+    assert(f(4) == (0 + 20).toFloat)        // R: 10*0+0, 10*2+0
+    assert(f(5) == (100 + 102).toFloat)     // G: 100+0, 100+2
+    assert(f(6) == (200 + 200).toFloat)     // B: 200+0 twice
+    // factor 1 is the identity geometry
+    val same = Multimodal.ppmResize(img, 1).get
+    assert(Multimodal.ppmDecode(same).get.toSeq ==
+      Multimodal.ppmDecode(img).get.toSeq)
+    // odd width ceils: 4x2 at factor 3 -> 2x1 (sources x=0,3 y=0)
+    val third = Multimodal.ppmDecode(Multimodal.ppmResize(img, 3).get).get
+    assert(third.toSeq.take(4) == Seq(2f, 1f, 255f, 2f))
+    assert(third(4) == (0 + 30).toFloat)
+    assert(Multimodal.ppmResize("JPEG".getBytes("US-ASCII"), 2).isEmpty)
+    assert(Multimodal.ppmResize(Array.emptyByteArray, 2).isEmpty)
+  }
+
   test("multimodal decode runs the REAL P6 parse batch-shaped over " +
       "constructed payloads; malformed payloads yield null features") {
     val df = Multimodal.withPpmPayload(
