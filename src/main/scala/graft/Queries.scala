@@ -2965,6 +2965,54 @@ object Queries {
     * RECURSIVE min-reachable closure. Threshold 0.33 is data-dependent
     * (this synthetic corpus has no true near-dups; a real corpus runs
     * at 0.95+ with the identical plan). */
+  /** X2g — SEMANTIC DEDUP, SemDeDup-shaped (round 14): IVF-cell
+    * clustering of the embedding space, pairwise cosine ONLY within a
+    * cell, closure to survivor flags — the meaning-level dedup pass
+    * (Abbas et al. 2023) next to x2_embed_dedup_e2e's LSH-bucketed one.
+    * Two different candidate geometries (nearest-centroid cells vs
+    * hyperplane-sign buckets) judged through the same closure contract.
+    * The oracle replays cell assignment (6dp cosine, cid tie-break),
+    * the within-cell threshold pairs, and the recursive closure. */
+  val x2SemDedup = QuerySpec("x2_semdedup",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val pairs = Similarity.semDedupPairs(emb, 16, 0.33)
+      Dedup.components(emb.select(col("vec_id")), pairs, "vec_id",
+          d1 = "v1", d2 = "v2")
+        .withColumn("is_survivor", col("cluster") === col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH RECURSIVE
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           |asr AS (
+           |  SELECT e.vec_id, cents.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(list_cosine_similarity(e.v, cents.cv), 6)
+           |        DESC, cents.cid) AS crnk
+           |  FROM e, cents),
+           |assigned AS (SELECT vec_id, cid FROM asr WHERE crnk = 1),
+           |p AS (
+           |  SELECT a.vec_id AS d1, b.vec_id AS d2
+           |  FROM assigned a JOIN assigned b ON a.cid = b.cid
+           |    AND a.vec_id < b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id
+           |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.33),
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM p
+           |          UNION SELECT d2, d1 FROM p),
+           |reach AS (
+           |  SELECT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT e2.src, rc.r FROM edges e2 JOIN reach rc ON e2.dst = rc.id),
+           |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+           |SELECT ee.vec_id,
+           |  coalesce(c.cluster, ee.vec_id) AS cluster,
+           |  coalesce(c.cluster, ee.vec_id) = ee.vec_id AS is_survivor
+           |FROM embeddings ee LEFT JOIN comp c ON c.id = ee.vec_id
+           |ORDER BY ee.vec_id""".stripMargin),
+    bench = true)
+
   val x2EmbedDedup = QuerySpec("x2_embed_dedup_e2e",
     (s, d) => {
       val emb = T(s, d, "embeddings")
@@ -6315,7 +6363,7 @@ object Queries {
     x1Dedup, x2Jaccard, x2Minhash, x2MinhashEst, x2EditDist, x2LshPairs,
     x2Simhash,
     x2SimhashPairs,
-    x2CosineNearDup, x2EmbedDedup,
+    x2CosineNearDup, x2EmbedDedup, x2SemDedup,
     x2Components, x2ComponentsStar, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply,
     x2Winnow, x2WinnowPairs, x2JaccardPrefix, x5HeavyHitters, x4NbClassify,
     x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,

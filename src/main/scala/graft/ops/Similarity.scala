@@ -873,6 +873,36 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
   }
 
+  /** X2g — SemDeDup-style semantic dedup candidates (round 14; Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the embedding space, then compare
+    * pairs ONLY within a cluster — the candidate generator for semantic
+    * (meaning-level) duplicates that never does corpus² work. Reuses
+    * [[ivfAssign]]'s deterministic cell assignment (6dp-rounded cosine,
+    * cid tie-break — the property that makes the whole chain
+    * oracle-checkable; Lloyd-trained centroids drop in through
+    * [[ivfAssignWith]] changing quality, not shape).
+    *
+    * Scale: the pair join is an equi-join on the cell id; per-cell pair
+    * count is (|cell| choose 2), so nCentroids scales WITH the corpus to
+    * keep cells bounded (the IVF sizing argument) — SemDeDup's published
+    * config is exactly this: ~100k clusters over web-scale embeddings.
+    * Norms are precomputed per ROW; the per-pair kernel is one dot
+    * product. Returns (v1, v2, sim) with v1 < v2, sim ≥ tau. */
+  def semDedupPairs(corpus: DataFrame, nCentroids: Int,
+      tau: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, nCentroids)
+    val left = assigned.select(col("cid"), col("vec_id"),
+      col("cv").as("qv"), col("cn").as("qn"))
+    val right = assigned.select(col("cid"), col("vec_id").as("vid2"),
+      col("cv"), col("cn"))
+    val pairs = left.join(right, Seq("cid"))
+      .filter(col("vec_id") < col("vid2"))
+    pairs.withColumn("sim", round(cosinePre(pairs), 6))
+      .filter(col("sim") >= tau)
+      .select(col("vec_id").as("v1"), col("vid2").as("v2"), col("sim"))
+  }
+
   /** Position-discount weights for [[evalRanking]]: w(i) =
     * floor(10^6 / log2(i + 1)) — the standard nDCG discount in exact
     * integer ppm. Computed ONCE driver-side and spliced as literals into

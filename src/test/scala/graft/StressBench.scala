@@ -206,6 +206,15 @@ object StressBench {
     stage("tri_oriented_10k")(ops.Graph.triangles(skewGraph(10000L)))
     stage("tri_naive_10k")(naiveTriangles(skewGraph(10000L)))
 
+    // ---- k-core on the same skewed graph: the 10-cliques are each a
+    // complete 9-core (every member degree 9); chain/spoke nodes carry
+    // degree <= 3 and peel in round 1, stranding the degree-n/2 HUB with
+    // zero surviving edges — it peels in round 2. Synchronous peeling
+    // removes the whole under-k frontier per round, so the hub's raw
+    // degree buys it exactly ONE extra round, not n/2 — and the result
+    // must be exactly the n/2 clique nodes at core_deg 9.
+    stage("kcore_9")(ops.Graph.kCore(skewGraph(n), 9, 3))
+
     // sanity: the plants must be FOUND (caps did not eat the signal).
     // ~n/20 near-dup pairs from LSH; ~n/20 span groups from spanPairs.
     val lshPairs = results("lsh_capped")._2
@@ -247,6 +256,11 @@ object StressBench {
         s"""${results("decon_bloom_20")._2} vs exact ${results("decon_exact")._2}""")
     require(results("tri_oriented")._2 >= n / 2,
       s"oriented triangles missed clique nodes: ${results("tri_oriented")._2}")
+    // the 9-core is EXACTLY the clique population: hub/chain/spokes must
+    // cascade out within the 3 unrolled rounds, no clique node may peel
+    require(results("kcore_9")._2 == n / 2,
+      s"9-core should be exactly the ${n / 2} clique nodes: " +
+        s"${results("kcore_9")._2}")
     // round-14 plants: winnowing is GUARANTEED (>= 11-token runs) to pair
     // every near-dup and span plant; the prefix join is an exact
     // threshold join, so it must find every near-dup pair (jac ≈ 36/38)

@@ -907,6 +907,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(boilerPairs == 0, s"capped boilerplate still produced $boilerPairs pairs")
   }
 
+  test("X2g semDedupPairs: near-dups pair within their cell, never across") {
+    // two tight clusters around e1 and e2; centroids = vec_id < 2, one
+    // per cluster by construction
+    val emb = Seq(
+      0L -> Seq(1f, 0f, 0f), 2L -> Seq(0.99f, 0.1f, 0f),
+      3L -> Seq(0.98f, 0.15f, 0f),
+      1L -> Seq(0f, 1f, 0f), 4L -> Seq(0.1f, 0.99f, 0f),
+      5L -> Seq(0f, 0.98f, 0.15f))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semDedupPairs(emb, 2, 0.9)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    val clusterA = Set(0L, 2L, 3L)
+    val clusterB = Set(1L, 4L, 5L)
+    assert(pairs.nonEmpty)
+    // every pair lives inside one cluster
+    assert(pairs.forall(p =>
+      (clusterA(p._1) && clusterA(p._2)) || (clusterB(p._1) && clusterB(p._2))))
+    // the tight same-cluster neighbors are found
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 4L)))
+    // ordering contract
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
   test("X3m evalRanking: recall/MRR/nDCG hand-check, zero-hit query reports zeros") {
     // truth q1: {10,20,30}; pred q1: 20@1 (hit), 99@2 (miss), 10@3 (hit)
     // truth q2: {40,50,60}; pred q2: all misses
