@@ -747,8 +747,13 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
     // prefix length |d| − ceil(t·|d|) + 1; integer ceil = (t·n+tDen−1) div tDen
+    // the narrow (id, sh) prefix frame feeds BOTH sides of the candidate
+    // self-join; without truncation the df-join + two windows above it
+    // execute twice per run (the capBuckets/semDedup re-derivation class)
     val prefixes = ranked.filter(
-      col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+        col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col(idCol), col("sh"))
+      .localCheckpoint(eager = false)
     val cands = prefixes.select(col(idCol).as("d1"), col("sh"))
       .join(prefixes.select(col(idCol).as("d2"), col("sh")), "sh")
       .filter(col("d1") < col("d2"))

@@ -891,7 +891,13 @@ object Similarity {
     * product. Returns (v1, v2, sim) with v1 < v2, sim ≥ tau. */
   def semDedupPairs(corpus: DataFrame, nCentroids: Int,
       tau: Double): DataFrame = {
+    // `assigned` feeds BOTH sides of the pair join and Catalyst does not
+    // dedupe repeated subtrees — without truncation the corpus×centroid
+    // assignment (cross join + window rank) executes twice per run, the
+    // same lineage-re-derivation defect capBuckets/triangles fixed.
+    // eager = false: materialized at first action, not at plan build.
     val assigned = ivfAssign(corpus, nCentroids)
+      .localCheckpoint(eager = false)
     val left = assigned.select(col("cid"), col("vec_id"),
       col("cv").as("qv"), col("cn").as("qn"))
     val right = assigned.select(col("cid"), col("vec_id").as("vid2"),
