@@ -3461,6 +3461,42 @@ object Queries {
            |       ELSE 'test' END AS split
            |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** X8c — ORDERED EVENT FUNNEL (round 14): view → click → purchase,
+    * each transition within 24 h of the previous step's earliest valid
+    * time (greedy earliest-transition semantics). Discriminative at
+    * every SF (150 → 60 → 25 users at sf0.01). Per step: one pruned
+    * scan + one key-sized join + a partial-combining min — never a
+    * per-user event list, never a full-history window. The oracle
+    * replays the CTE chain and the ppm conversion arithmetic. */
+  val x8Funnel = QuerySpec("x8_funnel",
+    (s, d) => TimeSeries.funnel(Tables.events(s, d), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        24L * 3600 * 1000000)
+      .orderBy(col("step_idx")),
+    Some("""WITH e AS (SELECT user_id AS k, event_type AS t,
+           |    epoch_us(ts) AS us FROM events),
+           |s1 AS (SELECT k, min(us) AS ts_prev FROM e
+           |  WHERE t = 'view' GROUP BY k),
+           |s2 AS (SELECT e.k, min(e.us) AS ts_prev FROM e JOIN s1 USING (k)
+           |  WHERE e.t = 'click' AND e.us >= s1.ts_prev
+           |    AND e.us <= s1.ts_prev + 86400000000 GROUP BY e.k),
+           |s3 AS (SELECT e.k, min(e.us) AS ts_prev FROM e JOIN s2 USING (k)
+           |  WHERE e.t = 'purchase' AND e.us >= s2.ts_prev
+           |    AND e.us <= s2.ts_prev + 86400000000 GROUP BY e.k),
+           |c AS (
+           |  SELECT 1 AS step_idx, 'view' AS step,
+           |    (SELECT count(*) FROM s1) AS n_users
+           |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+           |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+           |SELECT CAST(step_idx AS INT) AS step_idx, step,
+           |  CAST(n_users AS BIGINT) AS n_users,
+           |  CAST(coalesce(floor(n_users * 1000000 /
+           |      lag(n_users) OVER (ORDER BY step_idx)),
+           |    CASE WHEN step_idx = 1 THEN 1000000 END) AS BIGINT)
+           |    AS conv_ppm
+           |FROM c ORDER BY step_idx""".stripMargin),
+    bench = true)
+
   val x4LangId = QuerySpec("x4_langid",
     (s, d) => TextOps.withLangId(T(s, d, "documents"), "text")
       .groupBy(col("lang"))
@@ -5628,6 +5664,61 @@ object Queries {
             |ORDER BY o_orderstatus""".stripMargin),
     bench = true)
 
+  /** X7s — INCREMENTAL GROUPED TOP-K MAINTENANCE (round 14): the
+    * index-follows-the-snapshot contract applied to a ranking artifact.
+    * Top-k is NOT additive: a delete/update of a current member cannot
+    * be repaired from the stored k rows (the k+1-th row was evicted), so
+    * the honest maintenance rule is the x7_incr_bloom one —
+    * REBUILD-TOUCHED-GROUPS: any group named by a diff row (preimage OR
+    * postimage side, so moves/deletes/inserts all count) re-ranks from
+    * the merged snapshot; untouched groups carry their stored rows over
+    * by anti-join, provably unchanged (their member sets are identical
+    * across versions). Cost ∝ touched groups' rows; with group-aligned
+    * layout the rebuild scan would prune to those groups' buckets too
+    * (here the fixture buckets by order key, so the scan reads v1 and
+    * the window sorts only touched rows — stated honestly). Judged in
+    * the family's strongest form: maintained == the oracle's DIRECT
+    * top-3-per-status recompute over the merged state, row for row. */
+  val x7IncrTopk = QuerySpec("x7_incr_topk",
+    (s, d) => {
+      val root = mergeCdcSnapshot(s, d)
+      val snap = s"$root/snap"
+      def cents(c: org.apache.spark.sql.Column) =
+        floor(c * 100 + 0.5).cast("long")
+      def topk(df: DataFrame): DataFrame = df
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          cents(col("price")).as("cents"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("cents").desc, col("o_orderkey"))))
+        .filter(col("rnk") <= 3)
+      val base = topk(Cdc.snapshotAt(s, snap, 0))
+      val diff = Cdc.snapshotDiff(s, snap, 0, 1, includeBefore = true)
+      // feeds both the semi- and the anti-join — truncate once
+      val touched = diff.select(col("o_orderstatus"))
+        .unionAll(diff.select(col("_before_o_orderstatus")
+          .as("o_orderstatus")))
+        .filter(col("o_orderstatus").isNotNull).distinct()
+        .localCheckpoint(eager = false)
+      val rebuilt = topk(Cdc.snapshotAt(s, snap, 1)
+        .join(touched, Seq("o_orderstatus"), "left_semi"))
+      val carried = base.join(touched, Seq("o_orderstatus"), "left_anti")
+      carried.unionByName(rebuilt)
+        .select(col("o_orderstatus"), col("rnk").cast("int").as("rnk"),
+          col("o_orderkey"), col("cents"))
+        .orderBy(col("o_orderstatus"), col("rnk"))
+    },
+    Some(s"""$mergedSnapshotSql
+            |SELECT o_orderstatus, CAST(rnk AS INT) AS rnk, o_orderkey,
+            |  CAST(floor(price * 100 + 0.5) AS BIGINT) AS cents
+            |FROM (SELECT o_orderstatus, o_orderkey, price,
+            |    row_number() OVER (PARTITION BY o_orderstatus
+            |      ORDER BY floor(price * 100 + 0.5) DESC, o_orderkey)
+            |      AS rnk
+            |  FROM merged) WHERE rnk <= 3
+            |ORDER BY o_orderstatus, rnk""".stripMargin),
+    bench = true)
+
   /** X7o — INCREMENTAL HISTOGRAM MAINTENANCE (round 11): the x7_incr_agg
     * contract applied to the x5_histq sketch — the standing equi-width
     * histogram follows the snapshot through a merge via CDF
@@ -6383,11 +6474,12 @@ object Queries {
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
     x7IncrAgg, x7IncrMinhash, x7IncrHist, x7IncrCms, x7IncrBloom,
+    x7IncrTopk,
     x7MetaCount, x7Audit,
     x10Drift, x10Pagerank, x10PagerankDangling, x10Triangles, x10Kcore,
     x11Expectations, x11Quarantine, x11Profile,
     stMergeReplay,
-    x8Resample, x8Sessionize, x9Curation,
+    x8Resample, x8Sessionize, x8Funnel, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -99,6 +99,59 @@ object TimeSeries {
     * aggregate partial-combines on (key, session_id). All-integer race:
     * epoch-µs gaps and a 0/1 running sum, with `tieCol` breaking
     * duplicate timestamps deterministically on both engines. */
+  /** X8c — ordered event-funnel analysis (round 14): per key, the
+    * earliest time each step can be reached respecting step ORDER and a
+    * per-transition horizon — step i counts a user only if step i's
+    * event lands within `horizonUs` AFTER their (earliest-valid) step
+    * i−1 time. The product-analytics staple ("view → click → purchase
+    * within a day"), and the greedy earliest-transition semantics every
+    * funnel engine implements.
+    *
+    * Scale shape: one step = one narrow filtered scan of the events
+    * table joined against the previous step's KEY-SIZED frame (shuffle
+    * on the key), then a partial-combining min per key. No per-key event
+    * lists are ever collected, no window over a user's full history —
+    * cost is |steps| pruned scans + |steps| key-sized joins at any
+    * corpus size. Each step frame is localCheckpoint'd (eager = false):
+    * it feeds both the next step's join and its own count row, and the
+    * frames are node-count-sized.
+    *
+    * Output: (step_idx, step, n_users, conv_ppm) — conv_ppm the floored
+    * ppm conversion from the previous step (first step = 10^6). An
+    * EMPTY intermediate step yields 0-count rows downstream and a null
+    * conv (0/0) — both engines agree on the null. */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonUs: Long): DataFrame = {
+    require(steps.size >= 2, "funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(horizonUs > 0, s"horizon must be positive, got $horizonUs")
+    val e = events.select(col(keyCol).as("k"), col(typeCol).as("t"),
+      expr(s"unix_micros($tsCol)").as("us"))
+    val first = e.filter(col("t") === steps.head)
+      .groupBy(col("k")).agg(min(col("us")).as("ts_prev"))
+      .localCheckpoint(eager = false)
+    val frames = steps.tail.scanLeft(first) { (prev, st) =>
+      e.filter(col("t") === st)
+        .join(prev.select(col("k"), col("ts_prev")), Seq("k"))
+        .filter(col("us") >= col("ts_prev") &&
+          col("us") <= col("ts_prev") + horizonUs)
+        .groupBy(col("k")).agg(min(col("us")).as("ts_prev"))
+        .localCheckpoint(eager = false)
+    }
+    val counts = frames.zip(steps).zipWithIndex.map { case ((f, name), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("int").as("step_idx"),
+          lit(name).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+    val w = Window.orderBy(col("step_idx"))
+    counts
+      .withColumn("conv_ppm",
+        coalesce(floor(col("n_users") * lit(1000000L) /
+            lag(col("n_users"), 1).over(w)).cast("long"),
+          when(col("step_idx") === 1, 1000000L)))
+      .select(col("step_idx"), col("step"), col("n_users"), col("conv_ppm"))
+  }
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

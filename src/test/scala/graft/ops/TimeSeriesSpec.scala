@@ -79,4 +79,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).head._5 - out.filter(_._1 == 2L).head._4
       == 59L * 60000000L)
   }
+
+  test("X8c funnel: order and horizon both gate; greedy earliest transition") {
+    def t(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      // user 1: clean conversion inside horizons
+      (1L, "view", t(0)), (1L, "click", t(10)), (1L, "purchase", t(20)),
+      // user 2: click BEFORE the first view — order gate fails at step 2
+      (2L, "click", t(0)), (2L, "view", t(10)),
+      // user 3: click past the horizon — time gate fails at step 2
+      (3L, "view", t(0)), (3L, "click", t(200)),
+      // user 4: purchase BETWEEN view and click (before the click) must
+      // not count; the later purchase does — greedy earliest semantics
+      (4L, "view", t(0)), (4L, "purchase", t(5)), (4L, "click", t(10)),
+      (4L, "purchase", t(30)))
+      .toDF("user_id", "event_type", "ts")
+    val out = TimeSeries.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), horizonUs = 100L * 1000000)
+      .orderBy($"step_idx")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ==
+      Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 2L)))
+    assert(out.head._4 == 1000000L)            // first step: 10^6 by definition
+    assert(out(1)._4 == 500000L)               // 2/4
+    assert(out(2)._4 == 1000000L)              // 2/2
+  }
 }
