@@ -2213,6 +2213,30 @@ object Queries {
            |ORDER BY value""".stripMargin),
     bench = true)
 
+  /** X5p — PER-GROUP heavy hitters (round 14): tokens exceeding 1/33 of
+    * their LANGUAGE's token stream — the per-language top-token report a
+    * multilingual corpus needs (a token hot in a small language is
+    * invisible to the global x5_heavy_hitters stream). Same
+    * candidates-only shuffle argument, per (partition, group) MG maps;
+    * the exact (group, value) recount makes the result
+    * partitioning-independent — the oracle recounts directly. */
+  val x5HeavyHittersBy = QuerySpec("x5_heavy_hitters_by",
+    (s, d) => Sketch.heavyHittersBy(
+        T(s, d, "documents").select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok")),
+        "tok", "lang", k = 32)
+      .orderBy(col("grp"), col("value")),
+    Some("""WITH t AS (
+           |  SELECT lang AS grp,
+           |    unnest(string_split(lower(text), ' ')) AS value
+           |  FROM documents),
+           |n AS (SELECT grp, count(*) AS n FROM t GROUP BY grp)
+           |SELECT t.grp AS grp, value, CAST(count(*) AS BIGINT) AS cnt
+           |FROM t JOIN n ON n.grp = t.grp
+           |GROUP BY t.grp, value, n.n
+           |HAVING count(*) * 33 > n.n
+           |ORDER BY t.grp, value""".stripMargin))
+
   /** X4n — integer-ppm Naive-Bayes classifier (round 14): add-one
     * smoothed class-conditional token stats fit on the doc_id % 5 <> 0
     * split, label predicted for the held-out rest by argmax of the
@@ -6456,7 +6480,8 @@ object Queries {
     x2SimhashPairs,
     x2CosineNearDup, x2EmbedDedup, x2SemDedup,
     x2Components, x2ComponentsStar, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply,
-    x2Winnow, x2WinnowPairs, x2JaccardPrefix, x5HeavyHitters, x4NbClassify,
+    x2Winnow, x2WinnowPairs, x2JaccardPrefix, x5HeavyHitters,
+    x5HeavyHittersBy, x4NbClassify,
     x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5SplitLeakfree,
     x5Cms, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,

@@ -259,6 +259,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("X5p heavyHittersBy: a group-local hitter invisible to the global " +
+      "stream is found; thresholds are per-group; partitioning-independent") {
+    // big group: 3000 'common' + 600-value noise; small group: 90 'rare'
+    // + 10 noise. 'rare' is 0.9 of ITS group but ~2.4% of the global
+    // stream — the global lane must miss it, the grouped lane must not.
+    val big = Seq.fill(3000)("big" -> "common") ++
+      (1 to 600).map(i => "big" -> s"n$i")
+    val small = Seq.fill(90)("small" -> "rare") ++
+      (1 to 10).map(i => "small" -> s"m$i")
+    val rows = (big ++ small).zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 9973 }.map(_._1)
+    val df = rows.toDF("g", "v").repartition(16)
+    val grouped = Sketch.heavyHittersBy(df, "v", "g", 8)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(grouped == Map(("big", "common") -> 3000L, ("small", "rare") -> 90L),
+      s"got $grouped")
+    val global = Sketch.heavyHitters(df, "v", 8)
+      .as[(String, Long)].collect().toMap
+    assert(global.keySet == Set("common"), s"global lane got $global")
+    // partitioning independence
+    Seq(1, 5).foreach { parts =>
+      val again = Sketch.heavyHittersBy(df.repartition(parts), "v", "g", 8)
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(again == grouped, s"parts=$parts")
+    }
+  }
+
   test("X5h histogram: a constant column collapses to bin 0 and serves " +
       "the constant, not a divide-by-zero") {
     val v = Seq.fill(100)(42.0).toDF("x")
