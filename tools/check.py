@@ -19,10 +19,20 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    # --only=a,b,c : dev-loop subset (sets GRAFT_VERIFY_ONLY for Verify and
+    # restricts the oracle compare to those names)
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = {n.strip() for n in a[len("--only="):].split(",") if n.strip()}
     if "--skip-verify" not in sys.argv:
+        env = dict(os.environ)
+        if only:
+            env["GRAFT_VERIFY_ONLY"] = ",".join(sorted(only))
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
-            cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+            cwd="/root/repo", capture_output=True, text=True, timeout=1800,
+            env=env)
         sys.stdout.write(r.stdout[-3000:])
         sys.stderr.write(r.stderr[-40000:])
         if r.returncode != 0:
@@ -36,6 +46,9 @@ def main():
     results = {}
     produced = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                 if os.path.isdir(p)}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+        produced = {p for p in produced if p in only}
     for name in sorted(oracle):
         status = []
         if name not in produced:
