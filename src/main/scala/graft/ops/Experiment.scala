@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X9b — A/B experiment analysis over an event stream.
+  *
+  * The measurement half of product experimentation (assignment itself is
+  * a deterministic hash — the same md5 discipline every sampling lane
+  * uses, so a user's arm is reproducible from their id alone, no
+  * assignment table to store or join). Reference scope: the downloader's
+  * job pipeline has no experiment surface; this lane exists for the
+  * §2.11 analytics mandate alongside funnel/retention/transitions.
+  */
+object Experiment {
+
+  /** Two-arm conversion report with a chi-square independence statistic.
+    *
+    * Arm = md5-bucket parity of the unit id ([[Sketch.shardOf]], the
+    * engine-portable twin of hash-mod bucketing) — deterministic,
+    * storage-free, oracle-replayable. Conversion = the unit has ≥ 1
+    * `convType` event. The contingency table is (a, b; c, d) =
+    * (conv_a, n_a−conv_a; conv_b, n_b−conv_b) and
+    * chi2_fp = floor(χ² · 10^4) with
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — the 2×2 chi-square is
+    * RATIONAL (no libm), computed in doubles with a parenthesization
+    * kept textually identical in the oracle, so IEEE rounding agrees
+    * cross-engine at any magnitude (products can pass 2^53, but both
+    * engines round the same way at every step).
+    *
+    * Scale shape: one unit-keyed partial-combining max (conversion
+    * flag), then a single-row conditional aggregate — the entire report
+    * is one scan + one key shuffle + a 1-row exchange; the event volume
+    * is touched exactly once. lift_ppm is null when the A arm has no
+    * conversions (0/0 honestly reported, not fabricated). */
+  def abReport(events: DataFrame, keyCol: String, typeCol: String,
+      convType: String): DataFrame = {
+    val perUnit = events
+      .select(col(keyCol).as("unit"), col(typeCol).as("t"))
+      .groupBy(col("unit"))
+      .agg(max(when(col("t") === convType, 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        when(Sketch.shardOf(col("unit"), 2) === 0, "a").otherwise("b"))
+    perUnit.agg(
+        sum(when(col("arm") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "a", col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === "b", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "b", col("conv")).otherwise(0L)).as("conv_b"))
+      .withColumn("cr_a_ppm", expr("conv_a * 1000000L div n_a"))
+      .withColumn("cr_b_ppm", expr("conv_b * 1000000L div n_b"))
+      .withColumn("lift_ppm",
+        when(col("conv_a") > 0,
+          expr("conv_b * n_a * 1000000L div (conv_a * n_b)")))
+      // textually mirrored in the oracle SQL — do not re-parenthesize;
+      // degenerate margins (no conversions anywhere, or no
+      // non-conversions) have no defined chi-square: null, not a 0/0
+      .withColumn("chi2_fp", expr(
+        "CASE WHEN conv_a + conv_b > 0 " +
+          "AND (n_a - conv_a) + (n_b - conv_b) > 0 THEN " +
+          "CAST(floor(((CAST(n_a + n_b AS DOUBLE) * " +
+          "((CAST(conv_a AS DOUBLE) * (n_b - conv_b) - " +
+          "CAST(n_a - conv_a AS DOUBLE) * conv_b) * " +
+          "(CAST(conv_a AS DOUBLE) * (n_b - conv_b) - " +
+          "CAST(n_a - conv_a AS DOUBLE) * conv_b))) * 10000.0) / " +
+          "(((CAST(n_a AS DOUBLE) * n_b) * (conv_a + conv_b)) * " +
+          "((n_a - conv_a) + (n_b - conv_b)))) AS BIGINT) END"))
+  }
+}

@@ -909,6 +909,51 @@ object Similarity {
       .select(col("vec_id").as("v1"), col("vid2").as("v2"), col("sim"))
   }
 
+  /** X3n — Johnson–Lindenstrauss random projection (round 14): ±1 sign
+    * matrix (Achlioptas 2001 — database-friendly projections: sparse/sign
+    * matrices preserve pairwise geometry with the same JL guarantee as
+    * Gaussian ones), rows derived from md5 so the matrix is a fixed
+    * public constant both engines rebuild bit-for-bit. Signs are baked
+    * at PLAN TIME as ±element_at terms (the md5PlaneSum discipline): no
+    * per-row hashing, no UDF, a plain codegen'd Add chain; left-assoc
+    * ascending-d addition makes the projected doubles bit-identical
+    * across engines. The 1/√k scale factor is omitted — cosine is
+    * scale-invariant, which is the similarity this engine ranks by.
+    *
+    * Scale: projection is a NARROW map (dim multiply-adds per row, no
+    * shuffle); downstream ANN then runs on kOut ≪ dim components — the
+    * standard pre-reduction in front of IVF/PQ when raw dims are large.
+    * Returns (vec_id, embedding) with the kOut-dim projected vector, so
+    * every ANN lane in this file composes unchanged. */
+  def rpSigns(kOut: Int, dim: Int): Seq[Seq[Int]] =
+    (0 until kOut).map { k =>
+      (0 until dim).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp${k}_$d".getBytes("UTF-8"))
+        if ((hex(0) & 0x80) != 0) 1 else -1
+      }
+    }
+
+  /** One left-assoc signed-sum expression per projected component, over
+    * 1-indexed `element_at` terms — shared shape with the oracle text
+    * generator so the two cannot drift. */
+  private def rpSumExpr(signs: Seq[Int], vecCol: String): String =
+    signs.zipWithIndex.map { case (s, d) =>
+      // per-term float→double cast (exact), no shared transform() column:
+      // each element is read once, so no risk of an expensive alias being
+      // duplicated across the kOut sums by CollapseProject
+      val term = s"cast(element_at($vecCol, ${d + 1}) as double)"
+      if (s > 0) term else s"(- $term)"
+    }.mkString(" + ")
+
+  def rpProject(df: DataFrame, vecCol: String, kOut: Int,
+      dim: Int): DataFrame = {
+    require(kOut >= 1 && kOut <= 64, s"kOut must be in [1,64], got $kOut")
+    val signs = rpSigns(kOut, dim)
+    df.select(col("vec_id"),
+      array(signs.map(s => expr(rpSumExpr(s, vecCol))): _*).as("embedding"))
+  }
+
   /** Position-discount weights for [[evalRanking]]: w(i) =
     * floor(10^6 / log2(i + 1)) — the standard nDCG discount in exact
     * integer ppm. Computed ONCE driver-side and spliced as literals into

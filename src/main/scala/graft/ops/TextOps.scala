@@ -261,6 +261,42 @@ object TextOps {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** X4r — GRADED contamination report (round 14): [[decontaminate]]
+    * answers keep/drop ("any overlap at all"); this reports HOW MUCH of
+    * each document overlaps the benchmark — contam_ppm =
+    * floor(hit-grams · 10^6 / distinct-grams) — the PaLM/GPT-3-appendix
+    * style disclosure number, and the input to graded policies
+    * ("drop > 10%, flag > 1%") that a binary gate cannot express.
+    *
+    * Same scale shape as the exact gate: the doc-side (id, gram) frame
+    * is DISTINCT'd once and localCheckpoint'd because it feeds BOTH the
+    * per-doc total and the benchmark-join hit count (Catalyst would
+    * otherwise re-derive the md5-shingle explode twice — the capBuckets
+    * re-derivation class); the benchmark join is a gram-keyed semi-join,
+    * both aggs partial-combine on the doc id. Docs with fewer than n
+    * tokens have no grams and report n_grams = 0 with contam_ppm = 0
+    * (nothing to leak). */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2 && n <= 32, s"shingle width must be in [2, 32], got $n")
+    val bench = benchmarkShingles(benchmark, textCol, n)
+    val grams = shingleKeys(Scale.fanOut(docs), textCol, n, Seq(col(idCol)))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds the total AND the hit count
+    val tot = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(bench, Seq("sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    docs.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contam_ppm",
+        when(col("n_grams") === 0, 0L)
+          .otherwise(expr("n_hit * 1000000L div n_grams")))
+  }
+
   /** The distinct word-n-gram md5 keys of a benchmark/eval frame — the
     * set both decontamination lanes guard against (the exact lane joins
     * it; the Bloom lane compresses it via Sketch.bloomBuild). */
@@ -574,6 +610,127 @@ object TextOps {
     scored.withColumn("_rk", row_number().over(best))
       .filter(col("_rk") === 1)
       .select(col(idCol), col("cls").as("predicted"), col("score_ppm"))
+  }
+
+  /** X4s — token co-occurrence lift / PMI ranking (round 14): pairs of
+    * tokens that co-occur in the same document far more often than
+    * independence predicts — collocation mining ("new york"), phrase
+    * vocabulary induction, and the quality signal behind "does this
+    * corpus slice have coherent topics". Ranked by LIFT in exact integer
+    * ppm: lift_ppm = floor(n_xy · N · 10^6 / (n_x · n_y)) with n_* DOC
+    * frequencies — the same ordering as PMI (log is monotone), without
+    * cross-engine libm logs.
+    *
+    * Scale: the pair generator is the posting-list discipline (the
+    * x2_jaccard_topk argument): one (doc, token) distinct frame,
+    * df-bounded — tokens above `maxDf` (stopword-class, the d² fan-out
+    * killers) and below `minDf` (noise) are dropped BEFORE the self-join,
+    * so per-doc fan-out is (distinct kept tokens)² with every bucket
+    * bounded by the df cutoff; the join is doc-keyed, pair counts and df
+    * counts partial-combine. minSupport prunes the long noise tail
+    * after counting. Integer headroom: n_xy·N·10^6 must stay < 2^63 —
+    * holds to ~30B doc-pairs·docs; a 100 TB deployment swaps the lift
+    * expression to DECIMAL(38,0), nothing else changes. */
+  def pmiPairs(docs: DataFrame, textCol: String, idCol: String,
+      minDf: Int, maxDf: Int, minSupport: Int): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"need 1 <= minDf <= maxDf")
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val dt = docs.select(col(idCol).as("doc"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .distinct()
+    val df_ = dt.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+      .filter(col("n_t") >= minDf && col("n_t") <= maxDf)
+    val kept = dt.join(df_, Seq("tok"))
+      .localCheckpoint(eager = false) // feeds both sides of the pair join
+    val nDocs = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val pairs = kept.select(col("doc"), col("tok").as("t1"), col("n_t").as("n_x"))
+      .join(kept.select(col("doc"), col("tok").as("t2"), col("n_t").as("n_y")),
+        Seq("doc"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"), col("n_x"), col("n_y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minSupport)
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("n_xy"), col("n_x"), col("n_y"),
+        expr("n_xy * n_docs * 1000000L div (n_x * n_y)").as("lift_ppm"))
+  }
+
+  /** X4t — vocabulary-growth (Heaps'-law) curve (round 14): cumulative
+    * distinct vocabulary vs cumulative token volume, bucketed by
+    * ingestion order — the curve that answers "is new data still
+    * bringing new language, or has the crawl saturated" (sub-linear
+    * growth bending flat = diminishing returns, the stop-crawling
+    * signal).
+    *
+    * Scale: "first seen" is a token-keyed partial-combining min over the
+    * (token, first doc) pairs — the vocabulary never materializes per
+    * bucket, only |vocab| rows once; token volume is a doc-keyed sum.
+    * Both collapse to |buckets| rows before the single tiny cumulative
+    * window (ordered over |buckets|, executed on one task — bounded by
+    * construction, not by data size). */
+  def vocabGrowth(docs: DataFrame, textCol: String, idCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucket width must be >= 1, got $bucketWidth")
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+    val newToks = toks.groupBy(col("tok")).agg(min(col("doc")).as("first_doc"))
+      .groupBy(expr(s"first_doc div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val vol = toks.groupBy(expr(s"doc div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    vol.join(newToks, Seq("bucket"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_tokens"), col("new_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+  }
+
+  /** X4q — domain-shift report (round 14): per group (language/source/
+    * crawl snapshot), the total-variation distance between the group's
+    * token distribution and the whole corpus's — the mixture-design
+    * number ("how far is this slice from the blend I'm training on")
+    * behind DoReMi-style reweighting and drift alarms between crawl
+    * snapshots. TV rather than KL/JS because TV is RATIONAL: with
+    * floored-ppm probabilities the whole statistic is exact integer
+    * arithmetic, so the report hash-checks against the oracle — no
+    * cross-engine libm log drift, and TV(P,Q) = ½·L1 keeps the same
+    * [0, 1] reading analysts expect.
+    *
+    * TV over the FULL vocabulary without materializing |groups|×|vocab|:
+    * tokens absent from a group contribute |0 − p_g| = p_g, so
+    * TV = ½·(Σ_{tok∈S} |p_s − p_g| + (Σ_all p_g − Σ_{tok∈S} p_g)) — the
+    * absent-token mass folds into two sums over PRESENT tokens plus one
+    * global scalar. Shuffle audit: two token-keyed partial-combining
+    * counts, their token-keyed equi-join (co-partitioned), a broadcast
+    * of the group-count-sized totals, one group-keyed final sum, one
+    * 1-row scalar crossJoin. Vocabulary-sized frames, never
+    * group×vocab. */
+  def domainShift(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+    val grpCnt = toks.groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("cnt_s"))
+    val grpTot = grpCnt.groupBy(col("grp")).agg(sum(col("cnt_s")).as("n_s"))
+    val globCnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt_g"))
+    val globTot = globCnt.agg(sum(col("cnt_g")).as("n_g"))
+    val pg = globCnt.crossJoin(broadcast(globTot))
+      .select(col("tok"), expr("cnt_g * 1000000L div n_g").as("p_g"))
+    val pgTotal = pg.agg(sum(col("p_g")).as("pg_total"))
+    grpCnt.join(pg, Seq("tok"))
+      .join(broadcast(grpTot), Seq("grp"))
+      .withColumn("p_s", expr("cnt_s * 1000000L div n_s"))
+      .groupBy(col("grp"), col("n_s"))
+      .agg(sum(abs(col("p_s") - col("p_g"))).as("l1_present"),
+        sum(col("p_g")).as("pg_present"))
+      .crossJoin(broadcast(pgTotal))
+      .select(col("grp"), col("n_s").cast("long").as("n_toks"),
+        expr("(l1_present + pg_total - pg_present) div 2").as("tv_ppm"))
   }
 
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =

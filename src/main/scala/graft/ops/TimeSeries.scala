@@ -152,6 +152,80 @@ object TimeSeries {
       .select(col("step_idx"), col("step"), col("n_users"), col("conv_ppm"))
   }
 
+  /** X8d — cohort retention matrix (round 14): users grouped by their
+    * FIRST-SEEN day (any event), then for each (cohort, age-in-days) the
+    * count and ppm share of cohort members who performed a qualifying
+    * action that day — the "day-N retention" grid every product/growth
+    * dashboard draws, and the curation analogue of "does a crawl
+    * snapshot keep contributing documents N days after first contact".
+    *
+    * Scale shape: cohort assignment is ONE user-keyed
+    * partial-combining min; active days are a user-keyed distinct over
+    * the TYPE-PRUNED scan (the filter reaches the scan — qualifying
+    * events are usually a small fraction of the stream); their join is
+    * user-keyed and co-partitioned with the cohort agg, so AQE plans it
+    * shuffle-free on the reused exchange. Cohort sizes are a
+    * cohort-count-sized frame, broadcast back onto the (cohort, age)
+    * cells. Nothing is ever per-user-history windowed; at 100 TB every
+    * shuffle is user- or cohort-keyed and the output is
+    * |cohorts| × |ages| cells.
+    *
+    * Output: (cohort DATE, age_days, n_active, n_cohort, ret_ppm) with
+    * ret_ppm = floor(n_active · 10^6 / n_cohort) — age 0 is first-day
+    * activity, not forced to 10^6 (a user whose first event is not a
+    * qualifying one dilutes day-0 retention, which is the honest
+    * reading). */
+  def retention(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, activeTypes: Seq[String]): DataFrame = {
+    require(activeTypes.nonEmpty, "retention needs at least one active type")
+    val e = events.select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"),
+      col(typeCol).as("t"))
+    val cohort = e.groupBy(col("k")).agg(min(col("d")).as("cohort"))
+    val sizes = cohort.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val activeDays = e.filter(col("t").isin(activeTypes: _*))
+      .select(col("k"), col("d")).distinct()
+    activeDays.join(cohort, Seq("k"))
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("age_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("age_days").cast("int").as("age_days"),
+        col("n_active"), col("n_cohort"),
+        floor(col("n_active") * lit(1000000L) / col("n_cohort"))
+          .cast("long").as("ret_ppm"))
+  }
+
+  /** X8e — event-type transition matrix (round 14): counts and
+    * row-conditional probabilities of consecutive (prev → next) event
+    * types per key — the first-order Markov model of user journeys
+    * ("after a view, 31% click"), the navigation-flow staple next to
+    * [[funnel]] (which fixes the path; this measures ALL of them).
+    *
+    * Scale shape: ONE window shuffle on the key (the same lag frame
+    * sessionize uses, (ts, tie) ordered for determinism), then a
+    * |types|²-bounded pair aggregation (partial-combining) and a
+    * broadcast of the |types|-sized row totals for the conditional ppm.
+    * Nothing beyond the key shuffle touches the event volume.
+    *
+    * p_ppm = floor(cnt · 10^6 / row_total) — conditional on the PREV
+    * type (rows sum to ≤ 10^6, short of it only by flooring). */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("us"), col(tieCol))
+    val pairs = events
+      .select(col(keyCol), col(tieCol), col(typeCol).as("next_t"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("prev_t", lag(col("next_t"), 1).over(w))
+      .filter(col("prev_t").isNotNull)
+      .groupBy(col("prev_t"), col("next_t"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("prev_t")).agg(sum(col("cnt")).as("n_row"))
+    pairs.join(broadcast(totals), Seq("prev_t"))
+      .select(col("prev_t"), col("next_t"), col("cnt"),
+        expr("cnt * 1000000L div n_row").as("p_ppm"))
+  }
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

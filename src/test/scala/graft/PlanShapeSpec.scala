@@ -413,6 +413,36 @@ class PlanShapeSpec extends SparkSpec {
       "corpus-sized cartesian in the classifier plan:\n" + p.take(2000))
   }
 
+  test("r14 analytics lanes: retention prunes the qualifying-type scan, " +
+      "pmi/domain-shift/ab stay cartesian-free, transitions is one window") {
+    // retention: the 'purchase' filter must reach a scan (activity side
+    // reads a fraction of the stream at 100 TB)
+    val pr = plan("x8_retention")
+    assert(pr.contains("purchase"),
+      "qualifying-type filter not visible in plan:\n" + pr.take(2000))
+    assert(!pr.contains("CartesianProduct"))
+    // pmi pair generation is a doc-keyed equi-join, never all-pairs
+    val pp = plan("x4_pmi")
+    assert(!pp.contains("CartesianProduct"),
+      "pmi must pair via the doc equi-join:\n" + pp.take(2000))
+    // domain shift: group totals and the 1-row scalars broadcast; the
+    // only shuffling joins are token-keyed
+    val pd = plan("x4_domain_shift")
+    assert(!pd.contains("CartesianProduct"))
+    assert(pd.contains("BroadcastExchange") || pd.contains("BroadcastHashJoin"),
+      "group totals should broadcast:\n" + pd.take(2000))
+    // transitions: exactly one Window (the lag), no join beyond the
+    // broadcast of row totals
+    val dft = Queries.byName("x8_transitions").fn(spark, d)
+    val pt = planOf(dft)
+    assert(pt.contains("Window"))
+    assert(!pt.contains("CartesianProduct"))
+    // ab report collapses to a single-row aggregate — no join at all
+    val dfa = Queries.byName("x9_ab_test").fn(spark, d)
+    assert(countJoins(dfa.queryExecution.executedPlan) == 0,
+      "ab report must be join-free:\n" + planOf(dfa).take(2000))
+  }
+
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

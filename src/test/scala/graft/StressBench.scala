@@ -142,7 +142,29 @@ object StressBench {
       .crossJoin(broadcast(tokStream.groupBy().agg(count(lit(1)).as("n"))))
       .filter(col("cnt") * 1025 > col("n")))
 
-    // ---- decontamination: exact equi-join vs Bloom map-side gate over
+    // per-group heavy hitters (round 14 cont.): same plant, same
+    // threshold ratio PER LANGUAGE (boilerplate docs spread evenly over
+    // the 3 langs, so each plant is ~1/800 of ITS lang's stream too) —
+    // the grouped lane must find exactly the 41 plants in each of the 3
+    // langs while keeping the shuffle candidates-only per (partition,
+    // group)
+    stage("hh_by")(ops.Sketch.heavyHittersBy(
+      docs.select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("tok")),
+      "tok", "lang", 1024))
+    // domain-shift TV per lang at stress vocabulary (~3.4M distinct
+    // md5 words at n=100k): the token-keyed count/join frames ARE the
+    // vocabulary — the measured cost of the fold that avoids the
+    // |groups|x|vocab| completion
+    stage("domain_shift")(ops.TextOps.domainShift(docs, "text", "lang"))
+    // PMI with the df gate doing its job: boilerplate + 'nearly' tokens
+    // have df = n/20 >> 64 and MUST be gated out BEFORE the self-join
+    // (the d-squared fan-out kill); what survives is the planted family
+    // structure — the span plants' 12 shared sp-words (df = 2, C(12,2)
+    // pairs per block) and the near-dup plants' 39 shared words
+    // (C(39,2) per block), each co-occurring exactly twice
+    stage("pmi_gated")(ops.TextOps.pmiPairs(
+      docs, "text", "doc_id", minDf = 2, maxDf = 64, minSupport = 2))
     // the SAME corpus and eval set (docs with id % 1000 == 3, ~n/1000).
     // The measured contrast is the point: the exact lane shuffles every
     // corpus shingle into the join; the bloom lane's only shuffle is the
@@ -274,6 +296,19 @@ object StressBench {
         s"""${results("heavy_hitters")._2} vs ${results("hh_naive")._2}""")
     require(results("heavy_hitters")._2 == 41,
       s"expected exactly the 41 planted hot tokens: ${results("heavy_hitters")._2}")
+    // grouped lane: the same 41 plants per language, all 3 languages
+    require(results("hh_by")._2 == 3 * 41,
+      s"per-lang heavy hitters should be 41 in each of 3 langs: " +
+        s"${results("hh_by")._2}")
+    require(results("domain_shift")._2 == 3,
+      s"domain shift must report all 3 langs: ${results("domain_shift")._2}")
+    // the df gate must remove every boilerplate/hot token before pairing
+    // while the planted families' collocations all survive: >= the
+    // span plants' C(12,2) pairs per 20-block (near-dup blocks add
+    // C(39,2) more; md5 word collisions can only add, never remove)
+    require(results("pmi_gated")._2 >= n / 20 * 66,
+      s"df-gated PMI lost planted family collocations: " +
+        s"${results("pmi_gated")._2} < ${n / 20 * 66}")
 
     val json = results.map { case (k, (dt, cnt, sb)) =>
       f""""$k":{"sec":$dt%.2f,"rows":$cnt,"shuffle_bytes":$sb}"""

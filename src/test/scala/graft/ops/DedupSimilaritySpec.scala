@@ -957,4 +957,40 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(r == ((7L, 3L, 1000000L, 1000000L, 1000000L)))
   }
+
+  test("X3n rpProject matches a driver-side recomputation of the signed " +
+      "sums and preserves cosine geometry on separated clusters") {
+    val dim = 8
+    val signs = Similarity.rpSigns(4, dim)
+    assert(signs.flatten.forall(s => s == 1 || s == -1))
+    assert(Similarity.rpSigns(4, dim) == signs) // fixed public constant
+    val vecs = Seq(
+      (1L, Array.tabulate(dim)(i => (i + 1).toFloat)),
+      (2L, Array.tabulate(dim)(i => (if (i % 2 == 0) 3f else -2f))),
+      (3L, Array.tabulate(dim)(i => 0.5f * i - 1f)))
+    val out = Similarity.rpProject(vecs.toDF("vec_id", "embedding"),
+        "embedding", 4, dim)
+      .as[(Long, Array[Double])].collect().map(t => t._1 -> t._2).toMap
+    vecs.foreach { case (id, v) =>
+      val exp = signs.map(row =>
+        row.zip(v).foldLeft(0.0) { case (acc, (s, x)) =>
+          acc + (if (s > 0) x.toDouble else -x.toDouble) })
+      assert(out(id).toSeq == exp.toSeq, s"vec $id")
+    }
+    // two near-identical vectors stay near-identical after projection;
+    // the JL contract this engine relies on (candidates, not verdicts)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val p = Similarity.rpProject(
+        Seq((10L, base), (11L, near), (12L, far)).toDF("vec_id", "embedding"),
+        "embedding", 16, 64)
+      .as[(Long, Array[Double])].collect().map(t => t._1 -> t._2).toMap
+    assert(cos(p(10L), p(11L)) > 0.98)
+    assert(cos(p(10L), p(11L)) > cos(p(10L), p(12L)))
+  }
 }

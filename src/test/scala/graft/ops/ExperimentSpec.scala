@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  // arm assignment is md5-parity — recompute it driver-side so the
+  // fixture can place units deliberately
+  private def armOf(id: Long): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"0:$id".getBytes("UTF-8"))
+    val top = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    if (top % 2 == 0) "a" else "b"
+  }
+
+  test("X9b abReport: counts per arm match a driver-side recomputation; " +
+      "conversion is ANY qualifying event; chi2 matches scipy-free hand calc") {
+    val units = (1L to 40L)
+    val byArm = units.groupBy(armOf)
+    assert(byArm.keySet == Set("a", "b"), "fixture must land in both arms")
+    // convert every 3rd unit (by id), with a duplicate purchase for one
+    val ev = units.flatMap { u =>
+      Seq((u, "view")) ++
+        (if (u % 3 == 0) Seq((u, "purchase")) else Nil) ++
+        (if (u == 3) Seq((u, "purchase")) else Nil)
+    }.toDF("user_id", "event_type")
+    val r = Experiment.abReport(ev, "user_id", "event_type", "purchase")
+      .collect().head
+    val nA = byArm("a").size.toLong
+    val nB = byArm("b").size.toLong
+    val convA = byArm("a").count(_ % 3 == 0).toLong
+    val convB = byArm("b").count(_ % 3 == 0).toLong
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b")) ==
+      ((nA, convA, nB, convB)))
+    assert(r.getAs[Long]("cr_a_ppm") == convA * 1000000L / nA)
+    assert(r.getAs[Long]("cr_b_ppm") == convB * 1000000L / nB)
+    assert(r.getAs[Long]("lift_ppm") ==
+      convB * nA * 1000000L / (convA * nB))
+    val (a, b, c, d) = (convA.toDouble, (nA - convA).toDouble,
+      convB.toDouble, (nB - convB).toDouble)
+    val n = (nA + nB).toDouble
+    val exp = math.floor(((n * ((a * d - b * c) * (a * d - b * c))) * 10000.0) /
+      (((nA.toDouble * nB) * (a + c)) * (b + d))).toLong
+    assert(r.getAs[Long]("chi2_fp") == exp)
+  }
+
+  test("X9b abReport: degenerate margins (zero conversions) null the " +
+      "chi-square and A-arm lift instead of dividing by zero") {
+    val ev = (1L to 10L).map(u => (u, "view")).toDF("user_id", "event_type")
+    val r = Experiment.abReport(ev, "user_id", "event_type", "purchase")
+      .collect().head
+    assert(r.getAs[Long]("conv_a") == 0L && r.getAs[Long]("conv_b") == 0L)
+    assert(r.isNullAt(r.fieldIndex("chi2_fp")))
+    assert(r.isNullAt(r.fieldIndex("lift_ppm")))
+  }
+}

@@ -182,6 +182,85 @@ class TextStateMultimodalSpec extends SparkSpec {
     // text contributes 3 distinct 8-grams; the doc shares exactly 2)
   }
 
+  test("X4r contaminationReport grades overlap: full, partial, none, " +
+      "unshingleable — ppm floors against DISTINCT grams") {
+    val bench = Seq("one two three four five six")
+      .toDF("text") // distinct 5-grams: [one..five], [two..six]
+    val train = Seq(
+      (1L, "one two three four five six"),       // both grams hit: 10^6
+      (2L, "zz one two three four five zz aa"),  // 1 of 4 grams: 250000
+      (3L, "nothing shared here at all today"),  // 0 of 2: excluded (n_hit=0)
+      (4L, "too short"))                         // unshingleable: no grams
+      .toDF("doc_id", "text")
+    val out = TextOps.contaminationReport(train, bench, "text", "doc_id",
+        n = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 4L, 1L, 250000L),
+      (3L, 2L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+  }
+
+  test("X4q domainShift: a group drawn from the corpus blend sits near " +
+      "0, a disjoint-vocabulary group near 10^6; exact and " +
+      "partitioning-independent") {
+    val docs = (
+      Seq.tabulate(40)(i => (s"g_same", "alpha beta gamma delta")) ++
+      Seq.tabulate(10)(i => (s"g_far", "omega psi chi phi"))
+    ).toDF("grp", "text")
+    def run(parts: Int) =
+      TextOps.domainShift(docs.repartition(parts), "text", "grp")
+        .orderBy("grp").as[(String, Long, Long)].collect().toSeq
+    val out = run(8)
+    val far = out.find(_._1 == "g_far").get
+    val same = out.find(_._1 == "g_same").get
+    // g_far: its 4 tokens are 20% of the corpus, so TV = 1 - 0.2 = 0.8
+    // exactly (every token uniform within its group)
+    assert(far._3 == 800000L, s"far=$far")
+    // g_same: 80% of the blend IS this group; TV = 0.2
+    assert(same._3 == 200000L, s"same=$same")
+    assert(run(1) == out && run(3) == out)
+  }
+
+  test("X4s pmiPairs: a perfectly-coupled pair lifts above independence, " +
+      "an anti-correlated pair below; df and support gates drop tokens") {
+    // a+b always co-occur (lift = N/n = 4x uniform); c is everywhere
+    // (lift vs anything = 1x); z appears once (df gate kills it)
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "aa bb cc")) ++
+      (6 to 20).map(i => (i.toLong, "cc dd")) :+
+      (21L, "zz cc")
+    ).toDF("doc_id", "text")
+    val out = TextOps.pmiPairs(docs, "text", "doc_id",
+        minDf = 2, maxDf = 100, minSupport = 2)
+      .orderBy("t1", "t2")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // N=21 docs; aa,bb df=5; cc df=21; dd df=15
+    assert(out == Seq(
+      ("aa", "bb", 5L, 5L, 5L, 4200000L),  // floor(5·21·10^6 / 25)
+      ("aa", "cc", 5L, 5L, 21L, 1000000L),
+      ("bb", "cc", 5L, 5L, 21L, 1000000L),
+      ("cc", "dd", 15L, 21L, 15L, 1000000L)), s"got $out")
+  }
+
+  test("X4t vocabGrowth: new tokens land in their first bucket only; " +
+      "cumulative curves are monotone and end at the totals") {
+    val docs = Seq(
+      (0L, "a b"), (49L, "a"),            // bucket 0: vocab {a, b}, 3 toks
+      (50L, "b c c"),                     // bucket 1: new {c}, 3 toks
+      (149L, "a d"))                      // bucket 2 (no docs in [100,149)
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(docs, "text", "doc_id", 50L)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 2L, 3L, 2L),
+      (1L, 3L, 1L, 6L, 3L),
+      (2L, 2L, 1L, 8L, 4L)), s"got $out")
+  }
+
   test("X4o gopher rules: each rule trips on its planted violation, " +
       "clean doc keeps") {
     val good = "the quick brown fox jumps over a lazy dog and then " +

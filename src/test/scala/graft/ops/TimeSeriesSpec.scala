@@ -104,4 +104,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1)._4 == 500000L)               // 2/4
     assert(out(2)._4 == 1000000L)              // 2/2
   }
+
+  test("X8d retention: cohort from ANY first event, activity from the " +
+      "qualifying type only; absent cells are absent, ppm floors") {
+    def t(day: Int, h: Int) = new java.sql.Timestamp(
+      1704067200000L + (day * 24L + h) * 3600L * 1000L)  // 2024-01-01 + d
+    val ev = Seq(
+      // cohort day 0: users 1, 2, 3 (user 3's first event is a view —
+      // still cohorted day 0, but contributes no day-0 purchase)
+      (1L, "purchase", t(0, 1)), (1L, "purchase", t(1, 2)),
+      (1L, "purchase", t(1, 5)),              // same day twice = one active day
+      (2L, "purchase", t(0, 3)), (2L, "purchase", t(2, 1)),
+      (3L, "view", t(0, 2)), (3L, "purchase", t(2, 9)),
+      // cohort day 1: user 4, never purchases — cohort size counts them,
+      // no active cell ever
+      (4L, "view", t(1, 1)))
+      .toDF("user_id", "event_type", "ts")
+    val out = TimeSeries.retention(ev, "user_id", "ts", "event_type",
+        Seq("purchase"))
+      .orderBy($"cohort", $"age_days")
+      .select($"cohort".cast("string"), $"age_days", $"n_active",
+        $"n_cohort", $"ret_ppm")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L, 3L, 666666L),  // users 1,2; floor(2e6/3)
+      ("2024-01-01", 1, 1L, 3L, 333333L),  // user 1 (two same-day purchases)
+      ("2024-01-01", 2, 2L, 3L, 666666L))) // users 2,3; day-1 cohort absent
+  }
+
+  test("X8e transitions: pairs are per-key consecutive, ties break on the " +
+      "tie column, conditional ppm is per PREV row") {
+    def t(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      // user 1: v -> c -> v  (pairs: v->c, c->v)
+      (1L, 10L, "v", t(0)), (1L, 11L, "c", t(1)), (1L, 12L, "v", t(2)),
+      // user 2: v -> v      (pair: v->v); no cross-user pair with user 1
+      (2L, 20L, "v", t(5)), (2L, 21L, "v", t(6)),
+      // user 3: same-ts tie — event_id orders c(30) before v(31): c->v
+      (3L, 30L, "c", t(9)), (3L, 31L, "v", t(9)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = TimeSeries.transitions(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy($"prev_t", $"next_t")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("c", "v", 2L, 1000000L),   // both c-rows lead to v
+      ("v", "c", 1L, 500000L),    // of 2 v-departures: 1 to c, 1 to v
+      ("v", "v", 1L, 500000L)))
+  }
 }
