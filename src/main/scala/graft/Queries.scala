@@ -3567,6 +3567,64 @@ object Queries {
            |ORDER BY prev_t, next_t""".stripMargin),
     bench = true)
 
+  /** X8f — robust rolling anomaly flags (ops/TimeSeries.robustAnomalies):
+    * per-user trailing-15 LOWER median + MAD over integer cents, flag =
+    * |x − med| > 7·mad. All-integer (lower medians, no even-count
+    * halving), so the DuckDB list-window oracle replays bit-exactly.
+    * One key-window shuffle; the window array is 15 longs per row. */
+  val x8Anomaly = QuerySpec("x8_anomaly",
+    (s, d) => TimeSeries.robustAnomalies(Tables.events(s, d), "user_id",
+        "ts", "event_id",
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .orderBy(col("event_id")),
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts
+           |  FROM events),
+           |w AS (
+           |  SELECT event_id, user_id, cents,
+           |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS win
+           |  FROM e),
+           |s AS (
+           |  SELECT event_id, user_id, cents, list_sort(win) AS l
+           |  FROM w WHERE len(win) = 15),
+           |m AS (
+           |  SELECT event_id, user_id, cents, l[8] AS med,
+           |    list_sort(list_transform(l, x -> abs(x - l[8])))[8] AS mad
+           |  FROM s)
+           |SELECT event_id, user_id, cents, med, mad,
+           |  (abs(cents - med) > 7 * mad) AS is_anom
+           |FROM m ORDER BY event_id""".stripMargin),
+    bench = true)
+
+  /** X5m — token-budget corpus mixing (ops/Scale.tokenBudgetSample): fill
+    * per-language token budgets in deterministic md5 order, keep whole
+    * docs while the running total stays under the line. The mixture dim
+    * (3 languages with en weighted 2.7×) broadcasts; the fill is one
+    * window cumsum per group. */
+  val x5BudgetMix = QuerySpec("x5_budget_mix",
+    (s, d) => Scale.tokenBudgetSample(Tables.documents(s, d), "doc_id",
+        "text", "lang",
+        Seq("en" -> 4000L, "de" -> 1500L, "fr" -> 1500L))
+      .orderBy(col("lang"), col("cum_toks")),
+    Some("""WITH b(lang, budget) AS (VALUES
+           |    ('en', CAST(4000 AS BIGINT)), ('de', CAST(1500 AS BIGINT)),
+           |    ('fr', CAST(1500 AS BIGINT))),
+           |t AS (
+           |  SELECT d.doc_id, d.lang, b.budget,
+           |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+           |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+           |  FROM documents d JOIN b ON d.lang = b.lang),
+           |c AS (
+           |  SELECT doc_id, lang, toks, budget,
+           |    CAST(sum(toks) OVER (PARTITION BY lang ORDER BY h, doc_id)
+           |      AS BIGINT) AS cum_toks
+           |  FROM t)
+           |SELECT doc_id, lang, toks, cum_toks
+           |FROM c WHERE cum_toks <= budget
+           |ORDER BY lang, cum_toks""".stripMargin))
+
   /** X9b — two-arm A/B conversion report with chi-square: arm from
     * md5-bucket parity (reproducible from the id alone), conversion =
     * any purchase; the chi-square double arithmetic is textually
@@ -5481,6 +5539,162 @@ object Queries {
     },
     Some(sql13Text))
 
+  /** SQL14 — TPC-H Q4 shape (order priority checking): count orders per
+    * priority that had at least one late-shipping line. The EXISTS here is
+    * the Q4 pattern sql2 does NOT cover: the correlated predicate carries a
+    * NON-equi conjunct referencing the outer row (l_shipdate > o_orderdate),
+    * so Catalyst must decorrelate to a LeftSemi join whose condition mixes
+    * the orderkey equality with the date inequality — the semi-join still
+    * shuffles on the equi key alone, the inequality rides along as a
+    * post-probe filter, which is exactly the 100 TB-safe plan (no range
+    * explosion). The quarter window reaches the orders parquet scan as a
+    * pushed filter. Identical text on both engines; counts only. */
+  private val sql14Text: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val sql14Q4Priority = QuerySpec("sql14_q4_priority",
+    (s, d) => {
+      Seq("orders", "lineitem").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql14Text)
+    },
+    Some(sql14Text))
+
+  /** SQL15 — TPC-H Q12 shape (shipping-class priority split): conditional
+    * CASE aggregation over a fact-fact join — one pass computes both the
+    * high- and low-priority line counts per class, the pivot-free form of
+    * "two filtered counts per group". The driver lineitem has no shipmode,
+    * so l_linestatus stands in as the class column (same 2-value shape).
+    * Both sums are integer CASE arms cast to BIGINT on both engines (DuckDB
+    * sums INTEGER into HUGEINT, Spark into LONG — the cast aligns dtypes).
+    * At 100 TB: the year filter is pushed to the lineitem scan, the join
+    * shuffles on orderkey, and the aggregate is 2 groups × 2 longs of
+    * partial state — map-side combine makes the final shuffle trivial. */
+  private val sql15Text: String =
+    """SELECT l.l_linestatus AS ship_class,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l.l_linestatus
+      |ORDER BY l.l_linestatus""".stripMargin
+
+  val sql15Q12ShipClass = QuerySpec("sql15_q12_shipclass",
+    (s, d) => {
+      Seq("orders", "lineitem").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql15Text)
+    },
+    Some(sql15Text))
+
+  /** SQL16 — TPC-H Q16 shape (parts/supplier relationship): DISTINCT
+    * aggregation under a null-aware NOT IN anti-join. The driver schema has
+    * no partsupp, so lineitem serves as the part↔supplier relation (same
+    * join shape, bigger fact side — strictly harder). NOT IN against a
+    * subquery is the null-aware anti-join pattern (semantically poisoned by
+    * NULLs — none here, but the planner must still prove it): Catalyst
+    * plans LeftAnti(NullAwareAnti); the excluded-supplier list is tiny and
+    * broadcast. count(DISTINCT l_suppkey) per (brand,type,size) expands to
+    * the two-phase distinct aggregate — shuffle on the group key plus
+    * suppkey, then count — the only correct distributed shape when a group
+    * can span partitions. */
+  private val sql16Text: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand <> 'Brand#13'
+      |  AND p.p_type <> 'PROMO'
+      |  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      |  AND l.l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
+  val sql16Q16SupplierCnt = QuerySpec("sql16_q16_supplier_cnt",
+    (s, d) => {
+      Seq("lineitem", "part", "supplier").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql16Text)
+    },
+    Some(sql16Text))
+
+  /** SQL17 — TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * three brand/size/quantity conjunct-bundles OR'd together across the
+    * part join. This is the classic test of disjunction handling: a naive
+    * planner evaluates the whole OR post-join; a good one extracts the
+    * common join key, pushes the per-table prunable parts (p_size upper
+    * bound, l_quantity envelope) below the join, and keeps the cross-table
+    * residual on top. Revenue in exact integer cents (per-row floor before
+    * the sum, identical on both engines). Single-row result. */
+  private val sql17Text: String =
+    """SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+      |    AND l.l_quantity BETWEEN 1 AND 11)
+      |  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+      |    AND l.l_quantity BETWEEN 10 AND 20)
+      |  OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+      |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  val sql17Q19Disjunct = QuerySpec("sql17_q19_disjunct",
+    (s, d) => {
+      Seq("lineitem", "part").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql17Text)
+    },
+    Some(sql17Text))
+
+  /** SQL18 — TPC-H Q20 shape (top shippers of selected parts): nested IN
+    * subqueries three levels deep — supplier IN (aggregated lineitem IN
+    * (filtered part)) — with an above-average HAVING threshold instead of
+    * Q20's partsupp availqty (absent from the driver schema). The
+    * threshold is scale-free by construction (qty·n > Σqty, integers
+    * cross-multiplied — no float division), so the query stays selective
+    * at every SF (3/10 suppliers at sf0.001, 492/1000 at sf0.1) where any
+    * fixed constant would silently degenerate to all-or-nothing as the
+    * corpus grows. Catalyst decorrelates both INs to LeftSemi joins; the
+    * part-name probe list broadcasts, the per-supplier aggregate shuffles
+    * once on suppkey, and the 1-row (tot, n) frame is a broadcast scalar —
+    * the whole plan touches lineitem exactly once. */
+  private val sql18Text: String =
+    """WITH shipped AS (
+      |  SELECT l.l_suppkey AS suppkey,
+      |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem l
+      |  WHERE l.l_partkey IN (
+      |      SELECT p_partkey FROM part WHERE p_name LIKE '%a%')
+      |    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l.l_suppkey)
+      |SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT suppkey FROM shipped,
+      |    (SELECT CAST(sum(qty) AS BIGINT) AS tot,
+      |       CAST(count(*) AS BIGINT) AS n FROM shipped) t
+      |  WHERE qty * t.n > t.tot)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  val sql18Q20TopShippers = QuerySpec("sql18_q20_top_shippers",
+    (s, d) => {
+      Seq("supplier", "lineitem", "part").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql18Text)
+    },
+    Some(sql18Text))
+
   /** F14 — higher-order array functions (round 9): transform / filter /
     * aggregate / zip_with over the real embedding arrays. Element math is
     * integer-ized FIRST (floor-milli longs), so every fold is exact and
@@ -6800,7 +7014,8 @@ object Queries {
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     sql5Recursive, sql6Q3Shipping, sql7Q18BigOrders, sql8Q10Returns,
     sql9Q21Blocked, sql10Q2MinCost, sql11Q17SmallQty, sql12Q22Dormant,
-    sql13Q15TopSupplier,
+    sql13Q15TopSupplier, sql14Q4Priority, sql15Q12ShipClass,
+    sql16Q16SupplierCnt, sql17Q19Disjunct, sql18Q20TopShippers,
     f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2MinhashEst, x2EditDist, x2LshPairs,
     x2Simhash,
@@ -6835,6 +7050,7 @@ object Queries {
     x11Expectations, x11Quarantine, x11Profile,
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,
+    x8Anomaly, x5BudgetMix,
     x9AbTest, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim)
 

@@ -186,6 +186,48 @@ object Scale {
       .drop("n_stratum", "n_min")
   }
 
+  /** X5 — token-budget corpus mixing: fill a per-group token budget
+    * (e.g. a DoReMi-style language/domain mixture expressed as token
+    * counts, not document counts) by taking documents in a deterministic
+    * pseudo-random order until the group's budget is exhausted. Budget
+    * semantics are "last whole document under the line": a doc is kept
+    * iff the running token total THROUGH it stays ≤ budget — no partial
+    * documents, no overshoot.
+    *
+    * The order is md5(id) — the same deterministic no-RNG draw every
+    * sampler here uses — so the selected set is a uniform random subset
+    * of the group, replayable bit-for-bit by any engine, and STABLE
+    * under corpus growth in the only way that matters for mixtures: a
+    * re-run over a grown corpus re-draws, but two engines at the same
+    * snapshot agree exactly.
+    *
+    * Scale shape: one broadcast of the |groups|-row budget dim, then ONE
+    * window shuffle on the group key for the running sum. The global
+    * order-by inside a group is the honest cost of a sequential budget
+    * fill (the cumulative sum is inherently ordered); groups are
+    * languages/domains — tens to hundreds — so per-group sort fan-in is
+    * the per-reducer volume, and a group too large to sort on one
+    * reducer should be pre-gated by [[hashSample]] to ~2× its budget
+    * first (the budget line lands inside any uniform prefix with
+    * overwhelming probability; the doc notes this contract rather than
+    * hiding a second shuffle inside). Token counting is a codegen'd
+    * split/size projection — no UDF. */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgets: Seq[(String, Long)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val b = broadcast(budgets.toDF(groupCol, "budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .select(col(idCol), col(groupCol),
+        size(split(col(textCol), " ")).cast("long").as("toks"))
+      .join(b, Seq(groupCol))
+      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .filter(col("cum_toks") <= col("budget"))
+      .select(col(idCol), col(groupCol), col("toks"), col("cum_toks"))
+  }
+
   /** Salted two-phase aggregation for skewed group keys: repartition the
     * hot key's rows across `saltBuckets` partial groups, aggregate, then
     * combine. sum/count compose exactly (avg = sum/count downstream).

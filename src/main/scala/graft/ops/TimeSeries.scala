@@ -226,6 +226,53 @@ object TimeSeries {
         expr("cnt * 1000000L div n_row").as("p_ppm"))
   }
 
+  /** X8 — robust rolling anomaly flags: per-key trailing-window MEDIAN
+    * and MAD (median absolute deviation), flagging points more than
+    * `k` MADs off the local median. The median/MAD pair is the robust
+    * twin of mean/stddev — a single spike inflates a stddev enough to
+    * mask itself (and its neighbors), but moves the median of a
+    * 15-point window not at all, which is why monitoring pipelines
+    * (and training-data outlier scrubbing) standardize on it.
+    *
+    * Exactness discipline: values are integer cents in, and both the
+    * median and the MAD are LOWER medians (element (n+1)/2 of the
+    * sorted window) — integers out, no float halving of even-count
+    * middles, so the DuckDB oracle replays bit-identically. The flag
+    * threshold `|x − med| > k·mad` stays in integer arithmetic.
+    *
+    * Scale shape: ONE window shuffle on the key (same frame every
+    * per-key series op here uses, (ts, tie)-ordered for determinism).
+    * The trailing window is materialized as an n-element array per row
+    * via collect_list over a row frame — O(n) longs per row, bounded
+    * by the `n` parameter, NOT by data volume — and the median/MAD
+    * math is codegen'd higher-order array functions (array_sort /
+    * transform / element_at) on that bounded array. Rows without a
+    * full window warm-up are excluded (no partial-window flags).
+    * At 100 TB: cost is the key shuffle plus n longs of state per
+    * row — linear, no driver involvement, skew rides the key
+    * distribution exactly like [[sessionize]]. */
+  def robustAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCentsCol: Column, n: Int = 15,
+      k: Int = 7): DataFrame = {
+    require(n >= 3 && n % 2 == 1, s"window must be odd and >= 3, got $n")
+    val mid = (n + 1) / 2
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(expr(s"unix_micros($tsCol)"), col(tieCol))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    events
+      .select(col(keyCol), col(tieCol), valueCentsCol.as("cents"),
+        col(tsCol))
+      .withColumn("win", collect_list(col("cents")).over(w))
+      .filter(size(col("win")) === n)
+      .withColumn("l", array_sort(col("win")))
+      .withColumn("med", element_at(col("l"), mid))
+      .withColumn("mad", element_at(
+        array_sort(transform(col("l"), x => abs(x - col("med")))), mid))
+      .select(col(tieCol), col(keyCol), col("cents"), col("med"),
+        col("mad"), (abs(col("cents") - col("med")) > col("mad") * k)
+          .as("is_anom"))
+  }
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

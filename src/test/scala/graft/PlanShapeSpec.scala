@@ -443,6 +443,33 @@ class PlanShapeSpec extends SparkSpec {
       "ab report must be join-free:\n" + planOf(dfa).take(2000))
   }
 
+  test("r14 late lanes: anomaly is one join-free key window, budget mix " +
+      "broadcasts the mixture dim, Q4 decorrelates to a semi join, Q19's " +
+      "disjunction never goes cartesian") {
+    // robust anomalies: ONE window shuffle on the key, zero joins — the
+    // whole median/MAD math must ride higher-order exprs on the frame
+    val dfa = Queries.byName("x8_anomaly").fn(spark, d)
+    assert(countJoins(dfa.queryExecution.executedPlan) == 0,
+      "anomaly lane must be join-free:\n" + planOf(dfa).take(2000))
+    assert(planOf(dfa).contains("Window"))
+    // budget mix: the 3-row budget dim broadcasts; the cumsum is a
+    // window, not a self-join
+    val pm = plan("x5_budget_mix")
+    assert(pm.contains("BroadcastExchange") || pm.contains("BroadcastHashJoin"),
+      "budget dim should broadcast:\n" + pm.take(2000))
+    assert(!pm.contains("CartesianProduct"))
+    // Q4 shape: the correlated EXISTS with a non-equi conjunct must
+    // decorrelate to a LeftSemi whose shuffle key is the equality alone
+    val p4 = plan("sql14_q4_priority")
+    assert(p4.contains("LeftSemi"),
+      "Q4 EXISTS should plan as a semi join:\n" + p4.take(2000))
+    // Q19 shape: the three-way disjunction must stay on the partkey
+    // equi-join, never degrade to a cartesian residual
+    val p19 = plan("sql17_q19_disjunct")
+    assert(!p19.contains("CartesianProduct"),
+      "Q19 disjunction went cartesian:\n" + p19.take(2000))
+  }
+
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

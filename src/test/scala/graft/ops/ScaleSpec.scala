@@ -185,4 +185,31 @@ class ScaleSpec extends SparkSpec {
       .select($"split").distinct().as[String].collect().toSeq
     assert(allTrain == Seq("train"))
   }
+
+  test("X5m tokenBudgetSample: whole docs only, never overshoots, fills " +
+      "in md5(id) order, unbudgeted groups drop out") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // 40 docs of 10 tokens each in 'en', 3 docs in 'de', 2 in 'zh'
+    // (zh has no budget line and must not appear at all)
+    val docs = ((0L until 40L).map(i => (i, Seq.fill(10)("w").mkString(" "), "en")) ++
+      Seq((100L, "a b c", "de"), (101L, "d e", "de"), (200L, "x", "zh"),
+        (201L, "y", "zh"))).toDF("doc_id", "text", "lang")
+    val out = Scale.tokenBudgetSample(docs, "doc_id", "text", "lang",
+        Seq("en" -> 95L, "de" -> 10L))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val byLang = out.groupBy(_._2)
+    // en: 10-token docs against a 95 budget -> exactly 9 whole docs, 90
+    // tokens — the 10th would overshoot and must be cut
+    assert(byLang("en").map(_._3).sum == 90L && byLang("en").length == 9)
+    // the 9 kept docs are the md5-order prefix of the group
+    val expectEn = (0L until 40L).sortBy(i => (md5hex(i.toString), i)).take(9).toSet
+    assert(byLang("en").map(_._1).toSet == expectEn)
+    // de: both docs fit (5 <= 10); zh absent entirely
+    assert(byLang("de").map(_._1).toSet == Set(100L, 101L))
+    assert(!byLang.contains("zh"))
+    // cum_toks is the running fill line within each group
+    assert(out.forall(r => r._4 <= (if (r._2 == "en") 95L else 10L)))
+  }
 }

@@ -152,4 +152,51 @@ class TimeSeriesSpec extends SparkSpec {
       ("v", "c", 1L, 500000L),    // of 2 v-departures: 1 to c, 1 to v
       ("v", "v", 1L, 500000L)))
   }
+
+  test("X8f robustAnomalies: median/MAD match brute force, warm-up rows " +
+      "excluded, the spike flags and the level does not") {
+    // key 1: 15 quiet values (100/101/102 cycling), then one 10x spike.
+    // Only ids 15 and 16 have a full 15-row trailing window.
+    val rows = (1 to 15).map(i => (1L, i.toLong, 100L + (i % 3))) :+
+      ((1L, 16L, 1000L))
+    val df = rows.toDF("k", "id", "cents")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val out = TimeSeries.robustAnomalies(df, "k", "ts", "id", col("cents"),
+        n = 15, k = 7)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    def brute(window: Seq[Long], x: Long): (Long, Long, Boolean) = {
+      val med = lowerMedian(window)
+      val mad = lowerMedian(window.map(v => math.abs(v - med)))
+      (med, mad, math.abs(x - med) > 7 * mad)
+    }
+    val vals = rows.map(_._3)
+    val (m15, d15, f15) = brute(vals.slice(0, 15), vals(14))
+    val (m16, d16, f16) = brute(vals.slice(1, 16), vals(15))
+    assert(out == Seq(
+      (15L, 1L, vals(14), m15, d15, f15),
+      (16L, 1L, vals(15), m16, d16, f16)))
+    assert(!f15 && f16, "the quiet row must not flag; the spike must")
+  }
+
+  test("X8f robustAnomalies: a constant window has MAD 0 and any " +
+      "deviation flags; keys never mix windows") {
+    val rows = (1 to 15).map(i => (1L, i.toLong, 500L)) ++
+      Seq((1L, 16L, 501L)) ++                 // +1 off a constant window
+      (1 to 20).map(i => (2L, 100L + i, 9999L)) // other key, other level
+    val df = rows.toDF("k", "id", "cents")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val out = TimeSeries.robustAnomalies(df, "k", "ts", "id", col("cents"),
+        n = 15, k = 7)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    val k1 = out.filter(_._2 == 1L).sortBy(_._1)
+    assert(k1.map(r => (r._1, r._6)).toSeq == Seq((15L, false), (16L, true)),
+      "MAD 0 + nonzero deviation must flag")
+    // key 2 is constant at its own level: full windows, no flags, and
+    // key 1's values never bleed into its medians
+    val k2 = out.filter(_._2 == 2L)
+    assert(k2.length == 6 && k2.forall(r => r._4 == 9999L && !r._6))
+  }
 }
