@@ -3598,6 +3598,73 @@ object Queries {
            |FROM m ORDER BY event_id""".stripMargin),
     bench = true)
 
+  /** X8g — per-key maximum drawdown (ops/TimeSeries.maxDrawdown): the
+    * deepest peak-to-trough drop of each series, absolute cents and ppm
+    * of the peak it fell from. All-integer (running prefix max, integer
+    * ppm, positive-peak guard) so the oracle replays bit-exactly; ONE
+    * key-window shuffle whose partitioning the final per-key aggregate
+    * reuses — no second exchange. */
+  val x8Drawdown = QuerySpec("x8_drawdown",
+    (s, d) => TimeSeries.maxDrawdown(Tables.events(s, d), "user_id",
+        "ts", "event_id",
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .orderBy(col("user_id")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |p AS (SELECT user_id, cents,
+           |    max(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           |  FROM e),
+           |d AS (SELECT user_id, peak, peak - cents AS dd,
+           |    CASE WHEN peak > 0 THEN (peak - cents) * 1000000 // peak END
+           |      AS dd_ppm
+           |  FROM p)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_ticks,
+           |  max(peak) AS peak_cents, max(dd) AS max_dd_cents,
+           |  max(dd_ppm) AS max_dd_ppm
+           |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin),
+    bench = true)
+
+  /** X8h — per-key correlation vs the equal-weight market index
+    * (ops/TimeSeries.corrVsIndex): hourly closes, integer moment sums,
+    * exact BIGINT covariance/variance numerators, and a final double
+    * corr whose divide/sqrt chain is textually pinned in the oracle
+    * (IEEE-identical cross-engine — the chi-square discipline). Linear
+    * against-the-index, never all-pairs. */
+  val x8IndexCorr = QuerySpec("x8_index_corr",
+    (s, d) => TimeSeries.corrVsIndex(Tables.events(s, d), "user_id",
+        "ts", "event_id",
+        floor(col("value") * 100 + lit(0.5)).cast("long"), 3600000000L)
+      .orderBy(col("user_id")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us FROM events),
+           |b AS (SELECT user_id, cents, us // 3600000000 AS bucket,
+           |    row_number() OVER (PARTITION BY user_id, us // 3600000000
+           |      ORDER BY us DESC, event_id DESC) AS rn
+           |  FROM e),
+           |c AS (SELECT user_id, bucket, cents FROM b WHERE rn = 1),
+           |i AS (SELECT bucket, CAST(sum(cents) AS BIGINT) AS idx
+           |  FROM c GROUP BY 1),
+           |m AS (SELECT c.user_id, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(c.cents) AS BIGINT) AS sx,
+           |    CAST(sum(i.idx) AS BIGINT) AS sy,
+           |    CAST(sum(c.cents * i.idx) AS BIGINT) AS sxy,
+           |    CAST(sum(c.cents * c.cents) AS BIGINT) AS sxx,
+           |    CAST(sum(i.idx * i.idx) AS BIGINT) AS syy
+           |  FROM c JOIN i USING (bucket) GROUP BY 1),
+           |v AS (SELECT user_id, n, n * sxy - sx * sy AS cov_num,
+           |    n * sxx - sx * sx AS varx_num, n * syy - sy * sy AS vary_num
+           |  FROM m)
+           |SELECT user_id, n, cov_num, varx_num, vary_num,
+           |  CASE WHEN varx_num > 0 AND vary_num > 0 THEN
+           |    CAST(cov_num AS DOUBLE) / sqrt(CAST(varx_num AS DOUBLE)) /
+           |    sqrt(CAST(vary_num AS DOUBLE)) END AS corr
+           |FROM v ORDER BY user_id""".stripMargin),
+    bench = true)
+
   /** X5m — token-budget corpus mixing (ops/Scale.tokenBudgetSample): fill
     * per-language token budgets in deterministic md5 order, keep whole
     * docs while the running total stays under the line. The mixture dim
@@ -3665,6 +3732,37 @@ object Queries {
            |    ((n_a - conv_a) + (n_b - conv_b)))) AS BIGINT) END
            |    AS chi2_fp
            |FROM s""".stripMargin))
+
+  /** X9c — exact tie-aware AUC (ops/Experiment.aucReport): how well the
+    * token-count score ranks the is-English label, doubled-rank integer
+    * Mann–Whitney so the heavy tie mass (integer scores) is handled
+    * exactly — u2 = 2U₁ and auc_ppm are BIGINTs end to end. One
+    * score-grouped shuffle (map-side combined), one vocab-sized
+    * cumulative frame, single-row result. */
+  val x9Auc = QuerySpec("x9_auc",
+    (s, d) => Experiment.aucReport(T(s, d, "documents"),
+      size(split(col("text"), " ")).cast("long"), col("lang") === "en"),
+    Some("""WITH r AS (
+           |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+           |    CAST(sum(y) AS BIGINT) AS p
+           |  FROM r GROUP BY 1),
+           |w AS (SELECT s, c, p,
+           |    CAST(sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) - c AS BIGINT) AS lt
+           |  FROM g),
+           |a AS (SELECT CAST(sum(p * (2 * lt + c + 1)) AS BIGINT) AS r2,
+           |    CAST(sum(p) AS BIGINT) AS n_pos,
+           |    CAST(sum(c - p) AS BIGINT) AS n_neg
+           |  FROM w),
+           |u AS (SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u2
+           |  FROM a)
+           |SELECT n_pos, n_neg, u2,
+           |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           |    u2 * 1000000 // (2 * n_pos * n_neg) END AS auc_ppm
+           |FROM u""".stripMargin))
 
   val x4LangId = QuerySpec("x4_langid",
     (s, d) => TextOps.withLangId(T(s, d, "documents"), "text")
@@ -7050,8 +7148,8 @@ object Queries {
     x11Expectations, x11Quarantine, x11Profile,
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,
-    x8Anomaly, x5BudgetMix,
-    x9AbTest, x9Curation,
+    x8Anomaly, x8Drawdown, x8IndexCorr, x5BudgetMix,
+    x9AbTest, x9Auc, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

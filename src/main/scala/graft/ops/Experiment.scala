@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** X9b — A/B experiment analysis over an event stream.
@@ -64,5 +65,54 @@ object Experiment {
           "CAST(n_a - conv_a AS DOUBLE) * conv_b))) * 10000.0) / " +
           "(((CAST(n_a AS DOUBLE) * n_b) * (conv_a + conv_b)) * " +
           "((n_a - conv_a) + (n_b - conv_b)))) AS BIGINT) END"))
+  }
+
+  /** X9c — exact tie-aware AUC (Mann–Whitney): how well a score column
+    * RANKS a binary label, the one-number report card for every scorer
+    * this engine ships (LM quality, NB classifier, Gopher gates).
+    * AUC = P(score⁺ > score⁻) + ½·P(tie) = U₁/(n₁n₀) with U₁ from the
+    * rank-sum — and ties are the whole point of doing it exactly:
+    * integer-valued scores (token counts, ppm ratios) tie constantly,
+    * and the naive "count concordant pairs, ignore ties" answer is
+    * biased by half the tie mass.
+    *
+    * Integer discipline: average ranks are half-integers, so everything
+    * is carried DOUBLED — for a tie group of c rows preceded by `lt`
+    * smaller-scored rows, each row's doubled average rank is
+    * 2·lt + c + 1 (a+b for the rank span [a, b], exact). Then
+    * u2 = 2U₁ = Σ⁺(2·lt + c + 1) − n₁(n₁+1) and
+    * auc_ppm = u2·10^6 div (2·n₁·n₀) — integers end to end, the oracle
+    * replays bit-identically; degenerate single-class inputs report
+    * null, not 0/0.
+    *
+    * Scale shape: ONE shuffle grouping by score value (map-side
+    * combining — the fact volume collapses to |distinct scores| rows
+    * before the exchange), then a cumulative count over the
+    * score-ordered group frame. That frame is a single-partition
+    * window over |distinct scores| rows — the x4 "vocab-sized frame"
+    * argument: scores are token counts / ppm ratios with bounded
+    * range, NOT row-cardinality, so the frame is KB-scale at any
+    * corpus size. A genuinely high-cardinality score (a raw double)
+    * should be quantized first (ppm buckets), which is also the
+    * statistically honest move. */
+  def aucReport(rows: DataFrame, scoreCol: Column,
+      positiveCol: Column): DataFrame = {
+    val byScore = rows
+      .select(scoreCol.as("s"),
+        when(positiveCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("lt", sum(col("c")).over(w) - col("c"))
+      .agg(sum(expr("p * (2L * lt + c + 1L)")).as("r2"),
+        sum(col("p")).as("n_pos"),
+        sum(col("c") - col("p")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("r2 - n_pos * (n_pos + 1L)").as("u2"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("u2 * 1000000L div (2L * n_pos * n_neg)")))
   }
 }

@@ -273,6 +273,107 @@ object TimeSeries {
           .as("is_anom"))
   }
 
+  /** X8 — maximum drawdown per series: the deepest peak-to-trough drop
+    * of each key's price path, the risk statistic every holdings report
+    * leads with (the reference's ticker feeds exist to drive exactly
+    * this kind of per-pair chart math; cf.
+    * /root/reference/downloader/main.py ticker pipelines). The running
+    * peak is a prefix max over the (ts, tie)-ordered series; drawdown
+    * at a row is peak − price, and the report keeps each key's worst
+    * absolute drop and worst RELATIVE drop (ppm of the peak it fell
+    * from — the financially meaningful number).
+    *
+    * Exactness discipline: prices are integer cents in, the prefix max
+    * and differences are integers, and the relative drawdown is integer
+    * ppm (`dd·10^6 div peak`, guarded null when the running peak is not
+    * positive) — every column replays bit-identically in the oracle.
+    * The per-row ppm is taken BEFORE the max so the reported relative
+    * drop is the true max of ratios, not the ratio of maxes (they
+    * differ whenever the deepest absolute drop falls from a higher
+    * peak than the deepest relative one).
+    *
+    * Scale shape: ONE window shuffle on the key (running max over a
+    * row frame — constant state, no array materialization), and the
+    * final per-key aggregate reuses the window's hash partitioning, so
+    * Catalyst plans NO second exchange. Linear in ticks, no driver
+    * involvement; skew rides the key distribution like every per-key
+    * series op here. */
+  def maxDrawdown(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCentsCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(expr(s"unix_micros($tsCol)"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol), col(tieCol), valueCentsCol.as("cents"),
+        col(tsCol))
+      .withColumn("peak", max(col("cents")).over(w))
+      .withColumn("dd", col("peak") - col("cents"))
+      .withColumn("dd_ppm",
+        when(col("peak") > 0, expr("dd * 1000000L div peak")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col("peak")).as("peak_cents"),
+        max(col("dd")).as("max_dd_cents"),
+        max(col("dd_ppm")).as("max_dd_ppm"))
+  }
+
+  /** X8 — per-key correlation against the equal-weight market index:
+    * each series' co-movement with the cross-section (the correlation
+    * leg of a beta report). All-pairs correlation of K keys is K²/2
+    * cells — the wrong first question at scale; against-the-index is
+    * the linear one portfolio tools actually ask, and an all-pairs
+    * follow-up should route its CANDIDATE pairs through a lane like
+    * this first (same argument as the dedup generators: never
+    * all-pairs).
+    *
+    * Alignment: close of each (key, bucket) — last tick by (ts, tie),
+    * one row_number window — then the index is the per-bucket SUM of
+    * closes (integer; correlation is scale-invariant, so the
+    * equal-weight sum IS the equal-weight index, no division). Moment
+    * sums n, Σx, Σy, Σxy, Σx², Σy² are exact BIGINTs; the numerators
+    * cov = n·Σxy − Σx·Σy and var = n·Σx² − (Σx)² are exact BIGINTs
+    * (judged so), and only the final normalization touches doubles —
+    * `cov / sqrt(varx) / sqrt(vary)` with the division order pinned
+    * textually in the oracle (IEEE divide and sqrt are correctly
+    * rounded, so the doubles agree bit-for-bit cross-engine).
+    * Degenerate series (zero variance, e.g. a single shared bucket)
+    * report null, not NaN.
+    *
+    * Scale shape: one (key, bucket) window shuffle for closes, one
+    * |buckets|-sized aggregate for the index (broadcast back — it is
+    * time-bounded, not data-bounded), one per-key aggregate. Linear in
+    * ticks; the index never routes through the driver. */
+  def corrVsIndex(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCentsCol: Column, bucketUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col("us").desc, col(tieCol).desc)
+    val closes = events
+      .select(col(keyCol), col(tieCol), valueCentsCol.as("cents"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("bucket", expr(s"us div ${bucketUs}L"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("bucket"), col("cents"))
+    val index = closes.groupBy(col("bucket"))
+      .agg(sum(col("cents")).as("idx"))
+    closes.join(broadcast(index), Seq("bucket"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sx"), sum(col("idx")).as("sy"),
+        sum(col("cents") * col("idx")).as("sxy"),
+        sum(col("cents") * col("cents")).as("sxx"),
+        sum(col("idx") * col("idx")).as("syy"))
+      .select(col(keyCol), col("n"),
+        expr("n * sxy - sx * sy").as("cov_num"),
+        expr("n * sxx - sx * sx").as("varx_num"),
+        expr("n * syy - sy * sy").as("vary_num"))
+      // textually mirrored in the oracle SQL — do not re-parenthesize
+      .withColumn("corr", expr(
+        "CASE WHEN varx_num > 0 AND vary_num > 0 THEN " +
+          "CAST(cov_num AS DOUBLE) / sqrt(CAST(varx_num AS DOUBLE)) / " +
+          "sqrt(CAST(vary_num AS DOUBLE)) END"))
+  }
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -27,6 +27,25 @@ class PlanShapeSpec extends SparkSpec {
     self + nested + sp.children.map(countJoins).sum
   }
 
+  /** Shuffle-exchange NODES, counted structurally like [[countJoins]]
+    * (reused-exchange and AQE wrapper lines would double-count a
+    * substring match). BroadcastExchange deliberately NOT counted. */
+  private def countShuffles(
+      sp: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val self = sp match {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      case _ => 0
+    }
+    val nested = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countShuffles(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        countShuffles(q.plan)
+      case _ => 0
+    }
+    self + nested + sp.children.map(countShuffles).sum
+  }
+
   test("flagship broadcasts the nation dim and pushes the shipdate filter") {
     val p = plan("flagship_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))
@@ -468,6 +487,33 @@ class PlanShapeSpec extends SparkSpec {
     val p19 = plan("sql17_q19_disjunct")
     assert(!p19.contains("CartesianProduct"),
       "Q19 disjunction went cartesian:\n" + p19.take(2000))
+  }
+
+  test("r14 finance/eval lanes: drawdown's per-key agg reuses the window " +
+      "shuffle (ONE exchange, zero joins), index corr broadcasts the " +
+      "index, AUC shuffles once on the score") {
+    // drawdown: the groupBy(key) after Window.partitionBy(key) must not
+    // plan a second exchange — the operator is one key shuffle (the
+    // judged spec adds a presentation orderBy, pinned separately)
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val dd = ops.TimeSeries.maxDrawdown(ops.Tables.events(spark, d),
+      "user_id", "ts", "event_id",
+      floor(col("value") * 100 + lit(0.5)).cast("long"))
+    assert(countJoins(dd.queryExecution.executedPlan) == 0,
+      "drawdown must be join-free:\n" + planOf(dd).take(2000))
+    assert(countShuffles(dd.queryExecution.executedPlan) == 1,
+      "drawdown must reuse the window partitioning:\n" +
+        planOf(dd).take(2000))
+    // index corr: the |buckets|-row index joins back by BROADCAST —
+    // never a shuffle join against the tick volume
+    val pc = plan("x8_index_corr")
+    assert(pc.contains("BroadcastHashJoin"),
+      "index must broadcast:\n" + pc.take(2000))
+    // auc: one shuffle groups by score (map-side combined); the
+    // cumulative frame over distinct scores is the only window
+    val auc = Queries.byName("x9_auc").fn(spark, d)
+    assert(countJoins(auc.queryExecution.executedPlan) == 0,
+      "auc must be join-free:\n" + planOf(auc).take(2000))
   }
 
   test("driver smoke: entry returns rows at sf0.001") {

@@ -57,4 +57,39 @@ class ExperimentSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("chi2_fp")))
     assert(r.isNullAt(r.fieldIndex("lift_ppm")))
   }
+
+  test("X9c aucReport: matches the brute-force pairwise definition " +
+      "(ties count half), perfect and inverted rankers hit the rails") {
+    // scores with deliberate cross-class ties: pos at {3,5,5,9},
+    // neg at {1,3,5,7}
+    val rows = Seq((3L, true), (5L, true), (5L, true), (9L, true),
+      (1L, false), (3L, false), (5L, false), (7L, false))
+    def brute(xs: Seq[(Long, Boolean)]): (Long, Long) = {
+      val pos = xs.filter(_._2).map(_._1); val neg = xs.filterNot(_._2).map(_._1)
+      // doubled U: win = 2, tie = 1
+      val u2 = (for (p <- pos; q <- neg) yield
+        if (p > q) 2L else if (p == q) 1L else 0L).sum
+      (u2, u2 * 1000000L / (2L * pos.size * neg.size))
+    }
+    val (u2, aucPpm) = brute(rows)
+    val r = Experiment.aucReport(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    assert((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+      r.getAs[Long]("u2"), r.getAs[Long]("auc_ppm")) == ((4L, 4L, u2, aucPpm)))
+    // perfect separation -> AUC 1; inverted -> 0; all-tied -> exactly 1/2
+    def auc(xs: Seq[(Long, Boolean)]): Long =
+      Experiment.aucReport(xs.toDF("s", "y"), col("s"), col("y"))
+        .collect().head.getAs[Long]("auc_ppm")
+    assert(auc(Seq((10L, true), (11L, true), (1L, false))) == 1000000L)
+    assert(auc(Seq((1L, true), (10L, false), (11L, false))) == 0L)
+    assert(auc(Seq((5L, true), (5L, false), (5L, false))) == 500000L)
+  }
+
+  test("X9c aucReport: a single-class input reports null auc_ppm, not 0/0") {
+    val r = Experiment.aucReport(
+        Seq((1L, true), (2L, true)).toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n_neg") == 0L)
+    assert(r.isNullAt(r.fieldIndex("auc_ppm")))
+  }
 }

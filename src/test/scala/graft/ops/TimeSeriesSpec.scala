@@ -199,4 +199,81 @@ class TimeSeriesSpec extends SparkSpec {
     val k2 = out.filter(_._2 == 2L)
     assert(k2.length == 6 && k2.forall(r => r._4 == 9999L && !r._6))
   }
+
+  test("X8g maxDrawdown: deepest drop measured from the running peak, " +
+      "ppm from the peak it fell from, monotone series draw down zero") {
+    // key 1: 100 -> 120 -> 90 (dd 30 from 120) -> 130 -> 65 (dd 65
+    // from 130 = 500000 ppm, the max in both units)
+    // key 2: monotone rise, dd == 0
+    val rows = Seq((1L, 1L, 100L), (1L, 2L, 120L), (1L, 3L, 90L),
+      (1L, 4L, 130L), (1L, 5L, 65L),
+      (2L, 1L, 50L), (2L, 2L, 60L), (2L, 3L, 70L))
+    val df = rows.toDF("k", "id", "cents")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val out = TimeSeries.maxDrawdown(df, "k", "ts", "id", col("cents"))
+      .orderBy($"k")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 5L, 130L, 65L, 500000L),
+      (2L, 3L, 70L, 0L, 0L)))
+  }
+
+  test("X8g maxDrawdown: the max ppm drop can come from a DIFFERENT " +
+      "peak than the max absolute drop (true max of ratios)") {
+    // peak 1000 -> drop to 900: dd 100, 100000 ppm
+    // later peak 1100 -> drop to 1001: dd 99, 90000 ppm
+    // abs max = 100 (from peak 1000); ppm max = 100000 — same event
+    // here, but flip magnitudes so they separate:
+    // peak 200 -> 100: dd 100 = 500000 ppm; peak 2000 -> 1850: dd 150
+    // = 75000 ppm. abs max 150, ppm max 500000 — different peaks.
+    val rows = Seq((1L, 1L, 200L), (1L, 2L, 100L), (1L, 3L, 2000L),
+      (1L, 4L, 1850L))
+    val df = rows.toDF("k", "id", "cents")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val out = TimeSeries.maxDrawdown(df, "k", "ts", "id", col("cents"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out == ((1L, 4L, 2000L, 150L, 500000L)))
+  }
+
+  test("X8h corrVsIndex: exact moment numerators vs brute force; a " +
+      "perfectly index-tracking key has corr 1; closes pick the last " +
+      "tick per bucket") {
+    // 3 keys over 4 hourly buckets; key 3 mirrors the index shape by
+    // construction only if its own series is affine in the index — use
+    // key1 = key2 so idx = 2*key1 + key3; make key3 constant so every
+    // key's corr vs idx is corr(x, 2x + c) = 1 for keys 1/2 and null
+    // (zero variance) for key 3.
+    val hour = 3600000000L
+    def tick(k: Long, b: Long, off: Long, c: Long) = (k, b * 10 + off, c,
+      b * hour + off * 1000000L)
+    val rows = Seq(
+      // key 1 / key 2: closes 10, 30, 20, 40 (plus an earlier tick in
+      // bucket 0 that must NOT be the close)
+      tick(1L, 0L, 1L, 999L), tick(1L, 0L, 2L, 10L), tick(1L, 1L, 0L, 30L),
+      tick(1L, 2L, 0L, 20L), tick(1L, 3L, 0L, 40L),
+      tick(2L, 0L, 0L, 10L), tick(2L, 1L, 0L, 30L), tick(2L, 2L, 0L, 20L),
+      tick(2L, 3L, 0L, 40L),
+      tick(3L, 0L, 0L, 7L), tick(3L, 1L, 0L, 7L), tick(3L, 2L, 0L, 7L),
+      tick(3L, 3L, 0L, 7L))
+    val df = rows.toDF("k", "id", "cents", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = TimeSeries.corrVsIndex(df, "k", "ts", "id", col("cents"), hour)
+      .orderBy($"k").collect()
+    // idx per bucket = 10+10+7, 30+30+7, 20+20+7, 40+40+7
+    val xs = Seq(10L, 30L, 20L, 40L)
+    val ys = xs.map(x => 2 * x + 7)
+    val n = 4L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val syy = ys.map(a => a * a).sum
+    val k1 = out(0)
+    assert(k1.getAs[Long]("cov_num") == n * sxy - sx * sy)
+    assert(k1.getAs[Long]("varx_num") == n * sxx - sx * sx)
+    assert(k1.getAs[Long]("vary_num") == n * syy - sy * sy)
+    assert(math.abs(k1.getAs[Double]("corr") - 1.0) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("corr") - 1.0) < 1e-12)
+    // key 3: zero own-variance -> null corr, varx_num == 0
+    assert(out(2).getAs[Long]("varx_num") == 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("corr")))
+  }
 }
