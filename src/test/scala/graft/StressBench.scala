@@ -228,6 +228,46 @@ object StressBench {
     stage("tri_oriented_10k")(ops.Graph.triangles(skewGraph(10000L)))
     stage("tri_naive_10k")(naiveTriangles(skewGraph(10000L)))
 
+    // ---- tick-series lanes (round 14 cont.): the driver's events
+    // fixture is 10k rows at sf0.01, so the judged x8 wall-times are job
+    // overhead; this corpus is 10·n one-second ticks over 150 keys with
+    // a DELIBERATE hot key holding HALF the stream (window skew rides
+    // the key distribution — the claim the drawdown/anomaly scaladocs
+    // make, measured here). Even ids → key 0; odd ids spread over 149
+    // keys (consecutive odd ids cover all residues mod 149, so every
+    // key is in every hourly bucket, deterministically).
+    val nTicks = 10L * n
+    def ticks(centsExpr: String): DataFrame =
+      spark.range(0, nTicks).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0L ELSE 1L + id % 149 END AS k",
+        "id AS tie", "id * 1000000L AS us", s"$centsExpr AS cents")
+        .withColumn("ts", timestamp_micros(col("us")))
+    // sawtooth with a planted spike every 100k ticks: the hot key ramps
+    // 1000→1490 step 10 (its even ids walk the even residues), the
+    // other keys ramp 1001→1099 over the odd residues — so each key's
+    // max drawdown is its own sawtooth reset, EXACTLY 490 (hot) / 98
+    // (each of the 149 others): sum over keys = 490 + 149·98 = 15092.
+    val saw = ticks("1000L + (id % 100) * (CASE WHEN id % 2 = 0 " +
+      "THEN 5L ELSE 1L END) + (CASE WHEN id % 100000 = 50000 " +
+      "THEN 10000L ELSE 0L END)")
+    stage("drawdown")(ops.TimeSeries.maxDrawdown(
+      saw.filter(col("tie") % 100000 =!= 50000), // spikes out: pure saw
+      "k", "ts", "tie", col("cents")))
+    // anomaly: the 15-tick trailing median/MAD must recover every
+    // planted +10000 spike; sawtooth RESETS (a 33% local crash) also
+    // flag — correctly, that IS a local anomaly — so the assert is
+    // recovery, not equality
+    stage("anomaly_ticks")(ops.TimeSeries.robustAnomalies(
+      saw, "k", "ts", "tie", col("cents")).filter(col("is_anom")))
+    // corr vs index: cents depend on the BUCKET alone, so every key's
+    // hourly close equals v(b) = 1000 + (b % 100), the index is
+    // |keys|·v(b), and every key is EXACTLY affine in the index →
+    // corr must be 1.0 (up to the final double normalization) for all
+    // 150 keys
+    stage("index_corr")(ops.TimeSeries.corrVsIndex(
+      ticks("1000L + (id div 3600) % 100"),
+      "k", "ts", "tie", col("cents"), 3600000000L))
+
     // ---- k-core on the same skewed graph: the 10-cliques are each a
     // complete 9-core (every member degree 9); chain/spoke nodes carry
     // degree <= 3 and peel in round 1, stranding the degree-n/2 HUB with
@@ -309,6 +349,30 @@ object StressBench {
     require(results("pmi_gated")._2 >= n / 20 * 66,
       s"df-gated PMI lost planted family collocations: " +
         s"${results("pmi_gated")._2} < ${n / 20 * 66}")
+    // tick lanes: the drawdown plant is EXACT — one row per key and the
+    // per-key maxima sum to 490 (hot sawtooth) + 149·98 (the others)
+    require(results("drawdown")._2 == 150,
+      s"drawdown must report all 150 keys: ${results("drawdown")._2}")
+    val ddSum = ops.TimeSeries.maxDrawdown(
+        saw.filter(col("tie") % 100000 =!= 50000), "k", "ts", "tie",
+        col("cents"))
+      .agg(sum(col("max_dd_cents"))).collect()(0).getLong(0)
+    require(ddSum == 490L + 149L * 98L,
+      s"planted sawtooth drawdowns off: sum $ddSum != 15092")
+    // every planted spike must flag (resets flag too — correctly — so
+    // recovery, not equality)
+    require(results("anomaly_ticks")._2 >= nTicks / 100000,
+      s"anomaly lane lost planted spikes: ${results("anomaly_ticks")._2} " +
+        s"< ${nTicks / 100000}")
+    // every key is affine in the index by construction: corr == 1.0 for
+    // all 150, up to the final double normalization
+    val lowCorr = ops.TimeSeries.corrVsIndex(
+        ticks("1000L + (id div 3600) % 100"), "k", "ts", "tie",
+        col("cents"), 3600000000L)
+      .filter(col("corr").isNull || col("corr") < 0.999999).count()
+    require(lowCorr == 0L && results("index_corr")._2 == 150,
+      s"index corr should be 1.0 for all 150 affine keys: $lowCorr low, " +
+        s"${results("index_corr")._2} rows")
 
     val json = results.map { case (k, (dt, cnt, sb)) =>
       f""""$k":{"sec":$dt%.2f,"rows":$cnt,"shuffle_bytes":$sb}"""
