@@ -3665,6 +3665,35 @@ object Queries {
            |FROM v ORDER BY user_id""".stripMargin),
     bench = true)
 
+  /** X8i — realized volatility per (key, day)
+    * (ops/TimeSeries.realizedVolatility): tick-to-tick integer cent
+    * deltas (later-tick day attribution, first tick excluded) rolled
+    * into daily net move, Σd² realized-variance numerator, and max
+    * single move — exact BIGINTs end to end. One key-window lag whose
+    * hash partitioning the (key, day) aggregate reuses (subset
+    * clustering — no second exchange, plan-pinned). */
+  val x8Volatility = QuerySpec("x8_volatility",
+    (s, d) => TimeSeries.realizedVolatility(Tables.events(s, d), "user_id",
+        "ts", "event_id",
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .orderBy(col("user_id"), col("day")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |l AS (SELECT user_id, us,
+           |    cents - lag(cents) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id) AS d
+           |  FROM e),
+           |f AS (SELECT user_id, us // 86400000000 AS day, d
+           |  FROM l WHERE d IS NOT NULL)
+           |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_ret,
+           |  CAST(sum(d) AS BIGINT) AS net_cents,
+           |  CAST(sum(d * d) AS BIGINT) AS rv_cents2,
+           |  max(abs(d)) AS max_abs_cents
+           |FROM f GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin),
+    bench = true)
+
   /** X5m — token-budget corpus mixing (ops/Scale.tokenBudgetSample): fill
     * per-language token budgets in deterministic md5 order, keep whole
     * docs while the running total stays under the line. The mixture dim
@@ -3763,6 +3792,35 @@ object Queries {
            |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
            |    u2 * 1000000 // (2 * n_pos * n_neg) END AS auc_ppm
            |FROM u""".stripMargin))
+
+  /** X9d — precision/recall threshold sweep (ops/Experiment.prCurve):
+    * per distinct score s, the confusion counts and integer-ppm
+    * precision/recall of "keep iff score ≥ s" — where to CUT the
+    * scorer AUC only ranks. Same score-grouped shuffle + vocab-sized
+    * DESC cumulative frame as x9_auc. */
+  val x9PrCurve = QuerySpec("x9_pr_curve",
+    (s, d) => Experiment.prCurve(T(s, d, "documents"),
+        size(split(col("text"), " ")).cast("long"), col("lang") === "en")
+      .orderBy(col("s").desc),
+    Some("""WITH r AS (
+           |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+           |    CAST(sum(y) AS BIGINT) AS p
+           |  FROM r GROUP BY 1),
+           |w AS (SELECT s,
+           |    CAST(sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+           |    CAST(sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS BIGINT) AS pred_pos,
+           |    CAST(sum(p) OVER () AS BIGINT) AS n_pos
+           |  FROM g)
+           |SELECT s, tp, pred_pos - tp AS fp, n_pos - tp AS fn,
+           |  tp * 1000000 // pred_pos AS precision_ppm,
+           |  CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END
+           |    AS recall_ppm
+           |FROM w ORDER BY s DESC""".stripMargin))
 
   val x4LangId = QuerySpec("x4_langid",
     (s, d) => TextOps.withLangId(T(s, d, "documents"), "text")
@@ -5793,6 +5851,138 @@ object Queries {
     },
     Some(sql18Text))
 
+  /** SQL19 — TPC-H Q5 shape (local supplier volume): the six-table join
+    * with the CYCLIC predicate c_nationkey = s_nationkey — the customer
+    * and the supplier must sit in the SAME nation, reached through two
+    * different join paths. This closes a cycle in the join graph (the
+    * one TPC-H query that does), which is the stress case for join-order
+    * planning: Catalyst must pick an acyclic spanning order and apply
+    * the closing equality as a filter on the chosen seam. The
+    * region/nation dims broadcast; the orderdate year is pushed to the
+    * orders scan; revenue is exact integer cents per row before the
+    * sum. */
+  private val sql19Text: String =
+    """SELECT n.n_name,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n.n_name
+      |ORDER BY revenue_cents DESC, n.n_name""".stripMargin
+
+  val sql19Q5LocalVolume = QuerySpec("sql19_q5_local_volume",
+    (s, d) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation",
+        "region").foreach(t => T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql19Text)
+    },
+    Some(sql19Text))
+
+  /** SQL20 — TPC-H Q7 shape (bilateral trade volume): the nation dim
+    * joins TWICE under different roles (supplier's nation n1, customer's
+    * nation n2) with a symmetric disjunction over the pair — the
+    * role-aliased-dim pattern plus a cross-table OR that no single-table
+    * pushdown can absorb (each arm references both n1 and n2, so the
+    * residual must sit above both dim joins while the two nation
+    * broadcasts still prune everything else). Yearly buckets via year()
+    * cast to BIGINT on both engines. */
+  private val sql20Text: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM supplier s
+      |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val sql20Q7TradeVolume = QuerySpec("sql20_q7_trade_volume",
+    (s, d) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(t => T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql20Text)
+    },
+    Some(sql20Text))
+
+  /** SQL21 — TPC-H Q13 shape (customer order-count distribution): a
+    * LEFT OUTER join whose ON clause carries a filter on the RIGHT side
+    * (orders dropped by priority must not drop the customer — moving
+    * the predicate to WHERE would silently turn the join inner, the
+    * classic outer-join trap), then a two-level aggregate: orders per
+    * customer, then customers per order-count — the count-of-counts
+    * histogram. Zero-order customers MUST appear in the c_count = 0
+    * bucket; count(o_orderkey) over an all-null group delivers them.
+    * Both aggregates shuffle on scalar keys; the distribution output is
+    * |distinct counts| rows. */
+  private val sql21Text: String =
+    """WITH c_orders AS (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM c_orders GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  val sql21Q13CustDist = QuerySpec("sql21_q13_custdist",
+    (s, d) => {
+      Seq("customer", "orders").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql21Text)
+    },
+    Some(sql21Text))
+
+  /** SQL22 — TPC-H Q14 shape (promo revenue share): conditional
+    * share-of-total in one pass — both the CASE-gated numerator and the
+    * full denominator come out of the same aggregate (never two scans).
+    * The cents sums are exact BIGINTs; the ppm share is the one value
+    * that must touch doubles (BIGINT·10^6 can exceed the exact-integer
+    * range either engine's integer division text shares), so it is
+    * floored double arithmetic with the multiply-then-divide order
+    * pinned textually — the chi-square discipline, IEEE-identical
+    * cross-engine. */
+  private val sql22Text: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |      * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS promo_cents,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(floor(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |      * 100 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE) * 1000000.0
+      |    / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |      * 100 + 0.5) AS BIGINT))) AS BIGINT) AS promo_ppm
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  val sql22Q14PromoShare = QuerySpec("sql22_q14_promo_share",
+    (s, d) => {
+      Seq("lineitem", "part").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql22Text)
+    },
+    Some(sql22Text))
+
   /** F14 — higher-order array functions (round 9): transform / filter /
     * aggregate / zip_with over the real embedding arrays. Element math is
     * integer-ized FIRST (floor-milli longs), so every fold is exact and
@@ -7114,6 +7304,8 @@ object Queries {
     sql9Q21Blocked, sql10Q2MinCost, sql11Q17SmallQty, sql12Q22Dormant,
     sql13Q15TopSupplier, sql14Q4Priority, sql15Q12ShipClass,
     sql16Q16SupplierCnt, sql17Q19Disjunct, sql18Q20TopShippers,
+    sql19Q5LocalVolume, sql20Q7TradeVolume, sql21Q13CustDist,
+    sql22Q14PromoShare,
     f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2MinhashEst, x2EditDist, x2LshPairs,
     x2Simhash,
@@ -7148,8 +7340,8 @@ object Queries {
     x11Expectations, x11Quarantine, x11Profile,
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,
-    x8Anomaly, x8Drawdown, x8IndexCorr, x5BudgetMix,
-    x9AbTest, x9Auc, x9Curation,
+    x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x5BudgetMix,
+    x9AbTest, x9Auc, x9PrCurve, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -95,6 +95,46 @@ object Experiment {
     * corpus size. A genuinely high-cardinality score (a raw double)
     * should be quantized first (ppm buckets), which is also the
     * statistically honest move. */
+  /** X9d — precision/recall threshold sweep: one row per distinct score
+    * value s with the confusion counts and exact integer-ppm
+    * precision/recall of the rule "predict positive iff score ≥ s".
+    * This is THE operational companion to [[aucReport]]: AUC says
+    * whether a scorer ranks, the sweep says WHERE to cut it — the
+    * question every quality-gate deployment (Gopher rules, LM score,
+    * NB posterior) actually asks before filtering a corpus.
+    *
+    * Same integer discipline and same scale shape as aucReport: one
+    * score-grouped map-side-combined shuffle collapses the fact volume
+    * to |distinct scores| rows, then one score-DESC cumulative frame
+    * (tp/fp are suffix sums from the top) and the totals ride the same
+    * window with an unbounded frame — a second pass over the
+    * vocab-sized frame, NOT the data. precision_ppm's denominator
+    * tp+fp is the count of rows at-or-above the threshold — ≥ 1 at
+    * every emitted row by construction; recall_ppm is null on an
+    * all-negative input (0/0 honestly reported). */
+  def prCurve(rows: DataFrame, scoreCol: Column,
+      positiveCol: Column): DataFrame = {
+    val byScore = rows
+      .select(scoreCol.as("s"),
+        when(positiveCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byScore
+      .withColumn("tp", sum(col("p")).over(cum))
+      .withColumn("pred_pos", sum(col("c")).over(cum))
+      .withColumn("n_pos", sum(col("p")).over(all))
+      .select(col("s"), col("tp"),
+        (col("pred_pos") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        expr("tp * 1000000L div pred_pos").as("precision_ppm"),
+        when(col("n_pos") > 0,
+          expr("tp * 1000000L div n_pos")).as("recall_ppm"))
+  }
+
   def aucReport(rows: DataFrame, scoreCol: Column,
       positiveCol: Column): DataFrame = {
     val byScore = rows

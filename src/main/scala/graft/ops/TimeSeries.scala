@@ -374,6 +374,43 @@ object TimeSeries {
           "sqrt(CAST(vary_num AS DOUBLE)) END"))
   }
 
+  /** X8 — realized volatility per (key, day): tick-to-tick return
+    * deltas aggregated into the daily risk numbers a desk report needs —
+    * net move, realized variance numerator (Σd², the sum every
+    * realized-vol estimator is built from), and the largest single
+    * move. Deltas stay in integer cents (no ratios, no logs), so every
+    * column is an exact BIGINT and the oracle replays bit-identically;
+    * a consumer wanting annualized vol divides by n and scales at the
+    * edge — the heavy pass stays exact.
+    *
+    * A delta is attributed to the day of its LATER tick (the overnight
+    * gap belongs to the morning that realizes it — the standard
+    * close-to-open convention), and each key's first tick has no delta
+    * and is excluded rather than zero-filled.
+    *
+    * Scale shape: ONE window shuffle on the key (the lag), and the
+    * (key, day) aggregate is clustered BY A SUBSET — hash partitioning
+    * on key co-locates every (key, day) group — so Catalyst plans no
+    * second exchange (plan-pinned). Linear in ticks; skew rides the
+    * key distribution like every per-key series op here. */
+  def realizedVolatility(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCentsCol: Column,
+      dayUs: Long = 86400000000L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("us"), col(tieCol))
+    events
+      .select(col(keyCol), col(tieCol), valueCentsCol.as("cents"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("day", expr(s"us div ${dayUs}L"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(col("d")).as("net_cents"),
+        sum(col("d") * col("d")).as("rv_cents2"),
+        max(abs(col("d"))).as("max_abs_cents"))
+  }
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -514,6 +514,32 @@ class PlanShapeSpec extends SparkSpec {
     val auc = Queries.byName("x9_auc").fn(spark, d)
     assert(countJoins(auc.queryExecution.executedPlan) == 0,
       "auc must be join-free:\n" + planOf(auc).take(2000))
+    // volatility: the (key, day) aggregate is clustered by a SUBSET of
+    // the lag window's hash partitioning — one exchange, zero joins
+    val rv = ops.TimeSeries.realizedVolatility(
+      ops.Tables.events(spark, d), "user_id", "ts", "event_id",
+      floor(col("value") * 100 + lit(0.5)).cast("long"))
+    assert(countJoins(rv.queryExecution.executedPlan) == 0,
+      "volatility must be join-free:\n" + planOf(rv).take(2000))
+    assert(countShuffles(rv.queryExecution.executedPlan) == 1,
+      "volatility's (key, day) agg must reuse the key partitioning:\n" +
+        planOf(rv).take(2000))
+  }
+
+  test("r14 TPC-H shapes: Q5's cyclic join closes without a cartesian " +
+      "and broadcasts the dims, Q13's right-side ON filter keeps the " +
+      "join LEFT OUTER") {
+    val p5 = plan("sql19_q5_local_volume")
+    assert(!p5.contains("CartesianProduct"),
+      "Q5's nation cycle must close as equi-joins:\n" + p5.take(2000))
+    assert(p5.contains("BroadcastHashJoin"),
+      "Q5's region/nation dims should broadcast:\n" + p5.take(2000))
+    // Q13: the priority filter lives in the ON clause — the join must
+    // REMAIN LeftOuter (a WHERE placement would have turned it inner
+    // and silently dropped zero-order customers)
+    val p13 = plan("sql21_q13_custdist")
+    assert(p13.contains("LeftOuter"),
+      "Q13 must keep the outer join:\n" + p13.take(2000))
   }
 
   test("driver smoke: entry returns rows at sf0.001") {

@@ -85,6 +85,38 @@ class ExperimentSpec extends SparkSpec {
     assert(auc(Seq((5L, true), (5L, false), (5L, false))) == 500000L)
   }
 
+  test("X9d prCurve: one row per distinct score, suffix-sum confusion " +
+      "counts, exact ppm; the top threshold is pure and the bottom " +
+      "threshold has recall 1") {
+    // scores desc: 9(pos), 7(neg), 5(2 pos + 1 neg), 3(pos+neg), 1(neg)
+    val rows = Seq((9L, true), (7L, false), (5L, true), (5L, true),
+      (5L, false), (3L, true), (3L, false), (1L, false))
+    val out = Experiment.prCurve(rows.toDF("s", "y"), col("s"), col("y"))
+      .orderBy(col("s").desc)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val nPos = 4L
+    // (s, tp, fp, fn, precision_ppm, recall_ppm)
+    assert(out == Seq(
+      (9L, 1L, 0L, 3L, 1000000L, 1000000L * 1 / nPos),
+      (7L, 1L, 1L, 3L, 500000L, 250000L),
+      (5L, 3L, 2L, 1L, 600000L, 750000L),
+      (3L, 4L, 3L, 0L, 4000000L / 7L, 1000000L),
+      (1L, 4L, 4L, 0L, 500000L, 1000000L)))
+  }
+
+  test("X9d prCurve: an all-negative input nulls recall and zeroes " +
+      "precision at every threshold") {
+    val out = Experiment.prCurve(
+        Seq((5L, false), (3L, false)).toDF("s", "y"), col("s"), col("y"))
+      .orderBy(col("s").desc).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tp") == 0L &&
+        r.getAs[Long]("precision_ppm") == 0L)
+      assert(r.isNullAt(r.fieldIndex("recall_ppm")))
+    }
+  }
+
   test("X9c aucReport: a single-class input reports null auc_ppm, not 0/0") {
     val r = Experiment.aucReport(
         Seq((1L, true), (2L, true)).toDF("s", "y"), col("s"), col("y"))

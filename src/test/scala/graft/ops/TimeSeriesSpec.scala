@@ -276,4 +276,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2).getAs[Long]("varx_num") == 0L)
     assert(out(2).isNullAt(out(2).fieldIndex("corr")))
   }
+
+  test("X8i realizedVolatility: deltas are per-key consecutive, the " +
+      "overnight gap lands on the LATER day, first tick excluded") {
+    val day = 86400000000L
+    // key 1, day 0: 100 -> 110 (+10) -> 95 (-15); overnight to day 1:
+    // 95 -> 105 (+10, attributed to day 1), then 105 -> 105 (0)
+    // key 2: single tick -> no deltas at all
+    val rows = Seq((1L, 1L, 100L, 1000000L), (1L, 2L, 110L, 2000000L),
+      (1L, 3L, 95L, 3000000L), (1L, 4L, 105L, day + 1000000L),
+      (1L, 5L, 105L, day + 2000000L), (2L, 9L, 777L, 1000000L))
+    val df = rows.toDF("k", "id", "cents", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = TimeSeries.realizedVolatility(df, "k", "ts", "id",
+        col("cents"))
+      .orderBy($"k", $"day")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // day 0: deltas +10, -15 -> n 2, net -5, rv 100+225, max 15
+      (1L, 0L, 2L, -5L, 325L, 15L),
+      // day 1: deltas +10, 0 -> n 2, net 10, rv 100, max 10
+      (1L, 1L, 2L, 10L, 100L, 10L)))
+    // key 2 emitted nothing (no second tick)
+    assert(!out.exists(_._1 == 2L))
+  }
 }
