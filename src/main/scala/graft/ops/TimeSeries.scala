@@ -354,6 +354,12 @@ object TimeSeries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(keyCol), col("bucket"), col("cents"))
+      // both the index aggregate and the join probe read this frame:
+      // without truncation Catalyst re-derives the scan + (key, bucket)
+      // close-picking shuffle TWICE (the capBuckets/pageRank
+      // re-derivation class, seen in the dumped plan); the
+      // checkpointed frame is one row per (key, bucket) — tiny
+      .localCheckpoint(eager = false)
     val index = closes.groupBy(col("bucket"))
       .agg(sum(col("cents")).as("idx"))
     closes.join(broadcast(index), Seq("bucket"))
