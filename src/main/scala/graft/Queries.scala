@@ -3661,8 +3661,39 @@ object Queries {
            |SELECT user_id, n, cov_num, varx_num, vary_num,
            |  CASE WHEN varx_num > 0 AND vary_num > 0 THEN
            |    CAST(cov_num AS DOUBLE) / sqrt(CAST(varx_num AS DOUBLE)) /
-           |    sqrt(CAST(vary_num AS DOUBLE)) END AS corr
+           |    sqrt(CAST(vary_num AS DOUBLE)) END AS corr,
+           |  CASE WHEN vary_num > 0 THEN
+           |    CAST(cov_num AS DOUBLE) / CAST(vary_num AS DOUBLE) END
+           |    AS beta
            |FROM v ORDER BY user_id""".stripMargin),
+    bench = true)
+
+  /** X8j — truncated exponential moving average
+    * (ops/TimeSeries.emaTrunc): α = 1/2 smoothing over a 16-tick
+    * trailing window as ONE Horner fold — aggregate(arr, 0, (acc, x) →
+    * 2·acc + x) — entirely in integer arithmetic (numerator and
+    * milli-scaled quotient are exact BIGINTs; the oracle's list_reduce
+    * computes the identical integer). Same one-window-shuffle shape as
+    * x8_anomaly. */
+  val x8Ema = QuerySpec("x8_ema",
+    (s, d) => TimeSeries.emaTrunc(Tables.events(s, d), "user_id",
+        "ts", "event_id",
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .orderBy(col("event_id")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |w AS (SELECT event_id, user_id, cents,
+           |    list(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+           |  FROM e),
+           |f AS (SELECT event_id, user_id, cents,
+           |    list_reduce(arr, (a, b) -> a * 2 + b) AS ema_num
+           |  FROM w WHERE len(arr) = 16)
+           |SELECT event_id, user_id, cents, ema_num,
+           |  ema_num * 1000 // 65535 AS ema_milli
+           |FROM f ORDER BY event_id""".stripMargin),
     bench = true)
 
   /** X8i — realized volatility per (key, day)
@@ -3821,6 +3852,41 @@ object Queries {
            |  CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END
            |    AS recall_ppm
            |FROM w ORDER BY s DESC""".stripMargin))
+
+  /** X9e — per-slice AUC (ops/Experiment.aucReportBy): the x9_auc
+    * doubled-rank math cut per source — a scorer can rank well in
+    * aggregate and fail one slice; the grouped frame is partitioned by
+    * source so nothing funnels through a single partition. */
+  val x9AucBy = QuerySpec("x9_auc_by",
+    (s, d) => Experiment.aucReportBy(T(s, d, "documents"),
+        size(split(col("text"), " ")).cast("long"), col("lang") === "en",
+        "source")
+      .orderBy(col("source")),
+    Some("""WITH r AS (
+           |  SELECT source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |g AS (SELECT source, s, CAST(count(*) AS BIGINT) AS c,
+           |    CAST(sum(y) AS BIGINT) AS p
+           |  FROM r GROUP BY 1, 2),
+           |w AS (SELECT source, s, c, p,
+           |    CAST(sum(c) OVER (PARTITION BY source ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+           |      AS BIGINT) AS lt
+           |  FROM g),
+           |a AS (SELECT source,
+           |    CAST(sum(p * (2 * lt + c + 1)) AS BIGINT) AS r2,
+           |    CAST(sum(p) AS BIGINT) AS n_pos,
+           |    CAST(sum(c - p) AS BIGINT) AS n_neg
+           |  FROM w GROUP BY 1),
+           |u AS (SELECT source, n_pos, n_neg,
+           |    r2 - n_pos * (n_pos + 1) AS u2
+           |  FROM a)
+           |SELECT source, n_pos, n_neg, u2,
+           |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           |    u2 * 1000000 // (2 * n_pos * n_neg) END AS auc_ppm
+           |FROM u ORDER BY source""".stripMargin))
 
   val x4LangId = QuerySpec("x4_langid",
     (s, d) => TextOps.withLangId(T(s, d, "documents"), "text")
@@ -7340,8 +7406,8 @@ object Queries {
     x11Expectations, x11Quarantine, x11Profile,
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,
-    x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x5BudgetMix,
-    x9AbTest, x9Auc, x9PrCurve, x9Curation,
+    x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x8Ema, x5BudgetMix,
+    x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -155,4 +155,35 @@ object Experiment {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           expr("u2 * 1000000L div (2L * n_pos * n_neg)")))
   }
+
+  /** X9e — [[aucReport]] per group: one AUC row per slice (per source,
+    * per language, per model version) — the fairness/debugging cut every
+    * eval report needs, since a scorer can rank well in aggregate while
+    * failing one slice (Simpson's-paradox territory). Identical doubled-
+    * rank integer math; the cumulative frame is PARTITIONED by the
+    * group, so unlike the global report nothing funnels through a
+    * single partition — the shuffle key is (group, score) for the
+    * combine and group for the frame, both bounded-cardinality.
+    * Degenerate single-class groups report null, not 0/0. */
+  def aucReportBy(rows: DataFrame, scoreCol: Column, positiveCol: Column,
+      byCol: String): DataFrame = {
+    val byScore = rows
+      .select(col(byCol), scoreCol.as("s"),
+        when(positiveCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col(byCol), col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val w = Window.partitionBy(col(byCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("lt", sum(col("c")).over(w) - col("c"))
+      .groupBy(col(byCol))
+      .agg(sum(expr("p * (2L * lt + c + 1L)")).as("r2"),
+        sum(col("p")).as("n_pos"),
+        sum(col("c") - col("p")).as("n_neg"))
+      .select(col(byCol), col("n_pos"), col("n_neg"),
+        expr("r2 - n_pos * (n_pos + 1L)").as("u2"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("u2 * 1000000L div (2L * n_pos * n_neg)")))
+  }
 }

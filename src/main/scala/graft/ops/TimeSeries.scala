@@ -378,6 +378,53 @@ object TimeSeries {
         "CASE WHEN varx_num > 0 AND vary_num > 0 THEN " +
           "CAST(cov_num AS DOUBLE) / sqrt(CAST(varx_num AS DOUBLE)) / " +
           "sqrt(CAST(vary_num AS DOUBLE)) END"))
+      // beta vs the index (the regression slope cov/var_index): the
+      // numerators are exact BIGINTs above; the one division is a
+      // single IEEE divide with both sides' text pinned (an integer-ppm
+      // form would need cov_num·10^6, which overflows BIGINT at
+      // realistic moment magnitudes — rejected, not overlooked)
+      .withColumn("beta",
+        expr("CASE WHEN vary_num > 0 THEN " +
+          "CAST(cov_num AS DOUBLE) / CAST(vary_num AS DOUBLE) END"))
+  }
+
+  /** X8 — truncated exponential moving average, exact: the classic
+    * chart smoother (α = 1/2 per tick) with the infinite tail truncated
+    * at `w` observations so the whole computation stays in integer
+    * arithmetic — ema = Σ_{j=1..w} x_j·2^(w−j) / (2^w − 1) over the
+    * trailing window, oldest weight 2^(w−1), newest 2^0. Truncation
+    * error is the dropped tail ≤ max|x| / 2^w — below one cent for any
+    * w ≥ 21 at dollar prices, and DECLARED (a bounded-window contract,
+    * not a hidden approximation).
+    *
+    * The numerator is a HORNER FOLD — `aggregate(arr, 0, (acc, x) →
+    * 2·acc + x)` — one codegen'd higher-order pass over the bounded
+    * array; the oracle's `list_reduce` computes the identical integer.
+    * ema_milli = num·1000 div (2^w − 1) keeps thousandths-of-a-cent
+    * precision without ever touching doubles.
+    *
+    * Scale shape: identical to [[robustAnomalies]] — ONE window shuffle
+    * on the key, w longs of bounded state per row, warm-up rows
+    * excluded. Overflow headroom: the fold needs |x|·2^w < 2^63 and the
+    * milli scaling |x|·2^w·1000 < 2^63 — at the default w = 16 that is
+    * |x| ≲ 1.4·10^11 cents (no practical ceiling); at w = 32, ~$21k
+    * prices. The w ≤ 32 bound is require'd at construction. */
+  def emaTrunc(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCentsCol: Column, w: Int = 16): DataFrame = {
+    require(w >= 2 && w <= 32, s"window must be in [2, 32], got $w")
+    val win = Window.partitionBy(col(keyCol))
+      .orderBy(expr(s"unix_micros($tsCol)"), col(tieCol))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val den = (1L << w) - 1
+    events
+      .select(col(keyCol), col(tieCol), valueCentsCol.as("cents"),
+        col(tsCol))
+      .withColumn("arr", collect_list(col("cents")).over(win))
+      .filter(size(col("arr")) === w)
+      .withColumn("ema_num",
+        aggregate(col("arr"), lit(0L), (acc, x) => acc * 2 + x))
+      .select(col(tieCol), col(keyCol), col("cents"), col("ema_num"),
+        expr(s"ema_num * 1000L div ${den}L").as("ema_milli"))
   }
 
   /** X8 — realized volatility per (key, day): tick-to-tick return

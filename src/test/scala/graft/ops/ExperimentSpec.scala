@@ -124,4 +124,30 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("n_neg") == 0L)
     assert(r.isNullAt(r.fieldIndex("auc_ppm")))
   }
+
+  test("X9e aucReportBy: per-group AUC matches the global report run " +
+      "on each slice; groups never mix ranks; a single-class slice " +
+      "nulls while the others report") {
+    // slice a: perfect ranker; slice b: inverted; slice c: positives only
+    val rows = Seq(
+      ("a", 10L, true), ("a", 11L, true), ("a", 1L, false), ("a", 2L, false),
+      ("b", 1L, true), ("b", 2L, true), ("b", 10L, false),
+      ("c", 5L, true), ("c", 6L, true))
+    val out = Experiment.aucReportBy(rows.toDF("g", "s", "y"),
+        col("s"), col("y"), "g")
+      .orderBy(col("g")).collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("auc_ppm") == 1000000L)
+    assert(out(1).getAs[Long]("auc_ppm") == 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("auc_ppm")))
+    // each slice agrees with the ungrouped report on that slice alone
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val solo = Experiment.aucReport(
+        xs.map(t => (t._2, t._3)).toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      val grouped = out.find(_.getAs[String]("g") == g).get
+      assert(grouped.getAs[Long]("u2") == solo.getAs[Long]("u2"), g)
+      assert(grouped.getAs[Long]("n_pos") == solo.getAs[Long]("n_pos"), g)
+    }
+  }
 }

@@ -272,9 +272,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(k1.getAs[Long]("vary_num") == n * syy - sy * sy)
     assert(math.abs(k1.getAs[Double]("corr") - 1.0) < 1e-12)
     assert(math.abs(out(1).getAs[Double]("corr") - 1.0) < 1e-12)
-    // key 3: zero own-variance -> null corr, varx_num == 0
+    // beta of x on the index y = 2x + 7 is cov/var_y = 1/2 exactly
+    assert(k1.getAs[Double]("beta") == 0.5)
+    // key 3: zero own-variance -> null corr but a DEFINED beta of 0
+    // (its cov with the index is 0; var_y > 0)
     assert(out(2).getAs[Long]("varx_num") == 0L)
     assert(out(2).isNullAt(out(2).fieldIndex("corr")))
+    assert(out(2).getAs[Double]("beta") == 0.0)
+  }
+
+  test("X8j emaTrunc: Horner fold matches the explicit weighted sum, " +
+      "warm-up excluded, a constant series smooths to itself") {
+    // key 1: 20 ticks of known cents; windows are the trailing 16
+    val vals = (1 to 20).map(i => 100L + 7L * i)
+    val rows = vals.zipWithIndex.map { case (c, i) => (1L, (i + 1).toLong, c) }
+    val df = rows.toDF("k", "id", "cents")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val out = TimeSeries.emaTrunc(df, "k", "ts", "id", col("cents"))
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // rows 16..20 have full windows
+    assert(out.map(_._1) == (16L to 20L))
+    def brute(win: Seq[Long]): Long = win.foldLeft(0L)((a, x) => a * 2 + x)
+    out.foreach { case (id, _, cents, num, milli) =>
+      val win = vals.slice(id.toInt - 16, id.toInt)
+      assert(cents == vals(id.toInt - 1))
+      assert(num == brute(win), s"row $id")
+      assert(milli == num * 1000L / 65535L)
+    }
+    // constant series: ema == the constant exactly (num = c * (2^16-1))
+    val const = (1 to 16).map(i => (2L, i.toLong, 500L))
+      .toDF("k", "id", "cents")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val c = TimeSeries.emaTrunc(const, "k", "ts", "id", col("cents"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(c._4 == 500L * 65535L && c._5 == 500000L)
   }
 
   test("X8i realizedVolatility: deltas are per-key consecutive, the " +
