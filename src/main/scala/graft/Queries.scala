@@ -1513,6 +1513,56 @@ object Queries {
            |  ROWS UNBOUNDED PRECEDING)
            |ORDER BY user_id, seq""".stripMargin))
 
+  /** ST5e — STREAMING anomaly replay: the bounded-ring
+    * flatMapGroupsWithState twin of x8_anomaly
+    * (TickPipeline.streamingAnomalies) replayed over the event files and
+    * judged against the SAME DuckDB list-window oracle the batch lane
+    * uses — streaming-equals-batch pinned through a third engine. The
+    * per-key ring is n longs of constant state; the memory-sink replay
+    * uses Trigger.AvailableNow like every st_* lane. */
+  val stAnomalyReplay = QuerySpec("st_anomaly_replay",
+    (s, d) => {
+      import s.implicits._
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema).option("basePath", d)
+        .parquet(s"$d/{events.parquet}")
+      val withUs = graft.ops.Tables.normalizeTs(raw)
+        .withColumn("us", expr("unix_micros(ts)"))
+      val ev = withUs.filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), col("us"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .toDF("_1", "_2", "_3", "_4")
+        .as[(Long, Long, Long, Long)]
+      s.catalog.dropTempView("st_anomaly_replay_mem")
+      val q = graft.streaming.TickPipeline.streamingAnomalies(ev)
+        .toDF("event_id", "user_id", "cents", "med", "mad", "is_anom")
+        .writeStream.format("memory").queryName("st_anomaly_replay_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st_anomaly_replay_mem").orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts
+           |  FROM events WHERE user_id < 30),
+           |w AS (
+           |  SELECT event_id, user_id, cents,
+           |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS win
+           |  FROM e),
+           |s AS (
+           |  SELECT event_id, user_id, cents, list_sort(win) AS l
+           |  FROM w WHERE len(win) = 15),
+           |m AS (
+           |  SELECT event_id, user_id, cents, l[8] AS med,
+           |    list_sort(list_transform(l, x -> abs(x - l[8])))[8] AS mad
+           |  FROM s)
+           |SELECT event_id, user_id, cents, med, mad,
+           |  (abs(cents - med) > 7 * mad) AS is_anom
+           |FROM m ORDER BY event_id""".stripMargin))
+
   /** ST5d — the SAME running-totals changelog computed by Spark 4's
     * transformWithState (StatefulProcessor + typed ValueState handle +
     * RocksDB state store), judged against the IDENTICAL window oracle as
@@ -7364,6 +7414,7 @@ object Queries {
     q1TopK, q1bGroupedTopK, q2Union, q3Intersect, q3Except, q4Pivot,
     q4bUnpivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
+    stAnomalyReplay,
     stStateTws,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     sql5Recursive, sql6Q3Shipping, sql7Q18BigOrders, sql8Q10Returns,

@@ -187,6 +187,48 @@ object TickPipeline {
       }
   }
 
+  /** ST5e — STREAMING robust anomaly flags: the exact streaming twin of
+    * the batch median/MAD lane (`ops.TimeSeries.robustAnomalies`) — the
+    * continuous-monitoring deployment of the same contract, judged
+    * against the same oracle. State per key is a bounded ring of the
+    * last n integer-cent values (n longs — CONSTANT state per key, the
+    * property that lets a 100 TB/day tick stream run this with
+    * |keys|·n·8 bytes of total store); each arriving tick appends,
+    * evicts the oldest past n, and once the ring is full emits the
+    * row's lower-median/MAD verdict. Within a micro-batch events apply
+    * in (us, tie) order and the ring carries across batches, so
+    * replaying N batches or one yields the identical flag stream —
+    * and that stream is row-for-row the batch operator's output (the
+    * trailing ROWS frame and the ring ARE the same window; StreamingSpec
+    * pins the equality, the judged replay pins it against DuckDB). */
+  def streamingAnomalies(events: Dataset[(Long, Long, Long, Long)],
+      n: Int = 15, k: Int = 7)
+      : Dataset[(Long, Long, Long, Long, Long, Boolean)] = {
+    require(n >= 3 && n % 2 == 1, s"window must be odd and >= 3, got $n")
+    import events.sparkSession.implicits._
+    val mid = (n + 1) / 2
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long, Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[Seq[Long]]) =>
+          var ring = state.getOption.getOrElse(Seq.empty[Long])
+          val out = it.toSeq.sortBy(e => (e._3, e._2)).flatMap {
+            case (_, tie, _, cents) =>
+              ring = (ring :+ cents).takeRight(n)
+              if (ring.size == n) {
+                val l = ring.sorted
+                val med = l(mid - 1)
+                val mad = l.map(v => math.abs(v - med)).sorted.apply(mid - 1)
+                Some((tie, key, cents, med, mad,
+                  math.abs(cents - med) > mad * k))
+              } else None
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   /** ST5d — [[runningTotals]] on Spark 4's transformWithState API
     * (StatefulProcessor + typed state handles). Same contract as the
     * flatMapGroupsWithState version — integer-cents changelog, within-

@@ -149,6 +149,34 @@ class StreamingSpec extends SparkSpec {
       (1L, 12L, 3L, 357L), (2L, 20L, 1L, 5L)))
   }
 
+  test("ST5e streamingAnomalies: ring state carries across batches and " +
+      "the flag stream equals the batch operator on the same events") {
+    val in = MemoryStream[(Long, Long, Long, Long)](spark)
+    val q = TickPipeline.streamingAnomalies(in.toDS(), n = 5, k = 7)
+      .toDF("event_id", "user_id", "cents", "med", "mad", "is_anom")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sa").start()
+    // 4 quiet ticks in batch 1 (no emission — ring not full), then a
+    // batch-2 quiet tick (first full ring) and a spike
+    val b1 = Seq((1L, 1L, 10L, 100L), (1L, 2L, 20L, 101L),
+      (1L, 3L, 30L, 102L), (1L, 4L, 40L, 101L))
+    val b2 = Seq((1L, 5L, 50L, 100L), (1L, 6L, 60L, 9999L))
+    in.addData(b1: _*); q.processAllAvailable()
+    val afterB1 = spark.table("sa").count()
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    assert(afterB1 == 0L, "ring must not emit before it is full")
+    val streamed = spark.table("sa")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+    // the batch operator over the concatenated input is the contract
+    val batch = graft.ops.TimeSeries.robustAnomalies(
+        (b1 ++ b2).toDF("k", "id", "us", "cents")
+          .withColumn("ts", timestamp_micros($"us")),
+        "k", "ts", "id", col("cents"), n = 5, k = 7)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+    assert(streamed == batch)
+    assert(streamed.map(r => (r._1, r._6)) == Seq((5L, false), (6L, true)))
+  }
+
   test("ST5d transformWithState twin emits the identical changelog, " +
       "state carried across batches in RocksDB") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
