@@ -6099,6 +6099,143 @@ object Queries {
     },
     Some(sql22Text))
 
+  /** SQL23 — TPC-H Q6 shape (forecast revenue change): the pure
+    * scan-side query — no join at all, three pushable predicates (date
+    * range, discount band, quantity cap) and a single global aggregate.
+    * This is the shape where predicate pushdown IS the whole plan: at
+    * 100 TB the engine reads one year × two columns' worth of pages and
+    * the aggregate never shuffles more than one partial row per task.
+    * Revenue = price × discount (what WOULD have been earned), exact
+    * cents via the textually-pinned floor. */
+  private val sql23Text: String =
+    """SELECT
+      |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS forecast_cents,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  val sql23Q6Forecast = QuerySpec("sql23_q6_forecast",
+    (s, d) => {
+      T(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sql23Text)
+    },
+    Some(sql23Text))
+
+  /** SQL24 — TPC-H Q8 shape (national market share): the deepest join
+    * tree in the suite — lineitem fans out to EIGHT tables with nation
+    * joined twice under different roles (market nation via customer,
+    * share nation via supplier), then a conditional share-of-total per
+    * year. All five dims broadcast; the orderdate band and p_type reach
+    * their scans; the share is the Q14 floored-double ppm discipline.
+    * The CASE-gated numerator and full denominator come out of ONE
+    * aggregate — never two passes over the joined fact. */
+  private val sql24Text: String =
+    """WITH rev AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+      |      AS BIGINT) AS cents,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+      |    AS BIGINT) AS nation_cents,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST(floor(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+      |    THEN cents ELSE 0 END) AS DOUBLE) * 1000000.0 / sum(cents))
+      |    AS BIGINT) AS share_ppm
+      |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  val sql24Q8MarketShare = QuerySpec("sql24_q8_market_share",
+    (s, d) => {
+      Seq("lineitem", "orders", "customer", "nation", "region", "supplier",
+        "part").foreach(t => T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql24Text)
+    },
+    Some(sql24Text))
+
+  /** SQL25 — TPC-H Q9 shape (product-type profit): profit = revenue −
+    * cost over a LIKE-filtered part family, grouped by the supplier's
+    * nation and order year. The testdata has no partsupp table, so
+    * supply cost is a deterministic per-part proxy (60% of retail, in
+    * cents — the join/aggregate shape is the point, and it is
+    * unchanged: the cost column rides the part dim through the same
+    * broadcast). The LIKE '%widget%' is a non-sargable mid-string
+    * match — it still prunes on the part DIM (small), never the fact.
+    * Profit cents are exact BIGINTs: integral quantities × integer
+    * cost cents subtracted from floored revenue cents. */
+  private val sql25Text: String =
+    """WITH profit AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+      |      AS BIGINT)
+      |      - CAST(l.l_quantity AS BIGINT)
+      |        * CAST(floor(p.p_retailprice * 60 + 0.5) AS BIGINT)
+      |      AS amount_cents
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE p.p_name LIKE '%widget%')
+      |SELECT nation, o_year,
+      |  CAST(sum(amount_cents) AS BIGINT) AS profit_cents
+      |FROM profit GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  val sql25Q9ProductProfit = QuerySpec("sql25_q9_product_profit",
+    (s, d) => {
+      Seq("lineitem", "part", "supplier", "nation", "orders").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql25Text)
+    },
+    Some(sql25Text))
+
+  /** SQL26 — TPC-H Q11 shape (important stock): GROUP BY + HAVING
+    * against a SCALAR SUBQUERY over the same derived table — the
+    * value-concentration query ("parts worth more than fraction f of
+    * the national total"). Both branches reuse one CTE; the optimizer
+    * evaluates the global total once (single-row broadcast) and the
+    * HAVING compares per-group sums against it. The testdata has no
+    * partsupp, so "stock value" is the supplier-nation-filtered
+    * lineitem revenue per part — same two-level aggregate + global
+    * threshold shape. The threshold is the exact integer
+    * cross-multiply sum·500 > total (no division, no floats). */
+  private val sql26Text: String =
+    """WITH ps AS (
+      |  SELECT l.l_partkey,
+      |    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_name = 'NATION_1')
+      |SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS value_cents
+      |FROM ps GROUP BY l_partkey
+      |HAVING sum(cents) * 500 > (SELECT sum(cents) FROM ps)
+      |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  val sql26Q11ImportantStock = QuerySpec("sql26_q11_important_stock",
+    (s, d) => {
+      Seq("lineitem", "supplier", "nation").foreach(t =>
+        T(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql26Text)
+    },
+    Some(sql26Text))
+
   /** F14 — higher-order array functions (round 9): transform / filter /
     * aggregate / zip_with over the real embedding arrays. Element math is
     * integer-ized FIRST (floor-milli longs), so every fold is exact and
@@ -7398,6 +7535,134 @@ object Queries {
            |  n_distinct, min_val, max_val
            |FROM p ORDER BY column_name""".stripMargin))
 
+  /** X8k — CUSUM changepoint flags (ops/TimeSeries.cusum): the two-sided
+    * Page detector over per-key cent deltas, slack 4000 ≈ the corpus
+    * median |delta| (the statistic decays on typical moves, accumulates
+    * on drifts), alarm at 20000. The prefix recursion runs as a
+    * secondary-sort mapPartitions — one key shuffle then a constant-
+    * state streaming pass; the oracle replays the identical integers
+    * with a DuckDB prefix-list fold. */
+  val x8Cusum = QuerySpec("x8_cusum",
+    (s, d) => TimeSeries.cusum(Tables.events(s, d), "user_id", "ts",
+        "event_id", floor(col("value") * 100 + lit(0.5)).cast("long"),
+        4000L, 20000L)
+      .orderBy(col("event_id")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |l AS (SELECT event_id, user_id, cents, us,
+           |    coalesce(cents - lag(cents) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id), 0) AS d
+           |  FROM e),
+           |w AS (SELECT event_id, user_id, cents, d,
+           |    list(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+           |  FROM l),
+           |f AS (SELECT event_id, user_id, cents, d,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+           |      (a, b) -> greatest(CAST(0 AS BIGINT), a + b - 4000))
+           |      AS cusum_up,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+           |      (a, b) -> greatest(CAST(0 AS BIGINT), a - b - 4000))
+           |      AS cusum_dn
+           |  FROM w)
+           |SELECT event_id, user_id, cents, d, cusum_up, cusum_dn,
+           |  CAST(CASE WHEN cusum_up > 20000 OR cusum_dn > 20000
+           |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+           |FROM f ORDER BY event_id""".stripMargin),
+    bench = true)
+
+  /** X10f — multi-source BFS hop distance (ops/Graph.bfsHops) on the
+    * symmetrized co-supply graph: min hops from every supplier whose id
+    * ≡ 0 (mod 7), within 4 hops. Frontier-join propagation — each round
+    * joins only the just-discovered rows against the edge list; the
+    * oracle is the bounded recursive CTE over the identical edges. */
+  val x10Bfs = QuerySpec("x10_bfs",
+    (s, d) => {
+      val e0 = Graph.coSupplyEdges(T(s, d, "lineitem"), 499L)
+      // one materialization feeds both the source derivation and every
+      // BFS round — the edge subtree is never re-derived
+      val und = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(eager = false)
+      val sources = und.select(col("src").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+      Graph.bfsHops(und, sources, 4).orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE sp AS (
+           |  SELECT DISTINCT l_partkey AS p, CAST(l_suppkey AS BIGINT) AS s
+           |  FROM lineitem WHERE l_partkey % 499 = 0),
+           |ok AS (SELECT p FROM sp GROUP BY p HAVING count(*) <= 1000),
+           |spb AS (SELECT sp.p, sp.s FROM sp JOIN ok USING (p)),
+           |e0 AS (SELECT DISTINCT x.s AS a, y.s AS b
+           |       FROM spb x JOIN spb y ON x.p = y.p AND x.s < y.s),
+           |e AS (SELECT a AS src, b AS dst FROM e0
+           |      UNION ALL SELECT b, a FROM e0),
+           |srcs AS (SELECT DISTINCT src AS node FROM e WHERE src % 7 = 0),
+           |b(node, hops) AS (
+           |  SELECT node, CAST(0 AS BIGINT) FROM srcs
+           |  UNION
+           |  SELECT e.dst, b.hops + 1 FROM b JOIN e ON e.src = b.node
+           |  WHERE b.hops < 4)
+           |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+           |FROM b GROUP BY node ORDER BY node""".stripMargin),
+    bench = true)
+
+  /** X9f — calibration table (ops/Experiment.calibration): token-count
+    * score vs is-English label in width-25 bins — mean score and
+    * observed positive fraction per bin, the reliability-diagram table
+    * AUC (x9_auc) cannot see. One bin-grouped shuffle to |bins| rows. */
+  val x9Calibration = QuerySpec("x9_calibration",
+    (s, d) => Experiment.calibration(T(s, d, "documents"),
+        size(split(col("text"), " ")).cast("long"), col("lang") === "en",
+        25L)
+      .orderBy(col("bin")),
+    Some("""WITH r AS (
+           |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |g AS (SELECT s // 25 AS bin, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(y) AS BIGINT) AS n_pos,
+           |    CAST(sum(s) AS BIGINT) AS sum_s
+           |  FROM r GROUP BY 1)
+           |SELECT bin, n, n_pos,
+           |  sum_s * 1000 // n AS mean_score_milli,
+           |  n_pos * 1000000 // n AS frac_pos_ppm
+           |FROM g ORDER BY bin""".stripMargin))
+
+  /** X4q — cross-document boilerplate removal (ops/TextOps.boilerplate):
+    * width-3 word chunks occurring verbatim in ≥ 5 distinct documents
+    * are template text; per doc, the chunk counts and the reassembled
+    * clean text. One explode ∝ corpus words / 3, one hash-keyed
+    * count-distinct, one doc-keyed reassembly. */
+  val x4Boilerplate = QuerySpec("x4_boilerplate",
+    (s, d) => TextOps.boilerplate(T(s, d, "documents"), "doc_id", "text",
+        3, 5L)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |n AS (SELECT doc_id, ws, (len(ws) + 2) // 3 AS nch
+           |  FROM d WHERE len(ws) >= 1),
+           |u AS (SELECT doc_id, ws,
+           |    unnest(generate_series(0, nch - 1)) AS i
+           |  FROM n),
+           |c AS (SELECT doc_id, i AS idx,
+           |    array_to_string(ws[(i * 3 + 1):(i * 3 + 3)], ' ') AS chunk
+           |  FROM u),
+           |hh AS (SELECT doc_id, idx, chunk, md5(chunk) AS h FROM c),
+           |f AS (SELECT h FROM hh GROUP BY h
+           |  HAVING count(DISTINCT doc_id) >= 5),
+           |v AS (SELECT hh.doc_id, hh.idx, hh.chunk,
+           |    CASE WHEN f.h IS NULL THEN 0 ELSE 1 END AS boiler
+           |  FROM hh LEFT JOIN f ON hh.h = f.h)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(boiler) AS BIGINT) AS n_boiler,
+           |  coalesce(string_agg(CASE WHEN boiler = 0 THEN chunk END,
+           |    ' ' ORDER BY idx), '') AS clean_text
+           |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    bench = true)
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -7422,7 +7687,8 @@ object Queries {
     sql13Q15TopSupplier, sql14Q4Priority, sql15Q12ShipClass,
     sql16Q16SupplierCnt, sql17Q19Disjunct, sql18Q20TopShippers,
     sql19Q5LocalVolume, sql20Q7TradeVolume, sql21Q13CustDist,
-    sql22Q14PromoShare,
+    sql22Q14PromoShare, sql23Q6Forecast, sql24Q8MarketShare,
+    sql25Q9ProductProfit, sql26Q11ImportantStock,
     f14HigherOrder,
     x1Dedup, x2Jaccard, x2Minhash, x2MinhashEst, x2EditDist, x2LshPairs,
     x2Simhash,
@@ -7457,8 +7723,9 @@ object Queries {
     x11Expectations, x11Quarantine, x11Profile,
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,
-    x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x8Ema, x5BudgetMix,
-    x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Curation,
+    x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x8Ema, x8Cusum,
+    x5BudgetMix, x10Bfs, x4Boilerplate,
+    x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

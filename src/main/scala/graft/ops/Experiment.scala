@@ -156,6 +156,35 @@ object Experiment {
           expr("u2 * 1000000L div (2L * n_pos * n_neg)")))
   }
 
+  /** X9f — calibration / reliability table: AUC ([[aucReport]]) says a
+    * scorer RANKS well; calibration says its VALUES mean what they
+    * claim. Bucket the score into fixed-width bins and compare, per
+    * bin, the mean score against the observed positive fraction — the
+    * reliability diagram's underlying table, and the input to ECE
+    * (expected calibration error: Σ n_i·|mean_i − frac_i| / N, which a
+    * consumer computes from these exact columns at the edge).
+    *
+    * Integer discipline throughout: bin = floor-div of the integer
+    * score by `binWidth`; mean score and positive fraction are exact
+    * integer-milli/ppm quotients of BIGINT sums — no doubles, so the
+    * oracle replays bit-identically. Scale shape: ONE bin-grouped
+    * map-side-combined shuffle collapsing the fact volume to |bins|
+    * rows; everything downstream is arithmetic on that bounded frame. */
+  def calibration(rows: DataFrame, scoreCol: Column, positiveCol: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    rows
+      .select(scoreCol.cast("long").as("s"),
+        when(positiveCol, 1L).otherwise(0L).as("y"))
+      .withColumn("bin", expr(s"s div ${binWidth}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("s")).as("sum_s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sum_s * 1000L div n").as("mean_score_milli"),
+        expr("n_pos * 1000000L div n").as("frac_pos_ppm"))
+  }
+
   /** X9e — [[aucReport]] per group: one AUC row per slice (per source,
     * per language, per model version) — the fairness/debugging cut every
     * eval report needs, since a scorer can rank well in aggregate while

@@ -233,6 +233,46 @@ object Graph {
     degrees(und).select(col("v").as("node"), col("dg").as("core_deg"))
   }
 
+  /** X10 — multi-source BFS hop distance: min-hops from a source set,
+    * bounded at `maxHops` rounds (the "within k hops" neighborhood
+    * query — reach analysis, influence radius, link-graph crawl depth).
+    *
+    * Frontier-propagation shape: round h joins ONLY the rows discovered
+    * at h−1 (the frontier) against the edge list — an equi-join on src —
+    * then folds the discoveries into the label frame with a min-hops
+    * aggregate. Every round is one edge-keyed equi-join plus one
+    * node-keyed partial-combining aggregate; the label frame is
+    * localCheckpoint'd per round (the [[pageRank]]/[[kCore]] lineage
+    * discipline) so round h+1 starts from a materialized frame. The
+    * frontier SHRINKS as the reachable set saturates, so late rounds
+    * join near-empty frames — cost tracks discovery, not graph size.
+    * Nothing is ever collected to the driver; maxHops bounds the unroll
+    * the same way the oracle's recursive CTE bounds its recursion.
+    *
+    * Returns (node, hops) for every node reachable within maxHops,
+    * sources at hops = 0. Directed: follow `src → dst` as given —
+    * callers wanting undirected reach pass a symmetrized edge frame. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50,
+      s"maxHops must be in [1,50], got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
+    var dist = sources.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(eager = false)
+    (1 to maxHops).foreach { h =>
+      val frontier = dist.filter(col("hops") === (h - 1))
+      val discovered = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), lit(h.toLong).as("hops"))
+      dist = dist.unionAll(discovered)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+
   /** Co-supply demo graph: suppliers are adjacent when they supply the
     * same part (a co-occurrence projection, the document↔entity shape of
     * web-corpus link analysis). Per-part supplier sets become cliques, so
@@ -244,12 +284,17 @@ object Graph {
     * fixtures stay oracle-replayable at every scale factor. */
   def coSupplyEdges(lineitem: DataFrame, partMod: Long,
       maxPerPart: Int = 1000): DataFrame = {
+    // sp feeds three consumers (the cap count, the semi-join, both join
+    // sides); Catalyst re-derives repeated subtrees, so materialize the
+    // narrow (p, s) frame once instead of rescanning lineitem per use
     val sp = lineitem.filter(col("l_partkey") % partMod === 0)
       .select(col("l_partkey").as("p"), col("l_suppkey").cast("long").as("s"))
       .distinct()
+      .localCheckpoint(eager = false)
     val ok = sp.groupBy(col("p")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxPerPart).select(col("p"))
     val bounded = sp.join(ok, Seq("p"), "left_semi")
+      .localCheckpoint(eager = false)
     bounded.as("x")
       .join(bounded.as("y"),
         col("x.p") === col("y.p") && col("x.s") < col("y.s"))

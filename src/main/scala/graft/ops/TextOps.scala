@@ -733,6 +733,61 @@ object TextOps {
         expr("(l1_present + pg_total - pg_present) div 2").as("tv_ppm"))
   }
 
+  /** X4 — cross-document boilerplate removal (the C4/CCNet pass): chop
+    * each document into fixed-width word chunks, count how many DISTINCT
+    * documents each exact chunk occurs in, and strip chunks above the
+    * `minDocs` line — navigation bars, cookie banners, license headers
+    * and other template text repeat VERBATIM across pages, which is
+    * precisely what per-document dedup ([[Dedup]]) cannot see and
+    * within-document repetition scoring ([[withRepetitionStats]]) cannot
+    * see either. Returns per doc: chunk count, boilerplate chunk count,
+    * and the reassembled clean text (kept chunks in original order).
+    *
+    * Scale shape, three stages all keyed and bounded:
+    *   1. chunking is a NARROW higher-order projection — `sequence` →
+    *      `slice` → `array_join` builds the chunk list without
+    *      materializing intermediate strings per word, then ONE
+    *      posexplode fans out rows ∝ corpus words / width;
+    *   2. the frequency pass groups by the chunk's md5 (map-side
+    *      combined `count_distinct(doc)` — bounded by doc count per
+    *      chunk) and only hashes cross the shuffle, never chunk text;
+    *   3. the verdict joins back on the hash (equi-join) and the clean
+    *      text reassembles per doc via an `array_sort` on (idx, chunk)
+    *      structs — deterministic order, one doc-keyed shuffle.
+    *
+    * The tail chunk (doc length not divisible by width) participates
+    * like any other chunk — a short template line repeats verbatim too.
+    * `width` trades selectivity for recall exactly like the shingle
+    * width in [[Dedup]]; `minDocs` is the corpus-frequency line. */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, minDocs: Long): DataFrame = {
+    require(width >= 1 && width <= 64, s"width must be in [1,64], got $width")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val chunked = docs
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .withColumn("nch", expr(s"(size(ws) + ${width - 1}) div $width"))
+      .filter(col("nch") >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, nch - 1), " +
+          s"i -> array_join(slice(ws, i * $width + 1, $width), ' '))"))
+        .as(Seq("idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val freq = chunked.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"), lit(1L).as("boiler"))
+    chunked
+      .join(freq, Seq("h"), "left")
+      .withColumn("boiler", coalesce(col("boiler"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("boiler")).as("n_boiler"),
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "if(boiler = 0, struct(idx, chunk), null))), s -> s.chunk)"),
+          " ").as("clean_text"))
+  }
+
   def withFingerprints(docs: DataFrame, textCol: String): DataFrame =
     Scale.fanOut(docs) // md5-per-shingle is compute-heavy; spread few-split inputs
       .withColumn("fp", md5(lower(col(textCol))))

@@ -464,6 +464,64 @@ object TimeSeries {
         max(abs(col("d"))).as("max_abs_cents"))
   }
 
+  /** X8 — CUSUM changepoint flags per key (Page 1954): the classic
+    * two-sided cumulative-sum detector over tick-to-tick integer cent
+    * deltas. Per key, in time order:
+    *
+    *   up_i = max(0, up_{i-1} + d_i − slack)
+    *   dn_i = max(0, dn_{i-1} − d_i − slack)
+    *
+    * with d_1 = 0, alarm when either side exceeds `threshold`. The
+    * recursion is a PREFIX fold with a clamp — unlike [[emaTrunc]]'s
+    * bounded Horner window it cannot be expressed as a frame aggregate
+    * without materializing the whole per-key prefix under every row
+    * (O(n²) state), so this is the one per-key series op implemented as
+    * a SECONDARY SORT: `repartition(key)` + `sortWithinPartitions(key,
+    * ts, tie)` + `mapPartitions` with O(1) running state per key and a
+    * reset on key change. That is the scale-correct shape — one shuffle
+    * (the same key shuffle every window lane pays), then a single
+    * streaming pass with constant memory regardless of ticks-per-key;
+    * no `collect_list`, no per-key buffer. The oracle replays the same
+    * integers with a DuckDB prefix-list fold (quadratic, fine at
+    * fixture scale — the point of the oracle is the integers, not the
+    * plan).
+    *
+    * All state is exact BIGINT; `slack` absorbs drift (deltas smaller
+    * than slack decay the statistic), `threshold` sets the alarm line —
+    * both in cents, both part of the declared contract. */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCentsCol: Column, slack: Long,
+      threshold: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .select(col(keyCol).cast("long").as("k"),
+        expr(s"unix_micros($tsCol)").as("us"),
+        col(tieCol).cast("long").as("tie"),
+        valueCentsCol.cast("long").as("cents"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("us"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+    prepared.mapPartitions { it =>
+      var curKey = Long.MinValue
+      var haveKey = false
+      var prev = 0L
+      var up = 0L
+      var dn = 0L
+      it.map { case (k, _, tie, cents) =>
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; prev = cents; up = 0L; dn = 0L
+        }
+        val d = cents - prev
+        prev = cents
+        up = math.max(0L, up + d - slack)
+        dn = math.max(0L, dn - d - slack)
+        (tie, k, cents, d, up, dn,
+          if (up > threshold || dn > threshold) 1L else 0L)
+      }
+    }.toDF(tieCol, keyCol, "cents", "d", "cusum_up", "cusum_dn", "alarm")
+  }
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

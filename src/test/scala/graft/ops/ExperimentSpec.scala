@@ -150,4 +150,26 @@ class ExperimentSpec extends SparkSpec {
       assert(grouped.getAs[Long]("n_pos") == solo.getAs[Long]("n_pos"), g)
     }
   }
+
+  test("X9f calibration: bins partition the score axis, counts and exact " +
+      "integer quotients match hand-rolled values") {
+    // binWidth 10: scores 0-9 -> bin 0, 10-19 -> bin 1, ...
+    // bin 0: scores 2, 4 (one pos)  -> mean 3000 milli, frac 500000 ppm
+    // bin 1: scores 10, 15, 19 (all pos) -> mean 14666 milli (floor), 1e6 ppm
+    // bin 3: score 30 (neg)         -> mean 30000 milli, 0 ppm
+    val rows = Seq((2L, true), (4L, false), (10L, true), (15L, true),
+      (19L, true), (30L, false)).toDF("s", "y")
+    val out = Experiment.calibration(rows, col("s"), col("y"), 10L)
+      .orderBy(col("bin"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 1L, 3000L, 500000L),
+      (1L, 3L, 3L, 14666L, 1000000L),
+      (3L, 1L, 0L, 30000L, 0L)))
+    // a perfectly calibrated constant scorer: mean == frac at the ppm scale
+    val cal = Seq.tabulate(100)(i => (500L, i < 50)).toDF("s", "y")
+    val c = Experiment.calibration(cal, col("s"), col("y"), 1000L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(c == (0L, 100L, 50L, 500000L, 500000L))
+  }
 }

@@ -101,4 +101,28 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
     assert(Graph.kCore(k4, 4, 3).count() == 0)
   }
+
+  test("X10f bfsHops: min-hops on a path with a shortcut, bounded depth " +
+      "truncates, unreachable nodes are absent, direction is honored") {
+    // path 1-2-3-4-5 plus shortcut 1-4: node 4 is 1 hop, 5 is 2 hops;
+    // 9-10 is a separate component (unreachable from 1)
+    val dirEdges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L))
+    val und = (dirEdges ++ dirEdges.map(_.swap)).toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val hops = Graph.bfsHops(und, src, 10)
+      .as[(Long, Long)].collect().toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // maxHops truncates: depth 1 sees only the direct neighbors
+    assert(Graph.bfsHops(und, src, 1).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // directed edges: from 5 nothing is reachable on the forward graph
+    val fwd = dirEdges.toDF("src", "dst")
+    assert(Graph.bfsHops(fwd, Seq(5L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap == Map(5L -> 0L))
+    // multi-source: two sources each claim their own component
+    val multi = Graph.bfsHops(und, Seq(1L, 9L).toDF("node"), 10)
+      .as[(Long, Long)].collect().toMap
+    assert(multi(9L) == 0L && multi(10L) == 1L && multi(5L) == 2L)
+  }
 }

@@ -287,6 +287,48 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(!r(6L)._6 && !r(6L)._7, "stopword-free doc fails r_stop")
   }
 
+  test("X4q boilerplate: a chunk repeated across >= minDocs docs is " +
+      "stripped from every doc, rare chunks survive, order is preserved") {
+    // width 2, minDocs 3: "cookie banner" opens docs 1-3 (boilerplate);
+    // doc bodies are unique. Doc 4 has no boilerplate at all.
+    val docs = Seq(
+      (1L, "cookie banner alpha beta"),
+      (2L, "cookie banner gamma delta"),
+      (3L, "cookie banner epsilon zeta"),
+      (4L, "eta theta iota kappa")).toDF("doc_id", "text")
+    val out = TextOps.boilerplate(docs, "doc_id", "text", 2, 3L)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, "alpha beta"),
+      (2L, 2L, 1L, "gamma delta"),
+      (3L, 2L, 1L, "epsilon zeta"),
+      (4L, 2L, 0L, "eta theta iota kappa")))
+    // repeats WITHIN one doc don't count toward the cross-doc line
+    val selfRep = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "unique words here now")).toDF("doc_id", "text")
+    val o2 = TextOps.boilerplate(selfRep, "doc_id", "text", 2, 2L)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(o2.map(_._3) == Seq(0L, 0L), "distinct-doc count, not occurrences")
+    // a doc that is ALL boilerplate reassembles to the empty string
+    val allBp = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val o3 = TextOps.boilerplate(allBp, "doc_id", "text", 2, 3L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(o3.forall(r => r._3 == 1L && r._4 == ""))
+    // tail chunk (len not divisible by width) participates like any other
+    val tail = Seq((1L, "a b c"), (2L, "z z c"), (3L, "q q c"))
+      .toDF("doc_id", "text")
+    val o4 = TextOps.boilerplate(tail, "doc_id", "text", 2, 3L)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // chunks: ["a b","c"], ["z z","c"], ["q q","c"] -> "c" is in 3 docs
+    assert(o4.map(_._3) == Seq(1L, 1L, 1L))
+    assert(o4.map(_._4) == Seq("a b", "z z", "q q"))
+  }
+
   test("X4f bloom decontamination: flags a superset of the exact lane, " +
       "and agrees with it at generous m") {
     val d = sf("sf0.001")

@@ -332,4 +332,34 @@ class TimeSeriesSpec extends SparkSpec {
     // key 2 emitted nothing (no second tick)
     assert(!out.exists(_._1 == 2L))
   }
+
+  test("X8k cusum: recursion matches hand-rolled values, clamps at zero, " +
+      "alarms past the threshold, and resets per key") {
+    // key 1 cents: 100, 110, 105, 130, 160 -> deltas 0, +10, -5, +25, +30
+    // slack 4, threshold 30:
+    //   up: 0, 6, 0, 21, 47     dn: 0, 0, 1, 0, 0
+    // alarm fires only on the last row (47 > 30)
+    // key 2 starts fresh: single tick -> d = 0, up = dn = 0
+    val rows = Seq((1L, 1L, 100L), (1L, 2L, 110L), (1L, 3L, 105L),
+      (1L, 4L, 130L), (1L, 5L, 160L), (2L, 9L, 999L))
+    val df = rows.toDF("k", "id", "cents")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val out = TimeSeries.cusum(df, "k", "ts", "id",
+        col("cents"), 4L, 30L)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 100L, 0L, 0L, 0L, 0L),
+      (2L, 1L, 110L, 10L, 6L, 0L, 0L),
+      (3L, 1L, 105L, -5L, 0L, 1L, 0L),
+      (4L, 1L, 130L, 25L, 21L, 0L, 0L),
+      (5L, 1L, 160L, 30L, 47L, 0L, 1L),
+      (9L, 2L, 999L, 0L, 0L, 0L, 0L)))
+    // determinism across the repartition+sort: a second run is identical
+    val out2 = TimeSeries.cusum(df, "k", "ts", "id",
+        col("cents"), 4L, 30L)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out2 == out)
+  }
 }
