@@ -7663,6 +7663,117 @@ object Queries {
            |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     bench = true)
 
+  /** X12a — frequent item pairs (ops/Basket.pairCounts): brand
+    * co-occurrence within orders, baskets capped at 8 distinct brands
+    * BEFORE the pair fan-out (the corpus max is 11 — the cap is
+    * exercised, not decorative), support floor 50. */
+  val x12BasketPairs = QuerySpec("x12_basket_pairs",
+    (s, d) => Basket.pairCounts(
+        T(s, d, "lineitem")
+          .join(broadcast(T(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", maxBasket = 8, minSupport = 50L)
+      .orderBy(col("a"), col("b")),
+    Some("""WITH it AS (
+           |  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+           |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+           |ok AS (SELECT bk FROM it GROUP BY bk HAVING count(*) <= 8),
+           |itc AS (SELECT it.bk, it.item FROM it JOIN ok USING (bk)),
+           |pr AS (SELECT x.item AS a, y.item AS b
+           |  FROM itc x JOIN itc y ON x.bk = y.bk AND x.item < y.item)
+           |SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+           |FROM pr GROUP BY a, b HAVING count(*) >= 50
+           |ORDER BY a, b""".stripMargin),
+    bench = true)
+
+  /** X12b — association rules (ops/Basket.rules): both directions of
+    * every surviving pair with exact integer support / confidence-ppm /
+    * lift-ppm; lift > 10^6 marks positive association. The basket total
+    * rides a 1-row broadcast (no driver-side count — the plan stays
+    * lazy end to end). */
+  val x12BasketRules = QuerySpec("x12_basket_rules",
+    (s, d) => Basket.rules(
+        T(s, d, "lineitem")
+          .join(broadcast(T(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", maxBasket = 8, minSupport = 100L)
+      .orderBy(col("lhs"), col("rhs")),
+    Some("""WITH it AS (
+           |  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+           |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+           |ok AS (SELECT bk FROM it GROUP BY bk HAVING count(*) <= 8),
+           |itc AS (SELECT it.bk, it.item FROM it JOIN ok USING (bk)),
+           |sup AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+           |  FROM itc GROUP BY item),
+           |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets
+           |  FROM itc),
+           |pc AS (SELECT x.item AS a, y.item AS b,
+           |    CAST(count(*) AS BIGINT) AS n_ab
+           |  FROM itc x JOIN itc y ON x.bk = y.bk AND x.item < y.item
+           |  GROUP BY 1, 2 HAVING count(*) >= 100),
+           |dir AS (SELECT a AS lhs, b AS rhs, n_ab FROM pc
+           |  UNION ALL SELECT b, a, n_ab FROM pc)
+           |SELECT d.lhs, d.rhs, d.n_ab,
+           |  sl.n_item AS n_lhs, sr.n_item AS n_rhs,
+           |  d.n_ab * 1000000 // sl.n_item AS confidence_ppm,
+           |  d.n_ab * nb.n_baskets * 1000000
+           |    // (sl.n_item * sr.n_item) AS lift_ppm
+           |FROM dir d JOIN sup sl ON d.lhs = sl.item
+           |JOIN sup sr ON d.rhs = sr.item, nb
+           |ORDER BY lhs, rhs""".stripMargin),
+    bench = true)
+
+  /** X8l — seasonal slot profile (ops/TimeSeries.seasonalProfile):
+    * hour-of-day activity shape per user — exact per-slot counts/sums,
+    * integer-milli means, deviation from the key-wide mean. One
+    * (key, slot) shuffle to a ≤ |keys|·24-row frame. */
+  val x8Seasonal = QuerySpec("x8_seasonal",
+    (s, d) => TimeSeries.seasonalProfile(Tables.events(s, d), "user_id",
+        "ts", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .orderBy(col("user_id"), col("slot")),
+    Some("""WITH e AS (SELECT user_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    (epoch_us(ts) // 3600000000) % 24 AS slot
+           |  FROM events),
+           |g AS (SELECT user_id, slot, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS sum_cents
+           |  FROM e GROUP BY 1, 2),
+           |k AS (SELECT user_id, slot, n, sum_cents,
+           |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS key_n,
+           |    CAST(sum(sum_cents) OVER (PARTITION BY user_id) AS BIGINT)
+           |      AS key_sum
+           |  FROM g)
+           |SELECT user_id, slot, n, sum_cents,
+           |  sum_cents * 1000 // n AS mean_milli,
+           |  sum_cents * 1000 // n - key_sum * 1000 // key_n AS dev_milli
+           |FROM k ORDER BY user_id, slot""".stripMargin))
+
+  /** X8m — last-touch conversion attribution
+    * (ops/TimeSeries.lastTouchAttribution): every purchase credits the
+    * latest preceding non-purchase event type of the same user;
+    * touchless conversions credit 'direct'. One key-window shuffle +
+    * a |types|-bounded aggregate. */
+  val x8Attribution = QuerySpec("x8_attribution",
+    (s, d) => TimeSeries.lastTouchAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", "purchase")
+      .orderBy(col("channel")),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |w AS (SELECT event_type,
+           |    last_value(CASE WHEN event_type <> 'purchase'
+           |        THEN event_type END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS touch
+           |  FROM e)
+           |SELECT coalesce(touch, 'direct') AS channel,
+           |  CAST(count(*) AS BIGINT) AS n_conversions
+           |FROM w WHERE event_type = 'purchase'
+           |GROUP BY 1 ORDER BY channel""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -7724,6 +7835,7 @@ object Queries {
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,
     x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x8Ema, x8Cusum,
+    x8Seasonal, x8Attribution, x12BasketPairs, x12BasketRules,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim)

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X12 — market-basket co-occurrence mining: frequent item pairs and
+  * association rules (support / confidence / lift) over a basket table.
+  *
+  * The downloader's trade rows group naturally into baskets (an order's
+  * line items); the corpus-curation analogue is co-occurrence of
+  * entities/domains within a document. Either way the operator is the
+  * same: which items appear together more often than chance?
+  *
+  * Scale shape — the same cap-before-materialize discipline as
+  * [[Dedup]] and [[Graph.coSupplyEdges]]:
+  *   1. per-basket DISTINCT items (one basket-keyed shuffle; multiple
+  *      lines of the same item in one basket count once);
+  *   2. baskets larger than `maxBasket` are dropped LOUDLY before the
+  *      pair fan-out (a k-item basket emits k·(k−1)/2 pairs — the cap
+  *      bounds the explosion, and a retail basket or document entity
+  *      set has a natural contract size);
+  *   3. the within-basket pair self-join is an EQUI-join on basket id
+  *      (never corpus²), and the (a, b) pair aggregate is bounded by
+  *      |items|², not by row count — map-side combined;
+  *   4. item supports ride a broadcast back onto the pair frame.
+  *
+  * All metrics exact integers: support counts are BIGINTs; confidence
+  * = n_ab·10^6 div n_a (ppm); lift = n_ab·N·10^6 div (n_a·n_b) (ppm,
+  * >10^6 means positive association). Overflow headroom: n_ab·N·10^6
+  * needs n_ab·N < 9.2·10^12 — at 10^6 baskets that allows n_ab up to
+  * ~9·10^6, always true since n_ab ≤ N; at larger corpora lift drops
+  * to a pinned floored double, which the scaladoc declares.
+  */
+object Basket {
+
+  /** Per-basket distinct items, baskets capped at `maxBasket` items. */
+  private def basketItems(rows: DataFrame, basketCol: String,
+      itemCol: String, maxBasket: Int): DataFrame = {
+    val items = rows
+      .select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .distinct()
+    val ok = items.groupBy(col("bk"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBasket)
+      .select(col("bk"))
+    items.join(ok, Seq("bk"), "left_semi")
+      .localCheckpoint(eager = false)
+  }
+
+  private def pairsFromItems(items: DataFrame,
+      minSupport: Long): DataFrame =
+    items.as("x")
+      .join(items.as("y"),
+        col("x.bk") === col("y.bk") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+
+  /** Ordered item-pair co-occurrence counts (a < b lexically): one row
+    * per pair with its basket count. */
+  def pairCounts(rows: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 64, minSupport: Long = 1L): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    pairsFromItems(basketItems(rows, basketCol, itemCol, maxBasket),
+      minSupport)
+  }
+
+  /** Association rules a → b (both directions of every surviving pair):
+    * support counts, confidence ppm, lift ppm. `n_baskets` counts only
+    * capped-in baskets, so every ratio is over the same population. */
+  def rules(rows: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 64, minSupport: Long = 1L): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    // ONE capped item frame feeds the supports, the pairing and the
+    // basket total — the checkpoint materializes once, never per branch
+    val items = basketItems(rows, basketCol, itemCol, maxBasket)
+    val supports = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = pairsFromItems(items, minSupport)
+    // every pair in both rule directions: a→b and b→a
+    val directed = pairs
+      .select(col("a").as("lhs"), col("b").as("rhs"), col("n_ab"))
+      .unionAll(pairs
+        .select(col("b").as("lhs"), col("a").as("rhs"), col("n_ab")))
+    // basket total as a 1-row broadcast, not a driver-side count():
+    // constructing the query stays action-free (lazy end to end)
+    val nb = items.agg(count_distinct(col("bk")).as("n_baskets"))
+    directed
+      .join(broadcast(supports.withColumnRenamed("item", "lhs")
+        .withColumnRenamed("n_item", "n_lhs")), Seq("lhs"))
+      .join(broadcast(supports.withColumnRenamed("item", "rhs")
+        .withColumnRenamed("n_item", "n_rhs")), Seq("rhs"))
+      .crossJoin(broadcast(nb))
+      .select(col("lhs"), col("rhs"), col("n_ab"), col("n_lhs"),
+        col("n_rhs"),
+        expr("n_ab * 1000000L div n_lhs").as("confidence_ppm"),
+        expr("n_ab * n_baskets * 1000000L div (n_lhs * n_rhs)")
+          .as("lift_ppm"))
+  }
+}

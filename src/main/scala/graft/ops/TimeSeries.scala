@@ -522,6 +522,68 @@ object TimeSeries {
     }.toDF(tieCol, keyCol, "cents", "d", "cusum_up", "cusum_dn", "alarm")
   }
 
+  /** X8 — seasonal slot profile: per (key, time-slot) activity shape —
+    * slot = (µs div slotUs) mod modulo, e.g. hour-of-day with the
+    * defaults. Emits per slot the exact count/sum, the integer-milli
+    * mean, and the deviation from the key's overall mean — the
+    * "is 3am different from 3pm" table that seasonality-aware anomaly
+    * detection, capacity planning and traffic shaping all start from
+    * (and the additive-decomposition seasonal term, computed without
+    * floats).
+    *
+    * Scale shape: ONE (key, slot)-grouped map-side-combined shuffle
+    * collapses the tick volume to ≤ |keys|·modulo rows; the key-wide
+    * mean is a window over that bounded frame (≤ modulo rows per key),
+    * never a second pass over the data. All integers exact: mean_milli
+    * = sum·1000 div n, dev_milli a BIGINT difference. */
+  def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String,
+      valueCentsCol: Column, slotUs: Long = 3600000000L,
+      modulo: Int = 24): DataFrame = {
+    require(slotUs >= 1, s"slotUs must be >= 1, got $slotUs")
+    require(modulo >= 2, s"modulo must be >= 2, got $modulo")
+    val w = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .select(col(keyCol), valueCentsCol.as("cents"),
+        expr(s"(unix_micros($tsCol) div ${slotUs}L) % $modulo").as("slot"))
+      .groupBy(col(keyCol), col("slot"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .withColumn("key_n", sum(col("n")).over(w))
+      .withColumn("key_sum", sum(col("sum_cents")).over(w))
+      .select(col(keyCol), col("slot"), col("n"), col("sum_cents"),
+        expr("sum_cents * 1000L div n").as("mean_milli"),
+        expr("sum_cents * 1000L div n - key_sum * 1000L div key_n")
+          .as("dev_milli"))
+  }
+
+  /** X8 — last-touch conversion attribution: each conversion event
+    * credits the most recent PRECEDING non-conversion event type of the
+    * same key ("which channel gets the sale"); conversions with no
+    * preceding touch credit 'direct'. Output is the per-channel credit
+    * table.
+    *
+    * Scale shape: one key-window shuffle (the `last(_, ignoreNulls)`
+    * frame over strictly-preceding rows — the W4 value-window machinery
+    * pointed at an attribution contract), then a |types|-bounded
+    * partial-combining aggregate. First-touch attribution is the same
+    * plan with `first` — the frame, not the operator, is the contract
+    * here. */
+  def lastTouchAttribution(events: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, typeCol: String,
+      convType: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(expr(s"unix_micros($tsCol)"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("touch",
+        last(when(col(typeCol) =!= convType, col(typeCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(coalesce(col("touch"), lit("direct")).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -277,6 +277,35 @@ object StressBench {
     // must be exactly the n/2 clique nodes at core_deg 9.
     stage("kcore_9")(ops.Graph.kCore(skewGraph(n), 9, 3))
 
+    // ---- round-14 additions: boilerplate, CUSUM, capped baskets.
+    // boilerplate: the corpus plants an IDENTICAL 40-word template doc
+    // every 20 ids (n/20 docs sharing every chunk); md5-word docs are
+    // chunk-unique and the near-dup/span families repeat across only
+    // 2 docs (< minDocs) — so the docs-with-boilerplate count must be
+    // EXACTLY the planted population, nothing stripped from the rest.
+    stage("boilerplate")(ops.TextOps.boilerplate(
+      docs, "doc_id", "text", 4, 10L).filter(col("n_boiler") > 0))
+    // CUSUM on the spiked sawtooth: every +10000 plant fires the up-side
+    // at the spike tick and the down-side at the key's next tick (hand
+    // computation in the require below); sawtooth steps and resets stay
+    // under slack — zero alarms besides the plants.
+    stage("cusum_ticks")(ops.TimeSeries.cusum(
+      saw, "k", "ts", "tie", col("cents"), 4000L, 5000L)
+      .filter(col("alarm") === 1))
+    // capped basket mining: n 4-item baskets with a planted (1, 2) pair
+    // in every 10th basket, plus ONE 5000-item mega-basket that would
+    // alone emit 12.5M pairs — the cap must drop it BEFORE the fan-out,
+    // leaving exactly the planted pair above the n/20 support floor.
+    val baskets = spark.range(0, 4 * n).selectExpr(
+        "id div 4 AS bk",
+        "CASE WHEN (id div 4) % 10 = 0 AND id % 4 < 2 " +
+          "THEN cast(id % 4 + 1 as string) " +
+          "ELSE cast((id * 2654435761) % 1000 as string) END AS item")
+      .unionAll(spark.range(0, 5000).selectExpr(
+        "-1L AS bk", "cast(id as string) AS item"))
+    stage("basket_capped")(ops.Basket.pairCounts(
+      baskets, "bk", "item", maxBasket = 64, minSupport = n / 20))
+
     // sanity: the plants must be FOUND (caps did not eat the signal).
     // ~n/20 near-dup pairs from LSH; ~n/20 span groups from spanPairs.
     val lshPairs = results("lsh_capped")._2
@@ -349,6 +378,23 @@ object StressBench {
     require(results("pmi_gated")._2 >= n / 20 * 66,
       s"df-gated PMI lost planted family collocations: " +
         s"${results("pmi_gated")._2} < ${n / 20 * 66}")
+    // round-14 additions: boilerplate recovery is exact (the template
+    // docs and ONLY they carry stripped chunks)
+    require(results("boilerplate")._2 == n / 20,
+      s"boilerplate should flag exactly the ${n / 20} template docs: " +
+        s"${results("boilerplate")._2}")
+    // CUSUM: 2 alarms per planted spike (up at the spike tick: the hot
+    // key walks 1490→11000, up = 9510−4000 = 5510 > 5000; down at its
+    // next tick: 11000→1010, dn = 9990−4000 = 5990 > 5000; the +10/−490
+    // sawtooth arithmetic never clears slack), spikes = 10n/100000
+    require(results("cusum_ticks")._2 == 2L * (10L * n / 100000L),
+      s"CUSUM alarms off-plant: ${results("cusum_ticks")._2} != " +
+        s"${2L * (10L * n / 100000L)}")
+    // baskets: the mega-basket must die at the cap, the planted pair
+    // alone survives the support floor
+    require(results("basket_capped")._2 == 1,
+      s"capped basket mining should yield exactly the planted pair: " +
+        s"${results("basket_capped")._2}")
     // tick lanes: the drawdown plant is EXACT — one row per key and the
     // per-key maxima sum to 490 (hot sawtooth) + 149·98 (the others)
     require(results("drawdown")._2 == 150,

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BasketSpec extends SparkSpec {
+  import spark.implicits._
+
+  // baskets: 1 {x,y,z}, 2 {x,y}, 3 {x,y}, 4 {x}, 5 {q,r,s,t} (dropped
+  // at maxBasket = 3), plus a duplicate line of x in basket 1 that must
+  // collapse before pairing
+  private def rows = Seq(
+    (1L, "x"), (1L, "x"), (1L, "y"), (1L, "z"),
+    (2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"), (4L, "x"),
+    (5L, "q"), (5L, "r"), (5L, "s"), (5L, "t")).toDF("bk", "item")
+
+  test("X12a pairCounts: within-basket distinct pairs, ordered a < b, " +
+      "over-cap baskets dropped before the fan-out, support floor") {
+    val p = Basket.pairCounts(rows, "bk", "item", maxBasket = 3)
+      .as[(String, String, Long)].collect().toSet
+    // capped-in baskets 1..4 -> pairs: (x,y)×3 from 1,2,3; (x,z),(y,z) from 1
+    assert(p == Set(("x", "y", 3L), ("x", "z", 1L), ("y", "z", 1L)))
+    // basket 5's items never pair (q<r would otherwise appear)
+    assert(!p.exists(_._1 == "q"))
+    // support floor prunes the singletons
+    val p2 = Basket.pairCounts(rows, "bk", "item", maxBasket = 3,
+        minSupport = 2L)
+      .as[(String, String, Long)].collect().toSet
+    assert(p2 == Set(("x", "y", 3L)))
+  }
+
+  test("X12b rules: both directions, exact confidence and lift ppm " +
+      "against hand-rolled values") {
+    val r = Basket.rules(rows, "bk", "item", maxBasket = 3)
+      .collect().map(row => (row.getString(0), row.getString(1),
+        row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+        row.getLong(6))).toSet
+    // capped population: baskets 1,2,3,4 (n_baskets = 4)
+    // supports: x=4, y=3, z=1; pair (x,y)=3, (x,z)=1, (y,z)=1
+    // x->y: conf 3/4 = 750000; lift 3·4·1e6/(4·3) = 1000000 (independent)
+    // y->x: conf 3/3 = 1e6; lift same 1000000
+    // x->z: conf 1/4 = 250000; lift 1·4·1e6/(4·1) = 1000000
+    // z->x: conf 1/1 = 1e6
+    // y->z: conf 1/3 = 333333; lift 1·4·1e6/(3·1) = 1333333
+    assert(r == Set(
+      ("x", "y", 3L, 4L, 3L, 750000L, 1000000L),
+      ("y", "x", 3L, 3L, 4L, 1000000L, 1000000L),
+      ("x", "z", 1L, 4L, 1L, 250000L, 1000000L),
+      ("z", "x", 1L, 1L, 4L, 1000000L, 1000000L),
+      ("y", "z", 1L, 3L, 1L, 333333L, 1333333L),
+      ("z", "y", 1L, 1L, 3L, 1000000L, 1333333L)))
+  }
+}

@@ -362,4 +362,39 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(out2 == out)
   }
+
+  test("X8l seasonalProfile: slot assignment wraps the modulo, means and " +
+      "deviations are exact integer quotients") {
+    val hour = 3600000000L
+    // key 1: hour-0 ticks 100, 200 (mean 150000 milli); hour-1 tick 600;
+    //        25h tick 300 lands back in slot 1
+    // key mean = 1200/4 = 300000 milli
+    val rows = Seq((1L, 0L, 100L), (1L, 1800000000L, 200L),
+      (1L, hour, 600L), (1L, 25L * hour, 300L))
+    val df = rows.toDF("k", "us", "cents")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = TimeSeries.seasonalProfile(df, "k", "ts", col("cents"))
+      .orderBy($"slot")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 2L, 300L, 150000L, -150000L),
+      (1L, 1L, 2L, 900L, 450000L, 150000L)))
+  }
+
+  test("X8m lastTouchAttribution: latest preceding touch wins, " +
+      "touchless conversions are 'direct', keys don't leak") {
+    // key 1: view, click, purchase (-> click); purchase again with no
+    //   new touch between (-> still click)
+    // key 2: purchase first (-> direct), then view, purchase (-> view)
+    val rows = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (1L, 4L, "purchase"),
+      (2L, 1L, "purchase"), (2L, 2L, "view"), (2L, 3L, "purchase"))
+    val df = rows.toDF("k", "id", "et")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val out = TimeSeries.lastTouchAttribution(df, "k", "ts", "id", "et",
+        "purchase")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("click" -> 2L, "direct" -> 1L, "view" -> 1L))
+  }
 }
