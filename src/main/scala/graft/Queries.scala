@@ -7774,6 +7774,115 @@ object Queries {
            |FROM w WHERE event_type = 'purchase'
            |GROUP BY 1 ORDER BY channel""".stripMargin))
 
+  /** X10g — personalized PageRank (ops/Graph.personalizedPageRank):
+    * proximity to the mod-100 customer seed set on the symmetrized
+    * trade graph — teleport mass lands only on S, so scores rank
+    * "nearness to these customers", not global centrality. Oracle
+    * unrolls the identical 3 integer-ppm iterations. */
+  val x10Ppr = QuerySpec("x10_ppr",
+    (s, d) => {
+      val edges = Graph.tradeEdges(T(s, d, "lineitem"), T(s, d, "orders"))
+      val sources = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 100 === 0)
+      Graph.personalizedPageRank(edges, sources, 3)
+        .orderBy(col("node"))
+    },
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT src, dst FROM e0
+           |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+           |        FROM e GROUP BY src),
+           |nodes AS (SELECT DISTINCT x AS node FROM
+           |  (SELECT src AS x FROM e UNION ALL SELECT dst FROM e) u),
+           |base AS (SELECT node, CAST(CASE WHEN node % 100 = 0
+           |    THEN 150000 ELSE 0 END AS BIGINT) AS b FROM nodes),
+           |r0 AS (SELECT node, CAST(CASE WHEN b > 0 THEN 1000000
+           |    ELSE 0 END AS BIGINT) AS score FROM base),
+           |c1 AS (SELECT e.dst AS node,
+           |    CAST(sum(r.score // d.outdeg) AS BIGINT) AS c
+           |  FROM e JOIN r0 r ON e.src = r.node
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+           |r1 AS (SELECT b.node,
+           |    CAST(b.b + (850 * coalesce(c.c, 0)) // 1000 AS BIGINT)
+           |      AS score
+           |  FROM base b LEFT JOIN c1 c USING (node)),
+           |c2 AS (SELECT e.dst AS node,
+           |    CAST(sum(r.score // d.outdeg) AS BIGINT) AS c
+           |  FROM e JOIN r1 r ON e.src = r.node
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+           |r2 AS (SELECT b.node,
+           |    CAST(b.b + (850 * coalesce(c.c, 0)) // 1000 AS BIGINT)
+           |      AS score
+           |  FROM base b LEFT JOIN c2 c USING (node)),
+           |c3 AS (SELECT e.dst AS node,
+           |    CAST(sum(r.score // d.outdeg) AS BIGINT) AS c
+           |  FROM e JOIN r2 r ON e.src = r.node
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+           |r3 AS (SELECT b.node,
+           |    CAST(b.b + (850 * coalesce(c.c, 0)) // 1000 AS BIGINT)
+           |      AS score
+           |  FROM base b LEFT JOIN c3 c USING (node))
+           |SELECT node, score FROM r3 ORDER BY node""".stripMargin),
+    bench = true)
+
+  /** ST5f — streaming CUSUM replay
+    * (streaming/TickPipeline.streamingCusum): the x8_cusum recursion as
+    * a flatMapGroupsWithState lane with O(1) carried state per key
+    * ((prev, up, dn, seeded) — the carry IS the statistic), judged
+    * against the SAME DuckDB prefix-fold oracle as the batch operator:
+    * streaming == batch pinned through a third engine. */
+  val stCusumReplay = QuerySpec("st_cusum_replay",
+    (s, d) => {
+      import s.implicits._
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema).option("basePath", d)
+        .parquet(s"$d/{events.parquet}")
+      val withUs = graft.ops.Tables.normalizeTs(raw)
+        .withColumn("us", expr("unix_micros(ts)"))
+      val ev = withUs.filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), col("us"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .toDF("_1", "_2", "_3", "_4")
+        .as[(Long, Long, Long, Long)]
+      s.catalog.dropTempView("st_cusum_replay_mem")
+      val q = graft.streaming.TickPipeline.streamingCusum(ev, 4000L, 20000L)
+        .toDF("event_id", "user_id", "cents", "d", "cusum_up",
+          "cusum_dn", "alarm")
+        .writeStream.format("memory").queryName("st_cusum_replay_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st_cusum_replay_mem").orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events WHERE user_id < 30),
+           |l AS (SELECT event_id, user_id, cents, us,
+           |    coalesce(cents - lag(cents) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id), 0) AS d
+           |  FROM e),
+           |w AS (SELECT event_id, user_id, cents, d,
+           |    list(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+           |  FROM l),
+           |f AS (SELECT event_id, user_id, cents, d,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+           |      (a, b) -> greatest(CAST(0 AS BIGINT), a + b - 4000))
+           |      AS cusum_up,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+           |      (a, b) -> greatest(CAST(0 AS BIGINT), a - b - 4000))
+           |      AS cusum_dn
+           |  FROM w)
+           |SELECT event_id, user_id, cents, d, cusum_up, cusum_dn,
+           |  CAST(CASE WHEN cusum_up > 20000 OR cusum_dn > 20000
+           |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+           |FROM f ORDER BY event_id""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -7790,7 +7899,7 @@ object Queries {
     q1TopK, q1bGroupedTopK, q2Union, q3Intersect, q3Except, q4Pivot,
     q4bUnpivot, fExplode,
     ost1State, st4Sessions, stBarsReplay, stEnrichReplay, stStateReplay,
-    stAnomalyReplay,
+    stAnomalyReplay, stCusumReplay,
     stStateTws,
     sql1TopNations, sql2Exists, sql3GroupingSets, sql4Lateral,
     sql5Recursive, sql6Q3Shipping, sql7Q18BigOrders, sql8Q10Returns,
@@ -7830,7 +7939,8 @@ object Queries {
     x7IncrHll,
     x7IncrTopk,
     x7MetaCount, x7Audit,
-    x10Drift, x10Pagerank, x10PagerankDangling, x10Triangles, x10Kcore,
+    x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Triangles,
+    x10Kcore,
     x11Expectations, x11Quarantine, x11Profile,
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,

@@ -233,6 +233,54 @@ object Graph {
     degrees(und).select(col("v").as("node"), col("dg").as("core_deg"))
   }
 
+  /** X10 — PERSONALIZED PageRank: rank relative to a source set S —
+    * teleport mass lands only on S, so scores measure proximity to the
+    * sources (the "related items / local influence" query: recommend
+    * suppliers near THIS customer's neighborhood, rank documents near
+    * THIS topic seed), not global centrality. Same exact integer-ppm
+    * discipline as [[pageRank]] (floor divisions only — oracle-unrollable):
+    *
+    *   score'(v) = 150000·[v ∈ S] + (850 · Σ_{u→v} score(u) div outdeg(u)) div 1000
+    *
+    * seeded at 1,000,000 on S and 0 elsewhere. Non-source nodes keep
+    * only propagated mass; a node unreachable from S stays exactly 0.
+    *
+    * Scale shape = pageRank's plus the node-keyed left join that keeps
+    * zero-in-degree sources alive: per iteration one edge equi-join +
+    * one partial-combining sum + one node-keyed left join against the
+    * static base frame. Degree-annotated edges, the node universe and
+    * the base column are localCheckpoint'd ONCE (lazy — constructing
+    * the query runs nothing). */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("outdeg"))
+    val e = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
+    val nodes = e.select(col("src"))
+      .unionAll(e.select(col("dst").as("src"))).distinct()
+    val srcSet = sources.select(col("node").cast("long").as("src"))
+      .distinct().withColumn("is_src", lit(1L))
+    val base = nodes.join(srcSet, Seq("src"), "left")
+      .select(col("src"),
+        (coalesce(col("is_src"), lit(0L)) * 150000L).as("base"))
+      .localCheckpoint(eager = false)
+    var rank = base.select(col("src"),
+      expr("CASE WHEN base > 0 THEN 1000000L ELSE 0L END").as("score"))
+    (1 to iters).foreach { _ =>
+      val contribs = e.join(rank, Seq("src"))
+        .select(col("dst"), expr("score div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+        .select(col("dst").as("src"), col("c"))
+      rank = base.join(contribs, Seq("src"), "left")
+        .select(col("src"),
+          (col("base") + expr("(850 * coalesce(c, 0L)) div 1000"))
+            .as("score"))
+    }
+    rank.select(col("src").as("node"), col("score"))
+  }
+
   /** X10 — multi-source BFS hop distance: min-hops from a source set,
     * bounded at `maxHops` rounds (the "within k hops" neighborhood
     * query — reach analysis, influence radius, link-graph crawl depth).

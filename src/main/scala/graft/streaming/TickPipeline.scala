@@ -229,6 +229,43 @@ object TickPipeline {
       }
   }
 
+  /** ST5f — streaming CUSUM changepoint flags: the
+    * [[graft.ops.TimeSeries.cusum]] recursion as a
+    * flatMapGroupsWithState lane with O(1) state per key — (prev, up,
+    * dn, seeded), 25 bytes, against the anomaly ring's n longs. CUSUM
+    * is the stateful-streaming poster child: the statistic is a clamped
+    * prefix fold, so the carry IS the whole state and a 100 TB/day tick
+    * stream runs with |keys|·O(1) total store. Within-batch (us, tie)
+    * ordering + the cross-batch carry make the flag stream
+    * replay-invariant and row-for-row equal to the batch operator —
+    * judged against the SAME DuckDB prefix-fold oracle. */
+  def streamingCusum(events: Dataset[(Long, Long, Long, Long)],
+      slack: Long, threshold: Long)
+      : Dataset[(Long, Long, Long, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Boolean),
+        (Long, Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Boolean)]) =>
+          var (prev, up, dn, seeded) =
+            state.getOption.getOrElse((0L, 0L, 0L, false))
+          val out = it.toSeq.sortBy(e => (e._3, e._2)).map {
+            case (_, tie, _, cents) =>
+              if (!seeded) { prev = cents; seeded = true }
+              val d = cents - prev
+              prev = cents
+              up = math.max(0L, up + d - slack)
+              dn = math.max(0L, dn - d - slack)
+              (tie, key, cents, d, up, dn,
+                if (up > threshold || dn > threshold) 1L else 0L)
+          }
+          state.update((prev, up, dn, seeded))
+          out.iterator
+      }
+  }
+
   /** ST5d — [[runningTotals]] on Spark 4's transformWithState API
     * (StatefulProcessor + typed state handles). Same contract as the
     * flatMapGroupsWithState version — integer-cents changelog, within-

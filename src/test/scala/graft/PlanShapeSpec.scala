@@ -542,6 +542,46 @@ class PlanShapeSpec extends SparkSpec {
       "Q13 must keep the outer join:\n" + p13.take(2000))
   }
 
+  test("r14 final lanes: cusum is ONE key shuffle into a streaming " +
+      "mapPartitions (no window, no collect_list), baskets/boilerplate/" +
+      "graph lanes never go cartesian") {
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    // cusum: the secondary sort is repartition(key) + in-partition sort
+    // + mapPartitions — exactly one exchange, zero joins, and NO window
+    // (the O(n²) prefix-materialization alternative would show one)
+    val cu = ops.TimeSeries.cusum(ops.Tables.events(spark, d),
+      "user_id", "ts", "event_id",
+      floor(col("value") * 100 + lit(0.5)).cast("long"), 4000L, 20000L)
+    assert(countJoins(cu.queryExecution.executedPlan) == 0,
+      "cusum must be join-free:\n" + planOf(cu).take(2000))
+    assert(countShuffles(cu.queryExecution.executedPlan) == 1,
+      "cusum is one key shuffle:\n" + planOf(cu).take(2000))
+    assert(!planOf(cu).contains("Window"),
+      "cusum must not plan a window (prefix state rides mapPartitions):\n"
+        + planOf(cu).take(2000))
+    assert(planOf(cu).contains("MapPartitions"))
+    // seasonal + attribution: join-free families
+    val se = ops.TimeSeries.seasonalProfile(ops.Tables.events(spark, d),
+      "user_id", "ts", floor(col("value") * 100 + lit(0.5)).cast("long"))
+    assert(countJoins(se.queryExecution.executedPlan) == 0,
+      "seasonal profile must be join-free:\n" + planOf(se).take(2000))
+    // basket pairs: the within-basket pairing is an EQUI-join on the
+    // basket id — never cartesian. (The cap's semi join sits behind the
+    // items checkpoint boundary — invisible to this plan by design; the
+    // cap CONTRACT is pinned in BasketSpec's mega-basket test.)
+    val pb = plan("x12_basket_pairs")
+    assert(!pb.contains("CartesianProduct"),
+      "basket pairing went cartesian:\n" + pb.take(2000))
+    assert(pb.contains("SortMergeJoin") || pb.contains("ShuffledHashJoin"),
+      "basket pairing should be a bk equi-join:\n" + pb.take(2000))
+    // boilerplate, bfs, ppr: equi-joins only
+    for (n <- Seq("x4_boilerplate", "x10_bfs", "x10_ppr")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n went cartesian:\n" + p.take(2000))
+    }
+  }
+
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -102,6 +102,33 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(k4, 4, 3).count() == 0)
   }
 
+  test("X10g personalizedPageRank: mass concentrates near the source, " +
+      "unreachable nodes stay exactly 0, global symmetry is broken") {
+    // two symmetric stars joined by a bridge 1-11, plus an isolated
+    // component {100, 101}: global pageRank cannot tell hub 1 from
+    // hub 11 apart — PPR seeded at 1 must
+    val s1 = (2 to 5).flatMap(l => Seq((1L, l.toLong), (l.toLong, 1L)))
+    val s2 = (12 to 15).flatMap(l => Seq((11L, l.toLong), (l.toLong, 11L)))
+    val edges = (s1 ++ s2 ++ Seq((1L, 11L), (11L, 1L),
+      (100L, 101L), (101L, 100L))).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r.size == 12)
+    // the source dominates, its own leaves beat the far star's leaves,
+    // and the far hub gets only propagated mass
+    assert(r(1L) > r(11L), s"source ${r(1L)} must outrank far hub ${r(11L)}")
+    assert(r(2L) > r(12L), "near leaves must outrank far leaves")
+    // symmetric leaves of each star tie
+    assert((2L to 5L).map(r).distinct.size == 1)
+    assert((12L to 15L).map(r).distinct.size == 1)
+    // the unreachable component carries exactly zero
+    assert(r(100L) == 0L && r(101L) == 0L)
+    // deterministic integer arithmetic: rerun is identical
+    val r2 = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == r)
+  }
+
   test("X10f bfsHops: min-hops on a path with a shortcut, bounded depth " +
       "truncates, unreachable nodes are absent, direction is honored") {
     // path 1-2-3-4-5 plus shortcut 1-4: node 4 is 1 hop, 5 is 2 hops;

@@ -177,6 +177,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(r => (r._1, r._6)) == Seq((5L, false), (6L, true)))
   }
 
+  test("ST5f streamingCusum: O(1) carry across batches, flags equal the " +
+      "batch operator on the same events") {
+    val in = MemoryStream[(Long, Long, Long, Long)](spark)
+    val q = TickPipeline.streamingCusum(in.toDS(), slack = 4L,
+        threshold = 30L)
+      .toDF("event_id", "user_id", "cents", "d", "cusum_up", "cusum_dn",
+        "alarm")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sc").start()
+    // split the TimeSeriesSpec fixture across two batches: the carry
+    // (prev=110, up=6) crosses the boundary — a fresh-state batch 2
+    // would compute d=0 at event 3 and up=21 at event 4 instead of 21/47
+    val b1 = Seq((1L, 1L, 10L, 100L), (1L, 2L, 20L, 110L))
+    val b2 = Seq((1L, 3L, 30L, 105L), (1L, 4L, 40L, 130L),
+      (1L, 5L, 50L, 160L), (2L, 9L, 90L, 999L))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sc")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val batch = graft.ops.TimeSeries.cusum(
+        (b1 ++ b2).toDF("k", "id", "us", "cents")
+          .withColumn("ts", timestamp_micros($"us")),
+        "k", "ts", "id", col("cents"), 4L, 30L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(streamed == batch)
+    // the alarm fires exactly once, on the final ramp tick
+    assert(streamed.filter(_._7 == 1L).map(_._1) == Seq(5L))
+  }
+
   test("ST5d transformWithState twin emits the identical changelog, " +
       "state carried across batches in RocksDB") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
