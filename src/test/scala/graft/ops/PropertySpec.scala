@@ -366,6 +366,99 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cusum == sequential in-memory fold on random tick series") {
+    val series = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(-200L, 200L)))
+    cases(series, n = 6) { rows =>
+      val ticks = rows.zipWithIndex.map { case ((k, c), i) =>
+        (k, i.toLong, 1000L + c)
+      }
+      val df = ticks.toDF("k", "id", "cents")
+        .withColumn("ts", timestamp_micros(col("id") * 1000000L))
+      val got = TimeSeries.cusum(df, "k", "ts", "id", col("cents"),
+          7L, 40L)
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      // the definitional model: per key in id order, the clamped fold
+      val want = ticks.groupBy(_._1).toSeq.flatMap { case (k, ts) =>
+        var prev = 0L; var up = 0L; var dn = 0L; var first = true
+        ts.sortBy(_._2).map { case (_, id, cents) =>
+          if (first) { prev = cents; first = false }
+          val d = cents - prev; prev = cents
+          up = math.max(0L, up + d - 7L)
+          dn = math.max(0L, dn - d - 7L)
+          (id, k, cents, d, up, dn, if (up > 40L || dn > 40L) 1L else 0L)
+        }
+      }.sortBy(_._1)
+      assert(got == want)
+    }
+  }
+
+  test("basket pairCounts == brute-force pair model on random baskets") {
+    val lines = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0, 9)))
+    cases(lines, n = 6) { rows =>
+      val df = rows.map { case (bk, it) => (bk, s"i$it") }
+        .toDF("bk", "item")
+      val got = Basket.pairCounts(df, "bk", "item", maxBasket = 4)
+        .as[(String, String, Long)].collect().toSet
+      val want = rows.map { case (bk, it) => (bk, s"i$it") }.distinct
+        .groupBy(_._1).values.filter(_.size <= 4)
+        .flatMap { items =>
+          val is = items.map(_._2).sorted
+          for (a <- is; b <- is if a < b) yield (a, b)
+        }
+        .groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+        .toSet
+      assert(got == want)
+    }
+  }
+
+  test("bfsHops == brute-force BFS on random sparse digraphs") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+    cases(edgeGen, n = 6) { raw =>
+      val edges = raw.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val sources = Seq(0L, 5L).toDF("node")
+        val got = Graph.bfsHops(df, sources, 4)
+          .as[(Long, Long)].collect().toMap
+        // model: frontier BFS over the adjacency map, depth <= 4
+        val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+        var dist = Map(0L -> 0L, 5L -> 0L)
+        var frontier = Set(0L, 5L)
+        (1 to 4).foreach { h =>
+          val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+            .filterNot(dist.contains)
+          dist = dist ++ next.map(_ -> h.toLong)
+          frontier = next
+        }
+        assert(got == dist)
+      }
+    }
+  }
+
+  test("boilerplate: with an impossible minDocs nothing is stripped and " +
+      "clean text reconstructs the input verbatim") {
+    val docGen = Gen.listOfN(10, Gen.chooseNum(1, 17))
+    cases(docGen, n = 6) { lens =>
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, (1 to len).map(j => s"w${(i * 31 + j * 7) % 23}")
+          .mkString(" "))
+      }
+      val out = TextOps.boilerplate(docs.toDF("doc_id", "text"),
+          "doc_id", "text", 3, minDocs = 100L)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      docs.foreach { case (id, text) =>
+        val r = out(id)
+        assert(r._3 == 0L, s"doc $id stripped chunks under minDocs=100")
+        assert(r._4 == text, s"doc $id reassembly mismatch")
+      }
+    }
+  }
+
   test("content fingerprint is invariant under permutation and " +
       "partitioning for random tables") {
     val table = Gen.listOfN(60,
