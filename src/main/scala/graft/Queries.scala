@@ -6858,7 +6858,10 @@ object Queries {
     * one row per node. */
   val x10Pagerank = QuerySpec("x10_pagerank",
     (s, d) => Graph.pageRank(
-        Graph.tradeEdges(T(s, d, "lineitem"), T(s, d, "orders")), 3)
+        // the edge frame is read twice inside pageRank (degrees + the
+        // annotated join) — one materialization, not two fact scans
+        Graph.tradeEdges(T(s, d, "lineitem"), T(s, d, "orders"))
+          .localCheckpoint(eager = false), 3)
       .orderBy(col("node")),
     Some("""WITH e0 AS (
            |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
@@ -7781,7 +7784,11 @@ object Queries {
     * unrolls the identical 3 integer-ppm iterations. */
   val x10Ppr = QuerySpec("x10_ppr",
     (s, d) => {
+      // the trade-edge subtree (lineitem ⋈ orders, distinct) feeds three
+      // consumers (degrees, the annotated join, the source derivation) —
+      // materialize it once instead of three fact scans
       val edges = Graph.tradeEdges(T(s, d, "lineitem"), T(s, d, "orders"))
+        .localCheckpoint(eager = false)
       val sources = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 100 === 0)
       Graph.personalizedPageRank(edges, sources, 3)
