@@ -6213,8 +6213,13 @@ object Queries {
     * HAVING compares per-group sums against it. The testdata has no
     * partsupp, so "stock value" is the supplier-nation-filtered
     * lineitem revenue per part — same two-level aggregate + global
-    * threshold shape. The threshold is the exact integer
-    * cross-multiply sum·500 > total (no division, no floats). */
+    * threshold shape. The threshold is SCALE-FREE (the Q20-lane rule:
+    * a fixed fraction-of-total degenerates as the part population
+    * grows — at sf0.1 no part holds 1/500 of the national total):
+    * keep parts worth more than 2× the MEAN part value, as the exact
+    * integer cross-multiply sum·|parts| > 2·total — no division, no
+    * floats, selective at every sf (103 parts at sf0.01, 1111 at
+    * sf0.1). */
   private val sql26Text: String =
     """WITH ps AS (
       |  SELECT l.l_partkey,
@@ -6225,7 +6230,8 @@ object Queries {
       |  WHERE n.n_name = 'NATION_1')
       |SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS value_cents
       |FROM ps GROUP BY l_partkey
-      |HAVING sum(cents) * 500 > (SELECT sum(cents) FROM ps)
+      |HAVING sum(cents) * (SELECT count(DISTINCT l_partkey) FROM ps)
+      |  > 2 * (SELECT sum(cents) FROM ps)
       |ORDER BY value_cents DESC, l_partkey""".stripMargin
 
   val sql26Q11ImportantStock = QuerySpec("sql26_q11_important_stock",
@@ -7890,6 +7896,42 @@ object Queries {
            |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
            |FROM f ORDER BY event_id""".stripMargin))
 
+  /** X8n — ticks → hourly closes → per-key risk report in one DAG
+    * (ops/TimeSeries.closesSummary): the finance-side e2e composite —
+    * close-picking window (WindowGroupLimit-bounded shuffle), deltas +
+    * running peak on the checkpointed closes frame, one per-key
+    * aggregate. Exact BIGINTs; the oracle replays the whole chain. */
+  val x8ClosesSummary = QuerySpec("x8_closes_summary",
+    (s, d) => TimeSeries.closesSummary(Tables.events(s, d), "user_id",
+        "ts", "event_id", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .orderBy(col("user_id")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |b AS (SELECT user_id, event_id, cents, us,
+           |    us // 3600000000 AS bucket
+           |  FROM e),
+           |r AS (SELECT user_id, bucket, cents,
+           |    row_number() OVER (PARTITION BY user_id, bucket
+           |      ORDER BY us DESC, event_id DESC) AS rn
+           |  FROM b),
+           |c AS (SELECT user_id, bucket, cents AS close
+           |  FROM r WHERE rn = 1),
+           |w AS (SELECT user_id, close,
+           |    close - lag(close) OVER (PARTITION BY user_id
+           |      ORDER BY bucket) AS d,
+           |    max(close) OVER (PARTITION BY user_id ORDER BY bucket
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           |  FROM c)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_closes,
+           |  CAST(sum(d) AS BIGINT) AS net_cents,
+           |  CAST(sum(d * d) AS BIGINT) AS rv_cents2,
+           |  max(abs(d)) AS max_abs_cents,
+           |  CAST(max(peak - close) AS BIGINT) AS max_dd_cents
+           |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin),
+    bench = true)
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -7952,7 +7994,8 @@ object Queries {
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,
     x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x8Ema, x8Cusum,
-    x8Seasonal, x8Attribution, x12BasketPairs, x12BasketRules,
+    x8Seasonal, x8Attribution, x8ClosesSummary, x12BasketPairs,
+    x12BasketRules,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim)

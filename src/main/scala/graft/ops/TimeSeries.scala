@@ -584,6 +584,55 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** X8 — the finance-side end-to-end composite: irregular ticks →
+    * per-(key, bucket) CLOSES → per-key return/risk report, in ONE scan
+    * with no materialization boundary (the x9_curation_e2e argument
+    * applied to the tick side — operators that each work alone must
+    * also compose into the DAG a desk actually runs).
+    *
+    * Stages, all riding the same key partitioning:
+    *   1. bucket each tick (integer µs division), keep the closing tick
+    *      per (key, bucket) via one row_number window — Spark's
+    *      WindowGroupLimit pushes the rn=1 cut below the exchange, so
+    *      the shuffle carries ≤ 1 candidate row per (key, bucket) per
+    *      map task;
+    *   2. the closes frame (|keys|·|buckets| rows, localCheckpoint'd —
+    *      it feeds lag AND running-peak AND the final agg) gets
+    *      bucket-to-bucket deltas and the running peak in one
+    *      key-window pass;
+    *   3. one per-key aggregate: close count, net move, realized
+    *      variance numerator Σd², worst single bucket move, and max
+    *      peak-to-trough drawdown — exact BIGINTs end to end.
+    */
+  def closesSummary(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCentsCol: Column,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    val pick = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col("us").desc, col(tieCol).desc)
+    val series = Window.partitionBy(col(keyCol))
+      .orderBy(col("bucket"))
+    val peakW = series.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val closes = events
+      .select(col(keyCol), col(tieCol), valueCentsCol.as("close"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("bucket", expr(s"us div ${bucketUs}L"))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("bucket"), col("close"))
+      .localCheckpoint(eager = false)
+    closes
+      .withColumn("d", col("close") - lag(col("close"), 1).over(series))
+      .withColumn("peak", max(col("close")).over(peakW))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_closes"),
+        sum(col("d")).as("net_cents"),
+        sum(col("d") * col("d")).as("rv_cents2"),
+        max(abs(col("d"))).as("max_abs_cents"),
+        max(col("peak") - col("close")).as("max_dd_cents"))
+  }
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -381,6 +381,34 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, 1L, 2L, 900L, 450000L, 150000L)))
   }
 
+  test("X8n closesSummary: close-picking honors (us, tie) order, deltas " +
+      "are bucket-to-bucket, drawdown from the running peak") {
+    val hour = 3600000000L
+    // key 1: bucket 0 ticks 100 then 120 (close 120); bucket 1 close 90;
+    //   bucket 2 close 105 -> deltas -30, +15; peak path 120,120,120 ->
+    //   max dd = 120-90 = 30; net -15; rv 900+225
+    // tie-break: bucket 3 has two ticks at the SAME us — higher
+    //   event_id wins the close
+    val rows = Seq(
+      (1L, 1L, 100L, 1000L), (1L, 2L, 120L, 2000L),
+      (1L, 3L, 90L, hour + 5L), (1L, 4L, 105L, 2 * hour + 5L))
+    val df = rows.toDF("k", "id", "cents", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = TimeSeries.closesSummary(df, "k", "ts", "id", col("cents"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, -15L, 1125L, 30L, 30L)))
+    val tied = Seq((2L, 1L, 50L, 7L), (2L, 9L, 80L, 7L))
+      .toDF("k", "id", "cents", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val t = TimeSeries.closesSummary(tied, "k", "ts", "id", col("cents"))
+      .collect().head
+    // event 9 closes the bucket; single close -> no deltas (nulls), but
+    // the drawdown off its own peak is well-defined 0
+    assert(t.getLong(0) == 2L && t.getLong(1) == 1L)
+    assert(t.isNullAt(2) && t.isNullAt(3) && t.isNullAt(4))
+    assert(t.getLong(5) == 0L)
+  }
+
   test("X8m lastTouchAttribution: latest preceding touch wins, " +
       "touchless conversions are 'direct', keys don't leak") {
     // key 1: view, click, purchase (-> click); purchase again with no
