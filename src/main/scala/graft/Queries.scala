@@ -7932,6 +7932,68 @@ object Queries {
            |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin),
     bench = true)
 
+  /** X11d — per-group IQR outlier screen (ops/Quality.iqrOutliers) over
+    * a heavy-tailed measure (value⁵ spans ~5 decades, so Tukey's fences
+    * actually fire — a uniform column never trips 1.5·IQR). Quartiles by
+    * the pinned position rule, fences as integer cross-multiplies. */
+  val x11IqrOutliers = QuerySpec("x11_iqr_outliers",
+    (s, d) => Quality.iqrOutliers(Tables.events(s, d), "event_type",
+        "event_id",
+        expr("CAST(floor(value * value * value * value * value + 0.5) " +
+          "AS BIGINT)"))
+      .orderBy(col("event_type")),
+    Some("""WITH e AS (SELECT event_type, event_id,
+           |    CAST(floor(value * value * value * value * value + 0.5)
+           |      AS BIGINT) AS cents
+           |  FROM events),
+           |r AS (SELECT event_type, cents,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY cents, event_id) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM e),
+           |f AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           |    max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+           |    max(CASE WHEN rn = (3 * n + 1) // 4 THEN cents END) AS q3
+           |  FROM r GROUP BY event_type)
+           |SELECT r.event_type, f.n, f.q1, f.q3,
+           |  CAST(sum(CASE WHEN 2 * r.cents < 2 * f.q1 - 3 * (f.q3 - f.q1)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_low,
+           |  CAST(sum(CASE WHEN 2 * r.cents > 2 * f.q3 + 3 * (f.q3 - f.q1)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_high
+           |FROM r JOIN f USING (event_type)
+           |GROUP BY r.event_type, f.n, f.q1, f.q3
+           |ORDER BY event_type""".stripMargin))
+
+  /** X11e — Benford first-digit profile (ops/Quality.benfordProfile):
+    * value⁵ spans ~5 decades (≈ log-uniform), so its leading digits
+    * should track log10(1 + 1/d); the expected ppm values are
+    * driver-side literals spliced into BOTH plans (no cross-engine
+    * libm). One ≤9-row digit aggregate. */
+  val x11Benford = QuerySpec("x11_benford",
+    (s, d) => Quality.benfordProfile(Tables.events(s, d),
+        expr("CAST(floor(value * value * value * value * value + 0.5) " +
+          "AS BIGINT)"))
+      .orderBy(col("digit")),
+    Some({
+      val expCase = (1 to 9).map(dd =>
+        s"WHEN $dd THEN ${Quality.benfordPpm(dd)}")
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH e AS (SELECT
+         |    CAST(floor(value * value * value * value * value + 0.5)
+         |      AS BIGINT) AS cents
+         |  FROM events),
+         |g AS (SELECT
+         |    CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM e WHERE cents >= 1 GROUP BY 1),
+         |t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total
+         |  FROM g)
+         |SELECT digit, n, n * 1000000 // total AS obs_ppm,
+         |  CAST($expCase AS BIGINT) AS exp_ppm,
+         |  n * 1000000 // total - CAST($expCase AS BIGINT) AS dev_ppm
+         |FROM t ORDER BY digit""".stripMargin
+    }))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -7990,7 +8052,8 @@ object Queries {
     x7MetaCount, x7Audit,
     x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Triangles,
     x10Kcore,
-    x11Expectations, x11Quarantine, x11Profile,
+    x11Expectations, x11Quarantine, x11Profile, x11IqrOutliers,
+    x11Benford,
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,
     x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x8Ema, x8Cusum,

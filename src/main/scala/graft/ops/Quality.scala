@@ -101,4 +101,80 @@ object Quality {
     one.select(expr(s"stack(${cols.length}, $stackArgs) AS " +
       "(column_name, n_non_null, n_null, n_distinct, min_val, max_val)"))
   }
+
+  /** X11 — per-group IQR outlier screen (Tukey's fences): quartiles by an
+    * EXPLICIT position rule — after an ascending (value, tie) sort,
+    * q1 = the value at row (n+3) div 4, q3 = at (3n+1) div 4 — pinned in
+    * plain window arithmetic on BOTH engines rather than delegated to a
+    * quantile builtin (whose interpolation type differs across engines);
+    * the 1.5·IQR fences are the exact integer cross-multiply
+    * 2·x < 2·q1 − 3·iqr (no halves materialized).
+    *
+    * Scale shape: ONE group-window shuffle ranks the values, the
+    * group-keyed aggregate reuses that partitioning (subset clustering),
+    * and the |groups|-row fence frame BROADCASTS back onto the rows for
+    * the flag counts — the fact volume is never shuffled a second time.
+    * Output: (group, n, q1, q3, n_out_low, n_out_high). */
+  def iqrOutliers(df: DataFrame, groupCol: String, tieCol: String,
+      valueCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cents"), col(tieCol))
+    val ranked = df
+      .select(col(groupCol), col(tieCol), valueCents.as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+    val fences = ranked
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 3) div 4"), col("cents")))
+          .as("q1"),
+        max(when(col("rn") === expr("(3 * n + 1) div 4"), col("cents")))
+          .as("q3"))
+    ranked
+      .select(col(groupCol), col("cents"))
+      .join(broadcast(fences.withColumnRenamed(groupCol, "_g")),
+        col(groupCol) === col("_g"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+        max(col("q3")).as("q3"),
+        sum(when(expr("2 * cents < 2 * q1 - 3 * (q3 - q1)"), 1L)
+          .otherwise(0L)).as("n_out_low"),
+        sum(when(expr("2 * cents > 2 * q3 + 3 * (q3 - q1)"), 1L)
+          .otherwise(0L)).as("n_out_high"))
+  }
+
+  /** X11 — Benford first-digit profile: the leading significant digit of
+    * a naturally-spread positive measure should follow log10(1 + 1/d) —
+    * fabricated or truncated columns don't, which makes the profile a
+    * standard fraud/data-corruption screen. Observed share per digit in
+    * exact integer ppm; the expected Benford ppm values are precomputed
+    * ONCE driver-side and spliced as literals into BOTH the Spark plan
+    * and the oracle (the nDCG-weights discipline — no cross-engine libm
+    * logs). One digit-grouped map-side-combined shuffle to ≤ 9 rows. */
+  val benfordPpm: Map[Int, Long] =
+    (1 to 9).map(dd => dd -> math.floor(
+      math.log10(1.0 + 1.0 / dd) * 1000000.0).toLong).toMap
+
+  def benfordProfile(df: DataFrame, valueCents: Column): DataFrame = {
+    val expCase = (1 to 9).map(dd => s"WHEN $dd THEN ${benfordPpm(dd)}L")
+      .mkString("CASE digit ", " ", " END")
+    df.select(valueCents.as("cents"))
+      .filter(col("cents") >= 1)
+      .withColumn("digit",
+        expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div total").as("obs_ppm"),
+        expr(expCase).as("exp_ppm"),
+        (expr("n * 1000000L div total") - expr(expCase)).as("dev_ppm"))
+  }
 }

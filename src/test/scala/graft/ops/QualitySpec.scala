@@ -59,6 +59,39 @@ class QualitySpec extends SparkSpec {
     assert(p("v")._4 == "-5.0" && p("v")._5 == "500.0")
   }
 
+  test("X11d iqrOutliers: pinned quartile positions, Tukey fences flag " +
+      "exactly the planted extremes, groups are independent") {
+    // group a: 1..8 plus extremes -100 and 120.
+    // n=10 -> q1 at rn (10+3) div 4 = 3, q3 at rn (31) div 4 = 7.
+    // sorted: -100,1,2,3,4,5,6,7,8,120 -> q1=2, q3=6, iqr=4;
+    // fences: lo 2-6=-4, hi 6+6=12 -> -100 low, 120 high, nothing else
+    val a = Seq(-100L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 120L)
+      .zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+    // group b: constant -> iqr 0, fences collapse to the point, 0 out
+    val b = (0 until 5).map(i => ("b", (100 + i).toLong, 7L))
+    val out = Quality.iqrOutliers((a ++ b).toDF("g", "id", "cents"),
+        "g", "id", col("cents"))
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 10L, 2L, 6L, 1L, 1L),
+      ("b", 5L, 7L, 7L, 0L, 0L)))
+  }
+
+  test("X11e benfordProfile: digits partition the positives, ppm shares " +
+      "sum to ~1e6, expected column carries the spliced literals") {
+    // 1, 19, 100, 2, 25, 3 -> digits 1,1,1,2,2,3; zero row dropped
+    val vals = Seq(1L, 19L, 100L, 2L, 25L, 3L, 0L)
+    val out = Quality.benfordProfile(vals.toDF("v"), col("v"))
+      .orderBy(col("digit"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1, 3L), (2, 2L), (3, 1L)))
+    assert(out.map(_._3) == Seq(500000L, 333333L, 166666L))
+    assert(out.map(_._4) == Seq(Quality.benfordPpm(1),
+      Quality.benfordPpm(2), Quality.benfordPpm(3)))
+    out.foreach(r => assert(r._5 == r._3 - r._4))
+  }
+
   test("approx-distinct path yields the same shape without an Expand") {
     val approx = Quality.profile(df, Seq("id", "tag"), exactDistinct = false)
     assert(approx.columns.toSeq == Seq("column_name", "n_non_null", "n_null",
