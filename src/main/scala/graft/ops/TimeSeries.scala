@@ -535,7 +535,13 @@ object TimeSeries {
     * collapses the tick volume to ≤ |keys|·modulo rows; the key-wide
     * mean is a window over that bounded frame (≤ modulo rows per key),
     * never a second pass over the data. All integers exact: mean_milli
-    * = sum·1000 div n, dev_milli a BIGINT difference. */
+    * = sum·1000 div n, dev_milli a BIGINT difference.
+    *
+    * Contract: `valueCentsCol` must be NON-NEGATIVE — Spark's integral
+    * `div` truncates toward zero while the DuckDB oracle's `//` floors,
+    * so a negative slot sum would diverge by one milli between engines.
+    * Shift a signed measure up before profiling (deviation columns are
+    * shift-invariant). */
   def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String,
       valueCentsCol: Column, slotUs: Long = 3600000000L,
       modulo: Int = 24): DataFrame = {

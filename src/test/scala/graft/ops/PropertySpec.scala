@@ -459,6 +459,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank == in-memory integer model on random digraphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))
+    cases(edgeGen, n = 6) { raw =>
+      val edges = raw.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+            Seq(0L, 3L).toDF("node"), 2)
+          .as[(Long, Long)].collect().toMap
+        // model: identical integer-ppm recursion
+        val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        val isSrc = Set(0L, 3L)
+        var score = nodes.map(v =>
+          v -> (if (isSrc(v)) 1000000L else 0L)).toMap
+        (1 to 2).foreach { _ =>
+          val contrib = scala.collection.mutable.Map.empty[Long, Long]
+            .withDefaultValue(0L)
+          edges.foreach { case (s, t) =>
+            contrib(t) += score(s) / outdeg(s)
+          }
+          score = nodes.map(v => v -> ((if (isSrc(v)) 150000L else 0L)
+            + 850L * contrib(v) / 1000L)).toMap
+        }
+        assert(got == score)
+      }
+    }
+  }
+
+  test("closesSummary == in-memory model on random tick series") {
+    val series = Gen.listOfN(50,
+      Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 400L)))
+    cases(series, n = 6) { rows =>
+      val hour = 3600000000L
+      val ticks = rows.zipWithIndex.map { case ((k, c), i) =>
+        // ~14 ticks per bucket so buckets and closes are both exercised
+        (k, i.toLong, i.toLong * 250000000L, 1000L + c)
+      }
+      val df = ticks.toDF("k", "id", "us", "cents")
+        .withColumn("ts", timestamp_micros($"us"))
+      val got = TimeSeries.closesSummary(df, "k", "ts", "id",
+          col("cents"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(5))).toMap
+      val want = ticks.groupBy(_._1).map { case (k, ts) =>
+        val closes = ts.groupBy(_._3 / hour).toSeq.sortBy(_._1)
+          .map(_._2.maxBy(t => (t._3, t._2))._4)
+        val ds = closes.zip(closes.drop(1)).map { case (a, b) => b - a }
+        val peaks = closes.scanLeft(Long.MinValue)(math.max).drop(1)
+        k -> ((closes.size.toLong,
+          if (ds.isEmpty) None else Some(ds.sum),
+          if (ds.isEmpty) None else Some(ds.map(d => d * d).sum),
+          peaks.zip(closes).map { case (p, c) => p - c }.max))
+      }
+      assert(got == want)
+    }
+  }
+
   test("content fingerprint is invariant under permutation and " +
       "partitioning for random tables") {
     val table = Gen.listOfN(60,
