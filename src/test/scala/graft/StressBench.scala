@@ -277,6 +277,37 @@ object StressBench {
     // must be exactly the n/2 clique nodes at core_deg 9.
     stage("kcore_9")(ops.Graph.kCore(skewGraph(n), 9, 3))
 
+    // ---- ANN at 10·n vectors (dim 16): the similarity-search scale
+    // story MEASURED, not argued. Corpus vectors are integer-hash
+    // deterministic; each of 200 queries is a corpus vector with one
+    // component nudged +0.001 — its exact nearest neighbor is its
+    // source (nudge ≪ typical NN distance at this density), so IVF
+    // recall@1 of the planted source is a hard, checkable number. The
+    // exact brute-force pass over the same queries gives the honest
+    // exact-vs-IVF wall ratio at corpus scale.
+    val nVec = 10L * n
+    // murmur3 hash(id, d): nonlinear, so vectors are unique w.h.p. —
+    // a modular-linear formula here has period 1000 in id and floods
+    // the corpus with exact duplicates, destroying the plant
+    def vecSql(idExpr: String, nudge: Boolean) = {
+      val bump = if (nudge) " + if(d = 0, 0.001d, 0.0d)" else ""
+      s"transform(sequence(0, 15), d -> cast((pmod(hash($idExpr, d), " +
+        s"1000) - 500) / 1000.0$bump as float))"
+    }
+    val corpusV = spark.range(0, nVec)
+      .selectExpr("id AS vec_id", s"${vecSql("id", nudge = false)} AS embedding")
+    val qStep = nVec / 200
+    val queriesV = spark.range(0, 200)
+      .selectExpr(s"id * $qStep AS src_id")
+      .selectExpr(s"src_id + $nVec AS vec_id",
+        s"${vecSql("src_id", nudge = true)} AS embedding")
+    stage("ann_ivf_hits")(ops.Similarity.ivfTopK(
+      queriesV, corpusV, 1, nCentroids = 64, nProbe = 8)
+      .filter(col("vec_id") === col("query_id") - nVec))
+    stage("ann_exact_hits")(ops.Similarity.bruteForceTopK(
+      queriesV, corpusV, 1)
+      .filter(col("vec_id") === col("query_id") - nVec))
+
     // ---- round-14 additions: boilerplate, CUSUM, capped baskets.
     // boilerplate: the corpus plants an IDENTICAL 40-word template doc
     // every 20 ids (n/20 docs sharing every chunk); md5-word docs are
@@ -378,6 +409,15 @@ object StressBench {
     require(results("pmi_gated")._2 >= n / 20 * 66,
       s"df-gated PMI lost planted family collocations: " +
         s"${results("pmi_gated")._2} < ${n / 20 * 66}")
+    // ANN: the exact pass must find EVERY planted source (it is the
+    // definitional nearest neighbor); IVF with 8/64 probes must find
+    // nearly all — the nudged query lands in its source's cell, so a
+    // miss means centroid-boundary churn, bounded at 10%
+    require(results("ann_exact_hits")._2 == 200,
+      s"exact ANN lost planted neighbors: ${results("ann_exact_hits")._2}/200")
+    require(results("ann_ivf_hits")._2 >= 180,
+      s"IVF recall@1 below 0.9 on planted neighbors: " +
+        s"${results("ann_ivf_hits")._2}/200")
     // round-14 additions: boilerplate recovery is exact (the template
     // docs and ONLY they carry stripped chunks)
     require(results("boilerplate")._2 == n / 20,
