@@ -307,6 +307,27 @@ object StressBench {
     stage("ann_exact_hits")(ops.Similarity.bruteForceTopK(
       queriesV, corpusV, 1)
       .filter(col("vec_id") === col("query_id") - nVec))
+    // the compressed tier: IVF-PQ at m=8/ks=16 (4 bytes of code per
+    // vector, 4x compression over int8, 16x over float32). PQ's
+    // contract is a COARSE CUT, not a final ranking: at m=4 the
+    // quantization radius on this CLUSTERLESS corpus (uniform hash
+    // vectors — PQ's worst case, nothing for the codebook to exploit)
+    // swamps the 0.001 plant entirely (measured recall@1 = 9/200,
+    // recall@20 = 77/200); m=8 halves the subspace width and lifts the
+    // k=20 cut to 166/200. The floor asserts the measured band — the
+    // tier keeps 3/4+ of planted neighbors in the cut the exact rerank
+    // stage (x3_rerank composition) then resolves; real embedding
+    // corpora cluster, which is the structure PQ codebooks exploit.
+    // The cut size SCALES with corpus density (k = nVec/10000, min 20):
+    // quantization collisions grow with occupancy, so a fixed cut
+    // measurably decays (116/200 at 1M with k=20) while the scaled cut
+    // holds the band — cut-size-proportional-to-collisions is the
+    // deployment rule this measurement pins.
+    val pqK = math.max(20L, nVec / 10000L).toInt
+    stage("ann_ivfpq_cut")(ops.Similarity.ivfPqTopK(
+      queriesV, corpusV, pqK, dim = 16, m = 8, ks = 16,
+      nCentroids = 64, nProbe = 8)
+      .filter(col("vec_id") === col("query_id") - nVec))
 
     // ---- round-14 additions: boilerplate, CUSUM, capped baskets.
     // boilerplate: the corpus plants an IDENTICAL 40-word template doc
@@ -418,6 +439,10 @@ object StressBench {
     require(results("ann_ivf_hits")._2 >= 180,
       s"IVF recall@1 below 0.9 on planted neighbors: " +
         s"${results("ann_ivf_hits")._2}/200")
+    require(results("ann_ivfpq_cut")._2 >= 150,
+      s"IVF-PQ density-scaled coarse cut fell below the measured band: " +
+        s"${results("ann_ivfpq_cut")._2}/200 — the rerank stage cannot " +
+        "recover what the cut drops")
     // round-14 additions: boilerplate recovery is exact (the template
     // docs and ONLY they carry stripped chunks)
     require(results("boilerplate")._2 == n / 20,
