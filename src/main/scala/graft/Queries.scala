@@ -7994,6 +7994,55 @@ object Queries {
          |FROM t ORDER BY digit""".stripMargin
     }))
 
+  /** X8o — trailing-7-day distinct actives (WAU): the sliding-distinct
+    * count a frame aggregate over daily counts CANNOT express (distincts
+    * don't sum); contribute-then-count — each active day fans out to 7
+    * report days (bounded explode), one (day, key) distinct shuffle. */
+  val x8Wau = QuerySpec("x8_wau",
+    (s, d) => TimeSeries.trailingActives(Tables.events(s, d), "user_id",
+        "ts", 7)
+      .orderBy(col("report_day")),
+    Some("""WITH a AS (SELECT DISTINCT user_id AS k,
+           |    epoch_us(ts) // 86400000000 AS day
+           |  FROM events),
+           |s AS (SELECT max(day) AS max_day FROM a),
+           |e AS (SELECT k, unnest(generate_series(day, day + 6))
+           |    AS report_day
+           |  FROM a)
+           |SELECT report_day,
+           |  CAST(count(DISTINCT k) AS BIGINT) AS n_active
+           |FROM e, s WHERE report_day <= s.max_day
+           |GROUP BY report_day ORDER BY report_day""".stripMargin),
+    bench = true)
+
+  /** X8p — exact integer time-decayed popularity
+    * (ops/TimeSeries.decayedPopularity): half-life 2 days over the
+    * 30-day corpus, weights 2^(19−bucket) over the common denominator
+    * 2^19 — recency-weighted counts and cent sums as exact BIGINT
+    * numerators, no pow(), no doubles. One group shuffle. */
+  val x8Decay = QuerySpec("x8_decay",
+    (s, d) => TimeSeries.decayedPopularity(Tables.events(s, d),
+        "event_type", "ts",
+        floor(col("value") * 100 + lit(0.5)).cast("long"),
+        172800000000L, maxBuckets = 20)
+      .orderBy(col("event_type")),
+    Some("""WITH e AS (SELECT event_type,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |nn AS (SELECT max(us) AS now_us FROM e),
+           |b AS (SELECT event_type, cents,
+           |    (nn.now_us - us) // 172800000000 AS b
+           |  FROM e, nn WHERE (nn.now_us - us) // 172800000000 < 20),
+           |w AS (SELECT event_type, cents,
+           |    CAST(1 AS BIGINT) << (19 - CAST(b AS INT)) AS w
+           |  FROM b)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(w) AS BIGINT) AS decayed_count_num,
+           |  CAST(sum(w * cents) AS BIGINT) AS decayed_cents_num,
+           |  CAST(19 AS INT) AS denom_log2
+           |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -8057,8 +8106,8 @@ object Queries {
     stMergeReplay,
     x8Resample, x8Sessionize, x8Funnel, x8Retention, x8Transitions,
     x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x8Ema, x8Cusum,
-    x8Seasonal, x8Attribution, x8ClosesSummary, x12BasketPairs,
-    x12BasketRules,
+    x8Seasonal, x8Attribution, x8ClosesSummary, x8Wau, x8Decay,
+    x12BasketPairs, x12BasketRules,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim)

@@ -639,6 +639,77 @@ object TimeSeries {
         max(col("peak") - col("close")).as("max_dd_cents"))
   }
 
+  /** X8 — trailing-window distinct actives (the DAU/WAU/MAU family):
+    * for every day, the count of DISTINCT keys active in the trailing
+    * `windowDays` days. Distinct counts do NOT sum across days, so the
+    * sliding window cannot ride a frame aggregate over daily counts;
+    * the exact distributed shape is contribute-then-count:
+    *
+    *   1. dedupe to (key, active_day) — one map-side-combined shuffle,
+    *      collapses event volume to ≤ |keys|·|days| rows;
+    *   2. each active day CONTRIBUTES to `windowDays` report days via
+    *      one bounded `sequence`/`explode` fan-out (≤ 7× for WAU — a
+    *      constant, not a join);
+    *   3. count_distinct(key) per report day — the heavy shuffle is
+    *      over (report_day, key) pairs, bounded by windowDays·|actives|.
+    *
+    * Report days cover only days with ≥ 1 active in their window and
+    * are clipped to the observed [min_day, max_day] span (no phantom
+    * trailing days after the data ends). Exact BIGINTs. */
+  def trailingActives(events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int, dayUs: Long = 86400000000L): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1,366], got $windowDays")
+    val actives = events
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div ${dayUs}L").as("day"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val span = actives.agg(min(col("day")).as("min_day"),
+      max(col("day")).as("max_day"))
+    actives
+      .select(col("k"), explode(expr(
+        s"sequence(day, day + ${windowDays - 1})")).as("report_day"))
+      .crossJoin(broadcast(span))
+      .filter(col("report_day") <= col("max_day"))
+      .groupBy(col("report_day"))
+      .agg(count_distinct(col("k")).as("n_active"))
+  }
+
+  /** X8 — exact integer time-decayed popularity: recency-weighted count
+    * and value sum per group, half-life decay with the weight ladder
+    * kept EXACT — age buckets of `halfLifeUs` get weight 2^(B−b) over a
+    * common denominator 2^B (B = oldest bucket), so the decayed sums
+    * are integer numerators with a declared scale, no pow(), no
+    * doubles. score = Σ x·2^(B−b); a consumer divides by 2^B at the
+    * edge. Buckets beyond `maxBuckets` half-lives contribute exactly 0
+    * (their true weight is below 2^-maxBuckets — the declared floor),
+    * which also bounds the numerator: Σx·2^B needs B ≤ 62−log2(Σx).
+    *
+    * Reference time = the corpus max timestamp (a deployment passes
+    * "now"), broadcast as a 1-row frame so the plan stays lazy. ONE
+    * group-keyed map-side-combined shuffle. */
+  def decayedPopularity(events: DataFrame, groupCol: String,
+      tsCol: String, valueCents: Column, halfLifeUs: Long,
+      maxBuckets: Int = 40): DataFrame = {
+    require(halfLifeUs >= 1, s"halfLifeUs must be >= 1, got $halfLifeUs")
+    require(maxBuckets >= 1 && maxBuckets <= 60,
+      s"maxBuckets must be in [1,60], got $maxBuckets")
+    val now = events.agg(max(expr(s"unix_micros($tsCol)")).as("now_us"))
+    events
+      .select(col(groupCol), valueCents.as("cents"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .crossJoin(broadcast(now))
+      .withColumn("b", expr(s"(now_us - us) div ${halfLifeUs}L"))
+      .filter(col("b") < maxBuckets)
+      .withColumn("w", expr(s"shiftleft(1L, ${maxBuckets - 1} - CAST(b AS INT))"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w")).as("decayed_count_num"),
+        sum(col("w") * col("cents")).as("decayed_cents_num"))
+      .withColumn("denom_log2", lit(maxBuckets - 1))
+  }
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

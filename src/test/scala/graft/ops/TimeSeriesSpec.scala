@@ -409,6 +409,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(t.getLong(5) == 0L)
   }
 
+  test("X8o trailingActives: distincts don't sum — overlapping windows " +
+      "count each key once, report days clip at the data's end") {
+    val day = 86400000000L
+    // user 1 active days 0 and 2 (twice — dedup), user 2 active day 2
+    val rows = Seq((1L, 0L), (1L, 2L * day), (1L, 2L * day + 5L),
+      (2L, 2L * day))
+    val df = rows.toDF("k", "us").withColumn("ts", timestamp_micros($"us"))
+    val out = TimeSeries.trailingActives(df, "k", "ts", 3)
+      .as[(Long, Long)].collect().toMap
+    // windows (trailing 3 days): day 0 {1}; day 1 {1}; day 2 {1,2} —
+    // user 1 active on BOTH day 0 and 2 counts once. Days 3,4 clipped.
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("X8p decayedPopularity: exact power-of-two weight ladder, floor " +
+      "cutoff, numerators match the hand computation") {
+    val hl = 1000000L // 1s half-life
+    // now = 3s. ages: 0s (b=0, w=2^4), 1.5s (b=1, w=2^3), 10s (b=10
+    // >= maxBuckets=5 -> dropped)
+    val rows = Seq(("a", 3000000L, 10L), ("a", 1500000L, 20L),
+      ("a", -7000000L, 999L))
+    val df = rows.toDF("g", "us", "cents")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = TimeSeries.decayedPopularity(df, "g", "ts", col("cents"),
+        hl, maxBuckets = 5)
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    // numerators over denominator 2^4: count 16 + 8 = 24;
+    // cents 10·16 + 20·8 = 320
+    assert(out == Seq(("a", 2L, 24L, 320L, 4)))
+  }
+
   test("X8m lastTouchAttribution: latest preceding touch wins, " +
       "touchless conversions are 'direct', keys don't leak") {
     // key 1: view, click, purchase (-> click); purchase again with no
