@@ -6603,6 +6603,31 @@ object Queries {
     }
   }
 
+  /** X7 maintenance fixture: a COPY of the shared merged snapshot taken
+    * through the full maintenance chain — compact (fold live buckets
+    * into one fresh version), prune (reclaim every version no live
+    * bucket references), rebucket (rewrite to a different bucket
+    * count). On a copy so the time-travel lanes keep their history. */
+  private def maintSnapshot(s: SparkSession, d: String): String = {
+    val src = mergeCdcSnapshot(s, d)
+    oncePerDir("maint_snap", d) { tmp =>
+      def cp(from: java.io.File, to: java.io.File): Unit =
+        if (from.isDirectory) {
+          to.mkdirs(); from.listFiles().foreach(f =>
+            cp(f, new java.io.File(to, f.getName)))
+        } else {
+          java.nio.file.Files.copy(from.toPath, to.toPath); ()
+        }
+      cp(new java.io.File(s"$src/snap"), new java.io.File(s"$tmp/snap"))
+      Cdc.compactSnapshot(s, s"$tmp/snap")
+      val reclaimed = Cdc.pruneSnapshots(s, s"$tmp/snap", keep = 1)
+      require(reclaimed.nonEmpty,
+        "prune after compaction must reclaim the pre-compaction versions")
+      Cdc.rebucketSnapshot(s, s"$tmp/snap", 4)
+      ()
+    }
+  }
+
   /** The merged-state CTE chain shared by every oracle over the
     * [[mergeCdcSnapshot]] fixture (identical change classes). */
   private val mergedSnapshotSql: String =
@@ -8043,6 +8068,24 @@ object Queries {
            |  CAST(19 AS INT) AS denom_log2
            |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** X7s — snapshot MAINTENANCE chain judged end-to-end: the latest
+    * state read AFTER compact → prune(keep=1) → rebucket(16→4) must
+    * still hash-match the independently-merged oracle — the three
+    * maintenance rewrites are content-invariant by contract, and this
+    * lane pins the whole chain through a third engine (prune's
+    * reclaimed-version list is require'd non-empty in the fixture, so
+    * the chain provably did destructive work before the content check). */
+  val x7Maintenance = QuerySpec("x7_maintenance",
+    (s, d) => {
+      val root = maintSnapshot(s, d)
+      Cdc.latestSnapshot(s, s"$root/snap")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""$mergedSnapshotSql
+            |SELECT o_orderkey, o_orderstatus, price
+            |FROM merged ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -8098,7 +8141,7 @@ object Queries {
     x7IncrAgg, x7IncrMinhash, x7IncrHist, x7IncrCms, x7IncrBloom,
     x7IncrHll,
     x7IncrTopk,
-    x7MetaCount, x7Audit,
+    x7MetaCount, x7Audit, x7Maintenance,
     x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Triangles,
     x10Kcore,
     x11Expectations, x11Quarantine, x11Profile, x11IqrOutliers,
