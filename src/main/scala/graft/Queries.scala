@@ -8086,6 +8086,41 @@ object Queries {
             |SELECT o_orderkey, o_orderstatus, price
             |FROM merged ORDER BY o_orderkey""".stripMargin))
 
+  /** X5n — self-join-size (F2) estimate from the CMS
+    * (ops/Sketch.cmsSelfJoinSize): Σ_b cnt² per row, min over rows —
+    * the size a token self-join WOULD be, answered from d·w counters
+    * without paying for the join; judged beside the exact Σ_k f_k² so
+    * the overcount is visible and bounded. The token stream's hot
+    * boilerplate words make F2 ≫ F1 — the regime where this estimate
+    * earns its keep. w=16 against the ~45-word vocabulary forces real
+    * collisions, so the judged artifact shows the OVERCOUNT (est > exact)
+    * the min-over-rows bound then caps — not a collision-free identity. */
+  val x5CmsSelfJoin = QuerySpec("x5_cms_selfjoin",
+    (s, d) => {
+      val toks = T(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val est = Sketch.cmsSelfJoinSize(Sketch.cmsBuild(toks, "tok", 4, 16))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_f2"))
+      est.crossJoin(exact)
+    },
+    Some("""WITH toks AS (
+           |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |rws AS (SELECT unnest(range(0, 4)) AS r),
+           |cells AS (
+           |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+           |      1, 8))::BIGINT % 16 AS b,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM toks, rws GROUP BY r, b),
+           |rowf2 AS (SELECT r, CAST(sum(cnt * cnt) AS BIGINT) AS row_f2
+           |  FROM cells GROUP BY r),
+           |est AS (SELECT CAST(min(row_f2) AS BIGINT) AS est_f2 FROM rowf2),
+           |exact AS (
+           |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM (
+           |    SELECT CAST(count(*) AS BIGINT) AS c FROM toks
+           |    GROUP BY tok) t)
+           |SELECT est.est_f2, exact.exact_f2 FROM est, exact""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -8122,7 +8157,7 @@ object Queries {
     x5HeavyHittersBy, x4NbClassify,
     x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5SplitLeakfree,
-    x5Cms, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,
+    x5Cms, x5CmsSelfJoin, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3IvfRecall,
     x3Kmeans, x3Quant, x3QuantTopk,
     x3BinaryTopk, x3BinaryRerank, x3EvalRank, x3RpRecall,

@@ -49,6 +49,23 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Self-join-size / F2 estimate from a CMS (AMS-style): for each of
+    * the d rows, Σ_b cnt² upper-bounds Σ_k f_k² (collisions only ADD
+    * cross terms), and the min over rows is the tightest of the d
+    * bounds — the classic "how big would the self-join be" question an
+    * optimizer (or a dedup planner sizing its candidate fan-out) asks
+    * BEFORE paying for the join. Deterministic given the sketch, so
+    * the oracle replays it exactly; accuracy rides w like every CMS
+    * guarantee (E[overcount] ≤ F1²/w per row).
+    *
+    * Input is the (r, b, cnt) cell frame from [[cmsBuild]]/[[cmsMerge]]
+    * — d·w rows, so this is driver-trivial arithmetic on an
+    * already-bounded frame; returns a single row (est_f2). */
+  def cmsSelfJoinSize(cells: DataFrame): DataFrame =
+    cells.groupBy(col("r"))
+      .agg(sum(col("cnt") * col("cnt")).as("row_f2"))
+      .agg(min(col("row_f2")).as("est_f2"))
+
   /** Merge sketches built with the SAME (d, w): elementwise counter sum.
     * This is the shard roll-up: per-day / per-shard sketches combine into
     * the corpus sketch with a d×w-bounded aggregation, never re-reading

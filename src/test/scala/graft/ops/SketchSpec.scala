@@ -288,6 +288,23 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("X5n cmsSelfJoinSize: never undercounts F2, and a collision-free " +
+      "sketch hits exact equality") {
+    val toks = (Seq.fill(30)("hot") ++ (1 to 40).map(i => s"w$i") ++
+      (1 to 10).map(i => s"w$i")).toDF("tok")
+    // exact F2 = 30^2 + 10·2^2 + 30·1^2 = 900 + 40 + 30 = 970
+    val exact = 970L
+    // narrow sketch: collisions add cross terms — bound holds, never under
+    val narrow = Sketch.cmsSelfJoinSize(Sketch.cmsBuild(toks, "tok", 3, 4))
+      .as[Long].collect().head
+    assert(narrow >= exact, s"F2 bound violated: $narrow < $exact")
+    // wide sketch: 41 distinct values over 4096 buckets — w.h.p. no
+    // collisions in at least one of 3 rows, so the min is EXACT
+    val wide = Sketch.cmsSelfJoinSize(Sketch.cmsBuild(toks, "tok", 3, 4096))
+      .as[Long].collect().head
+    assert(wide == exact, s"collision-free sketch should be exact: $wide")
+  }
+
   test("X5h histogram: a constant column collapses to bin 0 and serves " +
       "the constant, not a divide-by-zero") {
     val v = Seq.fill(100)(42.0).toDF("x")
