@@ -8121,6 +8121,65 @@ object Queries {
            |    GROUP BY tok) t)
            |SELECT est.est_f2, exact.exact_f2 FROM est, exact""".stripMargin))
 
+  /** X5o — cross-period join-size estimate (ops/Sketch.cmsJoinSize):
+    * |1996-parts ⋈ 1997-parts| from two CMS inner products — the
+    * optimizer's broadcast-vs-shuffle cardinality call, and the dedup
+    * planner's "how many candidate pairs across snapshots" sizing,
+    * answered from 2·d·w counters; judged beside the exact
+    * Σ_k fA(k)·fB(k). Width sizing is the lane's real lesson: the
+    * inner product's error floor is F1A·F1B/w PER ROW, so w must be
+    * sized to the stream masses (w=4096 here puts the floor near the
+    * true size; the w=64 first cut measured est 32× over — on-model,
+    * useless — exactly the sizing rule BASELINE.md's Bloom/CMS notes
+    * pin). */
+  val x5CmsJoinSize = QuerySpec("x5_cms_joinsize",
+    (s, d) => {
+      val li = T(s, d, "lineitem")
+      def period(y: Int) = li.filter(
+          col("l_shipdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("l_partkey").cast("string").as("pk"))
+      val estDf = Sketch.cmsJoinSize(
+        Sketch.cmsBuild(period(1996), "pk", 4, 4096),
+        Sketch.cmsBuild(period(1997), "pk", 4, 4096))
+      val exact = period(1996).groupBy(col("pk"))
+        .agg(count(lit(1)).as("fa"))
+        .join(period(1997).groupBy(col("pk"))
+          .agg(count(lit(1)).as("fb")), Seq("pk"))
+        .agg(sum(col("fa") * col("fb")).as("exact_join"))
+      estDf.crossJoin(exact)
+    },
+    Some("""WITH a AS (
+           |  SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+           |bb AS (
+           |  SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+           |rws AS (SELECT unnest(range(0, 4)) AS r),
+           |ca AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+           |      || pk), 1, 8))::BIGINT % 4096 AS b,
+           |    CAST(count(*) AS BIGINT) AS ca
+           |  FROM a, rws GROUP BY r, b),
+           |cb AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+           |      || pk), 1, 8))::BIGINT % 4096 AS b,
+           |    CAST(count(*) AS BIGINT) AS cb
+           |  FROM bb, rws GROUP BY r, b),
+           |j AS (SELECT ca.r, ca.ca * cb.cb AS p
+           |  FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b),
+           |rowj AS (SELECT rws.r,
+           |    CAST(coalesce(sum(j.p), 0) AS BIGINT) AS row_j
+           |  FROM rws LEFT JOIN j ON j.r = rws.r GROUP BY rws.r),
+           |est AS (SELECT CAST(min(row_j) AS BIGINT) AS est_join FROM rowj),
+           |exact AS (
+           |  SELECT CAST(sum(fa.f * fb.f) AS BIGINT) AS exact_join
+           |  FROM (SELECT pk, CAST(count(*) AS BIGINT) AS f FROM a
+           |        GROUP BY pk) fa
+           |  JOIN (SELECT pk, CAST(count(*) AS BIGINT) AS f FROM bb
+           |        GROUP BY pk) fb USING (pk))
+           |SELECT est.est_join, exact.exact_join FROM est, exact""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan,
@@ -8157,7 +8216,8 @@ object Queries {
     x5HeavyHittersBy, x4NbClassify,
     x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
     x5SplitLeakfree,
-    x5Cms, x5CmsSelfJoin, x5Weighted, x5WeightedBy, x5HistQ, x5HistQBy,
+    x5Cms, x5CmsSelfJoin, x5CmsJoinSize, x5Weighted, x5WeightedBy,
+    x5HistQ, x5HistQBy,
     x3TopkCosine, x3AnnLsh, x3AnnMd5, x3Rrf, x3Mmr, x3Ivf, x3IvfRecall,
     x3Kmeans, x3Quant, x3QuantTopk,
     x3BinaryTopk, x3BinaryRerank, x3EvalRank, x3RpRecall,

@@ -66,6 +66,31 @@ object Sketch {
       .agg(sum(col("cnt") * col("cnt")).as("row_f2"))
       .agg(min(col("row_f2")).as("est_f2"))
 
+  /** Equi-join-size estimate from TWO sketches built with the same
+    * (d, w) and the same hash family: per row, Σ_b cntA·cntB
+    * upper-bounds Σ_k fA(k)·fB(k) = |A ⋈ B| (the CMS inner product —
+    * collisions only add non-negative cross terms), min over the d rows
+    * is the tightest bound. THE optimizer cardinality question —
+    * "should this join broadcast, shuffle, or be pre-filtered?" —
+    * answered from two d·w counter frames without touching either
+    * relation again; sketches ship from the stats collector exactly
+    * like [[cmsMerge]] shard roll-ups. Deterministic given the
+    * sketches; single row (est_join). */
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
+    val a = cellsA.select(col("r"), col("b"), col("cnt").as("ca"))
+    val b = cellsB.select(col("r"), col("b"), col("cnt").as("cb"))
+    // anchor on the full r-spine: a row whose cells DON'T overlap has
+    // inner product 0 — the tightest bound of all — and must not vanish
+    // from the min just because the cell join produced no rows for it
+    val rows = a.select(col("r")).distinct()
+    val prods = a.join(b, Seq("r", "b"))
+      .groupBy(col("r"))
+      .agg(sum(col("ca") * col("cb")).as("row_j"))
+    rows.join(prods, Seq("r"), "left")
+      .select(coalesce(col("row_j"), lit(0L)).as("row_j"))
+      .agg(min(col("row_j")).as("est_join"))
+  }
+
   /** Merge sketches built with the SAME (d, w): elementwise counter sum.
     * This is the shard roll-up: per-day / per-shard sketches combine into
     * the corpus sketch with a d×w-bounded aggregation, never re-reading

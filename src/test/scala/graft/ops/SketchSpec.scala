@@ -305,6 +305,28 @@ class SketchSpec extends SparkSpec {
     assert(wide == exact, s"collision-free sketch should be exact: $wide")
   }
 
+  test("X5o cmsJoinSize: never undercounts the true equi-join size, " +
+      "collision-free sketches are exact, disjoint streams estimate 0") {
+    val a = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("only_a")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(7)("y") ++ Seq("only_b")).toDF("k")
+    // true join size = 5·2 + 3·7 = 31
+    val exact = 31L
+    val narrow = Sketch.cmsJoinSize(Sketch.cmsBuild(a, "k", 3, 2),
+        Sketch.cmsBuild(b, "k", 3, 2))
+      .as[Long].collect().head
+    assert(narrow >= exact, s"join-size bound violated: $narrow < $exact")
+    val wide = Sketch.cmsJoinSize(Sketch.cmsBuild(a, "k", 3, 4096),
+        Sketch.cmsBuild(b, "k", 3, 4096))
+      .as[Long].collect().head
+    assert(wide == exact, s"collision-free estimate should be exact: $wide")
+    // disjoint key spaces: every row's inner product is 0 w.h.p. wide
+    val c = Seq("p", "q", "r").toDF("k")
+    val disj = Sketch.cmsJoinSize(Sketch.cmsBuild(a, "k", 3, 4096),
+        Sketch.cmsBuild(c, "k", 3, 4096))
+      .as[Long].collect().head
+    assert(disj == 0L, s"disjoint streams should estimate 0: $disj")
+  }
+
   test("X5h histogram: a constant column collapses to bin 0 and serves " +
       "the constant, not a divide-by-zero") {
     val v = Seq.fill(100)(42.0).toDF("x")
