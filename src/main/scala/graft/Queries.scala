@@ -1885,7 +1885,10 @@ object Queries {
       val docs = T(s, d, "documents")
       val pairs = Dedup.lshCandidates(
         Dedup.minhash(docs, "text", "doc_id"), "doc_id")
-      Scale.leakFreeSplit(Dedup.components(docs, pairs, "doc_id"),
+      // componentsStar (round 15): identical min-reachable-id contract
+      // (oracle unchanged) — the split's component id now comes from the
+      // logarithmic-round resolver the e2e pipelines use
+      Scale.leakFreeSplit(Dedup.componentsStar(docs, pairs, "doc_id"),
           "cluster", 80, 10)
         .select(col("doc_id"), col("cluster"), col("split"))
         .orderBy(col("doc_id"))
@@ -3046,12 +3049,14 @@ object Queries {
     * Two different candidate geometries (nearest-centroid cells vs
     * hyperplane-sign buckets) judged through the same closure contract.
     * The oracle replays cell assignment (6dp cosine, cid tie-break),
-    * the within-cell threshold pairs, and the recursive closure. */
+    * the round-15 two-tier candidate generation — exact-duplicate
+    * collapse to rep→member stars, then rep pairing in cells whose rep
+    * census clears the maxCell cap — and the recursive closure. */
   val x2SemDedup = QuerySpec("x2_semdedup",
     (s, d) => {
       val emb = T(s, d, "embeddings")
       val pairs = Similarity.semDedupPairs(emb, 16, 0.33)
-      Dedup.components(emb.select(col("vec_id")), pairs, "vec_id",
+      Dedup.componentsStar(emb.select(col("vec_id")), pairs, "vec_id",
           d1 = "v1", d2 = "v2")
         .withColumn("is_survivor", col("cluster") === col("vec_id"))
         .orderBy(col("vec_id"))
@@ -3060,19 +3065,25 @@ object Queries {
            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
            |asr AS (
-           |  SELECT e.vec_id, cents.cid,
+           |  SELECT e.vec_id, e.v, cents.cid,
            |    row_number() OVER (PARTITION BY e.vec_id
            |      ORDER BY round(list_cosine_similarity(e.v, cents.cv), 6)
            |        DESC, cents.cid) AS crnk
            |  FROM e, cents),
-           |assigned AS (SELECT vec_id, cid FROM asr WHERE crnk = 1),
-           |p AS (
-           |  SELECT a.vec_id AS d1, b.vec_id AS d2
-           |  FROM assigned a JOIN assigned b ON a.cid = b.cid
-           |    AND a.vec_id < b.vec_id
-           |  JOIN e ea ON ea.vec_id = a.vec_id
-           |  JOIN e eb ON eb.vec_id = b.vec_id
-           |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.33),
+           |assigned AS (SELECT vec_id, v, cid FROM asr WHERE crnk = 1),
+           |grp AS (SELECT cid, v, min(vec_id) AS rep
+           |  FROM assigned GROUP BY cid, v),
+           |memb AS (
+           |  SELECT g.rep AS d1, a.vec_id AS d2
+           |  FROM assigned a JOIN grp g ON a.cid = g.cid AND a.v = g.v
+           |  WHERE a.vec_id <> g.rep),
+           |ok AS (SELECT cid FROM grp GROUP BY cid HAVING count(*) <= 4096),
+           |rp AS (
+           |  SELECT a.rep AS d1, b.rep AS d2
+           |  FROM grp a JOIN grp b ON a.cid = b.cid AND a.rep < b.rep
+           |  JOIN ok ON ok.cid = a.cid
+           |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.33),
+           |p AS (SELECT d1, d2 FROM memb UNION ALL SELECT d1, d2 FROM rp),
            |edges AS (SELECT d1 AS src, d2 AS dst FROM p
            |          UNION SELECT d2, d1 FROM p),
            |reach AS (
@@ -3091,7 +3102,7 @@ object Queries {
     (s, d) => {
       val emb = T(s, d, "embeddings")
       val pairs = Similarity.cosineDedupPairs(emb, 0.33)
-      Dedup.components(emb.select(col("vec_id")), pairs, "vec_id",
+      Dedup.componentsStar(emb.select(col("vec_id")), pairs, "vec_id",
           d1 = "v1", d2 = "v2")
         .withColumn("is_survivor", col("cluster") === col("vec_id"))
         .orderBy(col("vec_id"))

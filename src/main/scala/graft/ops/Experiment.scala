@@ -173,16 +173,22 @@ object Experiment {
   def calibration(rows: DataFrame, scoreCol: Column, positiveCol: Column,
       binWidth: Long): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    // FLOOR division, not Spark's truncate-toward-zero `div` (round-15
+    // ADVICE fix): the DuckDB oracle's `//` floors, so a NEGATIVE score
+    // (or negative sum_s) would land in a different bin / shift
+    // mean_score_milli by one under `div`. (x - pmod(x, y)) div y is
+    // exact-integer floor division for positive y — no doubles.
+    def floorDiv(x: String, y: String) = expr(s"($x - pmod($x, $y)) div $y")
     rows
       .select(scoreCol.cast("long").as("s"),
         when(positiveCol, 1L).otherwise(0L).as("y"))
-      .withColumn("bin", expr(s"s div ${binWidth}L"))
+      .withColumn("bin", floorDiv("s", s"${binWidth}L"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
         sum(col("s")).as("sum_s"))
       .select(col("bin"), col("n"), col("n_pos"),
-        expr("sum_s * 1000L div n").as("mean_score_milli"),
-        expr("n_pos * 1000000L div n").as("frac_pos_ppm"))
+        floorDiv("sum_s * 1000L", "n").as("mean_score_milli"),
+        floorDiv("n_pos * 1000000L", "n").as("frac_pos_ppm"))
   }
 
   /** X9e — [[aucReport]] per group: one AUC row per slice (per source,

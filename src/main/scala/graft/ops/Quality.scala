@@ -156,8 +156,12 @@ object Quality {
     * and the oracle (the nDCG-weights discipline — no cross-engine libm
     * logs). One digit-grouped map-side-combined shuffle to ≤ 9 rows. */
   val benfordPpm: Map[Int, Long] =
+    // StrictMath.log10 (round-15 ADVICE fix): Math.log10 is allowed 1 ulp
+    // of platform variance, which could shift a stored ppm literal by 1
+    // across JVMs; StrictMath is bit-reproducible everywhere, so the
+    // spliced literals are a true cross-platform constant
     (1 to 9).map(dd => dd -> math.floor(
-      math.log10(1.0 + 1.0 / dd) * 1000000.0).toLong).toMap
+      StrictMath.log10(1.0 + 1.0 / dd) * 1000000.0).toLong).toMap
 
   def benfordProfile(df: DataFrame, valueCents: Column): DataFrame = {
     val expCase = (1 to 9).map(dd => s"WHEN $dd THEN ${benfordPpm(dd)}L")

