@@ -4419,6 +4419,55 @@ object Queries {
             |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 3
             |ORDER BY query_id, rnk""".stripMargin))
 
+  /** MM-PH — perceptual-hash near-dup image pairs (round 15: the
+    * multimodal dedup lane — aHash over the decoded P6 pixels, then the
+    * SimHash-banding Hamming bucket join; composition:
+    * payload → partition-local hash → 4×14-bit block equi-join →
+    * Hamming ≤ 3). The oracle rebuilds the 56-bit hash BIT-FOR-BIT from
+    * the image bytes — grid sampling (gx·w/8, gy·h/7), integer
+    * cross-multiply mean threshold, 1<<q bit packing — then replays the
+    * block join and the popcount filter, so the hash function itself is
+    * hash-checked the way mm_decode checks the parser. Identical-text
+    * same-width docs produce identical images (Hamming 0); the lane's
+    * pair volume rides bucket sizes, never corpus². */
+  val mmPhashPairs = QuerySpec("mm_phash_pairs",
+    (s, d) => {
+      val hashed = Multimodal.phash(s,
+        Multimodal.withPpmPayload(T(s, d, "documents"), "text", "doc_id"),
+        "doc_id")
+      Multimodal.phashPairs(hashed, "doc_id", maxHamming = 3)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""WITH $ppmOracleCtes,
+            |g AS (
+            |  SELECT doc_id,
+            |    list_transform(range(0, 56), q ->
+            |      unicode(substr(pix, CAST(3 * ((((q // 8) * h) // 7) * w
+            |        + (((q % 8) * w) // 8)) + 1 AS INT), 1))
+            |      + unicode(substr(pix, CAST(3 * ((((q // 8) * h) // 7) * w
+            |        + (((q % 8) * w) // 8)) + 2 AS INT), 1))
+            |      + unicode(substr(pix, CAST(3 * ((((q // 8) * h) // 7) * w
+            |        + (((q % 8) * w) // 8)) + 3 AS INT), 1))) AS grays
+            |  FROM img),
+            |g2 AS (SELECT doc_id, grays,
+            |    CAST(list_sum(grays) AS BIGINT) AS s FROM g),
+            |hsh AS (
+            |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 56),
+            |    q -> CASE WHEN 56 * grays[CAST(q + 1 AS INT)] > s
+            |      THEN CAST(1 AS BIGINT) << q ELSE 0 END)) AS BIGINT) AS ph
+            |  FROM g2),
+            |b AS (
+            |  SELECT doc_id, ph, j, (ph >> CAST(14 * j AS INT)) & 16383 AS blk
+            |  FROM hsh, (SELECT unnest(range(0, 4)) AS j)),
+            |cand AS (
+            |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2,
+            |    b1.ph AS p1, b2.ph AS p2
+            |  FROM b b1 JOIN b b2 ON b1.j = b2.j AND b1.blk = b2.blk
+            |    AND b1.doc_id < b2.doc_id)
+            |SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
+            |FROM cand WHERE bit_count(xor(p1, p2)) <= 3
+            |ORDER BY d1, d2""".stripMargin))
+
   /** F9 — uuid() is nondeterministic by design: rows-only check. */
   val f9Uuid = QuerySpec("f9_uuid",
     (s, d) => T(s, d, "nation")
@@ -4620,6 +4669,56 @@ object Queries {
            |SELECT skew_key, count(*) AS n, CAST(sum(qty) AS BIGINT) AS total_qty,
            |  CAST(min(weight) AS BIGINT) AS weight
            |FROM j GROUP BY skew_key ORDER BY skew_key""".stripMargin))
+
+  /** X6c — the SAME hot-key join resolved by Spark's OWN skew machinery
+    * (round 15): no salting — a plain MERGE-hinted shuffled join whose
+    * hot partition AQE's OptimizeSkewedJoin splits at runtime
+    * (partition-level replication of the build side, the automatic
+    * counterpart of [[x6SaltedJoin]]'s manual (key, salt) spread). This
+    * is the lever a 100 TB deployment reaches for FIRST — zero query
+    * rewrite — with manual salting as the fallback when the skew is
+    * inside one un-splittable key-group aggregation.
+    *
+    * SHAPE NOTE (measured, AqeSkewSpec): the downstream aggregate keys
+    * on `weight` (the dim side), NOT on skew_key — a groupBy on the
+    * join key would reuse the join's hash distribution, and
+    * OptimizeSkewedJoin declines any rewrite that adds an exchange
+    * unless `forceOptimizeSkewedJoin` is set (the spec pins BOTH
+    * behaviors). Results must be IDENTICAL to the salted twin and to
+    * the plain-join oracle; the spec plan-pins `isSkewJoin` firing
+    * under production-shaped thresholds, and PLANS.md records the plan
+    * diff. */
+  val x6AqeSkew = QuerySpec("x6_aqe_skew",
+    (s, d) => {
+      val facts = T(s, d, "lineitem").select(
+        when(col("l_orderkey") % 10 < 8, lit("HOT"))
+          .otherwise((col("l_orderkey") % 97).cast("string")).as("skew_key"),
+        col("l_quantity").cast("long").as("qty"))
+      val dim = s.range(98).select(
+        when(col("id") === 97, lit("HOT")).otherwise(col("id").cast("string"))
+          .as("skew_key"),
+        (col("id") * 2 + 1).as("weight"))
+      facts.join(dim.hint("MERGE"), Seq("skew_key"))
+        .groupBy(col("weight"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("total_qty"))
+        .orderBy(col("weight"))
+    },
+    Some("""WITH f AS (
+           |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'HOT'
+           |      ELSE CAST(l_orderkey % 97 AS VARCHAR) END AS skew_key,
+           |    CAST(l_quantity AS BIGINT) AS qty
+           |  FROM lineitem),
+           |dim AS (
+           |  SELECT CASE WHEN i = 97 THEN 'HOT' ELSE CAST(i AS VARCHAR) END
+           |      AS skew_key,
+           |    i * 2 + 1 AS weight
+           |  FROM range(98) t(i)),
+           |j AS (
+           |  SELECT d.weight, f.qty
+           |  FROM f JOIN dim d ON d.skew_key = f.skew_key)
+           |SELECT CAST(weight AS BIGINT) AS weight, count(*) AS n,
+           |  CAST(sum(qty) AS BIGINT) AS total_qty
+           |FROM j GROUP BY weight ORDER BY weight""".stripMargin))
 
   /** X4f — TF-IDF top-3 terms per document. The oracle replays tf, df,
     * corpus size, ln scoring (same association and tie-safe floor
@@ -8241,7 +8340,7 @@ object Queries {
     x4Scrub, x4CorpusReport, x4Chunk, x4Decontaminate, x4DecontaminateBloom,
     x4ContamFrac,
     x5Bloom,
-    x6SaltedAgg, x6SaltedJoin,
+    x6SaltedAgg, x6SaltedJoin, x6AqeSkew,
     x7Bucketed, x7BloomPrune, x7Zorder, x7Zorder3, x7MergeCdc,
     x7PartitionPrune, x7Dpp, x7Compact, x7SnapshotDiff, x7PointLookup,
     x7IncrAgg, x7IncrMinhash, x7IncrHist, x7IncrCms, x7IncrBloom,
@@ -8259,7 +8358,7 @@ object Queries {
     x12BasketPairs, x12BasketRules,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
-    mmMeta, mmDecode, mmResize, mmSim)
+    mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -47,7 +47,7 @@ object Dedup {
     * AQE, construction may still finalize upstream exchange stages —
     * e.g. a fanOut repartition — but never the md5 compute above them,
     * which is the expensive part this fix de-duplicates). */
-  private def capBuckets(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[ops] def capBuckets(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val keyed = rows.localCheckpoint(eager = false)
     val surviving = keyed.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))

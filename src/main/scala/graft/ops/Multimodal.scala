@@ -142,6 +142,104 @@ object Multimodal {
     }
   }
 
+  /** MM-PH — 56-bit PERCEPTUAL average-hash (aHash / block-mean family,
+    * round 15: the multimodal near-dup dedup lane): nearest-neighbor
+    * sample an 8×7 grid of pixels (source pixel (gx·w/8, gy·h/7) — the
+    * same decimation geometry as [[ppmResize]]), gray = r+g+b per
+    * sample, bit q set iff its gray exceeds the grid MEAN (compared as
+    * the exact integer cross-multiply 56·gray > Σgray, so no division
+    * and no float anywhere — the hash is bit-replayable by any engine).
+    * 56 bits, not 64, so the hash lives in a signed BIGINT on every
+    * engine without sign traps. Resize-robust by construction (the grid
+    * samples RELATIVE coordinates) and brightness-threshold-stable (the
+    * mean moves with the pixels), which is why aHash-style hashes are
+    * the standard first pass of image dedup. Malformed bytes hash to
+    * None, matching the parser contract. */
+  def phash56(bytes: Array[Byte]): Option[Long] =
+    parsePpmHeader(bytes).map { case (w, h, _, off) =>
+      val grays = new Array[Long](56)
+      var s = 0L
+      var q = 0
+      while (q < 56) {
+        val gx = q % 8
+        val gy = q / 8
+        val p = (gy * h / 7) * w + (gx * w / 8)
+        val g = (bytes(off + 3 * p) & 0xff) + (bytes(off + 3 * p + 1) & 0xff) +
+          (bytes(off + 3 * p + 2) & 0xff)
+        grays(q) = g
+        s += g
+        q += 1
+      }
+      var hash = 0L
+      q = 0
+      while (q < 56) {
+        if (56L * grays(q) > s) hash |= 1L << q
+        q += 1
+      }
+      hash
+    }
+
+  /** [[phash56]] as a distributed operator: partition-local batch hash
+    * (the [[decode]] mapPartitions shape — a heavier codec would
+    * amortize init per batch), returns (idCol, phash) with null for
+    * malformed payloads. Narrow: no shuffle, 8 bytes out per image. */
+  def phash(spark: SparkSession, df: DataFrame, idCol: String,
+      pre: Array[Byte] => Array[Byte] = identity): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val in = Scale.fanOut(
+      df.select(col(idCol).cast("long").as("id"), col("payload")))
+    val out: Dataset[Row] = in.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0),
+          phash56(pre(r.getAs[Array[Byte]](1))).map(Long.box).orNull)
+      }
+    }(enc)
+    out.withColumnRenamed("id", idCol)
+  }
+
+  /** MM-PH pairs — near-duplicate IMAGE candidates by Hamming-banded
+    * equi-join over [[phash56]] values: split the 56-bit hash into 4
+    * blocks of 14 bits; two images within Hamming ≤ 3 MUST agree on at
+    * least one whole block (pigeonhole), so the candidate generator is
+    * a bucket equi-join on (block index, block value) — the exact
+    * [[Dedup.simhashCandidates]] shape, never corpus². `maxBucket`
+    * applies the same [[Dedup.capBuckets]] pre-count + semi-join skew
+    * guard (a template image repeated across millions of rows is the
+    * multimodal boilerplate bucket). Returns (d1, d2, hamming) with
+    * d1 < d2, hamming ≤ maxHamming; null hashes (malformed payloads)
+    * never pair. */
+  def phashPairs(hashed: DataFrame, idCol: String, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val nBlocks = 4
+    val width = 14
+    val mask = (1L << width) - 1
+    require(maxHamming < nBlocks,
+      s"pigeonhole completeness needs maxHamming < $nBlocks, got $maxHamming")
+    val allBlocks = hashed.filter(col("phash").isNotNull)
+      .select(col(idCol), col("phash"),
+        posexplode(expr(
+          s"transform(sequence(0, ${nBlocks - 1}), " +
+            s"j -> shiftright(phash, j * $width) & $mask)"))
+          .as(Seq("j", "blk")))
+    val capped =
+      if (maxBucket == Int.MaxValue) allBlocks
+      else Dedup.capBuckets(allBlocks, Seq("j", "blk"), maxBucket)
+    val b1 = capped.select(col(idCol).as("d1"), col("phash").as("p1"),
+      col("j"), col("blk"))
+    val b2 = capped.select(col(idCol).as("d2"), col("phash").as("p2"),
+      col("j"), col("blk"))
+    b1.join(b2, Seq("j", "blk"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"))
+      .distinct() // a pair may share several blocks
+      .withColumn("hamming", expr("bit_count(p1 ^ p2)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   /** Frame sampling: every `stride`-th byte ("frame") of the payload. */
   def sampleFrames(bytes: Array[Byte], stride: Int): Array[Byte] =
     bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray

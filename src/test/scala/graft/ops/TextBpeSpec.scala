@@ -75,4 +75,40 @@ class TextBpeSpec extends SparkSpec {
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
     assert(TextOps.bpeLearn(docs, "text", 32) == TextOps.defaultMerges)
   }
+
+  test("X4k bpeLearn Spark job count is INDEPENDENT of numMerges (r15: " +
+      "one dict aggregation, merge loop driver-side)") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def jobCount(numMerges: Int): Int = {
+      spark.sparkContext.addSparkListener(l)
+      try {
+        jobs.set(0)
+        TextOps.bpeLearn(docs, "text", numMerges)
+        // listener bus is async: give late job-start events time to land
+        Thread.sleep(500)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val j2 = jobCount(2)
+    val j16 = jobCount(16)
+    assert(j2 == j16,
+      s"job count must not grow with numMerges: $j2 (2 merges) vs " +
+        s"$j16 (16 merges)")
+  }
+
+  test("X4k bpeLearn fails loudly when the word dict exceeds maxVocab " +
+      "instead of collecting it") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeLearn(docs, "text", 2, maxVocab = 4)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
 }

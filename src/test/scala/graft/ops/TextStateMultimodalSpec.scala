@@ -495,5 +495,62 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(badOut.filter(col("features").isNull).count() == 1)
   }
 
+  test("MM-PH phash56: identical images hash identically, a uniform " +
+      "image hashes to 0, hash is 56-bit, malformed is None") {
+    def img(text: String, w: Int, h: Int): Array[Byte] = {
+      val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val pix = Iterator.continually(text.getBytes("US-ASCII"))
+        .flatten.take(w * h * 3).toArray
+      hdr ++ pix
+    }
+    val a = Multimodal.phash56(img("abcdefg", 8, 6)).get
+    val b = Multimodal.phash56(img("abcdefg", 8, 6)).get
+    assert(a == b)
+    assert((a & ~((1L << 56) - 1)) == 0L, "hash must fit in 56 bits")
+    // uniform image: every gray == mean, strict > never fires
+    assert(Multimodal.phash56(img("x", 10, 7)).get == 0L)
+    assert(Multimodal.phash56("JPEG".getBytes("US-ASCII")).isEmpty)
+    // resize-robustness, exact form: the 8x7 grid samples RELATIVE
+    // coordinates (gx*w/8, gy*h/7), and ppmResize(f) keeps pixels
+    // (x*f, y*f) — so on a 16x14 x-gradient the original's grid sample
+    // (2*gx, 2*gy) IS the resized image's grid sample (gx, gy): the
+    // hash of an image and its factor-2 decimation must be IDENTICAL
+    def gradient(w: Int, h: Int): Array[Byte] = {
+      val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val pix = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        pix(3 * (y * w + x) + c) = ((x * 255) / (w - 1)).toByte
+      hdr ++ pix
+    }
+    val g = gradient(16, 14)
+    val small = Multimodal.ppmResize(g, 2).get // 8x7
+    assert(Multimodal.phash56(g).get == Multimodal.phash56(small).get,
+      "grid-sampled hash must be invariant under exact 2x decimation " +
+        "of smooth content")
+  }
+
+  test("MM-PH phashPairs: identical images pair at Hamming 0, the " +
+      "banded join finds <=3-bit neighbors, nulls never pair") {
+    val docs = Seq(
+      (0L, "same text"), (8L, "same text"),   // widths 8 and 8: identical
+      (3L, "same text"),                       // width 11: different image
+      (40L, "other words here")).toDF("doc_id", "text")
+    val hashed = Multimodal.phash(spark,
+      Multimodal.withPpmPayload(docs, "text", "doc_id"), "doc_id")
+    val pairs = Multimodal.phashPairs(hashed, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((0L, 8L, 0)))
+    // the banded join is candidate-complete at Hamming <= 3: flip 3 bits
+    // of a known hash via a constructed frame and the pair must surface
+    val h0 = hashed.filter(col("doc_id") === 0).select("phash")
+      .as[Long].head()
+    val flipped = h0 ^ (1L << 2) ^ (1L << 20) ^ (1L << 45)
+    val manual = Seq((100L, Some(h0)), (101L, Some(flipped)),
+      (102L, Option.empty[Long])).toDF("doc_id", "phash")
+    val mp = Multimodal.phashPairs(manual, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(mp == Set((100L, 101L, 3)))
+  }
+
   private def ts(s: Int) = new Timestamp(1704067200000L + s * 1000L)
 }
