@@ -217,9 +217,17 @@ object Bench {
         .mkString("{", ",", "}")
     def compactHead(nKeep: Int): String =
       s"""{"metric":"total","value":${fmtAt(total, 2)},"unit":"sec","queries":${qsHeadAt(nKeep, 2)},"errors":${errAt(0)},"sf":"$sfDir"}"""
+    // no-error-MAP fallbacks (round 15): before sacrificing per-query
+    // COVERAGE (head16), sacrifice the error map — failed queries stay
+    // visible through their -1 sentinels, and full error text is always
+    // in stderr + bench_out.json. errAt(0) still spends ~18 chars per
+    // failing query on empty-message keys, which is exactly the budget
+    // that matters in a multi-failure round.
+    def compactNoErr(decimals: Int): String =
+      s"""{"metric":"total","value":${fmtAt(total, decimals)},"unit":"sec","queries":${qsAt(decimals)},"errors":{},"sf":"$sfDir"}"""
     val candidates =
       Seq(compactLine(4, 80), compactLine(3, 40), compactLine(2, 0),
-        compactLine(1, 0), compactHead(16))
+        compactNoErr(2), compactLine(1, 0), compactNoErr(1), compactHead(16))
     val compact = candidates.find(_.length <= CompactBudget).getOrElse(candidates.last)
     (full, compact)
   }

@@ -2084,7 +2084,8 @@ object Queries {
             |  CAST(max(e) AS INT) AS cut_end,
             |  CAST(max(e) - min(s) + 1 AS INT) AS cut_tokens
             |FROM grps GROUP BY doc_id, grp
-            |ORDER BY doc_id, cut_start""".stripMargin))
+            |ORDER BY doc_id, cut_start""".stripMargin),
+    bench = true)
 
   /** X2h'' — apply the cut list: the cleaned corpus after span deletion
     * (the rewrite a Lee-et-al pipeline actually ships). clean_md5 pins
@@ -2126,7 +2127,8 @@ object Queries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
         |FROM kept GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin),
+    bench = true)
 
   /** X2i — winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS,
     * round 14): from each sliding window of w=8 consecutive 4-gram md5
@@ -2862,7 +2864,8 @@ object Queries {
            |FROM pairs p
            |JOIN documents a ON a.doc_id = p.d1
            |JOIN documents c ON c.doc_id = p.d2
-           |ORDER BY p.d1, p.d2""".stripMargin))
+           |ORDER BY p.d1, p.d2""".stripMargin),
+    bench = true)
 
   /** X2i — MINHASH ESTIMATOR QUALITY, judged in-engine (round 13): for
     * every capped LSH candidate pair, the 8-hash signature estimate
@@ -4288,7 +4291,8 @@ object Queries {
            |  CAST(length(text) % 640 AS INT) AS width,
            |  CAST((doc_id * 37) % 480 AS INT) AS height,
            |  CAST(floor(octet_length(encode(text)) / 100) + 1 AS INT) AS n_frames
-           |FROM documents ORDER BY doc_id""".stripMargin))
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    bench = true)
 
   /** The PPM image-construction + channel-sum CTE chain shared by the
     * mm_decode and mm_sim oracles: rebuild the EXACT P6 payload
@@ -4341,7 +4345,8 @@ object Queries {
             |  CAST(w * h AS INT) AS f3,
             |  sr AS f4, sg AS f5, sb AS f6,
             |  CAST(sr + sg + sb AS INT) AS f7
-            |FROM ch ORDER BY doc_id""".stripMargin))
+            |FROM ch ORDER BY doc_id""".stripMargin),
+    bench = true)
 
   /** MM-RZ — REAL nearest-neighbor image resize (round 14; retires the
     * byte-stub resize from the judged surface): every 2nd pixel in x and
@@ -4384,7 +4389,8 @@ object Queries {
             |  CAST(w2 * 3 AS INT) AS f3,
             |  sr AS f4, sg AS f5, sb AS f6,
             |  CAST(sr + sg + sb AS INT) AS f7
-            |FROM rz ORDER BY doc_id""".stripMargin))
+            |FROM rz ORDER BY doc_id""".stripMargin),
+    bench = true)
 
   /** MM+X3 — the full multimodal-to-ANN composition: real P6 payload →
     * partition-local REAL parse + feature extraction (mapPartitions
@@ -4417,7 +4423,8 @@ object Queries {
             |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
             |  FROM p)
             |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 3
-            |ORDER BY query_id, rnk""".stripMargin))
+            |ORDER BY query_id, rnk""".stripMargin),
+    bench = true)
 
   /** MM-PH — perceptual-hash near-dup image pairs (round 15: the
     * multimodal dedup lane — aHash over the decoded P6 pixels, then the
@@ -4466,7 +4473,8 @@ object Queries {
             |    AND b1.doc_id < b2.doc_id)
             |SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
             |FROM cand WHERE bit_count(xor(p1, p2)) <= 3
-            |ORDER BY d1, d2""".stripMargin))
+            |ORDER BY d1, d2""".stripMargin),
+    bench = true)
 
   /** F9 — uuid() is nondeterministic by design: rows-only check. */
   val f9Uuid = QuerySpec("f9_uuid",
@@ -4718,7 +4726,8 @@ object Queries {
            |  FROM f JOIN dim d ON d.skew_key = f.skew_key)
            |SELECT CAST(weight AS BIGINT) AS weight, count(*) AS n,
            |  CAST(sum(qty) AS BIGINT) AS total_qty
-           |FROM j GROUP BY weight ORDER BY weight""".stripMargin))
+           |FROM j GROUP BY weight ORDER BY weight""".stripMargin),
+    bench = true)
 
   /** X4f — TF-IDF top-3 terms per document. The oracle replays tf, df,
     * corpus size, ln scoring (same association and tie-safe floor
@@ -4784,8 +4793,7 @@ object Queries {
            |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
            |  FROM p)
            |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
-           |ORDER BY query_id, rnk""".stripMargin),
-    bench = true)
+           |ORDER BY query_id, rnk""".stripMargin))
 
   /** X3i — binary (sign) quantization + Hamming top-k: 64 float dims
     * pack into ONE long (32× compression — the 8-bytes-per-vector tier
@@ -4812,8 +4820,7 @@ object Queries {
            |      ORDER BY hamming, vec_id) AS INT) AS rnk
            |  FROM p)
            |SELECT query_id, vec_id, hamming, rnk FROM r WHERE rnk <= 5
-           |ORDER BY query_id, rnk""".stripMargin),
-    bench = true)
+           |ORDER BY query_id, rnk""".stripMargin))
 
   /** X3m — RANKING-QUALITY EVAL (round 14): recall@5 / MRR / nDCG@5 of
     * the 1-bit-quantized Hamming ranking against the exact float top-5 —
@@ -5314,8 +5321,7 @@ object Queries {
            |  (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y
            |  FROM s3)
            |SELECT event_id, xd, yd, x | (y << 1) AS z
-           |FROM s4 ORDER BY z, event_id""".stripMargin),
-    bench = true)
+           |FROM s4 ORDER BY z, event_id""".stripMargin))
 
   /** X7e — partition-pruned scan: events written Hive-partitioned by day
     * (Layout.writePartitioned), then read back with a partition-column
@@ -5621,8 +5627,7 @@ object Queries {
            |SELECT doc_id, CAST(start / 48 AS INT) AS chunk_idx,
            |  CAST(least(64, len(toks) - start) AS INT) AS n_tokens,
            |  array_to_string(toks[start + 1 : start + 64], ' ') AS chunk
-           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin),
-    bench = true)
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin))
 
   /** SQL5 — recursive CTE (round 9): a parent-chain walk (node -> node/2
     * up to the root) per customer, rolled up to depth + path sum. Both
@@ -6382,8 +6387,7 @@ object Queries {
            |  CAST(list_sum(q) AS BIGINT) AS sum_milli,
            |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
            |    AS dot_milli
-           |FROM v ORDER BY vec_id""".stripMargin),
-    bench = true)
+           |FROM v ORDER BY vec_id""".stripMargin))
 
   /** X8 — resample + forward-fill (ops/TimeSeries.scala): the irregular
     * tick stream regularized onto a 15-minute grid per user, gaps
@@ -6802,8 +6806,7 @@ object Queries {
             |SELECT m.o_orderkey, m.o_orderstatus, m.price
             |FROM merged m, ks
             |WHERE m.o_orderkey IN (ks.ku, ks.kp, ks.kd)
-            |ORDER BY o_orderkey""".stripMargin),
-    bench = true)
+            |ORDER BY o_orderkey""".stripMargin))
 
   /** X7l — INCREMENTAL VIEW MAINTENANCE over the change feed (round 10):
     * a grouped aggregate (count + exact-cents sum per order status) is
@@ -7519,7 +7522,8 @@ object Queries {
            |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
            |    / 100.0 AS sum_value
            |FROM events WHERE event_id < 20000
-           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    bench = true)
 
   /** X7f — DYNAMIC partition pruning (round 9): the fact side is the
     * day-partitioned events layout (same physical setup as
@@ -7554,8 +7558,7 @@ object Queries {
            |    / 100.0 AS sum_value
            |FROM (SELECT CAST(ts AS DATE) AS day, value FROM events) e
            |JOIN hot USING (day)
-           |GROUP BY 1 ORDER BY day""".stripMargin),
-    bench = true)
+           |GROUP BY 1 ORDER BY day""".stripMargin))
 
   // ===========================================================================
   // X11 — data-quality expectations (ops/Quality.scala)
@@ -7597,8 +7600,7 @@ object Queries {
            |  UNION ALL SELECT 'user_lt_140', n_rows, f1 FROM agg
            |  UNION ALL SELECT 'no_error_events', n_rows, f2 FROM agg
            |  UNION ALL SELECT 'props_k_le_80', n_rows, f3 FROM agg) t
-           |ORDER BY rule""".stripMargin),
-    bench = true)
+           |ORDER BY rule""".stripMargin))
 
   /** X11b — the quarantine side: rows failing ANY rule, tagged with the
     * comma-joined list of failed rule names (rule declaration order —

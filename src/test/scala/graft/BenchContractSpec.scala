@@ -46,9 +46,16 @@ class BenchContractSpec extends AnyFunSuite {
         "the benched set has outgrown the artifact contract; shrink names/precision or raise the fallback")
     val cj = parse(compact)
     assert(cj.get("metric").asText == "total")
+    // per-query COVERAGE is the non-negotiable: every benched lane must
+    // appear in the driver artifact, whatever fallback tier fires
     assert(cj.get("queries").size == names.size)
-    // duplicate error reports collapse to one key per query
-    assert(cj.get("errors").size == failing.size)
+    // error DETAIL degrades before coverage (r15 contract): either the
+    // deduped error map survived the budget, or it was dropped entirely
+    // ({}), never truncated to garbage — -1 sentinels below carry the
+    // which-failed information either way
+    val errSize = cj.get("errors").size
+    assert(errSize == failing.size || errSize == 0,
+      s"errors map must be complete-deduped or dropped, got $errSize keys")
     // -1 failure sentinel survives whatever precision fallback was chosen
     failing.foreach { n =>
       assert(cj.get("queries").get(n).asDouble == -1.0, s"$n lost its -1 sentinel")
@@ -71,8 +78,16 @@ class BenchContractSpec extends AnyFunSuite {
     val errors = names.map(n => n -> uglyError)
     val (_, compact) = Bench.render(results, Map.empty, errors, "/sf")
     assert(!compact.contains("\n"))
+    assert(compact.length <= Bench.CompactBudget)
     val cj = parse(compact)
-    assert(cj.get("errors").size == names.size)
+    // with EVERY query failing, the error map cannot fit next to full
+    // coverage — the r15 no-error-map fallback keeps all -1 sentinels
+    // (coverage) and drops the text (stderr + bench_out.json carry it)
+    assert(cj.get("queries").size == names.size)
+    names.foreach { n =>
+      assert(cj.get("queries").get(n).asDouble == -1.0)
+    }
+    assert(cj.get("errors").size == 0 || cj.get("errors").size == names.size)
     assert(cj.get("value").asDouble == 0.0) // no successful query → total 0
   }
 
