@@ -249,6 +249,36 @@ object Queries {
            |           'event_type':'VARCHAR','value':'DOUBLE','props':'VARCHAR'})
            |WHERE event_type <> 'noop' ORDER BY event_id""".stripMargin))
 
+  /** S9c — judged ORC scan (round 15): the third columnar-warehouse
+    * format next to parquet/CSV/NDJSON. DuckDB has no ORC reader, so
+    * the oracle reads the ORIGINAL parquet table — which makes the
+    * judged claim exactly the right one: the ORC round-trip
+    * (long/string/double/timestamp columns, Spark writer → Spark
+    * vectorized reader) is VALUE-LOSSLESS, or the hash breaks. Filter
+    * + projection run on the ORC side to exercise its pushdown path. */
+  val s9OrcScan = QuerySpec("s9_orc_scan",
+    (s, d) => {
+      val dest = s"$s9FixtureRoot/s9_orders.orc"
+      writeSingleFile(
+        T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate")),
+        "orc", dest)
+      s.read.orc(dest)
+        .filter(col("o_totalprice") > 1000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          // Spark's ORC reader surfaces the stored timestamp as NTZ; the
+          // session is pinned UTC so the NTZ->LTZ cast is the identity on
+          // the stored instant
+          expr("unix_micros(cast(o_orderdate as timestamp))")
+            .as("o_date_us"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  epoch_us(o_orderdate) AS o_date_us
+           |FROM orders WHERE o_totalprice > 1000.0
+           |ORDER BY o_orderkey""".stripMargin))
+
   val p1SplitDecode = QuerySpec("p1_split_decode",
     (s, d) => {
       val withValue = Tables.events(s, d).filter(col("event_id") < 5000)
@@ -2355,6 +2385,26 @@ object Queries {
            |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
            |  CASE source WHEN 'src0' THEN '2000' WHEN 'src1' THEN '8000'
            |    ELSE '4000' END
+           |ORDER BY doc_id""".stripMargin))
+
+  /** X5q — deterministic EXACT-k per-group sample (round 15): exactly
+    * 20 docs per language — the eval-set drawing primitive where the
+    * threshold samplers only hit k in expectation. The draw is the
+    * salted-md5 permutation (id tie-break), so the oracle replays WHICH
+    * docs win, not just the count. */
+  val x5ExactK = QuerySpec("x5_exact_k",
+    (s, d) => Scale.exactKSample(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "doc_id", "lang", 20)
+      .orderBy(col("doc_id")),
+    Some("""WITH r AS (
+           |  SELECT doc_id, lang, n_chars,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY md5('xk:' || CAST(doc_id AS VARCHAR)), doc_id)
+           |      AS rk
+           |  FROM documents)
+           |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 20
            |ORDER BY doc_id""".stripMargin))
 
   /** X5g — temperature-scaled multilingual resampling (round 11): the
@@ -7139,6 +7189,44 @@ object Queries {
     Some(x10KcoreText),
     bench = true)
 
+  /** X10h — STRONGLY connected components (round 15): mutual-trade
+    * rings in the directed trade-flow graph — customer→supplier on
+    * supply, supplier→customer where goods came BACK (returnflag 'R'),
+    * so SCCs are exactly the counterparty groups with circular flow.
+    * The engine runs forward-backward min-label peeling (trim →
+    * min-color → same-color backward reach, Graph.scc); the oracle
+    * computes the ground truth DIRECTLY as a recursive mutual-
+    * reachability closure — two entirely different algorithms, same
+    * deterministic min-id labels, hash-checked. */
+  val x10Scc = QuerySpec("x10_scc",
+    (s, d) => Graph.scc(Graph.tradeFlowEdges(
+        T(s, d, "lineitem"), T(s, d, "orders"), custMod = 10L,
+        partMod = 3L))
+      .orderBy(col("node")),
+    Some("""WITH RECURSIVE
+           |b AS (
+           |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+           |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s, l_returnflag
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE o_custkey % 10 = 0 AND l_partkey % 3 = 0),
+           |e AS (SELECT DISTINCT src, dst FROM (
+           |        SELECT c AS src, s AS dst FROM b
+           |        UNION ALL
+           |        SELECT s, c FROM b WHERE l_returnflag = 'R')),
+           |n AS (SELECT DISTINCT node FROM (
+           |        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |reach AS (
+           |  SELECT src AS a, dst AS rb FROM e
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.rb),
+           |m AS (
+           |  SELECT r1.a AS node, min(r1.rb) AS scc_min
+           |  FROM reach r1 JOIN reach r2 ON r1.a = r2.rb AND r1.rb = r2.a
+           |  GROUP BY r1.a)
+           |SELECT n.node, coalesce(m.scc_min, n.node) AS scc_id
+           |FROM n LEFT JOIN m ON m.node = n.node
+           |ORDER BY n.node""".stripMargin))
+
   val x10Triangles = QuerySpec("x10_triangles",
     (s, d) => Graph.triangles(Graph.coSupplyEdges(T(s, d, "lineitem"), 499L))
       .orderBy(col("node")),
@@ -8294,7 +8382,7 @@ object Queries {
 
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
-    s9CsvScan, s9JsonScan,
+    s9CsvScan, s9JsonScan, s9OrcScan,
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
     p7StatusFilter, p8Dispatch,
     fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
@@ -8326,7 +8414,8 @@ object Queries {
     x2Components, x2ComponentsStar, x2DedupE2e, x2SpanPairs, x2SpanCut, x2SpanApply,
     x2Winnow, x2WinnowPairs, x2JaccardPrefix, x5HeavyHitters,
     x5HeavyHittersBy, x4NbClassify,
-    x5Sample, x5SampleBy, x5Temperature, x5Pack, x5Shard, x5Interleave,
+    x5Sample, x5SampleBy, x5ExactK, x5Temperature, x5Pack, x5Shard,
+    x5Interleave,
     x5SplitLeakfree,
     x5Cms, x5CmsSelfJoin, x5CmsJoinSize, x5Weighted, x5WeightedBy,
     x5HistQ, x5HistQBy,
@@ -8349,7 +8438,7 @@ object Queries {
     x7IncrHll,
     x7IncrTopk,
     x7MetaCount, x7Audit, x7Maintenance,
-    x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Triangles,
+    x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Scc, x10Triangles,
     x10Kcore,
     x11Expectations, x11Quarantine, x11Profile, x11IqrOutliers,
     x11Benford,

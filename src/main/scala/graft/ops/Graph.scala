@@ -367,4 +367,168 @@ object Graph {
       .select((col("o_custkey") * 2).cast("long").as("src"),
         (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
       .distinct()
+
+  /** The TRADE-FLOW digraph with return edges: customer → supplier for
+    * every supplied (cust, supp) pair, supplier → customer where at
+    * least one lineitem between them was RETURNED (`l_returnflag = 'R'`)
+    * — so 2-cycles (mutual trade) form exactly where goods flowed both
+    * ways, and they chain into larger strongly connected groups through
+    * shared counterparties. The directed-with-cycles fixture [[scc]] is
+    * judged on. Same 2c / 2s+1 disjoint id spaces as [[tradeEdges]];
+    * `custMod`/`partMod` thin the graph deterministically. */
+  def tradeFlowEdges(lineitem: DataFrame, orders: DataFrame,
+      custMod: Long = 1L, partMod: Long = 1L): DataFrame = {
+    val base = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") % custMod === 0 &&
+        col("l_partkey") % partMod === 0)
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("s"),
+        col("l_returnflag"))
+      .localCheckpoint(eager = false)
+    base.select(col("c").as("src"), col("s").as("dst")).distinct()
+      .unionAll(base.filter(col("l_returnflag") === "R")
+        .select(col("s").as("src"), col("c").as("dst")).distinct())
+  }
+
+  /** X10h — STRONGLY connected components (round 15): the directed
+    * counterpart of [[graft.ops.Dedup.components]] — node groups that
+    * are MUTUALLY reachable, the cycle-structure question (mutual
+    * trading rings, link farms, redirect loops in a crawl graph) the
+    * undirected resolvers cannot answer. Every node's `scc_id` is the
+    * SMALLEST node id in its component, so labels are deterministic and
+    * oracle-checkable against a recursive mutual-reachability closure.
+    *
+    * Forward-backward min-label peeling (the coloring scheme of Orzan's
+    * distributed SCC family), every step min-based:
+    *
+    *  1. TRIM: a node with zero in-degree or zero out-degree inside the
+    *     remaining subgraph is its own singleton SCC — peel all at once
+    *     (kills DAG fringe: chains, sources, sinks).
+    *  2. COLOR: propagate color(u) = min node that REACHES u forward
+    *     along edges to a fixpoint (an inner min-label loop, one
+    *     node-keyed equi-join + one min-agg per round — the
+    *     [[graft.ops.Dedup.components]] shape on directed edges).
+    *  3. EXTRACT: for each PIVOT m (color(m) = m), the nodes of color m
+    *     that reach m through same-color nodes form exactly SCC(m) —
+    *     sound because m reaches everything it colored, and complete
+    *     because any intermediate v on a u→m path inside a pivot class
+    *     must itself have color m (a smaller-colored v would recolor m,
+    *     contradicting pivot-ness). Backward reach is a second inner
+    *     loop on the reversed edges restricted to same-color endpoints.
+    *  4. Remove every extracted node and repeat; each outer round peels
+    *     ≥ 1 SCC per remaining color class in PARALLEL.
+    *
+    * Scale shape: state is one row per node (colors, reach flags); every
+    * inner round is one node-keyed equi-join + one partial-combining
+    * agg over the remaining edge frame — nothing edge×edge, nothing
+    * collected. All frames localCheckpoint per round (lineage
+    * truncation, the components loop discipline). Outer rounds needed =
+    * peeling depth of the SCC condensation (trim flattens DAG tails, so
+    * typically small); non-convergence fails LOUDLY via require.
+    * Returns (node, scc_id). */
+  def scc(edges: DataFrame, maxOuter: Int = 10,
+      maxInner: Int = 40): DataFrame = {
+    val raw = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    // nodes from the UNFILTERED edges: a node touched only by self-loops
+    // is still a (singleton) SCC and must carry a label
+    val allNodes = raw.select(col("src").as("node"))
+      .unionAll(raw.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val e0 = raw.filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var remainingN = allNodes
+    var remainingE = e0
+    var assigned = allNodes.filter(lit(false))
+      .withColumn("scc_id", col("node"))
+    var outer = 0
+    var doneAll = remainingN.isEmpty
+    while (!doneAll && outer < maxOuter) {
+      // 1) trim sources/sinks of the remaining subgraph TO FIXPOINT —
+      // one trivial node's removal exposes the next (a DAG tail trims
+      // one layer per pass), so a single pass per outer round would
+      // burn an outer round per chain hop
+      var trimming = true
+      var t = 0
+      while (trimming && t < maxInner) {
+        val hasOut = remainingE.select(col("src").as("node")).distinct()
+        val hasIn = remainingE.select(col("dst").as("node")).distinct()
+        val trivial = remainingN.join(hasOut, Seq("node"), "left_anti")
+          .unionAll(remainingN.join(hasIn, Seq("node"), "left_anti"))
+          .distinct().localCheckpoint()
+        trimming = !trivial.isEmpty
+        if (trimming) {
+          assigned = assigned
+            .unionAll(trivial.withColumn("scc_id", col("node")))
+            .localCheckpoint()
+          remainingN = remainingN.join(trivial, Seq("node"), "left_anti")
+            .localCheckpoint()
+          remainingE = remainingE
+            .join(remainingN.select(col("node").as("src")), Seq("src"),
+              "left_semi")
+            .join(remainingN.select(col("node").as("dst")), Seq("dst"),
+              "left_semi")
+            .localCheckpoint()
+        }
+        t += 1
+      }
+      if (!remainingN.isEmpty) {
+        // 2) color to fixpoint: color(u) = min reaching node
+        var colors = remainingN.select(col("node"), col("node").as("color"))
+          .localCheckpoint()
+        var changed = true
+        var i = 0
+        while (changed && i < maxInner) {
+          val nxt = colors.join(
+              remainingE.join(colors.select(col("node").as("src"),
+                  col("color").as("scol")), Seq("src"))
+                .groupBy(col("dst").as("node"))
+                .agg(min(col("scol")).as("mincol")),
+              Seq("node"), "left")
+            .select(col("node"), col("color").as("old"),
+              least(col("color"), col("mincol")).as("color"))
+            .localCheckpoint()
+          changed = !nxt.filter(col("color") =!= col("old")).isEmpty
+          colors = nxt.select(col("node"), col("color"))
+          i += 1
+        }
+        require(!changed,
+          s"scc coloring did not converge in $maxInner rounds — raise maxInner")
+        // 3) backward reach to the pivot inside each color class
+        var reach = colors.filter(col("node") === col("color"))
+          .select(col("node")).localCheckpoint()
+        changed = true
+        i = 0
+        while (changed && i < maxInner) {
+          val newly = remainingE
+            .join(reach.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .join(colors.select(col("node").as("src"),
+              col("color").as("ucol")), Seq("src"))
+            .join(colors.select(col("node").as("dst"),
+              col("color").as("vcol")), Seq("dst"))
+            .filter(col("ucol") === col("vcol"))
+            .select(col("src").as("node")).distinct()
+            .join(reach, Seq("node"), "left_anti")
+            .localCheckpoint()
+          changed = !newly.isEmpty
+          reach = reach.unionAll(newly).localCheckpoint()
+          i += 1
+        }
+        val found = reach.join(colors, Seq("node"))
+          .select(col("node"), col("color").as("scc_id"))
+        assigned = assigned.unionAll(found).localCheckpoint()
+        remainingN = remainingN.join(reach, Seq("node"), "left_anti")
+          .localCheckpoint()
+        remainingE = remainingE
+          .join(remainingN.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(remainingN.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint()
+      }
+      doneAll = remainingN.isEmpty
+      outer += 1
+    }
+    require(doneAll,
+      s"scc did not converge in $maxOuter outer rounds — raise maxOuter")
+    assigned.select(col("node"), col("scc_id"))
+  }
 }

@@ -84,6 +84,34 @@ object Scale {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < rateCase)
   }
 
+  /** X5q — deterministic EXACT-k sample per group (round 15): the
+    * eval-set drawing primitive — "give me exactly k docs from every
+    * language/source", where [[hashSample]]'s threshold draw only hits
+    * k in expectation and [[stratifiedSplit]] takes proportions, not
+    * counts. The draw order is md5 of the salted id — a uniform random
+    * permutation any engine replays bit-for-bit (md5 ties broken by the
+    * id itself, so even adversarial hash collisions order
+    * deterministically) — and the k smallest draws per group win. A
+    * group with fewer than k rows is kept whole (the sample cannot
+    * invent rows).
+    *
+    * Scale shape: ONE hash shuffle on the group key + a per-group
+    * top-k. This is the window-rank formulation (rank ≤ k); a
+    * groups×k ≪ rows deployment at extreme per-group cardinality would
+    * swap in the bounded-buffer TopKAggregator (q1b) with the md5 draw
+    * as the score — same result by the same total order. */
+  def exactKSample(df: DataFrame, idCol: String, groupCol: String,
+      k: Int, salt: String = "xk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val draw = md5(concat(lit(s"$salt:"), col(idCol).cast("string")))
+    df.withColumn("_draw", draw)
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("_draw"), col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_draw", "_rk")
+  }
+
   /** X5n — deterministic EXACT-proportion stratified train/val/test split
     * (round 13). `hashSample`'s per-row threshold draw holds proportions
     * only in expectation; evaluation splits want them EXACT per stratum

@@ -152,4 +152,36 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(multi(9L) == 0L && multi(10L) == 1L && multi(5L) == 2L)
   }
+
+  test("X10h scc: two 3-cycles over a one-way bridge, a trimmed tail, " +
+      "and a 2-cycle — hand-computed component labels") {
+    // cycle A: 1→2→3→1; cycle B: 10→11→12→10; one-way bridge 3→10
+    // (so A and B are NOT mutually reachable); tail 12→20→21 (trims);
+    // mutual pair 30↔31
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L),
+      (12L, 20L), (20L, 21L),
+      (30L, 31L), (31L, 30L)).toDF("src", "dst")
+    val r = Graph.scc(edges).as[(Long, Long)].collect().toMap
+    assert(r.size == 10)
+    assert(Seq(1L, 2L, 3L).forall(r(_) == 1L), s"cycle A: $r")
+    assert(Seq(10L, 11L, 12L).forall(r(_) == 10L), s"cycle B: $r")
+    assert(r(20L) == 20L && r(21L) == 21L, s"tail singletons: $r")
+    assert(r(30L) == 30L && r(31L) == 30L, s"2-cycle: $r")
+    // determinism: second run identical
+    assert(Graph.scc(edges).as[(Long, Long)].collect().toMap == r)
+  }
+
+  test("X10h scc: a pure DAG is all singletons (trim closes it without " +
+      "any coloring rounds); a long cycle is one component") {
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.scc(dag).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12)).toDF("src", "dst")
+    val r2 = Graph.scc(ring).as[(Long, Long)].collect().toMap
+    assert(r2.size == 12 && r2.values.forall(_ == 0L))
+  }
 }

@@ -534,4 +534,39 @@ class PropertySpec extends SparkSpec {
       assert(fp(df) == fp(df.orderBy(col("v"), col("k").desc).repartition(5)))
     }
   }
+
+  test("scc labels equal brute-force mutual-reachability minima on " +
+      "random digraphs (r15)") {
+    // random sparse digraphs over <= 14 nodes: small enough for an
+    // in-driver Floyd–Warshall ground truth, big enough to produce real
+    // cycle structure (self-loops and duplicates included deliberately —
+    // scc must normalize them away)
+    val edgeGen = Gen.listOfN(26,
+      Gen.zip(Gen.chooseNum(0L, 13L), Gen.chooseNum(0L, 13L)))
+    cases(edgeGen, n = 8) { es =>
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      if (nodes.nonEmpty) {
+        val idx = nodes.zipWithIndex.toMap
+        val n = nodes.length
+        val reach = Array.fill(n, n)(false)
+        nodes.indices.foreach(i => reach(i)(i) = true)
+        es.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+        for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+          if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+        val want = nodes.indices.map { i =>
+          // smallest node mutually reachable with i (i itself included)
+          val m = nodes.indices
+            .filter(j => reach(i)(j) && reach(j)(i)).map(nodes).min
+          nodes(i) -> m
+        }.toMap
+        // drop self-loop-only nodes the operator also drops? scc keeps
+        // every node that appears on any edge (incl. self-loops filtered
+        // to nothing — such a node still appears in src/dst). Build the
+        // edge frame exactly as generated.
+        val got = Graph.scc(es.toDF("src", "dst"), maxOuter = 20)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"edges=$es\n got=$got\nwant=$want")
+      }
+    }
+  }
 }
