@@ -4526,6 +4526,225 @@ object Queries {
             |ORDER BY d1, d2""".stripMargin),
     bench = true)
 
+  /** Shared audio-oracle CTE: the WAV generator's parameters — n samples
+    * = 150 + 37·(doc_id % 5), sample plane = text repeated (the PPM
+    * pixel-plane rule; all-ASCII corpus so unicode(char) == byte). */
+  private val wavOracleBase: String =
+    """base AS (
+      |  SELECT doc_id, CAST(150 + 37 * (doc_id % 5) AS INT) AS n,
+      |    CASE WHEN text = '' THEN ' ' ELSE text END AS t
+      |  FROM documents)""".stripMargin
+
+  /** MM-AU — typed audio metadata by REAL parse (round 15: the audio
+    * third of the multimodal mandate). Audio.wavPayload writes a VALID
+    * RIFF/WAVE (8-bit unsigned mono PCM, 8 kHz) per document;
+    * Audio.wavMeta walks the actual chunk structure (LE field decode,
+    * magic + truncation checks) and emits header fields + the exact
+    * sample-byte sum. The oracle replays the generator arithmetic from
+    * documents.text alone, so the judged claim is writer∘parser ==
+    * identity on every field AND the data-chunk offset/length math
+    * lands on the right bytes (sum_s breaks otherwise). */
+  val mmWavMeta = QuerySpec("mm_wav_meta",
+    (s, d) => Audio.wavMeta(s,
+        Audio.wavPayload(s, T(s, d, "documents"), "text", "doc_id"),
+        "doc_id")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $wavOracleBase
+            |SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 8 AS bits,
+            |  n AS n_samples, CAST(44 + n AS INT) AS byte_len,
+            |  CAST(list_sum(list_transform(range(0, n), i ->
+            |    unicode(substr(rpad(t, n, t), CAST(i + 1 AS INT), 1))))
+            |    AS BIGINT) AS sum_s
+            |FROM base ORDER BY doc_id""".stripMargin),
+    bench = true)
+
+  /** MM-AU — windowed energy (VAD / silence-trim first pass): per
+    * 40-sample window, Σ(s−128)² + the active flag — exact integers, no
+    * sqrt. Partition-local flatMap over the parsed payload; the oracle
+    * rebuilds the sample plane and replays every window sum. */
+  val mmWavEnergy = QuerySpec("mm_wav_energy",
+    (s, d) => Audio.wavEnergy(s,
+        Audio.wavPayload(s, T(s, d, "documents"), "text", "doc_id"),
+        "doc_id", win = 40, threshold = 2000L)
+      .orderBy(col("doc_id"), col("win")),
+    Some(s"""WITH $wavOracleBase,
+            |w AS (SELECT doc_id, n, rpad(t, n, t) AS plane FROM base),
+            |e AS (
+            |  SELECT doc_id, CAST(k AS INT) AS win,
+            |    CAST(least(n, 40 * (k + 1)) - 40 * k AS INT) AS n_in_win,
+            |    CAST(list_sum(list_transform(
+            |      range(40 * k, least(n, 40 * (k + 1))), i ->
+            |        CAST(unicode(substr(plane, CAST(i + 1 AS INT), 1)) - 128
+            |          AS BIGINT) *
+            |        CAST(unicode(substr(plane, CAST(i + 1 AS INT), 1)) - 128
+            |          AS BIGINT))) AS BIGINT) AS energy
+            |  FROM w, (SELECT unnest(range(0, 8)) AS k)
+            |  WHERE 40 * k < n)
+            |SELECT doc_id, win, n_in_win, energy,
+            |  CAST(CASE WHEN energy > 2000 * n_in_win THEN 1 ELSE 0 END AS INT)
+            |    AS active
+            |FROM e ORDER BY doc_id, win""".stripMargin),
+    bench = true)
+
+  /** MM-AU — nearest-neighbor audio decimation (the ppmResize twin):
+    * keep every 2nd sample at half the rate, re-emit a VALID WAV, parse
+    * it back. The oracle recomputes each kept sample's SOURCE index
+    * (2·i), so the decimation geometry is hash-checked via sum_s —
+    * same judged claim as mm_resize for images. */
+  val mmWavResample = QuerySpec("mm_wav_resample",
+    (s, d) => Audio.wavMeta(s,
+        Audio.wavPayload(s, T(s, d, "documents"), "text", "doc_id"),
+        "doc_id",
+        pre = b => Audio.wavResample(b, 2).getOrElse(Array.emptyByteArray))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $wavOracleBase
+            |SELECT doc_id, 4000 AS sample_rate, 1 AS channels, 8 AS bits,
+            |  CAST((n + 1) // 2 AS INT) AS n_samples,
+            |  CAST(44 + (n + 1) // 2 AS INT) AS byte_len,
+            |  CAST(list_sum(list_transform(range(0, (n + 1) // 2), i ->
+            |    unicode(substr(rpad(t, n, t), CAST(2 * i + 1 AS INT), 1))))
+            |    AS BIGINT) AS sum_s
+            |FROM base ORDER BY doc_id""".stripMargin))
+
+  /** MM-VID — frame walk + frame sampling + per-frame features (round
+    * 15: the video third of the multimodal mandate). The payload is nf
+    * concatenated P6 frames (frame f's pixels = text rotated by f —
+    * consecutive frames differ the way video frames do);
+    * Multimodal.videoFrames parses frame headers at moving offsets,
+    * keeps every 2nd frame, and reduces each to exact channel sums. The
+    * oracle rebuilds every kept frame's plane from the rotation formula
+    * — so the frame OFFSET arithmetic (header + w·h·3 hops) is what the
+    * hash checks: one byte of drift lands every sum in the wrong frame. */
+  val mmFrames = QuerySpec("mm_frames",
+    (s, d) => Multimodal.videoFrames(s,
+        Multimodal.withVideoPayload(T(s, d, "documents"), "text", "doc_id"),
+        "doc_id", stride = 2)
+      .orderBy(col("doc_id"), col("frame")),
+    Some("""WITH vb AS (
+           |  SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w, 4 AS h,
+           |    CAST(2 + doc_id % 3 AS INT) AS nf,
+           |    CASE WHEN text = '' THEN ' ' ELSE text END AS t
+           |  FROM documents),
+           |fr AS (
+           |  SELECT doc_id, w, h, CAST(f AS INT) AS frame,
+           |    rpad(substr(t, CAST(f % length(t) AS INT) + 1) ||
+           |         substr(t, 1, CAST(f % length(t) AS INT)), w * h * 3,
+           |         substr(t, CAST(f % length(t) AS INT) + 1) ||
+           |         substr(t, 1, CAST(f % length(t) AS INT))) AS pix
+           |  FROM vb, (SELECT unnest(range(0, 4)) AS f)
+           |  WHERE f < nf AND f % 2 = 0)
+           |SELECT doc_id, frame, w, CAST(h AS INT) AS h,
+           |  CAST(list_sum(list_transform(range(0, w * h), p ->
+           |    unicode(substr(pix, CAST(3 * p + 1 AS INT), 1)))) AS BIGINT)
+           |    AS sr,
+           |  CAST(list_sum(list_transform(range(0, w * h), p ->
+           |    unicode(substr(pix, CAST(3 * p + 2 AS INT), 1)))) AS BIGINT)
+           |    AS sg,
+           |  CAST(list_sum(list_transform(range(0, w * h), p ->
+           |    unicode(substr(pix, CAST(3 * p + 3 AS INT), 1)))) AS BIGINT)
+           |    AS sb
+           |FROM fr ORDER BY doc_id, frame""".stripMargin),
+    bench = true)
+
+  /** MM-AU — VAD / silence-trim summary: the per-doc aggregate every
+    * trim pass computes over the window energies — total windows,
+    * active windows, first/last active index (the trim bounds). One
+    * doc-keyed partial-combining agg over mm_wav_energy's ≤ 8 rows per
+    * doc; docs that never cross the threshold surface null bounds. */
+  val mmWavVad = QuerySpec("mm_wav_vad",
+    (s, d) => Audio.wavEnergy(s,
+        Audio.wavPayload(s, T(s, d, "documents"), "text", "doc_id"),
+        "doc_id", win = 40, threshold = 2000L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(col("active")).cast("long").as("n_active"),
+        min(when(col("active") === 1, col("win"))).as("first_active"),
+        max(when(col("active") === 1, col("win"))).as("last_active"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $wavOracleBase,
+            |w AS (SELECT doc_id, n, rpad(t, n, t) AS plane FROM base),
+            |e AS (
+            |  SELECT doc_id, CAST(k AS INT) AS win,
+            |    CAST(least(n, 40 * (k + 1)) - 40 * k AS INT) AS n_in_win,
+            |    CAST(list_sum(list_transform(
+            |      range(40 * k, least(n, 40 * (k + 1))), i ->
+            |        CAST(unicode(substr(plane, CAST(i + 1 AS INT), 1)) - 128
+            |          AS BIGINT) *
+            |        CAST(unicode(substr(plane, CAST(i + 1 AS INT), 1)) - 128
+            |          AS BIGINT))) AS BIGINT) AS energy
+            |  FROM w, (SELECT unnest(range(0, 8)) AS k)
+            |  WHERE 40 * k < n)
+            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+            |  CAST(sum(CASE WHEN energy > 2000 * n_in_win THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_active,
+            |  CAST(min(CASE WHEN energy > 2000 * n_in_win THEN win END)
+            |    AS INT) AS first_active,
+            |  CAST(max(CASE WHEN energy > 2000 * n_in_win THEN win END)
+            |    AS INT) AS last_active
+            |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** MM-VID2 — VIDEO near-dup by sampled-frame hashing: every kept
+    * frame is perceptual-hashed in the walk (8 bytes out per frame,
+    * zero shuffle), then the SimHash-shaped Hamming band join pairs
+    * near-identical frames across (and within) videos — the first pass
+    * of re-encode/re-upload detection. Composite key doc_id·4 + frame
+    * (nf ≤ 4) feeds phashPairs unchanged. The oracle rebuilds every
+    * kept frame's hash bit-for-bit from the ROTATED plane formula and
+    * replays the banding join — the mm_phash_pairs discipline composed
+    * with the mm_frames offset walk. */
+  val mmFramePhash = QuerySpec("mm_frame_phash",
+    (s, d) => {
+      val hashed = Multimodal.videoFramePhash(s,
+          Multimodal.withVideoPayload(
+            T(s, d, "documents").filter(col("doc_id") < 2000), "text",
+            "doc_id"),
+          "doc_id", stride = 2)
+        .select((col("doc_id") * 4 + col("frame")).as("fid"), col("phash"))
+      Multimodal.phashPairs(hashed, "fid", maxHamming = 3)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""WITH vb AS (
+           |  SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w, 4 AS h,
+           |    CAST(2 + doc_id % 3 AS INT) AS nf,
+           |    CASE WHEN text = '' THEN ' ' ELSE text END AS t
+           |  FROM documents WHERE doc_id < 2000),
+           |fr AS (
+           |  SELECT doc_id * 4 + f AS fid, w, h,
+           |    rpad(substr(t, CAST(f % length(t) AS INT) + 1) ||
+           |         substr(t, 1, CAST(f % length(t) AS INT)), w * h * 3,
+           |         substr(t, CAST(f % length(t) AS INT) + 1) ||
+           |         substr(t, 1, CAST(f % length(t) AS INT))) AS pix
+           |  FROM vb, (SELECT unnest(range(0, 4)) AS f)
+           |  WHERE f < nf AND f % 2 = 0),
+           |g AS (
+           |  SELECT fid,
+           |    list_transform(range(0, 56), q ->
+           |      unicode(substr(pix, CAST(3 * ((((q // 8) * h) // 7) * w
+           |        + (((q % 8) * w) // 8)) + 1 AS INT), 1))
+           |      + unicode(substr(pix, CAST(3 * ((((q // 8) * h) // 7) * w
+           |        + (((q % 8) * w) // 8)) + 2 AS INT), 1))
+           |      + unicode(substr(pix, CAST(3 * ((((q // 8) * h) // 7) * w
+           |        + (((q % 8) * w) // 8)) + 3 AS INT), 1))) AS grays
+           |  FROM fr),
+           |g2 AS (SELECT fid, grays,
+           |    CAST(list_sum(grays) AS BIGINT) AS s FROM g),
+           |hsh AS (
+           |  SELECT fid, CAST(list_sum(list_transform(range(0, 56),
+           |    q -> CASE WHEN 56 * grays[CAST(q + 1 AS INT)] > s
+           |      THEN CAST(1 AS BIGINT) << q ELSE 0 END)) AS BIGINT) AS ph
+           |  FROM g2),
+           |b AS (
+           |  SELECT fid, ph, j, (ph >> CAST(14 * j AS INT)) & 16383 AS blk
+           |  FROM hsh, (SELECT unnest(range(0, 4)) AS j)),
+           |cand AS (
+           |  SELECT DISTINCT b1.fid AS d1, b2.fid AS d2,
+           |    b1.ph AS p1, b2.ph AS p2
+           |  FROM b b1 JOIN b b2 ON b1.j = b2.j AND b1.blk = b2.blk
+           |    AND b1.fid < b2.fid)
+           |SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
+           |FROM cand WHERE bit_count(xor(p1, p2)) <= 3
+           |ORDER BY d1, d2""".stripMargin))
+
   /** F9 — uuid() is nondeterministic by design: rows-only check. */
   val f9Uuid = QuerySpec("f9_uuid",
     (s, d) => T(s, d, "nation")
@@ -7189,7 +7408,7 @@ object Queries {
     Some(x10KcoreText),
     bench = true)
 
-  /** X10h — STRONGLY connected components (round 15): mutual-trade
+  /** X10s — STRONGLY connected components (round 15): mutual-trade
     * rings in the directed trade-flow graph — customer→supplier on
     * supply, supplier→customer where goods came BACK (returnflag 'R'),
     * so SCCs are exactly the counterparty groups with circular flow.
@@ -7226,6 +7445,46 @@ object Queries {
            |SELECT n.node, coalesce(m.scc_min, n.node) AS scc_id
            |FROM n LEFT JOIN m ON m.node = n.node
            |ORDER BY n.node""".stripMargin))
+
+  /** X10i — link prediction over the co-supply graph (round 15):
+    * non-adjacent supplier pairs scored by shared neighbors — cn =
+    * common-neighbor count, jaccard_ppm = ⌊cn·10⁶/|union|⌋, both exact
+    * integers. Wedge enumeration with the center-degree cap applied
+    * BEFORE the self-join (the capBuckets discipline — a mega-hub's
+    * wedges are noise and d² cost); the oracle replays symmetrize →
+    * cap → wedge join → count → anti-join → degree arithmetic. */
+  val x10Linkpred = QuerySpec("x10_linkpred",
+    (s, d) => Graph.linkPredict(
+        Graph.coSupplyEdges(T(s, d, "lineitem"), 41L),
+        maxDeg = 1000, minCommon = 2L)
+      .orderBy(col("n1"), col("n2")),
+    Some("""WITH sp AS (
+           |  SELECT DISTINCT l_partkey AS p, CAST(l_suppkey AS BIGINT) AS s
+           |  FROM lineitem WHERE l_partkey % 41 = 0),
+           |ok AS (SELECT p FROM sp GROUP BY p HAVING count(*) <= 1000),
+           |spb AS (SELECT sp.p, sp.s FROM sp JOIN ok USING (p)),
+           |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+           |      FROM spb x JOIN spb y ON x.p = y.p AND x.s < y.s),
+           |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS dg
+           |        FROM und GROUP BY a),
+           |ctr AS (SELECT node FROM deg WHERE dg <= 1000),
+           |adj AS (SELECT u.a AS ctr, u.b AS leaf
+           |        FROM und u JOIN ctr c ON u.a = c.node),
+           |wdg AS (SELECT x.leaf AS n1, y.leaf AS n2
+           |        FROM adj x JOIN adj y
+           |          ON x.ctr = y.ctr AND x.leaf < y.leaf),
+           |cnt AS (SELECT n1, n2, CAST(count(*) AS BIGINT) AS cn
+           |        FROM wdg GROUP BY n1, n2 HAVING count(*) >= 2),
+           |nonadj AS (SELECT cnt.n1, cnt.n2, cnt.cn FROM cnt
+           |           LEFT JOIN e ON e.a = cnt.n1 AND e.b = cnt.n2
+           |           WHERE e.a IS NULL)
+           |SELECT n1, n2, cn,
+           |  CAST(cn * 1000000 // (d1.dg + d2.dg - cn) AS BIGINT)
+           |    AS jaccard_ppm
+           |FROM nonadj
+           |JOIN deg d1 ON d1.node = n1 JOIN deg d2 ON d2.node = n2
+           |ORDER BY n1, n2""".stripMargin))
 
   val x10Triangles = QuerySpec("x10_triangles",
     (s, d) => Graph.triangles(Graph.coSupplyEdges(T(s, d, "lineitem"), 499L))
@@ -8008,7 +8267,7 @@ object Queries {
            |FROM w WHERE event_type = 'purchase'
            |GROUP BY 1 ORDER BY channel""".stripMargin))
 
-  /** X10g — personalized PageRank (ops/Graph.personalizedPageRank):
+  /** X10p — personalized PageRank (ops/Graph.personalizedPageRank):
     * proximity to the mod-100 customer seed set on the symmetrized
     * trade graph — teleport mass lands only on S, so scores rank
     * "nearness to these customers", not global centrality. Oracle
@@ -8438,7 +8697,8 @@ object Queries {
     x7IncrHll,
     x7IncrTopk,
     x7MetaCount, x7Audit, x7Maintenance,
-    x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Scc, x10Triangles,
+    x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Scc,
+    x10Linkpred, x10Triangles,
     x10Kcore,
     x11Expectations, x11Quarantine, x11Profile, x11IqrOutliers,
     x11Benford,
@@ -8449,7 +8709,9 @@ object Queries {
     x12BasketPairs, x12BasketRules,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
-    mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs)
+    mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,
+    mmWavMeta, mmWavEnergy, mmWavResample, mmWavVad, mmFrames,
+    mmFramePhash)
 
   val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -390,7 +390,58 @@ object Graph {
         .select(col("s").as("src"), col("c").as("dst")).distinct())
   }
 
-  /** X10h — STRONGLY connected components (round 15): the directed
+  /** X10i — LINK PREDICTION by common neighborhood (round 15): score
+    * non-adjacent node pairs by how many neighbors they share — the
+    * classic common-neighbors / Jaccard predictor ("suppliers likely to
+    * co-supply next", "docs likely near-dup", friend-of-friend
+    * recommendation). For every pair (n1 < n2) NOT already an edge with
+    * at least `minCommon` shared neighbors: cn = |Γ(n1) ∩ Γ(n2)| and
+    * jaccard_ppm = ⌊cn·10⁶ / |Γ(n1) ∪ Γ(n2)|⌋ — exact integers, no
+    * libm, oracle-replayable.
+    *
+    * Scale shape: candidates come from WEDGE enumeration — adjacency
+    * self-joined on the shared CENTER node — so a center of degree d
+    * emits d² wedge instances: the hub-quadratic. The cap drops centers
+    * with degree > `maxDeg` BEFORE the self-join (pre-count + semi-join,
+    * the [[graft.ops.Dedup.capBuckets]] discipline — a hub's wedges are
+    * recommendation noise anyway: sharing a mega-hub carries no signal).
+    * Endpoint degrees for the Jaccard union are computed on the FULL
+    * graph (the cap bounds candidate volume, not the score). One
+    * node-keyed self-join + one pair-keyed agg + one broadcast-size
+    * degree join; nothing corpus². Input edges may be directed or
+    * undirected — they are symmetrized + dedup'd here. */
+  def linkPredict(edges: DataFrame, maxDeg: Int = 1000,
+      minCommon: Long = 2L): DataFrame = {
+    val und = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .unionAll(edges.select(col("dst").cast("long").as("a"),
+        col("src").cast("long").as("b")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    // cap the wedge CENTER degree before the self-join — the d² guard
+    val centers = deg.filter(col("deg") <= maxDeg).select(col("node"))
+    val adj = und.select(col("a").as("ctr"), col("b").as("leaf"))
+      .join(centers.withColumnRenamed("node", "ctr"), Seq("ctr"), "left_semi")
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.ctr") === col("y.ctr") && col("x.leaf") < col("y.leaf"))
+      .select(col("x.leaf").as("n1"), col("y.leaf").as("n2"))
+    val cn = wedges.groupBy(col("n1"), col("n2"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    // drop pairs that are ALREADY edges (we predict absent links)
+    val existing = und.filter(col("a") < col("b"))
+      .select(col("a").as("n1"), col("b").as("n2"))
+    cn.join(existing, Seq("n1", "n2"), "left_anti")
+      .join(deg.select(col("node").as("n1"), col("deg").as("d1")), Seq("n1"))
+      .join(deg.select(col("node").as("n2"), col("deg").as("d2")), Seq("n2"))
+      .select(col("n1"), col("n2"), col("cn"),
+        expr("cn * 1000000L div (d1 + d2 - cn)").as("jaccard_ppm"))
+  }
+
+  /** X10s — STRONGLY connected components (round 15): the directed
     * counterpart of [[graft.ops.Dedup.components]] — node groups that
     * are MUTUALLY reachable, the cycle-structure question (mutual
     * trading rings, link farms, redirect loops in a crawl graph) the

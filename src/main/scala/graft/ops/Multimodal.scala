@@ -73,8 +73,9 @@ object Multimodal {
   /** Shared P6 header parse: (width, height, maxval, pixel-plane offset),
     * or None for anything malformed — bad magic, non-numeric/oversized
     * header fields, maxval out of range, truncated pixel plane. */
-  private def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-    var i = 2
+  private def parsePpmHeader(bytes: Array[Byte],
+      start: Int = 0): Option[(Int, Int, Int, Int)] = {
+    var i = start + 2
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
     def readInt(): Option[Int] = {
       while (i < bytes.length && isWs(bytes(i))) i += 1
@@ -83,7 +84,8 @@ object Multimodal {
       if (i == s || i - s > 9) None
       else Some(new String(bytes, s, i - s, "US-ASCII").toInt)
     }
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') None
+    if (bytes.length < start + 2 || bytes(start) != 'P' ||
+      bytes(start + 1) != '6') None
     else (readInt(), readInt(), readInt()) match {
       case (Some(w), Some(h), Some(mx))
           if w > 0 && h > 0 && mx > 0 && mx < 65536 &&
@@ -155,8 +157,8 @@ object Multimodal {
     * mean moves with the pixels), which is why aHash-style hashes are
     * the standard first pass of image dedup. Malformed bytes hash to
     * None, matching the parser contract. */
-  def phash56(bytes: Array[Byte]): Option[Long] =
-    parsePpmHeader(bytes).map { case (w, h, _, off) =>
+  def phash56(bytes: Array[Byte], start: Int = 0): Option[Long] =
+    parsePpmHeader(bytes, start).map { case (w, h, _, off) =>
       val grays = new Array[Long](56)
       var s = 0L
       var q = 0
@@ -238,6 +240,134 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(p1 ^ p2)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** MM-VID — a raw VIDEO payload: `nf` concatenated P6 frames (the
+    * frame-sequence form every uncompressed video boils down to; a real
+    * container adds an index the walker below doesn't need). Frame f's
+    * pixel plane is the document's text ROTATED by f characters then
+    * repeated — consecutive frames differ the way consecutive video
+    * frames do (content shifts, bytes shared), and the rotation is pure
+    * string arithmetic both engines replay. nf = 2 + doc_id % 3, width
+    * 8 + doc_id % 8, height 4. Built entirely from Spark SQL string
+    * expressions (all-ASCII, the withPpmPayload discipline) so the
+    * oracle can rebuild frames from `documents.text` alone. */
+  def withVideoPayload(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs
+      .withColumn("width", (lit(8) + pmod(col(idCol), lit(8))).cast("int"))
+      .withColumn("height", lit(4).cast("int"))
+      .withColumn("n_frames", (lit(2) + pmod(col(idCol), lit(3))).cast("int"))
+      .withColumn("_t",
+        coalesce(nullif(col(textCol), lit("")), lit(" ")))
+      .withColumn("payload", expr(
+        """array_join(transform(sequence(0, n_frames - 1), f ->
+          |  concat('P6\n', width, ' ', height, '\n255\n',
+          |    rpad(concat(substr(_t, (f % length(_t)) + 1),
+          |                substr(_t, 1, f % length(_t))),
+          |      width * height * 3,
+          |      concat(substr(_t, (f % length(_t)) + 1),
+          |             substr(_t, 1, f % length(_t)))))), '')""".stripMargin)
+        .cast("binary"))
+      .drop("_t")
+
+  /** Frame walk + sample + per-frame features: parse frame 0's header at
+    * offset 0, hop to the next frame's offset (header + w·h·3), repeat —
+    * a truncated or corrupt frame ends the walk (frames before it still
+    * emit, the parser contract applied per frame). Frames with
+    * index % stride == 0 are KEPT (frame sampling — the video
+    * preprocessing step the mandate names) and reduced to exact channel
+    * sums. One row per kept frame: (id, frame, w, h, sr, sg, sb).
+    * Partition-local flatMap, zero shuffle, ≤ nf rows per video. */
+  def videoFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame", IntegerType, nullable = false),
+      StructField("w", IntegerType, nullable = false),
+      StructField("h", IntegerType, nullable = false),
+      StructField("sr", LongType, nullable = false),
+      StructField("sg", LongType, nullable = false),
+      StructField("sb", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val in = Scale.fanOut(
+      df.select(col(idCol).cast("long").as("id"), col("payload")))
+    val out: Dataset[Row] = in.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var off = 0
+        var f = 0
+        var ok = true
+        while (ok && off < bytes.length) {
+          parsePpmHeader(bytes, off) match {
+            case Some((w, h, _, pix)) =>
+              if (f % stride == 0) {
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var p = 0
+                val n = w * h
+                while (p < n) {
+                  sr += bytes(pix + 3 * p) & 0xff
+                  sg += bytes(pix + 3 * p + 1) & 0xff
+                  sb += bytes(pix + 3 * p + 2) & 0xff
+                  p += 1
+                }
+                acc += Row(id, f, w, h, sr, sg, sb)
+              }
+              off = pix + w * h * 3
+              f += 1
+            case None => ok = false
+          }
+        }
+        acc.iterator
+      }
+    }(enc)
+    out.withColumnRenamed("id", idCol)
+  }
+
+  /** MM-VID2 — per-frame perceptual hash: the frame walk of
+    * [[videoFrames]] emitting [[phash56]] per KEPT frame instead of
+    * channel sums — the first pass of VIDEO near-dup detection (hash
+    * sampled frames, band-join the hashes, videos sharing enough
+    * near-identical frames are re-encodes/re-uploads of each other).
+    * Emits (id, frame, phash) where the join-ready composite key is the
+    * caller's to build (e.g. id·4 + frame for nf ≤ 4, feeding
+    * [[phashPairs]] unchanged). Partition-local, zero shuffle, 8 bytes
+    * per kept frame. */
+  def videoFramePhash(spark: SparkSession, df: DataFrame, idCol: String,
+      stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame", IntegerType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val in = Scale.fanOut(
+      df.select(col(idCol).cast("long").as("id"), col("payload")))
+    val out: Dataset[Row] = in.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var off = 0
+        var f = 0
+        var ok = true
+        while (ok && off < bytes.length) {
+          parsePpmHeader(bytes, off) match {
+            case Some((w, h, _, pix)) =>
+              if (f % stride == 0)
+                phash56(bytes, off).foreach(ph => acc += Row(id, f, ph))
+              off = pix + w * h * 3
+              f += 1
+            case None => ok = false
+          }
+        }
+        acc.iterator
+      }
+    }(enc)
+    out.withColumnRenamed("id", idCol)
   }
 
   /** Frame sampling: every `stride`-th byte ("frame") of the payload. */

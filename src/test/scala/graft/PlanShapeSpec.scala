@@ -582,6 +582,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r15 multimodal lanes: the audio/video codec operators carry NO " +
+      "key shuffle — the only exchange is Scale.fanOut's deliberate " +
+      "round-robin spread (absent when the scan has enough splits); " +
+      "linkPredict closes without a cartesian") {
+    val docs = ops.Tables.documents(spark, d)
+    // the OPERATOR plans (the judged queries append an orderBy for
+    // deterministic dumps — that range exchange is presentation, not
+    // the operator). At sf0.001 the documents scan is ONE split, so
+    // fanOut's round-robin repartition engages — that single exchange
+    // spreads codec compute and is the only one allowed.
+    def pinCodecPlan(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val p = planOf(df)
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning"),
+        s"$name must never shuffle by key")
+      assert(countShuffles(df.queryExecution.executedPlan) <= 1,
+        s"$name: only the fanOut round-robin spread is allowed")
+    }
+    pinCodecPlan(ops.Audio.wavEnergy(spark,
+      ops.Audio.wavPayload(spark, docs, "text", "doc_id"), "doc_id"),
+      "wavEnergy")
+    pinCodecPlan(ops.Multimodal.videoFramePhash(spark,
+      ops.Multimodal.withVideoPayload(docs, "text", "doc_id"), "doc_id"),
+      "videoFramePhash")
+    // linkPredict: equi-joins only — the wedge join keys on the center,
+    // degree joins key on endpoints; nothing degenerates to cartesian
+    val lp = ops.Graph.linkPredict(
+      ops.Graph.coSupplyEdges(ops.Tables.lineitem(spark, d), 41L))
+    assert(!planOf(lp).contains("CartesianProduct"),
+      "linkPredict must never cartesian")
+  }
+
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -457,6 +457,31 @@ object StressBench {
       "expected min-label components to exceed its 20-round budget on " +
         "the 1k chain (diameter >= 26)")
 
+    // (B'') linkPredict under the HUB: the skew graph's degree-n/2 hub
+    // is the wedge-quadratic — capped (maxDeg 64) the hub is dropped as
+    // a center and only chain wedges survive (~n/2 second-neighbor
+    // pairs); uncapped at n = 10k the hub alone emits C(5k, 2) ≈ 12.5M
+    // predicted pairs. Same cap-before-join discipline as semdedup/phash.
+    val lpG = skewGraph(10000L)
+    stage("linkpred_capped")(ops.Graph.linkPredict(lpG, maxDeg = 64,
+      minCommon = 1L))
+    stage("linkpred_uncapped")(ops.Graph.linkPredict(lpG,
+      maxDeg = Int.MaxValue, minCommon = 1L))
+
+    // (B''') scc at 100k nodes: 10k disjoint 10-rings — every inner
+    // min-label round is one node-keyed join, a ring's color closes in
+    // ring-length rounds, and ONE outer round extracts every ring in
+    // PARALLEL (the color classes peel independently). Labels are
+    // checked exactly: scc_id == ring base for every node.
+    val ringsN = 100000L
+    val rings = spark.range(ringsN).selectExpr("id as src",
+      "(id div 10) * 10 + (id % 10 + 1) % 10 as dst")
+    val sccLabels = ops.Graph.scc(rings)
+    stage("scc_100k")(sccLabels)
+    require(sccLabels.filter(col("scc_id") =!= expr("(node div 10) * 10"))
+        .isEmpty,
+      "scc labels on the 10-ring graph must be the ring base")
+
     // (C) graph operators at 100k AND 1M nodes (the dedup lanes' 10x
     // scaling table, for graphs): same skew-graph generator — one
     // degree-n/2 hub, a chain, and n/20 disjoint 10-cliques; ~3.25M
@@ -512,6 +537,17 @@ object StressBench {
     require(results("phash_uncapped")._2 >= 60000L,
       s"unbounded phash contrast should emit the 2xC(250,2) template " +
         s"quadratic: ${results("phash_uncapped")._2}")
+    // linkpred: the capped run must silence the hub's C(5k,2) wedge
+    // quadratic (only chain second-neighbor pairs remain); the uncapped
+    // contrast must show it
+    require(results("linkpred_capped")._2 <= 20000L,
+      s"capped linkPredict let hub wedges through: " +
+        s"${results("linkpred_capped")._2}")
+    require(results("linkpred_uncapped")._2 >= 12000000L,
+      s"uncapped linkPredict contrast should emit the hub quadratic: " +
+        s"${results("linkpred_uncapped")._2}")
+    require(results("scc_100k")._2 == 100000L,
+      s"scc must label every ring node: ${results("scc_100k")._2}")
 
     // sanity: the plants must be FOUND (caps did not eat the signal).
     // ~n/20 near-dup pairs from LSH; ~n/20 span groups from spanPairs.

@@ -102,7 +102,7 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(k4, 4, 3).count() == 0)
   }
 
-  test("X10g personalizedPageRank: mass concentrates near the source, " +
+  test("X10p personalizedPageRank: mass concentrates near the source, " +
       "unreachable nodes stay exactly 0, global symmetry is broken") {
     // two symmetric stars joined by a bridge 1-11, plus an isolated
     // component {100, 101}: global pageRank cannot tell hub 1 from
@@ -153,7 +153,7 @@ class GraphSpec extends SparkSpec {
     assert(multi(9L) == 0L && multi(10L) == 1L && multi(5L) == 2L)
   }
 
-  test("X10h scc: two 3-cycles over a one-way bridge, a trimmed tail, " +
+  test("X10s scc: two 3-cycles over a one-way bridge, a trimmed tail, " +
       "and a 2-cycle — hand-computed component labels") {
     // cycle A: 1→2→3→1; cycle B: 10→11→12→10; one-way bridge 3→10
     // (so A and B are NOT mutually reachable); tail 12→20→21 (trims);
@@ -174,7 +174,7 @@ class GraphSpec extends SparkSpec {
     assert(Graph.scc(edges).as[(Long, Long)].collect().toMap == r)
   }
 
-  test("X10h scc: a pure DAG is all singletons (trim closes it without " +
+  test("X10s scc: a pure DAG is all singletons (trim closes it without " +
       "any coloring rounds); a long cycle is one component") {
     val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")
@@ -183,5 +183,25 @@ class GraphSpec extends SparkSpec {
     val ring = (0L until 12L).map(i => (i, (i + 1) % 12)).toDF("src", "dst")
     val r2 = Graph.scc(ring).as[(Long, Long)].collect().toMap
     assert(r2.size == 12 && r2.values.forall(_ == 0L))
+  }
+
+  test("X10i linkPredict: only the non-adjacent pair with >= minCommon " +
+      "shared neighbors survives, with exact Jaccard; the center-degree " +
+      "cap silences hub-mediated wedges") {
+    // square 1-2-4-3-1 plus diagonal 2-3: Γ(1)=Γ(4)={2,3}, so (1,4)
+    // shares 2 neighbors and is NOT an edge; (2,3) also shares 2 but IS
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.linkPredict(edges, minCommon = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 4L, 2L, 1000000L))) // union = 2+2-2 = 2 -> 1.0
+    // cap at deg <= 2: centers 2 and 3 (deg 3) are dropped, so the only
+    // wedges left run through 1 and 4 — and their leaf pair (2,3) is an
+    // existing edge: nothing predicted
+    assert(Graph.linkPredict(edges, maxDeg = 2, minCommon = 2L).isEmpty)
+    // direction-insensitive: reversing every edge changes nothing
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    assert(Graph.linkPredict(rev, minCommon = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq == r)
   }
 }
