@@ -8639,6 +8639,444 @@ object Queries {
            |        GROUP BY pk) fb USING (pk))
            |SELECT est.est_join, exact.exact_join FROM est, exact""".stripMargin))
 
+  // ===========================================================================
+  // Round-15 second batch: KMV set sketches, ACF, CUPED, LPA communities,
+  // referential-integrity audit
+  // ===========================================================================
+
+  /** X5q — KMV distinct sketch (ops/Sketch.kmvSketch): keep the 64
+    * smallest 44-bit md5 hashes of the click-price set; est_distinct =
+    * ⌊63·2^44 / h_64⌋, judged beside the exact count so the artifact
+    * records estimator quality, not just mechanism. The sketch build is
+    * a map-side-combined distinct + per-task k-minima merge
+    * (TakeOrderedAndProject) — nothing value-set-sized crosses the
+    * exchange except once for the judged exact twin. */
+  val x5Kmv = QuerySpec("x5_kmv",
+    (s, d) => {
+      val cents = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      val exact = cents.agg(count_distinct(col("v")).as("exact_distinct"))
+      Sketch.kmvEstimate(Sketch.kmvSketch(cents, "v", 64), 64)
+        .crossJoin(broadcast(exact))
+    },
+    Some("""WITH v AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT)
+           |    AS v FROM events WHERE event_type = 'click'),
+           |h AS (SELECT DISTINCT
+           |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 11))::BIGINT + 1
+           |      AS h FROM v),
+           |k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           |    max(h) AS kth_h FROM k)
+           |SELECT n_kept, kth_h,
+           |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+           |    ELSE 63 * 17592186044416 // kth_h END AS BIGINT)
+           |    AS est_distinct,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS exact_distinct
+           |FROM agg""".stripMargin))
+
+  /** X5r — KMV set algebra (ops/Sketch.kmvCompare): click-price vs
+    * purchase-price value sets — union/Jaccard/intersection estimated
+    * from two 64-hash sketches (the set operation HLL registers cannot
+    * express), judged beside the exact set counts. All the estimator
+    * arithmetic runs over two ≤64-row broadcast frames; only the exact
+    * twins scan the fact data. */
+  val x5KmvJaccard = QuerySpec("x5_kmv_jaccard",
+    (s, d) => {
+      def cents(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      val a = cents("click")
+      val b = cents("purchase")
+      val exact = a.distinct().select(col("v"), lit(1L).as("ia"))
+        .join(b.distinct().select(col("v"), lit(1L).as("ib")),
+          Seq("v"), "full_outer")
+        .agg(count(lit(1)).as("exact_union"),
+          sum(expr("coalesce(ia, 0L) * coalesce(ib, 0L)")).as("exact_inter"))
+      Sketch.kmvCompare(Sketch.kmvSketch(a, "v", 64),
+          Sketch.kmvSketch(b, "v", 64), 64)
+        .crossJoin(broadcast(exact))
+    },
+    Some("""WITH av AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5)
+           |    AS BIGINT) AS v FROM events WHERE event_type = 'click'),
+           |bv AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT)
+           |    AS v FROM events WHERE event_type = 'purchase'),
+           |ah AS (SELECT DISTINCT
+           |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 11))::BIGINT + 1
+           |      AS h FROM av),
+           |ak AS (SELECT h FROM ah ORDER BY h LIMIT 64),
+           |bh AS (SELECT DISTINCT
+           |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 11))::BIGINT + 1
+           |      AS h FROM bv),
+           |bk AS (SELECT h FROM bh ORDER BY h LIMIT 64),
+           |u AS (SELECT coalesce(ak.h, bk.h) AS h,
+           |    CASE WHEN ak.h IS NULL THEN 0 ELSE 1 END AS ia,
+           |    CASE WHEN bk.h IS NULL THEN 0 ELSE 1 END AS ib
+           |  FROM ak FULL JOIN bk ON ak.h = bk.h),
+           |uk AS (SELECT * FROM u ORDER BY h LIMIT 64),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+           |    max(h) AS kth_h, CAST(sum(ia * ib) AS BIGINT) AS n_both
+           |  FROM uk),
+           |est AS (SELECT k_used, n_both,
+           |    CAST(CASE WHEN k_used < 64 THEN k_used
+           |      ELSE 63 * 17592186044416 // kth_h END AS BIGINT)
+           |      AS est_union
+           |  FROM agg),
+           |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+           |    CAST(sum(CASE WHEN av.v IS NOT NULL AND bv.v IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+           |  FROM av FULL JOIN bv ON av.v = bv.v)
+           |SELECT est.k_used, est.n_both, est.est_union,
+           |  CAST(n_both * 1000000 // k_used AS BIGINT) AS jacc_ppm,
+           |  CAST(n_both * est_union // k_used AS BIGINT) AS est_inter,
+           |  ex.exact_union, ex.exact_inter
+           |FROM est, ex""".stripMargin))
+
+  /** X8q — lag-1..3 autocorrelation per key (ops/TimeSeries.acf): exact
+    * BIGINT moment numerators per (key, lag) with the one float ACF
+    * derived in a parenthesization textually mirrored by the oracle
+    * (the corrVsIndex discipline). One key-window sort computes all
+    * three lags; stack + a map-side-combined (key, lag) aggregate. */
+  val x8Acf = QuerySpec("x8_acf",
+    (s, d) => TimeSeries.acf(Tables.events(s, d), "user_id", "ts",
+        "event_id", floor(col("value") * 100 + lit(0.5)).cast("long"), 3)
+      .orderBy(col("user_id"), col("lag_k")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |l AS (SELECT user_id, cents AS x,
+           |    lag(cents, 1) OVER w AS lag_1,
+           |    lag(cents, 2) OVER w AS lag_2,
+           |    lag(cents, 3) OVER w AS lag_3
+           |  FROM e
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |p AS (SELECT user_id, 1 AS lag_k, x, lag_1 AS y FROM l
+           |      WHERE lag_1 IS NOT NULL
+           |  UNION ALL SELECT user_id, 2, x, lag_2 FROM l
+           |      WHERE lag_2 IS NOT NULL
+           |  UNION ALL SELECT user_id, 3, x, lag_3 FROM l
+           |      WHERE lag_3 IS NOT NULL),
+           |g AS (SELECT user_id, lag_k, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM p GROUP BY 1, 2)
+           |SELECT user_id, lag_k, n,
+           |  n * sxy - sx * sy AS cov_num,
+           |  n * sxx - sx * sx AS varx_num,
+           |  n * syy - sy * sy AS vary_num,
+           |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+           |    CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
+           |    sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END AS acf
+           |FROM g ORDER BY user_id, lag_k""".stripMargin),
+    bench = true)
+
+  /** X9g — CUPED variance reduction (ops/Experiment.cuped): pre-period
+    * spend adjusts experiment-period spend per md5-parity arm; θ and
+    * the adjusted means are exact rationals in DECIMAL(38,0)/HUGEINT
+    * with one pinned FLOOR division at the milli edge. The split point
+    * is the (min+max)/2 midpoint of the event time range — computed
+    * once driver-side here and replayed as a scalar subquery by the
+    * oracle. */
+  val x9Cuped = QuerySpec("x9_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ev.agg(min(expr("unix_micros(ts)")).as("lo"),
+        max(expr("unix_micros(ts)")).as("hi")).head
+      val split = (r.getLong(0) + r.getLong(1)) / 2
+      Experiment.cuped(ev, "user_id", "ts",
+          floor(col("value") * 100 + lit(0.5)).cast("long"), split)
+        .orderBy(col("arm"))
+    },
+    Some("""WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+           |    AS s FROM events),
+           |u AS (SELECT user_id AS unit,
+           |    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT s FROM sp)
+           |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+           |      ELSE 0 END) AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT s FROM sp)
+           |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+           |      ELSE 0 END) AS BIGINT) AS y
+           |  FROM events GROUP BY 1),
+           |w AS (SELECT *, CASE WHEN ('0x' || substr(md5('0:' ||
+           |      CAST(unit AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+           |    THEN 'a' ELSE 'b' END AS arm FROM u),
+           |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+           |  FROM w),
+           |t AS (SELECT n, sx, n * sxy - sx * sy AS tn,
+           |    n * sxx - sx * sx AS td FROM g),
+           |a AS (SELECT arm, CAST(count(*) AS HUGEINT) AS n_v,
+           |    CAST(sum(x) AS HUGEINT) AS sx_v,
+           |    CAST(sum(y) AS HUGEINT) AS sy_v
+           |  FROM w GROUP BY 1),
+           |j AS (SELECT arm, n_v, sx_v, sy_v, n, sx, tn, td,
+           |    1000 * (n * td * sy_v - tn * (n * sx_v - n_v * sx)) AS an,
+           |    n_v * n * td AS ad
+           |  FROM a, t)
+           |SELECT arm, CAST(n_v AS BIGINT) AS n_units,
+           |  CAST(sy_v AS BIGINT) AS sum_y_cents,
+           |  CAST(sy_v * 1000 // n_v AS BIGINT) AS mean_y_milli,
+           |  CASE WHEN td > 0 THEN
+           |    CAST((an - ((an % ad) + ad) % ad) // ad AS BIGINT) END
+           |    AS adj_mean_y_milli,
+           |  CASE WHEN td > 0 THEN
+           |    CAST((1000000 * tn - ((1000000 * tn % td) + td) % td) // td
+           |      AS BIGINT) END AS theta_micro
+           |FROM j ORDER BY arm""".stripMargin))
+
+  /** X10k — label-propagation communities (ops/Graph.labelPropagation):
+    * 3 synchronous self-vote rounds over the symmetrized trade graph,
+    * max-count/min-label tie-break — the determinism contract that lets
+    * the oracle unroll every round as SQL (count + row_number with the
+    * identical ordering). Per round: one label join + one (node, label)
+    * partial-combining count + one node-window argmax. */
+  /** The x10_lpa oracle's full 3-round unroll as CTEs ending in `l3`
+    * (node, label) — shared verbatim by the x10_modularity oracle so the
+    * two lanes cannot drift (the docsFinSql discipline). */
+  private val lpaOracleCtes: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT v.node, l.label, count(*) AS cnt
+         |  FROM v JOIN l${i - 1} l ON v.nbr = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (PARTITION BY node
+         |      ORDER BY cnt DESC, label) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |und AS (SELECT src, dst FROM e0
+       |        UNION ALL SELECT dst, src FROM e0),
+       |n AS (SELECT DISTINCT src AS node FROM und),
+       |v AS (SELECT dst AS node, src AS nbr FROM und
+       |      UNION ALL SELECT node, node FROM n),
+       |l0 AS (SELECT node, node AS label FROM n),
+       |$rounds""".stripMargin
+  }
+
+  val x10Lpa = QuerySpec("x10_lpa",
+    (s, d) => Graph.labelPropagation(
+        Graph.tradeEdges(T(s, d, "lineitem"), T(s, d, "orders")), 3)
+      .orderBy(col("node")),
+    Some(s"""WITH $lpaOracleCtes
+            |SELECT node, label FROM l3 ORDER BY node""".stripMargin),
+    bench = true)
+
+  /** X10l — modularity of the LPA partition (ops/Graph.modularity):
+    * exact-rational Newman Q in floored ppm over the same trade graph
+    * and the same 3-round labeling — the "did LPA find structure"
+    * score, judged end to end (the oracle re-unrolls LPA via the SHARED
+    * CTE text, then replays the HUGEINT modularity arithmetic). */
+  val x10Modularity = QuerySpec("x10_modularity",
+    (s, d) => {
+      val edges = Graph.tradeEdges(T(s, d, "lineitem"), T(s, d, "orders"))
+        // read by LPA (per round) AND by modularity (canonicalize +
+        // degree mass) — one materialization, not recurring fact scans
+        .localCheckpoint(eager = false)
+      Graph.modularity(edges, Graph.labelPropagation(edges, 3))
+    },
+    Some(s"""WITH $lpaOracleCtes,
+            |u2 AS (SELECT DISTINCT least(src, dst) AS a,
+            |    greatest(src, dst) AS b FROM und WHERE src <> dst),
+            |le AS (SELECT u2.a, u2.b, x.label AS la, y.label AS lb
+            |  FROM u2 JOIN l3 x ON x.node = u2.a
+            |  JOIN l3 y ON y.node = u2.b),
+            |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+            |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS HUGEINT)
+            |      AS e_in
+            |  FROM le),
+            |dm AS (SELECT label, CAST(count(*) AS HUGEINT) AS d_c
+            |  FROM (SELECT la AS label FROM le
+            |        UNION ALL SELECT lb FROM le)
+            |  GROUP BY label),
+            |cm AS (SELECT CAST(count(*) AS BIGINT) AS n_comms,
+            |    CAST(sum(d_c * d_c) AS HUGEINT) AS d_sq FROM dm),
+            |f AS (SELECT m, e_in, n_comms, d_sq,
+            |    1000000 * (4 * m * e_in - d_sq) AS qn, 4 * m * m AS qd
+            |  FROM mm, cm)
+            |SELECT CAST(m AS BIGINT) AS n_edges,
+            |  n_comms AS n_communities, CAST(e_in AS BIGINT) AS intra_edges,
+            |  CAST((qn - ((qn % qd) + qd) % qd) // qd AS BIGINT) AS q_ppm
+            |FROM f""".stripMargin))
+
+  /** X5s — per-group KMV (ops/Sketch.kmvSketchBy): one bottom-64 sketch
+    * per language over the token stream — per-language vocabulary
+    * estimates judged beside the exact distinct counts. The per-group k
+    * minima come from a rank window Spark plans as WindowGroupLimit (≤ k
+    * candidates per group per map task). */
+  val x5KmvBy = QuerySpec("x5_kmv_by",
+    (s, d) => {
+      val toks = T(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val exact = toks.groupBy(col("lang").as("grp"))
+        .agg(count_distinct(col("tok")).as("exact_distinct"))
+      Sketch.kmvEstimateBy(Sketch.kmvSketchBy(toks, "tok", "lang", 64), 64)
+        .join(broadcast(exact), Seq("grp"))
+        .orderBy(col("grp"))
+    },
+    Some("""WITH t AS (SELECT lang AS grp,
+           |    unnest(string_split(text, ' ')) AS tok FROM documents),
+           |dh AS (SELECT DISTINCT grp,
+           |    ('0x' || substr(md5(tok), 1, 11))::BIGINT + 1 AS h FROM t),
+           |r AS (SELECT grp, h,
+           |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+           |  FROM dh),
+           |k AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+           |    max(h) AS kth_h FROM r WHERE rn <= 64 GROUP BY grp),
+           |x AS (SELECT grp, CAST(count(DISTINCT tok) AS BIGINT)
+           |    AS exact_distinct FROM t GROUP BY grp)
+           |SELECT k.grp, k.n_kept, k.kth_h,
+           |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+           |    ELSE 63 * 17592186044416 // kth_h END AS BIGINT)
+           |    AS est_distinct,
+           |  x.exact_distinct
+           |FROM k JOIN x USING (grp) ORDER BY grp""".stripMargin))
+
+  /** X7u — incremental KMV index maintenance (round 15): the per-shard
+    * bottom-k vocabulary sketch follows the document snapshot through a
+    * merge at cost ∝ change — x7_incr_hll's discipline applied to the
+    * KMV family (whose set-algebra is what the HLL registers can't do).
+    * snapshotDiff reads only merge-touched buckets; only touched shards
+    * re-sketch; the judged assertion is the strongest available: the
+    * maintained sketch's per-shard estimates hash-match the oracle's
+    * DIRECT recompute over the merged final state. */
+  val x7IncrKmv = QuerySpec("x7_incr_kmv",
+    (s, d) => {
+      val root = docSigSnapshot(s, d)
+      val snap = s"$root/snap"
+      val nSh = 8
+      def toks(df: DataFrame): DataFrame =
+        df.select(Sketch.shardOf(col("doc_id"), nSh).as("shard"),
+          explode(split(col("text"), " ")).as("tok"))
+      val k0 = Sketch.kmvSketchBy(toks(Cdc.snapshotAt(s, snap, 0)),
+        "tok", "shard", 64)
+      val touched = Cdc.snapshotDiff(s, snap, 0, 1)
+        .select(Sketch.shardOf(col("doc_id"), nSh).as("grp")).distinct()
+      val rebuilt = Sketch.kmvSketchBy(
+        toks(Cdc.snapshotAt(s, snap, 1))
+          .join(touched.withColumnRenamed("grp", "shard"),
+            Seq("shard"), "left_semi"),
+        "tok", "shard", 64)
+      val maintained = k0.join(touched, Seq("grp"), "left_anti")
+        .unionByName(rebuilt)
+      Sketch.kmvEstimateBy(maintained, 64).orderBy(col("grp"))
+    },
+    Some("WITH " + docsFinSql + ",\n" +
+      """v AS (
+        |  SELECT ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 8 AS grp,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM fin),
+        |dh AS (SELECT DISTINCT grp,
+        |    ('0x' || substr(md5(tok), 1, 11))::BIGINT + 1 AS h FROM v),
+        |r AS (SELECT grp, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |  FROM dh)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+        |  max(h) AS kth_h,
+        |  CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |    ELSE 63 * 17592186044416 // max(h) END AS BIGINT)
+        |    AS est_distinct
+        |FROM r WHERE rn <= 64 GROUP BY grp ORDER BY grp""".stripMargin))
+
+  /** J6c — interval×interval overlap join (ops/Scale.intervalOverlapJoin):
+    * view-sessions overlapping click-sessions per user — the two-sided
+    * range join j6b's point-in-interval binning cannot express. Binned
+    * equi-join on (user, 6h-bin) with the exact predicate as a residual
+    * and canonical-bin dedup (each pair emitted only in the bin of
+    * max(starts)); the oracle is the NAIVE theta join — same rows proves
+    * the binning strategy, the j6b discipline. */
+  val j6cIntervalOverlap = QuerySpec("j6c_interval_overlap",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("s0"),
+          expr("unix_micros(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT)" +
+            " * 1000000").as("e0"))
+      val a = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("s0").as("a_s"), col("e0").as("a_e"))
+      val b = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("b_id"),
+          col("s0").as("b_s"), col("e0").as("b_e"))
+      Scale.intervalOverlapJoin(a, "a_s", "a_e", b, "b_s", "b_e",
+          Seq("user_id"), 21600000000L)
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |    epoch_us(ts) AS s0,
+           |    epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT)
+           |      * 1000000 AS e0
+           |  FROM events),
+           |a AS (SELECT user_id, event_id AS a_id, s0 AS a_s, e0 AS a_e
+           |  FROM e WHERE event_type = 'view'),
+           |b AS (SELECT user_id, event_id AS b_id, s0 AS b_s, e0 AS b_e
+           |  FROM e WHERE event_type = 'click')
+           |SELECT a.user_id, a.a_id, b.b_id,
+           |  least(a.a_e, b.b_e) - greatest(a.a_s, b.b_s) AS overlap_us
+           |FROM a JOIN b ON a.user_id = b.user_id
+           |  AND a.a_s <= b.b_e AND b.b_s <= a.a_e
+           |ORDER BY a_id, b_id""".stripMargin),
+    bench = true)
+
+  /** X11f — referential-integrity audit (ops/Quality.referentialAudit):
+    * orphan counts for every declared FK edge of the star schema plus
+    * the documents→embeddings link (3 of 5 docs have no embedding yet —
+    * genuine unlinked mass, not a synthetic plant). Each relation is one
+    * distinct-parent left join + a 1-row aggregate. */
+  val x11Refint = QuerySpec("x11_refint",
+    (s, d) => Quality.referentialAudit(Seq(
+        Quality.FkRule("documents_docid__embeddings",
+          T(s, d, "documents"), "doc_id", T(s, d, "embeddings"), "vec_id"),
+        Quality.FkRule("events_userid__customer",
+          Tables.events(s, d), "user_id", T(s, d, "customer"), "c_custkey"),
+        Quality.FkRule("lineitem_orderkey__orders",
+          T(s, d, "lineitem"), "l_orderkey", T(s, d, "orders"), "o_orderkey"),
+        Quality.FkRule("lineitem_partkey__part",
+          T(s, d, "lineitem"), "l_partkey", T(s, d, "part"), "p_partkey"),
+        Quality.FkRule("lineitem_suppkey__supplier",
+          T(s, d, "lineitem"), "l_suppkey", T(s, d, "supplier"), "s_suppkey"),
+        Quality.FkRule("orders_custkey__customer",
+          T(s, d, "orders"), "o_custkey", T(s, d, "customer"), "c_custkey")))
+      .orderBy(col("relation")),
+    Some {
+      def rel(name: String, child: String, fk: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS relation, n_child, n_null_fk, n_orphans,
+           |  CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n_child,
+           |    CAST(sum(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_null_fk,
+           |    CAST(sum(CASE WHEN c.$fk IS NOT NULL AND p._pk IS NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |  FROM $child c LEFT JOIN
+           |    (SELECT DISTINCT $pk AS _pk FROM $parent) p
+           |    ON c.$fk = p._pk)""".stripMargin
+      Seq(
+        rel("documents_docid__embeddings", "documents", "doc_id",
+          "embeddings", "vec_id"),
+        rel("events_userid__customer", "events", "user_id",
+          "customer", "c_custkey"),
+        rel("lineitem_orderkey__orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem_partkey__part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rel("lineitem_suppkey__supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        rel("orders_custkey__customer", "orders", "o_custkey",
+          "customer", "c_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan, s9OrcScan,
@@ -8707,6 +9145,8 @@ object Queries {
     x8Anomaly, x8Drawdown, x8IndexCorr, x8Volatility, x8Ema, x8Cusum,
     x8Seasonal, x8Attribution, x8ClosesSummary, x8Wau, x8Decay,
     x12BasketPairs, x12BasketRules,
+    x5Kmv, x5KmvJaccard, x8Acf, x9Cuped, x10Lpa, x11Refint,
+    x5KmvBy, x7IncrKmv, x10Modularity, j6cIntervalOverlap,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,

@@ -582,4 +582,124 @@ object Graph {
       s"scc did not converge in $maxOuter outer rounds — raise maxOuter")
     assigned.select(col("node"), col("scc_id"))
   }
+
+  /** X10k — label-propagation community detection (Raghavan et al.
+    * 2007), SYNCHRONOUS fixed-round variant: every node starts labeled
+    * with its own id; each round every node simultaneously adopts the
+    * most frequent label among its neighbors AND itself, ties broken by
+    * the SMALLEST label. Communities emerge because dense
+    * neighborhoods amplify whichever label got a local majority —
+    * near-linear total work, no modularity objective to optimize, the
+    * standard first-pass community pass over co-supply / co-click /
+    * citation graphs.
+    *
+    * Determinism contract (what makes this judgeable): classic async
+    * LPA visits nodes in random order and breaks ties randomly — an
+    * engine-dependent result. Here rounds are synchronous (all nodes
+    * update from the SAME previous labeling), the tie-break is total
+    * (max count, then min label), and the round count is fixed by the
+    * caller — so the oracle replays rounds as unrolled SQL exactly.
+    * The self-vote both regularizes the known bipartite-oscillation
+    * failure mode of sync LPA (a node's own label participates in the
+    * majority, damping flip-flop) and guarantees isolated nodes keep a
+    * label. Fixed rounds rather than convergence-detection is the
+    * declared semantics (like [[pageRank]]'s fixed iterations), not a
+    * shortcut: sync LPA need not converge at all.
+    *
+    * Scale shape: per round ONE label-keyed equi-join (votes ⋈ labels
+    * on the neighbor id) + ONE (node, label) partial-combining count +
+    * ONE node-window argmax — all keyed on node ids; state is one row
+    * per node and the static vote frame is materialized once.
+    * Lineage is cut per round (the iterative-frame discipline every
+    * graph lane follows). Input may be directed; it is symmetrized +
+    * dedup'd here. Returns (node, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    val und = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionAll(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
+      .distinct()
+    val nodes = und.select(col("src").as("node")).distinct()
+    // vote edges: every neighbor's label flows to the node, plus the
+    // node's own label (the self-vote) — one static frame, reused by
+    // every round's join
+    val votes = und.select(col("dst").as("node"), col("src").as("nbr"))
+      .unionAll(nodes.select(col("node"), col("node").as("nbr")))
+      .localCheckpoint(eager = false)
+    var labels = nodes.withColumn("label", col("node"))
+      .localCheckpoint(eager = false)
+    (1 to rounds).foreach { _ =>
+      labels = votes
+        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+        // argmax by (cnt desc, label asc) as a HASH aggregate — max_by
+        // over the (cnt, −label) struct is the same total order with no
+        // per-node sort (a window row_number would sort every vote
+        // partition each round; at sf0.1 wall time is join-dominated
+        // either way, but the sort-free form is the one that holds when
+        // per-node candidate-label counts grow), and (cnt, −label) is
+        // unique per node so the pick is exact with no tie column
+        .groupBy(col("node"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), (-col("label")).as("neg"))).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
+  /** X10l — Newman modularity of a node labeling: Q = Σ_c [e_c/m −
+    * (d_c/2m)²] — fraction of edges inside communities minus what a
+    * degree-preserving random rewiring would put there. THE quality
+    * score for a community partition (did [[labelPropagation]] find
+    * structure, or just relabel noise? Q ≈ 0 = no better than random;
+    * 0.3+ = real structure), and exactly the quantity Louvain-style
+    * algorithms greedily optimize.
+    *
+    * EXACT-INTEGER form: with m undirected edges, intra-community edge
+    * count E = Σ_c e_c and degree-mass squares D = Σ_c d_c², Q is the
+    * rational (4m·E − D) / 4m², reported as one pinned FLOOR division
+    * q_ppm = ⌊10⁶·(4m·E − D) / 4m²⌋ (numerator CAN be negative — a
+    * worse-than-random partition — hence floor, not truncate). The
+    * products run in DECIMAL(38,0)/HUGEINT: 10⁶·4m·E brushes 2^63 at
+    * ~10⁷ edges.
+    *
+    * Scale shape: edges canonicalize to (a < b) distinct pairs once;
+    * ONE label join per endpoint (node-keyed), d_c from one
+    * label-keyed partial-combining count over endpoint labels, and
+    * everything downstream is arithmetic on ≤|communities|-row frames
+    * collapsing to a single row. Self-loops are dropped with the same
+    * a ≠ b rule the LPA symmetrization uses. Returns one row:
+    * (n_edges, n_communities, intra_edges, q_ppm). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col("node"), col("label"))
+    // two consumers below (edge totals, degree mass) — one evaluation
+    val labeled = und
+      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .localCheckpoint(eager = false)
+    val m = labeled.agg(count(lit(1)).as("m"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("e_in"))
+    val degMass = labeled
+      .select(col("la").as("label"))
+      .unionAll(labeled.select(col("lb").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("d_c"))
+    val comm = degMass.agg(count(lit(1)).as("n_comms"),
+      sum(expr("CAST(d_c AS DECIMAL(38,0)) * CAST(d_c AS DECIMAL(38,0))"))
+        .as("d_sq"))
+    m.crossJoin(broadcast(comm))
+      .withColumn("q_num", expr("1000000 * (4 * CAST(m AS DECIMAL(38,0)) * " +
+        "CAST(e_in AS DECIMAL(38,0)) - d_sq)"))
+      .withColumn("q_den",
+        expr("4 * CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))"))
+      .select(col("m").as("n_edges"), col("n_comms").as("n_communities"),
+        col("e_in").as("intra_edges"),
+        expr("(q_num - pmod(q_num, q_den)) div q_den").as("q_ppm"))
+  }
 }

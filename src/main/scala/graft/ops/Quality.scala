@@ -181,4 +181,42 @@ object Quality {
         expr(expCase).as("exp_ppm"),
         (expr("n * 1000000L div total") - expr(expCase)).as("dev_ppm"))
   }
+
+  /** One FK relation to audit: every non-null `child(fkCol)` should
+    * appear in `parent(pkCol)`. */
+  final case class FkRule(name: String, child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String)
+
+  /** X11f — referential-integrity audit: per declared FK relation, how
+    * many child rows point at a parent key that does not exist (plus
+    * null-FK rows, reported separately — a null FK is "not yet linked",
+    * not "dangling"). The cross-table sibling of [[violationReport]]'s
+    * single-table rules: expectations gate VALUES, this gates LINKS —
+    * the orphan scan every warehouse runs before joins silently drop
+    * rows (an inner join on a dangling FK loses the child row with no
+    * error anywhere).
+    *
+    * Scale shape per relation: the parent side collapses to DISTINCT
+    * keys first (map-side combined), then ONE left join keyed on the FK
+    * feeds a 1-row conditional aggregate — the child volume is scanned
+    * and shuffled once; nothing is materialized per-orphan. Relations
+    * are independent branches unioned driver-cheaply (|relations| rows
+    * total). A dim-sized parent's distinct-key frame broadcasts under
+    * AQE's threshold automatically; a fact-sized parent shuffles on the
+    * key like any fact-fact join. */
+  def referentialAudit(rules: Seq[FkRule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one FK rule")
+    rules.map { r =>
+      val parentKeys = r.parent.select(col(r.pkCol).as("_pk")).distinct()
+      r.child.select(col(r.fkCol).as("_fk"))
+        .join(parentKeys, col("_fk") === col("_pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("_fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+          sum(when(col("_fk").isNotNull && col("_pk").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"))
+        .select(lit(r.name).as("relation"), col("n_child"),
+          col("n_null_fk"), col("n_orphans"),
+          expr("n_orphans * 1000000L div n_child").as("orphan_ppm"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -312,6 +312,37 @@ object Scale {
       .drop("bin")
   }
 
+  /** J6c — interval×interval OVERLAP join, both sides large: the
+    * two-sided sibling of [[binnedRangeJoin]] (which joins POINTS to
+    * intervals). Every interval explodes to the binWidth-sized bins it
+    * covers, the join is an EQUI-join on (keys, bin), and the exact
+    * overlap predicate (aS ≤ bE ∧ bS ≤ aE) re-applies as a residual.
+    * A pair overlapping several shared bins would be emitted once per
+    * bin; instead of a distinct over the output, each pair is emitted
+    * ONLY in its canonical bin — the bin of max(aS, bS), which both
+    * sides cover exactly when they overlap — so the join output is
+    * duplicate-free by construction (the standard distributed
+    * interval-join trick; no post-shuffle dedup).
+    *
+    * Bin fan-out per interval = span/binWidth + 1: pick binWidth near
+    * the typical interval length (the [[binnedRangeJoin]] sizing rule).
+    * Caller pre-renames payload columns so the two sides don't collide;
+    * both frames must carry `keyCols`. */
+  def intervalOverlapJoin(a: DataFrame, aS: String, aE: String,
+      b: DataFrame, bS: String, bE: String,
+      keyCols: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("_bin", explode(sequence(
+        expr(s"$s div ${binWidth}L"), expr(s"$e div ${binWidth}L"))))
+    binned(a, aS, aE)
+      .join(binned(b, bS, bE), keyCols :+ "_bin")
+      .filter(col(aS) <= col(bE) && col(bS) <= col(aE))
+      .filter(col("_bin") ===
+        greatest(expr(s"$aS div ${binWidth}L"), expr(s"$bS div ${binWidth}L")))
+      .drop("_bin")
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins are
     * shuffle-free (co-located scan -> SortMergeJoin without Exchange).
     * Bucketing metadata lives in the session catalog; at cluster scale

@@ -610,4 +610,109 @@ object Sketch {
       .filter(col("cnt") * (k + 1) > col("n"))
       .select(col("grp"), col("value"), col("cnt"))
   }
+
+  /** X5q — KMV (k-minimum-values) distinct sketch: keep the k SMALLEST
+    * hash values of the input set; the k-th smallest pins the set's
+    * "hash density" and ⌊(k−1)·2^44 / h_k⌋ estimates the distinct count
+    * (Bar-Yossef et al., the bottom-k / theta-sketch family). What KMV
+    * adds over the HLL lane ([[hllRegisters]]) is SET ALGEBRA: two
+    * sketches' kept samples are comparable element-by-element, so
+    * intersection / Jaccard estimates fall out ([[kmvCompare]]) — a
+    * register sketch can only union.
+    *
+    * Hash = first 11 md5 hex chars (44 bits) + 1 ∈ [1, 2^44] — md5 for
+    * the oracle-replayability discipline every sketch lane follows, 44
+    * bits so (k−1)·2^44 stays far inside BIGINT (k ≤ 2^18 has headroom;
+    * no HUGEINT/DECIMAL needed on either engine). The +1 removes the
+    * h = 0 estimator pole. Collision contract: ~n²/2^45 expected hash
+    * collisions (a handful at 10^6 distinct — below the estimator's own
+    * ±1/√k noise; not a correctness surface, the sketch is declared
+    * approximate).
+    *
+    * Scale shape: one map-side-combined distinct on the 8-byte hash
+    * (partial aggregation collapses per-partition duplicates before the
+    * exchange), then TakeOrderedAndProject — each task ships only its
+    * local k minima, the driver merges k-sized heaps. The sketch is k
+    * rows; everything downstream ([[kmvEstimate]], [[kmvCompare]])
+    * broadcasts. */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 18), s"k must be in [2, 2^18], got $k")
+    df.select((conv(substring(md5(col(valueCol).cast("string")), 1, 11),
+        16, 10).cast("long") + 1L).as("h"))
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+  }
+
+  /** One-row estimate from a [[kmvSketch]]: when the sketch holds fewer
+    * than k hashes the input had < k distinct values and the sketch IS
+    * the exact answer; otherwise ⌊(k−1)·2^44 / h_k⌋. Integer end to end
+    * (both engines truncate ≥0/≥1 operands identically). */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_h"))
+      .select(col("n_kept"), col("kth_h"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"${k - 1}L * 17592186044416L div kth_h"))
+          .as("est_distinct"))
+
+  /** X5r — KMV set algebra: from two sketches (same k, same hash),
+    * estimate |A∪B|, Jaccard, and |A∩B|. The k smallest of
+    * (sketchA ∪ sketchB) form a valid KMV sketch of A∪B (the k-min of a
+    * union is computable from the operands' k-mins — the closure
+    * property that makes bottom-k sketches mergeable); within that
+    * union sketch, the fraction of hashes present in BOTH operand
+    * sketches is an unbiased Jaccard estimate, and
+    * est_inter = ⌊n_both · est_union / k_used⌋.
+    *
+    * Everything is arithmetic over two ≤ k-row frames: the flagging
+    * joins are broadcast-class by construction, no fact data is
+    * touched. Output one row: (k_used, n_both, est_union, jacc_ppm,
+    * est_inter). */
+  def kmvCompare(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
+    val a = sketchA.select(col("h"), lit(1L).as("in_a"))
+    val b = sketchB.select(col("h"), lit(1L).as("in_b"))
+    val unionK = a.join(b, Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("in_a"), lit(0L)).as("in_a"),
+        coalesce(col("in_b"), lit(0L)).as("in_b"))
+      .orderBy(col("h")).limit(k)
+    unionK.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_h"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("k_used"), col("n_both"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"${k - 1}L * 17592186044416L div kth_h"))
+          .as("est_union"))
+      .withColumn("jacc_ppm", expr("n_both * 1000000L div k_used"))
+      .withColumn("est_inter", expr("n_both * est_union div k_used"))
+  }
+
+  /** Grouped [[kmvSketch]]: one bottom-k sketch PER GROUP — per-language
+    * vocabulary size, per-source id cardinality. The k minima per group
+    * come from a rank-window (rn ≤ k over an ascending hash order);
+    * Spark plans that filter as WindowGroupLimit, so each map task ships
+    * at most k candidate hashes per group — the per-group twin of the
+    * global lane's TakeOrderedAndProject, on top of the same map-side-
+    * combined distinct. */
+  def kmvSketchBy(df: DataFrame, valueCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 18), s"k must be in [2, 2^18], got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    df.select(col(groupCol).as("grp"),
+        (conv(substring(md5(col(valueCol).cast("string")), 1, 11),
+          16, 10).cast("long") + 1L).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Per-group estimate from [[kmvSketchBy]] output — one row per group,
+    * same sub-k-is-exact rule as [[kmvEstimate]]. */
+  def kmvEstimateBy(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_h"))
+      .select(col("grp"), col("n_kept"), col("kth_h"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"${k - 1}L * 17592186044416L div kth_h"))
+          .as("est_distinct"))
 }

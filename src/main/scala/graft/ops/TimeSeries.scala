@@ -728,4 +728,57 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"), max(col("us")).as("end_us"))
   }
+
+  /** X8q — lag-k autocorrelation (ACF) per key: for each lag L in
+    * 1..maxLag, the Pearson correlation between the series and itself
+    * shifted L observations — the standard seasonality/momentum/
+    * mean-reversion diagnostic (a daily cycle shows as a peak at the
+    * daily lag; negative lag-1 ACF on returns is mean reversion). Same
+    * sufficient-statistics discipline as [[corrVsIndex]]: per (key,
+    * lag) the EXACT BIGINT moments (n, and the cross/variance
+    * numerators n·Σxy − Σx·Σy etc. over the aligned pairs), with the
+    * one float correlation derived from them in a parenthesization
+    * textually mirrored by the oracle. Overflow bound: |cents| ≤ c,
+    * rows-per-key ≤ r needs r²·c² < 2^63 — r ≲ 10^4 at dollar prices,
+    * require'd nowhere because the moments are per-key (declared
+    * contract, same as corrVsIndex).
+    *
+    * Scale shape: ONE key-window shuffle computes ALL maxLag lag
+    * columns (the frame sorts once; each lag is another pointer into
+    * the same sorted buffer), a `stack` unpivots width→rows narrowly,
+    * and the (key, lag) aggregate partial-combines map-side. Nothing
+    * is quadratic; maxLag multiplies row volume only after projection
+    * to 3 columns. */
+  def acf(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCents: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32,
+      s"maxLag must be in [1, 32], got $maxLag")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("us"), col(tieCol))
+    val base = events.select(col(keyCol), col(tieCol),
+      valueCents.as("cents"), expr(s"unix_micros($tsCol)").as("us"))
+    val withLags = (1 to maxLag).foldLeft(base) { (df, l) =>
+      df.withColumn(s"lag_$l", lag(col("cents"), l).over(w))
+    }
+    val stackArgs = (1 to maxLag).map(l => s"$l, lag_$l").mkString(", ")
+    withLags
+      .select(col(keyCol), col("cents").as("x"),
+        expr(s"stack($maxLag, $stackArgs) AS (lag_k, y)"))
+      .filter(col("y").isNotNull)
+      .groupBy(col(keyCol), col("lag_k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col(keyCol), col("lag_k"), col("n"),
+        expr("n * sxy - sx * sy").as("cov_num"),
+        expr("n * sxx - sx * sx").as("varx_num"),
+        expr("n * syy - sy * sy").as("vary_num"))
+      // textually mirrored in the oracle SQL — do not re-parenthesize
+      .withColumn("acf", expr(
+        "CASE WHEN varx_num > 0 AND vary_num > 0 THEN " +
+          "CAST(cov_num AS DOUBLE) / sqrt(CAST(varx_num AS DOUBLE)) / " +
+          "sqrt(CAST(vary_num AS DOUBLE)) END"))
+  }
 }

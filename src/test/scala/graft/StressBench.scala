@@ -549,6 +549,39 @@ object StressBench {
     require(results("scc_100k")._2 == 100000L,
       s"scc must label every ring node: ${results("scc_100k")._2}")
 
+    // (B'''') round-15 batch 2: LPA at 100k nodes — 10k disjoint
+    // 10-cliques (clique edges of the ring generator's id blocks).
+    // Round 1: every clique member ties across 10 labels and takes the
+    // clique base (min); round 2 is the fixed point — so 2 rounds must
+    // label all 100k nodes exactly, and per-round cost is one
+    // edge-keyed join + one (node, label) combine (~0.45M edges).
+    val cliques100k = spark.range(100000L)
+      .filter("id % 10 <> 9")
+      .selectExpr("id as src",
+        "explode(sequence(id + 1, (id div 10) * 10 + 9)) as dst")
+    val lpaLabels = ops.Graph.labelPropagation(cliques100k, 2)
+    stage("lpa_100k")(lpaLabels)
+    require(results("lpa_100k")._2 == 100000L,
+      s"LPA must label every node: ${results("lpa_100k")._2}")
+    require(lpaLabels.filter(col("label") =!= expr("(node div 10) * 10"))
+        .isEmpty,
+      "LPA labels on the 10-clique graph must be the clique base")
+
+    // KMV at 1M distinct values, k = 256: the build is one
+    // map-side-combined distinct + a k-minima merge, and the estimate
+    // must land inside the 3/sqrt(k) ≈ 19% band — the sketch's declared
+    // accuracy contract measured at a real cardinality, not the 500-row
+    // fixture.
+    val kmvIn = spark.range(1000000L)
+      .selectExpr("md5(cast(id as string)) as v")
+    stage("kmv_1m")(ops.Sketch.kmvEstimate(
+      ops.Sketch.kmvSketch(kmvIn, "v", 256), 256))
+    val kmvEst = ops.Sketch.kmvEstimate(
+        ops.Sketch.kmvSketch(kmvIn, "v", 256), 256)
+      .select(col("est_distinct")).collect().head.getLong(0)
+    require(kmvEst > 810000L && kmvEst < 1190000L,
+      s"KMV estimate $kmvEst outside the k=256 band for 1M distinct")
+
     // sanity: the plants must be FOUND (caps did not eat the signal).
     // ~n/20 near-dup pairs from LSH; ~n/20 span groups from spanPairs.
     val lshPairs = results("lsh_capped")._2

@@ -172,4 +172,46 @@ class ExperimentSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(c == (0L, 100L, 50L, 500000L, 500000L))
   }
+
+  test("X9g CUPED: a metric fully explained by its pre-period covariate " +
+      "adjusts to the same mean in both arms") {
+    // unit i spends i*100 cents in BOTH periods: Y = X exactly, so
+    // theta = 1 and every arm's adjusted mean collapses to the global
+    // mean SX/n — whatever the md5 arm split is
+    val rows = (1 to 40).flatMap { i =>
+      Seq((i.toLong, 10_000_000L, i * 100L),        // pre (us < split)
+        (i.toLong, 2_000_000_000L, i * 100L))       // post (us >= split)
+    }
+    val df = rows.toDF("unit", "us", "cents")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Experiment.cuped(df, "unit", "ts", col("cents"),
+        1_000_000_000L)
+      .orderBy(col("arm"))
+      .select(col("arm"), col("n_units"), col("adj_mean_y_milli"),
+        col("theta_micro"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.length == 2 && out.map(_._1) == Seq("a", "b"))
+    val sx = (1 to 40).map(_ * 100L).sum
+    val globalMeanMilli = sx * 1000L / 40L
+    out.foreach { case (arm, _, adj, theta) =>
+      assert(theta == 1000000L, s"theta should be exactly 1 in arm $arm")
+      assert(adj == globalMeanMilli,
+        s"arm $arm adjusted mean $adj != global mean $globalMeanMilli")
+    }
+    // raw means differ across arms (the md5 split is not value-balanced)
+    val raw = Experiment.cuped(df, "unit", "ts", col("cents"),
+        1_000_000_000L)
+      .select(col("mean_y_milli")).as[Long].collect().toSeq
+    assert(raw.distinct.length == 2, "fixture should have unequal raw means")
+    // degenerate var(X) = 0: adjusted columns are null, not a crash
+    val const = (1 to 10).flatMap(i =>
+        Seq((i.toLong, 10_000_000L, 500L), (i.toLong, 2_000_000_000L, i * 7L)))
+      .toDF("unit", "us", "cents")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val deg = Experiment.cuped(const, "unit", "ts", col("cents"),
+        1_000_000_000L)
+      .select(col("adj_mean_y_milli"), col("theta_micro"))
+      .collect()
+    assert(deg.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
 }

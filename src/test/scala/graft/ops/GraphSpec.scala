@@ -204,4 +204,51 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPredict(rev, minCommon = 2L)
       .as[(Long, Long, Long, Long)].collect().toSeq == r)
   }
+
+  test("X10k label propagation: disjoint cliques converge to their min " +
+      "label and stay stable across extra rounds") {
+    // two triangles + an isolated edge — three communities
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    val r2 = Graph.labelPropagation(edges, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == want, s"2-round labels wrong: $r2")
+    // a fixed point: further rounds change nothing
+    val r5 = Graph.labelPropagation(edges, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r5 == want, s"labels not stable at round 5: $r5")
+    // direction-insensitive (symmetrized internally)
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    assert(Graph.labelPropagation(rev, 2)
+      .as[(Long, Long)].collect().toMap == want)
+  }
+
+  test("X10l modularity: two separated cliques score high, one blob " +
+      "scores zero, hand-computed Q matches") {
+    // two triangles joined by one bridge edge: m = 7
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val lpa = Graph.labelPropagation(edges, 2)
+    val q = Graph.modularity(edges, lpa)
+      .select($"n_edges", $"n_communities", $"intra_edges", $"q_ppm")
+      .as[(Long, Long, Long, Long)].collect().head
+    // LPA labels the triangles 1 and 10; bridge is the only inter edge.
+    // d_1 = {1:2, 2:2, 3:3} = 7, d_10 = 7; Q = (4·7·6 − (49+49))/(4·49)
+    //     = 70/196 → floor(1e6·70/196) = 357142
+    assert(q == ((7L, 2L, 6L, 357142L)), s"modularity mismatch: $q")
+    // everything in ONE community: Q = (4m·m − (2m)²)/4m² = 0 exactly
+    val one = edges.select($"src".as("node")).unionAll(
+        edges.select($"dst".as("node"))).distinct()
+      .withColumn("label", lit(0L))
+    val q1 = Graph.modularity(edges, one).select($"q_ppm")
+      .as[Long].collect().head
+    assert(q1 == 0L, s"single-community Q must be 0: $q1")
+    // every node its own community: all edges inter, Q < 0
+    val singleton = one.select($"node").withColumn("label", $"node")
+    val qs = Graph.modularity(edges, singleton).select($"q_ppm")
+      .as[Long].collect().head
+    assert(qs < 0L, s"all-singleton Q must be negative: $qs")
+  }
 }

@@ -103,4 +103,21 @@ class QualitySpec extends SparkSpec {
     assert(exactPlan.contains("Expand"))
     assert(!approxPlan.contains("Expand"))
   }
+
+  test("X11f referential audit counts orphans, null FKs and clean links " +
+      "per relation") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val out = Quality.referentialAudit(Seq(
+        Quality.FkRule("child__parent", child, "fk", parent, "pk"),
+        Quality.FkRule("parent__parent", parent, "pk", parent, "pk")))
+      .orderBy($"relation")
+      .select($"relation", $"n_child", $"n_null_fk", $"n_orphans",
+        $"orphan_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("child__parent", 5L, 1L, 1L, 200000L),
+      ("parent__parent", 3L, 0L, 0L, 0L)))
+  }
 }

@@ -212,4 +212,36 @@ class ScaleSpec extends SparkSpec {
     // cum_toks is the running fill line within each group
     assert(out.forall(r => r._4 <= (if (r._2 == "en") 95L else 10L)))
   }
+
+  test("J6c intervalOverlapJoin: binned equi-join equals the naive " +
+      "theta join, pairs spanning several shared bins emit exactly once") {
+    val a = Seq((1L, 10L, 0L, 250L),      // covers bins 0,1,2 at W=100
+        (1L, 11L, 300L, 340L),
+        (2L, 12L, 0L, 50L))
+      .toDF("k", "a_id", "a_s", "a_e")
+    val b = Seq((1L, 20L, 50L, 230L),     // overlaps a10 across bins 0,1,2
+        (1L, 21L, 320L, 330L),            // inside a11
+        (1L, 22L, 260L, 290L),            // gap — no overlap
+        (2L, 23L, 60L, 70L))              // same bin, wrong key overlap? no: k=2, a12 ends 50
+      .toDF("k", "b_id", "b_s", "b_e")
+    val out = Scale.intervalOverlapJoin(a, "a_s", "a_e", b, "b_s", "b_e",
+        Seq("k"), 100L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq.sorted
+    // naive: (10,20) overlap [50,230]; (11,21); nothing else (23 starts
+    // after 12 ends; 22 touches neither)
+    assert(out == Seq((10L, 20L), (11L, 21L)),
+      s"binned join disagreed with naive: $out")
+    // duplicate-freedom under shared multi-bin coverage is the claim —
+    // (10,20) share bins 0,1,2 and must appear exactly once (canonical
+    // bin = bin of max(starts) = 0)
+    assert(out.distinct == out)
+    // boundary: touching endpoints (a_e == b_s) DO overlap (closed)
+    val touch = Scale.intervalOverlapJoin(
+        Seq((1L, 1L, 0L, 100L)).toDF("k", "a_id", "a_s", "a_e"),
+        "a_s", "a_e",
+        Seq((1L, 2L, 100L, 150L)).toDF("k", "b_id", "b_s", "b_e"),
+        "b_s", "b_e", Seq("k"), 30L)
+      .count()
+    assert(touch == 1L, "closed-interval touch must match")
+  }
 }

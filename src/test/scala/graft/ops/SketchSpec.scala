@@ -337,4 +337,67 @@ class SketchSpec extends SparkSpec {
       .as[(Double, Double)].collect().toMap
     assert(est(0.5) == 42.0 && est(0.99) == 42.0)
   }
+
+  test("X5q KMV: below-k input is returned exactly; large input is " +
+      "estimated within the 1/sqrt(k) band") {
+    val small = (1 to 40).map(i => s"v$i").toDF("v")
+    val smallEst = Sketch.kmvEstimate(Sketch.kmvSketch(small, "v", 64), 64)
+      .select($"n_kept", $"est_distinct").as[(Long, Long)].collect().head
+    assert(smallEst == ((40L, 40L)),
+      s"sub-k set must report its exact size: $smallEst")
+    // duplicates must not perturb the sketch (it is a SET sketch)
+    val dup = (small.unionAll(small)).toDF("v")
+    val dupEst = Sketch.kmvEstimate(Sketch.kmvSketch(dup, "v", 64), 64)
+      .select($"est_distinct").as[Long].collect().head
+    assert(dupEst == 40L)
+    val big = (1 to 20000).map(i => s"v$i").toDF("v")
+    val bigEst = Sketch.kmvEstimate(Sketch.kmvSketch(big, "v", 256), 256)
+      .select($"est_distinct").as[Long].collect().head
+    // 3/sqrt(256) ≈ 19% three-sigma band
+    assert(bigEst > 16000 && bigEst < 24000,
+      s"KMV estimate $bigEst outside the k=256 error band for 20000")
+  }
+
+  test("X5r KMV compare: identical sets report Jaccard 1, disjoint " +
+      "sets 0, and a half-overlap lands in between") {
+    val a = (1 to 5000).map(i => s"v$i").toDF("v")
+    val same = Sketch.kmvCompare(Sketch.kmvSketch(a, "v", 128),
+        Sketch.kmvSketch(a, "v", 128), 128)
+      .select($"jacc_ppm").as[Long].collect().head
+    assert(same == 1000000L, s"self-compare must be exactly 1: $same")
+    val b = (5001 to 10000).map(i => s"v$i").toDF("v")
+    val disj = Sketch.kmvCompare(Sketch.kmvSketch(a, "v", 128),
+        Sketch.kmvSketch(b, "v", 128), 128)
+      .select($"jacc_ppm", $"est_inter").as[(Long, Long)].collect().head
+    assert(disj == ((0L, 0L)), s"disjoint compare must be 0: $disj")
+    val c = (2501 to 7500).map(i => s"v$i").toDF("v") // |A∩C|/|A∪C| = 1/3
+    val half = Sketch.kmvCompare(Sketch.kmvSketch(a, "v", 128),
+        Sketch.kmvSketch(c, "v", 128), 128)
+      .select($"jacc_ppm", $"est_union", $"est_inter")
+      .as[(Long, Long, Long)].collect().head
+    assert(half._1 > 180000L && half._1 < 480000L,
+      s"1/3-overlap Jaccard estimate out of band: $half")
+    assert(half._2 > 6000L && half._2 < 9000L,
+      s"union estimate out of band: $half")
+  }
+
+  test("X5s grouped KMV: per-group estimates are independent — a sub-k " +
+      "group is exact beside a large estimated one") {
+    val rows = (1 to 30).map(i => ("small", s"s$i")) ++
+      (1 to 8000).map(i => ("big", s"b$i"))
+    val sk = Sketch.kmvSketchBy(rows.toDF("g", "v"), "v", "g", 128)
+    // the sketch itself is bounded: <= k rows per group
+    val sizes = sk.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(sizes("small") == 30L && sizes("big") == 128L)
+    val est = Sketch.kmvEstimateBy(sk, 128)
+      .select($"grp", $"est_distinct").as[(String, Long)].collect().toMap
+    assert(est("small") == 30L, s"sub-k group must be exact: $est")
+    assert(est("big") > 6000L && est("big") < 10000L,
+      s"big-group estimate out of the k=128 band: $est")
+    // per-group result equals the global sketch run on that group alone
+    val alone = Sketch.kmvEstimate(Sketch.kmvSketch(
+        rows.filter(_._1 == "big").toDF("g", "v"), "v", 128), 128)
+      .select($"est_distinct").as[Long].collect().head
+    assert(est("big") == alone, "grouped sketch must equal per-group runs")
+  }
 }

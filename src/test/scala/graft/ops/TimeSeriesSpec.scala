@@ -456,4 +456,32 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out == Map("click" -> 2L, "direct" -> 1L, "view" -> 1L))
   }
+
+  test("X8q ACF: a period-2 series has acf -1 at odd lags, +1 at even; " +
+      "a constant series reports null") {
+    // key 1: 100,200,100,200,100,200 — perfectly alternating
+    // key 2: constant 500 — zero variance at every lag
+    val rows = (1 to 6).map(i =>
+        (1L, i.toLong, if (i % 2 == 1) 100L else 200L)) ++
+      (1 to 6).map(i => (2L, i.toLong, 500L))
+    val df = rows.toDF("k", "id", "cents")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val out = TimeSeries.acf(df, "k", "ts", "id", $"cents", 3)
+      .orderBy($"k", $"lag_k")
+      .select($"k", $"lag_k", $"n", $"acf")
+      .collect()
+    val byKey = out.map(r => (r.getLong(0), r.getInt(1)) ->
+      (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // the two-sqrt chain carries ~1 ulp: compare to 1e-12, not exactly
+    def close(got: (Long, Option[Double]), n: Long, want: Double) = {
+      assert(got._1 == n)
+      assert(math.abs(got._2.get - want) < 1e-12, s"acf ${got._2} != $want")
+    }
+    close(byKey((1L, 1)), 5L, -1.0)
+    close(byKey((1L, 2)), 4L, 1.0)
+    close(byKey((1L, 3)), 3L, -1.0)
+    (1 to 3).foreach(l => assert(byKey((2L, l))._2.isEmpty,
+      s"constant series must report null acf at lag $l"))
+  }
 }
