@@ -9077,6 +9077,324 @@ object Queries {
         .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
     })
 
+  /** X11g — key-uniqueness audit (ops/Quality.uniquenessAudit): five
+    * true candidate keys audited clean beside lineitem's l_orderkey
+    * alone — a key that is genuinely NOT unique (multi-line orders), so
+    * the dup counters carry real signal, not just zeros. */
+  val x11Unique = QuerySpec("x11_unique",
+    (s, d) => Quality.uniquenessAudit(Seq(
+        ("documents_doc_id", T(s, d, "documents"), Seq("doc_id")),
+        ("embeddings_vec_id", T(s, d, "embeddings"), Seq("vec_id")),
+        ("events_event_id", Tables.events(s, d), Seq("event_id")),
+        ("lineitem_orderkey", T(s, d, "lineitem"), Seq("l_orderkey")),
+        ("lineitem_orderkey_linenumber", T(s, d, "lineitem"),
+          Seq("l_orderkey", "l_linenumber")),
+        ("orders_o_orderkey", T(s, d, "orders"), Seq("o_orderkey"))))
+      .orderBy(col("relation")),
+    Some {
+      def rel(name: String, table: String, keys: String) =
+        s"""SELECT '$name' AS relation, CAST(sum(c) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(c) - count(*) AS BIGINT) AS n_dup_rows,
+           |  CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT)
+           |    AS dup_ppm
+           |FROM (SELECT count(*) AS c FROM $table GROUP BY $keys)""".stripMargin
+      Seq(
+        rel("documents_doc_id", "documents", "doc_id"),
+        rel("embeddings_vec_id", "embeddings", "vec_id"),
+        rel("events_event_id", "events", "event_id"),
+        rel("lineitem_orderkey", "lineitem", "l_orderkey"),
+        rel("lineitem_orderkey_linenumber", "lineitem",
+          "l_orderkey, l_linenumber"),
+        rel("orders_o_orderkey", "orders", "o_orderkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    })
+
+  /** X11h — functional-dependency audit (ops/Quality.fdAudit): two FDs
+    * that HOLD (an order has one customer, a doc has one language)
+    * beside two that are genuinely violated (a part ships from many
+    * suppliers; a user emits many event types) — max_fanout quantifies
+    * how broken. */
+  val x11Fd = QuerySpec("x11_fd",
+    (s, d) => Quality.fdAudit(Seq(
+        ("documents_doc__lang", T(s, d, "documents"), "doc_id", "lang"),
+        ("events_user__event_type", Tables.events(s, d),
+          "user_id", "event_type"),
+        ("lineitem_partkey__suppkey", T(s, d, "lineitem"),
+          "l_partkey", "l_suppkey"),
+        ("orders_orderkey__custkey", T(s, d, "orders"),
+          "o_orderkey", "o_custkey")))
+      .orderBy(col("fd")),
+    Some {
+      def rel(name: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(max(nd) AS BIGINT) AS max_fanout,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS viol_ppm
+           |FROM (SELECT $lhs, CAST(count(*) AS BIGINT) AS nd
+           |  FROM (SELECT DISTINCT $lhs, $rhs FROM $table
+           |        WHERE $lhs IS NOT NULL)
+           |  GROUP BY $lhs)""".stripMargin
+      Seq(
+        rel("documents_doc__lang", "documents", "doc_id", "lang"),
+        rel("events_user__event_type", "events", "user_id", "event_type"),
+        rel("lineitem_partkey__suppkey", "lineitem",
+          "l_partkey", "l_suppkey"),
+        rel("orders_orderkey__custkey", "orders",
+          "o_orderkey", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    })
+
+  /** X3s — k-NN classification (ops/Similarity.knnClassify): majority
+    * label among the 5 nearest cosine neighbors per query, composed
+    * from the judged brute-force ranking (6dp-rounded sims) with the
+    * (votes desc, label asc) deterministic tie-break. */
+  val x3KnnClassify = QuerySpec("x3_knn_classify",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.knnClassify(emb.filter(col("vec_id") < 50), emb, 5)
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 50),
+           |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |p AS (SELECT query_id, vec_id,
+           |    round(list_cosine_similarity(qv, cv), 6) AS sim
+           |  FROM q, c WHERE query_id <> vec_id),
+           |r AS (SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, vec_id) AS rnk
+           |  FROM p),
+           |t AS (SELECT r.query_id, e.label FROM r
+           |  JOIN embeddings e ON e.vec_id = r.vec_id WHERE rnk <= 5),
+           |v AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM t GROUP BY 1, 2),
+           |w AS (SELECT query_id, label AS pred_label, cnt AS n_votes,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cnt DESC, label) AS rn
+           |  FROM v)
+           |SELECT query_id, pred_label, n_votes FROM w WHERE rn = 1
+           |ORDER BY query_id""".stripMargin))
+
+  /** X8r — pairwise correlation matrix (ops/TimeSeries.corrMatrix):
+    * close-to-close Pearson correlation for every pair of the 8-key
+    * watchlist over daily buckets — exact BIGINT moments, pinned float
+    * chain, caller-bounded |keys|² (the declared quadratic
+    * guardrail). */
+  val x8CorrMatrix = QuerySpec("x8_corr_matrix",
+    (s, d) => TimeSeries.corrMatrix(
+        Tables.events(s, d).filter(col("user_id") < 8),
+        "user_id", "ts", "event_id",
+        floor(col("value") * 100 + lit(0.5)).cast("long"), 86400000000L)
+      .orderBy(col("k1"), col("k2")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events WHERE user_id < 8),
+           |b AS (SELECT *, us // 86400000000 AS bucket FROM e),
+           |r AS (SELECT user_id, bucket, cents,
+           |    row_number() OVER (PARTITION BY user_id, bucket
+           |      ORDER BY us DESC, event_id DESC) AS rn
+           |  FROM b),
+           |cl AS (SELECT user_id, bucket, cents FROM r WHERE rn = 1),
+           |p AS (SELECT a.user_id AS k1, bb.user_id AS k2,
+           |    a.cents AS x, bb.cents AS y
+           |  FROM cl a JOIN cl bb ON a.bucket = bb.bucket
+           |    AND a.user_id < bb.user_id),
+           |g AS (SELECT k1, k2, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM p GROUP BY 1, 2)
+           |SELECT k1, k2, n,
+           |  n * sxy - sx * sy AS cov_num,
+           |  n * sxx - sx * sx AS varx_num,
+           |  n * syy - sy * sy AS vary_num,
+           |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+           |    CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) /
+           |    sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END AS corr
+           |FROM g ORDER BY k1, k2""".stripMargin))
+
+  /** ST7 as a JUDGED result (round 15): streaming deduplication through
+    * the REAL dropDuplicatesWithinWatermark operator
+    * (TickPipeline.dedupStream) — one (isin, day) survivor per key,
+    * projected to the KEY columns so the kept-row arrival
+    * nondeterminism never reaches the artifact (the set of keys is
+    * deterministic; which duplicate carried it is not, and is not
+    * claimed). One AvailableNow replay; the oracle is SELECT
+    * DISTINCT. */
+  val stDedupReplay = QuerySpec("st_dedup_replay",
+    (s, d) => {
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema).option("basePath", d)
+        .parquet(s"$d/{events.parquet}")
+      val ticks = graft.ops.Tables.normalizeTs(raw)
+        .select(col("ts"), isinFrom(col("user_id")).as("isin"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val dedup = graft.streaming.TickPipeline
+        .dedupStream(ticks, "10 minutes", Seq("isin", "day"))
+        .select(col("isin"), col("day"))
+      s.catalog.dropTempView("st_dedup_replay_mem")
+      val q = dedup.writeStream.format("memory")
+        .queryName("st_dedup_replay_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st_dedup_replay_mem").orderBy(col("isin"), col("day"))
+    },
+    Some(s"""SELECT DISTINCT $isinSql AS isin,
+            |  epoch_us(ts) // 86400000000 AS day
+            |FROM events ORDER BY isin, day""".stripMargin))
+
+  /** J7e — NEAREST-direction as-of join (pandas merge_asof
+    * direction='nearest'): each purchase picks the click closest in
+    * time in EITHER direction, ties to the earlier (backward) side —
+    * completing the as-of family (j7 backward, j7d forward). Two value
+    * windows over ONE key sort (last-preceding + first-following are
+    * frames into the same sorted partition), then pure row-local
+    * arithmetic picks the winner. */
+  val j7eAsofNearest = QuerySpec("j7e_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("click_us",
+          when(col("event_type") === "click", col("us")))
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("back_us", last(col("click_us"), ignoreNulls = true).over(wb))
+        .withColumn("fwd_us", first(col("click_us"), ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us").as("ts_us"),
+          expr("CASE WHEN back_us IS NULL THEN fwd_us " +
+            "WHEN fwd_us IS NULL THEN back_us " +
+            "WHEN us - back_us <= fwd_us - us THEN back_us " +
+            "ELSE fwd_us END").as("nearest_click_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+           |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+           |      AS click_us
+           |  FROM events WHERE event_type IN ('click', 'purchase')),
+           |w AS (
+           |  SELECT event_id, user_id, us AS ts_us, event_type,
+           |    last_value(click_us IGNORE NULLS) OVER (
+           |      PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS back_us,
+           |    first_value(click_us IGNORE NULLS) OVER (
+           |      PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           |      AS fwd_us
+           |  FROM ev)
+           |SELECT event_id, user_id, ts_us,
+           |  CASE WHEN back_us IS NULL THEN fwd_us
+           |    WHEN fwd_us IS NULL THEN back_us
+           |    WHEN ts_us - back_us <= fwd_us - ts_us THEN back_us
+           |    ELSE fwd_us END AS nearest_click_us
+           |FROM w WHERE event_type = 'purchase'
+           |ORDER BY event_id""".stripMargin))
+
+  /** X2c — containment (asymmetric) near-dup pairs
+    * (ops/Dedup.containmentPairs): |A∩B|/|A| per direction — the
+    * quote-inside-article measure Jaccard cannot see; same df-capped
+    * posting machinery as x2_jaccard_topk, integer-ppm output. */
+  val x2Containment = QuerySpec("x2_containment",
+    (s, d) => Dedup.containmentPairs(T(s, d, "documents"), "text",
+        "doc_id", Seq("lang", "source"), maxDf = 50)
+      .filter(col("cont1_ppm") >= 500000 || col("cont2_ppm") >= 500000)
+      .orderBy(col("d1"), col("d2")),
+    Some("""WITH toks0 AS (
+           |  SELECT doc_id, lang, source,
+           |    unnest(list_distinct(string_split(text, ' '))) AS tok
+           |  FROM documents),
+           |rare AS (
+           |  SELECT lang, source, tok FROM toks0
+           |  GROUP BY 1, 2, 3 HAVING count(*) <= 50),
+           |toks AS (
+           |  SELECT t.* FROM toks0 t
+           |  JOIN rare r ON t.lang = r.lang AND t.source = r.source
+           |    AND t.tok = r.tok),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+           |  FROM toks GROUP BY doc_id),
+           |inter AS (
+           |  SELECT t1.doc_id AS d1, t2.doc_id AS d2,
+           |    CAST(count(*) AS BIGINT) AS n_inter
+           |  FROM toks t1 JOIN toks t2
+           |    ON t1.lang = t2.lang AND t1.source = t2.source
+           |      AND t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2, n_inter, s1.n_tok AS n1, s2.n_tok AS n2,
+           |  CAST(n_inter * 1000000 // s1.n_tok AS BIGINT) AS cont1_ppm,
+           |  CAST(n_inter * 1000000 // s2.n_tok AS BIGINT) AS cont2_ppm
+           |FROM inter
+           |JOIN sizes s1 ON s1.doc_id = d1
+           |JOIN sizes s2 ON s2.doc_id = d2
+           |WHERE n_inter * 1000000 // s1.n_tok >= 500000
+           |  OR n_inter * 1000000 // s2.n_tok >= 500000
+           |ORDER BY d1, d2""".stripMargin))
+
+  /** X10m — bounded-hop weighted shortest paths (ops/Graph.sssp): 4
+    * Bellman–Ford relaxation rounds over the trade-flow digraph with
+    * min-quantity edge weights, seeded at the mod-100 customers (the
+    * x10_ppr seed set) — exact integer distances, oracle unrolls every
+    * relaxation. */
+  val x10Sssp = QuerySpec("x10_sssp",
+    (s, d) => {
+      val base = T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("c"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("s"),
+          floor(col("l_quantity")).cast("long").as("q"),
+          col("l_returnflag"))
+        .localCheckpoint(eager = false)
+      val fwd = base.groupBy(col("c").as("src"), col("s").as("dst"))
+        .agg(min(col("q")).as("w"))
+      val ret = base.filter(col("l_returnflag") === "R")
+        .groupBy(col("s").as("src"), col("c").as("dst"))
+        .agg(min(col("q")).as("w"))
+      val seeds = T(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).cast("long").as("node"))
+      Graph.sssp(fwd.unionAll(ret), seeds, 4).orderBy(col("node"))
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.dist + e.w AS dist
+           |    FROM d${i - 1} d JOIN e ON e.src = d.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+         |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+         |    CAST(floor(l_quantity) AS BIGINT) AS q, l_returnflag
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |fwd AS (SELECT c AS src, s AS dst, CAST(min(q) AS BIGINT) AS w
+         |  FROM base GROUP BY 1, 2),
+         |ret AS (SELECT s AS src, c AS dst, CAST(min(q) AS BIGINT) AS w
+         |  FROM base WHERE l_returnflag = 'R' GROUP BY 1, 2),
+         |e AS (SELECT * FROM fwd UNION ALL SELECT * FROM ret),
+         |d0 AS (SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS node,
+         |    CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_custkey % 100 = 0),
+         |$rounds
+         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+    },
+    bench = true)
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan, s9OrcScan,
@@ -9147,6 +9465,8 @@ object Queries {
     x12BasketPairs, x12BasketRules,
     x5Kmv, x5KmvJaccard, x8Acf, x9Cuped, x10Lpa, x11Refint,
     x5KmvBy, x7IncrKmv, x10Modularity, j6cIntervalOverlap,
+    x11Unique, x11Fd, x3KnnClassify, x8CorrMatrix, stDedupReplay,
+    j7eAsofNearest, x2Containment, x10Sssp,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,

@@ -132,6 +132,28 @@ object Dedup {
         col("n_inter") / (col("n1") + col("n2") - col("n_inter")))
   }
 
+  /** X2c — CONTAINMENT near-dup pairs: the ASYMMETRIC overlap measure
+    * |A∩B| / |A| per direction — "most of A is inside B" — which
+    * Jaccard structurally cannot see (a 50-token quote fully inside a
+    * 5,000-token article has Jaccard ≈ 0.01 but containment 1.0). The
+    * quote/boilerplate/subset-document detector; same candidate
+    * machinery as [[jaccardPairs]] (block keys, df cutoff enforced
+    * BEFORE any posting list exists), different final arithmetic:
+    * exact integer ppm per direction, no floats.
+    *
+    * Measurement contract inherited from jaccardPairs: set sizes are
+    * counted over the tokens SURVIVING the df cutoff (the cutoff
+    * removes corpus-stopword mass from both numerator and denominator
+    * symmetrically — containment of the informative tail, which is the
+    * signal a quote detector wants). */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      blockKeys: Seq[String], maxDf: Int = Int.MaxValue): DataFrame =
+    jaccardPairs(docs, textCol, idCol, blockKeys, maxDf)
+      .select(col("d1"), col("d2"), col("n_inter"),
+        col("n1"), col("n2"),
+        expr("n_inter * 1000000L div n1").as("cont1_ppm"),
+        expr("n_inter * 1000000L div n2").as("cont2_ppm"))
+
   /** X2b — MinHash signatures over word 3-gram shingles.
     *
     * Hash family (round 5): h_i(s) = rotl(md5(s), 4i hex chars) compared

@@ -650,6 +650,42 @@ object Graph {
     labels
   }
 
+  /** X10m — single-source(-set) shortest paths with INTEGER edge
+    * weights: `rounds` synchronous Bellman–Ford relaxations — after
+    * round r every node reachable by a cheapest path of ≤ r EDGES
+    * carries its exact distance (the bounded-hop contract, declared
+    * like [[bfsHops]]' maxHops: distances needing longer paths are
+    * still upper bounds; non-negative weights are a caller contract,
+    * so bounds only ever tighten). The weighted generalization of [[bfsHops]] — "cheapest
+    * routing cost within r hops" over trade/citation/dependency
+    * graphs; Dijkstra's priority queue is inherently sequential, while
+    * the relaxation round is one equi-join — the textbook
+    * Pregel/BSP formulation.
+    *
+    * Scale shape: per round ONE edge equi-join on the frontier's node
+    * ids + ONE node-keyed min (partial-combining), state one row per
+    * reached node, static edge frame materialized once, lineage cut
+    * per round. Cost ∝ rounds × |edges incident to reached set|. */
+  def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(eager = false)
+    var dist = sources.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(eager = false)
+    (1 to rounds).foreach { _ =>
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+
   /** X10l — Newman modularity of a node labeling: Q = Σ_c [e_c/m −
     * (d_c/2m)²] — fraction of edges inside communities minus what a
     * degree-preserving random rewiring would put there. THE quality

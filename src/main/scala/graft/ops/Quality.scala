@@ -219,4 +219,50 @@ object Quality {
           expr("n_orphans * 1000000L div n_child").as("orphan_ppm"))
     }.reduce(_ unionAll _)
   }
+
+  /** X11g — key-uniqueness audit: for each declared candidate key, how
+    * many rows are EXTRA copies beyond the first per key value
+    * (n_dup_rows = n_rows − n_keys). The is-my-primary-key-actually-
+    * unique check that gates every snapshot merge and every join
+    * cardinality assumption — a duplicated "unique" key silently fans
+    * out downstream joins. One key-grouped partial-combining count per
+    * relation, collapsed to a single row; relations union
+    * driver-cheaply. */
+  def uniquenessAudit(rules: Seq[(String, DataFrame, Seq[String])])
+      : DataFrame = {
+    require(rules.nonEmpty, "need at least one uniqueness rule")
+    rules.map { case (name, df, keys) =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_c"))
+        .agg(sum(col("_c")).as("n_rows"), count(lit(1)).as("n_keys"))
+        .select(lit(name).as("relation"),
+          col("n_rows").cast("long").as("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).cast("long").as("n_dup_rows"),
+          expr("(n_rows - n_keys) * 1000000L div n_rows").as("dup_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** X11h — functional-dependency audit: does lhs → rhs hold? For each
+    * declared FD, count the lhs values bound to MORE than one distinct
+    * rhs (a violation means the "attribute of" relationship the schema
+    * implies is broken — a part with two suppliers-of-record, a user
+    * with two countries). The Deequ-style consistency check between
+    * plain uniqueness and full referential integrity. One
+    * (lhs, rhs)-distinct partial aggregate, then a lhs-keyed count —
+    * both map-side combined, nothing row-volume-sized past the first
+    * shuffle. */
+  def fdAudit(rules: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one FD rule")
+    rules.map { case (name, df, lhs, rhs) =>
+      df.select(col(lhs).as("_l"), col(rhs).as("_r"))
+        .filter(col("_l").isNotNull)
+        .distinct()
+        .groupBy(col("_l")).agg(count(lit(1)).as("_nd"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("_nd")).as("max_fanout"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          col("max_fanout"),
+          expr("n_violating * 1000000L div n_lhs").as("viol_ppm"))
+    }.reduce(_ unionAll _)
+  }
 }

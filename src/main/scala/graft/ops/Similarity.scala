@@ -1046,4 +1046,32 @@ object Similarity {
         floor(coalesce(col("dcg"), lit(0L)) * lit(1000000L) / lit(idcg))
           .cast("long").as("ndcg_ppm"))
   }
+
+  /** X3s — k-NN CLASSIFICATION over the embedding space: predict each
+    * query's label by majority vote among its k nearest (cosine)
+    * labeled neighbors — the classic embedding-space classifier (and
+    * the standard probe for "are these embeddings any good for this
+    * label"), built by COMPOSITION: the judged [[bruteForceTopK]]
+    * ranking (6dp-rounded sims, vec_id tie-break — the portability
+    * contract every x3 lane shares), one label attach, one vote count,
+    * and a hash-aggregate argmax (max votes, then SMALLEST label — the
+    * [[graft.ops.Graph.labelPropagation]] tie-break, so the prediction
+    * is engine-exact, never "whichever label hashed first").
+    *
+    * Scale shape: inherits the ranking stage's (broadcast queries ×
+    * corpus, WindowGroupLimit top-k); everything after runs on
+    * |queries|·k rows — a label broadcast-join and two
+    * partial-combining aggregates. Swapping the ranking stage for
+    * [[ivfTopK]]/[[md5AnnTopK]] gives the ANN-classified variant with
+    * the same vote tail. Returns (query_id, pred_label, n_votes). */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    bruteForceTopK(queries, corpus, k)
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("query_id"))
+      .agg(max_by(col("label"),
+          struct(col("cnt"), (-col("label")).as("neg"))).as("pred_label"),
+        max(struct(col("cnt"), (-col("label")).as("neg")))
+          .getField("cnt").as("n_votes"))
 }

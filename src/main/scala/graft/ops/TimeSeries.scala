@@ -781,4 +781,58 @@ object TimeSeries {
           "CAST(cov_num AS DOUBLE) / sqrt(CAST(varx_num AS DOUBLE)) / " +
           "sqrt(CAST(vary_num AS DOUBLE)) END"))
   }
+
+  /** X8r — pairwise close-to-close correlation MATRIX over a bounded key
+    * set: for every key pair (k1 < k2), the Pearson correlation of their
+    * per-bucket closes across the buckets BOTH have a close in — the
+    * cross-asset co-movement table behind any hedging/clustering/
+    * portfolio view ([[corrVsIndex]] relates each key to one index; this
+    * relates keys to each other). Exact BIGINT moments + the pinned
+    * float chain, as everywhere in this family.
+    *
+    * Scale contract: the matrix is inherently |keys|² — the CALLER
+    * bounds the key set (a watchlist, a sector, the top-N by volume;
+    * require'd ≤ 1000 here as the quadratic guardrail, the capBuckets
+    * discipline). The close-picking window collapses the tick volume to
+    * |keys|·|buckets| first, so the quadratic runs over closes, never
+    * ticks: one bucket-keyed self-join fans each bucket to its key
+    * pairs, one (k1, k2) partial-combining aggregate ends it. */
+  def corrMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCents: Column, bucketUs: Long,
+      maxKeys: Int = 1000): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col("us").desc, col(tieCol).desc)
+    val closes = events
+      .select(col(keyCol), col(tieCol), valueCents.as("cents"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("bucket", expr(s"us div ${bucketUs}L"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("bucket"), col("cents"))
+      // both self-join sides read this frame — one evaluation
+      .localCheckpoint(eager = false)
+    val nKeys = closes.select(col(keyCol)).distinct().count()
+    require(nKeys <= maxKeys,
+      s"corrMatrix is |keys|² — got $nKeys keys, cap $maxKeys; " +
+        "pre-filter to a bounded watchlist")
+    closes.select(col(keyCol).as("k1"), col("bucket"), col("cents").as("x"))
+      .join(closes.select(col(keyCol).as("k2"), col("bucket"),
+        col("cents").as("y")), Seq("bucket"))
+      .filter(col("k1") < col("k2"))
+      .groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("k1"), col("k2"), col("n"),
+        expr("n * sxy - sx * sy").as("cov_num"),
+        expr("n * sxx - sx * sx").as("varx_num"),
+        expr("n * syy - sy * sy").as("vary_num"))
+      // textually mirrored in the oracle SQL — do not re-parenthesize
+      .withColumn("corr", expr(
+        "CASE WHEN varx_num > 0 AND vary_num > 0 THEN " +
+          "CAST(cov_num AS DOUBLE) / sqrt(CAST(varx_num AS DOUBLE)) / " +
+          "sqrt(CAST(vary_num AS DOUBLE)) END"))
+  }
 }

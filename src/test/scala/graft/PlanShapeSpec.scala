@@ -614,6 +614,30 @@ class PlanShapeSpec extends SparkSpec {
       "linkPredict must never cartesian")
   }
 
+  test("r15 batch-2/3 lanes: KMV builds are TakeOrdered / WindowGroupLimit " +
+      "shapes, the interval join never degenerates, LPA argmax is sort-free") {
+    // global KMV: per-task k-minima merge, not a global sort
+    assert(plan("x5_kmv").contains("TakeOrderedAndProject"),
+      "kmvSketch must plan as TakeOrderedAndProject")
+    // grouped KMV: the rank window prunes to <= k rows per group per task
+    assert(plan("x5_kmv_by").contains("WindowGroupLimit"),
+      "kmvSketchBy's rank filter must plan as WindowGroupLimit")
+    // interval overlap: binned EQUI-join — the whole point is avoiding
+    // the broadcast-NL/cartesian cliff of a raw theta join
+    val ij = plan("j6c_interval_overlap")
+    assert(!ij.contains("CartesianProduct") &&
+      !ij.contains("BroadcastNestedLoopJoin"),
+      "intervalOverlapJoin must stay an equi-join")
+    // LPA: the per-round argmax is a hash aggregate, not a sorted window
+    val lpa = planOf(ops.Graph.labelPropagation(
+      ops.Graph.coSupplyEdges(ops.Tables.lineitem(spark, d), 41L), 2))
+    assert(!lpa.contains("Window") && !lpa.contains("CartesianProduct"),
+      "labelPropagation must be window-free and cartesian-free")
+    // refint: unioned left joins only
+    assert(!plan("x11_refint").contains("CartesianProduct"),
+      "referentialAudit must never cartesian")
+  }
+
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -993,4 +993,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cos(p(10L), p(11L)) > 0.98)
     assert(cos(p(10L), p(11L)) > cos(p(10L), p(12L)))
   }
+
+  test("X3s knnClassify: planted clusters vote their own label; the " +
+      "tie-break picks the smallest label") {
+    // two tight clusters of 4 around orthogonal axes, labels 1 and 2;
+    // each member's 3-NN are its cluster mates -> unanimous votes
+    def v(axis: Int, j: Int): Array[Float] =
+      Array.tabulate(8)(i => (if (i == axis) 1f else 0f) +
+        (if (i == (axis + j + 1) % 8 && i != axis) 0.05f else 0f))
+    val rows = (0 until 4).map(j => (j.toLong, v(0, j), 1)) ++
+      (0 until 4).map(j => (10L + j, v(4, j), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, emb, 3)
+      .select($"query_id", $"pred_label", $"n_votes")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    (0 until 4).foreach(j =>
+      assert(out(j.toLong) == ((1, 3L)), s"q$j: ${out(j.toLong)}"))
+    (0 until 4).foreach(j =>
+      assert(out(10L + j) == ((2, 3L)), s"q1$j: ${out(10L + j)}"))
+    // 2-NN of a midpoint query between singleton clusters ties 1-1:
+    // smallest label must win
+    val single = Seq((1L, v(0, 0), 7), (2L, v(4, 0), 3),
+      (99L, Array.tabulate(8)(i =>
+        if (i == 0 || i == 4) 0.7f else 0f), 0)).toDF(
+      "vec_id", "embedding", "label")
+    val tie = Similarity.knnClassify(
+        single.filter($"vec_id" === 99L), single, 2)
+      .select($"pred_label", $"n_votes").as[(Int, Long)].collect().head
+    assert(tie == ((3, 1L)), s"tie must go to the smallest label: $tie")
+  }
+
+  test("X2c containmentPairs: a quote fully inside an article reads " +
+      "1.0 one way and small the other — the asymmetry Jaccard hides") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma d1 d2 d3 d4 d5 d6 d7 d8 d9"),
+      (3L, "x1 x2 x3")).toDF("doc_id", "text")
+      .withColumn("blk", lit("b"))
+    val out = Dedup.containmentPairs(docs, "text", "doc_id", Seq("blk"))
+      .select($"d1", $"d2", $"n_inter", $"n1", $"n2",
+        $"cont1_ppm", $"cont2_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // only (1, 2) share tokens; containment of 1 in 2 is total
+    assert(out == Seq((1L, 2L, 3L, 3L, 12L, 1000000L, 250000L)), s"$out")
+    // the Jaccard view of the same pair is tiny — the measure gap
+    val jac = Dedup.jaccardPairs(docs, "text", "doc_id", Seq("blk"))
+      .select($"jac").as[Double].collect().head
+    assert(jac < 0.26, s"jaccard should hide the quote: $jac")
+  }
 }

@@ -251,4 +251,26 @@ class GraphSpec extends SparkSpec {
       .as[Long].collect().head
     assert(qs < 0L, s"all-singleton Q must be negative: $qs")
   }
+
+  test("X10m sssp: bounded-hop Bellman-Ford tightens a cheaper 2-edge " +
+      "path over the direct edge; unreached nodes stay absent") {
+    // 0 -> 1 (5), 1 -> 2 (1), 0 -> 2 (10), 3 isolated from source
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 1L), (0L, 2L, 10L),
+      (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val src = Seq(0L).toDF("node")
+    val r1 = Graph.sssp(edges, src, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(0L -> 0L, 1L -> 5L, 2L -> 10L),
+      s"1 round = direct edges only: $r1")
+    val r2 = Graph.sssp(edges, src, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(0L -> 0L, 1L -> 5L, 2L -> 6L),
+      s"round 2 must tighten 2 via 0->1->2: $r2")
+    // node 3 never appears (no inbound path from the source set)
+    assert(!r2.contains(3L))
+    // multi-source: the min over seeds wins per node
+    val r2m = Graph.sssp(edges, Seq(0L, 3L).toDF("node"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2m(1L) == 1L && r2m(2L) == 2L && r2m(3L) == 0L, s"$r2m")
+  }
 }

@@ -120,4 +120,37 @@ class QualitySpec extends SparkSpec {
       ("child__parent", 5L, 1L, 1L, 200000L),
       ("parent__parent", 3L, 0L, 0L, 0L)))
   }
+
+  test("X11g uniqueness audit: a true key reports zero dups, a fanned " +
+      "key counts every extra copy, composite keys audit as a unit") {
+    val t = Seq((1L, 1), (1L, 2), (2L, 1), (3L, 1), (3L, 1))
+      .toDF("k", "sub")
+    val out = Quality.uniquenessAudit(Seq(
+        ("k_alone", t, Seq("k")),
+        ("k_sub", t, Seq("k", "sub"))))
+      .orderBy($"relation")
+      .select($"relation", $"n_rows", $"n_keys", $"n_dup_rows", $"dup_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // k alone: keys {1,2,3}, 5 rows -> 2 extra copies (1x k=1, 1x k=3)
+    // (k, sub): keys {(1,1),(1,2),(2,1),(3,1)} -> 1 extra copy
+    assert(out == Seq(
+      ("k_alone", 5L, 3L, 2L, 400000L),
+      ("k_sub", 5L, 4L, 1L, 200000L)))
+  }
+
+  test("X11h FD audit: a held dependency reports zero violations, a " +
+      "broken one counts violating lhs values with max fanout") {
+    val t = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "z")).toDF("l", "r")
+    val out = Quality.fdAudit(Seq(("l__r", t, "l", "r")))
+      .select($"fd", $"n_lhs", $"n_violating", $"max_fanout", $"viol_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // lhs 1 -> {a} ok; lhs 2 -> {a,b,c} violates with fanout 3; 3 -> ok
+    assert(out == (("l__r", 3L, 1L, 3L, 333333L)))
+    // duplicates of the SAME (lhs, rhs) pair never count as violations
+    val dup = Seq((9L, "x"), (9L, "x"), (9L, "x")).toDF("l", "r")
+    val clean = Quality.fdAudit(Seq(("d", dup, "l", "r")))
+      .select($"n_violating").as[Long].collect().head
+    assert(clean == 0L)
+  }
 }

@@ -484,4 +484,32 @@ class TimeSeriesSpec extends SparkSpec {
     (1 to 3).foreach(l => assert(byKey((2L, l))._2.isEmpty,
       s"constant series must report null acf at lag $l"))
   }
+
+  test("X8r corrMatrix: co-moving keys hit corr 1, anti-moving -1, " +
+      "pairs align only on shared buckets, key cap fires") {
+    // key 1 and 2 move together, key 3 inversely; key 3 misses bucket 3
+    val rows = Seq(
+      (1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 150L), (1L, 4L, 300L),
+      (2L, 1L, 10L), (2L, 2L, 20L), (2L, 3L, 15L), (2L, 4L, 30L),
+      (3L, 1L, 300L), (3L, 2L, 200L), (3L, 3L, 250L))
+    val df = rows.map { case (k, b, c) => (k, b * 10 + k, c) }
+      .toDF("k", "id", "cents")
+      .withColumn("ts", timestamp_micros($"id" * 1000000L))
+    val out = TimeSeries.corrMatrix(df, "k", "ts", "id", $"cents", 10000000L)
+      .select($"k1", $"k2", $"n", $"corr")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((1L, 2L))._1 == 4L)
+    assert(math.abs(out((1L, 2L))._2 - 1.0) < 1e-12)
+    // (1,3) share only buckets 1..3; there 1 moves 100,200,150 and 3
+    // moves 300,200,250 — exact mirror: corr -1
+    assert(out((1L, 3L))._1 == 3L)
+    assert(math.abs(out((1L, 3L))._2 + 1.0) < 1e-12)
+    assert(out.size == 3) // (1,2), (1,3), (2,3)
+    // quadratic guardrail
+    intercept[IllegalArgumentException] {
+      TimeSeries.corrMatrix(df, "k", "ts", "id", $"cents", 10000000L,
+        maxKeys = 2).collect()
+    }
+  }
 }
