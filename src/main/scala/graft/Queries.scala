@@ -9395,6 +9395,90 @@ object Queries {
     },
     bench = true)
 
+  /** X5t — KMV merge closure as a JUDGED claim (ops/Sketch.kmvMerge):
+    * the Spark side sketches the two user-parity shards separately and
+    * MERGES; the oracle computes the global bottom-64 directly — equal
+    * results prove the closure property the per-shard maintenance lane
+    * (x7_incr_kmv) relies on, the cmsMerge/hllMerge discipline. */
+  val x5KmvMerge = QuerySpec("x5_kmv_merge",
+    (s, d) => {
+      def shard(p: Int) = Sketch.kmvSketch(
+        Tables.events(s, d)
+          .filter(col("event_type") === "click" && col("user_id") % 2 === p)
+          .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v")),
+        "v", 64)
+      Sketch.kmvEstimate(Sketch.kmvMerge(64, shard(0), shard(1)), 64)
+    },
+    Some("""WITH v AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT)
+           |    AS v FROM events WHERE event_type = 'click'),
+           |h AS (SELECT DISTINCT
+           |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 11))::BIGINT + 1
+           |      AS h FROM v),
+           |k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+           |SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_h,
+           |  CAST(CASE WHEN count(*) < 64 THEN count(*)
+           |    ELSE 63 * 17592186044416 // max(h) END AS BIGINT)
+           |    AS est_distinct
+           |FROM k""".stripMargin))
+
+  /** X3t — ANN-STAGED k-NN classification
+    * (ops/Similarity.knnClassifyAnn): the x3_knn_classify vote tail
+    * over the IVF retrieval instead of the brute-force scan — the
+    * production shape against a corpus too large to scan per query.
+    * The oracle replays the full chain: IVF assignment, probe choice,
+    * cell-restricted ranking (all on 6dp-rounded cosine with cid/vec
+    * tie-breaks), then votes. */
+  val x3KnnAnn = QuerySpec("x3_knn_ann",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.knnClassifyAnn(emb.filter(col("vec_id") < 50), emb, 5,
+          nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           |asr AS (
+           |  SELECT e.vec_id, cents.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(list_cosine_similarity(e.v, cents.cv), 6)
+           |        DESC, cents.cid) AS crnk
+           |  FROM e, cents),
+           |assigned AS (SELECT vec_id, cid FROM asr WHERE crnk = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+           |  WHERE vec_id < 50),
+           |qpr AS (
+           |  SELECT q.query_id, cents.cid,
+           |    row_number() OVER (PARTITION BY q.query_id
+           |      ORDER BY round(list_cosine_similarity(q.qv, cents.cv), 6)
+           |        DESC, cents.cid) AS crnk
+           |  FROM q, cents),
+           |probes AS (SELECT query_id, cid FROM qpr WHERE crnk <= 4),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id
+           |  FROM probes p JOIN assigned a ON a.cid = p.cid
+           |  WHERE a.vec_id <> p.query_id),
+           |scored AS (
+           |  SELECT cand.query_id, cand.vec_id,
+           |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+           |  FROM cand
+           |  JOIN e qe ON qe.vec_id = cand.query_id
+           |  JOIN e ce ON ce.vec_id = cand.vec_id),
+           |r AS (SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, vec_id) AS rnk
+           |  FROM scored),
+           |t AS (SELECT r.query_id, e.label FROM r
+           |  JOIN e ON e.vec_id = r.vec_id WHERE rnk <= 5),
+           |vv AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM t GROUP BY 1, 2),
+           |w AS (SELECT query_id, label AS pred_label, cnt AS n_votes,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cnt DESC, label) AS rn
+           |  FROM vv)
+           |SELECT query_id, pred_label, n_votes FROM w WHERE rn = 1
+           |ORDER BY query_id""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan, s9OrcScan,
@@ -9466,7 +9550,7 @@ object Queries {
     x5Kmv, x5KmvJaccard, x8Acf, x9Cuped, x10Lpa, x11Refint,
     x5KmvBy, x7IncrKmv, x10Modularity, j6cIntervalOverlap,
     x11Unique, x11Fd, x3KnnClassify, x8CorrMatrix, stDedupReplay,
-    j7eAsofNearest, x2Containment, x10Sssp,
+    j7eAsofNearest, x2Containment, x10Sssp, x5KmvMerge, x3KnnAnn,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,

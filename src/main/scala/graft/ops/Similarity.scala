@@ -1065,7 +1065,22 @@ object Similarity {
     * [[ivfTopK]]/[[md5AnnTopK]] gives the ANN-classified variant with
     * the same vote tail. Returns (query_id, pred_label, n_votes). */
   def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
-    bruteForceTopK(queries, corpus, k)
+    classifyVotes(bruteForceTopK(queries, corpus, k), corpus)
+
+  /** The ANN-staged [[knnClassify]]: same vote tail over the
+    * [[ivfTopK]] retrieval — the production shape (classify against a
+    * billion-vector corpus without ever scanning it per query). Both
+    * stages are independently oracle-judged; the composition is too. */
+  def knnClassifyAnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame =
+    classifyVotes(ivfTopK(queries, corpus, k, nCentroids, nProbe), corpus)
+
+  /** The majority-vote tail shared by [[knnClassify]] /
+    * [[knnClassifyAnn]]: label attach + vote count + hash-aggregate
+    * argmax with the (votes desc, label asc) deterministic tie-break.
+    * Runs on |queries|·k rows whatever produced the ranking. */
+  def classifyVotes(ranking: DataFrame, corpus: DataFrame): DataFrame =
+    ranking
       .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("cnt"))

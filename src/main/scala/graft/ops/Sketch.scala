@@ -706,6 +706,20 @@ object Sketch {
       .select(col("grp"), col("h"))
   }
 
+  /** Merge bottom-k sketches (same k, same hash): the k smallest of the
+    * union of kept hashes — a valid sketch of the unioned input sets
+    * (the bottom-k closure property; [[kmvCompare]] leans on the same
+    * fact pairwise). This is what makes KMV a per-shard/per-day
+    * maintainable artifact: shard sketches merge associatively at k-row
+    * cost, like [[cmsMerge]]/[[hllMerge]] for their families. */
+  def kmvMerge(k: Int, sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "kmvMerge needs at least one sketch")
+    sketches.map(_.select(col("h"))).reduce(_ unionAll _)
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+  }
+
   /** Per-group estimate from [[kmvSketchBy]] output — one row per group,
     * same sub-k-is-exact rule as [[kmvEstimate]]. */
   def kmvEstimateBy(sketch: DataFrame, k: Int): DataFrame =

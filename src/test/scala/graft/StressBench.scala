@@ -496,6 +496,15 @@ object StressBench {
         spark.range(3).selectExpr(s"id * ${m / 3} AS node"), 5))
       stage(s"bfs_$tag")(ops.Graph.bfsHops(g,
         spark.range(1).selectExpr("cast(0 as long) AS node"), 10))
+      // weighted sibling of the BFS point: same hub component, integer
+      // weights (dst mod 7 + 1), 10 relaxation rounds — reach must equal
+      // BFS reach (weights don't change reachability)
+      stage(s"sssp_$tag")(ops.Graph.sssp(
+        g.withColumn("w", pmod(col("dst"), lit(7L)) + 1),
+        spark.range(1).selectExpr("cast(0 as long) AS node"), 10))
+      require(results(s"sssp_$tag")._2 == m / 2,
+        s"SSSP from the hub should reach exactly ${m / 2} nodes: " +
+          s"${results(s"sssp_$tag")._2}")
       stage(s"kcore_$tag")(ops.Graph.kCore(g, 9, 3))
       // the hub component = hub + spokes/chain (m/2 nodes); cliques are
       // disjoint — BFS from the hub must cover exactly its component

@@ -400,4 +400,17 @@ class SketchSpec extends SparkSpec {
       .select($"est_distinct").as[Long].collect().head
     assert(est("big") == alone, "grouped sketch must equal per-group runs")
   }
+
+  test("X5t KMV merge closure: merged shard sketches equal the direct " +
+      "sketch of the union, overlap and all") {
+    val a = (1 to 3000).map(i => s"v$i").toDF("v")
+    val b = (2000 to 5000).map(i => s"v$i").toDF("v") // overlaps a
+    val merged = Sketch.kmvMerge(64,
+        Sketch.kmvSketch(a, "v", 64), Sketch.kmvSketch(b, "v", 64))
+      .as[Long].collect().toSeq
+    val direct = Sketch.kmvSketch(a.unionAll(b).toDF("v"), "v", 64)
+      .as[Long].collect().toSeq
+    assert(merged == direct,
+      "bottom-k of merged sketches must equal the direct union sketch")
+  }
 }
