@@ -9479,6 +9479,63 @@ object Queries {
            |SELECT query_id, pred_label, n_votes FROM w WHERE rn = 1
            |ORDER BY query_id""".stripMargin))
 
+  /** X8s — per-priority Gini coefficient of customer spend
+    * (ops/Concentration.giniBy): rank-weighted exact rational in
+    * DECIMAL(38,0)/HUGEINT, one pinned floor division to ppm. */
+  val x8Gini = QuerySpec("x8_gini",
+    (s, d) => Concentration.giniBy(
+        T(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("prio"), col("o_custkey"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("cents")),
+        "prio", "o_custkey", col("cents"))
+      .orderBy(col("prio")),
+    Some("""WITH cust AS (SELECT o_orderpriority AS prio, o_custkey,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1, 2),
+           |r AS (SELECT prio, cents,
+           |    row_number() OVER (PARTITION BY prio
+           |      ORDER BY cents, o_custkey) AS i
+           |  FROM cust),
+           |g AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS sum_x,
+           |    CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS sr
+           |  FROM r GROUP BY 1)
+           |SELECT prio, n, sum_x,
+           |  CASE WHEN sum_x > 0 THEN
+           |    CAST((1000000 * (2 * sr - (CAST(n AS HUGEINT) + 1) * sum_x))
+           |      // (CAST(n AS HUGEINT) * sum_x) AS BIGINT) END AS gini_ppm
+           |FROM g ORDER BY prio""".stripMargin))
+
+  /** X8t — per-nation supplier-revenue HHI (ops/Concentration.hhiBy):
+    * market-concentration index as exact share-square sums; ppm of the
+    * [0,1] scale (antitrust points = ppm/100). */
+  val x8Hhi = QuerySpec("x8_hhi",
+    (s, d) => Concentration.hhiBy(
+        T(s, d, "lineitem")
+          .join(T(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_nationkey").as("nation"), col("s_suppkey"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+              .as("cents")),
+        "nation", "s_suppkey", col("cents"))
+      .orderBy(col("nation")),
+    Some("""WITH rev AS (SELECT s_nationkey AS nation, s_suppkey,
+           |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS mx
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2),
+           |g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_members,
+           |    CAST(sum(mx) AS BIGINT) AS sum_x,
+           |    CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS sq
+           |  FROM rev GROUP BY 1)
+           |SELECT nation, n_members, sum_x,
+           |  CASE WHEN sum_x > 0 THEN
+           |    CAST((1000000 * sq) // (CAST(sum_x AS HUGEINT) * sum_x)
+           |      AS BIGINT) END AS hhi_ppm
+           |FROM g ORDER BY nation""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan, s9OrcScan,
@@ -9551,6 +9608,7 @@ object Queries {
     x5KmvBy, x7IncrKmv, x10Modularity, j6cIntervalOverlap,
     x11Unique, x11Fd, x3KnnClassify, x8CorrMatrix, stDedupReplay,
     j7eAsofNearest, x2Containment, x10Sssp, x5KmvMerge, x3KnnAnn,
+    x8Gini, x8Hhi,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,

@@ -303,20 +303,36 @@ object Graph {
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
       s"maxHops must be in [1,50], got $maxHops")
+    // same static-edge pre-partitioning as [[sssp]]: the captured
+    // HashPartitioning(src) keeps the per-hop join from re-shuffling
+    // the edge frame every round
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .localCheckpoint(eager = false)
     var dist = sources.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("hops", lit(0L))
       .localCheckpoint(eager = false)
+    var frontier = dist
     (1 to maxHops).foreach { h =>
-      val frontier = dist.filter(col("hops") === (h - 1))
+      // BFS invariant: first discovery IS the minimum hop count. The
+      // membership check and state update fuse into ONE full-outer
+      // join (the [[sssp]] shape): merged comes out hash-partitioned
+      // on node, the checkpoint captures it, and each hop's new
+      // shuffle work is the frontier-sized discovery (measured at 1M
+      // nodes: ~3× wall vs the per-hop groupBy-min re-aggregation,
+      // which re-shuffled the whole reached set every round)
       val discovered = frontier
         .join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node"), lit(h.toLong).as("hops"))
-      dist = dist.unionAll(discovered)
-        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .select(col("dst").as("node")).distinct()
+        .withColumn("_dh", lit(h.toLong))
+      val merged = dist.select(col("node"), col("hops").as("_ph"))
+        .join(discovered, Seq("node"), "full_outer")
         .localCheckpoint(eager = false)
+      frontier = merged.filter(col("_ph").isNull)
+        .select(col("node"), col("_dh").as("hops"))
+      dist = merged.select(col("node"),
+        coalesce(col("_ph"), col("_dh")).as("hops"))
     }
     dist
   }
@@ -628,6 +644,11 @@ object Graph {
     // every round's join
     val votes = und.select(col("dst").as("node"), col("src").as("nbr"))
       .unionAll(nodes.select(col("node"), col("node").as("nbr")))
+      // pre-partitioned on the per-round join key (the [[sssp]] static-
+      // frame discipline): the checkpoint captures HashPartitioning(nbr),
+      // so each round's label join exchanges only the |nodes|-row label
+      // frame, never the vote volume
+      .repartition(col("nbr"))
       .localCheckpoint(eager = false)
     var labels = nodes.withColumn("label", col("node"))
       .localCheckpoint(eager = false)
@@ -662,26 +683,66 @@ object Graph {
     * the relaxation round is one equi-join — the textbook
     * Pregel/BSP formulation.
     *
-    * Scale shape: per round ONE edge equi-join on the frontier's node
-    * ids + ONE node-keyed min (partial-combining), state one row per
-    * reached node, static edge frame materialized once, lineage cut
-    * per round. Cost ∝ rounds × |edges incident to reached set|. */
+    * Scale shape: DELTA relaxation — only the FRONTIER (nodes whose
+    * distance improved last round) emits candidates, which is
+    * round-for-round IDENTICAL to full Bellman–Ford (min is monotone
+    * and idempotent: a node whose bound didn't change re-offers
+    * nothing new) but stops re-shuffling converged regions every
+    * round. Per round ONE frontier equi-join + ONE node-keyed
+    * partial-combining min + ONE improvement anti-check (a node-keyed
+    * left join against the previous bounds); state one row per reached
+    * node, static edge frame materialized once, lineage cut per round.
+    * Cost ∝ Σ_r |edges incident to round-r's improved set| — the full
+    * (non-delta) form measured 464.6 MB of shuffle and 15.6 s for 10
+    * rounds at 1M nodes because the hub component converges by round 2
+    * yet re-emits its m/2 candidates all 10 rounds; BASELINE.md's
+    * round-15 table records the step-by-step shape measurements
+    * (delta, edge pre-partitioning, fused state update → ~5 s). */
   def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
+    // pre-partition the static edge frame by the join key ONCE: the
+    // checkpoint captures HashPartitioning(src), so every round's
+    // relaxation join exchanges only the (shrinking) frontier side. A
+    // bare checkpoint carries no stats or partitioning — the planner
+    // assumes the worst and re-sorts/re-shuffles the edges every round
+    // (measured at 1M nodes / 10 rounds: this one change cut wall
+    // 10.4 → ~5 s; same 3× on bfsHops)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
       .localCheckpoint(eager = false)
     var dist = sources.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(eager = false)
+    var frontier = dist
     (1 to rounds).foreach { _ =>
-      val relaxed = dist.join(e, dist("node") === e("src"))
+      val relaxed = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionAll(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("_cd"))
+      // improvement check AND state update in ONE full-outer join: the
+      // merged frame comes out hash-partitioned on node and the
+      // checkpoint CAPTURES that partitioning, so the standing bounds
+      // feed the next round without a fresh exchange — each round's
+      // new shuffle work is the frontier-sized relaxation. (Measured
+      // at 1M nodes: edge pre-partitioning + this shape cut 10-round
+      // wall ~2× vs the groupBy-min re-aggregation; remaining shuffle
+      // bytes are the one-time edge partition and the first full
+      // component expansion, not per-round state churn.) Renamed
+      // columns mint fresh attribute ids (round 1's frontier IS dist;
+      // dotted self-aliases collide)
+      val merged = dist.select(col("node"), col("dist").as("_pd"))
+        .join(relaxed, Seq("node"), "full_outer")
         .localCheckpoint(eager = false)
+      frontier = merged
+        .filter(col("_pd").isNull ||
+          (col("_cd").isNotNull && col("_cd") < col("_pd")))
+        .select(col("node"), col("_cd").as("dist"))
+      dist = merged.select(col("node"),
+        when(col("_pd").isNull, col("_cd"))
+          .when(col("_cd").isNull, col("_pd"))
+          .otherwise(least(col("_pd"), col("_cd"))).as("dist"))
     }
     dist
   }
