@@ -9536,6 +9536,79 @@ object Queries {
            |      AS BIGINT) END AS hhi_ppm
            |FROM g ORDER BY nation""".stripMargin))
 
+  /** X12c — item-item collaborative-filtering similarity
+    * (ops/Basket.itemCosine): brand-brand cosine over order-basket
+    * co-occurrence, published as the exact integer sim² in ppm (no
+    * square root crosses the engine boundary). Same capped machinery
+    * as x12_basket_pairs. */
+  val x12ItemSim = QuerySpec("x12_item_sim",
+    (s, d) => Basket.itemCosine(
+        T(s, d, "lineitem")
+          .join(broadcast(T(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", maxBasket = 8, minSupport = 50L)
+      .orderBy(col("a"), col("b")),
+    Some("""WITH it AS (
+           |  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+           |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+           |ok AS (SELECT bk FROM it GROUP BY bk HAVING count(*) <= 8),
+           |itc AS (SELECT it.bk, it.item FROM it JOIN ok USING (bk)),
+           |sup AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+           |  FROM itc GROUP BY item),
+           |pr AS (SELECT x.item AS a, y.item AS b,
+           |    CAST(count(*) AS BIGINT) AS n_ab
+           |  FROM itc x JOIN itc y ON x.bk = y.bk AND x.item < y.item
+           |  GROUP BY 1, 2 HAVING count(*) >= 50)
+           |SELECT a, b, n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+           |  CAST(n_ab * n_ab * 1000000 // (sa.n_item * sb.n_item)
+           |    AS BIGINT) AS sim2_ppm
+           |FROM pr JOIN sup sa ON sa.item = a JOIN sup sb ON sb.item = b
+           |ORDER BY a, b""".stripMargin))
+
+  /** X8u — seasonal-forecast backtest (ops/TimeSeries.forecastBacktest):
+    * hour-of-day slot means trained before the time-range midpoint,
+    * scored after it, per-key integer MAE beside the naive key-mean
+    * baseline over the SAME covered rows — a leak-free temporal holdout
+    * whose every number the oracle replays. */
+  val x8ForecastBacktest = QuerySpec("x8_forecast_backtest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ev.agg(min(expr("unix_micros(ts)")).as("lo"),
+        max(expr("unix_micros(ts)")).as("hi")).head
+      TimeSeries.forecastBacktest(ev, "user_id", "ts",
+          floor(col("value") * 100 + lit(0.5)).cast("long"),
+          3600000000L, 24, (r.getLong(0) + r.getLong(1)) / 2)
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+           |    AS s FROM events),
+           |e AS (SELECT user_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us,
+           |    (epoch_us(ts) // 3600000000) % 24 AS slot
+           |  FROM events),
+           |tr AS (SELECT * FROM e WHERE us < (SELECT s FROM sp)),
+           |sm AS (SELECT user_id, slot,
+           |    CAST(sum(cents) * 1000 // count(*) AS BIGINT) AS ps
+           |  FROM tr GROUP BY 1, 2),
+           |km AS (SELECT user_id,
+           |    CAST(sum(cents) * 1000 // count(*) AS BIGINT) AS pk,
+           |    CAST(count(*) AS BIGINT) AS n_train
+           |  FROM tr GROUP BY 1),
+           |te AS (SELECT t.user_id, t.cents, sm.ps, km.pk, km.n_train
+           |  FROM e t
+           |  JOIN sm ON sm.user_id = t.user_id AND sm.slot = t.slot
+           |  JOIN km ON km.user_id = t.user_id
+           |  WHERE t.us >= (SELECT s FROM sp))
+           |SELECT user_id, max(n_train) AS n_train,
+           |  CAST(count(*) AS BIGINT) AS n_test,
+           |  CAST(sum(abs(cents * 1000 - ps)) // count(*) AS BIGINT)
+           |    AS mae_seasonal_milli,
+           |  CAST(sum(abs(cents * 1000 - pk)) // count(*) AS BIGINT)
+           |    AS mae_naive_milli
+           |FROM te GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan, s9OrcScan,
@@ -9608,7 +9681,7 @@ object Queries {
     x5KmvBy, x7IncrKmv, x10Modularity, j6cIntervalOverlap,
     x11Unique, x11Fd, x3KnnClassify, x8CorrMatrix, stDedupReplay,
     j7eAsofNearest, x2Containment, x10Sssp, x5KmvMerge, x3KnnAnn,
-    x8Gini, x8Hhi,
+    x8Gini, x8Hhi, x12ItemSim, x8ForecastBacktest,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,

@@ -97,4 +97,29 @@ object Basket {
         expr("n_ab * n_baskets * 1000000L div (n_lhs * n_rhs)")
           .as("lift_ppm"))
   }
+
+  /** X12c — item-item cosine similarity over basket co-occurrence: the
+    * classic item-based collaborative-filtering score ("customers who
+    * bought i also bought j"), sim(i, j) = n_ij / √(n_i·n_j) over the
+    * basket-membership vectors. Reported as the exact integer SQUARE in
+    * ppm — sim²·10⁶ = ⌊n_ij²·10⁶ / (n_i·n_j)⌋ — so no square root
+    * crosses the engine boundary (the realizedVolatility discipline:
+    * publish the exact sufficient statistic, let the edge take the
+    * root). Same capped pair machinery as [[pairCounts]]; supports ride
+    * the same broadcast as [[rules]]. Overflow: n_ij²·10⁶ needs
+    * n_ij < 3·10⁶ — beyond that, DECIMAL (declared, like lift's). */
+  def itemCosine(rows: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 64, minSupport: Long = 1L): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val items = basketItems(rows, basketCol, itemCol, maxBasket)
+    val supports = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    pairsFromItems(items, minSupport)
+      .join(broadcast(supports.withColumnRenamed("item", "a")
+        .withColumnRenamed("n_item", "n_a")), Seq("a"))
+      .join(broadcast(supports.withColumnRenamed("item", "b")
+        .withColumnRenamed("n_item", "n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * n_ab * 1000000L div (n_a * n_b)").as("sim2_ppm"))
+  }
 }

@@ -835,4 +835,50 @@ object TimeSeries {
           "CAST(cov_num AS DOUBLE) / sqrt(CAST(varx_num AS DOUBLE)) / " +
           "sqrt(CAST(vary_num AS DOUBLE)) END"))
   }
+
+  /** X8u — seasonal-forecast BACKTEST: train the same-slot seasonal
+    * mean (the [[seasonalProfile]] predictor) on everything before
+    * `splitUs`, score it on everything after, and report per-key MAE
+    * beside the naive key-mean baseline — the skill-score table every
+    * forecasting pipeline publishes (a seasonal model that can't beat
+    * the key mean has no seasonality to exploit). The standard
+    * temporal-holdout eval: the split is a timestamp, so no future
+    * information leaks into the predictor (the leak-free-split
+    * discipline, x5_split_leakfree, applied to time).
+    *
+    * Exact integers end to end: predictors are floored milli-cents
+    * (sum·1000 div n over the train rows), errors are |actual·1000 −
+    * pred_milli| BIGINTs, MAE is one floored division per key. Test
+    * rows whose (key, slot) never occurred in training are EXCLUDED
+    * from both models' scoring (inner join; both MAEs cover the same
+    * rows — an honest comparison needs a shared support set); n_test
+    * counts exactly the covered rows, so the exclusion is visible
+    * against any external row count.
+    *
+    * Scale shape: one (key, slot) train aggregate (map-side combined,
+    * ≤ |keys|·modulo rows) + one key train aggregate, both broadcast
+    * back onto the test stream; one key-grouped score aggregate. The
+    * fact volume is scanned twice (train, test) and shuffled once. */
+  def forecastBacktest(events: DataFrame, keyCol: String, tsCol: String,
+      valueCents: Column, slotUs: Long, modulo: Int,
+      splitUs: Long): DataFrame = {
+    val base = events.select(col(keyCol), valueCents.as("cents"),
+      expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("slot", expr(s"pmod(us div ${slotUs}L, $modulo)"))
+    val train = base.filter(col("us") < splitUs)
+    val slotMeans = train.groupBy(col(keyCol), col("slot"))
+      .agg(expr("sum(cents) * 1000L div count(1)").as("pred_slot_milli"))
+    val keyMeans = train.groupBy(col(keyCol))
+      .agg(expr("sum(cents) * 1000L div count(1)").as("pred_key_milli"),
+        count(lit(1)).as("n_train"))
+    base.filter(col("us") >= splitUs)
+      .join(broadcast(slotMeans), Seq(keyCol, "slot"))
+      .join(broadcast(keyMeans), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(max(col("n_train")).as("n_train"), count(lit(1)).as("n_test"),
+        expr("sum(abs(cents * 1000L - pred_slot_milli)) div count(1)")
+          .as("mae_seasonal_milli"),
+        expr("sum(abs(cents * 1000L - pred_key_milli)) div count(1)")
+          .as("mae_naive_milli"))
+  }
 }

@@ -50,4 +50,23 @@ class BasketSpec extends SparkSpec {
       ("y", "z", 1L, 3L, 1L, 333333L, 1333333L),
       ("z", "y", 1L, 1L, 3L, 1000000L, 1333333L)))
   }
+
+  test("X12c itemCosine: hand-computed cosine-squared ppm; identical " +
+      "co-membership hits 10^6 exactly") {
+    val rows = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (4L, "B"), (4L, "C")).toDF("bk", "item")
+    val out = Basket.itemCosine(rows, "bk", "item")
+      .select($"a", $"b", $"n_ab", $"n_a", $"n_b", $"sim2_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // A:{1,2,3} B:{1,2,4} C:{4}; AB cooc 2 -> 4e6/9; BC cooc 1 -> 1e6/3
+    assert(out == Set(
+      ("A", "B", 2L, 3L, 3L, 444444L),
+      ("B", "C", 1L, 3L, 1L, 333333L)))
+    // two items in exactly the same baskets: cosine^2 exactly 1
+    val same = Seq((1L, "P"), (1L, "Q"), (2L, "P"), (2L, "Q"))
+      .toDF("bk", "item")
+    val one = Basket.itemCosine(same, "bk", "item")
+      .select($"sim2_ppm").as[Long].collect().head
+    assert(one == 1000000L)
+  }
 }

@@ -512,4 +512,24 @@ class TimeSeriesSpec extends SparkSpec {
         maxKeys = 2).collect()
     }
   }
+
+  test("X8u forecastBacktest: a perfectly seasonal series scores MAE 0 " +
+      "against its slot means while the naive mean pays the amplitude; " +
+      "keys without training rows are excluded") {
+    // key 1: strict period-2 pattern 100/300 cents, 10 train + 4 test
+    // rows; key 2: test-period rows only (no training support)
+    val rows = (0 until 14).map(i =>
+        (1L, i.toLong, if (i % 2 == 0) 100L else 300L)) ++
+      Seq((2L, 12L, 500L), (2L, 13L, 500L))
+    val df = rows.toDF("k", "i", "cents")
+      .withColumn("ts", timestamp_micros($"i" * 10000000L))
+    val out = TimeSeries.forecastBacktest(df, "k", "ts", $"cents",
+        10000000L, 2, 100000000L)
+      .select($"k", $"n_train", $"n_test", $"mae_seasonal_milli",
+        $"mae_naive_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // slot means 100 / 300 predict the test rows exactly; the key mean
+    // (200 cents) misses every row by 100 cents = 100000 milli
+    assert(out == Seq((1L, 10L, 4L, 0L, 100000L)), s"$out")
+  }
 }
