@@ -9609,6 +9609,79 @@ object Queries {
            |    AS mae_naive_milli
            |FROM te GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** X7v — EXPECTATIONS-GATED snapshot merge (round 15): the change
+    * batch passes the X11 quarantine gate BEFORE the CDC merge — the
+    * Delta-style "constraints enforced at the write edge" composition
+    * (a violating update must not corrupt the standing snapshot; it
+    * parks in quarantine for triage instead). Deletes are exempt from
+    * value rules (they carry no values — op-aware rules, the
+    * convention a real constraint engine needs). The judged result is
+    * the merged final state: rows whose updates were quarantined keep
+    * their PRE-merge values, which the oracle replays by filtering the
+    * change stream with the identical predicate before its merge. */
+  val x7MergeGated = QuerySpec("x7_merge_gated",
+    (s, d) => {
+      def p2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+      val o = T(s, d, "orders")
+      val target = o.select(col("o_orderkey"), col("o_orderstatus"),
+        p2(col("o_totalprice")).as("price"))
+      val upd1 = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("U1").as("o_orderstatus"),
+          p2(col("o_totalprice") + 10).as("price"))
+      val upd2 = o.filter(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+          lit("U2").as("o_orderstatus"),
+          p2(col("o_totalprice") * 2).as("price"))
+      val del = o.filter(col("o_orderkey") % 11 === 3)
+        .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("price"))
+      val changes = upd1.unionByName(upd2).unionByName(del)
+      // the doubled-price updates blow through the cap on the priciest
+      // orders — the gate has genuine work to do, not a no-op pass
+      val rules = Seq(
+        Quality.Rule("price_cap",
+          col("op") === "D" || col("price") <= 400000.0),
+        Quality.Rule("status_known",
+          col("op") === "D" ||
+            col("o_orderstatus").isin("U1", "U2", "NEW")))
+      val (clean, _) = Quality.quarantine(changes, rules)
+      Cdc.applyCdc(target, clean, Seq("o_orderkey"), "seq", "op")
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH t AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    floor(o_totalprice * 100 + 0.5) / 100 AS price
+           |  FROM orders),
+           |c0 AS (
+           |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+           |    'U1' AS o_orderstatus,
+           |    floor((o_totalprice + 10) * 100 + 0.5) / 100 AS price
+           |  FROM orders WHERE o_orderkey % 7 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 2, 'U', 'U2',
+           |    floor(o_totalprice * 2 * 100 + 0.5) / 100
+           |  FROM orders WHERE o_orderkey % 14 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 3, 'D', NULL, NULL
+           |  FROM orders WHERE o_orderkey % 11 = 3),
+           |c AS (
+           |  SELECT * FROM c0
+           |  WHERE (op = 'D' OR price <= 400000.0)
+           |    AND (op = 'D' OR o_orderstatus IN ('U1', 'U2', 'NEW'))),
+           |latest AS (
+           |  SELECT * FROM (
+           |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+           |      ORDER BY seq DESC) AS rn
+           |    FROM c) WHERE rn = 1)
+           |SELECT coalesce(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+           |  coalesce(l.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           |  coalesce(l.price, t.price) AS price
+           |FROM t FULL JOIN latest l ON t.o_orderkey = l.o_orderkey
+           |WHERE l.op IS NULL OR l.op <> 'D'
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan, s9OrcScan,
@@ -9681,7 +9754,7 @@ object Queries {
     x5KmvBy, x7IncrKmv, x10Modularity, j6cIntervalOverlap,
     x11Unique, x11Fd, x3KnnClassify, x8CorrMatrix, stDedupReplay,
     j7eAsofNearest, x2Containment, x10Sssp, x5KmvMerge, x3KnnAnn,
-    x8Gini, x8Hhi, x12ItemSim, x8ForecastBacktest,
+    x8Gini, x8Hhi, x12ItemSim, x8ForecastBacktest, x7MergeGated,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,
