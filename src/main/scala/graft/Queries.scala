@@ -9225,8 +9225,13 @@ object Queries {
     * projected to the KEY columns so the kept-row arrival
     * nondeterminism never reaches the artifact (the set of keys is
     * deterministic; which duplicate carried it is not, and is not
-    * claimed). One AvailableNow replay; the oracle is SELECT
-    * DISTINCT. */
+    * claimed). Replay contract (the streamingCusum ST5 discipline):
+    * the single-file source makes AvailableNow ONE micro-batch, so
+    * watermark eviction never runs between duplicates — a multi-batch
+    * backfill whose duplicates straddle an advanced watermark would
+    * legitimately re-emit (that is watermark semantics, not a dedup
+    * bug) and needs maxFilesPerTrigger pinned to keep the SELECT
+    * DISTINCT equivalence. The oracle is SELECT DISTINCT. */
   val stDedupReplay = QuerySpec("st_dedup_replay",
     (s, d) => {
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema

@@ -245,6 +245,15 @@ object Experiment {
     * here, the posmod twin in the oracle), because the numerator CAN be
     * negative and truncate-toward-zero would round it the other way.
     *
+    * DECLARED ceiling (review finding): the adjusted-mean numerator
+    * 10³·n·θden·Σy_v stacks ~n²·per-unit⁴ magnitudes and exceeds even
+    * DECIMAL(38,0)/HUGEINT around n ≈ 10⁷ units at dollar scales —
+    * both engines fail LOUDLY there (ANSI overflow / HUGEINT error),
+    * never silently. Past that population, materialize θ once as a
+    * floored θ_micro and adjust with bounded magnitudes — a documented
+    * 10⁻⁶-precision tradeoff, traded only when the exact rational
+    * physically cannot fit.
+    *
     * Scale shape: one unit-keyed partial-combining aggregate collapses
     * the event volume (the only fact shuffle), lazily checkpointed so
     * the global-moment and per-arm branches share one evaluation; the

@@ -636,8 +636,15 @@ object Graph {
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .unionAll(edges.select(col("dst").cast("long").as("src"),
-        col("src").cast("long").as("dst")))
+        col("src").cast("long").as("dst"))
+        // self-loops must die in BOTH symmetrization halves: a loop
+        // surviving the reversed branch would double its node's
+        // self-vote and flip min-label ties (review finding)
+        .filter(col("src") =!= col("dst")))
       .distinct()
+      // three initialization consumers (nodes, votes, the label seed)
+      // — one evaluation of the symmetrize+distinct, not three
+      .localCheckpoint(eager = false)
     val nodes = und.select(col("src").as("node")).distinct()
     // vote edges: every neighbor's label flows to the node, plus the
     // node's own label (the self-vote) — one static frame, reused by

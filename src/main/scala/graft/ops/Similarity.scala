@@ -1085,8 +1085,12 @@ object Similarity {
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("query_id"))
-      .agg(max_by(col("label"),
-          struct(col("cnt"), (-col("label")).as("neg"))).as("pred_label"),
-        max(struct(col("cnt"), (-col("label")).as("neg")))
-          .getField("cnt").as("n_votes"))
+      // ONE struct max carries both outputs: (cnt, −label) is already
+      // unique per query, so appending label as a third field cannot
+      // change the ordering — and a single aggregate cannot drift from
+      // itself the way two separately-maintained orderings could
+      .agg(max(struct(col("cnt"), (-col("label")).as("neg"),
+          col("label"))).as("_w"))
+      .select(col("query_id"), col("_w.label").as("pred_label"),
+        col("_w.cnt").as("n_votes"))
 }

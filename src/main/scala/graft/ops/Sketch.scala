@@ -644,6 +644,15 @@ object Sketch {
       .limit(k)
   }
 
+  /** THE bottom-k estimator, single-sourced for every KMV lane
+    * ([[kmvEstimate]], [[kmvCompare]], [[kmvEstimateBy]] — three
+    * byte-identical copies would silently drift on a future hash-width
+    * change; review finding): sub-k sketches are exact, otherwise
+    * ⌊(k−1)·2^44 / kth⌋. */
+  private def kmvEstExpr(nKeptCol: String, kthCol: String, k: Int): Column =
+    when(col(nKeptCol) < k, col(nKeptCol))
+      .otherwise(expr(s"${k - 1}L * 17592186044416L div $kthCol"))
+
   /** One-row estimate from a [[kmvSketch]]: when the sketch holds fewer
     * than k hashes the input had < k distinct values and the sketch IS
     * the exact answer; otherwise ⌊(k−1)·2^44 / h_k⌋. Integer end to end
@@ -651,9 +660,7 @@ object Sketch {
   def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
     sketch.agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_h"))
       .select(col("n_kept"), col("kth_h"),
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"${k - 1}L * 17592186044416L div kth_h"))
-          .as("est_distinct"))
+        kmvEstExpr("n_kept", "kth_h", k).as("est_distinct"))
 
   /** X5r — KMV set algebra: from two sketches (same k, same hash),
     * estimate |A∪B|, Jaccard, and |A∩B|. The k smallest of
@@ -678,9 +685,7 @@ object Sketch {
     unionK.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_h"),
         sum(col("in_a") * col("in_b")).as("n_both"))
       .select(col("k_used"), col("n_both"),
-        when(col("k_used") < k, col("k_used"))
-          .otherwise(expr(s"${k - 1}L * 17592186044416L div kth_h"))
-          .as("est_union"))
+        kmvEstExpr("k_used", "kth_h", k).as("est_union"))
       .withColumn("jacc_ppm", expr("n_both * 1000000L div k_used"))
       .withColumn("est_inter", expr("n_both * est_union div k_used"))
   }
@@ -726,7 +731,5 @@ object Sketch {
     sketch.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_h"))
       .select(col("grp"), col("n_kept"), col("kth_h"),
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"${k - 1}L * 17592186044416L div kth_h"))
-          .as("est_distinct"))
+        kmvEstExpr("n_kept", "kth_h", k).as("est_distinct"))
 }

@@ -223,6 +223,17 @@ class GraphSpec extends SparkSpec {
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
     assert(Graph.labelPropagation(rev, 2)
       .as[(Long, Long)].collect().toMap == want)
+    // self-loops are inert in BOTH symmetrization halves (review
+    // finding: a loop surviving the reversed branch doubles its
+    // node's self-vote). Star center 3 with loop, leaves 1 and 2:
+    // round 1 at 3 sees {1, 2, self 3} all once -> takes 1, and the
+    // star converges to 1 by round 2; a doubled self-vote would give
+    // 3 a 2-count for its own label in round 1 and freeze the center
+    // (and then the whole star) on {3 -> 3, 1 -> 1, 2 -> 2}.
+    val looped = Seq((3L, 3L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
+    assert(Graph.labelPropagation(looped, 2)
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("X10l modularity: two separated cliques score high, one blob " +
