@@ -9687,6 +9687,28 @@ object Queries {
            |WHERE l.op IS NULL OR l.op <> 'D'
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** X4v — deterministic token masking (ops/TextOps.maskTokens): ~15%
+    * of tokens (9830/65536) replaced by md5-position draws; the oracle
+    * replays every draw and the masked text's md5 — byte-identical
+    * augmentation proven through the fingerprint. */
+  val x4MaskTokens = QuerySpec("x4_mask_tokens",
+    (s, d) => TextOps.maskTokens(T(s, d, "documents"), "text", "doc_id",
+        9830)
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  md5(array_to_string(list_transform(string_split(text, ' '),
+           |    (t, i) -> CASE WHEN ('0x' || substr(md5(
+           |        CAST(doc_id AS VARCHAR) || ':' ||
+           |        CAST(i - 1 AS VARCHAR)), 1, 4))::BIGINT < 9830
+           |      THEN '<mask>' ELSE t END), ' ')) AS masked_md5,
+           |  CAST(len(list_filter(string_split(text, ' '),
+           |    (t, i) -> ('0x' || substr(md5(
+           |        CAST(doc_id AS VARCHAR) || ':' ||
+           |        CAST(i - 1 AS VARCHAR)), 1, 4))::BIGINT < 9830))
+           |    AS BIGINT) AS n_masked,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
     s9CsvScan, s9JsonScan, s9OrcScan,
@@ -9760,6 +9782,7 @@ object Queries {
     x11Unique, x11Fd, x3KnnClassify, x8CorrMatrix, stDedupReplay,
     j7eAsofNearest, x2Containment, x10Sssp, x5KmvMerge, x3KnnAnn,
     x8Gini, x8Hhi, x12ItemSim, x8ForecastBacktest, x7MergeGated,
+    x4MaskTokens,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,

@@ -846,4 +846,35 @@ object TextOps {
       .withColumn("minshingle", when(col("n_lt") >= 5, expr(
         "array_min(transform(sequence(1, n_lt - 4), " +
           "i -> md5(concat_ws(' ', ltoks[i-1], ltoks[i], ltoks[i+1], ltoks[i+2], ltoks[i+3]))))")))
+
+  /** X4v — DETERMINISTIC token masking (BERT/T5-style training-data
+    * augmentation): token i of document d is replaced by `<mask>` iff
+    * the first 16 bits of md5("d:i") fall under `rateFp`/65536 — the
+    * same storage-free md5 draw every sampling lane uses, so the mask
+    * pattern is a pure function of (doc, position): reproducible across
+    * engines, runs, and epochs-with-different-seeds-derived-rates, and
+    * the oracle replays every draw. The judged artifact carries
+    * md5(masked_text) rather than the masked text itself (the x5_shard
+    * content-fingerprint discipline — byte-identical corruption proven
+    * without shipping the corpus through the artifact) plus the
+    * masked/total counts.
+    *
+    * Scale shape: ONE narrow projection — the mask decision, the
+    * rebuild and the count are codegen'd higher-order expressions over
+    * the token array; no shuffle, no UDF, nothing leaves the row. */
+  def maskTokens(docs: DataFrame, textCol: String, idCol: String,
+      rateFp: Int): DataFrame = {
+    require(rateFp >= 1 && rateFp < 65536,
+      s"rateFp is a fraction of 65536, got $rateFp")
+    val draw = s"conv(substring(md5(concat(CAST($idCol AS STRING), ':', " +
+      s"CAST(i AS STRING))), 1, 4), 16, 10) < $rateFp"
+    docs.select(col(idCol),
+      md5(expr(s"array_join(transform(split($textCol, ' '), (t, i) -> " +
+        s"CASE WHEN $draw THEN '<mask>' ELSE t END), ' ')"))
+        .as("masked_md5"),
+      expr(s"aggregate(transform(split($textCol, ' '), (t, i) -> " +
+        s"CASE WHEN $draw THEN 1 ELSE 0 END), 0, (a, x) -> a + x)")
+        .cast("long").as("n_masked"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+  }
 }
