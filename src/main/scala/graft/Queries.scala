@@ -8124,6 +8124,41 @@ object Queries {
            |  n_pos * 1000000 // n AS frac_pos_ppm
            |FROM g ORDER BY bin""".stripMargin))
 
+  /** X9h — Poisson bootstrap resample means
+    * (ops/Experiment.poissonBootstrap): 16 deterministic resamples of
+    * the order-value metric, each row replicated Poisson(1) times by an
+    * md5 draw against StrictMath-derived CDF thresholds. The thresholds
+    * are spliced as the SAME literals into this plan and the oracle SQL
+    * (the Benford discipline), so no cross-engine exp/factorial runs. */
+  val x9Bootstrap = QuerySpec("x9_bootstrap",
+    (s, d) => Experiment.poissonBootstrap(T(s, d, "orders"), "o_orderkey",
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"), 16)
+      .orderBy(col("b")),
+    Some {
+      val cases = Experiment.poissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN draw < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH r AS (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |e AS (SELECT rid, cents,
+         |    unnest(generate_series(0, 15)) AS b FROM r),
+         |dr AS (SELECT b, cents,
+         |    ('0x' || substr(md5(rid || ':' || CAST(b AS VARCHAR)), 1, 4))
+         |      ::BIGINT AS draw
+         |  FROM e),
+         |kk AS (SELECT b, cents, $cases AS k FROM dr),
+         |g AS (SELECT b, CAST(sum(k) AS BIGINT) AS n_eff,
+         |    CAST(sum(cents * k) AS BIGINT) AS sum_cents
+         |  FROM kk GROUP BY b)
+         |SELECT b, n_eff, sum_cents,
+         |  CASE WHEN n_eff > 0 THEN sum_cents * 1000 // n_eff END
+         |    AS mean_milli
+         |FROM g ORDER BY b""".stripMargin
+    },
+    bench = true)
+
   /** X4q — cross-document boilerplate removal (ops/TextOps.boilerplate):
     * width-3 word chunks occurring verbatim in ≥ 5 distinct documents
     * are template text; per doc, the chunk counts and the reassembled
@@ -9784,7 +9819,8 @@ object Queries {
     x8Gini, x8Hhi, x12ItemSim, x8ForecastBacktest, x7MergeGated,
     x4MaskTokens,
     x5BudgetMix, x10Bfs, x4Boilerplate,
-    x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Curation,
+    x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Bootstrap,
+    x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,
     mmWavMeta, mmWavEnergy, mmWavResample, mmWavVad, mmFrames,
     mmFramePhash)

@@ -222,6 +222,61 @@ object Experiment {
           expr("u2 * 1000000L div (2L * n_pos * n_neg)")))
   }
 
+  /** X9h — the Poisson(1) CDF as 16-bit integer thresholds, computed
+    * ONCE driver-side with StrictMath (bit-reproducible — the Benford
+    * literal discipline) and spliced into BOTH the Spark plan and the
+    * oracle SQL, so no cross-engine libm exp/factorial ever runs:
+    * draw d ∈ [0, 65536) replicates a row k times where k is the first
+    * bucket with d < t_k. Mass beyond k = 8 (≈ 10⁻⁶) folds into the
+    * top bucket. */
+  val poissonThresholds: Seq[Long] = {
+    val pmf = (0 to 7).scanLeft(StrictMath.exp(-1.0)) {
+      (p, k) => p / (k + 1)
+    }.take(8) // pmf(k) = e^-1 / k!
+    pmf.scanLeft(0.0)(_ + _).drop(1)
+      .map(cdf => math.min(65535L, math.floor(cdf * 65536.0).toLong))
+  }
+
+  /** X9h — POISSON BOOTSTRAP resample means: the distributed bootstrap
+    * (each row is replicated Poisson(1) times per resample,
+    * independently of every other row — no with-replacement draw over
+    * a global index, so it needs no coordination and is THE bootstrap
+    * big-data experimentation systems run). B resample means of an
+    * integer-cents metric, from which the consumer reads the CI
+    * percentiles. Deterministic: the replication count of row r in
+    * resample b is a pure function of md5("r:b") — reproducible across
+    * engines/runs, oracle-replayable draw for draw.
+    *
+    * Exact integers: per resample, n_eff = Σk and sum = Σ c·k are
+    * BIGINTs; mean_milli is a FLOOR division (the calibration
+    * discipline — (x − pmod(x, y)) div y matches the oracle's `//` even
+    * for a negative metric sum, so no sign contract is needed). Scale
+    * shape: one explode(B) fan-out (a constant ≤ 64×) into a B-row
+    * map-side-combined aggregate — no shuffle wider than B rows per
+    * partition, metric volume scanned once. */
+  def poissonBootstrap(rows: DataFrame, idCol: String,
+      valueCents: Column, b: Int): DataFrame = {
+    require(b >= 2 && b <= 64, s"B must be in [2, 64], got $b")
+    val cases = poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN draw < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 8L END")
+    rows.select(col(idCol).cast("string").as("rid"),
+        valueCents.as("cents"))
+      .select(col("rid"), col("cents"),
+        explode(expr(s"sequence(0L, ${b - 1}L)")).as("b"))
+      .withColumn("draw", expr(
+        "conv(substring(md5(concat(rid, ':', CAST(b AS STRING))), 1, 4), " +
+          "16, 10)").cast("long"))
+      .withColumn("k", expr(cases))
+      .groupBy(col("b"))
+      .agg(sum(col("k")).as("n_eff"),
+        sum(col("cents") * col("k")).as("sum_cents"))
+      .select(col("b"), col("n_eff"), col("sum_cents"),
+        when(col("n_eff") > 0, expr(
+          "(sum_cents * 1000L - pmod(sum_cents * 1000L, n_eff)) div n_eff"))
+          .as("mean_milli"))
+  }
+
   /** X9g — CUPED variance reduction (Controlled-experiment Using
     * Pre-Experiment Data, Deng et al. 2013): adjust each unit's
     * experiment-period metric Y by its own PRE-period metric X —

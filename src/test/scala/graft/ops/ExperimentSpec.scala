@@ -214,4 +214,42 @@ class ExperimentSpec extends SparkSpec {
       .collect()
     assert(deg.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
+
+  test("X9h poissonBootstrap: thresholds are the Poisson(1) CDF in 16-bit " +
+      "fixed point; resample means match a driver-side replay") {
+    // threshold sanity: strictly increasing, t0 = floor(e^-1 * 65536),
+    // top threshold within 1 of full mass (cdf(7) ~ 0.9999998)
+    val t = Experiment.poissonThresholds
+    assert(t.length == 8 && t == t.sorted && t.distinct == t)
+    assert(t.head == math.floor(StrictMath.exp(-1.0) * 65536.0).toLong)
+    assert(t.last >= 65534L && t.last <= 65535L)
+    // the expected replication-count mass: ~36.8% of draws land on k=0
+    // and on k=1, ~18.4% on k=2 (Poisson(1) pmf in 16-bit ppm)
+    assert(math.abs(t.head - 24109L) <= 1)
+
+    def kOf(rid: String, b: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$rid:$b".getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+      val draw = java.lang.Long.parseLong(hex, 16)
+      t.indexWhere(draw < _) match { case -1 => 8L; case i => i.toLong }
+    }
+    val rows = (1L to 200L).map(i => (i, i * 3L)).toDF("id", "cents")
+    val out = Experiment.poissonBootstrap(rows, "id", col("cents"), 4)
+      .orderBy(col("b"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val expect = (0L until 4L).map { b =>
+      val ks = (1L to 200L).map(i => (i * 3L, kOf(i.toString, b)))
+      val nEff = ks.map(_._2).sum
+      val sum = ks.map { case (c, k) => c * k }.sum
+      (b, nEff, sum, Math.floorDiv(sum * 1000L, nEff))
+    }
+    assert(out == expect)
+    // each resample draws an independent weighting: n_eff varies by b,
+    // and every resample replicates roughly n rows (Poisson(1) mean 1)
+    assert(out.map(_._2).distinct.length > 1)
+    out.foreach { case (b, nEff, _, _) =>
+      assert(nEff > 140 && nEff < 260, s"resample $b n_eff=$nEff")
+    }
+  }
 }
