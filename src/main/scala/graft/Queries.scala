@@ -8124,40 +8124,165 @@ object Queries {
            |  n_pos * 1000000 // n AS frac_pos_ppm
            |FROM g ORDER BY bin""".stripMargin))
 
+  /** The x9_bootstrap oracle's resample-mean chain as CTEs ending in `m`
+    * (b, n_eff, sum_cents, mean_milli) — shared verbatim by the
+    * x9_bootstrap_ci oracle so the two lanes cannot drift (the
+    * lpaOracleCtes discipline). Thresholds are the SAME literals the
+    * Spark plan splices (Experiment.poissonThresholds — the Benford
+    * discipline, no cross-engine exp/factorial). */
+  private val bootstrapOracleCtes: String = {
+    val cases = Experiment.poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN draw < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+    s"""r AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |e AS (SELECT rid, cents,
+       |    unnest(generate_series(0, 15)) AS b FROM r),
+       |dr AS (SELECT b, cents,
+       |    ('0x' || substr(md5(rid || ':' || CAST(b AS VARCHAR)), 1, 4))
+       |      ::BIGINT AS draw
+       |  FROM e),
+       |kk AS (SELECT b, cents, $cases AS k FROM dr),
+       |g AS (SELECT b, CAST(sum(k) AS BIGINT) AS n_eff,
+       |    CAST(sum(cents * k) AS BIGINT) AS sum_cents
+       |  FROM kk GROUP BY b),
+       |m AS (SELECT b, n_eff, sum_cents,
+       |    CASE WHEN n_eff > 0 THEN sum_cents * 1000 // n_eff END
+       |      AS mean_milli
+       |  FROM g)""".stripMargin
+  }
+
   /** X9h — Poisson bootstrap resample means
     * (ops/Experiment.poissonBootstrap): 16 deterministic resamples of
     * the order-value metric, each row replicated Poisson(1) times by an
-    * md5 draw against StrictMath-derived CDF thresholds. The thresholds
-    * are spliced as the SAME literals into this plan and the oracle SQL
-    * (the Benford discipline), so no cross-engine exp/factorial runs. */
+    * md5 draw against StrictMath-derived CDF thresholds. */
   val x9Bootstrap = QuerySpec("x9_bootstrap",
     (s, d) => Experiment.poissonBootstrap(T(s, d, "orders"), "o_orderkey",
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"), 16)
       .orderBy(col("b")),
-    Some {
-      val cases = Experiment.poissonThresholds.zipWithIndex
-        .map { case (t, k) => s"WHEN draw < $t THEN $k" }
-        .mkString("CASE ", " ", " ELSE 8 END")
-      s"""WITH r AS (
-         |  SELECT CAST(o_orderkey AS VARCHAR) AS rid,
-         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-         |  FROM orders),
-         |e AS (SELECT rid, cents,
-         |    unnest(generate_series(0, 15)) AS b FROM r),
-         |dr AS (SELECT b, cents,
-         |    ('0x' || substr(md5(rid || ':' || CAST(b AS VARCHAR)), 1, 4))
-         |      ::BIGINT AS draw
-         |  FROM e),
-         |kk AS (SELECT b, cents, $cases AS k FROM dr),
-         |g AS (SELECT b, CAST(sum(k) AS BIGINT) AS n_eff,
-         |    CAST(sum(cents * k) AS BIGINT) AS sum_cents
-         |  FROM kk GROUP BY b)
-         |SELECT b, n_eff, sum_cents,
-         |  CASE WHEN n_eff > 0 THEN sum_cents * 1000 // n_eff END
-         |    AS mean_milli
-         |FROM g ORDER BY b""".stripMargin
-    },
+    Some(s"""WITH $bootstrapOracleCtes
+            |SELECT b, n_eff, sum_cents, mean_milli
+            |FROM m ORDER BY b""".stripMargin),
     bench = true)
+
+  /** X9i — percentile bootstrap CI (ops/Experiment.bootstrapCi): the
+    * nearest-rank 2.5%/50%/97.5% quantiles of the 16 resample means —
+    * the readout an experiment report quotes. Ranks are spliced
+    * literals (Experiment.nearestRank); the selection window runs over
+    * the constant 16-row resample frame, never the facts. */
+  val x9BootstrapCi = QuerySpec("x9_bootstrap_ci",
+    (s, d) => Experiment.bootstrapCi(T(s, d, "orders"), "o_orderkey",
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"), 16),
+    Some {
+      val (rLo, rMed, rHi) = (Experiment.nearestRank(25000L, 16),
+        Experiment.nearestRank(500000L, 16),
+        Experiment.nearestRank(975000L, 16))
+      s"""WITH $bootstrapOracleCtes,
+         |rk AS (SELECT b, mean_milli,
+         |    row_number() OVER (ORDER BY mean_milli, b) AS rnk FROM m)
+         |SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+         |  max(CASE WHEN rnk = $rLo THEN mean_milli END) AS lo_milli,
+         |  max(CASE WHEN rnk = $rMed THEN mean_milli END) AS med_milli,
+         |  max(CASE WHEN rnk = $rHi THEN mean_milli END) AS hi_milli
+         |FROM rk""".stripMargin
+    })
+
+  /** X9j — delete-one-group jackknife variance
+    * (ops/Experiment.jackknifeVar): 16 md5 groups of orders; the
+    * spread of the leave-one-group-out means gives the variance of the
+    * mean estimator — exact HUGEINT/DECIMAL(38,0) chain, one pinned
+    * floor division (the cuped discipline). */
+  val x9Jackknife = QuerySpec("x9_jackknife",
+    (s, d) => Experiment.jackknifeVar(T(s, d, "orders"), "o_orderkey",
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"), 16),
+    Some("""WITH r AS (
+           |  SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |g AS (SELECT
+           |    ('0x' || substr(md5('jk:' || rid), 1, 8))::BIGINT % 16
+           |      AS grp,
+           |    CAST(count(*) AS BIGINT) AS n_g,
+           |    CAST(sum(cents) AS BIGINT) AS sum_cents
+           |  FROM r GROUP BY 1),
+           |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_all,
+           |    CAST(sum(sum_cents) AS BIGINT) AS s_all FROM g),
+           |lm AS (SELECT grp, n_g, sum_cents,
+           |    CASE WHEN t.n_all > n_g THEN
+           |      ((t.s_all - sum_cents) * 1000) // (t.n_all - n_g) END
+           |      AS loo_mean_milli
+           |  FROM g, t),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           |    CAST(sum(n_g) AS BIGINT) AS n,
+           |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+           |    sum(CASE WHEN loo_mean_milli IS NULL THEN 1 ELSE 0 END)
+           |      AS n_null,
+           |    CAST(sum(CAST(loo_mean_milli AS HUGEINT)) AS HUGEINT) AS ss,
+           |    CAST(sum(CAST(loo_mean_milli AS HUGEINT) * loo_mean_milli)
+           |      AS HUGEINT) AS ss2
+           |  FROM lm)
+           |SELECT n_groups, n, sum_cents,
+           |  sum_cents * 1000 // n AS mean_milli,
+           |  CASE WHEN n_null = 0 THEN
+           |    CAST((15 * (16 * ss2 - ss * ss)) //
+           |      (CAST(16 AS HUGEINT) * 16 * 16) AS BIGINT) END
+           |    AS jk_var_milli2
+           |FROM a""".stripMargin),
+    bench = false)
+
+  /** X9k — sample-ratio-mismatch check (ops/Experiment.srmCheck): do
+    * the md5-parity arm counts over distinct event users match 50/50?
+    * The rational two-cell chi-square (n_a−n_b)²/N in exact micro
+    * units; > 3.84 (p < 0.05) flags broken assignment. */
+  val x9Srm = QuerySpec("x9_srm",
+    (s, d) => Experiment.srmCheck(Tables.events(s, d), "user_id"),
+    Some("""WITH u AS (SELECT DISTINCT user_id AS unit FROM events),
+           |w AS (SELECT CASE WHEN ('0x' ||
+           |      substr(md5('0:' || CAST(unit AS VARCHAR)), 1, 8))
+           |      ::BIGINT % 2 = 0 THEN 'a' ELSE 'b' END AS arm FROM u),
+           |a AS (SELECT
+           |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b
+           |  FROM w)
+           |SELECT n_a, n_b,
+           |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+           |    AS srm_chi2_micro,
+           |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 3841459
+           |    AS srm_flag
+           |FROM a""".stripMargin))
+
+  /** X9l — winsorized mean (ops/Experiment.winsorizedMean): order value
+    * clamped at the bucketed-histogram p99 cut ($100 buckets), then
+    * averaged — the robust metric beside the raw mean. The cumulative
+    * window runs over the bounded bucket frame (the x5_histq shape),
+    * never the facts; the cut rides a 1-row broadcast into the clamp
+    * pass. */
+  val x9Winsorized = QuerySpec("x9_winsorized",
+    (s, d) => Experiment.winsorizedMean(T(s, d, "orders"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
+        990000L, 10000L),
+    Some("""WITH r AS (
+           |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |    AS cents FROM orders),
+           |h AS (SELECT cents // 10000 AS bkt,
+           |    CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+           |c AS (SELECT bkt,
+           |    CAST(sum(cnt) OVER (ORDER BY bkt) AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER () AS BIGINT) AS n FROM h),
+           |k AS (SELECT min(bkt) AS cut_bkt FROM c
+           |  WHERE cum >= (990000 * n + 999999) // 1000000),
+           |x AS (SELECT (cut_bkt + 1) * 10000 - 1 AS cut_cents FROM k)
+           |SELECT CAST(count(*) AS BIGINT) AS n,
+           |  max(x.cut_cents) AS cut_cents,
+           |  CAST(sum(cents) AS BIGINT) * 1000 // count(*) AS mean_milli,
+           |  CAST(sum(least(cents, x.cut_cents)) AS BIGINT) * 1000
+           |    // count(*) AS win_mean_milli
+           |FROM r, x""".stripMargin),
+    bench = false)
 
   /** X4q — cross-document boilerplate removal (ops/TextOps.boilerplate):
     * width-3 word chunks occurring verbatim in ≥ 5 distinct documents
@@ -9820,6 +9945,7 @@ object Queries {
     x4MaskTokens,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Bootstrap,
+    x9BootstrapCi, x9Jackknife, x9Srm, x9Winsorized,
     x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,
     mmWavMeta, mmWavEnergy, mmWavResample, mmWavVad, mmFrames,

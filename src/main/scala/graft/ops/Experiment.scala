@@ -277,6 +277,195 @@ object Experiment {
           .as("mean_milli"))
   }
 
+  /** Nearest-rank index for quantile q (in ppm) over n items:
+    * ceil(q·n) clamped to ≥ 1 — the standard nearest-rank percentile
+    * definition, computed driver-side so both engines receive the rank
+    * as a literal (no cross-engine ceil). */
+  def nearestRank(qPpm: Long, n: Int): Long =
+    math.max(1L, (qPpm * n + 999999L) / 1000000L)
+
+  /** X9i — percentile bootstrap confidence interval: the [lo, hi]
+    * nearest-rank quantiles (plus the median) of [[poissonBootstrap]]'s
+    * B resample means — the actual deliverable an experiment readout
+    * quotes ("mean 12.3, 95% CI [11.9, 12.8]"). One row out.
+    *
+    * Scale: the quantile selection runs over the B-row resample frame —
+    * a CONSTANT ≤ 64 rows — so the unpartitioned rank window is a
+    * driver-scale no-op, not the single-partition funnel this engine
+    * bans on fact frames; all real work is the bootstrap's one
+    * map-side-combined aggregate. Ranks are spliced literals
+    * ([[nearestRank]]); ties broken by resample id so the selection is
+    * total-ordered and oracle-replayable. */
+  def bootstrapCi(rows: DataFrame, idCol: String, valueCents: Column,
+      b: Int, loPpm: Long = 25000L, hiPpm: Long = 975000L): DataFrame = {
+    require(loPpm < 500000L && 500000L < hiPpm,
+      s"CI must bracket the median, got [$loPpm, $hiPpm]")
+    val (rLo, rMed, rHi) =
+      (nearestRank(loPpm, b), nearestRank(500000L, b), nearestRank(hiPpm, b))
+    poissonBootstrap(rows, idCol, valueCents, b)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("mean_milli"), col("b"))))
+      .agg(
+        count(lit(1)).as("n_resamples"),
+        max(when(col("rnk") === rLo, col("mean_milli"))).as("lo_milli"),
+        max(when(col("rnk") === rMed, col("mean_milli"))).as("med_milli"),
+        max(when(col("rnk") === rHi, col("mean_milli"))).as("hi_milli"))
+  }
+
+  /** X9j — delete-one-group jackknife ("bucket jackknife"): the OTHER
+    * standard big-data uncertainty estimator beside the Poisson
+    * bootstrap — partition units into G deterministic md5 groups,
+    * compute each leave-one-group-out mean, and read the variance of
+    * the mean estimator from their spread:
+    * v = (G−1)/G · Σ_g (m_g − m̄)². Per-group rows out (grp, n_g,
+    * sum_cents, loo_mean_milli) — [[jackknifeVar]] collapses them to
+    * the one-row report.
+    *
+    * Exact integers: group sums are BIGINT; global totals ride an
+    * unpartitioned window over the G-row group frame (a constant ≤ 256
+    * rows — never the fact volume); each LOO mean is one pinned FLOOR
+    * division. Scale shape: ONE unit-grouped map-side-combined shuffle
+    * to G rows; the fact volume is scanned once. */
+  def jackknife(rows: DataFrame, idCol: String, valueCents: Column,
+      g: Int): DataFrame = {
+    require(g >= 2 && g <= 256, s"G must be in [2, 256], got $g")
+    val grouped = rows
+      .select(col(idCol).cast("string").as("rid"), valueCents.as("cents"))
+      // first 32 md5 bits of "jk:"-prefixed id, mod G (the Sketch.bucket
+      // idiom — unsigned < 2^32, so plain % never goes negative; the
+      // prefix decorrelates the grouping from the "0:" arm hash)
+      .withColumn("grp", expr(
+        s"CAST(conv(substring(md5(concat('jk:', rid)), 1, 8), 16, 10) " +
+          s"AS BIGINT) % ${g}L"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("sum_cents"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    grouped
+      .withColumn("n_all", sum(col("n_g")).over(w))
+      .withColumn("s_all", sum(col("sum_cents")).over(w))
+      .select(col("grp"), col("n_g"), col("sum_cents"),
+        when(col("n_all") > col("n_g"), expr(
+          "((s_all - sum_cents) * 1000L - " +
+            "pmod((s_all - sum_cents) * 1000L, n_all - n_g)) " +
+            "div (n_all - n_g)")).as("loo_mean_milli"))
+  }
+
+  /** X9j — the jackknife one-row report: n, overall mean, and the
+    * delete-one-group variance of the mean in milli² as the exact
+    * rational (G−1)·Σ(G·m_g − Σm)² / G³, carried in DECIMAL(38,0)
+    * (HUGEINT oracle-side, the CUPED discipline) with one pinned FLOOR
+    * division at the end. The BIGINT output bound holds unless group
+    * means spread over ~10⁹ milli — far beyond any honest metric; a
+    * wider spread means the grouping is broken, not the cast.
+    * Groups with a null LOO mean (a group holding ALL rows) would poison
+    * the sum; G ≥ 2 with md5 grouping makes that impossible in practice
+    * and the variance is nulled honestly if it happens. */
+  def jackknifeVar(rows: DataFrame, idCol: String, valueCents: Column,
+      g: Int): DataFrame =
+    jackknife(rows, idCol, valueCents, g)
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n_g")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        sum(when(col("loo_mean_milli").isNull, 1L).otherwise(0L))
+          .as("n_null"),
+        sum(col("loo_mean_milli").cast("decimal(38,0)")).as("ss"),
+        sum(col("loo_mean_milli").cast("decimal(38,0)") *
+          col("loo_mean_milli").cast("decimal(38,0)")).as("ss2"))
+      .select(
+        col("n_groups"), col("n"), col("sum_cents"),
+        expr("(sum_cents * 1000L - pmod(sum_cents * 1000L, n)) div n")
+          .as("mean_milli"),
+        when(col("n_null") === 0, expr(
+          s"(($g - 1) * ($g * ss2 - ss * ss) - " +
+            s"pmod(($g - 1) * ($g * ss2 - ss * ss), " +
+            s"CAST($g AS DECIMAL(38,0)) * $g * $g)) " +
+            s"div (CAST($g AS DECIMAL(38,0)) * $g * $g)"))
+          .as("jk_var_milli2"))
+
+  /** X9k — sample-ratio-mismatch (SRM) check: the first thing an
+    * experiment platform validates before reading ANY metric — do the
+    * arm counts match the intended 50/50 split? A skewed ratio means
+    * broken assignment/logging and invalidates the readout (Fabijan et
+    * al. 2019 — "Diagnosing sample ratio mismatch in online controlled
+    * experiments"). For two equal-expectation cells the chi-square
+    * collapses to the RATIONAL (n_a − n_b)²/N — exact integer micro
+    * units, no libm, no doubles. χ² > 3.84 (micro > 3,841,459) rejects
+    * the 50/50 hypothesis at p < 0.05; the flag uses that constant.
+    *
+    * Scale: one unit-keyed distinct (partial-combining) + a 1-row
+    * conditional aggregate — unit volume touched once. */
+  def srmCheck(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .select(col(keyCol).as("unit")).distinct()
+      .withColumn("arm",
+        when(Sketch.shardOf(col("unit"), 2) === 0, "a").otherwise("b"))
+      .agg(
+        sum(when(col("arm") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "b", 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000L div (n_a + n_b)")
+          .as("srm_chi2_micro"))
+      .withColumn("srm_flag", col("srm_chi2_micro") > 3841459L)
+
+  /** X9l — winsorized mean: the robust metric experiment readouts use
+    * when a whale order would otherwise own the average — clamp the
+    * metric at its p-th percentile, then average. The cut comes from a
+    * WIDTH-`bucketCents` HISTOGRAM (the x5_histq sketch shape), so its
+    * resolution is the bucket width — the honest 100 TB formulation: an
+    * exact global rank selection is a full sort (or a single-partition
+    * cumulative window over per-value counts), both banned on fact
+    * frames; the bucketed cumulative runs over the BOUNDED bucket frame
+    * (value range / width), and a consumer needing a finer cut narrows
+    * the width, not the shape.
+    *
+    * Cut = upper edge of the first bucket whose cumulative count
+    * reaches nearest-rank ceil(p·N) — so at least p of the rows are ≤
+    * cut by construction. Second pass clamps with the 1-row cut
+    * broadcast (the basket-rules total discipline — no driver
+    * round-trip, plan stays lazy). Non-negative metric contract
+    * (bucket = cents div width uses truncating div; winsorizing a
+    * signed metric is not a thing). Output: n, cut_cents,
+    * mean_milli, win_mean_milli. */
+  def winsorizedMean(rows: DataFrame, valueCents: Column, pPpm: Long,
+      bucketCents: Long): DataFrame = {
+    require(pPpm >= 500000L && pPpm < 1000000L,
+      s"p must be in [0.5, 1) ppm, got $pPpm")
+    require(bucketCents >= 1, s"bucket width must be >= 1, got $bucketCents")
+    val facts = rows.select(valueCents.cast("long").as("cents"))
+    val buckets = facts
+      .groupBy(expr(s"cents div ${bucketCents}L").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // rank = ceil(p·N) in exact integers; cut bucket = first bucket
+    // whose running count reaches it. The window frames run over the
+    // BOUNDED bucket histogram, never the facts.
+    val cut = buckets
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("rank_needed",
+        expr(s"($pPpm * n + 999999L) div 1000000L"))
+      .filter(col("cum") >= col("rank_needed"))
+      .agg(min(col("bkt")).as("cut_bkt"))
+      .select((expr(s"(cut_bkt + 1) * ${bucketCents}L - 1L"))
+        .as("cut_cents"))
+    facts.crossJoin(broadcast(cut))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("cut_cents")).as("cut_cents"),
+        sum(col("cents")).as("s_raw"),
+        sum(least(col("cents"), col("cut_cents"))).as("s_win"))
+      .select(col("n"), col("cut_cents"),
+        expr("(s_raw * 1000L - pmod(s_raw * 1000L, n)) div n")
+          .as("mean_milli"),
+        expr("(s_win * 1000L - pmod(s_win * 1000L, n)) div n")
+          .as("win_mean_milli"))
+  }
+
   /** X9g — CUPED variance reduction (Controlled-experiment Using
     * Pre-Experiment Data, Deng et al. 2013): adjust each unit's
     * experiment-period metric Y by its own PRE-period metric X —

@@ -252,4 +252,125 @@ class ExperimentSpec extends SparkSpec {
       assert(nEff > 140 && nEff < 260, s"resample $b n_eff=$nEff")
     }
   }
+
+  test("X9i bootstrapCi: nearest ranks bracket the median; the CI row " +
+      "selects the exact order statistics of the resample means") {
+    // nearest-rank arithmetic (ceil in ppm, clamped >= 1)
+    assert(Experiment.nearestRank(25000L, 16) == 1L)
+    assert(Experiment.nearestRank(500000L, 16) == 8L)
+    assert(Experiment.nearestRank(975000L, 16) == 16L)
+    assert(Experiment.nearestRank(975000L, 40) == 39L)
+    assert(Experiment.nearestRank(1L, 1000) == 1L)
+    val rows = (1L to 300L).map(i => (i, i % 17 * 100L)).toDF("id", "cents")
+    val means = Experiment.poissonBootstrap(rows, "id", col("cents"), 8)
+      .select(col("mean_milli")).as[Long].collect().toSeq.sorted
+    val ci = Experiment.bootstrapCi(rows, "id", col("cents"), 8)
+      .select(col("n_resamples"), col("lo_milli"), col("med_milli"),
+        col("hi_milli"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(ci._1 == 8L)
+    assert(ci._2 == means.head,       "lo = rank ceil(0.025*8) = 1 = min")
+    assert(ci._3 == means(3),         "med = rank ceil(0.5*8) = 4")
+    assert(ci._4 == means.last,       "hi = rank ceil(0.975*8) = 8 = max")
+    assert(ci._2 <= ci._3 && ci._3 <= ci._4)
+  }
+
+  test("X9j jackknife: constant metric has zero variance; LOO means and " +
+      "the variance row match a driver-side replay") {
+    def grpOf(id: Long, g: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jk:$id".getBytes("UTF-8"))
+      val top = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      top % g
+    }
+    // constant metric: every LOO mean identical -> variance exactly 0
+    val const = (1L to 100L).map(i => (i, 700L)).toDF("id", "cents")
+    val v0 = Experiment.jackknifeVar(const, "id", col("cents"), 8)
+      .select(col("jk_var_milli2")).as[Long].collect().head
+    assert(v0 == 0L)
+    // varied metric: replay groups, LOO means, and the exact variance
+    val rows = (1L to 200L).map(i => (i, i * 13L)).toDF("id", "cents")
+    val g = 8
+    val byGrp = (1L to 200L).groupBy(i => grpOf(i, g))
+      .map { case (k, ids) => k -> (ids.size.toLong, ids.map(_ * 13L).sum) }
+    val nAll = byGrp.values.map(_._1).sum
+    val sAll = byGrp.values.map(_._2).sum
+    val loo = byGrp.map { case (k, (n, sum)) =>
+      k -> Math.floorDiv((sAll - sum) * 1000L, nAll - n)
+    }
+    val got = Experiment.jackknife(rows, "id", col("cents"), g)
+      .select(col("grp"), col("n_g"), col("sum_cents"),
+        col("loo_mean_milli"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == byGrp.toSeq.sortBy(_._1).map { case (k, (n, s)) =>
+      (k, n, s, loo(k)) })
+    // variance: (G-1)/G * sum (m_g - mbar)^2 via the exact rational
+    val ms = loo.values.toSeq
+    val ss = ms.sum
+    val ss2 = ms.map(m => BigInt(m) * m).sum
+    val expVar = ((BigInt(g - 1) * (BigInt(g) * ss2 - BigInt(ss) * ss)) /
+      (BigInt(g) * g * g)).toLong
+    val vr = Experiment.jackknifeVar(rows, "id", col("cents"), g)
+      .select(col("n_groups"), col("n"), col("mean_milli"),
+        col("jk_var_milli2"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(vr._1 == byGrp.size.toLong && vr._2 == nAll)
+    assert(vr._3 == Math.floorDiv(sAll * 1000L, nAll))
+    assert(vr._4 == expVar)
+    assert(vr._4 > 0L, "varied metric must have positive variance")
+  }
+
+  test("X9k srmCheck: balanced split passes, a 9:1 planted skew flags") {
+    // md5-parity arms over 1..400: close to 50/50 -> chi2 under 3.84
+    val ev = (1L to 400L).map(i => (i, "view")).toDF("user_id", "t")
+    val ok = Experiment.srmCheck(ev, "user_id")
+      .select(col("n_a"), col("n_b"), col("srm_chi2_micro"),
+        col("srm_flag"))
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(ok._1 + ok._2 == 400L)
+    assert(ok._3 == (ok._1 - ok._2) * (ok._1 - ok._2) * 1000000L / 400L)
+    assert(!ok._4, s"balanced split must not flag (chi2=${ok._3})")
+    // plant a broken assignment: keep only arm-a units, plus a few b
+    val armA = (1L to 2000L).filter(armOf(_) == "a").take(180)
+    val armB = (1L to 2000L).filter(armOf(_) == "b").take(20)
+    val skew = (armA ++ armB).map(i => (i, "view")).toDF("user_id", "t")
+    val bad = Experiment.srmCheck(skew, "user_id")
+      .select(col("n_a"), col("n_b"), col("srm_flag"))
+      .as[(Long, Long, Boolean)].collect().head
+    assert(bad._1 == 180L && bad._2 == 20L)
+    assert(bad._3, "9:1 split must flag SRM")
+    // duplicate events per unit do not change the unit counts
+    val dup = skew.unionAll(skew)
+    val dd = Experiment.srmCheck(dup, "user_id")
+      .select(col("n_a"), col("n_b")).as[(Long, Long)].collect().head
+    assert(dd == ((180L, 20L)))
+  }
+
+  test("X9l winsorizedMean: the cut is the bucket-histogram nearest-rank " +
+      "edge and clamping only lowers the mean") {
+    // 100 rows: 99 at 50 cents, one whale at 1,000,000 cents.
+    // p99 over width-100 buckets: rank ceil(0.99*100) = 99 -> bucket 0
+    // (cum 99 >= 99), cut = 99 cents -> whale clamps to 99.
+    val rows = ((1 to 99).map(_ => 50L) :+ 1000000L).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("id", "cents")
+    val r = Experiment.winsorizedMean(rows, col("cents"), 990000L, 100L)
+      .select(col("n"), col("cut_cents"), col("mean_milli"),
+        col("win_mean_milli"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._1 == 100L)
+    assert(r._2 == 99L)
+    val rawMean = (99L * 50L + 1000000L) * 1000L / 100L
+    val winMean = (99L * 50L + 99L) * 1000L / 100L
+    assert(r._3 == rawMean)
+    assert(r._4 == winMean)
+    assert(r._4 < r._3, "clamping the whale must lower the mean")
+    // no whale: cut above every value leaves the mean unchanged
+    val flat = (1 to 50).map(i => (i.toLong, 200L)).toDF("id", "cents")
+    val f = Experiment.winsorizedMean(flat, col("cents"), 990000L, 100L)
+      .select(col("cut_cents"), col("mean_milli"), col("win_mean_milli"))
+      .as[(Long, Long, Long)].collect().head
+    assert(f._1 == 299L, "all rows in bucket 2 -> cut = bucket top edge")
+    assert(f._2 == f._3)
+  }
 }
