@@ -8232,6 +8232,99 @@ object Queries {
            |FROM a""".stripMargin),
     bench = false)
 
+  /** X9m — post-stratification adjusted means
+    * (ops/Experiment.postStratified): arm means re-weighted by the
+    * GLOBAL customer-nation shares — stratum imbalance between md5
+    * arms stops reading as a treatment effect. Per-stratum milli floor
+    * is the deterministic contract; covered_n exposes any stratum
+    * missing from an arm. */
+  val x9Poststrat = QuerySpec("x9_poststrat",
+    (s, d) => Experiment.postStratified(
+        T(s, d, "orders").join(broadcast(T(s, d, "customer")),
+          col("o_custkey") === col("c_custkey")),
+        "o_orderkey", col("c_nationkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+      .orderBy(col("arm")),
+    Some("""WITH r AS (
+           |  SELECT CAST(o.o_orderkey AS VARCHAR) AS rid,
+           |    c.c_nationkey AS s,
+           |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+           |w AS (SELECT s, cents, CASE WHEN ('0x' ||
+           |      substr(md5('0:' || rid), 1, 8))::BIGINT % 2 = 0
+           |    THEN 'a' ELSE 'b' END AS arm FROM r),
+           |cells AS (SELECT s, arm, CAST(count(*) AS BIGINT) AS n_sa,
+           |    CAST(sum(cents) AS BIGINT) AS sum_sa
+           |  FROM w GROUP BY 1, 2),
+           |t AS (SELECT s, arm, n_sa, sum_sa,
+           |    CAST(sum(n_sa) OVER (PARTITION BY s) AS BIGINT) AS n_s,
+           |    CAST(sum(n_sa) OVER () AS BIGINT) AS n,
+           |    sum_sa * 1000 // n_sa AS m_sa_milli
+           |  FROM cells)
+           |SELECT arm, CAST(sum(n_sa) AS BIGINT) AS n_units,
+           |  CAST(sum(n_s) AS BIGINT) AS covered_n,
+           |  CAST(sum(sum_sa) AS BIGINT) * 1000 //
+           |    CAST(sum(n_sa) AS BIGINT) AS mean_milli,
+           |  CAST(sum(n_s * m_sa_milli) AS BIGINT) // max(n)
+           |    AS poststrat_mean_milli
+           |FROM t GROUP BY arm ORDER BY arm""".stripMargin))
+
+  /** X9n — difference-in-differences (ops/Experiment.diffInDiff): the
+    * pre/post × arm 2×2 of event-value cell means at the cuped
+    * midpoint split; DiD nets out the arms' standing level difference
+    * and the shared time trend. One scan, one 1-row aggregate. */
+  val x9Did = QuerySpec("x9_did",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ev.agg(min(expr("unix_micros(ts)")).as("lo"),
+        max(expr("unix_micros(ts)")).as("hi")).head
+      val split = (r.getLong(0) + r.getLong(1)) / 2
+      Experiment.diffInDiff(ev, "user_id", "ts",
+        floor(col("value") * 100 + lit(0.5)).cast("long"), split)
+    },
+    Some("""WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+           |    AS s FROM events),
+           |r AS (SELECT CAST(user_id AS VARCHAR) AS unit, epoch_us(ts) AS us,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM events),
+           |w AS (SELECT cents, CASE WHEN ('0x' ||
+           |      substr(md5('0:' || unit), 1, 8))::BIGINT % 2 = 0
+           |    THEN 'a' ELSE 'b' END AS arm,
+           |    us >= (SELECT s FROM sp) AS post FROM r),
+           |a AS (SELECT
+           |    CAST(sum(CASE WHEN arm = 'a' AND NOT post THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_a_pre,
+           |    CAST(sum(CASE WHEN arm = 'a' AND NOT post THEN cents ELSE 0
+           |      END) AS BIGINT) AS s_a_pre,
+           |    CAST(sum(CASE WHEN arm = 'a' AND post THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_a_post,
+           |    CAST(sum(CASE WHEN arm = 'a' AND post THEN cents ELSE 0
+           |      END) AS BIGINT) AS s_a_post,
+           |    CAST(sum(CASE WHEN arm = 'b' AND NOT post THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_b_pre,
+           |    CAST(sum(CASE WHEN arm = 'b' AND NOT post THEN cents ELSE 0
+           |      END) AS BIGINT) AS s_b_pre,
+           |    CAST(sum(CASE WHEN arm = 'b' AND post THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_b_post,
+           |    CAST(sum(CASE WHEN arm = 'b' AND post THEN cents ELSE 0
+           |      END) AS BIGINT) AS s_b_post
+           |  FROM w),
+           |m AS (SELECT
+           |    CASE WHEN n_a_pre > 0 THEN s_a_pre * 1000 // n_a_pre END
+           |      AS m_a_pre_milli,
+           |    CASE WHEN n_a_post > 0 THEN s_a_post * 1000 // n_a_post END
+           |      AS m_a_post_milli,
+           |    CASE WHEN n_b_pre > 0 THEN s_b_pre * 1000 // n_b_pre END
+           |      AS m_b_pre_milli,
+           |    CASE WHEN n_b_post > 0 THEN s_b_post * 1000 // n_b_post END
+           |      AS m_b_post_milli
+           |  FROM a)
+           |SELECT m_a_pre_milli, m_a_post_milli, m_b_pre_milli,
+           |  m_b_post_milli,
+           |  (m_b_post_milli - m_b_pre_milli) -
+           |    (m_a_post_milli - m_a_pre_milli) AS did_milli
+           |FROM m""".stripMargin))
+
   /** X9k — sample-ratio-mismatch check (ops/Experiment.srmCheck): do
     * the md5-parity arm counts over distinct event users match 50/50?
     * The rational two-cell chi-square (n_a−n_b)²/N in exact micro
@@ -9945,7 +10038,7 @@ object Queries {
     x4MaskTokens,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Bootstrap,
-    x9BootstrapCi, x9Jackknife, x9Srm, x9Winsorized,
+    x9BootstrapCi, x9Jackknife, x9Srm, x9Winsorized, x9Poststrat, x9Did,
     x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,
     mmWavMeta, mmWavEnergy, mmWavResample, mmWavVad, mmFrames,

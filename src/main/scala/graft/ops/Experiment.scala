@@ -384,6 +384,100 @@ object Experiment {
             s"div (CAST($g AS DECIMAL(38,0)) * $g * $g)"))
           .as("jk_var_milli2"))
 
+  /** X9m — post-stratification adjusted means: re-weight each arm's
+    * per-stratum means by the GLOBAL stratum shares, so a stratum
+    * imbalance between arms (small-sample noise or a targeting bug)
+    * stops masquerading as a treatment effect — the second standard
+    * variance-reduction lever beside CUPED (covariates you HAVE at
+    * assignment time vs pre-period metrics). Estimator, exact by
+    * definition: adj_arm = Σ_s N_s·m_{s,arm} // N with m_{s,arm} the
+    * stratum-arm mean ALREADY floored to milli — the per-stratum milli
+    * floor is the deterministic contract (the engine-wide integer-milli
+    * discipline), not an approximation note: both engines compute the
+    * identical value.
+    *
+    * Scale: one (stratum, arm)-grouped map-side-combined shuffle to
+    * |strata|·2 rows; stratum totals ride a stratum-window over that
+    * bounded frame; final arm collapse is a 2-row aggregate. */
+  def postStratified(rows: DataFrame, idCol: String, strataCol: Column,
+      valueCents: Column): DataFrame = {
+    val cells = rows
+      .select(col(idCol).cast("string").as("rid"), strataCol.as("s"),
+        valueCents.as("cents"))
+      .withColumn("arm",
+        when(Sketch.shardOf(col("rid"), 2) === 0, "a").otherwise("b"))
+      .groupBy(col("s"), col("arm"))
+      .agg(count(lit(1)).as("n_sa"), sum(col("cents")).as("sum_sa"))
+    val wS = Window.partitionBy(col("s"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("n_s", sum(col("n_sa")).over(wS))
+      .withColumn("n", sum(col("n_sa")).over(wAll))
+      // stratum-arm mean floored to milli, then share-weighted; both
+      // divisions pinned FLOOR (sums are non-negative here only by
+      // accident — the pmod form is sign-safe regardless)
+      .withColumn("m_sa_milli", expr(
+        "(sum_sa * 1000L - pmod(sum_sa * 1000L, n_sa)) div n_sa"))
+      .groupBy(col("arm"))
+      .agg(
+        sum(col("n_sa")).as("n_units"),
+        sum(col("sum_sa")).as("sum_cents"),
+        max(col("n")).as("n_all"),
+        // Σ n_s over strata PRESENT in this arm — equals n_all iff every
+        // stratum reached both arms; a shortfall means the adjusted mean
+        // under-weights the missing strata, exposed, not hidden
+        sum(col("n_s")).as("covered_n"),
+        sum(col("n_s") * col("m_sa_milli")).as("wsum"))
+      .select(col("arm"), col("n_units"), col("covered_n"),
+        expr("(sum_cents * 1000L - pmod(sum_cents * 1000L, n_units)) " +
+          "div n_units").as("mean_milli"),
+        expr("(wsum - pmod(wsum, n_all)) div n_all")
+          .as("poststrat_mean_milli"))
+  }
+
+  /** X9n — difference-in-differences: the pre/post × arm 2×2 of cell
+    * means, and DiD = (m_b,post − m_b,pre) − (m_a,post − m_a,pre) — the
+    * estimator that nets out both the arms' standing level difference
+    * and the shared time trend, the readout for any staged rollout
+    * where assignment wasn't randomized per-event. Cell means floored
+    * to milli (the deterministic contract); the whole report is one
+    * scan + a 1-row conditional aggregate — the abReport shape with a
+    * time split riding along (the cuped midpoint discipline: `splitUs`
+    * is computed once driver-side and spliced). */
+  def diffInDiff(events: DataFrame, unitCol: String, tsCol: String,
+      valueCents: Column, splitUs: Long): DataFrame = {
+    val tagged = events
+      .select(col(unitCol).cast("string").as("unit"),
+        expr(s"unix_micros($tsCol)").as("us"), valueCents.as("cents"))
+      .withColumn("arm",
+        when(Sketch.shardOf(col("unit"), 2) === 0, "a").otherwise("b"))
+      .withColumn("post", col("us") >= splitUs)
+    def cell(arm: String, post: Boolean, c: Column) =
+      sum(when(col("arm") === arm && col("post") === post, c)
+        .otherwise(0L))
+    def meanMilli(s: String, n: String) = expr(
+      s"CASE WHEN $n > 0 THEN ($s * 1000L - pmod($s * 1000L, $n)) " +
+        s"div $n END")
+    tagged.agg(
+        cell("a", post = false, lit(1L)).as("n_a_pre"),
+        cell("a", post = false, col("cents")).as("s_a_pre"),
+        cell("a", post = true, lit(1L)).as("n_a_post"),
+        cell("a", post = true, col("cents")).as("s_a_post"),
+        cell("b", post = false, lit(1L)).as("n_b_pre"),
+        cell("b", post = false, col("cents")).as("s_b_pre"),
+        cell("b", post = true, lit(1L)).as("n_b_post"),
+        cell("b", post = true, col("cents")).as("s_b_post"))
+      .select(
+        meanMilli("s_a_pre", "n_a_pre").as("m_a_pre_milli"),
+        meanMilli("s_a_post", "n_a_post").as("m_a_post_milli"),
+        meanMilli("s_b_pre", "n_b_pre").as("m_b_pre_milli"),
+        meanMilli("s_b_post", "n_b_post").as("m_b_post_milli"))
+      .withColumn("did_milli",
+        (col("m_b_post_milli") - col("m_b_pre_milli")) -
+          (col("m_a_post_milli") - col("m_a_pre_milli")))
+  }
+
   /** X9k — sample-ratio-mismatch (SRM) check: the first thing an
     * experiment platform validates before reading ANY metric — do the
     * arm counts match the intended 50/50 split? A skewed ratio means

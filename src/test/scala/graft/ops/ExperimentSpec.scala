@@ -347,6 +347,76 @@ class ExperimentSpec extends SparkSpec {
     assert(dd == ((180L, 20L)))
   }
 
+  test("X9m postStratified: global-share reweighting matches a driver " +
+      "replay and covered_n exposes full coverage") {
+    // two strata with very different means; md5 arms split each stratum
+    val rows = (1L to 400L).map { i =>
+      val s = if (i <= 200) "lo" else "hi"
+      val cents = if (i <= 200) 100L else 10000L
+      (i, s, cents)
+    }.toDF("id", "s", "cents")
+    val out = Experiment.postStratified(rows, "id", col("s"), col("cents"))
+      .orderBy(col("arm"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("a", "b"))
+    // driver replay
+    val byArm = (1L to 400L).groupBy(i => armOf(i))
+    val byCell = (1L to 400L).groupBy(i =>
+      (armOf(i), if (i <= 200) "lo" else "hi"))
+    val nS = Map("lo" -> 200L, "hi" -> 200L)
+    out.foreach { case (arm, nUnits, coveredN, meanMilli, psMilli) =>
+      assert(nUnits == byArm(arm).size.toLong)
+      assert(coveredN == 400L, "both strata present in both arms")
+      val cents = byArm(arm).map(i => if (i <= 200) 100L else 10000L)
+      assert(meanMilli == Math.floorDiv(cents.sum * 1000L, cents.size.toLong))
+      val wsum = Seq("lo", "hi").map { s =>
+        val cell = byCell((arm, s))
+        val cellCents = cell.map(i => if (i <= 200) 100L else 10000L)
+        nS(s) * Math.floorDiv(cellCents.sum * 1000L, cell.size.toLong)
+      }.sum
+      assert(psMilli == Math.floorDiv(wsum, 400L))
+    }
+    // both strata are internally constant, so reweighting to the global
+    // 50/50 shares lands both arms on the same adjusted mean exactly:
+    // (200*100_000 + 200*10_000_000) / 400 milli
+    val expected = (200L * 100000L + 200L * 10000000L) / 400L
+    assert(out.forall(_._5 == expected),
+      "constant-within-stratum metric must post-stratify to the global mix")
+    // raw means differ (the md5 split is not stratum-balanced in counts)
+    assert(out.map(_._4).distinct.length == 2)
+  }
+
+  test("X9n diffInDiff: a planted uniform trend plus a b-arm effect " +
+      "recovers exactly the effect") {
+    // level: arm a = 1000, arm b = 3000 cents pre; shared trend +500
+    // post; treatment effect +1500 on arm b post only
+    val units = (1L to 60L)
+    val rows = units.flatMap { u =>
+      val base = if (armOf(u) == "a") 1000L else 3000L
+      val post = base + 500L + (if (armOf(u) == "b") 1500L else 0L)
+      Seq((u, 10_000_000L, base), (u, 2_000_000_000L, post))
+    }.toDF("unit", "us", "cents")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = Experiment.diffInDiff(rows, "unit", "ts", col("cents"),
+        1_000_000_000L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r._1 == 1000000L && r._2 == 1500000L,
+      "arm a: pre 1000, post 1500 milli-cents means")
+    assert(r._3 == 3000000L && r._4 == 5000000L,
+      "arm b: pre 3000, post 5000")
+    assert(r._5 == 1500000L, "DiD nets level + trend, leaves the effect")
+    // no-effect rail: both arms share the trend -> DiD exactly 0
+    val flat = units.flatMap { u =>
+      val base = if (armOf(u) == "a") 1000L else 3000L
+      Seq((u, 10_000_000L, base), (u, 2_000_000_000L, base + 500L))
+    }.toDF("unit", "us", "cents")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val z = Experiment.diffInDiff(flat, "unit", "ts", col("cents"),
+        1_000_000_000L)
+      .select(col("did_milli")).as[Long].collect().head
+    assert(z == 0L)
+  }
+
   test("X9l winsorizedMean: the cut is the bucket-histogram nearest-rank " +
       "edge and clamping only lowers the mean") {
     // 100 rows: 99 at 50 cents, one whale at 1,000,000 cents.
