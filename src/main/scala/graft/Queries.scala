@@ -7506,6 +7506,79 @@ object Queries {
            |FROM c GROUP BY node ORDER BY node""".stripMargin),
     bench = true)
 
+  /** X10o — local clustering coefficient (ops/Graph.clusteringCoeff):
+    * per node, the ppm fraction of its neighbor pairs that are
+    * themselves connected, over the co-supply graph — the hub-quality
+    * signal beside raw triangle counts (same oriented wedge core). */
+  val x10ClusteringCoeff = QuerySpec("x10_clustering_coeff",
+    (s, d) => Graph.clusteringCoeff(
+        Graph.coSupplyEdges(T(s, d, "lineitem"), 499L))
+      .orderBy(col("node")),
+    Some("""WITH sp AS (
+           |  SELECT DISTINCT l_partkey AS p, CAST(l_suppkey AS BIGINT) AS s
+           |  FROM lineitem WHERE l_partkey % 499 = 0),
+           |ok AS (SELECT p FROM sp GROUP BY p HAVING count(*) <= 1000),
+           |spb AS (SELECT sp.p, sp.s FROM sp JOIN ok USING (p)),
+           |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+           |      FROM spb x JOIN spb y ON x.p = y.p AND x.s < y.s),
+           |d AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+           |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+           |  GROUP BY v),
+           |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+           |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+           |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |c AS (SELECT u AS node FROM t
+           |      UNION ALL SELECT v FROM t
+           |      UNION ALL SELECT w FROM t),
+           |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+           |  FROM c GROUP BY node)
+           |SELECT d.v AS node, d.dg,
+           |  CAST(coalesce(tc.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+           |  CASE WHEN d.dg >= 2 THEN
+           |    coalesce(tc.tri_cnt, 0) * 2000000 // (d.dg * (d.dg - 1))
+           |  END AS cc_ppm
+           |FROM d LEFT JOIN tc ON tc.node = d.v
+           |ORDER BY node""".stripMargin),
+    bench = false)
+
+  /** X10p — degree assortativity (ops/Graph.assortativity): Pearson of
+    * endpoint degrees over the symmetrized co-supply edge list — one
+    * exact-ppm number; negative = hubs link to leaves. Identical
+    * marginals kill the sqrt; the oracle replays the floor division
+    * with the explicit floor-mod correction (numerator can be
+    * negative; DuckDB's bare `//` truncates). */
+  val x10Assortativity = QuerySpec("x10_assortativity",
+    (s, d) => Graph.assortativity(
+        Graph.coSupplyEdges(T(s, d, "lineitem"), 499L)),
+    Some("""WITH sp AS (
+           |  SELECT DISTINCT l_partkey AS p, CAST(l_suppkey AS BIGINT) AS s
+           |  FROM lineitem WHERE l_partkey % 499 = 0),
+           |ok AS (SELECT p FROM sp GROUP BY p HAVING count(*) <= 1000),
+           |spb AS (SELECT sp.p, sp.s FROM sp JOIN ok USING (p)),
+           |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+           |      FROM spb x JOIN spb y ON x.p = y.p AND x.s < y.s),
+           |b2 AS (SELECT a AS s, b AS t FROM e
+           |       UNION ALL SELECT b, a FROM e),
+           |d AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+           |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+           |  GROUP BY v),
+           |j AS (SELECT dx.dg AS dx, dy.dg AS dy FROM b2
+           |  JOIN d dx ON dx.v = b2.s JOIN d dy ON dy.v = b2.t),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+           |    CAST(sum(dx) AS HUGEINT) AS sx,
+           |    CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+           |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx
+           |  FROM j),
+           |f AS (SELECT n_endpoints,
+           |    CAST(n_endpoints AS HUGEINT) * sxy - sx * sx AS num,
+           |    CAST(n_endpoints AS HUGEINT) * sxx - sx * sx AS den
+           |  FROM m)
+           |SELECT n_endpoints,
+           |  CASE WHEN den > 0 THEN CAST((1000000 * num -
+           |    ((1000000 * num % den) + den) % den) // den AS BIGINT)
+           |  END AS assort_ppm
+           |FROM f""".stripMargin))
+
   /** X7p — SNAPSHOT CONTENT AUDIT (round 11): the anti-entropy check —
     * per-group row counts plus an order-independent bit_xor fingerprint
     * of every row's content (keys, status, integer cents), computed over
@@ -8115,12 +8188,14 @@ object Queries {
            |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
            |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
            |  FROM documents),
-           |g AS (SELECT s // 25 AS bin, CAST(count(*) AS BIGINT) AS n,
+           |g AS (SELECT (s - ((s % 25) + 25) % 25) // 25 AS bin,
+           |    CAST(count(*) AS BIGINT) AS n,
            |    CAST(sum(y) AS BIGINT) AS n_pos,
            |    CAST(sum(s) AS BIGINT) AS sum_s
            |  FROM r GROUP BY 1)
            |SELECT bin, n, n_pos,
-           |  sum_s * 1000 // n AS mean_score_milli,
+           |  (sum_s * 1000 - ((sum_s * 1000 % n) + n) % n) // n
+           |    AS mean_score_milli,
            |  n_pos * 1000000 // n AS frac_pos_ppm
            |FROM g ORDER BY bin""".stripMargin))
 
@@ -8149,7 +8224,8 @@ object Queries {
        |    CAST(sum(cents * k) AS BIGINT) AS sum_cents
        |  FROM kk GROUP BY b),
        |m AS (SELECT b, n_eff, sum_cents,
-       |    CASE WHEN n_eff > 0 THEN sum_cents * 1000 // n_eff END
+       |    CASE WHEN n_eff > 0 THEN (sum_cents * 1000 -
+       |      ((sum_cents * 1000 % n_eff) + n_eff) % n_eff) // n_eff END
        |      AS mean_milli
        |  FROM g)""".stripMargin
   }
@@ -8211,7 +8287,10 @@ object Queries {
            |    CAST(sum(sum_cents) AS BIGINT) AS s_all FROM g),
            |lm AS (SELECT grp, n_g, sum_cents,
            |    CASE WHEN t.n_all > n_g THEN
-           |      ((t.s_all - sum_cents) * 1000) // (t.n_all - n_g) END
+           |      ((t.s_all - sum_cents) * 1000 -
+           |        (((t.s_all - sum_cents) * 1000 % (t.n_all - n_g)) +
+           |          (t.n_all - n_g)) % (t.n_all - n_g))
+           |        // (t.n_all - n_g) END
            |      AS loo_mean_milli
            |  FROM g, t),
            |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
@@ -8224,7 +8303,8 @@ object Queries {
            |      AS HUGEINT) AS ss2
            |  FROM lm)
            |SELECT n_groups, n, sum_cents,
-           |  sum_cents * 1000 // n AS mean_milli,
+           |  (sum_cents * 1000 - ((sum_cents * 1000 % n) + n) % n) // n
+           |    AS mean_milli,
            |  CASE WHEN n_null = 0 THEN
            |    CAST((15 * (16 * ss2 - ss * ss)) //
            |      (CAST(16 AS HUGEINT) * 16 * 16) AS BIGINT) END
@@ -8259,15 +8339,21 @@ object Queries {
            |t AS (SELECT s, arm, n_sa, sum_sa,
            |    CAST(sum(n_sa) OVER (PARTITION BY s) AS BIGINT) AS n_s,
            |    CAST(sum(n_sa) OVER () AS BIGINT) AS n,
-           |    sum_sa * 1000 // n_sa AS m_sa_milli
-           |  FROM cells)
-           |SELECT arm, CAST(sum(n_sa) AS BIGINT) AS n_units,
-           |  CAST(sum(n_s) AS BIGINT) AS covered_n,
-           |  CAST(sum(sum_sa) AS BIGINT) * 1000 //
-           |    CAST(sum(n_sa) AS BIGINT) AS mean_milli,
-           |  CAST(sum(n_s * m_sa_milli) AS BIGINT) // max(n)
+           |    (sum_sa * 1000 - ((sum_sa * 1000 % n_sa) + n_sa) % n_sa)
+           |      // n_sa AS m_sa_milli
+           |  FROM cells),
+           |f AS (SELECT arm, CAST(sum(n_sa) AS BIGINT) AS n_units,
+           |    CAST(sum(n_s) AS BIGINT) AS covered_n,
+           |    CAST(sum(sum_sa) AS BIGINT) AS sum_c,
+           |    CAST(sum(n_s * m_sa_milli) AS BIGINT) AS wsum,
+           |    max(n) AS n_all
+           |  FROM t GROUP BY arm)
+           |SELECT arm, n_units, covered_n,
+           |  (sum_c * 1000 - ((sum_c * 1000 % n_units) + n_units)
+           |    % n_units) // n_units AS mean_milli,
+           |  (wsum - ((wsum % n_all) + n_all) % n_all) // n_all
            |    AS poststrat_mean_milli
-           |FROM t GROUP BY arm ORDER BY arm""".stripMargin))
+           |FROM f ORDER BY arm""".stripMargin))
 
   /** X9n — difference-in-differences (ops/Experiment.diffInDiff): the
     * pre/post × arm 2×2 of event-value cell means at the cuped
@@ -8310,14 +8396,18 @@ object Queries {
            |      END) AS BIGINT) AS s_b_post
            |  FROM w),
            |m AS (SELECT
-           |    CASE WHEN n_a_pre > 0 THEN s_a_pre * 1000 // n_a_pre END
-           |      AS m_a_pre_milli,
-           |    CASE WHEN n_a_post > 0 THEN s_a_post * 1000 // n_a_post END
-           |      AS m_a_post_milli,
-           |    CASE WHEN n_b_pre > 0 THEN s_b_pre * 1000 // n_b_pre END
-           |      AS m_b_pre_milli,
-           |    CASE WHEN n_b_post > 0 THEN s_b_post * 1000 // n_b_post END
-           |      AS m_b_post_milli
+           |    CASE WHEN n_a_pre > 0 THEN (s_a_pre * 1000 -
+           |      ((s_a_pre * 1000 % n_a_pre) + n_a_pre) % n_a_pre)
+           |      // n_a_pre END AS m_a_pre_milli,
+           |    CASE WHEN n_a_post > 0 THEN (s_a_post * 1000 -
+           |      ((s_a_post * 1000 % n_a_post) + n_a_post) % n_a_post)
+           |      // n_a_post END AS m_a_post_milli,
+           |    CASE WHEN n_b_pre > 0 THEN (s_b_pre * 1000 -
+           |      ((s_b_pre * 1000 % n_b_pre) + n_b_pre) % n_b_pre)
+           |      // n_b_pre END AS m_b_pre_milli,
+           |    CASE WHEN n_b_post > 0 THEN (s_b_post * 1000 -
+           |      ((s_b_post * 1000 % n_b_post) + n_b_post) % n_b_post)
+           |      // n_b_post END AS m_b_post_milli
            |  FROM a)
            |SELECT m_a_pre_milli, m_a_post_milli, m_b_pre_milli,
            |  m_b_post_milli,
@@ -8371,9 +8461,13 @@ object Queries {
            |x AS (SELECT (cut_bkt + 1) * 10000 - 1 AS cut_cents FROM k)
            |SELECT CAST(count(*) AS BIGINT) AS n,
            |  max(x.cut_cents) AS cut_cents,
-           |  CAST(sum(cents) AS BIGINT) * 1000 // count(*) AS mean_milli,
-           |  CAST(sum(least(cents, x.cut_cents)) AS BIGINT) * 1000
-           |    // count(*) AS win_mean_milli
+           |  (CAST(sum(cents) AS BIGINT) * 1000 -
+           |    ((CAST(sum(cents) AS BIGINT) * 1000 % count(*)) + count(*))
+           |    % count(*)) // count(*) AS mean_milli,
+           |  (CAST(sum(least(cents, x.cut_cents)) AS BIGINT) * 1000 -
+           |    ((CAST(sum(least(cents, x.cut_cents)) AS BIGINT) * 1000
+           |      % count(*)) + count(*)) % count(*)) // count(*)
+           |    AS win_mean_milli
            |FROM r, x""".stripMargin),
     bench = false)
 
@@ -10022,7 +10116,7 @@ object Queries {
     x7MetaCount, x7Audit, x7Maintenance,
     x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Scc,
     x10Linkpred, x10Triangles,
-    x10Kcore,
+    x10Kcore, x10ClusteringCoeff, x10Assortativity,
     x11Expectations, x11Quarantine, x11Profile, x11IqrOutliers,
     x11Benford,
     stMergeReplay,

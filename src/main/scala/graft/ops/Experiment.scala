@@ -173,11 +173,15 @@ object Experiment {
   def calibration(rows: DataFrame, scoreCol: Column, positiveCol: Column,
       binWidth: Long): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
-    // FLOOR division, not Spark's truncate-toward-zero `div` (round-15
-    // ADVICE fix): the DuckDB oracle's `//` floors, so a NEGATIVE score
-    // (or negative sum_s) would land in a different bin / shift
-    // mean_score_milli by one under `div`. (x - pmod(x, y)) div y is
-    // exact-integer floor division for positive y — no doubles.
+    // FLOOR division, not truncate-toward-zero `div`: floor is the
+    // correct binning semantics for a NEGATIVE score (truncation would
+    // merge bins −(w−1)..w−1 into bin 0). NOTE the round-15 ADVICE
+    // premise was wrong: DuckDB's integer `//` TRUNCATES exactly like
+    // Spark's `div` (measured: −7 // 2 = −3) — so the oracle replays
+    // this floor with the explicit ((x % y) + y) % y correction (the
+    // cuped/modularity discipline), not a bare `//`.
+    // (x - pmod(x, y)) div y is exact-integer floor division for
+    // positive y — no doubles.
     def floorDiv(x: String, y: String) = expr(s"($x - pmod($x, $y)) div $y")
     rows
       .select(scoreCol.cast("long").as("s"),
@@ -249,8 +253,9 @@ object Experiment {
     *
     * Exact integers: per resample, n_eff = Σk and sum = Σ c·k are
     * BIGINTs; mean_milli is a FLOOR division (the calibration
-    * discipline — (x − pmod(x, y)) div y matches the oracle's `//` even
-    * for a negative metric sum, so no sign contract is needed). Scale
+    * discipline — (x − pmod(x, y)) div y, which the oracle replays with
+    * the explicit ((x % y) + y) % y correction since DuckDB's bare `//`
+    * truncates like div; no sign contract needed on the metric). Scale
     * shape: one explode(B) fan-out (a constant ≤ 64×) into a B-row
     * map-side-combined aggregate — no shuffle wider than B rows per
     * partition, metric volume scanned once. */

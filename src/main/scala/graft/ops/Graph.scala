@@ -142,15 +142,30 @@ object Graph {
     *
     * Exact integer end to end (counts), so the whole result is
     * oracle-hash-checkable against a naive three-way self-join. */
-  def triangles(edges: DataFrame): DataFrame = {
-    // normalize to undirected unique pairs (a < b), no self-loops
-    val und = edges.select(
+  /** Normalize to undirected unique pairs (a < b), no self-loops — the
+    * shared front of [[triangles]], [[clusteringCoeff]] and
+    * [[assortativity]]. */
+  private def undirectedEdges(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(col("a").as("v"))
+
+  /** (v, dg) degree frame of an [[undirectedEdges]] output. */
+  private def degreesOfUnd(und: DataFrame): DataFrame =
+    und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = undirectedEdges(edges)
+    trianglesFrom(und, degreesOfUnd(und))
+  }
+
+  /** Per-node triangle counts over a pre-normalized (und, deg) pair —
+    * split out so [[clusteringCoeff]] can reuse its own checkpointed
+    * frames without re-deriving them. */
+  private def trianglesFrom(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient: (degree, id)-smaller endpoint -> larger; carry the head's
     // rank so the wedge join below can order its two heads without
     // another degree lookup
@@ -183,6 +198,73 @@ object Graph {
       .select(col("u"), col("x"), col("y"))
     tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** X10o — local clustering coefficient (round 15): per node,
+    * cc = 2·tri / (dg·(dg−1)) — the fraction of a node's neighbor pairs
+    * that are themselves connected, in exact integer ppm (tri ≤ C(dg,2)
+    * structurally, so the quotient never exceeds 10⁶). The standard
+    * hub-quality signal link-graph curation reads next to PageRank: a
+    * high-degree node with cc ≈ 0 is a directory/spam hub bridging
+    * unrelated neighborhoods; cc ≈ 1 marks a clique member.
+    *
+    * Scale: the triangle core is [[trianglesFrom]] unchanged (oriented
+    * wedge join — each triangle found once, never deg² work at hubs
+    * beyond the wedge frame the orientation already bounds); `und` and
+    * `deg` feed BOTH the triangle subtree and the output join, so both
+    * are lazily checkpointed (the lineage-re-derivation discipline).
+    * Degree-< 2 nodes report cc_ppm = null honestly (no neighbor pair
+    * exists to close). */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = undirectedEdges(edges).localCheckpoint(eager = false)
+    val deg = degreesOfUnd(und).localCheckpoint(eager = false)
+    val tri = trianglesFrom(und, deg)
+    deg.select(col("v").as("node"), col("dg"))
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("dg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .withColumn("cc_ppm", when(col("dg") >= 2,
+        expr("tri_cnt * 2000000L div (dg * (dg - 1))")))
+  }
+
+  /** X10p — degree assortativity (round 15): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list (Newman 2002) —
+    * POSITIVE means hubs link to hubs (social graphs), NEGATIVE means
+    * hubs link to leaves (the web, bipartite-derived graphs); the
+    * one-number structural fingerprint that tells a curation pipeline
+    * which pruning lever (k-core vs hub-cap) a link graph will respond
+    * to. Over the both-directions list the two marginals are IDENTICAL,
+    * so r = (n·Σxy − Sx²)/(n·Σx² − Sx²) — the sqrt vanishes and the
+    * whole statistic is ONE pinned floor division in exact integer ppm
+    * (numerator may be negative — the pmod form floors correctly;
+    * moments carried in DECIMAL(38,0), the cuped discipline).
+    *
+    * Scale: one degree aggregate + two node-keyed equi-joins onto the
+    * edge list + a 1-row aggregate; a regular graph (zero degree
+    * variance) nulls honestly. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = undirectedEdges(edges).localCheckpoint(eager = false)
+    val deg = degreesOfUnd(und).localCheckpoint(eager = false)
+    val both = und.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(und.select(col("b").as("s"), col("a").as("t")))
+    both
+      .join(deg.select(col("v").as("s"), col("dg").as("dx")), Seq("s"))
+      .join(deg.select(col("v").as("t"), col("dg").as("dy")), Seq("t"))
+      .agg(count(lit(1)).as("n_endpoints"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"),
+        sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"))
+      .select(col("n_endpoints"),
+        expr("CAST(n_endpoints AS DECIMAL(38,0)) * sxy - " +
+          "CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))")
+          .as("num"),
+        expr("CAST(n_endpoints AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))")
+          .as("den"))
+      .select(col("n_endpoints"),
+        when(col("den") > 0, expr(
+          "(1000000 * num - pmod(1000000 * num, den)) div den"))
+          .as("assort_ppm"))
   }
 
   /** X10d — k-core decomposition by iterative peeling (round 14): repeat

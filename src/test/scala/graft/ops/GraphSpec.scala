@@ -284,4 +284,56 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r2m(1L) == 1L && r2m(2L) == 2L && r2m(3L) == 0L, s"$r2m")
   }
+
+  test("X10o clusteringCoeff: triangle+pendant exact ppm, K4 all-1e6, " +
+      "degree-1 nodes null") {
+    // triangle {1,2,3} with pendant 4 on node 1
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val r = Graph.clusteringCoeff(g)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(r(1L) == ((3L, 1L, 2000000L / 6L)),
+      "node 1: deg 3, 1 triangle -> 2/(3*2) = 333333 ppm")
+    assert(r(2L) == ((2L, 1L, 1000000L)), "node 2: both neighbors linked")
+    assert(r(3L) == ((2L, 1L, 1000000L)))
+    assert(r(4L) == ((1L, 0L, -1L)), "degree-1 node has no pair: null")
+    // K4: every node deg 3, 3 triangles -> 6/(3*2) = exactly 1e6
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val k = Graph.clusteringCoeff(k4)
+      .select(col("cc_ppm")).as[Long].collect().toSeq
+    assert(k.length == 4 && k.forall(_ == 1000000L))
+  }
+
+  test("X10p assortativity: a star is exactly -1, a clique nulls " +
+      "(zero degree variance), a hub-chain lands in between") {
+    // star K_{1,3}: every edge joins deg-3 to deg-1 -> r = -1 exactly
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val sr = Graph.assortativity(star)
+      .as[(Long, Option[Long])].collect().head
+    assert(sr._1 == 6L, "3 undirected edges = 6 endpoint pairs")
+    assert(sr._2.contains(-1000000L), s"star must be -1 ppm exactly: $sr")
+    // regular graph: all degrees equal -> den = 0 -> null, not a crash
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val tr = Graph.assortativity(tri)
+      .as[(Long, Option[Long])].collect().head
+    assert(tr._2.isEmpty, "zero degree variance nulls honestly")
+    // driver-side replay on a mixed graph (path of 4 + pendant on 2)
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
+    val deg = Map(1L -> 1L, 2L -> 3L, 3L -> 2L, 4L -> 1L, 5L -> 1L)
+    val ends = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L))
+      .flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = ends.size.toLong
+    val sx = ends.map(_._1).sum
+    val sxy = ends.map(e => e._1 * e._2).sum
+    val sxx = ends.map(e => e._1 * e._1).sum
+    val num = n * sxy - sx * sx
+    val den = n * sxx - sx * sx
+    val exp = Math.floorDiv(1000000L * num, den)
+    val mr = Graph.assortativity(mixed)
+      .as[(Long, Option[Long])].collect().head
+    assert(mr == ((n, Some(exp))), s"replay mismatch: $mr vs ($n, $exp)")
+    assert(exp < 0L, "hub-to-leaf structure is disassortative")
+  }
 }

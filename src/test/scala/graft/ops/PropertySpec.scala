@@ -569,4 +569,102 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("winsorized mean never exceeds the raw mean, and a cut above the " +
+      "max is the identity (any non-negative data, any width)") {
+    val row = Gen.chooseNum(0L, 50000L)
+    cases(Gen.zip(Gen.listOfN(40, row), Gen.chooseNum(1L, 500L))) {
+      case (cs, w) =>
+        val df = cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+          .toDF("id", "cents")
+        val r = Experiment.winsorizedMean(df, col("cents"), 900000L, w)
+          .select(col("cut_cents"), col("mean_milli"),
+            col("win_mean_milli"))
+          .as[(Long, Long, Long)].collect().head
+        assert(r._3 <= r._2, s"clamping must not raise the mean: $r")
+        if (r._1 >= cs.max) assert(r._3 == r._2,
+          s"cut >= max must be the identity: $r vs max=${cs.max}")
+    }
+  }
+
+  test("poisson bootstrap of a CONSTANT metric: every resample mean is " +
+      "exactly the constant (weights cancel)") {
+    cases(Gen.zip(Gen.chooseNum(1L, 9999L), Gen.chooseNum(5, 60)), n = 4) {
+      case (c, nRows) =>
+        val df = (1L to nRows.toLong).map(i => (i, c)).toDF("id", "cents")
+        val means = Experiment.poissonBootstrap(df, "id", col("cents"), 8)
+          .select(col("n_eff"), col("mean_milli"))
+          .as[(Long, Long)].collect().toSeq
+        means.foreach { case (nEff, m) =>
+          if (nEff > 0) assert(m == c * 1000L,
+            s"constant metric must bootstrap to itself: $m vs ${c * 1000L}")
+        }
+    }
+  }
+
+  test("jackknife variance is invariant under a metric shift and the " +
+      "LOO means shift by exactly the constant") {
+    val row = Gen.chooseNum(0L, 10000L)
+    cases(Gen.zip(Gen.listOfN(60, row), Gen.chooseNum(1L, 5000L)), n = 4) {
+      case (cs, shift) =>
+        val df = cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+          .toDF("id", "cents")
+        val df2 = df.withColumn("cents", col("cents") + lit(shift))
+        val v1 = Experiment.jackknifeVar(df, "id", col("cents"), 8)
+          .select(col("mean_milli"), col("jk_var_milli2"))
+          .as[(Long, Long)].collect().head
+        val v2 = Experiment.jackknifeVar(df2, "id", col("cents"), 8)
+          .select(col("mean_milli"), col("jk_var_milli2"))
+          .as[(Long, Long)].collect().head
+        assert(v2._1 == v1._1 + shift * 1000L,
+          "mean shifts by exactly the constant (1000·c is integer)")
+        assert(v2._2 == v1._2, "variance is shift-invariant exactly")
+    }
+  }
+
+  test("diff-in-diff is exactly invariant to per-arm levels and a " +
+      "shared post-period trend") {
+    val gen = Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(0L, 5000L),
+      Gen.chooseNum(0L, 3000L), Gen.chooseNum(0L, 2000L))
+    cases(gen, n = 6) { case (levelA, levelB, trend, effect) =>
+      val rows = (1L to 40L).flatMap { u =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"0:$u".getBytes("UTF-8"))
+        val top = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        val isA = top % 2 == 0
+        val base = if (isA) levelA else levelB
+        val post = base + trend + (if (isA) 0L else effect)
+        Seq((u, 10_000_000L, base), (u, 2_000_000_000L, post))
+      }.toDF("unit", "us", "cents")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val did = Experiment.diffInDiff(rows, "unit", "ts", col("cents"),
+          1_000_000_000L)
+        .select(col("did_milli")).as[Long].collect().head
+      assert(did == effect * 1000L,
+        s"DiD must recover exactly the planted effect: $did vs $effect")
+    }
+  }
+
+  test("assortativity stays in [-1e6, 1e6] and clustering coefficients " +
+      "stay in [0, 1e6] on random graphs") {
+    val edge = Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))
+    cases(Gen.listOfN(20, edge), n = 6) { es =>
+      val df = es.toDF("src", "dst")
+      if (es.exists { case (a, b) => a != b }) {
+        Graph.assortativity(df).collect().foreach { r =>
+          if (!r.isNullAt(1)) {
+            val a = r.getLong(1)
+            assert(a >= -1000000L && a <= 1000000L, s"assort out of band: $a")
+          }
+        }
+        Graph.clusteringCoeff(df).collect().foreach { r =>
+          if (!r.isNullAt(3)) {
+            val c = r.getLong(3)
+            assert(c >= 0L && c <= 1000000L, s"cc out of band: $c")
+          }
+        }
+      }
+    }
+  }
 }
