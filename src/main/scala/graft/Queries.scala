@@ -7579,6 +7579,42 @@ object Queries {
            |  END AS assort_ppm
            |FROM f""".stripMargin))
 
+  /** X10q — HITS hubs/authorities (ops/Graph.hits): 2 max-normalized
+    * rounds over the customer→supplier trade digraph — buyers ranked by
+    * the quality of the suppliers they buy from, and vice versa. Every
+    * intermediate is an exact BIGINT (integer max-rescale instead of L2
+    * normalization), so the oracle unrolls both rounds verbatim. */
+  val x10Hits = QuerySpec("x10_hits",
+    (s, d) => Graph.hits(
+        Graph.tradeEdgesDirected(T(s, d, "lineitem"), T(s, d, "orders")), 2)
+      .orderBy(col("node")),
+    Some {
+      val rounds = (1 to 2).map { i =>
+        val prevH = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS (SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS a
+           |  FROM e JOIN $prevH p ON p.node = e.src GROUP BY 1),
+           |a$i AS (SELECT node, CAST(CAST(a AS HUGEINT) * 1000000 //
+           |    (SELECT max(a) FROM a${i}r) AS BIGINT) AS a FROM a${i}r),
+           |h${i}r AS (SELECT e.src AS node, CAST(sum(q.a) AS BIGINT) AS h
+           |  FROM e JOIN a$i q ON q.node = e.dst GROUP BY 1),
+           |h$i AS (SELECT node, CAST(CAST(h AS HUGEINT) * 1000000 //
+           |    (SELECT max(h) FROM h${i}r) AS BIGINT) AS h FROM h${i}r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+         |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node,
+         |    CAST(1000000 AS BIGINT) AS h FROM e),
+         |$rounds
+         |SELECT coalesce(h2.node, a2.node) AS node,
+         |  coalesce(h2.h, 0) AS hub_ppm,
+         |  coalesce(a2.a, 0) AS auth_ppm
+         |FROM h2 FULL OUTER JOIN a2 ON a2.node = h2.node
+         |ORDER BY node""".stripMargin
+    })
+
   /** X7p — SNAPSHOT CONTENT AUDIT (round 11): the anti-entropy check —
     * per-group row counts plus an order-independent bit_xor fingerprint
     * of every row's content (keys, status, integer cents), computed over
@@ -10116,7 +10152,7 @@ object Queries {
     x7MetaCount, x7Audit, x7Maintenance,
     x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Scc,
     x10Linkpred, x10Triangles,
-    x10Kcore, x10ClusteringCoeff, x10Assortativity,
+    x10Kcore, x10ClusteringCoeff, x10Assortativity, x10Hits,
     x11Expectations, x11Quarantine, x11Profile, x11IqrOutliers,
     x11Benford,
     stMergeReplay,

@@ -267,6 +267,62 @@ object Graph {
           .as("assort_ppm"))
   }
 
+  /** X10q — HITS hubs and authorities (Kleinberg 1999, round 15): the
+    * mutually-recursive link-analysis pair PageRank cannot express — a
+    * good HUB points at good authorities, a good AUTHORITY is pointed
+    * at by good hubs. On the customer→supplier trade digraph the two
+    * sides separate exactly (bipartite), which is the classic HITS use:
+    * rank the buyer side and the supplier side by each other's quality.
+    *
+    * Determinism contract (what makes a judged lane possible): instead
+    * of the float L2 normalization, each round rescales BOTH vectors to
+    * max = 10⁶ by an integer floor division — max-normalized HITS
+    * converges to the same principal eigenvector direction, and every
+    * intermediate value is an exact BIGINT both engines replay. The
+    * rescale product rides DECIMAL(38,0) so score·10⁶ cannot overflow
+    * at any corpus size. Scores are non-negative throughout, so `div`
+    * (truncation) IS floor — no pmod correction needed anywhere.
+    *
+    * Scale shape (the pageRank discipline): the edge frame materializes
+    * once; per round ONE dst-keyed equi-join + partial-combining sum
+    * (authority pass), one 1-row max broadcast, then the mirrored
+    * src-keyed pass for hubs; both vectors localCheckpoint per round so
+    * the iterative lineage never re-derives. Returns (node, hub_ppm,
+    * auth_ppm) with 0 on the side a node does not play. */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 4,
+      s"rounds must be in [1, 4], got $rounds")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    def rescale(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(max(col(c)).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr(
+          s"CAST(CAST($c AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)")
+          .as(c))
+    }
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1000000L))
+      .localCheckpoint(eager = false)
+    var auth: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val aRaw = e
+        .join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("node"), col("a"))
+      auth = rescale(aRaw, "a").localCheckpoint(eager = false)
+      val hRaw = e
+        .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("node"), col("h"))
+      hub = rescale(hRaw, "h").localCheckpoint(eager = false)
+    }
+    hub.join(auth, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("h"), lit(0L)).as("hub_ppm"),
+        coalesce(col("a"), lit(0L)).as("auth_ppm"))
+  }
+
   /** X10d — k-core decomposition by iterative peeling (round 14): repeat
     * "drop every node with fewer than k surviving neighbors" until
     * fixpoint. The standard graph-cleaning primitive for link-quality

@@ -336,4 +336,40 @@ class GraphSpec extends SparkSpec {
     assert(mr == ((n, Some(exp))), s"replay mismatch: $mr vs ($n, $exp)")
     assert(exp < 0L, "hub-to-leaf structure is disassortative")
   }
+
+  test("X10q hits: bipartite fixture matches an exact integer replay; " +
+      "the strong hub and shared authority rank top at 1e6") {
+    // customers 2, 4 -> suppliers 1, 3, 5; c2 buys from all three,
+    // c4 only from s1 (the shared authority)
+    val es = Seq((2L, 1L), (2L, 3L), (2L, 5L), (4L, 1L))
+    val df = es.toDF("src", "dst")
+    // exact driver replay of 2 max-normalized rounds in BigInt
+    def round(h: Map[Long, BigInt]): (Map[Long, BigInt], Map[Long, BigInt]) = {
+      val aRaw = es.groupBy(_._2).map { case (v, in) =>
+        v -> in.map(e => h(e._1)).sum }
+      val aMax = aRaw.values.max
+      val a = aRaw.map { case (v, x) => v -> x * 1000000 / aMax }
+      val hRaw = es.groupBy(_._1).map { case (u, out) =>
+        u -> out.map(e => a(e._2)).sum }
+      val hMax = hRaw.values.max
+      (hRaw.map { case (u, x) => u -> x * 1000000 / hMax }, a)
+    }
+    val h0 = Map(2L -> BigInt(1000000), 4L -> BigInt(1000000))
+    val (h1, _) = round(h0)
+    val (h2, a2) = round(h1)
+    val got = Graph.hits(df, 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    es.map(_._1).distinct.foreach { u =>
+      assert(got(u)._1 == h2(u).toLong, s"hub($u): ${got(u)._1} vs ${h2(u)}")
+      assert(got(u)._2 == 0L, "pure hubs have no authority mass")
+    }
+    es.map(_._2).distinct.foreach { v =>
+      assert(got(v)._2 == a2(v).toLong, s"auth($v): ${got(v)._2} vs ${a2(v)}")
+      assert(got(v)._1 == 0L, "pure authorities have no hub mass")
+    }
+    assert(got(2L)._1 == 1000000L, "the 3-edge customer is the top hub")
+    assert(got(1L)._2 == 1000000L, "the shared supplier is the top authority")
+    assert(got(4L)._1 < 1000000L && got(3L)._2 < 1000000L)
+  }
 }
