@@ -8451,6 +8451,107 @@ object Queries {
            |    (m_a_post_milli - m_a_pre_milli) AS did_milli
            |FROM m""".stripMargin))
 
+  /** X9o — the full experiment readout as ONE DAG
+    * (ops/Experiment.experimentReadout): SRM gate + conversion report +
+    * DiD metric block in a single row from a single unit-grouped fact
+    * pass — the per-experiment page an experimentation platform
+    * renders. Every formula is the member operator's verbatim;
+    * ExperimentSpec pins column-for-column equality to the members. */
+  val x9ReadoutE2e = QuerySpec("x9_readout_e2e",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val r = ev.agg(min(expr("unix_micros(ts)")).as("lo"),
+        max(expr("unix_micros(ts)")).as("hi")).head
+      val split = (r.getLong(0) + r.getLong(1)) / 2
+      Experiment.experimentReadout(ev, "user_id", "ts", "event_type",
+        "purchase", floor(col("value") * 100 + lit(0.5)).cast("long"),
+        split)
+    },
+    Some("""WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+           |    AS s FROM events),
+           |pu AS (SELECT user_id AS unit,
+           |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS conv,
+           |    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT s FROM sp)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+           |    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT s FROM sp)
+           |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+           |      AS BIGINT) AS s_pre,
+           |    CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT s FROM sp)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+           |    CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT s FROM sp)
+           |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+           |      AS BIGINT) AS s_post
+           |  FROM events GROUP BY 1),
+           |w AS (SELECT *, CASE WHEN ('0x' || substr(md5('0:' ||
+           |      CAST(unit AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+           |    THEN 'a' ELSE 'b' END AS arm FROM pu),
+           |g AS (SELECT
+           |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b,
+           |    CAST(sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END)
+           |      AS BIGINT) AS conv_a,
+           |    CAST(sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END)
+           |      AS BIGINT) AS conv_b,
+           |    CAST(sum(CASE WHEN arm = 'a' THEN n_pre ELSE 0 END)
+           |      AS BIGINT) AS n_a_pre,
+           |    CAST(sum(CASE WHEN arm = 'a' THEN s_pre ELSE 0 END)
+           |      AS BIGINT) AS s_a_pre,
+           |    CAST(sum(CASE WHEN arm = 'a' THEN n_post ELSE 0 END)
+           |      AS BIGINT) AS n_a_post,
+           |    CAST(sum(CASE WHEN arm = 'a' THEN s_post ELSE 0 END)
+           |      AS BIGINT) AS s_a_post,
+           |    CAST(sum(CASE WHEN arm = 'b' THEN n_pre ELSE 0 END)
+           |      AS BIGINT) AS n_b_pre,
+           |    CAST(sum(CASE WHEN arm = 'b' THEN s_pre ELSE 0 END)
+           |      AS BIGINT) AS s_b_pre,
+           |    CAST(sum(CASE WHEN arm = 'b' THEN n_post ELSE 0 END)
+           |      AS BIGINT) AS n_b_post,
+           |    CAST(sum(CASE WHEN arm = 'b' THEN s_post ELSE 0 END)
+           |      AS BIGINT) AS s_b_post
+           |  FROM w),
+           |m AS (SELECT *,
+           |    (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+           |      AS srm_chi2_micro,
+           |    conv_a * 1000000 // n_a AS cr_a_ppm,
+           |    conv_b * 1000000 // n_b AS cr_b_ppm,
+           |    CASE WHEN conv_a > 0 THEN
+           |      conv_b * n_a * 1000000 // (conv_a * n_b) END AS lift_ppm,
+           |    CASE WHEN conv_a + conv_b > 0
+           |      AND (n_a - conv_a) + (n_b - conv_b) > 0 THEN
+           |      CAST(floor(((CAST(n_a + n_b AS DOUBLE) *
+           |      ((CAST(conv_a AS DOUBLE) * (n_b - conv_b) -
+           |      CAST(n_a - conv_a AS DOUBLE) * conv_b) *
+           |      (CAST(conv_a AS DOUBLE) * (n_b - conv_b) -
+           |      CAST(n_a - conv_a AS DOUBLE) * conv_b))) * 10000.0) /
+           |      (((CAST(n_a AS DOUBLE) * n_b) * (conv_a + conv_b)) *
+           |      ((n_a - conv_a) + (n_b - conv_b)))) AS BIGINT) END
+           |      AS chi2_fp,
+           |    CASE WHEN n_a_pre > 0 THEN (s_a_pre * 1000 -
+           |      ((s_a_pre * 1000 % n_a_pre) + n_a_pre) % n_a_pre)
+           |      // n_a_pre END AS m_a_pre_milli,
+           |    CASE WHEN n_a_post > 0 THEN (s_a_post * 1000 -
+           |      ((s_a_post * 1000 % n_a_post) + n_a_post) % n_a_post)
+           |      // n_a_post END AS m_a_post_milli,
+           |    CASE WHEN n_b_pre > 0 THEN (s_b_pre * 1000 -
+           |      ((s_b_pre * 1000 % n_b_pre) + n_b_pre) % n_b_pre)
+           |      // n_b_pre END AS m_b_pre_milli,
+           |    CASE WHEN n_b_post > 0 THEN (s_b_post * 1000 -
+           |      ((s_b_post * 1000 % n_b_post) + n_b_post) % n_b_post)
+           |      // n_b_post END AS m_b_post_milli
+           |  FROM g)
+           |SELECT n_a, n_b, srm_chi2_micro,
+           |  srm_chi2_micro > 3841459 AS srm_flag,
+           |  conv_a, conv_b, cr_a_ppm, cr_b_ppm, lift_ppm, chi2_fp,
+           |  m_a_pre_milli, m_a_post_milli, m_b_pre_milli,
+           |  m_b_post_milli,
+           |  (m_b_post_milli - m_b_pre_milli) -
+           |    (m_a_post_milli - m_a_pre_milli) AS did_milli
+           |FROM m""".stripMargin),
+    bench = false)
+
   /** X9k — sample-ratio-mismatch check (ops/Experiment.srmCheck): do
     * the md5-parity arm counts over distinct event users match 50/50?
     * The rational two-cell chi-square (n_a−n_b)²/N in exact micro
@@ -10169,6 +10270,7 @@ object Queries {
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Bootstrap,
     x9BootstrapCi, x9Jackknife, x9Srm, x9Winsorized, x9Poststrat, x9Did,
+    x9ReadoutE2e,
     x9Curation,
     mmMeta, mmDecode, mmResize, mmSim, mmPhashPairs,
     mmWavMeta, mmWavEnergy, mmWavResample, mmWavVad, mmFrames,

@@ -508,6 +508,89 @@ object Experiment {
           .as("srm_chi2_micro"))
       .withColumn("srm_flag", col("srm_chi2_micro") > 3841459L)
 
+  /** X9o — the full experiment READOUT as one DAG: SRM gate,
+    * conversion report (rates, lift, chi-square) and the
+    * difference-in-differences metric block in a single row — the page
+    * an experimentation platform renders per experiment, composed the
+    * x9_curation_e2e way but BETTER than naive composition: instead of
+    * three separate fact scans ([[srmCheck]] + [[abReport]] +
+    * [[diffInDiff]] each rescan events), ONE unit-grouped pass carries
+    * every sufficient statistic (conv flag, pre/post event counts and
+    * cent sums), and the readout is a single 1-row conditional
+    * aggregate over it. Every formula is textually the member
+    * operator's (the chi-square double parenthesization is copied
+    * verbatim; the cell means use the same pinned floor) — and
+    * ExperimentSpec asserts column-for-column equality against the
+    * three members, the x7_incr "maintained == direct" contract.
+    *
+    * Scale: one scan + one unit-keyed partial-combining shuffle +
+    * a 1-row exchange; the event volume is touched exactly once. */
+  def experimentReadout(events: DataFrame, unitCol: String, tsCol: String,
+      typeCol: String, convType: String, valueCents: Column,
+      splitUs: Long): DataFrame = {
+    val perUnit = events
+      .select(col(unitCol).as("unit"),
+        expr(s"unix_micros($tsCol)").as("us"),
+        col(typeCol).as("t"), valueCents.as("cents"))
+      .groupBy(col("unit"))
+      .agg(
+        max(when(col("t") === convType, 1L).otherwise(0L)).as("conv"),
+        sum(when(col("us") < splitUs, 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("us") < splitUs, col("cents")).otherwise(0L))
+          .as("s_pre"),
+        sum(when(col("us") >= splitUs, 1L).otherwise(0L)).as("n_post"),
+        sum(when(col("us") >= splitUs, col("cents")).otherwise(0L))
+          .as("s_post"))
+      .withColumn("arm",
+        when(Sketch.shardOf(col("unit"), 2) === 0, "a").otherwise("b"))
+    def a(c: Column) = sum(when(col("arm") === "a", c).otherwise(0L))
+    def b(c: Column) = sum(when(col("arm") === "b", c).otherwise(0L))
+    def meanMilli(s: String, n: String) = expr(
+      s"CASE WHEN $n > 0 THEN ($s * 1000L - pmod($s * 1000L, $n)) " +
+        s"div $n END")
+    perUnit.agg(
+        a(lit(1L)).as("n_a"), b(lit(1L)).as("n_b"),
+        a(col("conv")).as("conv_a"), b(col("conv")).as("conv_b"),
+        a(col("n_pre")).as("n_a_pre"), a(col("s_pre")).as("s_a_pre"),
+        a(col("n_post")).as("n_a_post"), a(col("s_post")).as("s_a_post"),
+        b(col("n_pre")).as("n_b_pre"), b(col("s_pre")).as("s_b_pre"),
+        b(col("n_post")).as("n_b_post"), b(col("s_post")).as("s_b_post"))
+      // the SRM gate — [[srmCheck]]'s rational two-cell chi-square
+      .withColumn("srm_chi2_micro",
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000L div (n_a + n_b)"))
+      .withColumn("srm_flag", col("srm_chi2_micro") > 3841459L)
+      // the conversion block — [[abReport]]'s exact quotients and its
+      // chi-square text VERBATIM (do not re-parenthesize)
+      .withColumn("cr_a_ppm", expr("conv_a * 1000000L div n_a"))
+      .withColumn("cr_b_ppm", expr("conv_b * 1000000L div n_b"))
+      .withColumn("lift_ppm",
+        when(col("conv_a") > 0,
+          expr("conv_b * n_a * 1000000L div (conv_a * n_b)")))
+      .withColumn("chi2_fp", expr(
+        "CASE WHEN conv_a + conv_b > 0 " +
+          "AND (n_a - conv_a) + (n_b - conv_b) > 0 THEN " +
+          "CAST(floor(((CAST(n_a + n_b AS DOUBLE) * " +
+          "((CAST(conv_a AS DOUBLE) * (n_b - conv_b) - " +
+          "CAST(n_a - conv_a AS DOUBLE) * conv_b) * " +
+          "(CAST(conv_a AS DOUBLE) * (n_b - conv_b) - " +
+          "CAST(n_a - conv_a AS DOUBLE) * conv_b))) * 10000.0) / " +
+          "(((CAST(n_a AS DOUBLE) * n_b) * (conv_a + conv_b)) * " +
+          "((n_a - conv_a) + (n_b - conv_b)))) AS BIGINT) END"))
+      // the metric block — [[diffInDiff]]'s pinned floor cell means
+      .withColumn("m_a_pre_milli", meanMilli("s_a_pre", "n_a_pre"))
+      .withColumn("m_a_post_milli", meanMilli("s_a_post", "n_a_post"))
+      .withColumn("m_b_pre_milli", meanMilli("s_b_pre", "n_b_pre"))
+      .withColumn("m_b_post_milli", meanMilli("s_b_post", "n_b_post"))
+      .withColumn("did_milli",
+        (col("m_b_post_milli") - col("m_b_pre_milli")) -
+          (col("m_a_post_milli") - col("m_a_pre_milli")))
+      .select(col("n_a"), col("n_b"), col("srm_chi2_micro"),
+        col("srm_flag"), col("conv_a"), col("conv_b"), col("cr_a_ppm"),
+        col("cr_b_ppm"), col("lift_ppm"), col("chi2_fp"),
+        col("m_a_pre_milli"), col("m_a_post_milli"),
+        col("m_b_pre_milli"), col("m_b_post_milli"), col("did_milli"))
+  }
+
   /** X9l — winsorized mean: the robust metric experiment readouts use
     * when a whale order would otherwise own the average — clamp the
     * metric at its p-th percentile, then average. The cut comes from a

@@ -443,4 +443,40 @@ class ExperimentSpec extends SparkSpec {
     assert(f._1 == 299L, "all rows in bucket 2 -> cut = bucket top edge")
     assert(f._2 == f._3)
   }
+
+  test("X9o experimentReadout: one-pass composite equals the three member " +
+      "operators column for column (the maintained == direct contract)") {
+    // mixed fixture: purchases, views, pre/post values, a few multi-event
+    // units — enough to exercise every member formula
+    val rows = (1L to 50L).flatMap { u =>
+      val pre = Seq((u, 10_000_000L, "view", u * 7L))
+      val post = Seq((u, 2_000_000_000L,
+        if (u % 3 == 0) "purchase" else "view", u * 11L))
+      val extra = if (u % 5 == 0)
+        Seq((u, 2_100_000_000L, "purchase", 42L)) else Nil
+      pre ++ post ++ extra
+    }.toDF("user_id", "us", "event_type", "value_cents")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val split = 1_000_000_000L
+    val r = Experiment.experimentReadout(rows, "user_id", "ts",
+      "event_type", "purchase", col("value_cents"), split).collect().head
+    val srm = Experiment.srmCheck(rows, "user_id").collect().head
+    assert(r.getAs[Long]("n_a") == srm.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("n_b") == srm.getAs[Long]("n_b"))
+    assert(r.getAs[Long]("srm_chi2_micro") ==
+      srm.getAs[Long]("srm_chi2_micro"))
+    assert(r.getAs[Boolean]("srm_flag") == srm.getAs[Boolean]("srm_flag"))
+    val ab = Experiment.abReport(rows, "user_id", "event_type",
+      "purchase").collect().head
+    Seq("conv_a", "conv_b", "cr_a_ppm", "cr_b_ppm", "lift_ppm", "chi2_fp")
+      .foreach { c =>
+        assert(r.getAs[Any](c) == ab.getAs[Any](c), s"column $c diverged")
+      }
+    val did = Experiment.diffInDiff(rows, "user_id", "ts",
+      col("value_cents"), split).collect().head
+    Seq("m_a_pre_milli", "m_a_post_milli", "m_b_pre_milli",
+      "m_b_post_milli", "did_milli").foreach { c =>
+        assert(r.getAs[Any](c) == did.getAs[Any](c), s"column $c diverged")
+      }
+  }
 }
