@@ -506,6 +506,19 @@ object StressBench {
         s"SSSP from the hub should reach exactly ${m / 2} nodes: " +
           s"${results(s"sssp_$tag")._2}")
       stage(s"kcore_$tag")(ops.Graph.kCore(g, 9, 3))
+      // round-15: HITS (2 max-normalized rounds — the pageRank iterative
+      // shape doubled) must score every node on at least one side
+      stage(s"hits_$tag")(ops.Graph.hits(g, 2))
+      require(results(s"hits_$tag")._2 == m,
+        s"HITS should score all $m nodes: ${results(s"hits_$tag")._2}")
+      // round-15: assortativity — the hub-to-leaf structure dominates
+      // the degree moments, so the skew graph must read DISASSORTATIVE
+      // (negative ppm, within the Pearson band) at every scale
+      stage(s"assort_$tag")(ops.Graph.assortativity(g))
+      val asp = ops.Graph.assortativity(g).collect().head
+      require(!asp.isNullAt(1) && asp.getLong(1) < 0L &&
+          asp.getLong(1) >= -1000000L,
+        s"skew graph must be disassortative in band: $asp")
       // the hub component = hub + spokes/chain (m/2 nodes); cliques are
       // disjoint — BFS from the hub must cover exactly its component
       require(results(s"bfs_$tag")._2 == m / 2,
