@@ -641,4 +641,26 @@ class PlanShapeSpec extends SparkSpec {
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("x9 readout composite: ONE fact scan, join-free, exactly the unit " +
+      "shuffle plus the 1-row collapse") {
+    val df = Queries.byName("x9_readout_e2e").fn(spark, d)
+    val sp = df.queryExecution.executedPlan
+    assert(countJoins(sp) == 0,
+      "the one-pass readout must not join — naive member composition would")
+    val p = sp.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "the event volume must be scanned exactly once")
+    assert(countShuffles(sp) == 2,
+      s"unit groupBy + 1-row collapse = exactly 2 exchanges, got ${countShuffles(sp)}")
+  }
+
+  test("x10 hits: no cartesian beyond the 1-row max broadcasts; the edge " +
+      "frame materializes once per run") {
+    val df = Queries.byName("x10_hits").fn(spark, d)
+    val p = planOf(df)
+    // the only nested-loop joins are the broadcast 1-row max rescales
+    assert(!p.contains("CartesianProduct"),
+      "hits must never shuffle-cartesian")
+  }
 }
