@@ -8341,7 +8341,7 @@ object Queries {
            |SELECT n_groups, n, sum_cents,
            |  (sum_cents * 1000 - ((sum_cents * 1000 % n) + n) % n) // n
            |    AS mean_milli,
-           |  CASE WHEN n_null = 0 THEN
+           |  CASE WHEN n_null = 0 AND n_groups = 16 THEN
            |    CAST((15 * (16 * ss2 - ss * ss)) //
            |      (CAST(16 AS HUGEINT) * 16 * 16) AS BIGINT) END
            |    AS jk_var_milli2

@@ -363,9 +363,11 @@ object Experiment {
     * division at the end. The BIGINT output bound holds unless group
     * means spread over ~10⁹ milli — far beyond any honest metric; a
     * wider spread means the grouping is broken, not the cast.
-    * Groups with a null LOO mean (a group holding ALL rows) would poison
-    * the sum; G ≥ 2 with md5 grouping makes that impossible in practice
-    * and the variance is nulled honestly if it happens. */
+    * Honesty guards: a null LOO mean (a group holding ALL rows) or an
+    * EMPTY group (n_groups < G — the formula's literal G would then
+    * overweight the present groups) both null the variance instead of
+    * reporting a silently-wrong statistic; with md5 grouping and
+    * n ≫ G neither occurs in practice. */
   def jackknifeVar(rows: DataFrame, idCol: String, valueCents: Column,
       g: Int): DataFrame =
     jackknife(rows, idCol, valueCents, g)
@@ -382,7 +384,7 @@ object Experiment {
         col("n_groups"), col("n"), col("sum_cents"),
         expr("(sum_cents * 1000L - pmod(sum_cents * 1000L, n)) div n")
           .as("mean_milli"),
-        when(col("n_null") === 0, expr(
+        when(col("n_null") === 0 && col("n_groups") === g, expr(
           s"(($g - 1) * ($g * ss2 - ss * ss) - " +
             s"pmod(($g - 1) * ($g * ss2 - ss * ss), " +
             s"CAST($g AS DECIMAL(38,0)) * $g * $g)) " +

@@ -319,6 +319,13 @@ class ExperimentSpec extends SparkSpec {
     assert(vr._3 == Math.floorDiv(sAll * 1000L, nAll))
     assert(vr._4 == expVar)
     assert(vr._4 > 0L, "varied metric must have positive variance")
+    // honesty guard: fewer units than groups leaves some md5 group
+    // empty -> the G-literal formula would overweight -> variance nulls
+    val tiny = (1L to 5L).map(i => (i, i * 100L)).toDF("id", "cents")
+    val deg = Experiment.jackknifeVar(tiny, "id", col("cents"), 16)
+      .select(col("n_groups"), col("jk_var_milli2")).collect().head
+    assert(deg.getLong(0) < 16L && deg.isNullAt(1),
+      "an under-populated grouping must null the variance, not misreport")
   }
 
   test("X9k srmCheck: balanced split passes, a 9:1 planted skew flags") {
