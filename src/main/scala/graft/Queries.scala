@@ -171,11 +171,12 @@ object Queries {
     * Staging dir is per-thread-temp; REPLACE_EXISTING makes rewrites
     * atomic-enough for the strictly sequential verify/bench callers. */
   private def writeSingleFile(df: DataFrame, format: String,
-      dest: String): Unit = {
+      dest: String, extra: Map[String, String] = Map.empty): Unit = {
     val staging = java.nio.file.Files
       .createTempDirectory("graft_s9_stage").toString
     df.coalesce(1).write.mode("overwrite").format(format)
-      .option("header", "true").option("escape", "\"").save(staging)
+      .option("header", "true").option("escape", "\"")
+      .options(extra).save(staging)
     val part = new java.io.File(staging).listFiles()
       .find(f => f.getName.startsWith("part-"))
       .getOrElse(sys.error(s"no part file written under $staging"))
@@ -277,6 +278,39 @@ object Queries {
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            |  epoch_us(o_orderdate) AS o_date_us
            |FROM orders WHERE o_totalprice > 1000.0
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** S9-xml — XML scan via Spark 4's NATIVE xml source: the orders
+    * subset written as <order> elements (one-time, single file) and
+    * read back with an explicit schema — the judged contract is
+    * ROUND-TRIP FIDELITY: the oracle reads the source-of-truth parquet
+    * directly, so any write-side escaping or read-side parsing defect
+    * breaks the hash. The `tricky` column embeds <, &, > and a quote,
+    * forcing real entity escaping through the round trip; doubles
+    * round-trip exactly (Java shortest-repr toString parses back to
+    * the same bits). DuckDB has no XML reader, which is exactly why
+    * the oracle pins the INVERSE property instead of re-reading the
+    * file (the s9 family's one inverted lane, documented here). */
+  val s9XmlScan = QuerySpec("s9_xml_scan",
+    (s, d) => {
+      val dest = s"$s9FixtureRoot/s9_orders.xml"
+      writeSingleFile(
+        T(s, d, "orders").filter(col("o_orderkey") < 20000)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            concat(col("o_orderstatus"), lit("<&>\""),
+              col("o_custkey").cast("string")).as("tricky")),
+        "xml", dest, Map("rowTag" -> "order", "rootTag" -> "orders"))
+      s.read.option("rowTag", "order")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE, tricky STRING")
+        .format("xml").load(dest)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderstatus || '<&>"' || CAST(o_custkey AS VARCHAR)
+           |    AS tricky
+           |FROM orders WHERE o_orderkey < 20000
            |ORDER BY o_orderkey""".stripMargin))
 
   /** S9-binary — RAW FILE ingestion via Spark's `binaryFile` source
@@ -10242,7 +10276,7 @@ object Queries {
 
   val all: Seq[QuerySpec] = Seq(
     flagship, e2Pipeline,
-    s9CsvScan, s9JsonScan, s9OrcScan, s9BinaryScan,
+    s9CsvScan, s9JsonScan, s9OrcScan, s9BinaryScan, s9XmlScan,
     p1SplitDecode, p2FrameProject, p4DerivedScale, p5Envelope, p6Eligibility,
     p7StatusFilter, p8Dispatch,
     fStrings, fStrings2, fArrays, f6FromJson, f8Casts, f9Uuid, f10TimeBuckets,
