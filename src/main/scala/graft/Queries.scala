@@ -8424,7 +8424,7 @@ object Queries {
            |    AS mean_milli,
            |  CASE WHEN n_null = 0 AND n_groups = 16 THEN
            |    CAST((15 * (16 * ss2 - ss * ss)) //
-           |      (CAST(16 AS HUGEINT) * 16 * 16) AS BIGINT) END
+           |      (CAST(16 AS HUGEINT) * 16) AS BIGINT) END
            |    AS jk_var_milli2
            |FROM a""".stripMargin),
     bench = false)
@@ -8669,7 +8669,8 @@ object Queries {
     Some("""WITH r AS (
            |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
            |    AS cents FROM orders),
-           |h AS (SELECT cents // 10000 AS bkt,
+           |h AS (SELECT (cents - ((cents % 10000) + 10000) % 10000) // 10000
+           |      AS bkt,
            |    CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
            |c AS (SELECT bkt,
            |    CAST(sum(cnt) OVER (ORDER BY bkt) AS BIGINT) AS cum,

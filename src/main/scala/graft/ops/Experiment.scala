@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Experiment {
 
+  /** Exact-integer FLOOR division as a SQL fragment — (x − pmod(x, y))
+    * div y for positive y, correct for NEGATIVE numerators where bare
+    * `div` truncates. The oracle twin is the explicit
+    * (x − ((x % y) + y) % y) // y form (DuckDB's `//` truncates like
+    * div — the round-15 correction). ONE definition so the idiom has
+    * one site to fix, not twelve (round-15 review). */
+  private def floorDiv(x: String, y: String): Column =
+    expr(s"($x - pmod($x, $y)) div $y")
+
   /** Two-arm conversion report with a chi-square independence statistic.
     *
     * Arm = md5-bucket parity of the unit id ([[Sketch.shardOf]], the
@@ -181,8 +190,7 @@ object Experiment {
     // this floor with the explicit ((x % y) + y) % y correction (the
     // cuped/modularity discipline), not a bare `//`.
     // (x - pmod(x, y)) div y is exact-integer floor division for
-    // positive y — no doubles.
-    def floorDiv(x: String, y: String) = expr(s"($x - pmod($x, $y)) div $y")
+    // positive y — no doubles (the object-level [[floorDiv]]).
     rows
       .select(scoreCol.cast("long").as("s"),
         when(positiveCol, 1L).otherwise(0L).as("y"))
@@ -277,8 +285,7 @@ object Experiment {
       .agg(sum(col("k")).as("n_eff"),
         sum(col("cents") * col("k")).as("sum_cents"))
       .select(col("b"), col("n_eff"), col("sum_cents"),
-        when(col("n_eff") > 0, expr(
-          "(sum_cents * 1000L - pmod(sum_cents * 1000L, n_eff)) div n_eff"))
+        when(col("n_eff") > 0, floorDiv("sum_cents * 1000L", "n_eff"))
           .as("mean_milli"))
   }
 
@@ -303,8 +310,11 @@ object Experiment {
     * total-ordered and oracle-replayable. */
   def bootstrapCi(rows: DataFrame, idCol: String, valueCents: Column,
       b: Int, loPpm: Long = 25000L, hiPpm: Long = 975000L): DataFrame = {
-    require(loPpm < 500000L && 500000L < hiPpm,
-      s"CI must bracket the median, got [$loPpm, $hiPpm]")
+    require(loPpm >= 1L && loPpm < 500000L && 500000L < hiPpm &&
+        hiPpm <= 999999L,
+      s"CI quantiles must sit in [1, 999999] ppm around the median, " +
+        s"got [$loPpm, $hiPpm] — an out-of-range rank would select " +
+        "nothing and return a silently-null bound")
     val (rLo, rMed, rHi) =
       (nearestRank(loPpm, b), nearestRank(500000L, b), nearestRank(hiPpm, b))
     poissonBootstrap(rows, idCol, valueCents, b)
@@ -350,15 +360,16 @@ object Experiment {
       .withColumn("n_all", sum(col("n_g")).over(w))
       .withColumn("s_all", sum(col("sum_cents")).over(w))
       .select(col("grp"), col("n_g"), col("sum_cents"),
-        when(col("n_all") > col("n_g"), expr(
-          "((s_all - sum_cents) * 1000L - " +
-            "pmod((s_all - sum_cents) * 1000L, n_all - n_g)) " +
-            "div (n_all - n_g)")).as("loo_mean_milli"))
+        when(col("n_all") > col("n_g"),
+          floorDiv("(s_all - sum_cents) * 1000L", "(n_all - n_g)"))
+          .as("loo_mean_milli"))
   }
 
   /** X9j — the jackknife one-row report: n, overall mean, and the
     * delete-one-group variance of the mean in milli² as the exact
-    * rational (G−1)·Σ(G·m_g − Σm)² / G³, carried in DECIMAL(38,0)
+    * rational (G−1)·(G·Σm² − (Σm)²) / G² — the expansion of
+    * (G−1)/G · Σ(m_g − m̄)², since Σ(m_g − m̄)² = (G·Σm² − (Σm)²)/G —
+    * carried in DECIMAL(38,0)
     * (HUGEINT oracle-side, the CUPED discipline) with one pinned FLOOR
     * division at the end. The BIGINT output bound holds unless group
     * means spread over ~10⁹ milli — far beyond any honest metric; a
@@ -382,13 +393,10 @@ object Experiment {
           col("loo_mean_milli").cast("decimal(38,0)")).as("ss2"))
       .select(
         col("n_groups"), col("n"), col("sum_cents"),
-        expr("(sum_cents * 1000L - pmod(sum_cents * 1000L, n)) div n")
-          .as("mean_milli"),
-        when(col("n_null") === 0 && col("n_groups") === g, expr(
-          s"(($g - 1) * ($g * ss2 - ss * ss) - " +
-            s"pmod(($g - 1) * ($g * ss2 - ss * ss), " +
-            s"CAST($g AS DECIMAL(38,0)) * $g * $g)) " +
-            s"div (CAST($g AS DECIMAL(38,0)) * $g * $g)"))
+        floorDiv("sum_cents * 1000L", "n").as("mean_milli"),
+        when(col("n_null") === 0 && col("n_groups") === g,
+          floorDiv(s"($g - 1) * ($g * ss2 - ss * ss)",
+            s"(CAST($g AS DECIMAL(38,0)) * $g)"))
           .as("jk_var_milli2"))
 
   /** X9m — post-stratification adjusted means: re-weight each arm's
@@ -424,8 +432,7 @@ object Experiment {
       // stratum-arm mean floored to milli, then share-weighted; both
       // divisions pinned FLOOR (sums are non-negative here only by
       // accident — the pmod form is sign-safe regardless)
-      .withColumn("m_sa_milli", expr(
-        "(sum_sa * 1000L - pmod(sum_sa * 1000L, n_sa)) div n_sa"))
+      .withColumn("m_sa_milli", floorDiv("sum_sa * 1000L", "n_sa"))
       .groupBy(col("arm"))
       .agg(
         sum(col("n_sa")).as("n_units"),
@@ -437,10 +444,8 @@ object Experiment {
         sum(col("n_s")).as("covered_n"),
         sum(col("n_s") * col("m_sa_milli")).as("wsum"))
       .select(col("arm"), col("n_units"), col("covered_n"),
-        expr("(sum_cents * 1000L - pmod(sum_cents * 1000L, n_units)) " +
-          "div n_units").as("mean_milli"),
-        expr("(wsum - pmod(wsum, n_all)) div n_all")
-          .as("poststrat_mean_milli"))
+        floorDiv("sum_cents * 1000L", "n_units").as("mean_milli"),
+        floorDiv("wsum", "n_all").as("poststrat_mean_milli"))
   }
 
   /** X9n — difference-in-differences: the pre/post × arm 2×2 of cell
@@ -463,9 +468,8 @@ object Experiment {
     def cell(arm: String, post: Boolean, c: Column) =
       sum(when(col("arm") === arm && col("post") === post, c)
         .otherwise(0L))
-    def meanMilli(s: String, n: String) = expr(
-      s"CASE WHEN $n > 0 THEN ($s * 1000L - pmod($s * 1000L, $n)) " +
-        s"div $n END")
+    def meanMilli(s: String, n: String) =
+      when(col(n) > 0, floorDiv(s"$s * 1000L", n))
     tagged.agg(
         cell("a", post = false, lit(1L)).as("n_a_pre"),
         cell("a", post = false, col("cents")).as("s_a_pre"),
@@ -547,9 +551,8 @@ object Experiment {
         when(Sketch.shardOf(col("unit"), 2) === 0, "a").otherwise("b"))
     def a(c: Column) = sum(when(col("arm") === "a", c).otherwise(0L))
     def b(c: Column) = sum(when(col("arm") === "b", c).otherwise(0L))
-    def meanMilli(s: String, n: String) = expr(
-      s"CASE WHEN $n > 0 THEN ($s * 1000L - pmod($s * 1000L, $n)) " +
-        s"div $n END")
+    def meanMilli(s: String, n: String) =
+      when(col(n) > 0, floorDiv(s"$s * 1000L", n))
     perUnit.agg(
         a(lit(1L)).as("n_a"), b(lit(1L)).as("n_b"),
         a(col("conv")).as("conv_a"), b(col("conv")).as("conv_b"),
@@ -608,10 +611,11 @@ object Experiment {
     * reaches nearest-rank ceil(p·N) — so at least p of the rows are ≤
     * cut by construction. Second pass clamps with the 1-row cut
     * broadcast (the basket-rules total discipline — no driver
-    * round-trip, plan stays lazy). Non-negative metric contract
-    * (bucket = cents div width uses truncating div; winsorizing a
-    * signed metric is not a thing). Output: n, cut_cents,
-    * mean_milli, win_mean_milli. */
+    * round-trip, plan stays lazy). Buckets are FLOOR divisions
+    * (round-15 review: truncating `div` would double-width bucket 0
+    * and mis-edge a negative cut bucket — with floor bucketing a
+    * signed metric winsorizes correctly, no sign contract needed).
+    * Output: n, cut_cents, mean_milli, win_mean_milli. */
   def winsorizedMean(rows: DataFrame, valueCents: Column, pPpm: Long,
       bucketCents: Long): DataFrame = {
     require(pPpm >= 500000L && pPpm < 1000000L,
@@ -619,7 +623,7 @@ object Experiment {
     require(bucketCents >= 1, s"bucket width must be >= 1, got $bucketCents")
     val facts = rows.select(valueCents.cast("long").as("cents"))
     val buckets = facts
-      .groupBy(expr(s"cents div ${bucketCents}L").as("bkt"))
+      .groupBy(floorDiv("cents", s"${bucketCents}L").as("bkt"))
       .agg(count(lit(1)).as("cnt"))
     val wOrd = Window.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -644,10 +648,8 @@ object Experiment {
         sum(col("cents")).as("s_raw"),
         sum(least(col("cents"), col("cut_cents"))).as("s_win"))
       .select(col("n"), col("cut_cents"),
-        expr("(s_raw * 1000L - pmod(s_raw * 1000L, n)) div n")
-          .as("mean_milli"),
-        expr("(s_win * 1000L - pmod(s_win * 1000L, n)) div n")
-          .as("win_mean_milli"))
+        floorDiv("s_raw * 1000L", "n").as("mean_milli"),
+        floorDiv("s_win * 1000L", "n").as("win_mean_milli"))
   }
 
   /** X9g — CUPED variance reduction (Controlled-experiment Using

@@ -514,8 +514,12 @@ object StressBench {
       // round-15: assortativity — the hub-to-leaf structure dominates
       // the degree moments, so the skew graph must read DISASSORTATIVE
       // (negative ppm, within the Pearson band) at every scale
-      stage(s"assort_$tag")(ops.Graph.assortativity(g))
-      val asp = ops.Graph.assortativity(g).collect().head
+      // checkpointed so the band assertion reuses the staged result
+      // instead of recomputing the 1-row statistic (round-15 review)
+      val assortDf = ops.Graph.assortativity(g)
+        .localCheckpoint(eager = false)
+      stage(s"assort_$tag")(assortDf)
+      val asp = assortDf.collect().head
       require(!asp.isNullAt(1) && asp.getLong(1) < 0L &&
           asp.getLong(1) >= -1000000L,
         s"skew graph must be disassortative in band: $asp")

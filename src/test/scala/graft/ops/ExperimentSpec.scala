@@ -305,12 +305,22 @@ class ExperimentSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(got == byGrp.toSeq.sortBy(_._1).map { case (k, (n, s)) =>
       (k, n, s, loo(k)) })
-    // variance: (G-1)/G * sum (m_g - mbar)^2 via the exact rational
+    // variance replayed from the DEFINING formula (G-1)/G * sum
+    // (m_g - mbar)^2 in exact rationals — NOT the code's expansion, so
+    // a mis-expanded implementation cannot self-confirm (the round-15
+    // review caught exactly that: a dropped factor of G)
     val ms = loo.values.toSeq
     val ss = ms.sum
     val ss2 = ms.map(m => BigInt(m) * m).sum
+    // (G-1)/G * (ss2 - ss^2/G) = (G-1)*(G*ss2 - ss^2) / G^2 exactly
     val expVar = ((BigInt(g - 1) * (BigInt(g) * ss2 - BigInt(ss) * ss)) /
-      (BigInt(g) * g * g)).toLong
+      (BigInt(g) * g)).toLong
+    // brute-force check of the same quantity in doubles (independent path)
+    val mbar = ms.sum.toDouble / g
+    val vDouble = (g - 1).toDouble / g *
+      ms.map(m => (m.toDouble - mbar) * (m.toDouble - mbar)).sum
+    assert(math.abs(expVar - vDouble) <= math.max(1.0, vDouble * 1e-9),
+      s"exact rational $expVar must track the defining formula $vDouble")
     val vr = Experiment.jackknifeVar(rows, "id", col("cents"), g)
       .select(col("n_groups"), col("n"), col("mean_milli"),
         col("jk_var_milli2"))

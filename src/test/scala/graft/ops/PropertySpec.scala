@@ -571,8 +571,8 @@ class PropertySpec extends SparkSpec {
   }
 
   test("winsorized mean never exceeds the raw mean, and a cut above the " +
-      "max is the identity (any non-negative data, any width)") {
-    val row = Gen.chooseNum(0L, 50000L)
+      "max is the identity (signed data too — floor bucketing, any width)") {
+    val row = Gen.chooseNum(-5000L, 50000L)
     cases(Gen.zip(Gen.listOfN(40, row), Gen.chooseNum(1L, 500L))) {
       case (cs, w) =>
         val df = cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
