@@ -367,6 +367,23 @@ object Dedup {
     * cluster). Returns (idCol, cluster). */
   def components(nodes: DataFrame, pairs: DataFrame, idCol: String,
       d1: String = "d1", d2: String = "d2", maxIter: Int = 20): DataFrame = {
+    val (labels, converged) = minLabelRounds(nodes, pairs, idCol, d1, d2, maxIter)
+    // an unconverged exit would hand the caller UNDER-MERGED clusters (and
+    // wrong survivor flags) with no signal — fail loudly instead; callers
+    // with genuinely deep duplicate chains raise maxIter
+    require(converged,
+      s"components did not converge in $maxIter rounds — candidate-pair " +
+        s"graph diameter exceeds maxIter; raise maxIter")
+    labels.select(col("src").as(idCol), col("label").as("cluster"))
+  }
+
+  /** The min-label propagation core of [[components]], WITHOUT the
+    * loud-failure contract: runs at most `maxIter` rounds and reports
+    * whether a fixpoint was reached, so [[componentsHybrid]] can spend a
+    * bounded budget here and fall through to star contraction instead of
+    * aborting. Returns ((src, label) frame, converged). */
+  private def minLabelRounds(nodes: DataFrame, pairs: DataFrame, idCol: String,
+      d1: String, d2: String, maxIter: Int): (DataFrame, Boolean) = {
     val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
       .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
       .localCheckpoint()
@@ -392,13 +409,44 @@ object Dedup {
       labels = joined.select(col("src"), col("label"))
       i += 1
     }
-    // an unconverged exit would hand the caller UNDER-MERGED clusters (and
-    // wrong survivor flags) with no signal — fail loudly instead; callers
-    // with genuinely deep duplicate chains raise maxIter
-    require(converged,
-      s"components did not converge in $maxIter rounds — candidate-pair " +
-        s"graph diameter exceeds maxIter; raise maxIter")
-    labels.select(col("src").as(idCol), col("label").as("cluster"))
+    (labels, converged)
+  }
+
+  /** X2e'' — HYBRID component resolver (round 16, the r15 VERDICT's
+    * flagship-dedup perf item): min-label propagation for a bounded
+    * `labelBudget`, falling through to [[componentsStar]] ONLY on
+    * non-convergence. Rationale, measured across r14/r15: LSH/exact dup
+    * graphs are overwhelmingly clique-ish (diameter 1–3), where
+    * min-label closes in 3–4 rounds of ONE join + ONE min-agg each —
+    * cheaper per round than star contraction's two groupBy-min + two
+    * joins + distinct + convergence-except (the switch to pure
+    * componentsStar cost `x2_dedup_e2e` 1.49× in r15). Chain-shaped
+    * graphs (substring spans, sliding boilerplate) blow the label budget
+    * — there the spent rounds are forfeited and star contraction closes
+    * the remainder in O(log²) rounds, SEEDED with the partial labels:
+    * each node's (node → current-min-reachable-label) edge is added to
+    * the pair graph, which collapses everything min-label already
+    * resolved to depth ≤ labelBudget into direct star edges. Label edges
+    * stay within components by construction (a label is reachable from
+    * its node), so the fall-through computes the identical
+    * min-reachable-id clustering — same contract, same oracles.
+    *
+    * Convergence detection is FREE here (min-label's fixpoint check is
+    * the same joined frame the round already builds), unlike a
+    * diameter-proxy pre-check which would cost an extra pass over the
+    * candidate graph to estimate a quantity the budget discovers anyway. */
+  def componentsHybrid(nodes: DataFrame, pairs: DataFrame, idCol: String,
+      d1: String = "d1", d2: String = "d2", labelBudget: Int = 6,
+      maxIter: Int = 30): DataFrame = {
+    val (labels, converged) =
+      minLabelRounds(nodes, pairs, idCol, d1, d2, labelBudget)
+    if (converged) labels.select(col("src").as(idCol), col("label").as("cluster"))
+    else {
+      val labelEdges = labels.filter(col("src") =!= col("label"))
+        .select(col("src").as(d1), col("label").as(d2))
+      componentsStar(nodes,
+        pairs.select(col(d1), col(d2)).union(labelEdges), idCol, d1, d2, maxIter)
+    }
   }
 
   /** X2e' — connected components by alternating LARGE-STAR / SMALL-STAR
@@ -498,15 +546,16 @@ object Dedup {
     *     with the `maxBucket` skew cap (degenerate boilerplate buckets
     *     dropped — their members are near-identical mass the exact pass
     *     and cluster resolution handle, not pair enumeration).
-    *  3. [[componentsStar]] large-star/small-star contraction over exact
-    *     edges ∪ candidate edges: every doc gets the smallest reachable
-    *     doc id as its cluster, so the cluster id IS the canonical
-    *     survivor. (Round 15: switched from O(diameter) min-label
-    *     [[components]] — same min-reachable-id contract, same oracles,
-    *     but CHAIN-shaped duplicate graphs (substring-span overlaps,
-    *     sliding boilerplate) converge in O(log²) rounds instead of one
-    *     driver round per hop; StressBench pins a 1k-long LSH chain
-    *     converging in ≤ 15 rounds through this exact pipeline.)
+    *  3. [[componentsHybrid]] cluster resolution over exact edges ∪
+    *     candidate edges: every doc gets the smallest reachable doc id
+    *     as its cluster, so the cluster id IS the canonical survivor.
+    *     (Round 15 switched min-label → star contraction so chains close
+    *     in O(log²) rounds; round 16 made it the HYBRID — min-label for
+    *     a bounded budget, star only on non-convergence — because the
+    *     common clique-ish case converges in 3–4 cheap label rounds and
+    *     pure star contraction had cost the e2e lane 1.49×. StressBench
+    *     still pins a 1k-long LSH chain resolving through this exact
+    *     pipeline.)
     *
     * Returns one row per input doc: (idCol, cluster, is_survivor).
     * Shuffle ledger at scale: one hash shuffle on fp (the window), one
@@ -529,7 +578,7 @@ object Dedup {
     val candEdges = lshCandidates(
         minhash(reps, textCol, idCol, spread = false), idCol, maxBucket)
       .select(col("d1"), col("d2"))
-    componentsStar(docs.select(col(idCol)), exactEdges.union(candEdges), idCol)
+    componentsHybrid(docs.select(col(idCol)), exactEdges.union(candEdges), idCol)
       .withColumn("is_survivor", col("cluster") === col(idCol))
   }
 

@@ -234,6 +234,31 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L to 8L).map(i => i -> i).toMap)
   }
 
+  test("X2e'' componentsHybrid: agrees with components on shallow graphs, " +
+      "with componentsStar past the label budget, and labels ALL nodes") {
+    // shallow mixed graph — converges inside the default label budget,
+    // so the hybrid IS min-label here
+    val nodes = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("d1", "d2")
+    val hybrid = Dedup.componentsHybrid(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(hybrid == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+
+    // a 1000-link chain blows the label budget — the fall-through must
+    // resolve it exactly like pure star contraction (one cluster at the
+    // min id), seeded labels included, with a singleton kept intact
+    val chainNodes = spark.range(0, 1001).selectExpr("id as doc_id")
+    val chainPairs = spark.range(0, 999)
+      .selectExpr("id as d1", "id + 1 as d2")
+    val got = Dedup.componentsHybrid(chainNodes, chainPairs, "doc_id",
+        labelBudget = 3)
+      .as[(Long, Long)].collect()
+    assert(got.length == 1001)
+    assert(got.filter(_._1 < 1000).forall(_._2 == 0L))
+    assert(got.find(_._1 == 1000L).get._2 == 1000L)
+  }
+
   test("X2b/X2c' maxBucket drops degenerate buckets, keeps discriminative ones") {
     // 40 identical docs: every band bucket has 40 members -> capped out;
     // a separate duplicate pair sits in its own size-2 buckets and
