@@ -183,6 +183,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_bloom_contains",
       exprs => BloomKeyFilter(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_median_mad", exprs => MedianMad(exprs(0)), "built-in")
   }
 }
 
@@ -233,6 +235,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BloomKeyFilter].getName, "graft_bloom_contains"),
       (exprs: Seq[Expression]) => BloomKeyFilter(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_median_mad"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MedianMad].getName, "graft_median_mad"),
+      (exprs: Seq[Expression]) => MedianMad(exprs(0))))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

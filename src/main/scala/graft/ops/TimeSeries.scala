@@ -245,8 +245,11 @@ object TimeSeries {
     * The trailing window is materialized as an n-element array per row
     * via collect_list over a row frame — O(n) longs per row, bounded
     * by the `n` parameter, NOT by data volume — and the median/MAD
-    * math is codegen'd higher-order array functions (array_sort /
-    * transform / element_at) on that bounded array. Rows without a
+    * math is ONE custom codegen'd kernel
+    * ([[graft.functions.MedianMad]]: primitive long[] sorts fused into
+    * the stage; the prior array_sort/transform formulation was three
+    * interpreted HigherOrderFunction passes per row and dominated the
+    * 1M-tick stress wall). Rows without a
     * full window warm-up are excluded (no partial-window flags).
     * At 100 TB: cost is the key shuffle plus n longs of state per
     * row — linear, no driver involvement, skew rides the key
@@ -255,7 +258,7 @@ object TimeSeries {
       tieCol: String, valueCentsCol: Column, n: Int = 15,
       k: Int = 7): DataFrame = {
     require(n >= 3 && n % 2 == 1, s"window must be odd and >= 3, got $n")
-    val mid = (n + 1) / 2
+    graft.functions.GraftFunctions.register(events.sparkSession)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(expr(s"unix_micros($tsCol)"), col(tieCol))
       .rowsBetween(-(n - 1), Window.currentRow)
@@ -264,10 +267,9 @@ object TimeSeries {
         col(tsCol))
       .withColumn("win", collect_list(col("cents")).over(w))
       .filter(size(col("win")) === n)
-      .withColumn("l", array_sort(col("win")))
-      .withColumn("med", element_at(col("l"), mid))
-      .withColumn("mad", element_at(
-        array_sort(transform(col("l"), x => abs(x - col("med")))), mid))
+      .withColumn("mm", expr("graft_median_mad(win)"))
+      .withColumn("med", element_at(col("mm"), 1))
+      .withColumn("mad", element_at(col("mm"), 2))
       .select(col(tieCol), col(keyCol), col("cents"), col("med"),
         col("mad"), (abs(col("cents") - col("med")) > col("mad") * k)
           .as("is_anom"))
