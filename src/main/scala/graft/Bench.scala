@@ -57,6 +57,74 @@ object Bench {
         System.nanoTime() < deadline) Thread.sleep(10)
     }
   }
+  /** ROTATION POLICY (round 16, r15 VERDICT item 4): 286 judged lanes,
+    * but the driver's ~1900-char stdout window caps the per-round bench
+    * set — r15 ran a fixed 91 lanes at 1878/1900 chars (22 of headroom),
+    * which both froze the set (heavy lanes like x4_nb_classify, x10_scc,
+    * x3_ivf_pq_residual got NO cross-round wall/shuffle tracking, the
+    * VERDICT's finding) and left no room to ever add one. Fix: split the
+    * benched surface into
+    *
+    *  - [[coreBench]] — the headline subset + the scale-critical lanes
+    *    the judge plan-audits, timed EVERY round (stable cross-round
+    *    series, the 13-query operative record lives here);
+    *  - a rotation pool — every other `bench = true` lane PLUS the
+    *    heavy previously-unbenched lanes — deterministically split into
+    *    3 groups by md5(name) % 3; round r additionally benches group
+    *    r % 3, so EVERY pool lane gets a bench point at least every 3rd
+    *    round and the per-round line stays ~60 lanes ≈ 1400 chars, well
+    *    inside budget (render()'s fallbacks still guard the edge).
+    *
+    * The round number comes from SPARK_GRAFT_ROUND when the caller sets
+    * it, else from counting the driver's own BENCH_r*.json artifacts in
+    * the working directory — both deterministic for a given round. */
+  private[graft] val coreBench: Seq[String] = Seq(
+    // the headline subset (declaration-order head; compactHead(16)'s
+    // emergency tail keeps exactly these lanes' coverage)
+    "flagship_revenue_by_nation", "e2_pipeline", "f10_time_buckets",
+    "j3_shuffle_hash", "j4_sort_merge", "j8_semi_join", "a1_pricing_summary",
+    "a4_ohlc_bars", "w3_frames", "q1_topk", "q1b_grouped_topk",
+    "sql6_q3_shipping", "sql7_q18_big_orders", "sql8_q10_returns",
+    "sql9_q21_blocked", "sql11_q17_small_qty", "sql12_q22_dormant",
+    // scale-critical lanes the VERDICT plan-audits every round
+    "x2_semdedup", "x2_dedup_e2e", "x10_pagerank", "x10_ppr", "x10_lpa",
+    "x10_sssp", "st_merge_replay", "x8_anomaly", "x9_curation_e2e",
+    "x6_aqe_skew", "x7_merge_cdc", "x7_bucketed_join", "x4_lm_score")
+
+  /** Heavy lanes that were never benched before round 16 — joined into
+    * the rotation pool alongside the non-core `bench = true` lanes. */
+  private[graft] val extraHeavy: Seq[String] = Seq(
+    "x4_nb_classify", "x4_bpe_encode", "x4_lm_score_holdout",
+    "x4_decontaminate", "x4_corpus_report",
+    "x2_winnow_pairs", "x2_containment", "x2_embed_dedup_e2e",
+    "x2_components_star",
+    "x10_scc", "x10_hits", "x10_linkpred", "x10_modularity",
+    "x10_clustering_coeff", "x10_pagerank_dangling",
+    "x3_ivf_pq_residual", "x3_pq_topk", "x3_binary_rerank", "x3_knn_ann",
+    "x3_mmr",
+    "x5_pack", "x5_shard", "x7_zorder", "x7_maintenance")
+
+  private[graft] def rotationPool: Seq[String] =
+    SparkEntry.benchQueries.filterNot(coreBench.toSet) ++ extraHeavy
+
+  private[graft] def rotationGroup(name: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8"))
+    math.floorMod(d(0).toInt, 3)
+  }
+
+  private[graft] def rotationSlice(round: Int): Seq[String] =
+    rotationPool.filter(n => rotationGroup(n) == math.floorMod(round, 3))
+
+  private[graft] def detectRound(): Int =
+    sys.env.get("SPARK_GRAFT_ROUND").flatMap(r => scala.util.Try(r.toInt).toOption)
+      .getOrElse {
+        val dir = new java.io.File(".").listFiles()
+        val n = if (dir == null) 0
+          else dir.count(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        n + 1
+      }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,6 +138,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fns = SparkEntry.queries
+    val round = detectRound()
+    val benchNames = coreBench ++ rotationSlice(round)
+    System.err.println(s"[bench] round $round rotation: " +
+      rotationSlice(round).mkString(", "))
     // noop write (DSv2 "noop" sink) rather than count(): a count aggregate
     // lets EliminateSorts drop each query's final ORDER BY, so it would
     // time everything EXCEPT the declared output sort stage
@@ -83,7 +155,7 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     (Seq(warmDir).filter(new java.io.File(_).isDirectory) :+ sfDir)
       .foreach { dir =>
-        SparkEntry.benchQueries.foreach { name =>
+        benchNames.foreach { name =>
           try exec(name, dir)
           catch { case _: Throwable => () }
         }
@@ -100,7 +172,7 @@ object Bench {
     // produce duplicate JSON keys (r12's artifact carried each error twice)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val metrics = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
-    def timedPass(): Seq[(String, Double)] = SparkEntry.benchQueries.map { name =>
+    def timedPass(): Seq[(String, Double)] = benchNames.map { name =>
       listener.reset()
       val t0 = System.nanoTime()
       val ok =

@@ -100,4 +100,39 @@ class BenchContractSpec extends AnyFunSuite {
     }
     assert(fj.get("value").asDouble > 2.12 && fj.get("value").asDouble < 2.13)
   }
+
+  test("rotation: core + pool are declared queries, slices partition the " +
+      "pool with period 3, and the worst-case round fits the budget") {
+    val declared = Queries.all.map(_.name).toSet
+    (Bench.coreBench ++ Bench.rotationPool).foreach { n =>
+      assert(declared.contains(n), s"bench lane $n is not a declared query")
+    }
+    // core and pool are disjoint and duplicate-free: a lane is either
+    // every-round or every-3rd-round, never both/twice
+    assert(Bench.coreBench.distinct.size == Bench.coreBench.size)
+    assert(Bench.rotationPool.distinct.size == Bench.rotationPool.size)
+    assert(Bench.coreBench.toSet.intersect(Bench.rotationPool.toSet).isEmpty)
+    // every statically-declared bench lane is still covered by the split
+    assert(SparkEntry.benchQueries.toSet.subsetOf(
+      (Bench.coreBench ++ Bench.rotationPool).toSet))
+    // the previously-unbenched heavy lanes the r15 VERDICT named are in
+    assert(Seq("x4_nb_classify", "x2_winnow_pairs", "x10_scc", "x10_hits",
+      "x3_ivf_pq_residual").forall(Bench.rotationPool.contains))
+    // the three slices partition the pool — every lane in exactly one
+    val slices = (0 to 2).map(Bench.rotationSlice)
+    assert(slices.flatten.sorted == Bench.rotationPool.sorted)
+    // determinism + period 3: slice(r) == slice(r + 3) for any round
+    (16 to 22).foreach { r =>
+      assert(Bench.rotationSlice(r) == Bench.rotationSlice(r + 3))
+    }
+    // budget: the compact line must fit the WORST slice at full precision
+    val maxSlice = slices.maxBy(_.size)
+    val names = Bench.coreBench ++ maxSlice
+    val results = names.map(n => n -> 9.1234)
+    val (_, compact) = Bench.render(results, Map.empty, Nil,
+      "/root/testdata/sf0.1")
+    assert(compact.length <= Bench.CompactBudget,
+      s"compact ${compact.length} chars with ${maxSlice.size} rotation lanes")
+    assert(parse(compact).get("queries").size == names.size)
+  }
 }
