@@ -615,7 +615,8 @@ object Queries {
       .select(expr("unix_micros(window.start)").as("start_us"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("start_us"), col("event_type")),
-    Some("""SELECT (epoch_us(ts) // 900000000) * 900000000 AS start_us,
+    Some("""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |SELECT (epoch_us(ts) // 900000000) * 900000000 AS start_us,
            |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY start_us, event_type""".stripMargin))
 
@@ -634,7 +635,8 @@ object Queries {
       .select(expr("unix_micros(window.start)").as("start_us"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("start_us"), col("event_type")),
-    Some("""WITH w AS (
+    Some("""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |WITH w AS (
            |  SELECT ((epoch_us(ts) // 900000000) - k) * 900000000
            |      AS start_us,
            |    event_type, value
@@ -873,7 +875,8 @@ object Queries {
           "last_click_hr")
         .orderBy(col("event_id"))
     },
-    Some("""WITH p AS (
+    Some("""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |WITH p AS (
            |  SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS ts_hr
            |  FROM events WHERE event_type = 'purchase'),
            |c AS (
@@ -1007,7 +1010,8 @@ object Queries {
     (s, d) => Sketch.hllEstimate(
         Sketch.hllRegisters(T(s, d, "orders"), "o_orderkey"))
       .orderBy(col("bucket")),
-    Some("""WITH v AS (
+    Some("""-- nonneg-div: md5-derived unsigned hashes and counts
+           |WITH v AS (
            |  SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders),
            |p AS (
            |  SELECT CAST(('0x' || substr(h, 1, 2))::BIGINT // 4 AS INT)
@@ -1055,7 +1059,8 @@ object Queries {
         .select(col("l_returnflag"), col("est_fp"), col("exact_orders"))
         .orderBy(col("l_returnflag"))
     },
-    Some("""WITH v AS (
+    Some("""-- nonneg-div: md5-derived unsigned hashes and counts
+           |WITH v AS (
            |  SELECT l_returnflag AS g,
            |    md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
            |p AS (
@@ -1507,7 +1512,8 @@ object Queries {
           round(col("volume"), 4).as("volume"), col("n_ticks"))
         .orderBy(col("start_us"), col("isin"))
     },
-    Some(s"""WITH t AS (
+    Some(s"""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |WITH t AS (
             |  SELECT epoch_us(ts) AS us, $isinSql AS isin,
             |    value AS last_price, value AS volume
             |  FROM events),
@@ -2326,7 +2332,8 @@ object Queries {
     (s, d) => Dedup.prefixJaccardPairs(T(s, d, "documents"), "text",
         "doc_id", k = 4, tNum = 1, tDen = 2)
       .orderBy(col("d1"), col("d2")),
-    Some("""WITH d AS (
+    Some("""-- nonneg-div: shingle-set sizes
+           |WITH d AS (
            |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
            |    len(string_split(lower(text), ' ')) AS nt
            |  FROM documents),
@@ -2414,7 +2421,8 @@ object Queries {
     (s, d) => TextOps.nbClassify(T(s, d, "documents"), "text", "doc_id",
         "lang", trainFilter = col("doc_id") % 5 =!= 0)
       .orderBy(col("doc_id")),
-    Some("""WITH tr AS (
+    Some("""-- nonneg-div: add-one-smoothed counts
+           |WITH tr AS (
            |  SELECT doc_id, lang,
            |    unnest(string_split(lower(text), ' ')) AS w
            |  FROM documents WHERE doc_id % 5 <> 0),
@@ -2817,7 +2825,8 @@ object Queries {
   val x4LmScore = QuerySpec("x4_lm_score",
     (s, d) => TextOps.lmScore(T(s, d, "documents"), "text", "doc_id")
       .orderBy(col("doc_id")),
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+    Some("""-- nonneg-div: bigram counts and ppm probabilities
+           |WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
            |  FROM documents),
            |b AS (
            |  SELECT doc_id, toks[i] AS w, toks[i+1] AS w2
@@ -2850,7 +2859,8 @@ object Queries {
       TextOps.lmScore(eval, "text", "doc_id", train = Some(train))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH tr AS (
+    Some("""-- nonneg-div: bigram counts and ppm probabilities
+           |WITH tr AS (
            |  SELECT doc_id, text FROM documents
            |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
            |ev AS (
@@ -3046,7 +3056,8 @@ object Queries {
             "(n1 + n2 - coalesce(n_inter, 0)) AS BIGINT)").as("jac_ppm"))
         .orderBy(col("d1"), col("d2"))
     },
-    Some("""WITH d AS (
+    Some("""-- nonneg-div: shingle-set sizes
+           |WITH d AS (
            |  SELECT doc_id, string_split(text, ' ') AS toks,
            |    len(string_split(text, ' ')) AS n
            |  FROM documents),
@@ -3482,7 +3493,8 @@ object Queries {
         Similarity.md5AnnTopK(q, emb, 5), 5)
         .orderBy(col("query_id"), col("rrf_rnk"))
     },
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+    Some(s"""-- nonneg-div: reciprocal-rank numerators
+           |WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
             |  FROM embeddings),
             |p AS (SELECT q.vec_id AS query_id, c.vec_id,
             |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
@@ -3747,7 +3759,8 @@ object Queries {
     (s, d) => TimeSeries.transitions(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type")
       .orderBy(col("prev_t"), col("next_t")),
-    Some("""WITH o AS (SELECT user_id, event_id, event_type,
+    Some("""-- nonneg-div: counts/rank sums only
+           |WITH o AS (SELECT user_id, event_id, event_type,
            |    epoch_us(ts) AS us FROM events),
            |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
            |      ORDER BY us, event_id) AS prev_t,
@@ -3804,7 +3817,8 @@ object Queries {
         "ts", "event_id",
         floor(col("value") * 100 + lit(0.5)).cast("long"))
       .orderBy(col("user_id")),
-    Some("""WITH e AS (SELECT user_id, event_id,
+    Some("""-- nonneg-div: peak - price >= 0 by prefix max
+           |WITH e AS (SELECT user_id, event_id,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
            |    epoch_us(ts) AS us
            |  FROM events),
@@ -3833,7 +3847,8 @@ object Queries {
         "ts", "event_id",
         floor(col("value") * 100 + lit(0.5)).cast("long"), 3600000000L)
       .orderBy(col("user_id")),
-    Some("""WITH e AS (SELECT user_id, event_id,
+    Some("""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |WITH e AS (SELECT user_id, event_id,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
            |    epoch_us(ts) AS us FROM events),
            |b AS (SELECT user_id, cents, us // 3600000000 AS bucket,
@@ -3875,7 +3890,8 @@ object Queries {
         "ts", "event_id",
         floor(col("value") * 100 + lit(0.5)).cast("long"))
       .orderBy(col("event_id")),
-    Some("""WITH e AS (SELECT user_id, event_id,
+    Some("""-- nonneg-div: nonneg-weighted sum of nonneg fixture cents
+           |WITH e AS (SELECT user_id, event_id,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
            |    epoch_us(ts) AS us
            |  FROM events),
@@ -3903,7 +3919,8 @@ object Queries {
         "ts", "event_id",
         floor(col("value") * 100 + lit(0.5)).cast("long"))
       .orderBy(col("user_id"), col("day")),
-    Some("""WITH e AS (SELECT user_id, event_id,
+    Some("""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |WITH e AS (SELECT user_id, event_id,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
            |    epoch_us(ts) AS us
            |  FROM events),
@@ -3954,7 +3971,8 @@ object Queries {
   val x9AbTest = QuerySpec("x9_ab_test",
     (s, d) => Experiment.abReport(Tables.events(s, d), "user_id",
         "event_type", "purchase"),
-    Some("""WITH u AS (SELECT user_id,
+    Some("""-- nonneg-div: counts/rank sums only
+           |WITH u AS (SELECT user_id,
            |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
            |      AS conv
            |  FROM events GROUP BY 1),
@@ -3997,7 +4015,8 @@ object Queries {
   val x9Auc = QuerySpec("x9_auc",
     (s, d) => Experiment.aucReport(T(s, d, "documents"),
       size(split(col("text"), " ")).cast("long"), col("lang") === "en"),
-    Some("""WITH r AS (
+    Some("""-- nonneg-div: U >= 0 by the rank-sum lower bound
+           |WITH r AS (
            |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
            |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
            |  FROM documents),
@@ -4028,7 +4047,8 @@ object Queries {
     (s, d) => Experiment.prCurve(T(s, d, "documents"),
         size(split(col("text"), " ")).cast("long"), col("lang") === "en")
       .orderBy(col("s").desc),
-    Some("""WITH r AS (
+    Some("""-- nonneg-div: counts/rank sums only
+           |WITH r AS (
            |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
            |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
            |  FROM documents),
@@ -4057,7 +4077,8 @@ object Queries {
         size(split(col("text"), " ")).cast("long"), col("lang") === "en",
         "source")
       .orderBy(col("source")),
-    Some("""WITH r AS (
+    Some("""-- nonneg-div: U >= 0 by the rank-sum lower bound
+           |WITH r AS (
            |  SELECT source,
            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
            |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
@@ -4112,7 +4133,8 @@ object Queries {
   val x4DomainShift = QuerySpec("x4_domain_shift",
     (s, d) => TextOps.domainShift(T(s, d, "documents"), "text", "lang")
       .orderBy(col("grp")),
-    Some("""WITH t AS (SELECT lang AS grp,
+    Some("""-- nonneg-div: token counts and abs TV mass
+           |WITH t AS (SELECT lang AS grp,
            |    unnest(string_split(lower(text), ' ')) AS tok
            |  FROM documents),
            |gc AS (SELECT grp, tok, count(*) AS cnt_s FROM t GROUP BY 1, 2),
@@ -4135,7 +4157,8 @@ object Queries {
     (s, d) => TextOps.pmiPairs(T(s, d, "documents"), "text", "doc_id",
         minDf = 1, maxDf = 1000000, minSupport = 5)
       .orderBy(col("t1"), col("t2")),
-    Some("""WITH dt AS (SELECT DISTINCT doc_id AS doc,
+    Some("""-- nonneg-div: count-lift numerators
+           |WITH dt AS (SELECT DISTINCT doc_id AS doc,
            |    unnest(string_split(lower(text), ' ')) AS tok
            |  FROM documents),
            |df AS (SELECT tok, count(*) AS n_t FROM dt GROUP BY 1
@@ -4158,7 +4181,8 @@ object Queries {
     (s, d) => TextOps.vocabGrowth(T(s, d, "documents"), "text", "doc_id",
         bucketWidth = 50L)
       .orderBy(col("bucket")),
-    Some("""WITH t AS (SELECT doc_id AS doc,
+    Some("""-- nonneg-div: counts/rank sums only
+           |WITH t AS (SELECT doc_id AS doc,
            |    unnest(string_split(lower(text), ' ')) AS tok
            |  FROM documents),
            |nt AS (SELECT tok, min(doc) AS first_doc FROM t GROUP BY 1),
@@ -4278,7 +4302,8 @@ object Queries {
         .filter(col("n_hit") > 0)
         .orderBy(col("doc_id"))
     },
-    Some("""WITH tr AS (
+    Some("""-- nonneg-div: counts/rank sums only
+           |WITH tr AS (
            |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
            |    len(string_split(lower(text), ' ')) AS nt
            |  FROM documents WHERE doc_id % 17 <> 3),
@@ -4469,7 +4494,8 @@ object Queries {
               element_at(col("features"), k + 1).cast("int").as(s"f$k")): _*)
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH $ppmOracleCtes
+    Some(s"""-- nonneg-div: pixel/byte values and dims
+           |WITH $ppmOracleCtes
             |SELECT doc_id,
             |  CAST((plen - 1) // 100 + 1 AS INT) AS n_sampled,
             |  w AS f0, CAST(h AS INT) AS f1, 255 AS f2,
@@ -4499,7 +4525,8 @@ object Queries {
               element_at(col("features"), k + 1).cast("int").as(s"f$k")): _*)
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH $ppmOracleCtes,
+    Some(s"""-- nonneg-div: pixel/byte values and dims
+           |WITH $ppmOracleCtes,
             |rz AS (
             |  SELECT doc_id, (w + 1) // 2 AS w2,
             |    CAST(list_sum(list_transform(range(0, ((w + 1) // 2) * 3),
@@ -4576,7 +4603,8 @@ object Queries {
       Multimodal.phashPairs(hashed, "doc_id", maxHamming = 3)
         .orderBy(col("d1"), col("d2"))
     },
-    Some(s"""WITH $ppmOracleCtes,
+    Some(s"""-- nonneg-div: pixel/byte values and dims
+           |WITH $ppmOracleCtes,
             |g AS (
             |  SELECT doc_id,
             |    list_transform(range(0, 56), q ->
@@ -4678,7 +4706,8 @@ object Queries {
         "doc_id",
         pre = b => Audio.wavResample(b, 2).getOrElse(Array.emptyByteArray))
       .orderBy(col("doc_id")),
-    Some(s"""WITH $wavOracleBase
+    Some(s"""-- nonneg-div: pixel/byte values and dims
+           |WITH $wavOracleBase
             |SELECT doc_id, 4000 AS sample_rate, 1 AS channels, 8 AS bits,
             |  CAST((n + 1) // 2 AS INT) AS n_samples,
             |  CAST(44 + (n + 1) // 2 AS INT) AS byte_len,
@@ -4784,7 +4813,8 @@ object Queries {
       Multimodal.phashPairs(hashed, "fid", maxHamming = 3)
         .orderBy(col("d1"), col("d2"))
     },
-    Some("""WITH vb AS (
+    Some("""-- nonneg-div: pixel/byte values and dims
+           |WITH vb AS (
            |  SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w, 4 AS h,
            |    CAST(2 + doc_id % 3 AS INT) AS nf,
            |    CASE WHEN text = '' THEN ' ' ELSE text END AS t
@@ -6753,7 +6783,8 @@ object Queries {
             col("value")),
         "user_id", "us", "value", 900000000L)
       .orderBy(col("user_id"), col("bucket_us")),
-    Some("""WITH e AS (
+    Some("""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |WITH e AS (
            |  SELECT user_id, epoch_us(ts) AS us, value FROM events
            |  WHERE user_id < 8),
            |b AS (SELECT user_id, (us // 900000000) * 900000000 AS bucket_us,
@@ -7357,7 +7388,8 @@ object Queries {
         Graph.tradeEdges(T(s, d, "lineitem"), T(s, d, "orders"))
           .localCheckpoint(eager = false), 3)
       .orderBy(col("node")),
-    Some("""WITH e0 AS (
+    Some("""-- nonneg-div: ppm rank mass >= 0 throughout
+           |WITH e0 AS (
            |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
            |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -7414,7 +7446,8 @@ object Queries {
            |      (SELECT dsh FROM d$i))) // 1000 AS BIGINT) AS score
            |  FROM nd LEFT JOIN c$i ON nd.node = c$i.node),""".stripMargin
       }.mkString("\n")
-      s"""WITH e AS (
+      s"""-- nonneg-div: ppm rank mass >= 0 throughout
+         |WITH e AS (
          |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
          |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -7539,7 +7572,8 @@ object Queries {
         Graph.coSupplyEdges(T(s, d, "lineitem"), 41L),
         maxDeg = 1000, minCommon = 2L)
       .orderBy(col("n1"), col("n2")),
-    Some("""WITH sp AS (
+    Some("""-- nonneg-div: common-neighbor counts
+           |WITH sp AS (
            |  SELECT DISTINCT l_partkey AS p, CAST(l_suppkey AS BIGINT) AS s
            |  FROM lineitem WHERE l_partkey % 41 = 0),
            |ok AS (SELECT p FROM sp GROUP BY p HAVING count(*) <= 1000),
@@ -7595,7 +7629,8 @@ object Queries {
     (s, d) => Graph.clusteringCoeff(
         Graph.coSupplyEdges(T(s, d, "lineitem"), 499L))
       .orderBy(col("node")),
-    Some("""WITH sp AS (
+    Some("""-- nonneg-div: triangle counts and degree products
+           |WITH sp AS (
            |  SELECT DISTINCT l_partkey AS p, CAST(l_suppkey AS BIGINT) AS s
            |  FROM lineitem WHERE l_partkey % 499 = 0),
            |ok AS (SELECT p FROM sp GROUP BY p HAVING count(*) <= 1000),
@@ -7682,7 +7717,8 @@ object Queries {
            |    (SELECT max(h) FROM h${i}r) AS BIGINT) AS h FROM h${i}r)"""
           .stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (
+      s"""-- nonneg-div: max-normalized HITS scores stay >= 0
+         |WITH e AS (
          |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
          |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -7964,7 +8000,7 @@ object Queries {
         .unionByName(rebuilt)
         .orderBy(col("shard"), col("bucket"))
     },
-    Some("WITH " + docsFinSql + ",\n" +
+    Some("-- nonneg-div: md5-derived unsigned hashes and counts\nWITH " + docsFinSql + ",\n" +
       """v AS (
         |  SELECT ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
         |      1, 8))::BIGINT % 8 AS shard,
@@ -8301,7 +8337,8 @@ object Queries {
         size(split(col("text"), " ")).cast("long"), col("lang") === "en",
         25L)
       .orderBy(col("bin")),
-    Some("""WITH r AS (
+    Some("""-- nonneg-div: counts/rank sums only
+           |WITH r AS (
            |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS s,
            |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
            |  FROM documents),
@@ -8355,7 +8392,8 @@ object Queries {
     (s, d) => Experiment.poissonBootstrap(T(s, d, "orders"), "o_orderkey",
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"), 16)
       .orderBy(col("b")),
-    Some(s"""WITH $bootstrapOracleCtes
+    Some(s"""-- nonneg-div: midpoint epoch and resample counts
+           |WITH $bootstrapOracleCtes
             |SELECT b, n_eff, sum_cents, mean_milli
             |FROM m ORDER BY b""".stripMargin),
     bench = true)
@@ -8372,7 +8410,8 @@ object Queries {
       val (rLo, rMed, rHi) = (Experiment.nearestRank(25000L, 16),
         Experiment.nearestRank(500000L, 16),
         Experiment.nearestRank(975000L, 16))
-      s"""WITH $bootstrapOracleCtes,
+      s"""-- nonneg-div: midpoint epoch and resample counts
+         |WITH $bootstrapOracleCtes,
          |rk AS (SELECT b, mean_milli,
          |    row_number() OVER (ORDER BY mean_milli, b) AS rnk FROM m)
          |SELECT CAST(count(*) AS BIGINT) AS n_resamples,
@@ -8390,7 +8429,8 @@ object Queries {
   val x9Jackknife = QuerySpec("x9_jackknife",
     (s, d) => Experiment.jackknifeVar(T(s, d, "orders"), "o_orderkey",
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"), 16),
-    Some("""WITH r AS (
+    Some("""-- nonneg-div: G*ss2 - ss^2 >= 0 by Cauchy-Schwarz
+           |WITH r AS (
            |  SELECT CAST(o_orderkey AS VARCHAR) AS rid,
            |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
            |  FROM orders),
@@ -8442,7 +8482,8 @@ object Queries {
         "o_orderkey", col("c_nationkey"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
       .orderBy(col("arm")),
-    Some("""WITH r AS (
+    Some("""-- nonneg-div: midpoint epoch and nonneg cell sums
+           |WITH r AS (
            |  SELECT CAST(o.o_orderkey AS VARCHAR) AS rid,
            |    c.c_nationkey AS s,
            |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
@@ -8485,7 +8526,8 @@ object Queries {
       Experiment.diffInDiff(ev, "user_id", "ts",
         floor(col("value") * 100 + lit(0.5)).cast("long"), split)
     },
-    Some("""WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+    Some("""-- nonneg-div: midpoint epoch
+           |WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
            |    AS s FROM events),
            |r AS (SELECT CAST(user_id AS VARCHAR) AS unit, epoch_us(ts) AS us,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -8548,7 +8590,8 @@ object Queries {
         "purchase", floor(col("value") * 100 + lit(0.5)).cast("long"),
         split)
     },
-    Some("""WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+    Some("""-- nonneg-div: counts and squared count diffs
+           |WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
            |    AS s FROM events),
            |pu AS (SELECT user_id AS unit,
            |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -8639,7 +8682,8 @@ object Queries {
     * units; > 3.84 (p < 0.05) flags broken assignment. */
   val x9Srm = QuerySpec("x9_srm",
     (s, d) => Experiment.srmCheck(Tables.events(s, d), "user_id"),
-    Some("""WITH u AS (SELECT DISTINCT user_id AS unit FROM events),
+    Some("""-- nonneg-div: squared count diffs
+           |WITH u AS (SELECT DISTINCT user_id AS unit FROM events),
            |w AS (SELECT CASE WHEN ('0x' ||
            |      substr(md5('0:' || CAST(unit AS VARCHAR)), 1, 8))
            |      ::BIGINT % 2 = 0 THEN 'a' ELSE 'b' END AS arm FROM u),
@@ -8666,7 +8710,8 @@ object Queries {
     (s, d) => Experiment.winsorizedMean(T(s, d, "orders"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
         990000L, 10000L),
-    Some("""WITH r AS (
+    Some("""-- nonneg-div: ceil numerator and rank cut
+           |WITH r AS (
            |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
            |    AS cents FROM orders),
            |h AS (SELECT (cents - ((cents % 10000) + 10000) % 10000) // 10000
@@ -8699,7 +8744,8 @@ object Queries {
     (s, d) => TextOps.boilerplate(T(s, d, "documents"), "doc_id", "text",
         3, 5L)
       .orderBy(col("doc_id")),
-    Some("""WITH d AS (
+    Some("""-- nonneg-div: counts/rank sums only
+           |WITH d AS (
            |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |n AS (SELECT doc_id, ws, (len(ws) + 2) // 3 AS nch
            |  FROM d WHERE len(ws) >= 1),
@@ -8759,7 +8805,8 @@ object Queries {
           .select(col("l_orderkey"), col("p_brand")),
         "l_orderkey", "p_brand", maxBasket = 8, minSupport = 100L)
       .orderBy(col("lhs"), col("rhs")),
-    Some("""WITH it AS (
+    Some("""-- nonneg-div: counts/rank sums only
+           |WITH it AS (
            |  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
            |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
            |ok AS (SELECT bk FROM it GROUP BY bk HAVING count(*) <= 8),
@@ -8792,7 +8839,8 @@ object Queries {
     (s, d) => TimeSeries.seasonalProfile(Tables.events(s, d), "user_id",
         "ts", floor(col("value") * 100 + lit(0.5)).cast("long"))
       .orderBy(col("user_id"), col("slot")),
-    Some("""WITH e AS (SELECT user_id,
+    Some("""-- nonneg-div: nonneg fixture cents sums and epoch slots
+           |WITH e AS (SELECT user_id,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
            |    (epoch_us(ts) // 3600000000) % 24 AS slot
            |  FROM events),
@@ -8850,7 +8898,8 @@ object Queries {
       Graph.personalizedPageRank(edges, sources, 3)
         .orderBy(col("node"))
     },
-    Some("""WITH e0 AS (
+    Some("""-- nonneg-div: ppm rank mass >= 0 throughout
+           |WITH e0 AS (
            |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
            |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -8955,7 +9004,8 @@ object Queries {
     (s, d) => TimeSeries.closesSummary(Tables.events(s, d), "user_id",
         "ts", "event_id", floor(col("value") * 100 + lit(0.5)).cast("long"))
       .orderBy(col("user_id")),
-    Some("""WITH e AS (SELECT user_id, event_id,
+    Some("""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |WITH e AS (SELECT user_id, event_id,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
            |    epoch_us(ts) AS us
            |  FROM events),
@@ -8992,7 +9042,8 @@ object Queries {
         expr("CAST(floor(value * value * value * value * value + 0.5) " +
           "AS BIGINT)"))
       .orderBy(col("event_type")),
-    Some("""WITH e AS (SELECT event_type, event_id,
+    Some("""-- nonneg-div: rank positions
+           |WITH e AS (SELECT event_type, event_id,
            |    CAST(floor(value * value * value * value * value + 0.5)
            |      AS BIGINT) AS cents
            |  FROM events),
@@ -9028,7 +9079,8 @@ object Queries {
       val expCase = (1 to 9).map(dd =>
         s"WHEN $dd THEN ${Quality.benfordPpm(dd)}")
         .mkString("CASE digit ", " ", " END")
-      s"""WITH e AS (SELECT
+      s"""-- nonneg-div: counts/rank sums only
+         |WITH e AS (SELECT
          |    CAST(floor(value * value * value * value * value + 0.5)
          |      AS BIGINT) AS cents
          |  FROM events),
@@ -9052,7 +9104,8 @@ object Queries {
     (s, d) => TimeSeries.trailingActives(Tables.events(s, d), "user_id",
         "ts", 7)
       .orderBy(col("report_day")),
-    Some("""WITH a AS (SELECT DISTINCT user_id AS k,
+    Some("""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |WITH a AS (SELECT DISTINCT user_id AS k,
            |    epoch_us(ts) // 86400000000 AS day
            |  FROM events),
            |s AS (SELECT max(day) AS max_day FROM a),
@@ -9076,7 +9129,8 @@ object Queries {
         floor(col("value") * 100 + lit(0.5)).cast("long"),
         172800000000L, maxBuckets = 20)
       .orderBy(col("event_type")),
-    Some("""WITH e AS (SELECT event_type,
+    Some("""-- nonneg-div: age now_us - us >= 0 under the max-ts anchor
+           |WITH e AS (SELECT event_type,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
            |    epoch_us(ts) AS us
            |  FROM events),
@@ -9226,7 +9280,8 @@ object Queries {
       Sketch.kmvEstimate(Sketch.kmvSketch(cents, "v", 64), 64)
         .crossJoin(broadcast(exact))
     },
-    Some("""WITH v AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT)
+    Some("""-- nonneg-div: md5-derived unsigned hashes and counts
+           |WITH v AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT)
            |    AS v FROM events WHERE event_type = 'click'),
            |h AS (SELECT DISTINCT
            |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 11))::BIGINT + 1
@@ -9263,7 +9318,8 @@ object Queries {
           Sketch.kmvSketch(b, "v", 64), 64)
         .crossJoin(broadcast(exact))
     },
-    Some("""WITH av AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5)
+    Some("""-- nonneg-div: md5-derived unsigned hashes and counts
+           |WITH av AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5)
            |    AS BIGINT) AS v FROM events WHERE event_type = 'click'),
            |bv AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT)
            |    AS v FROM events WHERE event_type = 'purchase'),
@@ -9357,7 +9413,8 @@ object Queries {
           floor(col("value") * 100 + lit(0.5)).cast("long"), split)
         .orderBy(col("arm"))
     },
-    Some("""WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+    Some("""-- nonneg-div: midpoint epoch; nonneg fixture cents sums
+           |WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
            |    AS s FROM events),
            |u AS (SELECT user_id AS unit,
            |    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT s FROM sp)
@@ -9486,7 +9543,8 @@ object Queries {
         .join(broadcast(exact), Seq("grp"))
         .orderBy(col("grp"))
     },
-    Some("""WITH t AS (SELECT lang AS grp,
+    Some("""-- nonneg-div: md5-derived unsigned hashes and counts
+           |WITH t AS (SELECT lang AS grp,
            |    unnest(string_split(text, ' ')) AS tok FROM documents),
            |dh AS (SELECT DISTINCT grp,
            |    ('0x' || substr(md5(tok), 1, 11))::BIGINT + 1 AS h FROM t),
@@ -9533,7 +9591,7 @@ object Queries {
         .unionByName(rebuilt)
       Sketch.kmvEstimateBy(maintained, 64).orderBy(col("grp"))
     },
-    Some("WITH " + docsFinSql + ",\n" +
+    Some("-- nonneg-div: md5-derived unsigned hashes and counts\nWITH " + docsFinSql + ",\n" +
       """v AS (
         |  SELECT ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
         |      1, 8))::BIGINT % 8 AS grp,
@@ -9640,7 +9698,8 @@ object Queries {
           "supplier", "s_suppkey"),
         rel("orders_custkey__customer", "orders", "o_custkey",
           "customer", "c_custkey"))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+        .mkString("-- nonneg-div: counts/rank sums only\n",
+          "\nUNION ALL\n", "\nORDER BY relation")
     })
 
   /** X11g — key-uniqueness audit (ops/Quality.uniquenessAudit): five
@@ -9673,7 +9732,8 @@ object Queries {
         rel("lineitem_orderkey_linenumber", "lineitem",
           "l_orderkey, l_linenumber"),
         rel("orders_o_orderkey", "orders", "o_orderkey"))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+        .mkString("-- nonneg-div: counts/rank sums only\n",
+          "\nUNION ALL\n", "\nORDER BY relation")
     })
 
   /** X11h — functional-dependency audit (ops/Quality.fdAudit): two FDs
@@ -9710,7 +9770,8 @@ object Queries {
           "l_partkey", "l_suppkey"),
         rel("orders_orderkey__custkey", "orders",
           "o_orderkey", "o_custkey"))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+        .mkString("-- nonneg-div: counts/rank sums only\n",
+          "\nUNION ALL\n", "\nORDER BY fd")
     })
 
   /** X3s — k-NN classification (ops/Similarity.knnClassify): majority
@@ -9755,7 +9816,8 @@ object Queries {
         "user_id", "ts", "event_id",
         floor(col("value") * 100 + lit(0.5)).cast("long"), 86400000000L)
       .orderBy(col("k1"), col("k2")),
-    Some("""WITH e AS (SELECT user_id, event_id,
+    Some("""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |WITH e AS (SELECT user_id, event_id,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
            |    epoch_us(ts) AS us
            |  FROM events WHERE user_id < 8),
@@ -9818,7 +9880,8 @@ object Queries {
       q.awaitTermination()
       s.table("st_dedup_replay_mem").orderBy(col("isin"), col("day"))
     },
-    Some(s"""SELECT DISTINCT $isinSql AS isin,
+    Some(s"""-- nonneg-div: epoch_us of post-1970 fixture timestamps
+           |SELECT DISTINCT $isinSql AS isin,
             |  epoch_us(ts) // 86400000000 AS day
             |FROM events ORDER BY isin, day""".stripMargin))
 
@@ -9885,7 +9948,8 @@ object Queries {
         "doc_id", Seq("lang", "source"), maxDf = 50)
       .filter(col("cont1_ppm") >= 500000 || col("cont2_ppm") >= 500000)
       .orderBy(col("d1"), col("d2")),
-    Some("""WITH toks0 AS (
+    Some("""-- nonneg-div: shingle-set sizes
+           |WITH toks0 AS (
            |  SELECT doc_id, lang, source,
            |    unnest(list_distinct(string_split(text, ' '))) AS tok
            |  FROM documents),
@@ -9980,7 +10044,8 @@ object Queries {
         "v", 64)
       Sketch.kmvEstimate(Sketch.kmvMerge(64, shard(0), shard(1)), 64)
     },
-    Some("""WITH v AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT)
+    Some("""-- nonneg-div: md5-derived unsigned hashes and counts
+           |WITH v AS (SELECT DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT)
            |    AS v FROM events WHERE event_type = 'click'),
            |h AS (SELECT DISTINCT
            |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 11))::BIGINT + 1
@@ -10061,7 +10126,8 @@ object Queries {
             .as("cents")),
         "prio", "o_custkey", col("cents"))
       .orderBy(col("prio")),
-    Some("""WITH cust AS (SELECT o_orderpriority AS prio, o_custkey,
+    Some("""-- nonneg-div: 2*sum(i*x_asc) >= (n+1)*sum(x), Chebyshev sum inequality
+           |WITH cust AS (SELECT o_orderpriority AS prio, o_custkey,
            |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
            |      AS BIGINT) AS cents
            |  FROM orders GROUP BY 1, 2),
@@ -10092,7 +10158,8 @@ object Queries {
               .as("cents")),
         "nation", "s_suppkey", col("cents"))
       .orderBy(col("nation")),
-    Some("""WITH rev AS (SELECT s_nationkey AS nation, s_suppkey,
+    Some("""-- nonneg-div: squared share mass
+           |WITH rev AS (SELECT s_nationkey AS nation, s_suppkey,
            |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
            |      AS BIGINT) AS mx
            |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -10120,7 +10187,8 @@ object Queries {
           .select(col("l_orderkey"), col("p_brand")),
         "l_orderkey", "p_brand", maxBasket = 8, minSupport = 50L)
       .orderBy(col("a"), col("b")),
-    Some("""WITH it AS (
+    Some("""-- nonneg-div: co-occurrence counts
+           |WITH it AS (
            |  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
            |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
            |ok AS (SELECT bk FROM it GROUP BY bk HAVING count(*) <= 8),
@@ -10152,7 +10220,8 @@ object Queries {
           3600000000L, 24, (r.getLong(0) + r.getLong(1)) / 2)
         .orderBy(col("user_id"))
     },
-    Some("""WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+    Some("""-- nonneg-div: cents sums, abs errors, midpoint epoch
+           |WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
            |    AS s FROM events),
            |e AS (SELECT user_id,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,

@@ -8,12 +8,54 @@ Usage: python3 tools/check.py [sf_dir] [out_dir] [--skip-verify]
 3. runs the matching oracle_sql.json SQL in DuckDB over the same tables
 4. compares row count, column names, dtypes, and values (exact)
 """
-import sys, os, glob, subprocess, json
+import sys, os, glob, subprocess, json, re
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def lint_floor_div(oracle):
+    """r15 VERDICT item 8 — the floor-division sweep, made mechanical.
+
+    Spark's `div` and DuckDB's `//` BOTH truncate toward zero, so a bare
+    `//` hash-matches a bare `div` even on negative numerators — which is
+    exactly why a lane whose DECLARED contract is floor division (the
+    engine's pinned `(x - pmod(x, y)) div y` form) can silently drift:
+    the oracle replays truncation, the hash passes, and the declared
+    statistic is wrong for negative numerators (the jackknife escape
+    class). Rule enforced here, per `//` use-site:
+
+      - the ~160 chars before the site contain the explicit floor guard
+        `((x % y) + y) % y` (detected by its `) + d) % d` tail), OR
+      - the lane's oracle declares a non-negative contract with a
+        `-- nonneg-div:` comment naming WHY every bare-`//` numerator in
+        that lane is >= 0 (truncate == floor, no ambiguity).
+
+    Returns {lane: problem} for lanes that do neither."""
+    # `((x % y) + y) % y // y` — y may be a bare column, count(*), or a
+    # parenthesized expression like (t.n_all - n_g)
+    guard_tail = re.compile(
+        r"\)\s*\+\s*[^/]{1,60}?\)\s*%\s*[^/%]{1,60}?\)*\s*(//)\s*$")
+    problems = {}
+    for name, sql in oracle.items():
+        if "//" not in sql:
+            continue
+        if "nonneg-div:" in sql:
+            continue
+        bare = 0
+        for m in re.finditer(r"//", sql):
+            head = sql[max(0, m.start() - 200):m.end()]
+            # a site is guarded when the floor-correction idiom
+            # `... + den) % den` immediately precedes the division
+            if guard_tail.search(head.replace("\n", " ")):
+                continue
+            bare += 1
+        if bare:
+            problems[name] = (f"{bare} bare '//' site(s) without the "
+                              "((x%y)+y)%y guard and no nonneg-div marker")
+    return problems
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -95,6 +137,12 @@ def main():
             results[name] = f"rows-only n={n}" + (" WARN-EMPTY" if n == 0 else "")
         except Exception as e:
             results[name] = f"rows-only UNREADABLE: {e}"
+
+    lint = lint_floor_div(json.load(open(f"{out_dir}/oracle_sql.json")))
+    if only:
+        lint = {k: v for k, v in lint.items() if k in only}
+    for name, msg in sorted(lint.items()):
+        results[name] = results.get(name, "") + f"; LINT floor-div: {msg}"
 
     npass = 0
     for name in sorted(results):
