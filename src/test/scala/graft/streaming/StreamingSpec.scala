@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.ops.Tables
-import graft.sources.{InMemoryQueues, InMemorySink, TickChannels}
+import graft.sources.{InMemoryQueues, InMemorySink, LoopbackWsServer, TickChannels, WsTickClient}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -206,6 +206,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(_._7 == 1L).map(_._1) == Seq(5L))
   }
 
+  test("ST5f streamingCusum: cross-batch arrival-order regression fails " +
+      "the query loudly instead of diverging (r15 verdict item 6)") {
+    val in = MemoryStream[(Long, Long, Long, Long)](spark)
+    val q = TickPipeline.streamingCusum(in.toDS(), slack = 4L,
+        threshold = 30L)
+      .toDF("event_id", "user_id", "cents", "d", "cusum_up", "cusum_dn",
+        "alarm")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sc_ooo").start()
+    // batch 1 advances key 1's high-water mark to us=20; batch 2 delivers
+    // an EARLIER tick for the same key — the silently-wrong-statistic
+    // case the replay contract forbids. The state function must throw,
+    // failing the query, not fold the late row.
+    in.addData((1L, 2L, 20L, 110L)); q.processAllAvailable()
+    in.addData((1L, 1L, 10L, 100L))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("arrival-order violation")))
+    // same-key in-order continuation in a later batch stays legal
+    val in2 = MemoryStream[(Long, Long, Long, Long)](spark)
+    val q2 = TickPipeline.streamingCusum(in2.toDS(), 4L, 30L)
+      .toDF("event_id", "user_id", "cents", "d", "cusum_up", "cusum_dn",
+        "alarm")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sc_ok").start()
+    in2.addData((1L, 1L, 10L, 100L)); q2.processAllAvailable()
+    in2.addData((1L, 2L, 20L, 110L)); q2.processAllAvailable(); q2.stop()
+    assert(spark.table("sc_ok").count() == 2)
+  }
+
   test("ST5d transformWithState twin emits the identical changelog, " +
       "state carried across batches in RocksDB") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -311,6 +346,102 @@ class StreamingSpec extends SparkSpec {
     assert(hit._1 == "btceur" && hit._2.contains("XFC000000001") &&
       hit._3.contains(""""mid_cents":1100"""))
     assert(miss._1 == "nosuchpair" && miss._2.isEmpty) // J2 null on miss
+  }
+
+  /** Bitfinex v1-shaped ticker frame for the loopback server: positions
+    * after the chanId are bid, bid_sz, ask, ask_sz, dchg, dchg_pct, last,
+    * volume, high, low — main.py:401-405's data[0][0] indices. */
+  private def tickMsg(bid: Double, ask: Double, last: Double, vol: Double,
+      hi: Double, lo: Double): String =
+    s"[%CID%, $bid, 1, $ask, 1, 0, 0, $last, $vol, $hi, $lo]"
+
+  private def awaitFrames(channel: String, n: Long, timeoutMs: Long = 15000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (TickChannels.size(channel) < n &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(TickChannels.size(channel) >= n,
+      s"only ${TickChannels.size(channel)}/$n frames arrived")
+  }
+
+  test("S5 live socket: WsTickClient over a real RFC6455 loopback drives " +
+      "the full E3 pipeline socket -> bars -> sink") {
+    TickChannels.clear()
+    // two ticks inside minute 0, one in minute 1, plus a heartbeat the
+    // client must drop (the reference's queue.Empty no-op)
+    val server = new LoopbackWsServer(_ => Seq(
+      tickMsg(10.0, 12.0, 11.0, 100.0, 13.0, 9.0),
+      "[%CID%, \"hb\"]",
+      tickMsg(10.0, 12.0, 11.5, 50.0, 13.0, 9.0),
+      tickMsg(11.0, 13.0, 12.0, 25.0, 13.0, 9.0)))
+    // deterministic event time: 0s, 30s, 60s past the fixture epoch
+    val clock = new java.util.concurrent.atomic.AtomicLong(1704067200000000L)
+    val client = new WsTickClient(server.uri, "btfx", Seq("BTCEUR"), "ws1",
+      clockMicros = () => clock.getAndAdd(30000000L))
+    try {
+      assert(client.start(), "subscribe ack not received")
+      awaitFrames("ws1", 3)
+      val stream = spark.readStream.format("graft.sources.TickStreamSource")
+        .option("channel", "ws1").load()
+      val q = TickPipeline.bars(
+          TickPipeline.fromWss(spark)(stream)
+            .select(col("isin"), col("last_price"), col("volume"), col("ts")),
+          delay = "10 minutes", width = "1 minute")
+        .select(expr("unix_micros(window.start)").as("start_us"),
+          col("isin"), col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("n_ticks"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ws_bars").start()
+      // append-mode windows emit only once the watermark passes them:
+      // max event time is +60s, so with a 10-minute delay NO bar closes —
+      // the correct (and asserted) late-data posture
+      q.processAllAvailable(); q.stop()
+      val bars = spark.table("ws_bars")
+        .as[(Long, String, Double, Double, Double, Double, Double, Long)]
+        .collect().toSeq.sortBy(_._1)
+      assert(bars.isEmpty) // nothing past the 10-minute watermark yet
+      val q2 = TickPipeline.bars(
+          TickPipeline.fromWss(spark)(
+            spark.readStream.format("graft.sources.TickStreamSource")
+              .option("channel", "ws1").load())
+            .select(col("isin"), col("last_price"), col("volume"), col("ts")),
+          delay = "0 seconds", width = "1 minute")
+        .select(expr("unix_micros(window.start)").as("start_us"),
+          col("isin"), col("open"), col("close"), col("volume"), col("n_ticks"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ws_bars0").start()
+      q2.processAllAvailable(); q2.stop()
+      val closed = spark.table("ws_bars0")
+        .as[(Long, String, Double, Double, Double, Long)]
+        .collect().toSeq.sortBy(_._1)
+      assert(closed.size == 1) // minute-0 closed; minute-1 still open
+      val b0 = closed.head
+      assert(b0._1 == 1704067200000000L && b0._2 == "XFC000000001" &&
+        b0._3 == 11.0 && b0._4 == 11.5 && b0._5 == 150.0 && b0._6 == 2L)
+    } finally { client.stop(); server.close() }
+  }
+
+  test("S5 reconnect: an abrupt mid-stream server drop dials again, " +
+      "re-subscribes, and the buffer concatenates gap-free") {
+    TickChannels.clear()
+    val server = new LoopbackWsServer(
+      script = c => if (c == 0) Seq(
+          tickMsg(1.0, 3.0, 2.0, 10.0, 3.0, 1.0),
+          tickMsg(2.0, 4.0, 3.0, 10.0, 4.0, 2.0))
+        else Seq(
+          tickMsg(3.0, 5.0, 4.0, 10.0, 5.0, 3.0),
+          tickMsg(4.0, 6.0, 5.0, 10.0, 6.0, 4.0)),
+      dropAfter = _ == 0) // kill the TCP socket after connection 0's frames
+    val clock = new java.util.concurrent.atomic.AtomicLong(1L)
+    val client = new WsTickClient(server.uri, "btfx", Seq("BTCEUR"), "ws2",
+      clockMicros = () => clock.getAndIncrement())
+    try {
+      assert(client.start(), "first subscribe ack not received")
+      awaitFrames("ws2", 4) // 2 before the drop + 2 after the reconnect
+      assert(client.reconnectCount == 1 && server.connections == 2)
+      val lasts = TickChannels.slice("ws2", 0, 4).map(_._3(6))
+      assert(lasts == Seq(2.0, 3.0, 4.0, 5.0)) // order preserved across the drop
+      assert(TickChannels.slice("ws2", 0, 4).forall(_._2 == "btceur"))
+    } finally { client.stop(); server.close() }
   }
 
   test("S5 checkpoint recovery: restart resumes from the committed offset") {
