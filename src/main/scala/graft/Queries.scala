@@ -7465,6 +7465,115 @@ object Queries {
          |SELECT node, score FROM fin ORDER BY node""".stripMargin
     })
 
+  /** X10o — WEIGHTED PAGERANK (round 16, r15 VERDICT item 7): the
+    * integer-ppm kernel with per-edge trade intensity (lineitem count
+    * per customer↔supplier pair) steering the mass split —
+    * contrib = (score · w) div Σw instead of the uniform div outdeg.
+    * The oracle unrolls all three iterations with the weights in place,
+    * so the weighted split itself is hash-checked. */
+  val x10PagerankWeighted = QuerySpec("x10_pagerank_weighted",
+    (s, d) => Graph.pageRankWeighted(
+        Graph.tradeEdgesWeighted(T(s, d, "lineitem"), T(s, d, "orders"))
+          .localCheckpoint(eager = false), 3)
+      .orderBy(col("node")),
+    Some {
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS node,
+           |    CAST(sum((r.score * e.w) // s.wsum) AS BIGINT) AS c
+           |  FROM e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN ws s ON s.src = e.src GROUP BY e.dst),
+           |r$i AS (SELECT node,
+           |    CAST(150000 + (850 * c) // 1000 AS BIGINT) AS score
+           |  FROM c$i),""".stripMargin
+      }.mkString("\n")
+      s"""-- nonneg-div: ppm rank mass and positive trade weights
+         |WITH e0 AS (
+         |  SELECT CAST(o_custkey * 2 AS BIGINT) AS src,
+         |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src, dst, w FROM e0
+         |      UNION ALL SELECT dst, src, w FROM e0),
+         |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e
+         |       GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score
+         |       FROM ws),
+         |$iters
+         |fin AS (SELECT node, score FROM r3)
+         |SELECT node, score FROM fin ORDER BY node""".stripMargin
+    })
+
+  /** X10p — K-SOURCE BETWEENNESS (round 16, r15 VERDICT item 7):
+    * Brandes dependency accumulation from the deterministic source set
+    * (node % 20 = 0 — every 10th customer) over 3-hop-bounded BFS on
+    * the thinned symmetric trade graph (the [[x10Kcore]] fixture
+    * discipline). The oracle unrolls BOTH phases — three forward
+    * levels carrying path counts, then the δ recurrence walked
+    * deepest-first with per-term floor division — so the estimator's
+    * mechanism is hash-checked end to end, truncation contract
+    * included. */
+  val x10Betweenness = QuerySpec("x10_betweenness",
+    (s, d) => {
+      val e = Graph.tradeEdges(
+          T(s, d, "lineitem").filter(col("l_partkey") % 17 === 0),
+          T(s, d, "orders"))
+        .localCheckpoint(eager = false)
+      val sources = e.select(col("src").as("node")).distinct()
+        .filter(col("node") % 20 === 0)
+      Graph.betweenness(e, sources, 3).orderBy(col("node"))
+    },
+    Some("""-- nonneg-div: path counts and ppm dependency masses >= 0
+           |WITH e0 AS (
+           |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE l_partkey % 17 = 0),
+           |e AS MATERIALIZED (SELECT src, dst FROM e0
+           |     UNION ALL SELECT dst, src FROM e0),
+           |srcs AS (SELECT DISTINCT src AS v FROM e WHERE src % 20 = 0),
+           |l0 AS MATERIALIZED (
+           |  SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma FROM srcs),
+           |c1 AS (SELECT l.s, e.dst AS v,
+           |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+           |  FROM l0 l JOIN e ON l.v = e.src GROUP BY 1, 2),
+           |l1 AS MATERIALIZED (SELECT c.s, c.v, c.sigma FROM c1 c
+           |  LEFT JOIN l0 p ON c.s = p.s AND c.v = p.v WHERE p.v IS NULL),
+           |c2 AS (SELECT l.s, e.dst AS v,
+           |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+           |  FROM l1 l JOIN e ON l.v = e.src GROUP BY 1, 2),
+           |seen1 AS (SELECT s, v FROM l0 UNION ALL SELECT s, v FROM l1),
+           |l2 AS MATERIALIZED (SELECT c.s, c.v, c.sigma FROM c2 c
+           |  LEFT JOIN seen1 p ON c.s = p.s AND c.v = p.v
+           |  WHERE p.v IS NULL),
+           |c3 AS (SELECT l.s, e.dst AS v,
+           |    CAST(sum(l.sigma) AS BIGINT) AS sigma
+           |  FROM l2 l JOIN e ON l.v = e.src GROUP BY 1, 2),
+           |seen2 AS (SELECT s, v FROM seen1 UNION ALL SELECT s, v FROM l2),
+           |l3 AS MATERIALIZED (SELECT c.s, c.v, c.sigma FROM c3 c
+           |  LEFT JOIN seen2 p ON c.s = p.s AND c.v = p.v
+           |  WHERE p.v IS NULL),
+           |d3 AS (SELECT s, v, sigma, CAST(0 AS BIGINT) AS delta FROM l3),
+           |t3 AS (SELECT p.s, p.v,
+           |    CAST(sum((p.sigma * (1000000 + d.delta)) // d.sigma)
+           |      AS BIGINT) AS acc
+           |  FROM l2 p JOIN e ON p.v = e.src
+           |  JOIN d3 d ON d.s = p.s AND d.v = e.dst GROUP BY 1, 2),
+           |d2 AS (SELECT l.s, l.v, l.sigma, coalesce(t.acc, 0) AS delta
+           |  FROM l2 l LEFT JOIN t3 t ON l.s = t.s AND l.v = t.v),
+           |t2 AS (SELECT p.s, p.v,
+           |    CAST(sum((p.sigma * (1000000 + d.delta)) // d.sigma)
+           |      AS BIGINT) AS acc
+           |  FROM l1 p JOIN e ON p.v = e.src
+           |  JOIN d2 d ON d.s = p.s AND d.v = e.dst GROUP BY 1, 2),
+           |d1 AS (SELECT l.s, l.v, l.sigma, coalesce(t.acc, 0) AS delta
+           |  FROM l1 l LEFT JOIN t2 t ON l.s = t.s AND l.v = t.v),
+           |allv AS (SELECT v, delta FROM d1
+           |  UNION ALL SELECT v, delta FROM d2
+           |  UNION ALL SELECT v, delta FROM d3)
+           |SELECT v AS node, CAST(sum(delta) AS BIGINT) AS bc_ppm
+           |FROM allv GROUP BY 1 ORDER BY node""".stripMargin))
+
   /** X10c — TRIANGLE COUNTING (round 13): per-node triangle
     * participation over the co-supply graph (suppliers adjacent when
     * they supply the same part), by degree-ordered edge orientation —
@@ -10402,7 +10511,8 @@ object Queries {
     x7IncrHll,
     x7IncrTopk,
     x7MetaCount, x7Audit, x7Maintenance,
-    x10Drift, x10Pagerank, x10PagerankDangling, x10Ppr, x10Scc,
+    x10Drift, x10Pagerank, x10PagerankDangling, x10PagerankWeighted,
+    x10Betweenness, x10Ppr, x10Scc,
     x10Linkpred, x10Triangles,
     x10Kcore, x10ClusteringCoeff, x10Assortativity, x10Hits,
     x11Expectations, x11Quarantine, x11Profile, x11IqrOutliers,

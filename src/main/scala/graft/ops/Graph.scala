@@ -944,4 +944,131 @@ object Graph {
         col("e_in").as("intra_edges"),
         expr("(q_num - pmod(q_num, q_den)) div q_den").as("q_ppm"))
   }
+
+  /** X10o — WEIGHTED PageRank (round 16, the r15 VERDICT's graph-family
+    * closer): [[pageRank]]'s exact integer-ppm kernel generalized to a
+    * per-edge weight column — rank mass leaves a node proportionally to
+    * edge weight instead of uniformly. contrib(u→v) = (score(u) · w) div
+    * W(u) with W(u) = Σ out-weights, damping unchanged:
+    * score' = 150000 + (850 · Σ contrib) div 1000. All floor divisions,
+    * so the whole iteration hash-checks against an unrolled oracle CTE
+    * chain — the same honesty contract as the unweighted kernel.
+    *
+    * Scale shape is IDENTICAL to [[pageRank]]: weight sums are computed
+    * once and travel with the checkpointed edge frame; each iteration is
+    * one src-keyed equi-join + one dst-keyed partial-combining agg. The
+    * long arithmetic holds to |score|·w < 2⁶³ — ppm scores cap near
+    * N·10⁶ on a conserving graph, so integer weights up to ~10⁶ are safe
+    * at a billion nodes.
+    *
+    * `edges`: (src, dst, w) with w > 0 long; parallel edges are the
+    * caller's semantic choice (their weights add into W(u)). */
+  def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
+    val wsum = edges.groupBy(col("src"))
+      .agg(sum(col("w")).cast("long").as("wsum"))
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .join(wsum, Seq("src")).localCheckpoint(eager = false)
+    var rank = e.select(col("src")).distinct()
+      .select(col("src"), lit(1000000L).as("score"))
+    (1 to iters).foreach { _ =>
+      rank = e.join(rank, Seq("src"))
+        .select(col("dst"), expr("(score * w) div wsum").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+        .select(col("dst").as("src"),
+          (lit(150000L) + expr("(850 * c) div 1000")).as("score"))
+    }
+    rank.select(col("src").as("node"), col("score"))
+  }
+
+  /** The weighted trade graph: (customer, supplier) edge weight = number
+    * of lineitems shipped between them (trade intensity), symmetrized
+    * with the same weight both ways so rank circulates. Same 2c / 2s+1
+    * disjoint id spaces as [[tradeEdges]]. */
+  def tradeEdgesWeighted(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val pairs = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst"),
+      col("w")))
+  }
+
+  /** X10p — k-SOURCE BETWEENNESS approximation (round 16, the second
+    * graph-family closer): Brandes' dependency accumulation (Brandes
+    * 2001) run from a bounded source set over hop-bounded BFS — the
+    * standard sampled estimator (Brandes & Pich 2007) for "which nodes
+    * sit on the most shortest paths" at a scale where exact all-sources
+    * betweenness (O(V·E)) is unpayable. Curation use: bridge/broker
+    * detection in link graphs — a node with huge betweenness but modest
+    * degree is a structural chokepoint spam rings imitate poorly.
+    *
+    * Forward phase: synchronous multi-source BFS carrying PATH COUNTS —
+    * level h's σ(s,v) is the sum of σ over level-(h−1) predecessors (one
+    * frontier-sized src-keyed equi-join + one (s,v)-keyed
+    * partial-combining agg per hop, then an anti-join against the
+    * discovered set; the [[bfsHops]] frontier discipline with σ instead
+    * of first-discovery). Backward phase: δ walks levels DEEPEST-FIRST —
+    * δ(u) = Σ_{v ∈ succ(u)} (σ(u) · (10⁶ + δ(v))) div σ(v), the Brandes
+    * recurrence in exact integer ppm (per-term floor division; summation
+    * order cannot matter, so the result hash-checks). bc(v) = Σ_s δ_s(v)
+    * over all levels ≥ 1 (v = s is excluded by construction — a source
+    * is its own level 0).
+    *
+    * Per level both phases shuffle on node / (s,v) keys only; every
+    * frame is checkpointed per round ([[pageRank]] lineage discipline).
+    * State is O(Σ level sizes) = O(sources × reach), the estimator's
+    * declared cost. Hop-bounding truncates dependencies from paths
+    * longer than `maxHops` — that is the approximation contract (with
+    * k sources it is already an estimator; the oracle replays the same
+    * truncation exactly). */
+  def betweenness(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      s"maxHops must be in [1,8], got $maxHops")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().repartition(col("src")).localCheckpoint(eager = false)
+    val lvl0 = sources.select(col("node").cast("long").as("v")).distinct()
+      .select(col("v").as("s"), col("v"), lit(1L).as("sigma"))
+      .localCheckpoint(eager = false)
+    val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var disc = lvl0.select(col("s"), col("v"))
+    (1 to maxHops).foreach { _ =>
+      val frontier = levels.last
+      val cand = frontier.join(e, frontier("v") === e("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+      // BFS invariant: anything already discovered is at a SHORTER (or
+      // equal, same-level) distance — only fresh (s,v) pairs join level h
+      val fresh = cand.join(disc, Seq("s", "v"), "left_anti")
+        .localCheckpoint(eager = false)
+      levels += fresh
+      disc = disc.unionAll(fresh.select(col("s"), col("v")))
+        .localCheckpoint(eager = false)
+    }
+    // backward: deepest level seeds delta = 0, each shallower level
+    // accumulates the Brandes term from its successors one hop deeper
+    var succ = levels(maxHops).withColumn("delta", lit(0L))
+    var acc = succ.select(col("v"), col("delta"))
+    (maxHops to 1 by -1).foreach { h =>
+      val terms = e.join(succ.select(col("s"), col("v").as("dst"),
+          col("sigma").as("sig_w"), col("delta").as("del_w")), Seq("dst"))
+        .select(col("s"), col("src").as("v"), col("sig_w"), col("del_w"))
+      val prev = levels(h - 1)
+      val folded = prev.join(terms, Seq("s", "v"), "left")
+        .groupBy(col("s"), col("v"), col("sigma"))
+        .agg(coalesce(sum(
+          expr("(sigma * (1000000 + del_w)) div sig_w")), lit(0L))
+          .as("delta"))
+        .localCheckpoint(eager = false)
+      succ = folded
+      if (h > 1) acc = acc.unionAll(folded.select(col("v"), col("delta")))
+    }
+    // level 0 (the sources' own delta) is deliberately NOT accumulated:
+    // Brandes sums dependency over v != s
+    acc.groupBy(col("v").as("node"))
+      .agg(sum(col("delta")).as("bc_ppm"))
+  }
 }

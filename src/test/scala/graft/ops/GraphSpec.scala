@@ -372,4 +372,56 @@ class GraphSpec extends SparkSpec {
     assert(got(1L)._2 == 1000000L, "the shared supplier is the top authority")
     assert(got(4L)._1 < 1000000L && got(3L)._2 < 1000000L)
   }
+
+  test("X10o pageRankWeighted: matches an exact integer driver replay, " +
+      "and weight skew steers mass where uniform split cannot") {
+    // 1 sends 3x the weight to 2 vs 3; both return everything to 1
+    val es = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val df = es.toDF("src", "dst", "w")
+    // independent replay: the defining recurrence in plain Scala longs
+    def replay(iters: Int): Map[Long, Long] = {
+      val wsum = es.groupBy(_._1).map { case (u, out) =>
+        u -> out.map(_._3).sum }
+      var score = wsum.keys.map(_ -> 1000000L).toMap
+      (1 to iters).foreach { _ =>
+        val c = es.groupBy(_._2).map { case (v, in) =>
+          v -> in.map { case (u, _, w) => score(u) * w / wsum(u) }.sum }
+        score = c.map { case (v, s) => v -> (150000L + 850L * s / 1000L) }
+      }
+      score
+    }
+    val got = Graph.pageRankWeighted(df, 3).as[(Long, Long)].collect().toMap
+    assert(got == replay(3))
+    // iteration 1 by hand: contrib 1->2 = 750000, 1->3 = 250000
+    val after1 = Graph.pageRankWeighted(df, 1).as[(Long, Long)].collect().toMap
+    assert(after1(2L) == 150000L + 850L * 750000L / 1000L)
+    assert(after1(3L) == 150000L + 850L * 250000L / 1000L)
+    assert(after1(2L) > after1(3L), "weight skew must steer rank")
+  }
+
+  test("X10p betweenness: path graph gives the closed-form bridge masses, " +
+      "split shortest paths floor-divide, truncation zeroes deep deps") {
+    // path 1-2-3-4-5 symmetrized, sources {1, 5}: from source 1 the
+    // Brandes recurrence gives delta(2)=3e6, delta(3)=2e6, delta(4)=1e6;
+    // source 5 mirrors, so bc(2)=bc(3)=bc(4)=4e6, endpoints 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val und = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val got = Graph.betweenness(und, Seq(1L, 5L).toDF("node"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 4000000L, 3L -> 4000000L,
+      4L -> 4000000L, 5L -> 0L))
+    // diamond 1-{2,3}-4: two shortest paths to 4, sigma(4)=2, so each
+    // middle node gets (1 * 1e6) // 2 = 500000 — the floor-div contract
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val undD = (dia ++ dia.map(_.swap)).toDF("src", "dst")
+    val gotD = Graph.betweenness(undD, Seq(1L).toDF("node"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(gotD == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
+    // hop truncation: maxHops=2 on the path sees only 2 levels from each
+    // end; node 3 is the level-2 leaf both ways (delta 0), node 2/4 get
+    // only the one-hop dependency (1e6) from their near source
+    val gotT = Graph.betweenness(und, Seq(1L, 5L).toDF("node"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(gotT == Map(2L -> 1000000L, 3L -> 0L, 4L -> 1000000L))
+  }
 }
