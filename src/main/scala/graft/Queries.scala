@@ -7465,7 +7465,7 @@ object Queries {
          |SELECT node, score FROM fin ORDER BY node""".stripMargin
     })
 
-  /** X10o — WEIGHTED PAGERANK (round 16, r15 VERDICT item 7): the
+  /** X10t — WEIGHTED PAGERANK (round 16, r15 VERDICT item 7): the
     * integer-ppm kernel with per-edge trade intensity (lineitem count
     * per customer↔supplier pair) steering the mass split —
     * contrib = (score · w) div Σw instead of the uniform div outdeg.
@@ -7504,7 +7504,7 @@ object Queries {
          |SELECT node, score FROM fin ORDER BY node""".stripMargin
     })
 
-  /** X10p — K-SOURCE BETWEENNESS (round 16, r15 VERDICT item 7):
+  /** X10u — K-SOURCE BETWEENNESS (round 16, r15 VERDICT item 7):
     * Brandes dependency accumulation from the deterministic source set
     * (node % 20 = 0 — every 10th customer) over 3-hop-bounded BFS on
     * the thinned symmetric trade graph (the [[x10Kcore]] fixture

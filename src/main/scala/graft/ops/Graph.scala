@@ -945,7 +945,7 @@ object Graph {
         expr("(q_num - pmod(q_num, q_den)) div q_den").as("q_ppm"))
   }
 
-  /** X10o — WEIGHTED PageRank (round 16, the r15 VERDICT's graph-family
+  /** X10t — WEIGHTED PageRank (round 16, the r15 VERDICT's graph-family
     * closer): [[pageRank]]'s exact integer-ppm kernel generalized to a
     * per-edge weight column — rank mass leaves a node proportionally to
     * edge weight instead of uniformly. contrib(u→v) = (score(u) · w) div
@@ -994,7 +994,7 @@ object Graph {
       col("w")))
   }
 
-  /** X10p — k-SOURCE BETWEENNESS approximation (round 16, the second
+  /** X10u — k-SOURCE BETWEENNESS approximation (round 16, the second
     * graph-family closer): Brandes' dependency accumulation (Brandes
     * 2001) run from a bounded source set over hop-bounded BFS — the
     * standard sampled estimator (Brandes & Pich 2007) for "which nodes

@@ -24,15 +24,14 @@ import scala.collection.mutable.ArrayBuffer
   * subscribed channel keeps per-pair ordering, mirroring the reference's
   * queue-per-channel isolation; the tests drive a single channel.
   *
-  * SCOPE NOTE (deliberate, not an oversight): the live WSS SOCKET client
-  * itself (the reference's btfxwss subscribe/ping thread,
-  * main.py:375-398) is out of scope in this build environment — zero
-  * egress and no additional client jars permitted, so a socket impl
-  * could be neither resolved nor exercised. [[TickChannels]] is exactly
-  * the buffer that thread would fill; a production deploy adds a
-  * java.net.http WebSocket (already in the JDK) whose onText callback
-  * calls TickChannels.append, and nothing downstream changes. The same
-  * reasoning scopes out the reference's rotating file logger
+  * The live WSS SOCKET client (the reference's btfxwss subscribe/ping
+  * thread, main.py:375-398) is [[WsTickClient]] (round 16): a
+  * java.net.http.WebSocket — already in the JDK, zero new jars — whose
+  * onText callback parses positional ticker frames and calls
+  * TickChannels.append; nothing downstream changes. In the sandbox it
+  * is exercised over a real socket against an in-process RFC 6455
+  * loopback server (StreamingSpec), including reconnect. The reference's
+  * rotating file logger stays scoped out
   * (main.py:98-105): ops-plane process logging, superseded by log4j2
   * config on a Spark cluster, with the config surface (logs_max_size /
   * logs_rotated_files / logs_filename) still parsed and typed in

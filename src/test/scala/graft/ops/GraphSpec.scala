@@ -373,7 +373,7 @@ class GraphSpec extends SparkSpec {
     assert(got(4L)._1 < 1000000L && got(3L)._2 < 1000000L)
   }
 
-  test("X10o pageRankWeighted: matches an exact integer driver replay, " +
+  test("X10t pageRankWeighted: matches an exact integer driver replay, " +
       "and weight skew steers mass where uniform split cannot") {
     // 1 sends 3x the weight to 2 vs 3; both return everything to 1
     val es = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
@@ -399,7 +399,7 @@ class GraphSpec extends SparkSpec {
     assert(after1(2L) > after1(3L), "weight skew must steer rank")
   }
 
-  test("X10p betweenness: path graph gives the closed-form bridge masses, " +
+  test("X10u betweenness: path graph gives the closed-form bridge masses, " +
       "split shortest paths floor-divide, truncation zeroes deep deps") {
     // path 1-2-3-4-5 symmetrized, sources {1, 5}: from source 1 the
     // Brandes recurrence gives delta(2)=3e6, delta(3)=2e6, delta(4)=1e6;

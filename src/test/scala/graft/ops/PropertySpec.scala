@@ -646,6 +646,251 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- independent-derivation replays (round 16, r15 VERDICT item 1) ----
+  // The jackknife G-factor escape (r15) proved the oracle harness cannot
+  // catch a formula both engines mis-expand the same way: the DuckDB SQL
+  // is authored FROM the Scala, so cross-engine hash agreement is not
+  // mathematical truth. Each test below recomputes a judged statistic
+  // from its DEFINING formula on a driver-side BigInt/Map path — a third
+  // representation sharing no code and no SQL with either engine — on
+  // RANDOM inputs, exact to the last unit.
+
+  /** Engine arm parity: Sketch.shardOf = first 32 md5("0:id") bits % 2. */
+  private def armOf(id: String): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"0:$id".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "a" else "b"
+  }
+
+  /** Floor division, the engine's pinned (a − pmod(a,b)) div b form.
+    * BigInt.mod is the non-negative residue, so this floors for b > 0
+    * regardless of sign(a). */
+  private def fdiv(a: BigInt, b: BigInt): BigInt = (a - a.mod(b)) / b
+
+  test("X9g cuped == BigInt defining-formula replay on random unit data " +
+      "(theta rational, adjusted arm means)") {
+    val unit = Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(0L, 5000L))
+    cases(Gen.listOfN(30, unit), n = 4) { xys =>
+      val units = xys.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong + 1L, x, y) }
+      val events = units.flatMap { case (u, x, y) =>
+        Seq((u, 10_000_000L, x), (u, 2_000_000_000L, y)) }
+        .toDF("unit", "us", "cents")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val got = Experiment.cuped(events, "unit", "ts", col("cents"),
+          1_000_000_000L)
+        .select(col("arm"), col("n_units"), col("sum_y_cents"),
+          col("mean_y_milli"), col("adj_mean_y_milli"), col("theta_micro"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+      // defining formulas: theta = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
+      // mean_adj = [n·θden·Σy_v − θnum·(n·Σx_v − n_v·Σx)]/(n_v·n·θden)
+      val n = BigInt(units.size)
+      val sx = BigInt(units.map(_._2).sum)
+      val sy = BigInt(units.map(_._3).sum)
+      val sxy = units.map { case (_, x, y) => BigInt(x) * BigInt(y) }.sum
+      val sxx = units.map { case (_, x, _) => BigInt(x) * BigInt(x) }.sum
+      val tNum = n * sxy - sx * sy
+      val tDen = n * sxx - sx * sx
+      val want = units.groupBy(u => armOf(u._1.toString)).map {
+        case (arm, us) =>
+          val nV = BigInt(us.size)
+          val sxV = BigInt(us.map(_._2).sum)
+          val syV = BigInt(us.map(_._3).sum)
+          val adj = if (tDen > 0) Some(fdiv(
+            1000 * (n * tDen * syV - tNum * (n * sxV - nV * sx)),
+            nV * n * tDen).toLong) else None
+          val theta = if (tDen > 0) Some(fdiv(1000000 * tNum, tDen).toLong)
+            else None
+          arm -> (nV.toLong, syV.toLong, (syV * 1000 / nV).toLong, adj, theta)
+      }
+      assert(got == want, s"cuped replay mismatch:\n$got\nvs\n$want")
+    }
+  }
+
+  test("X9k srm == replay of the collapsed chi-square (n_a - n_b)^2 / N " +
+      "in exact micro units on random unit universes") {
+    cases(Gen.chooseNum(10L, 400L), n = 6) { nUnits =>
+      val ids = (1L to nUnits).map(i => i * 7L)
+      val got = Experiment.srmCheck(ids.toDF("user_id"), "user_id")
+        .as[(Long, Long, Long, Boolean)].collect().head
+      val nA = ids.count(i => armOf(i.toString) == "a").toLong
+      val nB = nUnits - nA
+      val chi = (BigInt(nA - nB) * BigInt(nA - nB) * 1000000 /
+        BigInt(nUnits)).toLong
+      assert(got == ((nA, nB, chi, chi > 3841459L)),
+        s"srm replay mismatch: $got vs ($nA, $nB, $chi)")
+    }
+  }
+
+  test("X9l winsorizedMean == exact histogram-quantile replay on signed " +
+      "random data, any bucket width and p") {
+    val gen = Gen.zip(Gen.listOfN(35, Gen.chooseNum(-8000L, 40000L)),
+      Gen.chooseNum(1L, 700L), Gen.chooseNum(500000L, 999999L))
+    cases(gen, n = 6) { case (cs, w, p) =>
+      val got = Experiment.winsorizedMean(
+          cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+            .toDF("id", "cents"), col("cents"), p, w)
+        .as[(Long, Long, Long, Long)].collect().head
+      // defining formula: cut at the ceil(p·N) nearest-rank of the
+      // floor-bucketed histogram, clamp, floor-milli means
+      val nN = cs.size.toLong
+      val hist = cs.groupBy(c => fdiv(BigInt(c), BigInt(w)))
+        .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val rank = (p * nN + 999999L) / 1000000L
+      val cutBkt = hist.scanLeft((BigInt(0), 0L)) {
+        case ((_, cum), (b, cnt)) => (b, cum + cnt)
+      }.drop(1).find(_._2 >= rank).get._1
+      val cut = ((cutBkt + 1) * w - 1).toLong
+      val sRaw = BigInt(cs.sum)
+      val sWin = BigInt(cs.map(c => math.min(c, cut)).sum)
+      val want = (nN, cut, fdiv(sRaw * 1000, BigInt(nN)).toLong,
+        fdiv(sWin * 1000, BigInt(nN)).toLong)
+      assert(got == want, s"winsorized replay mismatch: $got vs $want")
+    }
+  }
+
+  test("X9m postStratified == share-weighted replay on random strata, " +
+      "including partially-covered strata") {
+    val row = Gen.zip(Gen.chooseNum(1L, 30L), Gen.oneOf("s1", "s2", "s3"),
+      Gen.chooseNum(0L, 9000L))
+    cases(Gen.listOfN(45, row), n = 4) { rows =>
+      val got = Experiment.postStratified(
+          rows.toDF("id", "strat", "cents"), "id", col("strat"),
+          col("cents"))
+        .select(col("arm"), col("n_units"), col("covered_n"),
+          col("mean_milli"), col("poststrat_mean_milli"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      // defining formula: Σ_s (n_s / n) · mean_sa with the engine's
+      // pinned milli-floor on the cell mean first
+      val cells = rows.groupBy(r => (r._2, armOf(r._1.toString)))
+        .view.mapValues(rs => (rs.size.toLong, rs.map(_._3).sum)).toMap
+      val nS = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nAll = rows.size.toLong
+      val want = cells.keys.map(_._2).toSeq.distinct.map { arm =>
+        val mine = cells.filter(_._1._2 == arm)
+        val nU = mine.values.map(_._1).sum
+        val sC = mine.values.map(_._2).sum
+        val covered = mine.keys.toSeq.map(k => nS(k._1)).sum
+        val wsum = mine.map { case ((s, _), (nSa, sumSa)) =>
+          BigInt(nS(s)) * fdiv(BigInt(sumSa) * 1000, BigInt(nSa)) }.sum
+        arm -> ((arm, nU, covered, fdiv(BigInt(sC) * 1000, BigInt(nU)).toLong,
+          fdiv(wsum, BigInt(nAll)).toLong))
+      }.toMap
+      assert(got == want, s"poststrat replay mismatch:\n$got\nvs\n$want")
+    }
+  }
+
+  test("X10l modularity == BigInt replay of Q = (4m·e_in - sum d_c^2) / " +
+      "4m^2 on random graphs and mod-3 labels") {
+    val edge = Gen.zip(Gen.chooseNum(1L, 14L), Gen.chooseNum(1L, 14L))
+    cases(Gen.listOfN(25, edge), n = 6) { es =>
+      val und = es.map { case (a, b) => (a.min(b), a.max(b)) }
+        .filter { case (a, b) => a != b }.distinct
+      if (und.nonEmpty) {
+        val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+        val labels = nodes.map(v => (v, v % 3))
+        val got = Graph.modularity(es.toDF("src", "dst"),
+            labels.toDF("node", "label"))
+          .as[(Long, Long, Long, Long)].collect().head
+        val lab = labels.toMap
+        val m = BigInt(und.size)
+        val eIn = BigInt(und.count { case (a, b) => lab(a) == lab(b) })
+        val dC = und.flatMap(e => Seq(lab(e._1), lab(e._2)))
+          .groupBy(identity).view.mapValues(c => BigInt(c.size)).values
+        val qNum = 1000000 * (4 * m * eIn - dC.map(d => d * d).sum)
+        val want = (m.toLong, dC.size.toLong, eIn.toLong,
+          fdiv(qNum, 4 * m * m).toLong)
+        assert(got == want, s"modularity replay mismatch: $got vs $want")
+      }
+    }
+  }
+
+  test("X10o clusteringCoeff == brute-force triangle replay per node on " +
+      "random graphs") {
+    val edge = Gen.zip(Gen.chooseNum(1L, 11L), Gen.chooseNum(1L, 11L))
+    cases(Gen.listOfN(22, edge), n = 6) { es =>
+      val und = es.map { case (a, b) => (a.min(b), a.max(b)) }
+        .filter { case (a, b) => a != b }.distinct.toSet
+      if (und.nonEmpty) {
+        val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val got = Graph.clusteringCoeff(es.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+        val want = adj.map { case (v, nb) =>
+          val dg = nb.size.toLong
+          val tri = nb.toSeq.combinations(2)
+            .count(p => adj(p(0)).contains(p(1))).toLong
+          val cc = if (dg >= 2)
+            Some((BigInt(tri) * 2000000 / (BigInt(dg) * (dg - 1))).toLong)
+            else None
+          v -> ((dg, tri, cc))
+        }
+        assert(got == want, s"cc replay mismatch:\n$got\nvs\n$want")
+      }
+    }
+  }
+
+  test("X10p assortativity == BigInt Pearson replay over endpoint " +
+      "degrees on random graphs (signed numerator, pinned floor)") {
+    val edge = Gen.zip(Gen.chooseNum(1L, 13L), Gen.chooseNum(1L, 13L))
+    cases(Gen.listOfN(24, edge), n = 6) { es =>
+      val und = es.map { case (a, b) => (a.min(b), a.max(b)) }
+        .filter { case (a, b) => a != b }.distinct
+      if (und.nonEmpty) {
+        val deg = und.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(c => BigInt(c.size)).toMap
+        val ends = und.flatMap { case (a, b) =>
+          Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+        val nE = BigInt(ends.size)
+        val sx = ends.map(_._1).sum
+        val sxy = ends.map(e => e._1 * e._2).sum
+        val sxx = ends.map(e => e._1 * e._1).sum
+        val num = nE * sxy - sx * sx
+        val den = nE * sxx - sx * sx
+        val want = (nE.toLong,
+          if (den > 0) Some(fdiv(1000000 * num, den).toLong) else None)
+        val r = Graph.assortativity(es.toDF("src", "dst")).collect().head
+        val got = (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        assert(got == want, s"assortativity replay mismatch: $got vs $want")
+      }
+    }
+  }
+
+  test("X10q hits == exact integer max-normalized replay on random " +
+      "digraphs (nodes may be hub and authority at once)") {
+    val edge = Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(1L, 10L))
+    cases(Gen.listOfN(18, edge), n = 6) { esRaw =>
+      val es = esRaw.distinct
+      val df = es.toDF("src", "dst")
+      var hub = es.map(_._1).distinct.map(_ -> BigInt(1000000)).toMap
+      var auth = Map.empty[Long, BigInt]
+      (1 to 2).foreach { _ =>
+        val aRaw = es.filter(e => hub.contains(e._1)).groupBy(_._2)
+          .view.mapValues(in => in.map(e => hub(e._1)).sum).toMap
+        val aMax = aRaw.values.max
+        auth = aRaw.view.mapValues(v => v * 1000000 / aMax).toMap
+        val hRaw = es.filter(e => auth.contains(e._2)).groupBy(_._1)
+          .view.mapValues(out => out.map(e => auth(e._2)).sum).toMap
+        val hMax = hRaw.values.max
+        hub = hRaw.view.mapValues(v => v * 1000000 / hMax).toMap
+      }
+      val got = Graph.hits(df, 2).as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val want = (hub.keySet ++ auth.keySet).map { v =>
+        v -> ((hub.getOrElse(v, BigInt(0)).toLong,
+          auth.getOrElse(v, BigInt(0)).toLong))
+      }.toMap
+      assert(got == want, s"hits replay mismatch:\n$got\nvs\n$want")
+    }
+  }
+
   test("assortativity stays in [-1e6, 1e6] and clustering coefficients " +
       "stay in [0, 1e6] on random graphs") {
     val edge = Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))
