@@ -7574,6 +7574,75 @@ object Queries {
            |SELECT v AS node, CAST(sum(delta) AS BIGINT) AS bc_ppm
            |FROM allv GROUP BY 1 ORDER BY node""".stripMargin))
 
+  /** X10v — NEIGHBORHOOD FUNCTION / HyperANF (round 16): per-node
+    * md5-HLL ball sketches grown by register-max merges along edges —
+    * N(h) for h = 0..3 on the thinned symmetric trade graph. The judged
+    * artifact is (h, n_nodes, sum_est_fp): per-node estimates are
+    * deterministic longs (exact-dyadic Z, pinned alpha text — the
+    * a2_hll_md5 contract), and the per-hop total is an INTEGER sum, so
+    * the whole curve hash-checks. The oracle replays the register
+    * evolution hop by hop — the same nibble arithmetic text as the
+    * judged HLL lanes, then three register-max merge rounds. */
+  val x10Reach = QuerySpec("x10_reach",
+    (s, d) => Graph.neighborhoodFunction(
+        Graph.tradeEdges(
+          T(s, d, "lineitem").filter(col("l_partkey") % 17 === 0),
+          T(s, d, "orders")), 3)
+      .orderBy(col("h")),
+    Some {
+      val rho =
+        """CAST(1 + CASE WHEN ltrim(substr(h, 3, 13), '0') = '' THEN 52
+          |    ELSE 4 * (13 - len(ltrim(substr(h, 3, 13), '0'))) +
+          |      CASE WHEN substr(ltrim(substr(h, 3, 13), '0'), 1, 1) IN
+          |          ('8','9','a','b','c','d','e','f') THEN 0
+          |        WHEN substr(ltrim(substr(h, 3, 13), '0'), 1, 1) IN
+          |          ('4','5','6','7') THEN 1
+          |        WHEN substr(ltrim(substr(h, 3, 13), '0'), 1, 1) IN
+          |          ('2','3') THEN 2
+          |        ELSE 3 END END AS INT)""".stripMargin
+      val merges = (1 to 3).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v, bucket, CAST(max(reg) AS INT) AS reg FROM (
+           |    SELECT v, bucket, reg FROM r${i - 1}
+           |    UNION ALL
+           |    SELECT e.src AS v, r.bucket, r.reg
+           |    FROM e JOIN r${i - 1} r ON r.v = e.dst) t
+           |  GROUP BY v, bucket),""".stripMargin
+      }.mkString("\n")
+      val ests = (0 to 3).map { i =>
+        s"""z$i AS (SELECT v, 64.0 - count(*) + sum(pow(2.0, -reg)) AS z
+           |  FROM r$i GROUP BY v),
+           |s$i AS (SELECT CAST($i AS BIGINT) AS h,
+           |    CAST(count(*) AS BIGINT) AS n_nodes,
+           |    CAST(sum(CAST(floor(0.7213::DOUBLE / (1.0::DOUBLE +
+           |      1.079::DOUBLE / 64) * 4096 / z * 1e4 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS sum_est_fp
+           |  FROM z$i)""".stripMargin
+      }.mkString(",\n")
+      s"""-- nonneg-div: md5-derived unsigned hashes
+         |WITH e0 AS (
+         |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+         |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_partkey % 17 = 0),
+         |e AS MATERIALIZED (SELECT src, dst FROM e0
+         |     UNION ALL SELECT dst, src FROM e0),
+         |nodes AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |p AS (SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT v, CAST(('0x' || substr(h, 1, 2))::BIGINT // 4 AS INT)
+         |      AS bucket,
+         |    $rho AS reg
+         |  FROM p),
+         |$merges
+         |$ests
+         |SELECT h, n_nodes, sum_est_fp FROM (
+         |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         |ORDER BY h""".stripMargin
+    })
+
   /** X10c — TRIANGLE COUNTING (round 13): per-node triangle
     * participation over the co-supply graph (suppliers adjacent when
     * they supply the same part), by degree-ordered edge orientation —
@@ -10358,6 +10427,46 @@ object Queries {
            |    AS mae_naive_milli
            |FROM te GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** X8v — SINGLE CHANGEPOINT per key by largest mean shift (round 16):
+    * the AMOC first split of binary segmentation over each user's
+    * (ts, event_id)-ordered cent series — regime-change detection. The
+    * split score is the exact rational mean difference
+    * (S_t·n − S_n·t)/(t·(n−t)) floored to milli; the argmax tie-breaks
+    * on the EARLIEST split; segment means use the sign-safe pinned
+    * floor. The oracle replays prefix sums, the score at every legal
+    * split, and the (score DESC, t ASC) selection. */
+  val x8Changepoint = QuerySpec("x8_changepoint",
+    (s, d) => TimeSeries.changepoint(Tables.events(s, d), "user_id", "ts",
+        "event_id", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .orderBy(col("user_id")),
+    Some("""-- nonneg-div: the shift numerator is abs(); means carry the
+           |-- explicit ((x%y)+y)%y floor guard
+           |WITH e AS (SELECT user_id, event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |w AS (SELECT user_id, us, cents,
+           |    CAST(count(*) OVER ord AS BIGINT) AS t,
+           |    CAST(sum(cents) OVER ord AS BIGINT) AS s_t,
+           |    CAST(count(*) OVER al AS BIGINT) AS n,
+           |    CAST(sum(cents) OVER al AS BIGINT) AS s_n
+           |  FROM e
+           |  WINDOW ord AS (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |    al AS (PARTITION BY user_id)),
+           |sc AS (SELECT user_id, us, t, n,
+           |    abs(s_t * n - s_n * t) * 1000 // (t * (n - t))
+           |      AS shift_milli,
+           |    (s_t * 1000 - ((s_t * 1000 % t) + t) % t) // t AS lm,
+           |    ((s_n - s_t) * 1000 - (((s_n - s_t) * 1000 % (n - t))
+           |      + (n - t)) % (n - t)) // (n - t) AS rm
+           |  FROM w WHERE t >= 3 AND t <= n - 3),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+           |    ORDER BY shift_milli DESC, t ASC) AS rn FROM sc)
+           |SELECT user_id, n, t AS split_t, us AS split_us, shift_milli,
+           |  lm AS left_mean_milli, rm AS right_mean_milli
+           |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
   /** X7v — EXPECTATIONS-GATED snapshot merge (round 15): the change
     * batch passes the X11 quarantine gate BEFORE the CDC merge — the
     * Delta-style "constraints enforced at the write edge" composition
@@ -10526,7 +10635,8 @@ object Queries {
     x5KmvBy, x7IncrKmv, x10Modularity, j6cIntervalOverlap,
     x11Unique, x11Fd, x3KnnClassify, x8CorrMatrix, stDedupReplay,
     j7eAsofNearest, x2Containment, x10Sssp, x5KmvMerge, x3KnnAnn,
-    x8Gini, x8Hhi, x12ItemSim, x8ForecastBacktest, x7MergeGated,
+    x8Gini, x8Hhi, x12ItemSim, x8ForecastBacktest, x8Changepoint,
+    x10Reach, x7MergeGated,
     x4MaskTokens,
     x5BudgetMix, x10Bfs, x4Boilerplate,
     x9AbTest, x9Auc, x9AucBy, x9PrCurve, x9Calibration, x9Bootstrap,

@@ -1071,4 +1071,85 @@ object Graph {
     acc.groupBy(col("v").as("node"))
       .agg(sum(col("delta")).as("bc_ppm"))
   }
+
+  /** X10v — NEIGHBORHOOD FUNCTION via per-node HLL sketches (round 16):
+    * HyperANF (Boldi, Rosa & Vigna 2011) — N(h) = Σ_v |ball(v, h)|,
+    * the reach curve whose knee is the graph's effective diameter, THE
+    * whole-graph connectivity fingerprint at sizes where exact all-pairs
+    * BFS (O(V·E)) is unpayable. Curation use: a link graph whose reach
+    * curve saturates in 2-3 hops is a dense spam mesh; a long-tailed
+    * curve is organic.
+    *
+    * Mechanism: every node starts with the 64-register md5-HLL sketch of
+    * {itself} ([[graft.ops.Sketch.hllRegisters]]'s exact kernel — same
+    * bucket/rho nibble arithmetic, so the whole evolution replays in the
+    * oracle); hop h merges every node's sketch with its out-neighbors'
+    * via elementwise register MAX — the union of HLL sketches IS the max
+    * of registers, which is what makes ball-growing affordable: state is
+    * ≤ 64 rows per node FOREVER, vs the exact ball sets' quadratic blowup.
+    * Per hop: ONE src-keyed equi-join + ONE (node, bucket)-keyed
+    * partial-combining max — the pageRank shuffle ledger with a 64×
+    * register fan-out, checkpointed per round.
+    *
+    * Determinism contract: per node, Z = (64 − occupied) + Σ 2^−reg
+    * (missing registers contribute 2⁰ = 1 — algebraically identical to
+    * the spine completion, computed WITHOUT the 64-row spine join) is a
+    * sum of dyadic rationals spanning < 53 bits at any realistic rho, so
+    * it is EXACT in IEEE double on both engines; the alpha chain is
+    * textually pinned ([[graft.ops.Sketch.hllEstimate]]'s argument), the
+    * per-node estimate lands in 1e4 fixed point as a long, and the
+    * judged per-hop total is an INTEGER sum of those longs — summation
+    * order cannot matter. Standard small/large-range corrections
+    * intentionally omitted, same as the judged HLL lanes.
+    *
+    * Returns one row per hop 0..maxHops:
+    * (h, n_nodes, sum_est_fp) — sum_est_fp ≈ N(h) · 10⁴. */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 6,
+      s"maxHops must be in [1,6], got $maxHops")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().repartition(col("src")).localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct()
+    // ball(v, 0) = {v}: one md5 draw occupies exactly one register
+    val h = md5(col("v").cast("string"))
+    val bucket = shiftright(
+      conv(substring(h, 1, 2), 16, 10).cast("long"), 2).cast("int")
+    val tail = substring(h, 3, 13)
+    val nz = ltrim(tail, "0")
+    val nibLead =
+      when(substring(nz, 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(substring(nz, 1, 1).isin("4", "5", "6", "7"), 1)
+        .when(substring(nz, 1, 1).isin("2", "3"), 2)
+        .otherwise(3)
+    val zeros = when(nz === "", lit(52))
+      .otherwise(lit(4) * (lit(13) - length(nz)) + nibLead)
+    var regs = nodes
+      .select(col("v"), bucket.as("bucket"), (zeros + 1).cast("int").as("reg"))
+      .localCheckpoint(eager = false)
+    def hopTotal(hh: Int, r: DataFrame): DataFrame = r
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_occ"),
+        sum(pow(lit(2.0), -col("reg"))).as("zs"))
+      .select((lit(64.0) - col("n_occ") + col("zs")).as("z"))
+      .select(floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64))
+        * lit(4096) / col("z") * lit(1e4) + lit(0.5))
+        .cast("long").as("est_fp"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("est_fp")).as("sum_est_fp"))
+      .select(lit(hh.toLong).as("h"), col("n_nodes"), col("sum_est_fp"))
+    var out = hopTotal(0, regs)
+    (1 to maxHops).foreach { hh =>
+      val fromNbrs = e
+        .join(regs.select(col("v").as("dst"), col("bucket"), col("reg")),
+          Seq("dst"))
+        .select(col("src").as("v"), col("bucket"), col("reg"))
+      regs = regs.unionAll(fromNbrs)
+        .groupBy(col("v"), col("bucket"))
+        .agg(max(col("reg")).as("reg"))
+        .localCheckpoint(eager = false)
+      out = out.unionAll(hopTotal(hh, regs))
+    }
+    out
+  }
 }

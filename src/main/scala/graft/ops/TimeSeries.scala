@@ -883,4 +883,61 @@ object TimeSeries {
         expr("sum(abs(cents * 1000L - pred_key_milli)) div count(1)")
           .as("mae_naive_milli"))
   }
+
+  /** X8v — single CHANGEPOINT per key by largest mean shift (round 16):
+    * the first split of binary segmentation (AMOC — "at most one
+    * change" — the core step of Scott & Knott / PELT-style detectors):
+    * over each key's (ts, tie)-ordered series, find the split t that
+    * maximizes |mean(left) − mean(right)| — regime-change detection for
+    * price level breaks, traffic migrations, metric step changes.
+    *
+    * Exact-integer contract: with prefix sums S_t over cents and n
+    * rows, mean(left) − mean(right) = (S_t·n − S_n·t)/(t·(n−t)); the
+    * judged score is the PINNED floor division
+    * shift_milli = ⌊|S_t·n − S_n·t|·1000 / (t·(n−t))⌋ (magnitudes:
+    * |numerator|·1000 ≤ n²·maxCents·1000 — safe in BIGINT to ~10⁶ rows
+    * per key at dollar scales), and the argmax tie-breaks
+    * deterministically on the EARLIEST split. `minSeg` keeps degenerate
+    * 1-row segments from winning on noise (the standard AMOC guard).
+    *
+    * Scale shape: ONE key shuffle; prefix sums and n ride two frames
+    * over the same window partitioning (no second shuffle — the w3
+    * frames discipline), the per-row score is codegen'd arithmetic, and
+    * the argmax is a per-key max_by — no self-join, no per-key sort
+    * beyond the window's. Keys shorter than 2·minSeg are excluded
+    * honestly (no split exists under the guard). */
+  def changepoint(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCentsCol: Column, minSeg: Int = 3): DataFrame = {
+    require(minSeg >= 1, s"minSeg must be >= 1, got $minSeg")
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col("us"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .select(col(keyCol), col(tieCol), valueCentsCol.as("cents"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("t", count(lit(1)).over(wOrd))
+      .withColumn("s_t", sum(col("cents")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s_n", sum(col("cents")).over(wAll))
+      .filter(col("t") >= minSeg && col("t") <= col("n") - minSeg)
+      .withColumn("num", col("s_t") * col("n") - col("s_n") * col("t"))
+      .withColumn("shift_milli",
+        expr("abs(num) * 1000L div (t * (n - t))"))
+      // sign-safe pinned floors: cents may be negative (P&L deltas), and
+      // div-truncation would round the two segment means toward zero
+      .withColumn("lm", expr("(s_t * 1000L - pmod(s_t * 1000L, t)) div t"))
+      .withColumn("rm", expr("((s_n - s_t) * 1000L - " +
+        "pmod((s_n - s_t) * 1000L, n - t)) div (n - t)"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("n")).as("n"),
+        // earliest split wins ties: max over (score, -t)
+        expr("max_by(t, struct(shift_milli, -t))").as("split_t"),
+        expr("max_by(us, struct(shift_milli, -t))").as("split_us"),
+        max(col("shift_milli")).as("shift_milli"),
+        expr("max_by(lm, struct(shift_milli, -t))").as("left_mean_milli"),
+        expr("max_by(rm, struct(shift_milli, -t))").as("right_mean_milli"))
+  }
 }

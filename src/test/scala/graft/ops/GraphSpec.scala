@@ -424,4 +424,51 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(gotT == Map(2L -> 1000000L, 3L -> 0L, 4L -> 1000000L))
   }
+
+  test("X10v neighborhoodFunction: exact md5-register replay of the " +
+      "ball evolution on a path; the curve saturates at the component") {
+    // path 1-2-3-4 symmetrized: balls grow 1,2,3,4 / 2,3,4,4 / ... and
+    // saturate at the 4-node component by h=3
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val und = (p ++ p.map(_.swap)).toDF("src", "dst")
+    // driver replay: exact balls by BFS, exact HLL registers from md5,
+    // the engine's own float chain (identical literals and order)
+    def hex(v: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def regOf(v: Long): (Int, Int) = {
+      val h = hex(v)
+      val bucket = Integer.parseInt(h.substring(0, 2), 16) / 4
+      val nz = h.substring(2, 15).dropWhile(_ == '0')
+      val zeros = if (nz.isEmpty) 52 else {
+        val lead = nz.head match {
+          case c if "89abcdef".contains(c) => 0
+          case c if "4567".contains(c) => 1
+          case c if "23".contains(c) => 2
+          case _ => 3
+        }
+        4 * (13 - nz.length) + lead
+      }
+      (bucket, zeros + 1)
+    }
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L), 3L -> Set(2L, 4L),
+      4L -> Set(3L))
+    def ball(v: Long, h: Int): Set[Long] =
+      (0 until h).foldLeft(Set(v))((b, _) => b ++ b.flatMap(adj))
+    def estOf(b: Set[Long]): Long = {
+      val regs = b.map(regOf).groupBy(_._1)
+        .map { case (bk, rs) => bk -> rs.map(_._2).max }
+      val z = 64.0 - regs.size + regs.values.map(r => math.pow(2.0, -r)).sum
+      math.floor(0.7213 / (1.0 + 1.079 / 64) * 4096 / z * 1e4 + 0.5).toLong
+    }
+    val want = (0 to 3).map { h =>
+      (h.toLong, 4L, (1L to 4L).map(v => estOf(ball(v, h))).sum)
+    }
+    val got = Graph.neighborhoodFunction(und, 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want, s"reach replay mismatch:\n$got\nvs\n$want")
+    // saturation: hop 2 -> 3 balls only grow at the path's far ends;
+    // h=3 equals the full component for every node
+    assert(got(3)._3 == 4L * estOf(Set(1L, 2L, 3L, 4L)))
+  }
 }

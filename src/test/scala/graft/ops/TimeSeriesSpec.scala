@@ -532,4 +532,47 @@ class TimeSeriesSpec extends SparkSpec {
     // (200 cents) misses every row by 100 cents = 100000 milli
     assert(out == Seq((1L, 10L, 4L, 0L, 100000L)), s"$out")
   }
+
+  private def cpFrame(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("k", "i", "cents")
+      .withColumn("ts", timestamp_micros($"i" * 1000000L))
+
+  private def cp(rows: Seq[(Long, Long, Long)]) =
+    TimeSeries.changepoint(cpFrame(rows), "k", "ts", "i", $"cents")
+      .select($"k", $"n", $"split_t", $"shift_milli",
+        $"left_mean_milli", $"right_mean_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+
+  test("X8v changepoint: a planted step lands the split exactly on the " +
+      "boundary, with hand-computed shift and segment means") {
+    // key 1: clean 100->200 step at t=3 (the only legal split);
+    // key 2: 0,0,0,0,1000x4 — legal t in {3,4,5}, the boundary t=4 must
+    // beat both off-by-one splits (hand: 1e6 vs 8e5 milli)
+    val rows = (0 until 6).map(i =>
+        (1L, i.toLong, if (i < 3) 100L else 200L)) ++
+      (0 until 8).map(i => (2L, i.toLong, if (i < 4) 0L else 1000L))
+    assert(cp(rows) == Seq(
+      (1L, 6L, 3L, 100000L, 100000L, 200000L),
+      (2L, 8L, 4L, 1000000L, 0L, 1000000L)))
+  }
+
+  test("X8v changepoint: constant series scores zero at the EARLIEST " +
+      "legal split; short keys are excluded; negative sums floor") {
+    // key 1: constant -> all shifts 0, tie-break picks t = minSeg = 3;
+    // key 2: 5 rows < 2*minSeg -> no legal split, excluded;
+    // key 3: S3 = -4 -> left mean -4000/3 FLOORS to -1334 (truncation
+    // would give -1333)
+    val rows = (0 until 7).map(i => (1L, i.toLong, 50L)) ++
+      (0 until 5).map(i => (2L, i.toLong, i * 10L)) ++
+      Seq((3L, 0L, -1L), (3L, 1L, -1L), (3L, 2L, -2L),
+        (3L, 3L, 10L), (3L, 4L, 10L), (3L, 5L, 10L))
+    val out = cp(rows)
+    assert(out.map(_._1) == Seq(1L, 3L), "short key 2 must be excluded")
+    assert(out.head == ((1L, 7L, 3L, 0L, 50000L, 50000L)))
+    val k3 = out(1)
+    assert(k3._3 == 3L && k3._5 == -1334L,
+      s"negative left mean must floor: $k3")
+    // hand replay of the winning score: |(-4)*6 - 26*3|*1000/(3*3)
+    assert(k3._4 == (math.abs(-4L * 6L - 26L * 3L) * 1000L) / 9L)
+  }
 }
