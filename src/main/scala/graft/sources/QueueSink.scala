@@ -20,17 +20,17 @@ trait MessageSink extends Serializable {
   def publish(queue: String, payload: String): Boolean
 }
 
-/** SCOPE NOTE (deliberate, not an oversight): a real AMQP `MessageSink`
-  * impl (the reference's pika BasicPublish with delivery_mode=2 to a
-  * durable queue, main.py:208-230) is out of scope in this build
-  * environment — the dependency policy forbids adding client jars and the
-  * sandbox has no egress, so an AMQP impl could be neither resolved nor
-  * exercised. The trait boundary above is the deployment seam: a
-  * production impl holds one channel per partition (opened in
-  * foreachPartition, exactly where InMemorySink is driven today), declares
-  * the queue durable, and publishes persistent JSON — at-least-once, with
-  * `dedupForPublish` below as the engine-side idempotence layer. All of
-  * that contract is what the specs pin against InMemorySink. */
+/** The real AMQP `MessageSink` impl is [[AmqpSink]] (round 16): the
+  * reference's pika BasicPublish dialogue (delivery_mode=2 to a durable
+  * queue, main.py:208-230) spoken directly in the AMQP 0-9-1 wire
+  * grammar over a raw JDK socket — zero client jars — and exercised
+  * in-process against an independently-decoding loopback broker
+  * (SourcesSpec). It follows exactly the deployment seam described
+  * here: one connection per partition (a @transient connection re-dials
+  * on the executor side), durable declare once per queue, persistent
+  * JSON per message — at-least-once, with `dedupForPublish` below as
+  * the engine-side idempotence layer. InMemorySink remains the fast
+  * test double for the non-wire specs. */
 
 /** Test/local sink: a process-global in-memory queue registry (executors
   * and driver share a JVM in local mode, like `memory` sink). */

@@ -121,4 +121,71 @@ class SourcesSpec extends SparkSpec {
     QueueSink.writebackStates(trans, new InMemorySink, "states")
     assert(InMemoryQueues.drain("states/7") == Seq("""[{"action": 1100}]"""))
   }
+
+  test("S6' live AMQP: the full 0-9-1 dialogue lands durable declares and " +
+      "persistent JSON messages on an independently-decoding broker") {
+    val broker = new LoopbackAmqpBroker("guest", "s3cret")
+    val sink = new AmqpSink("127.0.0.1", broker.port, "guest", "s3cret")
+    try {
+      import spark.implicits._
+      // the reference publish path verbatim: declare durable once, then
+      // basic.publish per message (main.py:208-230)
+      assert(sink.publish("downloader_stock", """{"isin":"X1","mid":11.0}"""))
+      assert(sink.publish("downloader_stock", """{"isin":"X2","mid":12.0}"""))
+      // publishBatch drives the SAME sink partition-locally
+      val env = Seq("""{"a":1}""").toDF("envelope")
+      QueueSink.publishBatch(env.coalesce(1), sink, "downloader_stock")
+      val deadline = System.currentTimeMillis() + 10000
+      while (broker.messages.size < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      // 2 connections, NOT 4: one held across the driver's two publishes
+      // (vs the reference's dial-per-message), plus one dialed by the
+      // executor-side sink copy (@transient conn does not ride the task
+      // closure — that IS the per-partition connection model)
+      assert(broker.connections == 2, s"got ${broker.connections}")
+      assert(broker.declares.toSeq ==
+        Seq.fill(2)(broker.Declared("downloader_stock", durable = true)))
+      val msgs = broker.messages.toSeq
+      assert(msgs.map(_.body) == Seq("""{"isin":"X1","mid":11.0}""",
+        """{"isin":"X2","mid":12.0}""", """{"a":1}"""))
+      assert(msgs.forall(m => m.queue == "downloader_stock" &&
+        m.contentType == "application/json" && m.deliveryMode == 2),
+        s"persistent-JSON properties must ride every message: $msgs")
+    } finally { sink.close(); broker.close() }
+  }
+
+  test("S6' live AMQP: an abrupt broker drop re-dials once and the " +
+      "publish succeeds; bad credentials fail CLOSED with false") {
+    val broker = new LoopbackAmqpBroker("guest", "s3cret",
+      dropAfterMessages = 1)
+    val sink = new AmqpSink("127.0.0.1", broker.port, "guest", "s3cret")
+    try {
+      assert(sink.publish("q", """{"n":1}"""))
+      // the broker killed the TCP socket after message 1. Frames written
+      // into the dead socket BEFORE the RST lands can flush "successfully"
+      // — exactly the no-confirms at-least-once gap the reference has
+      // (main.py publishes blind) — so the caller's contract is
+      // retry-until-delivered; the sink notices the dead socket on the
+      // next write and re-dials exactly once
+      val deadline = System.currentTimeMillis() + 10000
+      while (!broker.messages.exists(_.body == """{"n":2}""") &&
+          System.currentTimeMillis() < deadline) {
+        sink.publish("q", """{"n":2}""")
+        Thread.sleep(50)
+      }
+      assert(broker.messages.map(_.body).headOption.contains("""{"n":1}"""))
+      assert(broker.messages.exists(_.body == """{"n":2}"""))
+      assert(broker.connections == 2, "exactly one re-dial")
+      assert(broker.declares.size == 2,
+        "the fresh connection must re-declare the durable queue")
+    } finally { sink.close(); broker.close() }
+    val badBroker = new LoopbackAmqpBroker("guest", "s3cret")
+    val badSink = new AmqpSink("127.0.0.1", badBroker.port, "guest", "WRONG")
+    try {
+      // ACCESS_REFUSED -> handshake fails on dial and once more on the
+      // re-dial -> false, never an exception (main.py:229-230's bool)
+      assert(!badSink.publish("q", """{"n":3}"""))
+      assert(badBroker.authFailures >= 1 && badBroker.messages.isEmpty)
+    } finally { badSink.close(); badBroker.close() }
+  }
 }
