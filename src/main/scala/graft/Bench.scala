@@ -101,7 +101,7 @@ object Bench {
     "x10_scc", "x10_hits", "x10_linkpred", "x10_modularity",
     "x10_clustering_coeff", "x10_pagerank_dangling",
     "x10_pagerank_weighted", "x10_betweenness", "x10_reach",
-    "x8_changepoint",
+    "x10_ktruss", "x8_changepoint",
     "x3_ivf_pq_residual", "x3_pq_topk", "x3_binary_rerank", "x3_knn_ann",
     "x3_mmr",
     "x5_pack", "x5_shard", "x7_zorder", "x7_maintenance")

@@ -7799,6 +7799,45 @@ object Queries {
            |FROM c GROUP BY node ORDER BY node""".stripMargin),
     bench = true)
 
+  /** X10w — k-TRUSS decomposition (round 16): 3 synchronous edge peels
+    * at k=4 (support ≥ 2) over the co-supply graph — the edge-level
+    * cohesion filter k-core cannot express (a wedge-rich triangle-poor
+    * hub survives any k-core and evaporates here). The oracle unrolls
+    * the identical 3 rounds — per-edge common-neighbor support via the
+    * symmetric adjacency self-join, then the ≥ k−2 filter — plus the
+    * final-support computation over the surviving set, so the cascade
+    * mechanism itself is hash-checked (the x10_kcore discipline). */
+  val x10Ktruss = QuerySpec("x10_ktruss",
+    (s, d) => Graph.kTruss(Graph.coSupplyEdges(T(s, d, "lineitem"), 499L),
+        4, 3)
+      .orderBy(col("a"), col("b")),
+    Some {
+      val rounds = (0 to 3).map { i =>
+        val nxt = if (i < 3)
+          s""",\ne${i + 1} AS MATERIALIZED (SELECT a, b FROM s$i
+             |  WHERE sup >= 2)""".stripMargin
+        else ""
+        s"""adj$i AS (SELECT a, b FROM e$i
+           |  UNION ALL SELECT b AS a, a AS b FROM e$i),
+           |s$i AS MATERIALIZED (
+           |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS sup
+           |  FROM e$i e JOIN adj$i j1 ON j1.a = e.a
+           |  JOIN adj$i j2 ON j2.a = e.b AND j2.b = j1.b
+           |  GROUP BY e.a, e.b)$nxt""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sp AS (
+         |  SELECT DISTINCT l_partkey AS p, CAST(l_suppkey AS BIGINT) AS s
+         |  FROM lineitem WHERE l_partkey % 499 = 0),
+         |ok AS (SELECT p FROM sp GROUP BY p HAVING count(*) <= 1000),
+         |spb AS (SELECT sp.p, sp.s FROM sp JOIN ok USING (p)),
+         |e0 AS MATERIALIZED (SELECT DISTINCT x.s AS a, y.s AS b
+         |      FROM spb x JOIN spb y ON x.p = y.p AND x.s < y.s),
+         |$rounds
+         |SELECT e.a, e.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+         |FROM e3 e LEFT JOIN s3 s ON e.a = s.a AND e.b = s.b
+         |ORDER BY e.a, e.b""".stripMargin
+    })
+
   /** X10o — local clustering coefficient (ops/Graph.clusteringCoeff):
     * per node, the ppm fraction of its neighbor pairs that are
     * themselves connected, over the co-supply graph — the hub-quality
@@ -10623,7 +10662,7 @@ object Queries {
     x10Drift, x10Pagerank, x10PagerankDangling, x10PagerankWeighted,
     x10Betweenness, x10Ppr, x10Scc,
     x10Linkpred, x10Triangles,
-    x10Kcore, x10ClusteringCoeff, x10Assortativity, x10Hits,
+    x10Kcore, x10Ktruss, x10ClusteringCoeff, x10Assortativity, x10Hits,
     x11Expectations, x11Quarantine, x11Profile, x11IqrOutliers,
     x11Benford,
     stMergeReplay,

@@ -162,10 +162,10 @@ object Graph {
     trianglesFrom(und, degreesOfUnd(und))
   }
 
-  /** Per-node triangle counts over a pre-normalized (und, deg) pair —
-    * split out so [[clusteringCoeff]] can reuse its own checkpointed
-    * frames without re-deriving them. */
-  private def trianglesFrom(und: DataFrame, deg: DataFrame): DataFrame = {
+  /** Triangle TRIPLES (u, x, y) over a pre-normalized (und, deg) pair —
+    * the shared core of [[trianglesFrom]] (node counts), and
+    * [[edgeSupport]] (edge counts, the [[kTruss]] kernel). */
+  private def triangleTriples(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient: (degree, id)-smaller endpoint -> larger; carry the head's
     // rank so the wedge join below can order its two heads without
     // another degree lookup
@@ -193,11 +193,66 @@ object Graph {
         Seq("u"))
       .filter(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))
-    val tri = wedges
+    wedges
       .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
       .select(col("u"), col("x"), col("y"))
-    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+  }
+
+  /** Per-node triangle counts over a pre-normalized (und, deg) pair —
+    * split out so [[clusteringCoeff]] can reuse its own checkpointed
+    * frames without re-deriving them. */
+  private def trianglesFrom(und: DataFrame, deg: DataFrame): DataFrame =
+    triangleTriples(und, deg)
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+
+  /** Triangle SUPPORT per canonical edge (a < b): how many triangles
+    * each surviving edge participates in — the triangle core re-keyed
+    * to edges (each found triangle contributes to its three edges). */
+  private def edgeSupport(und: DataFrame): DataFrame =
+    triangleTriples(und, degreesOfUnd(und))
+      .select(explode(array(
+        struct(least(col("u"), col("x")).as("a"),
+          greatest(col("u"), col("x")).as("b")),
+        struct(least(col("u"), col("y")).as("a"),
+          greatest(col("u"), col("y")).as("b")),
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+
+  /** X10w — k-TRUSS decomposition (round 16): iteratively peel every
+    * edge supported by fewer than k−2 triangles (Cohen 2008) — the
+    * EDGE-level sibling of [[kCore]] and the standard cohesion filter a
+    * k-core cannot express: a hub with high degree but no triangles
+    * sails through a k-core and is evaporated by any k-truss (spam hubs
+    * are wedge-rich, triangle-poor). Runs EXACTLY `rounds` synchronous
+    * peels (the kCore contract: rounds past the fixpoint are no-ops, so
+    * any rounds ≥ the measured convergence count yields the true truss
+    * and the oracle unrolls the same fixed count — equality holds round
+    * for round even before convergence). Returns the surviving edges
+    * with their FINAL support (computed on the surviving set).
+    *
+    * Scale shape: per round, one triangle pass on the CURRENT edge set
+    * — degree-ordered orientation keeps the wedge fan-out O(√m) per
+    * node (the [[triangles]] hub contract) — plus one edge-keyed
+    * left-join + filter; the edge set only shrinks, so late rounds cost
+    * the survivors, not the input. Everything is node-/edge-keyed
+    * equi-joins; nothing is all-pairs. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1,8], got $rounds")
+    var und = undirectedEdges(edges).localCheckpoint(eager = false)
+    (1 to rounds).foreach { _ =>
+      und = und.join(edgeSupport(und), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .localCheckpoint(eager = false)
+    }
+    und.join(edgeSupport(und), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
   }
 
   /** X10o — local clustering coefficient (round 15): per node,

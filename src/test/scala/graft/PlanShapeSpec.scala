@@ -663,4 +663,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "hits must never shuffle-cartesian")
   }
+
+  test("r16 graph lanes: weighted pagerank / betweenness / reach are " +
+      "equi-join-only — no cartesian anywhere in the unrolled iterations") {
+    Seq("x10_pagerank_weighted", "x10_betweenness", "x10_reach")
+      .foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("CartesianProduct"),
+          s"$n must never shuffle-cartesian")
+        assert(!p.contains("BroadcastNestedLoop"),
+          s"$n has no small-side theta join to excuse a BNL")
+      }
+  }
+
+  test("x8_changepoint: join-free, prefix sums and totals reuse ONE key " +
+      "exchange, the argmax is a per-key aggregate not a self-join") {
+    val df = Queries.byName("x8_changepoint").fn(spark, d)
+    val sp = df.queryExecution.executedPlan
+    assert(countJoins(sp) == 0,
+      "candidate splits must not join back against the series")
+    // key window (1) + final per-key agg reuses the window partitioning;
+    // only the output ORDER BY adds a range exchange
+    assert(countShuffles(sp) <= 3,
+      s"changepoint should be window + agg + sort, got ${countShuffles(sp)}")
+  }
 }

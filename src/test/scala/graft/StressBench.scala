@@ -537,6 +537,42 @@ object StressBench {
           results(s"pagerank_dangling_$tag")._2 == m,
         s"pagerank should rank every node: " +
           s"${results(s"pagerank_dangling_$tag")._2}")
+
+      // ---- round-16 additions: weighted PR / betweenness / reach ----
+      val sym = g.unionAll(g.select(col("dst").as("src"),
+        col("src").as("dst")))
+      // weighted PR: same iteration ledger as pageRank, weights riding
+      // the static edge frame — every node scored (symmetrized)
+      stage(s"pagerank_weighted_$tag")(ops.Graph.pageRankWeighted(
+        sym.withColumn("w", pmod(col("dst"), lit(7L)) + 1), 3))
+      require(results(s"pagerank_weighted_$tag")._2 == m,
+        s"weighted pagerank should score all $m nodes: " +
+          s"${results(s"pagerank_weighted_$tag")._2}")
+      // 3-source Brandes over 3 hops: state must stay O(sources×reach),
+      // and the hub — the cut vertex between every spoke pair — must
+      // carry the maximum dependency mass
+      val btw = ops.Graph.betweenness(sym,
+          spark.range(3).selectExpr(s"id * ${m / 3} AS node"), 3)
+        .localCheckpoint(eager = false)
+      stage(s"betweenness_$tag")(btw)
+      val btwTop = btw.orderBy(col("bc_ppm").desc).limit(1)
+        .collect().head
+      require(btwTop.getLong(0) == 0L && btwTop.getLong(1) > 0L,
+        s"the hub must be the betweenness maximum: $btwTop")
+      // HyperANF reach: 64-register state per node FOREVER; the curve
+      // must grow monotonically and saturate toward the hub component.
+      // Hop 3 at 1M would fan 6.5M edges x 64 saturated registers — the
+      // documented per-hop cost — so the 1M point runs 2 hops.
+      val hops = if (m >= 1000000L) 2 else 3
+      val reach = ops.Graph.neighborhoodFunction(sym, hops)
+        .localCheckpoint(eager = false)
+      stage(s"reach_$tag")(reach)
+      val curve = reach.orderBy(col("h"))
+        .select(col("sum_est_fp")).collect().map(_.getLong(0)).toSeq
+      require(curve.size == hops + 1 &&
+          curve.zip(curve.tail).forall { case (a, b) => a <= b } &&
+          curve.last > curve.head,
+        s"reach curve must grow monotonically: $curve")
     }
 
     // round-15 plant recovery: the capped SemDeDup output is the

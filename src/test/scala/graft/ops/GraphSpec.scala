@@ -425,6 +425,29 @@ class GraphSpec extends SparkSpec {
     assert(gotT == Map(2L -> 1000000L, 3L -> 0L, 4L -> 1000000L))
   }
 
+  test("X10w kTruss: K5 survives at full support, the pendant triangle " +
+      "and bridge peel, and a shared edge CASCADES round by round") {
+    // K5 on 1..5 (every edge in 3 triangles), a weak triangle {10,11,12}
+    // (support 1 each), a bridge 5-10 (support 0)
+    val k5 = (1L to 5L).combinations(2).map(p => (p(0), p(1))).toSeq
+    val weak = Seq((10L, 11L), (10L, 12L), (11L, 12L), (5L, 10L))
+    val got = Graph.kTruss((k5 ++ weak).toDF("src", "dst"), 4, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == k5.map { case (a, b) => (a, b, 3L) }.toSet)
+    // cascade: triangles {1,2,3} and {2,3,4} share edge (2,3) with
+    // support 2; round 1 peels the four support-1 edges, which drops
+    // (2,3)'s support to 0 — round 2 peels it. The rounds contract is
+    // observable mid-cascade, like the kCore chain test.
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val after1 = Graph.kTruss(twoTri, 4, 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after1 == Set((2L, 3L, 0L)),
+      s"round 1 keeps only the shared edge, now unsupported: $after1")
+    assert(Graph.kTruss(twoTri, 4, 2).count() == 0,
+      "round 2 must peel the stranded shared edge")
+  }
+
   test("X10v neighborhoodFunction: exact md5-register replay of the " +
       "ball evolution on a path; the curve saturates at the component") {
     // path 1-2-3-4 symmetrized: balls grow 1,2,3,4 / 2,3,4,4 / ... and
