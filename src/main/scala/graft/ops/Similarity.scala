@@ -919,8 +919,8 @@ object Similarity {
     // Catalyst does not dedupe repeated subtrees — without truncation the
     // corpus×centroid assignment (cross join + window rank) would execute
     // once per consumer, the lineage-re-derivation defect
-    // capBuckets/triangles fixed. eager = false: materialized at first
-    // action, not at plan build.
+    // capBuckets/triangles fixed. eager = false skips the extra count()
+    // (NOT construction-lazy under AQE — pageRank's r16 note).
     val assigned = ivfAssign(corpus, nCentroids)
       .localCheckpoint(eager = false)
     // tier 1: group identical vectors (grouping key = the vector value);

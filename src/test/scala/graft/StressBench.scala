@@ -551,22 +551,37 @@ object StressBench {
       // 3-source Brandes over 3 hops: state must stay O(sources×reach),
       // and the hub — the cut vertex between every spoke pair — must
       // carry the maximum dependency mass
-      val btw = ops.Graph.betweenness(sym,
+      // CONSTRUCT INSIDE the stage timer: under AQE, localCheckpoint
+      // (eager = false) materializes every non-final query stage at
+      // construction (AdaptiveSparkPlanExec.execute() resolves all
+      // stages) — a pre-constructed frame would leave only the cheap
+      // tail inside the timer (measured: 0.3 s vs the honest 17 s at
+      // 1M). The follow-up collects reuse the now-hot checkpoints.
+      var btw: DataFrame = null
+      stage(s"betweenness_$tag") {
+        btw = ops.Graph.betweenness(sym,
           spark.range(3).selectExpr(s"id * ${m / 3} AS node"), 3)
-        .localCheckpoint(eager = false)
-      stage(s"betweenness_$tag")(btw)
+        btw
+      }
       val btwTop = btw.orderBy(col("bc_ppm").desc).limit(1)
         .collect().head
       require(btwTop.getLong(0) == 0L && btwTop.getLong(1) > 0L,
         s"the hub must be the betweenness maximum: $btwTop")
       // HyperANF reach: 64-register state per node FOREVER; the curve
       // must grow monotonically and saturate toward the hub component.
-      // Hop 3 at 1M would fan 6.5M edges x 64 saturated registers — the
-      // documented per-hop cost — so the 1M point runs 2 hops.
+      // Hop 3 at 1M would fan ~7.8M edges x 64 saturated registers — the
+      // documented per-hop cost — so the 1M point runs 2 hops. Even at
+      // 2 hops the hub component's 500k sketches all saturate (~32M
+      // register rows), which on top of this run's ~40 standing
+      // localCheckpoint frames needs SPARK_DRIVER_MEM=32g (the default
+      // 8g OOMs here, measured) — on a real cluster this is ordinary
+      // executor-storage headroom, not a driver concern.
       val hops = if (m >= 1000000L) 2 else 3
-      val reach = ops.Graph.neighborhoodFunction(sym, hops)
-        .localCheckpoint(eager = false)
-      stage(s"reach_$tag")(reach)
+      var reach: DataFrame = null
+      stage(s"reach_$tag") {
+        reach = ops.Graph.neighborhoodFunction(sym, hops)
+        reach
+      }
       val curve = reach.orderBy(col("h"))
         .select(col("sum_est_fp")).collect().map(_.getLong(0)).toSeq
       require(curve.size == hops + 1 &&
