@@ -17,20 +17,49 @@ trait HttpFetcher extends Serializable {
   /** GET url -> (status code, body). Never throws; transport errors are a
     * status <= 0 row (the reference's `(status, 0)` contract). */
   def get(url: String, basicAuth: Option[(String, String)] = None): (Int, String)
+
+  /** Write-side edge (round 16): PUT/POST with an optional JSON body —
+    * the reference's updateJob / register_application / heartbeat
+    * transports (main.py:155-206). Same never-throws contract as `get`.
+    * Default refuses loudly-but-safely so read-only test fakes keep
+    * compiling; the real [[JdkHttpFetcher]] overrides. */
+  def send(method: String, url: String, body: Option[String] = None,
+      basicAuth: Option[(String, String)] = None): (Int, String) =
+    (-2, s"$method unsupported by ${getClass.getSimpleName}")
 }
 
-/** Real fetcher over java.net.http (edge-only; tests use a fake). */
+/** Real fetcher over java.net.http (edge-only; tests drive it against an
+  * in-process loopback com.sun.net.httpserver — no egress needed). */
 final class JdkHttpFetcher(timeoutMs: Int = 10000) extends HttpFetcher {
   @transient private lazy val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+  private def base(url: String, basicAuth: Option[(String, String)]) = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    basicAuth.foreach { case (u, p) =>
+      b.header("Authorization", "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes("UTF-8")))
+    }
+    b
+  }
   def get(url: String, basicAuth: Option[(String, String)]): (Int, String) =
     try {
-      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      basicAuth.foreach { case (u, p) =>
-        b.header("Authorization", "Basic " + java.util.Base64.getEncoder
-          .encodeToString(s"$u:$p".getBytes("UTF-8")))
+      val resp = client.send(base(url, basicAuth).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    } catch { case e: Exception => (-1, e.getClass.getSimpleName) }
+  override def send(method: String, url: String, body: Option[String],
+      basicAuth: Option[(String, String)]): (Int, String) =
+    try {
+      val b = base(url, basicAuth)
+      val pub = body match {
+        case Some(j) =>
+          // the reference always pairs a body with the JSON content type
+          // (main.py:160,196); a bodyless PUT (heartbeat) sends neither
+          b.header("Content-Type", "application/json")
+          java.net.http.HttpRequest.BodyPublishers.ofString(j)
+        case None => java.net.http.HttpRequest.BodyPublishers.noBody()
       }
-      val resp = client.send(b.GET().build(),
+      val resp = client.send(b.method(method, pub).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       (resp.statusCode(), resp.body())
     } catch { case e: Exception => (-1, e.getClass.getSimpleName) }
@@ -136,4 +165,30 @@ object RestSource {
           .as("mid"),
         to_timestamp(expr("try_cast(t.timestamp as double)")).as("ts"))
   }
+
+  /** S7' — REST job-state writeback (round 16): PUT
+    * `{url}job/set_downloader_jobs_state/{id}` with the reference's
+    * exact one-element body `[{"action": "<new>"}]` (main.py:186-205,
+    * updateJob). Returns (status, body); a transport failure is a
+    * status <= 0 result, never a throw — the reference logs-and-drops,
+    * this surfaces the code so the caller's job state machine decides. */
+  def updateJob(cfg: EngineConfig, fetcher: HttpFetcher, jobId: Long,
+      newAction: Long): (Int, String) =
+    fetcher.send("PUT", s"${cfg.url}job/set_downloader_jobs_state/$jobId",
+      Some(s"""[{"action": "$newAction"}]"""),
+      Some((cfg.urlUsername, cfg.urlPassword)))
+
+  /** S8' — service registration: POST `{url}services/{appId}` with the
+    * instance descriptor (main.py:155-164, register_application). */
+  def registerApplication(cfg: EngineConfig, fetcher: HttpFetcher,
+      appId: String, json: String): (Int, String) =
+    fetcher.send("POST", s"${cfg.url}services/$appId", Some(json),
+      Some((cfg.urlUsername, cfg.urlPassword)))
+
+  /** S8'' — heartbeat: bodyless PUT `{url}services/{appId}/{instanceId}`
+    * (main.py:167-182, update_application). */
+  def updateApplication(cfg: EngineConfig, fetcher: HttpFetcher,
+      appId: String, instanceId: String): (Int, String) =
+    fetcher.send("PUT", s"${cfg.url}services/$appId/$instanceId", None,
+      Some((cfg.urlUsername, cfg.urlPassword)))
 }

@@ -122,6 +122,61 @@ class SourcesSpec extends SparkSpec {
     assert(InMemoryQueues.drain("states/7") == Seq("""[{"action": 1100}]"""))
   }
 
+  test("S7'/S8' live REST write edges: updateJob PUTs the reference's " +
+      "exact action body, register POSTs, heartbeat PUTs bodyless — " +
+      "method, path, auth and content-type all verified on a loopback") {
+    final case class Req(method: String, path: String, body: String,
+      auth: String, ctype: String)
+    val reqs = new scala.collection.mutable.ArrayBuffer[Req]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      reqs.synchronized {
+        reqs += Req(x.getRequestMethod, x.getRequestURI.getPath, body,
+          Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""),
+          Option(x.getRequestHeaders.getFirst("Content-Type")).getOrElse(""))
+      }
+      val resp = """{"ok":true}""".getBytes("UTF-8")
+      x.sendResponseHeaders(200, resp.length)
+      x.getResponseBody.write(resp); x.close()
+    })
+    server.start()
+    try {
+      val cfg = ConfigSource.defaults.copy(
+        url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/",
+        urlUsername = "sql-user", urlPassword = "s3cret")
+      val fetcher = new JdkHttpFetcher()
+      val expectAuth = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("sql-user:s3cret".getBytes("UTF-8"))
+      assert(RestSource.updateJob(cfg, fetcher, 42L, 1100L)._1 == 200)
+      assert(RestSource.registerApplication(cfg, fetcher, "downloader",
+        """{"instance":"i-1"}""")._1 == 200)
+      assert(RestSource.updateApplication(cfg, fetcher, "downloader",
+        "i-1")._1 == 200)
+      val got = reqs.toSeq
+      assert(got.map(r => (r.method, r.path)) == Seq(
+        ("PUT", "/api/v1/job/set_downloader_jobs_state/42"),
+        ("POST", "/api/v1/services/downloader"),
+        ("PUT", "/api/v1/services/downloader/i-1")))
+      assert(got.forall(_.auth == expectAuth))
+      // the reference's exact one-element action array (main.py:190-196)
+      assert(got(0).body == """[{"action": "1100"}]""" &&
+        got(0).ctype == "application/json")
+      assert(got(1).body == """{"instance":"i-1"}""")
+      assert(got(2).body.isEmpty && got(2).ctype.isEmpty,
+        "the heartbeat PUT is bodyless with no content type")
+      // a read-only fake refuses writes loudly-but-safely (status -2)
+      object fake extends HttpFetcher {
+        def get(url: String, auth: Option[(String, String)]) = (200, "{}")
+      }
+      assert(RestSource.updateJob(cfg, fake, 1L, 1L)._1 == -2)
+      // transport failure -> status <= 0, never a throw
+      val dead = cfg.copy(url = "http://127.0.0.1:1/api/")
+      assert(RestSource.updateJob(dead, fetcher, 1L, 1L)._1 < 0)
+    } finally server.stop(0)
+  }
+
   test("S6' live AMQP: the full 0-9-1 dialogue lands durable declares and " +
       "persistent JSON messages on an independently-decoding broker") {
     val broker = new LoopbackAmqpBroker("guest", "s3cret")
