@@ -891,6 +891,139 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("X8v changepoint == brute-force split scan on random signed " +
+      "series (argmax, tie-break, floored means)") {
+    val row = Gen.chooseNum(-3000L, 8000L)
+    cases(Gen.listOfN(25, row), n = 6) { cs =>
+      val df = cs.zipWithIndex.map { case (c, i) => (1L, i.toLong, c) }
+        .toDF("k", "i", "cents")
+        .withColumn("ts", timestamp_micros(col("i") * 1000000L))
+      val got = TimeSeries.changepoint(df, "k", "ts", "i", col("cents"))
+        .select(col("n"), col("split_t"), col("shift_milli"),
+          col("left_mean_milli"), col("right_mean_milli"))
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      // brute force: every legal split scored from the defining formula
+      val n = cs.size.toLong
+      val pre = cs.scanLeft(0L)(_ + _).tail // S_1..S_n
+      val sN = pre.last
+      val best = (3L to n - 3L).map { t =>
+        val sT = pre(t.toInt - 1)
+        val shift = ((BigInt(sT) * n - BigInt(sN) * t).abs * 1000 /
+          (BigInt(t) * (n - t))).toLong
+        (shift, -t, t, sT)
+      }.max // max shift, then smallest t (via -t descending? max picks largest -t = smallest t)
+      val (shift, _, t, sT) = best
+      val want = (n, t, shift,
+        fdiv(BigInt(sT) * 1000, BigInt(t)).toLong,
+        fdiv(BigInt(sN - sT) * 1000, BigInt(n - t)).toLong)
+      assert(got == want, s"changepoint replay mismatch: $got vs $want")
+    }
+  }
+
+  test("X10w kTruss == brute-force synchronous peel replay on random " +
+      "graphs, round for round") {
+    val edge = Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))
+    cases(Gen.zip(Gen.listOfN(26, edge), Gen.chooseNum(1, 3)), n = 6) {
+      case (es, rounds) =>
+        var und = es.map { case (a, b) => (a.min(b), a.max(b)) }
+          .filter { case (a, b) => a != b }.distinct.toSet
+        if (und.nonEmpty) {
+          def support(s: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+            val adj = s.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+              .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+            s.map { case (a, b) =>
+              (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
+          }
+          (1 to rounds).foreach { _ =>
+            val sup = support(und)
+            und = und.filter(e => sup(e) >= 2) // k = 4
+          }
+          val fin = support(und)
+          val want = und.map(e => (e._1, e._2, fin(e))).toSet
+          val got = Graph.kTruss(es.toDF("src", "dst"), 4, rounds)
+            .as[(Long, Long, Long)].collect().toSet
+          assert(got == want, s"ktruss replay mismatch ($rounds rounds): " +
+            s"$got vs $want")
+        }
+    }
+  }
+
+  test("X10u betweenness == driver Brandes replay with identical " +
+      "integer-ppm floor semantics on random graphs") {
+    val edge = Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(1L, 10L))
+    cases(Gen.listOfN(18, edge), n = 6) { esRaw =>
+      val und = esRaw.map { case (a, b) => (a.min(b), a.max(b)) }
+        .filter { case (a, b) => a != b }.distinct
+      if (und.nonEmpty) {
+        val sym = und ++ und.map(_.swap)
+        val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val nodes = adj.keySet
+        val sources = nodes.filter(_ % 3 == 0)
+        if (sources.nonEmpty) {
+          val maxHops = 3
+          // forward: synchronous BFS levels carrying path counts
+          val bc = scala.collection.mutable.Map.empty[Long, BigInt]
+            .withDefaultValue(BigInt(0))
+          sources.foreach { s =>
+            var levels = Vector(Map(s -> BigInt(1)))
+            var seen = Set(s)
+            (1 to maxHops).foreach { _ =>
+              val nxt = scala.collection.mutable.Map.empty[Long, BigInt]
+                .withDefaultValue(BigInt(0))
+              levels.last.foreach { case (u, sig) =>
+                adj(u).filterNot(seen).foreach(v => nxt(v) += sig)
+              }
+              seen ++= nxt.keySet
+              levels :+= nxt.toMap
+            }
+              // backward: delta from the deepest level up, per-term floor
+            var delta = levels(maxHops).keys.map(_ -> BigInt(0)).toMap
+            (maxHops to 1 by -1).foreach { h =>
+              val prev = levels(h - 1)
+              val nd = prev.map { case (u, sigU) =>
+                u -> adj(u).toSeq.filter(levels(h).contains).map { v =>
+                  fdiv(sigU * (1000000 + delta(v)), levels(h)(v))
+                }.sum
+              }
+              levels(h).foreach { case (v, _) => bc(v) += delta(v) }
+              delta = nd
+            }
+            // level-0 delta (the source itself) is never accumulated
+          }
+          val got = Graph.betweenness(sym.toDF("src", "dst"),
+              sources.toSeq.toDF("node"), maxHops)
+            .as[(Long, Long)].collect().toMap
+          val want = bc.map { case (v, d) => v -> d.toLong }.toMap
+          assert(got == want,
+            s"betweenness replay mismatch:\n$got\nvs\n$want")
+        }
+      }
+    }
+  }
+
+  test("X10t pageRankWeighted == integer replay on random weighted " +
+      "digraphs (floor splits, damped update)") {
+    val edge = Gen.zip(Gen.chooseNum(1L, 9L), Gen.chooseNum(1L, 9L),
+      Gen.chooseNum(1L, 20L))
+    cases(Gen.listOfN(16, edge), n = 6) { es =>
+      // parallel duplicate (src,dst) edges stay SEPARATE rows — the
+      // operator floors each edge's split independently, so replaying
+      // a weight-merged pair would differ by the per-edge floor losses
+      val wsum = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var score = wsum.keys.map(_ -> 1000000L).toMap
+      (1 to 3).foreach { _ =>
+        val c = es.filter(e => score.contains(e._1)).groupBy(_._2)
+          .view.mapValues(_.map { case (u, _, w) =>
+            Math.floorDiv(score(u) * w, wsum(u)) }.sum).toMap
+        score = c.map { case (v, s) =>
+          v -> (150000L + Math.floorDiv(850L * s, 1000L)) }.toMap
+      }
+      val got = Graph.pageRankWeighted(es.toDF("src", "dst", "w"), 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == score, s"weighted PR replay mismatch: $got vs $score")
+    }
+  }
+
   test("assortativity stays in [-1e6, 1e6] and clustering coefficients " +
       "stay in [0, 1e6] on random graphs") {
     val edge = Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))
