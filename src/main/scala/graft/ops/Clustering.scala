@@ -24,14 +24,18 @@ import org.apache.spark.sql.functions._
   * the same honesty contract as the murmur3 ANN path. */
 object Clustering {
 
-  private def sqDist: String =
-    "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
-      "cast(0 as double), (acc, x) -> acc + x)"
+  // graft_l2sq (r16): the codegen'd twin of the interpreted
+  // aggregate(zip_with(...)) fold it replaced — identical ascending
+  // accumulation, so assignments and every downstream oracle are
+  // unchanged; the assign fan-out (corpus x centroids) is the kmeans/IVF
+  // hot path and no longer pays boxed-lambda evaluation per pair
+  private def sqDist: String = "graft_l2sq(v, cv)"
 
   /** Assign every vector to its nearest centroid (squared Euclidean,
     * cid ascending tie-break). `cents` must have (cid, cv). Returns the
     * corpus columns + (cid, dist2). */
   def assign(base: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
     val scored = base.crossJoin(broadcast(cents))
       .withColumn("dist2", expr(sqDist))
     scored

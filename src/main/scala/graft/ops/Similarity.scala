@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   *    plain shuffle on the bucket key (or a broadcast of bucketed query
   *    centroids); recall is tunable via nPlanes / multi-probe.
   *
-  * All arithmetic is built-in higher-order functions (zip_with/aggregate)
-  * — codegen'd, no UDF, no driver-side collect.
+  * All arithmetic runs inside whole-stage codegen: the per-pair kernels
+  * are the engine's custom expressions (graft_dot / graft_l2sq /
+  * graft_cosine — true codegen loops; Spark's zip_with/aggregate
+  * HigherOrderFunctions are CodegenFallback and pay a boxed interpreted
+  * lambda per element, the r16-measured 15x class), with the builtin
+  * fold retained only as the bit-identical reference the custom
+  * expressions are tested against. No UDF, no driver-side collect.
   */
 object Similarity {
 
@@ -448,15 +453,18 @@ object Similarity {
     * ([[pqCodebookTrained]]); same rounded-argmin encoding. */
   def pqEncodeWith(corpus: DataFrame, dim: Int, m: Int,
       codebook: DataFrame): DataFrame = {
+    // the hottest PQ fan-out: corpus x ks codebook entries per subspace.
+    // graft_l2sq (r16) replaces the interpreted aggregate(zip_with(...))
+    // fold with the bit-identical codegen'd loop (same ascending
+    // accumulation, so the rounded argmin and every oracle are unchanged)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val w = dim / m
     val sv = corpus.select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
       .select(col("vec_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("sv"))
     val scored = sv.join(broadcast(codebook), Seq("sub"))
-      .withColumn("d2", round(expr(
-        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as double), (acc, v) -> acc + v)"), 6))
+      .withColumn("d2", round(expr("graft_l2sq(sv, cv)"), 6))
     scored.withColumn("crnk", row_number().over(
         Window.partitionBy(col("vec_id"), col("sub"))
           .orderBy(col("d2"), col("code"))))
@@ -489,6 +497,7 @@ object Similarity {
   def pqCodebookTrainedWith(corpus: DataFrame, dim: Int, m: Int,
       seedCodebook: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val w = dim / m
     val sv = corpus.select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
@@ -498,9 +507,7 @@ object Similarity {
     var cb = seedCodebook.localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = sv.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", expr(
-          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
-            "cast(0 as double), (acc, v) -> acc + v)"))
+        .withColumn("d2", expr("graft_l2sq(sv, cv)"))
         .withColumn("crnk", row_number().over(
           Window.partitionBy(col("vec_id"), col("sub"))
             .orderBy(col("d2"), col("code"))))
@@ -545,9 +552,7 @@ object Similarity {
         expr(s"slice(v, sub * $w + 1, $w)").as("qv"))
     val lut = broadcast(qsub
       .join(broadcast(codebook), Seq("sub"))
-      .withColumn("pfix", floor(expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
-          "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
+      .withColumn("pfix", floor(expr("graft_dot(qv, cv)") * 1e6 + 0.5)
         .cast("long"))
       .select(col("query_id"), col("sub"), col("code"), col("pfix")))
     val scored = codes.join(lut, Seq("sub", "code"))
@@ -599,9 +604,7 @@ object Similarity {
         expr(s"slice(v, sub * $w + 1, $w)").as("qv"))
     val lut = broadcast(qsub
       .join(broadcast(cb), Seq("sub"))
-      .withColumn("pfix", floor(expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
-          "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
+      .withColumn("pfix", floor(expr("graft_dot(qv, cv)") * 1e6 + 0.5)
         .cast("long"))
       .select(col("query_id"), col("sub"), col("code"), col("pfix")))
     val scored = candidates.join(codes, Seq("vec_id"))
@@ -677,9 +680,7 @@ object Similarity {
       .select(col("query_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("qv"))
     val lut = broadcast(qsub.join(broadcast(rcb), Seq("sub"))
-      .withColumn("pfix", floor(expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
-          "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
+      .withColumn("pfix", floor(expr("graft_dot(qv, cv)") * 1e6 + 0.5)
         .cast("long"))
       .select(col("query_id"), col("sub"), col("code"), col("pfix")))
     // the exact first term: fixed-point dot(q, centroid), one row per
@@ -687,9 +688,7 @@ object Similarity {
     val qc = broadcast(queries
       .select(col("vec_id").as("query_id"), asDouble("embedding").as("qe"))
       .crossJoin(broadcast(centsPlain.select(col("cid"), col("cv").as("centv"))))
-      .withColumn("qcfix", floor(expr(
-        "aggregate(zip_with(qe, centv, (x, y) -> x * y), " +
-          "cast(0 as double), (acc, v) -> acc + v)") * 1e6 + 0.5)
+      .withColumn("qcfix", floor(expr("graft_dot(qe, centv)") * 1e6 + 0.5)
         .cast("long"))
       .select(col("query_id"), col("cid"), col("qcfix")))
     val qscored = withNorm(queries.select(col("vec_id").as("query_id"),

@@ -68,6 +68,29 @@ class CosineSimilaritySpec extends SparkSpec {
       .forall(_.isNullAt(0)))
   }
 
+  test("graft_l2sq is bit-identical to the builtin fold it replaced, " +
+      "and nulls on ragged input") {
+    GraftFunctions.register(spark)
+    // adversarial magnitudes: FP addition order matters, so equality
+    // here proves the loop accumulates exactly like the fold
+    val df = spark.range(500).select(
+      expr("transform(sequence(0, 15), d -> " +
+        "cast(pmod(hash(id, d), 1000000) as double) / 997.0 " +
+        "- 500.0 + cast(d as double) * 1e6)").as("sv"),
+      expr("transform(sequence(0, 15), d -> " +
+        "cast(pmod(hash(id + 7, d), 1000000) as double) / 31.0)").as("cv"))
+    val out = df.select(
+      expr("graft_l2sq(sv, cv)").as("fast"),
+      expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as double), (acc, v) -> acc + v)").as("ref"))
+    assert(out.filter(col("fast") =!= col("ref")).count() == 0)
+    val ragged = spark.range(2).select(
+      expr("array(cast(id as double))").as("sv"),
+      expr("array(cast(id as double), 1.0)").as("cv"))
+    assert(ragged.select(expr("graft_l2sq(sv, cv)")).collect()
+      .forall(_.isNullAt(0)))
+  }
+
   test("the expression participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     // literal inputs constant-fold to LocalTableScan, and transform()
