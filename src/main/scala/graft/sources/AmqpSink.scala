@@ -47,9 +47,15 @@ final class AmqpSink(host: String, port: Int, username: String,
 
   @transient private var conn: AmqpSink.Conn = _
   @transient private var declaredQueues: scala.collection.mutable.Set[String] = _
-  @transient private var triedRedial = false
 
-  override def publish(queue: String, payload: String): Boolean = {
+  /** One re-dial PER publish call — the retry budget resets on every
+    * call, so a broker that was down an hour ago cannot deny a fresh
+    * publish its retry (the flag is call-scoped, not sink-scoped). */
+  override def publish(queue: String, payload: String): Boolean =
+    attempt(queue, payload, redialed = false)
+
+  private def attempt(queue: String, payload: String,
+      redialed: Boolean): Boolean = {
     try {
       ensure()
       if (!declaredQueues.contains(queue)) {
@@ -57,16 +63,12 @@ final class AmqpSink(host: String, port: Int, username: String,
         declaredQueues += queue
       }
       conn.publishPersistentJson(queue, payload.getBytes(UTF_8))
-      triedRedial = false
       true
     } catch {
       case _: IOException | _: RuntimeException =>
         teardown()
-        if (triedRedial) false
-        else {
-          triedRedial = true
-          publish(queue, payload) // one re-dial, then report failure
-        }
+        if (redialed) false
+        else attempt(queue, payload, redialed = true)
     }
   }
 
