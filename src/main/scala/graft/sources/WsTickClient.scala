@@ -108,6 +108,11 @@ final class WsTickClient(
   }
 
   private final class Listener extends WebSocket.Listener {
+    // the JDK can surface one dead socket as BOTH onError and onClose;
+    // a second reconnect for the same generation would clear the chanId
+    // map and latch of the connection the first reconnect just opened
+    private val handledDisconnect = new AtomicBoolean(false)
+
     override def onOpen(ws: WebSocket): Unit = {
       pairs.foreach { p =>
         ws.sendText(
@@ -132,12 +137,14 @@ final class WsTickClient(
 
     override def onClose(ws: WebSocket, statusCode: Int,
         reason: String): CompletionStage[_] = {
-      if (!stopped.get()) scheduleReconnect()
+      if (!stopped.get() && handledDisconnect.compareAndSet(false, true))
+        scheduleReconnect()
       null
     }
 
     override def onError(ws: WebSocket, error: Throwable): Unit =
-      if (!stopped.get()) scheduleReconnect()
+      if (!stopped.get() && handledDisconnect.compareAndSet(false, true))
+        scheduleReconnect()
   }
 
   private def handle(msg: String): Unit = {

@@ -355,7 +355,7 @@ class StreamingSpec extends SparkSpec {
       hi: Double, lo: Double): String =
     s"[%CID%, $bid, 1, $ask, 1, 0, 0, $last, $vol, $hi, $lo]"
 
-  private def awaitFrames(channel: String, n: Long, timeoutMs: Long = 15000): Unit = {
+  private def awaitFrames(channel: String, n: Long, timeoutMs: Long = 45000): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (TickChannels.size(channel) < n &&
       System.currentTimeMillis() < deadline) Thread.sleep(20)
