@@ -34,10 +34,16 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * Reconnect: a close or transport error while running tears the
   * socket down and dials again (bounded attempts, linear backoff),
   * re-subscribing from scratch — the btfxwss connection thread's retry
-  * loop. Frames buffered so far are NOT lost: TickChannels positions are
-  * append-only, and Spark's offsets (buffer positions) are independent
-  * of socket generations, so a micro-batch spanning a reconnect just
-  * sees a gap-free concatenation.
+  * loop. The budget is PER OUTAGE (round 17): once a reconnect gets all
+  * pairs re-acked the counter resets, so a long-lived stream that
+  * weathers occasional drops never exhausts it — only maxReconnects
+  * consecutive failed dials do. Exhaustion is LOUD, not silent: the
+  * client flips into a terminal dead state observable via [[deadReason]]
+  * (the streamingCusum / AMQP re-dial posture, not a quietly stopped
+  * tick flow). Frames buffered so far are NOT lost: TickChannels
+  * positions are append-only, and Spark's offsets (buffer positions) are
+  * independent of socket generations, so a micro-batch spanning a
+  * reconnect just sees a gap-free concatenation.
   *
   * Threading: all mutation happens on the WebSocket listener thread (the
   * JDK delivers callbacks for one socket sequentially); `stop()` only
@@ -50,13 +56,57 @@ final class WsTickClient(
     channel: String,
     clockMicros: () => Long = () => System.currentTimeMillis() * 1000L,
     maxReconnects: Int = 8,
-    backoffMs: Long = 50L) {
+    backoffMs: Long = 50L,
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    pingIntervalMs: Long = 5000L) {
   require(pairs.nonEmpty, "subscribe to at least one pair")
 
   private val mapper = new ObjectMapper()
   private val stopped = new AtomicBoolean(false)
   private val reconnects = new AtomicInteger(0)
+  private val totalReconnects = new AtomicInteger(0)
+  // terminal: set exactly once when the per-outage budget is exhausted
+  private val dead = new AtomicReference[String](null)
+  // ONE HttpClient for the client's lifetime: a fresh client per dial
+  // leaks its selector thread + executor on every reconnect (this JDK
+  // target has no HttpClient.close), and the builder is reusable.
+  // `wss://` needs nothing extra — java.net.http negotiates TLS from
+  // the URI scheme; `sslContext` only overrides trust (e.g. a test's
+  // self-signed loopback cert) without touching JVM-global defaults.
+  private val httpClient = sslContext
+    .foldLeft(HttpClient.newBuilder())((b, ctx) => b.sslContext(ctx))
+    .build()
   private val socket = new AtomicReference[WebSocket](null)
+  // the listener generation currently owning the socket — the ping
+  // watchdog routes its disconnect through the SAME once-per-generation
+  // CAS the socket callbacks use, so a watchdog-detected death and a
+  // callback-delivered one can never double-reconnect
+  private val currentListener = new AtomicReference[Listener](null)
+  // PING WATCHDOG (round 17): the JDK client can swallow an abrupt TCP
+  // close that lands immediately after a delivered frame (measured: a
+  // 1-frame script + drop produced NO onClose/onError within 10 s) —
+  // the exact silent-tick-death posture this client must never have.
+  // The reference's btfxwss runs a ping thread for the same reason
+  // (main.py:375-398's library); here a daemon scheduler pings every
+  // pingIntervalMs and a failed ping IS the disconnect signal.
+  private val pinger =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "ws-tick-pinger")
+      t.setDaemon(true)
+      t
+    })
+  pinger.scheduleWithFixedDelay(() => {
+    val ws = socket.get()
+    val l = currentListener.get()
+    if (ws != null && l != null && !stopped.get() && dead.get() == null) {
+      try ws.sendPing(java.nio.ByteBuffer.allocate(0))
+        .get(pingIntervalMs, TimeUnit.MILLISECONDS)
+      catch {
+        case _: Exception => l.disconnected()
+      }
+      ()
+    }
+  }, pingIntervalMs, pingIntervalMs, TimeUnit.MILLISECONDS)
   // chanId -> pair, valid for the CURRENT connection only
   private val chanPairs =
     new java.util.concurrent.ConcurrentHashMap[Long, String]()
@@ -64,7 +114,13 @@ final class WsTickClient(
   private val subscribedLatch = new AtomicReference(new CountDownLatch(pairs.size))
   @volatile private var frag = new StringBuilder
 
-  def reconnectCount: Int = reconnects.get()
+  def reconnectCount: Int = totalReconnects.get()
+
+  /** Non-empty once the client has PERMANENTLY stopped dialing because
+    * maxReconnects consecutive attempts failed to reach a subscribed
+    * state — the caller-observable "ticks are no longer flowing" signal
+    * (a healthy or deliberately stopped client returns None). */
+  def deadReason: Option[String] = Option(dead.get())
 
   /** Dial, subscribe, and return once every pair is acked (or the
     * timeout lapses — callers check [[awaitSubscribed]]). */
@@ -78,6 +134,7 @@ final class WsTickClient(
 
   def stop(): Unit = {
     stopped.set(true)
+    pinger.shutdownNow()
     val ws = socket.get()
     if (ws != null) {
       try ws.sendClose(WebSocket.NORMAL_CLOSURE, "stop").join()
@@ -89,13 +146,17 @@ final class WsTickClient(
     chanPairs.clear()
     subscribedLatch.set(new CountDownLatch(pairs.size))
     frag = new StringBuilder
-    val ws = HttpClient.newHttpClient().newWebSocketBuilder()
-      .buildAsync(uri, new Listener()).join()
+    val listener = new Listener()
+    currentListener.set(listener)
+    val ws = httpClient.newWebSocketBuilder()
+      .buildAsync(uri, listener).join()
     socket.set(ws)
   }
 
   private def scheduleReconnect(): Unit = {
-    if (!stopped.get() && reconnects.incrementAndGet() <= maxReconnects) {
+    if (stopped.get() || dead.get() != null) return
+    if (reconnects.incrementAndGet() <= maxReconnects) {
+      totalReconnects.incrementAndGet()
       // linear backoff on the caller (listener) thread: the JDK has
       // already released the dead socket, and the reference's library
       // thread blocks the same way between dials
@@ -104,14 +165,25 @@ final class WsTickClient(
       catch {
         case _: Exception => scheduleReconnect()
       }
+    } else {
+      dead.compareAndSet(null,
+        s"reconnect budget exhausted: $maxReconnects consecutive dials " +
+          s"failed to reach a subscribed state on $uri")
     }
   }
 
   private final class Listener extends WebSocket.Listener {
-    // the JDK can surface one dead socket as BOTH onError and onClose;
-    // a second reconnect for the same generation would clear the chanId
-    // map and latch of the connection the first reconnect just opened
+    // the JDK can surface one dead socket as BOTH onError and onClose
+    // (and the ping watchdog may beat either); a second reconnect for
+    // the same generation would clear the chanId map and latch of the
+    // connection the first reconnect just opened — hence one CAS per
+    // generation, shared by all three detection paths
     private val handledDisconnect = new AtomicBoolean(false)
+
+    /** The watchdog's entry into the same once-only reconnect path. */
+    def disconnected(): Unit =
+      if (!stopped.get() && handledDisconnect.compareAndSet(false, true))
+        scheduleReconnect()
 
     override def onOpen(ws: WebSocket): Unit = {
       pairs.foreach { p =>
@@ -137,14 +209,12 @@ final class WsTickClient(
 
     override def onClose(ws: WebSocket, statusCode: Int,
         reason: String): CompletionStage[_] = {
-      if (!stopped.get() && handledDisconnect.compareAndSet(false, true))
-        scheduleReconnect()
+      disconnected()
       null
     }
 
     override def onError(ws: WebSocket, error: Throwable): Unit =
-      if (!stopped.get() && handledDisconnect.compareAndSet(false, true))
-        scheduleReconnect()
+      disconnected()
   }
 
   private def handle(msg: String): Unit = {
@@ -156,7 +226,11 @@ final class WsTickClient(
         val pair = node.path("pair").asText().toLowerCase
         if (pair.nonEmpty) {
           chanPairs.put(id, pair)
-          subscribedLatch.get().countDown()
+          val latch = subscribedLatch.get()
+          latch.countDown()
+          // fully re-subscribed = this outage is over: the budget is
+          // per-outage, so a healthy reconnect restores all attempts
+          if (latch.getCount == 0) reconnects.set(0)
         }
       } // info / pong / error events: no tick payload, nothing to buffer
     } else if (node.isArray && node.size() >= 2) {

@@ -270,11 +270,16 @@ object TickPipeline {
               Long.MinValue))
           val out = it.toSeq.sortBy(e => (e._3, e._2)).map {
             case (_, tie, us, cents) =>
-              if (seeded && (us < lastUs || (us == lastUs && tie < lastTie)))
+              // <= on the tie-break: an event EQUAL to the high-water
+              // mark is a replayed/duplicate row — folding it again
+              // would double-count silently, and the contract says a
+              // row cannot be re-folded (round-17 ADVICE fix)
+              if (seeded && (us < lastUs || (us == lastUs && tie <= lastTie)))
                 throw new IllegalStateException(
                   s"streamingCusum arrival-order violation for key $key: " +
-                    s"event (us=$us, tie=$tie) arrived in a later micro-" +
-                    s"batch than (us=$lastUs, tie=$lastTie) — pin single-" +
+                    s"event (us=$us, tie=$tie) arrived at or behind the " +
+                    s"folded high-water mark (us=$lastUs, tie=$lastTie) " +
+                    "— duplicate/replayed rows cannot be re-folded; pin single-" +
                     "batch ingestion (maxFilesPerTrigger covering the " +
                     "backfill) or partition the source per key in time order")
               lastUs = us; lastTie = tie

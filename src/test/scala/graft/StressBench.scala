@@ -482,6 +482,18 @@ object StressBench {
         .isEmpty,
       "scc labels on the 10-ring graph must be the ring base")
 
+    // (B'''+) scc on ONE 100k-node directed ring — diameter 10⁵, the
+    // r16 verdict's killer shape: the hook-only color loop needed one
+    // round per hop and aborted at maxInner=40; the round-17 Wyllie
+    // pointer-doubling prefix-min closes both inner loops in ~log2(1e5)
+    // ≈ 17 rounds. Labels checked exactly: one component, all 0.
+    val bigRing = spark.range(ringsN).selectExpr("id as src",
+      s"(id + 1) % $ringsN as dst")
+    val ringLabels = ops.Graph.scc(bigRing)
+    stage("scc_ring_100k")(ringLabels)
+    require(ringLabels.filter(col("scc_id") =!= 0L).isEmpty,
+      "the 100k directed ring must be ONE component labeled 0")
+
     // (C) graph operators at 100k AND 1M nodes (the dedup lanes' 10x
     // scaling table, for graphs): same skew-graph generator — one
     // degree-n/2 hub, a chain, and n/20 disjoint 10-cliques; ~3.25M

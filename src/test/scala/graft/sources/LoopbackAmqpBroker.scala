@@ -14,9 +14,28 @@ import scala.collection.mutable.ArrayBuffer
   *
   * `dropAfterMessages`: kill the TCP socket abruptly after that many
   * basic deliveries on a connection — exercises the sink's re-dial path.
+  *
+  * Round-17 realism upgrades (the ADVICE gap: "the loopback broker
+  * proposes exactly the client's constants, so the tests cannot catch"
+  * a non-negotiating tune-ok):
+  *  - proposes RabbitMQ's REAL defaults (channel-max 2047, frame-max
+  *    131072 — both overridable) and VALIDATES the client's tune-ok:
+  *    a reply above either proposal, or channel-max 0 against a finite
+  *    proposal, fails the connection like a real broker;
+  *  - accumulates bodies across MULTIPLE body frames up to the header's
+  *    declared size (the split-at-frame-max path), rejecting any single
+  *    frame above the proposed frame-max;
+  *  - `tlsContext` wraps the listener in SSL (the amqps:// test half);
+  *  - confirm.select is answered and every completed delivery acked
+  *    with its delivery-tag — unless its queue is in `nackQueues`,
+  *    which basic.nacks instead (the publisher-confirms failure path).
   */
 final class LoopbackAmqpBroker(expectUser: String, expectPass: String,
-    dropAfterMessages: Int = Int.MaxValue) {
+    dropAfterMessages: Int = Int.MaxValue,
+    channelMaxProp: Int = 2047,
+    frameMaxProp: Int = 131072,
+    tlsContext: Option[javax.net.ssl.SSLContext] = None,
+    nackQueues: Set[String] = Set.empty) {
 
   final case class Delivered(queue: String, body: String,
     contentType: String, deliveryMode: Int)
@@ -26,8 +45,17 @@ final class LoopbackAmqpBroker(expectUser: String, expectPass: String,
   val messages = new ArrayBuffer[Delivered]()
   @volatile var connections = 0
   @volatile var authFailures = 0
+  @volatile var confirmsSelected = 0
+  /** the client tune-ok values the broker accepted, for assertions */
+  @volatile var clientChannelMax: Int = -1
+  @volatile var clientFrameMax: Long = -1L
+  /** max body frames observed for one message (asserts real splitting) */
+  @volatile var maxBodyFramesSeen: Int = 0
 
-  private val server = new ServerSocket(0)
+  private val server: ServerSocket = tlsContext match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(0)
+    case None => new ServerSocket(0)
+  }
   val port: Int = server.getLocalPort
   @volatile private var running = true
 
@@ -138,14 +166,25 @@ final class LoopbackAmqpBroker(expectUser: String, expectPass: String,
       }
       return
     }
-    sendMethod(out, 0, 10, 30) { b => // connection.tune
-      b.write(0); b.write(0) // channel-max
-      b.write(Array[Byte](0, 2, 0, 0), 0, 4) // frame-max 131072
+    sendMethod(out, 0, 10, 30) { b => // connection.tune: REAL defaults
+      b.write((channelMaxProp >> 8) & 0xff); b.write(channelMaxProp & 0xff)
+      b.write((frameMaxProp >> 24) & 0xff); b.write((frameMaxProp >> 16) & 0xff)
+      b.write((frameMaxProp >> 8) & 0xff); b.write(frameMaxProp & 0xff)
       b.write(0); b.write(0) // heartbeat 0
     }
     val (_, _, p2) = rd.frame() // tune-ok
     val c2 = new Cursor(p2)
     require(c2.u16() == 10 && c2.u16() == 31, "expected connection.tune-ok")
+    // a client may never reply ABOVE the proposal, and 0 (= unlimited)
+    // against a finite proposal is above it — RabbitMQ closes on both
+    val cMax = c2.u16()
+    val fMax = c2.u32()
+    require(channelMaxProp == 0 || (cMax >= 1 && cMax <= channelMaxProp),
+      s"client channel-max $cMax violates the proposed $channelMaxProp")
+    require(frameMaxProp == 0 || (fMax >= 4096L && fMax <= frameMaxProp),
+      s"client frame-max $fMax violates the proposed $frameMaxProp")
+    clientChannelMax = cMax
+    clientFrameMax = fMax
     val (_, _, p3) = rd.frame() // connection.open
     val c3 = new Cursor(p3)
     require(c3.u16() == 10 && c3.u16() == 40, "expected connection.open")
@@ -156,11 +195,40 @@ final class LoopbackAmqpBroker(expectUser: String, expectPass: String,
     require(c4.u16() == 20 && c4.u16() == 10, "expected channel.open")
     sendMethod(out, ch4, 20, 11)(b => lstr(b, ""))
 
-    // steady state: declare / publish(+header+body) / close
+    // steady state: declare / publish(+header+body frames) / close
     var open = true
     var delivered = 0
+    var confirmMode = false
+    var deliveryTag = 0L
     var pending: Option[(String, String, Int, Long)] = None // q, ctype, mode, size
     var pendingQueue = ""
+    val bodyAcc = new java.io.ByteArrayOutputStream()
+    var bodyFrames = 0
+    def completeDelivery(): Unit = {
+      val (q, ctype, mode, _) = pending.get
+      this.synchronized {
+        messages += Delivered(q, new String(bodyAcc.toByteArray, UTF_8),
+          ctype, mode)
+        if (bodyFrames > maxBodyFramesSeen) maxBodyFramesSeen = bodyFrames
+      }
+      pending = None
+      bodyAcc.reset()
+      bodyFrames = 0
+      delivered += 1
+      if (confirmMode) {
+        deliveryTag += 1
+        val mid = if (nackQueues.contains(q)) 120 else 80 // nack : ack
+        sendMethod(out, 1, 60, mid) { b =>
+          (7 to 0 by -1).foreach(i =>
+            b.write(((deliveryTag >> (8 * i)) & 0xff).toInt))
+          b.write(0) // multiple=0 (+requeue=0 for nack)
+        }
+      }
+      if (delivered >= dropAfterMessages) {
+        sock.close() // abrupt TCP kill — no close dialogue
+        open = false
+      }
+    }
     while (open) {
       val (ft, ch, p) = rd.frame()
       ft match {
@@ -183,6 +251,10 @@ final class LoopbackAmqpBroker(expectUser: String, expectPass: String,
               val ex = c.shortstr()
               require(ex == "", s"expected default exchange, got '$ex'")
               pendingQueue = c.shortstr()
+            case (85, 10) => // confirm.select
+              confirmMode = true
+              this.synchronized { confirmsSelected += 1 }
+              sendMethod(out, ch, 85, 11)(_ => ())
             case (10, 50) => // connection.close
               sendMethod(out, 0, 10, 51)(_ => ())
               open = false
@@ -200,18 +272,18 @@ final class LoopbackAmqpBroker(expectUser: String, expectPass: String,
           val ctype = c.shortstr()
           val mode = c.u8()
           pending = Some((pendingQueue, ctype, mode, bodySize))
-        case 3 => // body
-          val (q, ctype, mode, size) = pending.getOrElse(
+          if (bodySize == 0L) completeDelivery() // no body frames follow
+        case 3 => // body — may arrive split across MULTIPLE frames
+          val (_, _, _, size) = pending.getOrElse(
             sys.error("body frame without a content header"))
-          require(p.length.toLong == size, "body size must match the header")
-          this.synchronized {
-            messages += Delivered(q, new String(p, UTF_8), ctype, mode) }
-          pending = None
-          delivered += 1
-          if (delivered >= dropAfterMessages) {
-            sock.close() // abrupt TCP kill — no close dialogue
-            open = false
-          }
+          require(frameMaxProp == 0 || p.length + 8 <= frameMaxProp,
+            s"body frame ${p.length + 8} exceeds proposed frame-max " +
+              s"$frameMaxProp")
+          bodyAcc.write(p, 0, p.length)
+          bodyFrames += 1
+          require(bodyAcc.size().toLong <= size,
+            "accumulated body exceeds the header's declared size")
+          if (bodyAcc.size().toLong == size) completeDelivery()
         case other => sys.error(s"unexpected frame type $other")
       }
     }

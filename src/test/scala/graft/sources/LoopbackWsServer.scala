@@ -30,11 +30,17 @@ import java.util.concurrent.atomic.AtomicInteger
 final class LoopbackWsServer(
     script: Int => Seq[String],
     dropAfter: Int => Boolean = _ => false,
-    maxConnections: Int = 8) {
+    maxConnections: Int = 8,
+    tlsContext: Option[javax.net.ssl.SSLContext] = None,
+    refuse: Int => Boolean = _ => false) {
 
-  private val server = new ServerSocket(0)
+  private val server: ServerSocket = tlsContext match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(0)
+    case None => new ServerSocket(0)
+  }
   val port: Int = server.getLocalPort
-  val uri: java.net.URI = java.net.URI.create(s"ws://127.0.0.1:$port/ws")
+  val uri: java.net.URI = java.net.URI.create(
+    s"${if (tlsContext.isDefined) "wss" else "ws"}://127.0.0.1:$port/ws")
   private val accepted = new AtomicInteger(0)
   @volatile private var running = true
 
@@ -45,9 +51,15 @@ final class LoopbackWsServer(
       while (running && accepted.get() < maxConnections) {
         val sock = server.accept()
         val c = accepted.getAndIncrement()
-        try serve(sock, c)
-        catch { case _: Exception => () }
-        finally { if (dropAfter(c)) sock.close() }
+        // refuse(c): accept then slam the TCP socket shut BEFORE any
+        // handshake — the fast-failing dial a budget-exhaustion test
+        // needs (a never-answered upgrade would block the dialer forever)
+        if (refuse(c)) sock.close()
+        else {
+          try serve(sock, c)
+          catch { case _: Exception => () }
+          finally { if (dropAfter(c)) sock.close() }
+        }
       }
     } catch { case _: Exception => () } // server socket closed
   }, "loopback-ws-server")

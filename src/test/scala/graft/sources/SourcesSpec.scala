@@ -243,4 +243,56 @@ class SourcesSpec extends SparkSpec {
       assert(badBroker.authFailures >= 1 && badBroker.messages.isEmpty)
     } finally { badSink.close(); badBroker.close() }
   }
+
+  test("S6' tune negotiation + amqps: the sink replies min(server, " +
+      "desired) to RabbitMQ-realistic tune values over TLS, and bodies " +
+      "larger than the negotiated frame-max split into multiple frames") {
+    // real RabbitMQ proposes channel-max 2047 and REJECTS a client 0
+    // ('no limit' is above the proposal) — the r16 sink echoed fixed
+    // constants and only ever met a broker proposing those constants
+    // (the ADVICE escape); this broker validates like production
+    val broker = new LoopbackAmqpBroker("guest", "s3cret",
+      channelMaxProp = 2047, frameMaxProp = 4096,
+      tlsContext = Some(TlsTestKit.context))
+    val sink = new AmqpSink("127.0.0.1", broker.port, "guest", "s3cret",
+      tls = true, sslContextProvider = Some(() => TlsTestKit.context))
+    try {
+      val big = "x" * 10000 // > 2 x (4096 - 8): must split into 3 frames
+      assert(sink.publish("q_tls", s"""{"pad":"$big"}"""))
+      val deadline = System.currentTimeMillis() + 10000
+      while (broker.messages.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(broker.clientChannelMax == 2047,
+        s"tune-ok must echo the server's channel-max, got " +
+          s"${broker.clientChannelMax}")
+      assert(broker.clientFrameMax == 4096L,
+        s"tune-ok must take min(server 4096, desired 131072), got " +
+          s"${broker.clientFrameMax}")
+      assert(broker.maxBodyFramesSeen >= 3,
+        s"a 10 kB body over frame-max 4096 must split, saw " +
+          s"${broker.maxBodyFramesSeen} frame(s)")
+      assert(broker.messages.head.body == s"""{"pad":"$big"}""",
+        "split frames must reassemble to the exact body")
+      assert(broker.messages.head.deliveryMode == 2)
+    } finally { sink.close(); broker.close() }
+  }
+
+  test("S6' publisher confirms (opt-in): confirm.select is negotiated, " +
+      "acks gate publish success, and a broker nack is a loud false — " +
+      "the effectively-once seam over dedupForPublish") {
+    val broker = new LoopbackAmqpBroker("guest", "s3cret",
+      nackQueues = Set("rejected_q"))
+    val sink = new AmqpSink("127.0.0.1", broker.port, "guest", "s3cret",
+      confirms = true)
+    try {
+      assert(sink.publish("ok_q", """{"n":1}"""))
+      assert(sink.publish("ok_q", """{"n":2}""")) // tags advance per publish
+      assert(broker.confirmsSelected >= 1, "confirm.select must be sent")
+      // nack -> publish fails LOUDLY (false after the one re-dial also
+      // nacks); the at-least-once default (confirms = false) is the
+      // reference's contract, this path is the upgrade seam
+      assert(!sink.publish("rejected_q", """{"n":3}"""))
+      assert(broker.messages.count(_.queue == "ok_q") == 2)
+    } finally { sink.close(); broker.close() }
+  }
 }

@@ -444,6 +444,80 @@ class StreamingSpec extends SparkSpec {
     } finally { client.stop(); server.close() }
   }
 
+  test("S5 wss: the client negotiates TLS from the URI scheme and frames " +
+      "flow over an encrypted loopback — the production Bitfinex " +
+      "transport (requirements.txt:2, btfxwss = wss)") {
+    TickChannels.clear()
+    val server = new LoopbackWsServer(
+      _ => Seq(tickMsg(10.0, 12.0, 11.0, 100.0, 13.0, 9.0)),
+      tlsContext = Some(graft.sources.TlsTestKit.context))
+    assert(server.uri.getScheme == "wss")
+    // sslContext overrides TRUST only (the loopback cert is self-signed);
+    // scheme-driven TLS negotiation is the JDK client's own
+    val client = new WsTickClient(server.uri, "btfx", Seq("BTCEUR"), "wss1",
+      sslContext = Some(graft.sources.TlsTestKit.context))
+    try {
+      assert(client.start(), "subscribe ack not received over TLS")
+      awaitFrames("wss1", 1)
+      assert(TickChannels.slice("wss1", 0, 1).head._3(6) == 11.0)
+      assert(client.deadReason.isEmpty)
+    } finally { client.stop(); server.close() }
+  }
+
+  test("S5 budget is per-outage: each successful re-subscribe resets the " +
+      "reconnect counter, so repeated single-drop outages never exhaust " +
+      "maxReconnects") {
+    TickChannels.clear()
+    // connections 0 and 1 are served then dropped; connection 2 holds.
+    // With maxReconnects = 1 a LIFETIME budget dies on the second
+    // outage (2 total dials > 1); the per-outage reset survives both.
+    val server = new LoopbackWsServer(
+      script = c => Seq(tickMsg(1.0 + c, 3.0, 2.0 + c, 10.0, 3.0, 1.0)),
+      dropAfter = _ <= 1, maxConnections = 3)
+    // fast ping watchdog: a drop that lands right after the last frame
+    // can be swallowed by the JDK client (no onClose/onError) — the
+    // watchdog is the deterministic detection path (WsTickClient doc)
+    val client = new WsTickClient(server.uri, "btfx", Seq("BTCEUR"), "ws5",
+      maxReconnects = 1, backoffMs = 1L, pingIntervalMs = 100L)
+    try {
+      assert(client.start())
+      awaitFrames("ws5", 3) // one tick per connection generation
+      assert(server.connections == 3 && client.reconnectCount == 2,
+        s"conns=${server.connections} redials=${client.reconnectCount}")
+      assert(client.deadReason.isEmpty, "healthy client must not be dead")
+      val lasts = TickChannels.slice("ws5", 0, 3).map(_._3(6))
+      assert(lasts == Seq(2.0, 3.0, 4.0))
+    } finally { client.stop(); server.close() }
+  }
+
+  test("S5 budget exhaustion is LOUD: maxReconnects consecutive failed " +
+      "dials set a terminal deadReason instead of silently stopping " +
+      "the tick flow") {
+    TickChannels.clear()
+    // connection 0 serves then drops; every later dial is slammed shut
+    // before the handshake, so reconnects 1..2 fail fast and exhaust
+    // the budget of 2
+    val server = new LoopbackWsServer(
+      script = _ => Seq(tickMsg(1.0, 3.0, 2.0, 10.0, 3.0, 1.0)),
+      dropAfter = _ == 0, refuse = _ >= 1)
+    val client = new WsTickClient(server.uri, "btfx", Seq("BTCEUR"), "ws6",
+      maxReconnects = 2, backoffMs = 1L, pingIntervalMs = 100L)
+    try {
+      assert(client.start())
+      awaitFrames("ws6", 1)
+      val deadline = System.currentTimeMillis() + 10000
+      while (client.deadReason.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(client.deadReason.exists(_.contains("exhausted")),
+        s"expected a loud terminal reason, got ${client.deadReason}, " +
+          s"redials=${client.reconnectCount}, conns=${server.connections}")
+      assert(client.reconnectCount == 2, "both budgeted dials attempted")
+      // >= 3, not == 3: the JDK may internally re-dial once per refused
+      // connection before surfacing the failure
+      assert(server.connections >= 3, s"got ${server.connections}")
+    } finally { client.stop(); server.close() }
+  }
+
   test("S5 checkpoint recovery: restart resumes from the committed offset") {
     TickChannels.clear()
     InMemoryQueues.clear()

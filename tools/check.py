@@ -30,19 +30,23 @@ def lint_floor_div(oracle):
       - the ~160 chars before the site contain the explicit floor guard
         `((x % y) + y) % y` (detected by its `) + d) % d` tail), OR
       - the lane's oracle declares a non-negative contract with a
-        `-- nonneg-div:` comment naming WHY every bare-`//` numerator in
-        that lane is >= 0 (truncate == floor, no ambiguity).
+        COUNTED `-- nonneg-div(N):` comment naming WHY every bare-`//`
+        numerator in that lane is >= 0 (truncate == floor, no
+        ambiguity). N must EQUAL the lane's current bare-site count
+        (round-17 ADVICE fix: the marker used to be lane-wide, so a
+        negative-numerator site later ADDED to an already-marked lane
+        sailed through — now any new bare site fails until its
+        non-negativity is re-argued and the count bumped). A legacy
+        uncounted `-- nonneg-div:` marker is itself an error.
 
-    Returns {lane: problem} for lanes that do neither."""
+    Returns {lane: problem} for lanes that violate the rule."""
     # `((x % y) + y) % y // y` — y may be a bare column, count(*), or a
     # parenthesized expression like (t.n_all - n_g)
     guard_tail = re.compile(
         r"\)\s*\+\s*[^/]{1,60}?\)\s*%\s*[^/%]{1,60}?\)*\s*(//)\s*$")
     problems = {}
     for name, sql in oracle.items():
-        if "//" not in sql:
-            continue
-        if "nonneg-div:" in sql:
+        if "//" not in sql and "nonneg-div" not in sql:
             continue
         bare = 0
         for m in re.finditer(r"//", sql):
@@ -52,9 +56,18 @@ def lint_floor_div(oracle):
             if guard_tail.search(head.replace("\n", " ")):
                 continue
             bare += 1
-        if bare:
+        declared = [int(n) for n in re.findall(r"nonneg-div\((\d+)\):", sql)]
+        if re.search(r"nonneg-div(?!\(\d+\):)", sql):
+            problems[name] = ("uncounted 'nonneg-div' marker — use "
+                              "'-- nonneg-div(N): why' with N = the bare "
+                              "'//' site count")
+        elif declared and sum(declared) != bare:
+            problems[name] = (f"marker licenses {sum(declared)} bare '//' "
+                              f"site(s) but the lane has {bare} — re-argue "
+                              "non-negativity and bump the count")
+        elif not declared and bare:
             problems[name] = (f"{bare} bare '//' site(s) without the "
-                              "((x%y)+y)%y guard and no nonneg-div marker")
+                              "((x%y)+y)%y guard and no nonneg-div(N) marker")
     return problems
 
 def main():
