@@ -1,0 +1,1381 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.ops._
+import graft.schema.{CurrencyDim, Transition}
+
+/** Shared query-registry plumbing: table access, one-time fixture
+  * setup, and the oracle SQL text fragments used by more than one lane
+  * — extracted verbatim from the monolithic Queries.scala in the
+  * round-17 split (r16 verdict item 8). `private[queries]` so every
+  * family object imports them unqualified via `import Q._`. */
+object Q {
+  private[queries] def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+
+  /** One-time physical-layout setup per (setup kind, sf dir): queries that
+    * demonstrate a LAYOUT lever (bucketed tables, partitioned dirs,
+    * compacted dirs) pay the write once and the judged/benched part is the
+    * READ-side operator — matching production, where the layout is written
+    * once and amortized over every query. Returns the setup's scratch
+    * root. computeIfAbsent gives in-flight exclusion per key. */
+  private[queries] val setupOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def oncePerDir(kind: String, d: String)(setup: String => Unit): String =
+    setupOnce.computeIfAbsent(s"$kind|$d", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
+      setup(tmp)
+      tmp
+    })
+
+
+  /** Session-catalog-safe table suffix for per-sf-dir bucketed tables. */
+  private[queries] def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+
+  /** oncePerDir memoizes JVM-wide, but saveAsTable registers in a SESSION
+    * catalog: a later session in the same JVM hits the cache yet lacks the
+    * table. Re-register the on-disk bucketed layout when absent — external
+    * table DDL over the already-written files, no data rewrite. */
+  private[queries] def ensureBucketedTable(s: SparkSession, name: String,
+      path: String, key: String, buckets: Int): Unit =
+    if (!s.catalog.tableExists(name)) {
+      val ddl = s.read.parquet(path).schema.toDDL
+      s.sql(s"CREATE TABLE $name ($ddl) USING parquet " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+    }
+
+
+  /** isin synthesized from a numeric column: XFC + zero-padded (x % 84 + 1)
+    * — always hits the 84-row dim. */
+  private[queries] def isinFrom(c: org.apache.spark.sql.Column) =
+    concat(lit("XFC"), lpad((c % 84 + 1).cast("string"), 9, "0"))
+
+  private[queries] val isinSql =
+    "'XFC' || lpad(CAST(user_id % 84 + 1 AS VARCHAR), 9, '0')"
+
+
+  // ---- S9 beyond parquet: judged CSV and JSON scans (round 14) --------
+  // The fixture file is DERIVED from the driver's parquet tables at query
+  // time (written fresh on every call — rewriting a <=10k-row file is
+  // noise, and it keeps the file consistent with whichever sf dir the
+  // caller passed), parked at a FIXED path so the static oracle SQL can
+  // read the IDENTICAL bytes with DuckDB's read_csv/read_json. The
+  // judged operator is the schema'd scan back; the write is fixture
+  // setup, same division as the x7 layout queries.
+  private[queries] val s9FixtureRoot = "/root/repo/target/graft_fixtures"
+
+
+  /** Spark file sinks write a part-file directory; move the single
+    * coalesced part to `dest` so both engines read one well-known file.
+    * Staging dir is per-thread-temp; REPLACE_EXISTING makes rewrites
+    * atomic-enough for the strictly sequential verify/bench callers. */
+  private[queries] def writeSingleFile(df: DataFrame, format: String,
+      dest: String, extra: Map[String, String] = Map.empty): Unit = {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_s9_stage").toString
+    df.coalesce(1).write.mode("overwrite").format(format)
+      .option("header", "true").option("escape", "\"")
+      .options(extra).save(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written under $staging"))
+    val destPath = java.nio.file.Paths.get(dest)
+    java.nio.file.Files.createDirectories(destPath.getParent)
+    java.nio.file.Files.move(part.toPath, destPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+
+  /** X2e — the full dedup resolution: LSH candidate pairs -> connected
+    * components (iterative min-label propagation) -> cluster id +
+    * survivor flag per document. The DuckDB oracle replays the whole
+    * chain — minhash signatures, band join, and a RECURSIVE closure whose
+    * min-reachable-id equals the propagated label — so the iterative
+    * DataFrame loop is hash-checked end-to-end, not just shape-tested. */
+  /** The oracle's connected-components construction (shared by
+    * x2_components, x2_components_star and x5_split_leakfree): replays
+    * the minhash → banded LSH pairs → transitive closure chain and ends
+    * at `comp(id, cluster)`. Callers append their own final SELECT. */
+  private[queries] val componentsOracleCte: String =
+    """WITH RECURSIVE
+           |d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, list_transform(range(1, n - 1),
+           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+           |  FROM d WHERE n >= 3),
+           |sm AS (
+           |  SELECT doc_id, list_transform(shingles, sh -> md5(sh)) AS hs
+           |  FROM s),
+           |g AS (
+           |  SELECT doc_id, list_transform(range(0, 8),
+           |    h -> list_min(list_transform(hs,
+           |      m -> substr(m, 4*h + 1, 32 - 4*h) || substr(m, 1, 4*h)))) AS sig
+           |  FROM sm),
+           |b AS (
+           |  SELECT doc_id, band_idx,
+           |    md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
+           |  FROM g, (SELECT unnest(range(0, 4)) AS band_idx)),
+           |pairs AS (
+           |  SELECT b1.doc_id AS d1, b2.doc_id AS d2
+           |  FROM b b1 JOIN b b2 ON b1.band_idx = b2.band_idx
+           |    AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+           |  GROUP BY 1, 2),
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+           |          UNION SELECT d2, d1 FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.id),
+      |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+
+  /** X2h — exact substring-span dedup (round 11): maximal verbatim
+    * 8-token-plus spans shared between document pairs — the Lee et al.
+    * suffix-overlap family the whole-doc near-dup ops can't see. The
+    * corpus's planted near-dup families share real spans (25 pairs, up
+    * to 93 tokens at sf0.01), so the judged result is non-trivial. The
+    * oracle replays the identical positional md5 shingling (the
+    * x4_decontaminate-proven twin), the occurrence cutoff, the
+    * self-equi-join, and the gaps-and-islands diagonal merge in plain
+    * SQL. PlanShapeSpec pins no-cartesian on the engine plan. */
+  /** The positional-shingle → hits → islands → maximal-spans CTE chain
+    * shared by the x2_span_pairs and x2_span_cut oracles. */
+  private[queries] val spanOracleCtes: String =
+    """d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+      |    len(string_split(lower(text), ' ')) AS nt
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(pos AS INT) AS pos,
+      |    md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]
+      |      || ' ' || toks[pos+3] || ' ' || toks[pos+4] || ' ' ||
+      |      toks[pos+5] || ' ' || toks[pos+6] || ' ' || toks[pos+7]) AS sh
+      |  FROM (SELECT doc_id, toks, unnest(range(1, nt - 6)) AS pos
+      |        FROM d WHERE nt >= 8)),
+      |bounded AS (
+      |  SELECT doc_id, pos, sh FROM (
+      |    SELECT doc_id, pos, sh,
+      |      count(*) OVER (PARTITION BY sh) AS occ FROM sh)
+      |  WHERE occ <= 64),
+      |hits AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.pos AS pos_a, b.pos AS pos_b
+      |  FROM bounded a JOIN bounded b
+      |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+      |    pos_a - row_number() OVER (
+      |      PARTITION BY id_a, id_b, pos_a - pos_b
+      |      ORDER BY pos_a) AS island
+      |  FROM hits),
+      |spans AS (
+      |  SELECT id_a, id_b, min(pos_a) AS a_start,
+      |    CAST(min(pos_a) - diag AS INT) AS b_start,
+      |    CAST(max(pos_a) - min(pos_a) + 8 AS INT) AS span_tokens
+      |  FROM isl GROUP BY id_a, id_b, diag, island)""".stripMargin
+
+
+  // defs, not vals: these are interpolated into oracle SQL strings that
+  // may be declared EARLIER in this object's initialization order — a val
+  // would interpolate as the literal "null" there
+  // 60-bit signature (round 14), two bits per md5 nibble: bit j reads
+  // nibble j/2 — even j is the nibble's high bit (hex '8'..'f'), odd j
+  // its second bit (hex '4'..'7' and 'c'..'f') — replaying
+  // Dedup.simhash's chunk arithmetic nibble for nibble
+  private[queries] def simhashBitSums = (0 until graft.ops.Dedup.SimhashBits).map { j =>
+    val chars = if (j % 2 == 0) "('8','9','a','b','c','d','e','f')"
+      else "('4','5','6','7','c','d','e','f')"
+    s"    CAST(sum(CASE WHEN substr(h, ${j / 2 + 1}, 1) IN " +
+      s"$chars THEN 1 ELSE 0 END) AS BIGINT) AS s$j"
+  }.mkString(",\n")
+
+  // 1L, not 1: Scala's 1 << 32+ wraps as Int and DuckDB would read
+  // the emitted literal as such
+  private[queries] def simhashBitTerms = (0 until graft.ops.Dedup.SimhashBits).map(j =>
+    s"(CASE WHEN s$j * 2 > n_tok THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+
+  // md5-derived sign-LSH bucket terms for the cosine near-dup oracle: the
+  // plane-j sign of dimension d is the first hex nibble of md5("j_d")
+  // (>= '8' => +x), and the plane sum is DuckDB's sequential list_sum —
+  // bit-identical to the engine's left-assoc fold (defs: init-order rule)
+  private[queries] def cosineBucketSqlTerm(j: Int): String =
+    s"(CASE WHEN list_sum(list_transform(v, (x, i) -> CASE WHEN " +
+      s"substr(md5('${j}_' || (i-1)::VARCHAR), 1, 1) >= '8' " +
+      s"THEN x ELSE -x END)) >= 0 THEN ${1 << j} ELSE 0 END)"
+
+  private[queries] def cosineBucketSqlN(n: Int) =
+    (0 until n).map(cosineBucketSqlTerm).mkString(" + ")
+
+  private[queries] def cosineBucketSql = cosineBucketSqlN(6)
+
+
+  /** The MMR oracle, GENERATED step by step (the zorder3Sql discipline:
+    * the greedy unroll is mechanical, so Spark and the oracle cannot
+    * disagree on it by typo). Built by plain concatenation — no
+    * stripMargin over interpolated SQL. */
+  private[queries] def mmrSql(nCand: Int, k: Int): String = {
+    val base =
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      "p AS (SELECT q.vec_id AS query_id, c.vec_id,\n" +
+      "    round(list_cosine_similarity(q.v, c.v), 6) AS sim\n" +
+      "  FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),\n" +
+      "cand AS (SELECT query_id, vec_id,\n" +
+      "    CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS r_fp\n" +
+      "  FROM (SELECT query_id, vec_id, sim,\n" +
+      "      row_number() OVER (PARTITION BY query_id\n" +
+      "        ORDER BY sim DESC, vec_id) AS rn\n" +
+      s"    FROM p) WHERE rn <= $nCand),\n" +
+      "pair AS (SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,\n" +
+      "    CAST(floor(round(list_cosine_similarity(va.v, vb.v), 6) * 1e6\n" +
+      "      + 0.5) AS BIGINT) AS s_fp\n" +
+      "  FROM cand a JOIN cand b ON a.query_id = b.query_id\n" +
+      "    AND a.vec_id <> b.vec_id\n" +
+      "  JOIN e va ON va.vec_id = a.vec_id\n" +
+      "  JOIN e vb ON vb.vec_id = b.vec_id),\n" +
+      "s1 AS (SELECT query_id, vec_id, 7 * r_fp AS mmr_fp, 1 AS pick_rank\n" +
+      "  FROM (SELECT query_id, vec_id, r_fp,\n" +
+      "      row_number() OVER (PARTITION BY query_id\n" +
+      "        ORDER BY r_fp DESC, vec_id) AS rn\n" +
+      "    FROM cand) WHERE rn = 1)"
+    val steps = (2 to k).map { t =>
+      val sel = if (t == 2) "sel2 AS (SELECT * FROM s1)"
+      else s"sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s${t - 1})"
+      sel + ",\n" +
+      s"m$t AS (SELECT p.query_id, p.a_id, max(p.s_fp) AS m_fp\n" +
+      s"  FROM pair p JOIN sel$t s ON s.query_id = p.query_id\n" +
+      s"    AND s.vec_id = p.b_id GROUP BY 1, 2),\n" +
+      s"s$t AS (SELECT query_id, vec_id, mmr_fp, $t AS pick_rank\n" +
+      s"  FROM (SELECT c.query_id, c.vec_id,\n" +
+      s"      7 * c.r_fp - 3 * m.m_fp AS mmr_fp,\n" +
+      s"      row_number() OVER (PARTITION BY c.query_id\n" +
+      s"        ORDER BY 7 * c.r_fp - 3 * m.m_fp DESC, c.vec_id) AS rn\n" +
+      s"    FROM cand c JOIN m$t m ON m.query_id = c.query_id\n" +
+      s"      AND m.a_id = c.vec_id\n" +
+      s"    WHERE NOT EXISTS (SELECT 1 FROM sel$t s\n" +
+      s"      WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id))\n" +
+      s"  WHERE rn = 1)"
+    }
+    val union = (1 to k).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+    base + ",\n" + steps.mkString(",\n") + "\n" +
+      s"SELECT query_id, pick_rank, vec_id, mmr_fp FROM ($union)\n" +
+      "ORDER BY query_id, pick_rank"
+  }
+
+
+  /** X4k — REAL greedy BPE encode (round 11): documents tokenized by the
+    * frozen learned merge table (TextOps.defaultMerges = bpeLearn on the
+    * corpus, spec-pinned), applied as the sentinel-space replace chain.
+    * The oracle SQL is GENERATED from the same merge list — one nested
+    * replace() per merge, identical rewriting — so engine and oracle
+    * apply the identical tokenizer (the x7_zorder3 generated-SQL
+    * discipline). `enc` hash-matches the full rewritten string, n_bpe
+    * the token count that drives packing/chunking budgets. */
+  private[queries] def bpeEncodeSql(merges: Seq[(String, String)]): String = {
+    val inner = merges.foldLeft(
+      "regexp_replace(replace(replace(lower(text), '|', ''), ' ', '|'), " +
+        "'([^|])', ' \\1 ', 'g')") {
+      case (s, (x, y)) => s"replace($s, ' $x  $y ', ' $x$y ')"
+    }
+    s"""WITH e AS (SELECT doc_id, $inner AS enc FROM documents)
+       |SELECT doc_id,
+       |  CAST((length(enc) - length(replace(enc, ' ', ''))) / 2 AS INT)
+       |    AS n_bpe,
+       |  enc
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+
+  /** The PPM image-construction + channel-sum CTE chain shared by the
+    * mm_decode and mm_sim oracles: rebuild the EXACT P6 payload
+    * withPpmPayload writes (header + text-repeated RGB bytes), then
+    * re-derive every decoded feature with integer arithmetic —
+    * documents.text is all-ASCII so unicode(char) == byte value. */
+  private[queries] val ppmOracleCtes: String =
+    """base AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w, 6 AS h,
+      |    CASE WHEN text = '' THEN ' ' ELSE text END AS t
+      |  FROM documents),
+      |img AS (
+      |  SELECT doc_id, w, h,
+      |    octet_length(encode('P6' || chr(10) || w || ' ' || h ||
+      |      chr(10) || '255' || chr(10))) + w * h * 3 AS plen,
+      |    rpad(t, w * h * 3, t) AS pix
+      |  FROM base),
+      |ch AS (
+      |  SELECT doc_id, w, h, plen,
+      |    CAST(list_sum(list_transform(range(0, w * h),
+      |      p -> unicode(substr(pix, CAST(3 * p + 1 AS INT), 1)))) AS INT) AS sr,
+      |    CAST(list_sum(list_transform(range(0, w * h),
+      |      p -> unicode(substr(pix, CAST(3 * p + 2 AS INT), 1)))) AS INT) AS sg,
+      |    CAST(list_sum(list_transform(range(0, w * h),
+      |      p -> unicode(substr(pix, CAST(3 * p + 3 AS INT), 1)))) AS INT) AS sb
+      |  FROM img)""".stripMargin
+
+
+  /** Shared audio-oracle CTE: the WAV generator's parameters — n samples
+    * = 150 + 37·(doc_id % 5), sample plane = text repeated (the PPM
+    * pixel-plane rule; all-ASCII corpus so unicode(char) == byte). */
+  private[queries] val wavOracleBase: String =
+    """base AS (
+      |  SELECT doc_id, CAST(150 + 37 * (doc_id % 5) AS INT) AS n,
+      |    CASE WHEN text = '' THEN ' ' ELSE text END AS t
+      |  FROM documents)""".stripMargin
+
+
+  /** X3m — RANKING-QUALITY EVAL (round 14): recall@5 / MRR / nDCG@5 of
+    * the 1-bit-quantized Hamming ranking against the exact float top-5 —
+    * the eval report every ANN lane ships with. Metrics are exact
+    * integer ppm; the nDCG log2 discounts are computed ONCE in Scala
+    * (ndcgWeightsPpm) and spliced as literals into BOTH the Spark plan
+    * and this generated oracle, so the only float logs in the contract
+    * are constants shared by construction. The oracle replays the
+    * binary ranking (x3_binary_topk's text), the exact ranking
+    * (x3_topk_cosine's text) and the metric arithmetic end to end. */
+  private[queries] val x3EvalRankText: String = {
+    val w = Similarity.ndcgWeightsPpm(5)
+    val caseW = w.zipWithIndex
+      .map { case (wi, i) => s"WHEN ${i + 1} THEN $wi" }.mkString(" ")
+    s"""WITH s AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CASE WHEN x > 0 THEN 1 ELSE -1 END) AS sg
+       |  FROM embeddings),
+       |hp AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |    CAST((64 - CAST(list_dot_product(q.sg, c.sg) AS BIGINT)) / 2
+       |      AS INT) AS hamming
+       |  FROM s q, s c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |predk AS (SELECT query_id, vec_id, p_rnk FROM (
+       |    SELECT query_id, vec_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, vec_id) AS INT) AS p_rnk
+       |    FROM hp) WHERE p_rnk <= 5),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
+       |  FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |t AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM x) WHERE rnk <= 5),
+       |m AS (SELECT p.query_id, p.p_rnk
+       |  FROM predk p JOIN t ON t.query_id = p.query_id
+       |    AND t.vec_id = p.vec_id),
+       |agg AS (SELECT query_id, count(*) AS n_hit, min(p_rnk) AS best_rnk,
+       |    sum(CASE p_rnk $caseW END) AS dcg
+       |  FROM m GROUP BY query_id)
+       |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(floor(coalesce(n_hit, 0) * 1000000 / 5) AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(coalesce(floor(1000000 / best_rnk), 0) AS BIGINT) AS mrr_ppm,
+       |  CAST(floor(coalesce(dcg, 0) * 1000000 / ${w.sum}) AS BIGINT)
+       |    AS ndcg_ppm
+       |FROM (SELECT DISTINCT query_id FROM t) q
+       |LEFT JOIN agg USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
+
+  /** X3n — JL random-projection recall: rank in the 16-dim ±1-projected
+    * space, grade against the exact 64-dim top-5 with the x3_eval_rank
+    * metric harness. The md5-derived sign matrix, both rankings AND the
+    * ppm metrics all replay in the oracle — the whole
+    * reduce→rank→evaluate chain is hash-checked. */
+  private[queries] val x3RpRecallText: String = {
+    val w = Similarity.ndcgWeightsPpm(5)
+    val caseW = w.zipWithIndex
+      .map { case (wi, i) => s"WHEN ${i + 1} THEN $wi" }.mkString(" ")
+    def sumSql(s: Seq[Int]) = s.zipWithIndex.map { case (sg, d) =>
+      val t = s"v[${d + 1}]"
+      if (sg > 0) t else s"(- $t)"
+    }.mkString(" + ")
+    val rvList = Similarity.rpSigns(16, 64).map(sumSql)
+      .mkString("[", ",\n      ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |rp AS (SELECT vec_id, $rvList AS rv FROM e),
+       |pp AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |    round(list_cosine_similarity(q.rv, c.rv), 6) AS sim
+       |  FROM rp q, rp c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |predk AS (SELECT query_id, vec_id, p_rnk FROM (
+       |    SELECT query_id, vec_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, vec_id) AS INT) AS p_rnk
+       |    FROM pp) WHERE p_rnk <= 5),
+       |x AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
+       |  FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |t AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM x) WHERE rnk <= 5),
+       |m AS (SELECT p.query_id, p.p_rnk
+       |  FROM predk p JOIN t ON t.query_id = p.query_id
+       |    AND t.vec_id = p.vec_id),
+       |agg AS (SELECT query_id, count(*) AS n_hit, min(p_rnk) AS best_rnk,
+       |    sum(CASE p_rnk $caseW END) AS dcg
+       |  FROM m GROUP BY query_id)
+       |SELECT q.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(floor(coalesce(n_hit, 0) * 1000000 / 5) AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(coalesce(floor(1000000 / best_rnk), 0) AS BIGINT) AS mrr_ppm,
+       |  CAST(floor(coalesce(dcg, 0) * 1000000 / ${w.sum}) AS BIGINT)
+       |    AS ndcg_ppm
+       |FROM (SELECT DISTINCT query_id FROM t) q
+       |LEFT JOIN agg USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
+
+  /** X7e — partition-pruned scan: events written Hive-partitioned by day
+    * (Layout.writePartitioned), then read back with a partition-column
+    * filter — the planner prunes every other day's DIRECTORY before any
+    * file is read (PartitionFilters; plan property pinned in
+    * PlanShapeSpec). At 100 TB this is the first and cheapest scan lever:
+    * a date-partitioned event store turns a 30-day table into a 1-day
+    * scan at planning time. Oracle = the same day filter on the unsorted
+    * original table — layout must be invisible in results. Exact integer
+    * cents for the value sum (addition-order portability). */
+  /** Shared layout setup for X7e/X7f: events written Hive-partitioned by
+    * day, once per sf dir. */
+  private[queries] def eventsByDay(s: SparkSession, d: String): String =
+    oncePerDir("events_by_day", d) { tmp =>
+      Layout.writePartitioned(
+        Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+        "day", tmp)
+    }
+
+
+  /** Exact integer cents inside the scalar subquery: avg over a float
+    * column is summation-order-dependent across engines, but partial sums
+    * of integer-valued doubles stay exact below 2^53 in ANY order, so the
+    * threshold is bit-identical on both sides. */
+  private[queries] def sql2Text: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND floor(o.o_totalprice * 100 + 0.5) >
+      |        (SELECT avg(floor(o_totalprice * 100 + 0.5)) * 1.8 FROM orders))
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+
+  /** SQL5 — recursive CTE (round 9): a parent-chain walk (node -> node/2
+    * up to the root) per customer, rolled up to depth + path sum. Both
+    * engines run the IDENTICAL ANSI text, so this judges the front-end's
+    * recursive-union semantics (seed, step, termination) — the iterative
+    * DataFrame twin of this shape is x2_components' loop; here the ENGINE
+    * drives the iteration. Integer path values keep the rollup exact. */
+  private[queries] val sql5Text: String =
+    """WITH RECURSIVE chain(custkey, node, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 200
+      |  UNION ALL
+      |  SELECT custkey, CAST(floor(node / 2) AS BIGINT), depth + 1
+      |  FROM chain WHERE node > 0
+      |)
+      |SELECT custkey, CAST(max(depth) AS INT) AS depth,
+      |  CAST(sum(node) AS BIGINT) AS path_sum
+      |FROM chain GROUP BY custkey ORDER BY custkey""".stripMargin
+
+
+  /** SQL6 — TPC-H Q3-style SHIPPING PRIORITY (round 12): the classic
+    * 3-table decision-support join — filtered dim (customer segment) ⨝
+    * orders ⨝ lineitem with per-table date predicates, aggregate, top-k.
+    * This is the multi-join shape Catalyst's join reordering + AQE
+    * actually optimize: both selective filters sit BELOW their joins
+    * (pushdown), the segment-filtered customer side broadcasts at the
+    * judged SF (and would shuffle cleanly at 100 TB — equi keys, no
+    * skew), and the top-k is TakeOrderedAndProject, never a global
+    * sort. Revenue in exact integer cents (floor(x·100+0.5)) so the
+    * sum hash-matches across engines in any partial order. Shared SQL
+    * text: Spark and DuckDB run the identical statement. */
+  private[queries] def sql6Text: String =
+    """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+      |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer c, orders o, lineitem l
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND c.c_custkey = o.o_custkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue_cents DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+
+  /** SQL7 — TPC-H Q18-style LARGE-VOLUME ORDERS: HAVING over an
+    * aggregate inside an IN subquery, then a 3-table join back to name
+    * the customers. The subquery is the interesting plan element: Spark
+    * rewrites IN (GROUP BY ... HAVING) as a LeftSemi against the
+    * pre-aggregated lineitem — aggregation BEFORE the join, so the semi
+    * side is |orders over threshold|, not |lineitem|. Quantities are
+    * integer-valued doubles; casting each to BIGINT before summing
+    * keeps the threshold and output exact on both engines. */
+  private[queries] def sql7Text: String =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+      |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM customer c, orders o, lineitem l
+      |WHERE o.o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY total_cents DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+
+  /** SQL8 — TPC-H Q10-style RETURNED-ITEM REVENUE: the 4-table shape
+    * (two fact-sized sides + two dims) — lineitem filtered to returns ⨝
+    * date-windowed orders ⨝ customer ⨝ nation, revenue per customer,
+    * top-k. Exercises join ORDERING proper: the optimizer must put the
+    * orders⨝lineitem equi-join first and hang the dim lookups off it
+    * (nation is broadcast at any scale; customer broadcasts here and
+    * shuffles at 100 TB). Same exact-cents discipline as SQL6. */
+  private[queries] def sql8Text: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+      |    + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM customer c, orders o, lineitem l, nation n
+      |WHERE c.c_custkey = o.o_custkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      |  AND l.l_returnflag = 'R'
+      |  AND c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY rev_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+
+  /** SQL9 — TPC-H Q21's plan shape (round 13): "suppliers who blocked
+    * an order" — fact ⋈ dim with BOTH a correlated EXISTS and a
+    * correlated NOT EXISTS against the SAME fact table, then agg +
+    * ordered top-k. (Faithful Q21 keys on receipt > commit dates the
+    * driver tables don't carry; `l_returnflag = 'R'` stands in as the
+    * "late" predicate — the join/semi/anti structure, the part that
+    * exercises the optimizer, is Q21's exactly.) Catalyst plans the
+    * EXISTS as a LeftSemi and the NOT EXISTS as a LeftAnti on the
+    * l_orderkey equi-key — self-(semi)joins of the big table shuffled
+    * once on the same key, then reused; at 100 TB orderkey-bucketing
+    * the fact table makes all three passes co-located. The identical
+    * SQL text runs on both engines (sql2 discipline); counts are
+    * integers and the top-k tie-breaks on s_suppkey, so the result is
+    * hash-stable. */
+  private[queries] val sql9Text: String =
+    """SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_blocked
+      |FROM supplier s
+      |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_suppkey, s.s_name
+      |ORDER BY n_blocked DESC, s.s_suppkey
+      |LIMIT 25""".stripMargin
+
+
+  /** SQL10 — TPC-H Q2's plan shape (round 13): a CORRELATED SCALAR
+    * subquery (per-part minimum supplier balance) in the WHERE clause.
+    * Catalyst's RewriteCorrelatedScalarSubquery turns it into a
+    * pre-aggregated (partkey → min) frame LEFT-joined back on the
+    * correlation key — the decorrelation rewrite is the thing under
+    * test, completing the subquery tour (sql2 EXISTS/NOT EXISTS +
+    * uncorrelated scalar, sql7 IN-over-HAVING, sql9 semi/anti).
+    * Equality on s_acctbal is exact (min SELECTS a stored parquet
+    * double, no arithmetic); DISTINCT collapses repeat (part, supplier)
+    * lineitems; integer-keyed ORDER makes the result hash-stable. */
+  private[queries] val sql10Text: String =
+    """SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_acctbal
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |WHERE p.p_size < 10
+      |  AND s.s_acctbal = (
+      |    SELECT min(s2.s_acctbal)
+      |    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    WHERE l2.l_partkey = p.p_partkey)
+      |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin
+
+
+  /** SQL11 — the TPC-H Q17 small-quantity-order shape (round 14): a
+    * correlated scalar AGGREGATE subquery in the WHERE clause — the
+    * decorrelation case Q2 (sql10) doesn't cover: the optimizer must
+    * rewrite "qty below a per-part aggregate of the SAME fact table"
+    * into an aggregate-then-join, or the fact table re-scans per row.
+    * Q17's 0.2·avg threshold is expressed as the integer cross-multiply
+    * qty·5·count < sum (quantities are integral, sums < 2^53 — exact in
+    * ANY engine's double), and revenue is summed in integer cents, so
+    * the identical ANSI text hash-matches with no float boundary. */
+  private[queries] val sql11Text: String =
+    """SELECT p.p_brand,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(count(*) AS BIGINT) AS n_small
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_size <= 5
+      |  AND l.l_quantity * 5 * (SELECT count(*) FROM lineitem l2
+      |      WHERE l2.l_partkey = p.p_partkey)
+      |    < (SELECT sum(l2.l_quantity) FROM lineitem l2
+      |      WHERE l2.l_partkey = p.p_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
+
+  /** SQL12 — TPC-H Q22 shape ("global sales opportunity"): dormant wealthy
+    * customers — above-average balance within selected country codes AND no
+    * recent orders. Exercises the two remaining decorrelation patterns in
+    * one statement: an UNcorrelated scalar aggregate threshold and a
+    * correlated NOT EXISTS anti-join. The driver customer dim has no phone
+    * column, so cntrycode derives from c_nationkey; every customer has SOME
+    * order, so "dormant" = no order since mid-1999 (non-empty anti-join,
+    * verified at sf0.001/0.01/0.1). Float-free: balances as integer cents, the
+    * above-average comparison cross-multiplied (bal*n > sum). Catalyst
+    * plans the NOT EXISTS as a LeftAnti hash join and broadcasts the 1-row
+    * threshold — at 100 TB the anti-join shuffles on custkey, the scalar
+    * subquery is free. Identical text runs on both engines. */
+  private[queries] val sql12Text: String =
+    """WITH potential AS (
+      |  SELECT c_custkey,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+      |    c_nationkey % 7 AS cntrycode
+      |  FROM customer WHERE c_nationkey % 7 IN (1, 3, 5)),
+      |pos AS (
+      |  SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM potential WHERE bal_cents > 0)
+      |SELECT p.cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(p.bal_cents) AS BIGINT) AS totacctbal_cents
+      |FROM potential p, pos
+      |WHERE p.bal_cents * pos.n > pos.s
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = p.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')
+      |GROUP BY p.cntrycode
+      |ORDER BY p.cntrycode""".stripMargin
+
+
+  /** SQL13 — TPC-H Q15 shape (top supplier): a named aggregate view joined
+    * back against its own MAX — the "equal to a scalar aggregate of the
+    * same derived table" pattern. Catalyst evaluates the `revenue` CTE
+    * twice (once for the join, once under max) unless the optimizer reuses
+    * the subquery — either way both sides shuffle only the 100-row
+    * supplier-grained aggregate, never lineitem twice the full width.
+    * Revenue is exact integer cents (the float product is floored per row
+    * identically on both engines). */
+  private[queries] val sql13Text: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS total_rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_rev_cents = (SELECT max(total_rev_cents) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+
+  /** SQL14 — TPC-H Q4 shape (order priority checking): count orders per
+    * priority that had at least one late-shipping line. The EXISTS here is
+    * the Q4 pattern sql2 does NOT cover: the correlated predicate carries a
+    * NON-equi conjunct referencing the outer row (l_shipdate > o_orderdate),
+    * so Catalyst must decorrelate to a LeftSemi join whose condition mixes
+    * the orderkey equality with the date inequality — the semi-join still
+    * shuffles on the equi key alone, the inequality rides along as a
+    * post-probe filter, which is exactly the 100 TB-safe plan (no range
+    * explosion). The quarter window reaches the orders parquet scan as a
+    * pushed filter. Identical text on both engines; counts only. */
+  private[queries] val sql14Text: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+
+  /** SQL15 — TPC-H Q12 shape (shipping-class priority split): conditional
+    * CASE aggregation over a fact-fact join — one pass computes both the
+    * high- and low-priority line counts per class, the pivot-free form of
+    * "two filtered counts per group". The driver lineitem has no shipmode,
+    * so l_linestatus stands in as the class column (same 2-value shape).
+    * Both sums are integer CASE arms cast to BIGINT on both engines (DuckDB
+    * sums INTEGER into HUGEINT, Spark into LONG — the cast aligns dtypes).
+    * At 100 TB: the year filter is pushed to the lineitem scan, the join
+    * shuffles on orderkey, and the aggregate is 2 groups × 2 longs of
+    * partial state — map-side combine makes the final shuffle trivial. */
+  private[queries] val sql15Text: String =
+    """SELECT l.l_linestatus AS ship_class,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l.l_linestatus
+      |ORDER BY l.l_linestatus""".stripMargin
+
+
+  /** SQL16 — TPC-H Q16 shape (parts/supplier relationship): DISTINCT
+    * aggregation under a null-aware NOT IN anti-join. The driver schema has
+    * no partsupp, so lineitem serves as the part↔supplier relation (same
+    * join shape, bigger fact side — strictly harder). NOT IN against a
+    * subquery is the null-aware anti-join pattern (semantically poisoned by
+    * NULLs — none here, but the planner must still prove it): Catalyst
+    * plans LeftAnti(NullAwareAnti); the excluded-supplier list is tiny and
+    * broadcast. count(DISTINCT l_suppkey) per (brand,type,size) expands to
+    * the two-phase distinct aggregate — shuffle on the group key plus
+    * suppkey, then count — the only correct distributed shape when a group
+    * can span partitions. */
+  private[queries] val sql16Text: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand <> 'Brand#13'
+      |  AND p.p_type <> 'PROMO'
+      |  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      |  AND l.l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
+
+  /** SQL17 — TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * three brand/size/quantity conjunct-bundles OR'd together across the
+    * part join. This is the classic test of disjunction handling: a naive
+    * planner evaluates the whole OR post-join; a good one extracts the
+    * common join key, pushes the per-table prunable parts (p_size upper
+    * bound, l_quantity envelope) below the join, and keeps the cross-table
+    * residual on top. Revenue in exact integer cents (per-row floor before
+    * the sum, identical on both engines). Single-row result. */
+  private[queries] val sql17Text: String =
+    """SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+      |    AND l.l_quantity BETWEEN 1 AND 11)
+      |  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+      |    AND l.l_quantity BETWEEN 10 AND 20)
+      |  OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+      |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+
+  /** SQL18 — TPC-H Q20 shape (top shippers of selected parts): nested IN
+    * subqueries three levels deep — supplier IN (aggregated lineitem IN
+    * (filtered part)) — with an above-average HAVING threshold instead of
+    * Q20's partsupp availqty (absent from the driver schema). The
+    * threshold is scale-free by construction (qty·n > Σqty, integers
+    * cross-multiplied — no float division), so the query stays selective
+    * at every SF (3/10 suppliers at sf0.001, 492/1000 at sf0.1) where any
+    * fixed constant would silently degenerate to all-or-nothing as the
+    * corpus grows. Catalyst decorrelates both INs to LeftSemi joins; the
+    * part-name probe list broadcasts, the per-supplier aggregate shuffles
+    * once on suppkey, and the 1-row (tot, n) frame is a broadcast scalar —
+    * the whole plan touches lineitem exactly once. */
+  private[queries] val sql18Text: String =
+    """WITH shipped AS (
+      |  SELECT l.l_suppkey AS suppkey,
+      |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem l
+      |  WHERE l.l_partkey IN (
+      |      SELECT p_partkey FROM part WHERE p_name LIKE '%a%')
+      |    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l.l_suppkey)
+      |SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT suppkey FROM shipped,
+      |    (SELECT CAST(sum(qty) AS BIGINT) AS tot,
+      |       CAST(count(*) AS BIGINT) AS n FROM shipped) t
+      |  WHERE qty * t.n > t.tot)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+
+  /** SQL19 — TPC-H Q5 shape (local supplier volume): the six-table join
+    * with the CYCLIC predicate c_nationkey = s_nationkey — the customer
+    * and the supplier must sit in the SAME nation, reached through two
+    * different join paths. This closes a cycle in the join graph (the
+    * one TPC-H query that does), which is the stress case for join-order
+    * planning: Catalyst must pick an acyclic spanning order and apply
+    * the closing equality as a filter on the chosen seam. The
+    * region/nation dims broadcast; the orderdate year is pushed to the
+    * orders scan; revenue is exact integer cents per row before the
+    * sum. */
+  private[queries] val sql19Text: String =
+    """SELECT n.n_name,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n.n_name
+      |ORDER BY revenue_cents DESC, n.n_name""".stripMargin
+
+
+  /** SQL20 — TPC-H Q7 shape (bilateral trade volume): the nation dim
+    * joins TWICE under different roles (supplier's nation n1, customer's
+    * nation n2) with a symmetric disjunction over the pair — the
+    * role-aliased-dim pattern plus a cross-table OR that no single-table
+    * pushdown can absorb (each arm references both n1 and n2, so the
+    * residual must sit above both dim joins while the two nation
+    * broadcasts still prune everything else). Yearly buckets via year()
+    * cast to BIGINT on both engines. */
+  private[queries] val sql20Text: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM supplier s
+      |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+
+  /** SQL21 — TPC-H Q13 shape (customer order-count distribution): a
+    * LEFT OUTER join whose ON clause carries a filter on the RIGHT side
+    * (orders dropped by priority must not drop the customer — moving
+    * the predicate to WHERE would silently turn the join inner, the
+    * classic outer-join trap), then a two-level aggregate: orders per
+    * customer, then customers per order-count — the count-of-counts
+    * histogram. Zero-order customers MUST appear in the c_count = 0
+    * bucket; count(o_orderkey) over an all-null group delivers them.
+    * Both aggregates shuffle on scalar keys; the distribution output is
+    * |distinct counts| rows. */
+  private[queries] val sql21Text: String =
+    """WITH c_orders AS (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM c_orders GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+
+  /** SQL22 — TPC-H Q14 shape (promo revenue share): conditional
+    * share-of-total in one pass — both the CASE-gated numerator and the
+    * full denominator come out of the same aggregate (never two scans).
+    * The cents sums are exact BIGINTs; the ppm share is the one value
+    * that must touch doubles (BIGINT·10^6 can exceed the exact-integer
+    * range either engine's integer division text shares), so it is
+    * floored double arithmetic with the multiply-then-divide order
+    * pinned textually — the chi-square discipline, IEEE-identical
+    * cross-engine. */
+  private[queries] val sql22Text: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |      * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS promo_cents,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(floor(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |      * 100 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE) * 1000000.0
+      |    / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+      |      * 100 + 0.5) AS BIGINT))) AS BIGINT) AS promo_ppm
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+
+  /** SQL23 — TPC-H Q6 shape (forecast revenue change): the pure
+    * scan-side query — no join at all, three pushable predicates (date
+    * range, discount band, quantity cap) and a single global aggregate.
+    * This is the shape where predicate pushdown IS the whole plan: at
+    * 100 TB the engine reads one year × two columns' worth of pages and
+    * the aggregate never shuffles more than one partial row per task.
+    * Revenue = price × discount (what WOULD have been earned), exact
+    * cents via the textually-pinned floor. */
+  private[queries] val sql23Text: String =
+    """SELECT
+      |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS forecast_cents,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+
+  /** SQL24 — TPC-H Q8 shape (national market share): the deepest join
+    * tree in the suite — lineitem fans out to EIGHT tables with nation
+    * joined twice under different roles (market nation via customer,
+    * share nation via supplier), then a conditional share-of-total per
+    * year. All five dims broadcast; the orderdate band and p_type reach
+    * their scans; the share is the Q14 floored-double ppm discipline.
+    * The CASE-gated numerator and full denominator come out of ONE
+    * aggregate — never two passes over the joined fact. */
+  private[queries] val sql24Text: String =
+    """WITH rev AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+      |      AS BIGINT) AS cents,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+      |    AS BIGINT) AS nation_cents,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST(floor(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+      |    THEN cents ELSE 0 END) AS DOUBLE) * 1000000.0 / sum(cents))
+      |    AS BIGINT) AS share_ppm
+      |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
+
+
+  /** SQL25 — TPC-H Q9 shape (product-type profit): profit = revenue −
+    * cost over a LIKE-filtered part family, grouped by the supplier's
+    * nation and order year. The testdata has no partsupp table, so
+    * supply cost is a deterministic per-part proxy (60% of retail, in
+    * cents — the join/aggregate shape is the point, and it is
+    * unchanged: the cost column rides the part dim through the same
+    * broadcast). The LIKE '%widget%' is a non-sargable mid-string
+    * match — it still prunes on the part DIM (small), never the fact.
+    * Profit cents are exact BIGINTs: integral quantities × integer
+    * cost cents subtracted from floored revenue cents. */
+  private[queries] val sql25Text: String =
+    """WITH profit AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+      |      AS BIGINT)
+      |      - CAST(l.l_quantity AS BIGINT)
+      |        * CAST(floor(p.p_retailprice * 60 + 0.5) AS BIGINT)
+      |      AS amount_cents
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE p.p_name LIKE '%widget%')
+      |SELECT nation, o_year,
+      |  CAST(sum(amount_cents) AS BIGINT) AS profit_cents
+      |FROM profit GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+
+  /** SQL26 — TPC-H Q11 shape (important stock): GROUP BY + HAVING
+    * against a SCALAR SUBQUERY over the same derived table — the
+    * value-concentration query ("parts worth more than fraction f of
+    * the national total"). Both branches reuse one CTE; the optimizer
+    * evaluates the global total once (single-row broadcast) and the
+    * HAVING compares per-group sums against it. The testdata has no
+    * partsupp, so "stock value" is the supplier-nation-filtered
+    * lineitem revenue per part — same two-level aggregate + global
+    * threshold shape. The threshold is SCALE-FREE (the Q20-lane rule:
+    * a fixed fraction-of-total degenerates as the part population
+    * grows — at sf0.1 no part holds 1/500 of the national total):
+    * keep parts worth more than 2× the MEAN part value, as the exact
+    * integer cross-multiply sum·|parts| > 2·total — no division, no
+    * floats, selective at every sf (103 parts at sf0.01, 1111 at
+    * sf0.1). */
+  private[queries] val sql26Text: String =
+    """WITH ps AS (
+      |  SELECT l.l_partkey,
+      |    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_name = 'NATION_1')
+      |SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS value_cents
+      |FROM ps GROUP BY l_partkey
+      |HAVING sum(cents) * (SELECT count(DISTINCT l_partkey) FROM ps)
+      |  > 2 * (SELECT sum(cents) FROM ps)
+      |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+
+  /** X7k — SERVING-path point lookup (round 10): fetch the CURRENT rows
+    * for three exact keys from the merged key-scoped snapshot — the
+    * reference's actual hot path (job by `downloader_jq_id`,
+    * `main.py:108-122`) against the lakehouse layout. The snapshot is
+    * seeded from orders and mutated by the x7_merge_cdc change set once
+    * (oncePerDir); the lookup routes each key to its bucket with
+    * driver-side Murmur3 (metadata math), consults the manifest's
+    * per-bucket stats, and reads ONLY the owning `v{N}/bucket={b}` leaf
+    * directories — CdcSpec pins inputFiles to exactly one bucket. The
+    * three probes are one updated key, one untouched key, one DELETED
+    * key (returns nothing); the oracle replays the merge and the same
+    * min()-derived keys, so key selection can never drift between
+    * engines. */
+  /** Shared fixture for the serving/CDF/IVM snapshot queries: the orders
+    * table seeded into a 16-bucket key-scoped snapshot (v0), then the
+    * x7_merge_cdc change set merged once (v1). Built once per sf dir;
+    * every consumer's oracle replays the identical change classes. */
+  private[queries] def mergeCdcSnapshot(s: SparkSession, d: String): String = {
+    def p2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+    val o = T(s, d, "orders")
+    oncePerDir("point_snap", d) { tmp =>
+      Cdc.initSnapshot(
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          p2(col("o_totalprice")).as("price")),
+        s"$tmp/snap", Seq("o_orderkey"), nBuckets = 16)
+      val upd1 = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("U1").as("o_orderstatus"),
+          p2(col("o_totalprice") + 10).as("price"))
+      val upd2 = o.filter(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+          lit("U2").as("o_orderstatus"),
+          p2(col("o_totalprice") * 2).as("price"))
+      val del = o.filter(col("o_orderkey") % 11 === 3)
+        .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("price"))
+      val ins = o.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit(1L).as("seq"), lit("U").as("op"),
+          lit("NEW").as("o_orderstatus"), lit(1.5).as("price"))
+      Cdc.mergeScoped(
+        upd1.unionByName(upd2).unionByName(del).unionByName(ins),
+        Seq("o_orderkey"), "seq", "op", s"$tmp/snap")
+    }
+  }
+
+
+  /** X7 maintenance fixture: a COPY of the shared merged snapshot taken
+    * through the full maintenance chain — compact (fold live buckets
+    * into one fresh version), prune (reclaim every version no live
+    * bucket references), rebucket (rewrite to a different bucket
+    * count). On a copy so the time-travel lanes keep their history. */
+  private[queries] def maintSnapshot(s: SparkSession, d: String): String = {
+    val src = mergeCdcSnapshot(s, d)
+    oncePerDir("maint_snap", d) { tmp =>
+      def cp(from: java.io.File, to: java.io.File): Unit =
+        if (from.isDirectory) {
+          to.mkdirs(); from.listFiles().foreach(f =>
+            cp(f, new java.io.File(to, f.getName)))
+        } else {
+          java.nio.file.Files.copy(from.toPath, to.toPath); ()
+        }
+      cp(new java.io.File(s"$src/snap"), new java.io.File(s"$tmp/snap"))
+      Cdc.compactSnapshot(s, s"$tmp/snap")
+      val reclaimed = Cdc.pruneSnapshots(s, s"$tmp/snap", keep = 1)
+      require(reclaimed.nonEmpty,
+        "prune after compaction must reclaim the pre-compaction versions")
+      Cdc.rebucketSnapshot(s, s"$tmp/snap", 4)
+      ()
+    }
+  }
+
+
+  /** The merged-state CTE chain shared by every oracle over the
+    * [[mergeCdcSnapshot]] fixture (identical change classes). */
+  private[queries] val mergedSnapshotSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    floor(o_totalprice * 100 + 0.5) / 100 AS price
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+      |    'U1' AS o_orderstatus,
+      |    floor((o_totalprice + 10) * 100 + 0.5) / 100 AS price
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', 'U2',
+      |    floor(o_totalprice * 2 * 100 + 0.5) / 100
+      |  FROM orders WHERE o_orderkey % 14 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', NULL, NULL
+      |  FROM orders WHERE o_orderkey % 11 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 1, 'U', 'NEW', 1.5
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY seq DESC) AS rn
+      |    FROM c) WHERE rn = 1),
+      |merged AS (
+      |  SELECT coalesce(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+      |    coalesce(l.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+      |    coalesce(l.price, t.price) AS price
+      |  FROM t FULL JOIN latest l ON t.o_orderkey = l.o_orderkey
+      |  WHERE l.op IS NULL OR l.op <> 'D')""".stripMargin
+
+
+  /** X10c — TRIANGLE COUNTING (round 13): per-node triangle
+    * participation over the co-supply graph (suppliers adjacent when
+    * they supply the same part), by degree-ordered edge orientation —
+    * the clustering/cohesion signal of graph-based corpus curation
+    * (spam farms are triangle-dense, legitimate link neighborhoods are
+    * sparse). The scale contract is the orientation itself: every wedge
+    * is generated at its lowest-degree corner, bounding the join
+    * fan-out at O(√m) per node — a celebrity node never self-joins at
+    * its full degree (Graph.triangles scaladoc). The per-part clique
+    * blowup in the FIXTURE is bounded the same way the Dedup candidate
+    * generators are: per-part set sizes are pre-counted and hot parts
+    * dropped BEFORE the pair self-join; the oracle replays the cap. The
+    * count is exact integer, so the whole result hash-checks against
+    * DuckDB's naive three-way self-join. */
+  /** X10d — K-CORE DECOMPOSITION (round 14): iterative peeling on the
+    * thinned customer↔supplier trade graph (bipartite, so degrees have a
+    * real gradient and removals CASCADE — low-order customers peel
+    * first, dropping supplier degrees below k, peeling more; measured
+    * 2-3 productive rounds at every SF, always ≤ the 5 unrolled, with a
+    * non-empty 4-core: 42/393/4443 nodes at sf0.001/0.01/0.1). The
+    * oracle unrolls the identical 5 synchronous rounds as chained CTEs —
+    * degree agg, ≥k filter, two-sided edge semi-join — so the cascade
+    * mechanism itself is hash-checked, not just the final membership. */
+  private[queries] val x10KcoreText: String = {
+    // every u{i} is referenced 4x by round i+1 (degree UNION ALL reads it
+    // twice, the semi-join once more, plus the final rollup) — DuckDB
+    // inlines plain CTEs, which would re-evaluate u0 4^5 times; AS
+    // MATERIALIZED pins each round to evaluate once (oracle-side syntax
+    // only; Spark never parses this text)
+    val rounds = (1 to 5).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
+         |  SELECT a AS v FROM u${i - 1} UNION ALL SELECT b FROM u${i - 1}) t
+         |  GROUP BY v),
+         |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE dg >= 4),
+         |u$i AS MATERIALIZED (SELECT u.a, u.b FROM u${i - 1} u
+         |  JOIN k$i x ON u.a = x.v JOIN k$i y ON u.b = y.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_partkey % 17 = 0),
+       |$rounds
+       |SELECT v AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT a AS v FROM u5 UNION ALL SELECT b FROM u5) t
+       |GROUP BY v ORDER BY node""".stripMargin
+  }
+
+
+  /** Fixture for the incremental dedup-index lane: a DOCUMENTS snapshot
+    * at v0 (doc_id < 400), then ONE merge — text updates (doc_id < 50,
+    * three lowercase words appended so signatures genuinely change),
+    * deletes (300-399 with doc_id % 7 == 0), inserts (doc_id >= 400) —
+    * committing v1. Memoized per sf dir like the orders fixture. */
+  private[queries] def docSigSnapshot(s: SparkSession, d: String): String = {
+    val docs = T(s, d, "documents")
+    oncePerDir("sig_snap", d) { tmp =>
+      Cdc.initSnapshot(
+        docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text")),
+        s"$tmp/snap", Seq("doc_id"), nBuckets = 16)
+      val upd = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+          concat(col("text"), lit(" updated text appended")).as("text"))
+      val del = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("text"))
+      val ins = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+          col("text"))
+      Cdc.mergeScoped(upd.unionByName(del).unionByName(ins),
+        Seq("doc_id"), "seq", "op", s"$tmp/snap")
+    }
+  }
+
+
+  /** X7n — INCREMENTAL DEDUP-INDEX MAINTENANCE (round 11): the standing
+    * MinHash signature index follows the document snapshot through a
+    * merge at cost ∝ change — the x7_incr_agg idea applied to the x2
+    * lane, which is how a 100 TB corpus keeps its near-dup index fresh
+    * without ever re-signing the corpus. snapshotDiff reads ONLY the
+    * buckets the merge rewrote; the md5 minhash kernel runs ONLY over
+    * inserted/updated docs; the standing index is touched by one
+    * doc-id-keyed anti-join. The judged assertion is the strongest one
+    * available: the incrementally-maintained index hash-matches the
+    * oracle's DIRECT recompute over the merged final state (the same
+    * signature chain x2_minhash_sig proved portable). Deleted docs
+    * leave the index; updated docs re-sign; short docs (< 3 tokens)
+    * stay absent on both sides. */
+  /** The docSigSnapshot fixture's MERGED FINAL STATE in DuckDB — shared
+    * by every oracle that direct-recomputes over it (x7_incr_minhash,
+    * x7_incr_cms). Single-sourced so a fixture change cannot drift the
+    * oracles apart (the mergedSnapshotSql discipline). Pre-stripped;
+    * compose by concatenation (stripMargin would eat leading ||). */
+  private[queries] val docsFinSql: String =
+    """fin AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id < 50 THEN text || ' updated text appended'
+      |      ELSE text END AS text
+      |  FROM documents
+      |  WHERE NOT (doc_id >= 300 AND doc_id < 400
+      |    AND doc_id % 7 = 0))""".stripMargin
+
+
+  /** The embeddings snapshot fixture for incremental ANN maintenance
+    * (round 17): v0 = vectors 0..399 (payload pre-cast to DOUBLE so the
+    * update transform and every oracle replay run in one numeric
+    * domain); the merge updates vectors < 50 with the elementwise map
+    * x → 1.0 - x (direction-CHANGING — a scalar rescale would leave
+    * every cosine, and therefore every cell assignment, untouched),
+    * deletes every 7th vector of [300,400), and inserts 400..499. */
+  private[queries] def embIvfSnapshot(s: SparkSession, d: String): String = {
+    val emb = T(s, d, "embeddings")
+    oncePerDir("ivf_snap", d) { tmp =>
+      Cdc.initSnapshot(
+        emb.filter(col("vec_id") < 400)
+          .select(col("vec_id"),
+            Similarity.asDouble("embedding").as("embedding")),
+        s"$tmp/snap", Seq("vec_id"), nBuckets = 8)
+      val upd = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id"), lit(1L).as("seq"), lit("U").as("op"),
+          expr("transform(embedding, x -> cast(1.0 as double) - " +
+            "cast(x as double))").as("embedding"))
+      val del = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400 &&
+          col("vec_id") % 7 === 0)
+        .select(col("vec_id"), lit(1L).as("seq"), lit("D").as("op"),
+          lit(null).cast("array<double>").as("embedding"))
+      val ins = emb.filter(col("vec_id") >= 400)
+        .select(col("vec_id"), lit(1L).as("seq"), lit("U").as("op"),
+          Similarity.asDouble("embedding").as("embedding"))
+      Cdc.mergeScoped(upd.unionByName(del).unionByName(ins),
+        Seq("vec_id"), "seq", "op", s"$tmp/snap")
+    }
+  }
+
+
+  /** The N-dim interleave's oracle: 16 bit-extract terms per dimension,
+    * `((dim >> b) & 1) << (3b + i)` — plain BIGINT arithmetic in any
+    * engine. Generated, not hand-typed, so Spark and the oracle cannot
+    * drift. */
+  private[queries] val zorder3Sql: String = (for {
+    (c, i) <- Seq("xd", "yd", "zd").zipWithIndex
+    b <- 0 until 16
+  } yield s"((($c >> $b) & 1) << ${3 * b + i})").mkString(" | ")
+
+
+  // ===========================================================================
+  // X11 — data-quality expectations (ops/Quality.scala)
+  // ===========================================================================
+
+  /** The shared rule set for the X11 family: each rule has real violations
+    * in the driver data (values run to ~490, user_ids to 149, ~20% of
+    * events are 'error', props.k is uniform 0..99), so the report, the
+    * quarantine and the profile all exercise non-trivial paths. */
+  private[queries] def eventRules = Seq(
+    Quality.Rule("value_le_400", col("value") <= 400.0),
+    Quality.Rule("user_lt_140", col("user_id") < 140),
+    Quality.Rule("no_error_events", col("event_type") =!= "error"),
+    Quality.Rule("props_k_le_80",
+      get_json_object(col("props"), "$.k").cast("long") <= 80))
+
+
+  /** The x9_bootstrap oracle's resample-mean chain as CTEs ending in `m`
+    * (b, n_eff, sum_cents, mean_milli) — shared verbatim by the
+    * x9_bootstrap_ci oracle so the two lanes cannot drift (the
+    * lpaOracleCtes discipline). Thresholds are the SAME literals the
+    * Spark plan splices (Experiment.poissonThresholds — the Benford
+    * discipline, no cross-engine exp/factorial). */
+  private[queries] val bootstrapOracleCtes: String = {
+    val cases = Experiment.poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN draw < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+    s"""r AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |e AS (SELECT rid, cents,
+       |    unnest(generate_series(0, 15)) AS b FROM r),
+       |dr AS (SELECT b, cents,
+       |    ('0x' || substr(md5(rid || ':' || CAST(b AS VARCHAR)), 1, 4))
+       |      ::BIGINT AS draw
+       |  FROM e),
+       |kk AS (SELECT b, cents, $cases AS k FROM dr),
+       |g AS (SELECT b, CAST(sum(k) AS BIGINT) AS n_eff,
+       |    CAST(sum(cents * k) AS BIGINT) AS sum_cents
+       |  FROM kk GROUP BY b),
+       |m AS (SELECT b, n_eff, sum_cents,
+       |    CASE WHEN n_eff > 0 THEN (sum_cents * 1000 -
+       |      ((sum_cents * 1000 % n_eff) + n_eff) % n_eff) // n_eff END
+       |      AS mean_milli
+       |  FROM g)""".stripMargin
+  }
+
+
+  /** X10k — label-propagation communities (ops/Graph.labelPropagation):
+    * 3 synchronous self-vote rounds over the symmetrized trade graph,
+    * max-count/min-label tie-break — the determinism contract that lets
+    * the oracle unroll every round as SQL (count + row_number with the
+    * identical ordering). Per round: one label join + one (node, label)
+    * partial-combining count + one node-window argmax. */
+  /** The x10_lpa oracle's full 3-round unroll as CTEs ending in `l3`
+    * (node, label) — shared verbatim by the x10_modularity oracle so the
+    * two lanes cannot drift (the docsFinSql discipline). */
+  private[queries] val lpaOracleCtes: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT v.node, l.label, count(*) AS cnt
+         |  FROM v JOIN l${i - 1} l ON v.nbr = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (PARTITION BY node
+         |      ORDER BY cnt DESC, label) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |und AS (SELECT src, dst FROM e0
+       |        UNION ALL SELECT dst, src FROM e0),
+       |n AS (SELECT DISTINCT src AS node FROM und),
+       |v AS (SELECT dst AS node, src AS nbr FROM und
+       |      UNION ALL SELECT node, node FROM n),
+       |l0 AS (SELECT node, node AS label FROM n),
+       |$rounds""".stripMargin
+  }
+}
