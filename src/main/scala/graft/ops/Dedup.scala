@@ -382,6 +382,21 @@ object Dedup {
     * whether a fixpoint was reached, so [[componentsHybrid]] can spend a
     * bounded budget here and fall through to star contraction instead of
     * aborting. Returns ((src, label) frame, converged). */
+  /** localCheckpoint + plan-statistics reset (the [[graft.ops.Graph]]
+    * checkpointFresh discipline, round 17): checkpoint PRESERVES the
+    * source plan's Statistics and join stats MULTIPLY, so a loop that
+    * joins its own previous output grows the preserved sizeInBytes
+    * BigInt's digit count geometrically — by enough rounds the stats
+    * visitor itself dominates planning (measured 980 CPU-s of
+    * BigInteger math in the scc loops). The component loops apply it
+    * EVERY 4th round rather than every round: that caps the preserved
+    * number at ~3⁴ digits growth per window (harmless) while letting
+    * the intermediate rounds keep the checkpoint's partitioning. */
+  private def checkpointFreshD(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   private def minLabelRounds(nodes: DataFrame, pairs: DataFrame, idCol: String,
       d1: String, d2: String, maxIter: Int): (DataFrame, Boolean) = {
     val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
@@ -397,14 +412,15 @@ object Dedup {
       // label set and the convergence check read it as narrow scans —
       // one join per round, not a second labels-vs-next join just to
       // count changes
-      val joined = labels.join(
+      val joinedPlan = labels.join(
           edges.join(labels.select(col("src").as("dst"),
               col("label").as("nlabel")), Seq("dst"))
             .groupBy(col("src")).agg(min(col("nlabel")).as("minn")),
           Seq("src"), "left")
         .select(col("src"), col("label").as("old"),
           least(col("label"), col("minn")).as("label"))
-        .localCheckpoint()
+      val joined = if (i % 4 == 3) checkpointFreshD(joinedPlan)
+        else joinedPlan.localCheckpoint()
       converged = joined.filter(col("label") =!= col("old")).isEmpty
       labels = joined.select(col("src"), col("label"))
       i += 1
@@ -506,11 +522,12 @@ object Dedup {
       // non-min small neighbor attach to it
       val ssMin = afterLarge.groupBy(col("hi")).agg(min(col("lo")).as("m"))
       val joined = afterLarge.join(ssMin, Seq("hi"))
-      val afterSmall = joined.filter(col("lo") =!= col("m"))
+      val afterSmallPlan = joined.filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionAll(ssMin.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
-        .localCheckpoint()
+      val afterSmall = if (i % 4 == 3) checkpointFreshD(afterSmallPlan)
+        else afterSmallPlan.localCheckpoint()
       converged = afterSmall.count() == edges.count() &&
         afterSmall.except(edges).isEmpty
       edges = afterSmall
