@@ -274,9 +274,15 @@ object Similarity {
     * query_id, never corpus×corpus). */
   def mmrSelect(queries: DataFrame, corpus: DataFrame, nCand: Int,
       k: Int): DataFrame = {
+    // materialized ONCE: every greedy round re-reads cand and pair, and
+    // the round recurrence all_t = all_{t-1} ∪ f(all_{t-1}) references
+    // all_{t-1} TWICE — without lineage truncation the final plan holds
+    // 2^k copies of these subtrees (first bench point measured 13.6 s
+    // at sf0.1 on 6k rows, pure planning/recompute; 2.0 s after)
     val cand = bruteForceTopK(queries, corpus, nCand)
       .withColumn("r_fp", floor(col("sim") * 1e6 + 0.5).cast("long"))
       .select(col("query_id"), col("vec_id"), col("r_fp"))
+      .localCheckpoint(eager = false)
     val av = withNorm(corpus.select(col("vec_id").as("a_id"),
       asDouble("embedding").as("qv")), "qv", "qn")
     val bv = withNorm(corpus.select(col("vec_id").as("b_id"),
@@ -290,6 +296,7 @@ object Similarity {
       .withColumn("s_fp",
         floor(round(cosinePre(pairs0), 6) * 1e6 + 0.5).cast("long"))
       .select(col("query_id"), col("a_id"), col("b_id"), col("s_fp"))
+      .localCheckpoint(eager = false)
     val w = Window.partitionBy(col("query_id"))
     var all = cand
       .withColumn("rn", row_number().over(
@@ -314,7 +321,10 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), col("mmr_fp"),
           lit(t).as("pick_rank"))
-      all = all.unionByName(pick)
+      // truncate per round: all is referenced twice next round (the m
+      // agg and the anti-join), so an un-checkpointed recurrence
+      // doubles the plan every pick
+      all = all.unionByName(pick).localCheckpoint(eager = false)
     }
     all.select(col("query_id"), col("pick_rank"), col("vec_id"),
       col("mmr_fp"))
