@@ -473,11 +473,18 @@ object StressBench {
     // ring-length rounds, and ONE outer round extracts every ring in
     // PARALLEL (the color classes peel independently). Labels are
     // checked exactly: scc_id == ring base for every node.
+    // CONSTRUCT INSIDE the stage timer (the r16 betweenness/reach
+    // correction): scc's per-round checkpoints run at construction
+    // under AQE, so a pre-built frame would leave only the final read
+    // inside the timer (measured 0.09 s vs the honest multi-second run)
     val ringsN = 100000L
     val rings = spark.range(ringsN).selectExpr("id as src",
       "(id div 10) * 10 + (id % 10 + 1) % 10 as dst")
-    val sccLabels = ops.Graph.scc(rings)
-    stage("scc_100k")(sccLabels)
+    var sccLabels: DataFrame = null
+    stage("scc_100k") {
+      sccLabels = ops.Graph.scc(rings)
+      sccLabels
+    }
     require(sccLabels.filter(col("scc_id") =!= expr("(node div 10) * 10"))
         .isEmpty,
       "scc labels on the 10-ring graph must be the ring base")
@@ -489,8 +496,11 @@ object StressBench {
     // ≈ 17 rounds. Labels checked exactly: one component, all 0.
     val bigRing = spark.range(ringsN).selectExpr("id as src",
       s"(id + 1) % $ringsN as dst")
-    val ringLabels = ops.Graph.scc(bigRing)
-    stage("scc_ring_100k")(ringLabels)
+    var ringLabels: DataFrame = null
+    stage("scc_ring_100k") {
+      ringLabels = ops.Graph.scc(bigRing)
+      ringLabels
+    }
     require(ringLabels.filter(col("scc_id") =!= 0L).isEmpty,
       "the 100k directed ring must be ONE component labeled 0")
 
@@ -648,8 +658,12 @@ object StressBench {
       .filter("id % 10 <> 9")
       .selectExpr("id as src",
         "explode(sequence(id + 1, (id div 10) * 10 + 9)) as dst")
-    val lpaLabels = ops.Graph.labelPropagation(cliques100k, 2)
-    stage("lpa_100k")(lpaLabels)
+    // construct INSIDE the timer (AQE-eager checkpoints; the scc note)
+    var lpaLabels: DataFrame = null
+    stage("lpa_100k") {
+      lpaLabels = ops.Graph.labelPropagation(cliques100k, 2)
+      lpaLabels
+    }
     require(results("lpa_100k")._2 == 100000L,
       s"LPA must label every node: ${results("lpa_100k")._2}")
     require(lpaLabels.filter(col("label") =!= expr("(node div 10) * 10"))

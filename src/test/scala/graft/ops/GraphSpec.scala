@@ -185,6 +185,24 @@ class GraphSpec extends SparkSpec {
     assert(r2.size == 12 && r2.values.forall(_ == 0L))
   }
 
+  test("X10s scc doubling: 200-node directed rings in BOTH id layouts " +
+      "(increasing and decreasing along the walk) close inside " +
+      "maxInner=40 — hook-only propagation needed one round per hop " +
+      "and would abort (r16 verdict item 1)") {
+    val n = 200L
+    // ids increase along the walk: the forward color loop is the
+    // adversarial side (color(u) = u until the wavefront arrives)
+    val ringUp = spark.range(n).selectExpr("id as src",
+      s"(id + 1) % $n as dst")
+    val r1 = Graph.scc(ringUp).as[(Long, Long)].collect()
+    assert(r1.length == n && r1.forall(_._2 == 0L), s"up-ring: ${r1.take(5).toSeq}")
+    // ids decrease along the walk: the backward loop's adversarial side
+    val ringDown = spark.range(n).selectExpr("id as src",
+      s"(id + $n - 1) % $n as dst")
+    val r2 = Graph.scc(ringDown).as[(Long, Long)].collect()
+    assert(r2.length == n && r2.forall(_._2 == 0L), s"down-ring: ${r2.take(5).toSeq}")
+  }
+
   test("X10i linkPredict: only the non-adjacent pair with >= minCommon " +
       "shared neighbors survives, with exact Jaccard; the center-degree " +
       "cap silences hub-mediated wedges") {
