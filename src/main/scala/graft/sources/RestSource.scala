@@ -29,10 +29,22 @@ trait HttpFetcher extends Serializable {
 }
 
 /** Real fetcher over java.net.http (edge-only; tests drive it against an
-  * in-process loopback com.sun.net.httpserver — no egress needed). */
-final class JdkHttpFetcher(timeoutMs: Int = 10000) extends HttpFetcher {
-  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+  * in-process loopback com.sun.net.httpserver — no egress needed).
+  * `https://` needs nothing extra — the JDK client negotiates TLS from
+  * the URI scheme (the reference's API_URL is https in production);
+  * `sslContextProvider` only overrides TRUST (round 17, completing the
+  * wss/amqps TLS story on the third live edge) so a test can pin a
+  * self-signed loopback cert without touching JVM-global defaults —
+  * a provider function rather than a context because the fetcher is
+  * Serializable and rides task closures. */
+final class JdkHttpFetcher(timeoutMs: Int = 10000,
+    sslContextProvider: Option[() => javax.net.ssl.SSLContext] = None)
+    extends HttpFetcher {
+  @transient private lazy val client = sslContextProvider
+    .foldLeft(java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)))(
+      (b, p) => b.sslContext(p()))
+    .build()
   private def base(url: String, basicAuth: Option[(String, String)]) = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
     basicAuth.foreach { case (u, p) =>

@@ -244,6 +244,38 @@ class SourcesSpec extends SparkSpec {
     } finally { badSink.close(); badBroker.close() }
   }
 
+  test("S7'' https: the REST write edge speaks TLS from the URI scheme " +
+      "— the reference's production API transport — against a loopback " +
+      "HttpsServer with the self-signed test cert") {
+    val server = com.sun.net.httpserver.HttpsServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(
+      new com.sun.net.httpserver.HttpsConfigurator(TlsTestKit.context))
+    @volatile var seen: (String, String, String) = null
+    server.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
+      seen = (x.getRequestMethod, x.getRequestURI.getPath,
+        new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+      val resp = """{"ok":true}""".getBytes("UTF-8")
+      x.sendResponseHeaders(200, resp.length)
+      x.getResponseBody.write(resp); x.close()
+    })
+    server.start()
+    try {
+      val cfg = ConfigSource.defaults.copy(
+        url = s"https://127.0.0.1:${server.getAddress.getPort}/api/v1/",
+        urlUsername = "sql-user", urlPassword = "s3cret")
+      val fetcher = new JdkHttpFetcher(
+        sslContextProvider = Some(() => TlsTestKit.context))
+      assert(RestSource.updateJob(cfg, fetcher, 7L, 1100L)._1 == 200)
+      assert(seen == (("PUT", "/api/v1/job/set_downloader_jobs_state/7",
+        """[{"action": "1100"}]""")))
+      // trust is NOT JVM-global: a default-trust fetcher refuses the
+      // self-signed cert with the never-throws status contract
+      val untrusting = new JdkHttpFetcher()
+      assert(RestSource.updateJob(cfg, untrusting, 7L, 1100L)._1 < 0)
+    } finally server.stop(0)
+  }
+
   test("S6' tune negotiation + amqps: the sink replies min(server, " +
       "desired) to RabbitMQ-realistic tune values over TLS, and bodies " +
       "larger than the negotiated frame-max split into multiple frames") {
