@@ -1024,6 +1024,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("X10s scc == brute-force mutual-reachability closure on random " +
+      "digraphs (round 17: the hook+pointer-doubling rewrite judged " +
+      "against Floyd-Warshall transitive closure)") {
+    // dense-ish small digraphs: self-loops, parallel edges, cycles,
+    // DAG tails and cross-component bridges all occur at these sizes
+    val edge = Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(1L, 10L))
+    cases(Gen.listOfN(18, edge), n = 8) { es =>
+      val df = es.toDF("src", "dst")
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val n = nodes.length
+      // reach(i)(j): directed path i -> j (reflexive by convention)
+      val reach = Array.tabulate(n, n)((i, j) => i == j)
+      es.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val expected = nodes.map { v =>
+        val i = idx(v)
+        // scc id = smallest node mutually reachable with v
+        v -> nodes.zipWithIndex.collect {
+          case (w, jj) if reach(i)(jj) && reach(jj)(i) => w
+        }.min
+      }.toMap
+      val got = Graph.scc(df).as[(Long, Long)].collect().toMap
+      assert(got == expected, s"edges=$es\n got=$got\n exp=$expected")
+    }
+  }
+
   test("assortativity stays in [-1e6, 1e6] and clustering coefficients " +
       "stay in [0, 1e6] on random graphs") {
     val edge = Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))
