@@ -1052,6 +1052,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("X10v neighborhoodFunction == exact md5-register ball replay on " +
+      "random digraphs (round 17: the packed-sketch + systolic-delta " +
+      "rework judged against driver BFS balls)") {
+    // the GraphSpec path-replay kernel, over random shapes: self-loops,
+    // parallel edges, hubs and disconnected pieces all occur here
+    def hexOf(v: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def regOf(v: Long): (Int, Int) = {
+      val h = hexOf(v)
+      val bucket = Integer.parseInt(h.substring(0, 2), 16) / 4
+      val nz = h.substring(2, 15).dropWhile(_ == '0')
+      val zeros = if (nz.isEmpty) 52 else {
+        val lead = nz.head match {
+          case c if "89abcdef".contains(c) => 0
+          case c if "4567".contains(c) => 1
+          case c if "23".contains(c) => 2
+          case _ => 3
+        }
+        4 * (13 - nz.length) + lead
+      }
+      (bucket, zeros + 1)
+    }
+    def estOf(b: Set[Long]): Long = {
+      val regs = b.map(regOf).groupBy(_._1)
+        .map { case (bk, rs) => bk -> rs.map(_._2).max }
+      val z = 64.0 - regs.size + regs.values.map(r => math.pow(2.0, -r)).sum
+      math.floor(0.7213 / (1.0 + 1.079 / 64) * 4096 / z * 1e4 + 0.5).toLong
+    }
+    val edge = Gen.zip(Gen.chooseNum(1L, 9L), Gen.chooseNum(1L, 9L))
+    cases(Gen.listOfN(14, edge), n = 6) { es =>
+      val df = es.toDF("src", "dst")
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val adj = es.distinct.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toSet }
+      def ball(v: Long, h: Int): Set[Long] =
+        (0 until h).foldLeft(Set(v))((b, _) =>
+          b ++ b.flatMap(x => adj.getOrElse(x, Set.empty[Long])))
+      val want = (0 to 2).map(h => (h.toLong, nodes.size.toLong,
+        nodes.map(v => estOf(ball(v, h))).sum))
+      val got = Graph.neighborhoodFunction(df, 2)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == want, s"edges=$es\n got=$got\n exp=$want")
+    }
+  }
+
   test("assortativity stays in [-1e6, 1e6] and clustering coefficients " +
       "stay in [0, 1e6] on random graphs") {
     val edge = Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))
