@@ -377,11 +377,6 @@ object Dedup {
     labels.select(col("src").as(idCol), col("label").as("cluster"))
   }
 
-  /** The min-label propagation core of [[components]], WITHOUT the
-    * loud-failure contract: runs at most `maxIter` rounds and reports
-    * whether a fixpoint was reached, so [[componentsHybrid]] can spend a
-    * bounded budget here and fall through to star contraction instead of
-    * aborting. Returns ((src, label) frame, converged). */
   /** localCheckpoint + plan-statistics reset (the [[graft.ops.Graph]]
     * checkpointFresh discipline, round 17): checkpoint PRESERVES the
     * source plan's Statistics and join stats MULTIPLY, so a loop that
@@ -397,6 +392,11 @@ object Dedup {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** The min-label propagation core of [[components]], WITHOUT the
+    * loud-failure contract: runs at most `maxIter` rounds and reports
+    * whether a fixpoint was reached, so [[componentsHybrid]] can spend a
+    * bounded budget here and fall through to star contraction instead of
+    * aborting. Returns ((src, label) frame, converged). */
   private def minLabelRounds(nodes: DataFrame, pairs: DataFrame, idCol: String,
       d1: String, d2: String, maxIter: Int): (DataFrame, Boolean) = {
     val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))

@@ -119,6 +119,9 @@ private[sources] object AmqpSink {
   private val FrameHeader = 2
   private val FrameBody = 3
   private val FrameEnd = 0xce
+  /** Ceiling on a synchronous confirm wait (broker-unresponsive guard —
+    * a lost broker must fail the partition's publish, not hang it). */
+  private val ConfirmTimeoutMs = 30000
 
   /** One connection + channel 1, handshaken in the constructor. */
   final class Conn(host: String, port: Int, user: String, pass: String,
@@ -197,8 +200,22 @@ private[sources] object AmqpSink {
       throw new IllegalStateException("unreachable")
     }
 
+    /** Decode a connection.close / channel.close payload's diagnosis:
+      * after the 4-byte method id sit reply-code (short) and reply-text
+      * (shortstr) — the broker's own words for WHY, which belong in the
+      * exception instead of a generic "closed". */
+    private def closeDetail(p: Array[Byte]): String = {
+      try {
+        val code = u16(p, 4)
+        val len = p(6) & 0xff
+        s"$code ${new String(p, 7, len, UTF_8)}"
+      } catch { case _: Exception => "(unparseable close payload)" }
+    }
+
     /** Read method frames until (classId, methodId); a connection.close
-      * (10,50) from the broker is a protocol error surfaced loudly. */
+      * (10,50) or channel.close (20,40) from the broker is a protocol
+      * error surfaced loudly — silently skipping either would leave the
+      * caller blocked on a socket the broker has already abandoned. */
     private def expectMethod(classId: Int, methodId: Int): Array[Byte] = {
       while (true) {
         val (t, _, p) = readFrame()
@@ -207,7 +224,11 @@ private[sources] object AmqpSink {
           val mid = ((p(2) & 0xff) << 8) | (p(3) & 0xff)
           if (cid == classId && mid == methodId) return p
           if (cid == 10 && mid == 50)
-            throw new IOException("broker sent connection.close during handshake")
+            throw new IOException(
+              s"broker sent connection.close: ${closeDetail(p)}")
+          if (cid == 20 && mid == 40)
+            throw new IOException(
+              s"broker sent channel.close: ${closeDetail(p)}")
         }
       }
       throw new IllegalStateException("unreachable")
@@ -330,19 +351,41 @@ private[sources] object AmqpSink {
       }
     }
 
-    /** Read until basic.ack (60,80) or basic.nack (60,120) on channel 1. */
+    /** Read until basic.ack (60,80) or basic.nack (60,120) on channel 1.
+      *
+      * Round 18 (ADVICE): a broker-initiated channel.close (20,40) —
+      * e.g. a channel-level error on the publish itself — is a LOUD
+      * IOException (previously it was silently skipped, leaving the
+      * loop blocked until the broker's TCP teardown), and the whole
+      * wait runs under an SO_TIMEOUT so a broker that never answers at
+      * all cannot stall the executor partition's publish path. */
     private def expectConfirm(): Array[Byte] = {
-      while (true) {
-        val (t, _, p) = readFrame()
-        if (t == FrameMethod) {
-          val cid = ((p(0) & 0xff) << 8) | (p(1) & 0xff)
-          val mid = ((p(2) & 0xff) << 8) | (p(3) & 0xff)
-          if (cid == 60 && (mid == 80 || mid == 120)) return p
-          if (cid == 10 && mid == 50)
-            throw new IOException("broker sent connection.close awaiting confirm")
+      val prevTimeout = sock.getSoTimeout
+      sock.setSoTimeout(ConfirmTimeoutMs)
+      try {
+        while (true) {
+          val (t, _, p) = readFrame()
+          if (t == FrameMethod) {
+            val cid = ((p(0) & 0xff) << 8) | (p(1) & 0xff)
+            val mid = ((p(2) & 0xff) << 8) | (p(3) & 0xff)
+            if (cid == 60 && (mid == 80 || mid == 120)) return p
+            if (cid == 10 && mid == 50)
+              throw new IOException(
+                s"broker sent connection.close awaiting confirm: ${closeDetail(p)}")
+            if (cid == 20 && mid == 40)
+              throw new IOException(
+                s"broker sent channel.close awaiting confirm: ${closeDetail(p)}")
+          }
         }
+        throw new IllegalStateException("unreachable")
+      } catch {
+        case _: java.net.SocketTimeoutException =>
+          throw new IOException(
+            s"no publisher confirm within ${ConfirmTimeoutMs} ms " +
+              s"(delivery-tag $publishSeq) — broker unresponsive")
+      } finally {
+        try sock.setSoTimeout(prevTimeout) catch { case _: Exception => () }
       }
-      throw new IllegalStateException("unreachable")
     }
 
     def close(): Unit = {

@@ -76,19 +76,36 @@ final class WsTickClient(
   private val httpClient = sslContext
     .foldLeft(HttpClient.newBuilder())((b, ctx) => b.sslContext(ctx))
     .build()
-  private val socket = new AtomicReference[WebSocket](null)
-  // the listener generation currently owning the socket — the ping
-  // watchdog routes its disconnect through the SAME once-per-generation
-  // CAS the socket callbacks use, so a watchdog-detected death and a
-  // callback-delivered one can never double-reconnect
+  // the listener generation currently owning the connection. The
+  // listener CAPTURES ITS OWN SOCKET in onOpen (round 18, ADVICE): the
+  // previous shape published listener and socket through two separate
+  // refs in opposite orders, so during a dial the watchdog could pair
+  // the FRESH listener with the STALE dead socket — the failed ping
+  // then consumed the new generation's once-per-generation CAS and
+  // spawned a second reconnect while the first buildAsync was still in
+  // flight (duplicate frames from the abandoned socket, stop() closing
+  // the wrong one). One ref, socket owned by its listener: the pairing
+  // is atomic by construction, and `l.ws == null` IS the dial-in-flight
+  // signal the watchdog skips on. The watchdog still routes its
+  // disconnect through the SAME once-per-generation CAS the socket
+  // callbacks use, so a watchdog-detected death and a
+  // callback-delivered one can never double-reconnect.
   private val currentListener = new AtomicReference[Listener](null)
-  // PING WATCHDOG (round 17): the JDK client can swallow an abrupt TCP
-  // close that lands immediately after a delivered frame (measured: a
-  // 1-frame script + drop produced NO onClose/onError within 10 s) —
+  // PING WATCHDOG (round 16/17/18): the JDK client can swallow an abrupt
+  // TCP close that lands immediately after a delivered frame (measured:
+  // a 1-frame script + drop produced NO onClose/onError within 10 s) —
   // the exact silent-tick-death posture this client must never have.
   // The reference's btfxwss runs a ping thread for the same reason
-  // (main.py:375-398's library); here a daemon scheduler pings every
-  // pingIntervalMs and a failed ping IS the disconnect signal.
+  // (main.py:375-398's library). Two detection tiers (round 18):
+  //   1. a ping WRITE failure (RST-style drops — the socket is known
+  //      dead, fail immediately);
+  //   2. a PONG DEADLINE: sendPing's future completes when the frame
+  //      hits the socket buffer, not when the peer answers, so a
+  //      half-open connection with no RST (silent network partition)
+  //      passes every write — liveness therefore requires EVIDENCE OF
+  //      THE PEER (a pong or any text frame) within 2 ping intervals,
+  //      else the generation is declared dead.
+  private val pongDeadlineNanos = 2L * pingIntervalMs * 1000000L
   private val pinger =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "ws-tick-pinger")
@@ -96,15 +113,18 @@ final class WsTickClient(
       t
     })
   pinger.scheduleWithFixedDelay(() => {
-    val ws = socket.get()
     val l = currentListener.get()
-    if (ws != null && l != null && !stopped.get() && dead.get() == null) {
-      try ws.sendPing(java.nio.ByteBuffer.allocate(0))
-        .get(pingIntervalMs, TimeUnit.MILLISECONDS)
-      catch {
-        case _: Exception => l.disconnected()
+    if (l != null && !stopped.get() && dead.get() == null) {
+      val ws = l.ws
+      if (ws != null) { // null = dial in flight: skip this tick entirely
+        if (System.nanoTime() - l.lastLifeNanos > pongDeadlineNanos)
+          l.disconnected() // half-open: writes succeed, peer is gone
+        else {
+          try { ws.sendPing(java.nio.ByteBuffer.allocate(0))
+            .get(pingIntervalMs, TimeUnit.MILLISECONDS); () }
+          catch { case _: Exception => l.disconnected() }
+        }
       }
-      ()
     }
   }, pingIntervalMs, pingIntervalMs, TimeUnit.MILLISECONDS)
   // chanId -> pair, valid for the CURRENT connection only
@@ -135,7 +155,8 @@ final class WsTickClient(
   def stop(): Unit = {
     stopped.set(true)
     pinger.shutdownNow()
-    val ws = socket.get()
+    val l = currentListener.get()
+    val ws = if (l == null) null else l.ws
     if (ws != null) {
       try ws.sendClose(WebSocket.NORMAL_CLOSURE, "stop").join()
       catch { case _: Exception => () }
@@ -147,10 +168,21 @@ final class WsTickClient(
     subscribedLatch.set(new CountDownLatch(pairs.size))
     frag = new StringBuilder
     val listener = new Listener()
-    currentListener.set(listener)
-    val ws = httpClient.newWebSocketBuilder()
-      .buildAsync(uri, listener).join()
-    socket.set(ws)
+    // swap the generation BEFORE dialing: the watchdog sees ws == null
+    // and skips until onOpen captures the new socket. Abort whatever the
+    // previous generation held — normally already dead, but aborting
+    // unconditionally guarantees at most one live socket even on paths
+    // where the JDK never surfaced the old one's death.
+    val prev = currentListener.getAndSet(listener)
+    if (prev != null && prev.ws != null) {
+      try prev.ws.abort() catch { case _: Exception => () }
+    }
+    // NOTE: the socket is NOT published here — the listener captures it
+    // in onOpen. If this generation dies before join() returns, its own
+    // callbacks drive the (CAS-guarded) reconnect; assigning the result
+    // here could clobber a newer generation installed by that recursion.
+    httpClient.newWebSocketBuilder().buildAsync(uri, listener).join()
+    ()
   }
 
   private def scheduleReconnect(): Unit = {
@@ -179,22 +211,40 @@ final class WsTickClient(
     // connection the first reconnect just opened — hence one CAS per
     // generation, shared by all three detection paths
     private val handledDisconnect = new AtomicBoolean(false)
+    // THIS generation's socket, captured in onOpen; null while the dial
+    // is in flight (the watchdog's skip signal). Volatile: written on
+    // the JDK callback thread, read by the watchdog and stop().
+    @volatile var ws: WebSocket = null
+    // last evidence the PEER is alive (open, pong, or text frame) —
+    // the watchdog's half-open deadline baseline
+    @volatile var lastLifeNanos: Long = System.nanoTime()
 
     /** The watchdog's entry into the same once-only reconnect path. */
     def disconnected(): Unit =
       if (!stopped.get() && handledDisconnect.compareAndSet(false, true))
         scheduleReconnect()
 
-    override def onOpen(ws: WebSocket): Unit = {
+    override def onOpen(sock: WebSocket): Unit = {
+      lastLifeNanos = System.nanoTime()
+      ws = sock // publish only now: listener + socket pair atomically
+      if (stopped.get()) { try sock.abort() catch { case _: Exception => () } }
       pairs.foreach { p =>
-        ws.sendText(
+        sock.sendText(
           s"""{"event":"subscribe","channel":"ticker","pair":"$p"}""", true)
       }
-      ws.request(1)
+      sock.request(1)
+    }
+
+    override def onPong(sock: WebSocket,
+        message: java.nio.ByteBuffer): CompletionStage[_] = {
+      lastLifeNanos = System.nanoTime()
+      sock.request(1) // pongs consume listener demand like any message
+      null
     }
 
     override def onText(ws: WebSocket, data: CharSequence,
         last: Boolean): CompletionStage[_] = {
+      lastLifeNanos = System.nanoTime() // any delivered frame is liveness
       frag.append(data)
       if (last) {
         val msg = frag.toString

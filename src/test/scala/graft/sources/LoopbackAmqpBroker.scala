@@ -35,7 +35,12 @@ final class LoopbackAmqpBroker(expectUser: String, expectPass: String,
     channelMaxProp: Int = 2047,
     frameMaxProp: Int = 131072,
     tlsContext: Option[javax.net.ssl.SSLContext] = None,
-    nackQueues: Set[String] = Set.empty) {
+    nackQueues: Set[String] = Set.empty,
+    // queues whose publish draws a broker-initiated channel.close (20,40)
+    // INSTEAD of an ack — the channel-level error path (e.g. RabbitMQ's
+    // 406 PRECONDITION_FAILED); the TCP socket stays OPEN afterwards, so
+    // a client that ignores the method only unblocks at TCP teardown
+    channelCloseQueues: Set[String] = Set.empty) {
 
   final case class Delivered(queue: String, body: String,
     contentType: String, deliveryMode: Int)
@@ -217,11 +222,22 @@ final class LoopbackAmqpBroker(expectUser: String, expectPass: String,
       delivered += 1
       if (confirmMode) {
         deliveryTag += 1
-        val mid = if (nackQueues.contains(q)) 120 else 80 // nack : ack
-        sendMethod(out, 1, 60, mid) { b =>
-          (7 to 0 by -1).foreach(i =>
-            b.write(((deliveryTag >> (8 * i)) & 0xff).toInt))
-          b.write(0) // multiple=0 (+requeue=0 for nack)
+        if (channelCloseQueues.contains(q)) {
+          // channel.close: reply-code, reply-text, offending class+method
+          sendMethod(out, 1, 20, 40) { b =>
+            b.write(406 >> 8); b.write(406 & 0xff) // PRECONDITION_FAILED
+            sstr(b, "PRECONDITION_FAILED - loopback channel error")
+            b.write(0); b.write(60); b.write(0); b.write(40) // basic.publish
+          }
+          // socket intentionally left open: the client must fail on the
+          // METHOD, not on an eventual TCP teardown
+        } else {
+          val mid = if (nackQueues.contains(q)) 120 else 80 // nack : ack
+          sendMethod(out, 1, 60, mid) { b =>
+            (7 to 0 by -1).foreach(i =>
+              b.write(((deliveryTag >> (8 * i)) & 0xff).toInt))
+            b.write(0) // multiple=0 (+requeue=0 for nack)
+          }
         }
       }
       if (delivered >= dropAfterMessages) {

@@ -32,7 +32,12 @@ final class LoopbackWsServer(
     dropAfter: Int => Boolean = _ => false,
     maxConnections: Int = 8,
     tlsContext: Option[javax.net.ssl.SSLContext] = None,
-    refuse: Int => Boolean = _ => false) {
+    refuse: Int => Boolean = _ => false,
+    // silentPings: swallow client pings WITHOUT ponging while keeping
+    // the TCP socket healthy — the half-open / silent-partition
+    // simulation for the client's pong-deadline watchdog (a compliant
+    // server answers every ping, RFC 6455 §5.5.3, which is the default)
+    silentPings: Boolean = false) {
 
   private val server: ServerSocket = tlsContext match {
     case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(0)
@@ -92,7 +97,8 @@ final class LoopbackWsServer(
             subs += 1
           }
         case Some((0x8, _)) => open = false
-        case Some(_) => () // ping/pong/binary: ignore
+        case Some((0x9, p)) => if (!silentPings) sendPong(out, p)
+        case Some(_) => () // pong/binary: ignore
         case None => open = false
       }
     }
@@ -107,6 +113,7 @@ final class LoopbackWsServer(
           try {
             readFrame(in) match {
               case Some((0x8, _)) | None => held = false
+              case Some((0x9, p)) => if (!silentPings) sendPong(out, p)
               case _ => ()
             }
           } catch { case _: java.net.SocketTimeoutException => () }
@@ -162,6 +169,14 @@ final class LoopbackWsServer(
     if (masked) payload.indices.foreach(i =>
       payload(i) = (payload(i) ^ mask(i % 4)).toByte)
     Some((opcode, payload))
+  }
+
+  /** Pong echoing the ping's payload (RFC 6455 §5.5.3), unmasked. */
+  private def sendPong(out: OutputStream, payload: Array[Byte]): Unit = {
+    out.write(0x8a)
+    out.write(payload.length) // client pings here are tiny (< 126)
+    out.write(payload)
+    out.flush()
   }
 
   /** Server frames are unmasked (RFC 6455 §5.1). */

@@ -327,4 +327,28 @@ class SourcesSpec extends SparkSpec {
       assert(broker.messages.count(_.queue == "ok_q") == 2)
     } finally { sink.close(); broker.close() }
   }
+
+  test("S6' broker-initiated channel.close during a confirm wait is a " +
+      "LOUD fast publish failure — the socket stays open, so only the " +
+      "method decode (not TCP teardown) can unblock the wait") {
+    val broker = new LoopbackAmqpBroker("guest", "s3cret",
+      channelCloseQueues = Set("cursed_q"))
+    val sink = new AmqpSink("127.0.0.1", broker.port, "guest", "s3cret",
+      confirms = true)
+    try {
+      assert(sink.publish("ok_q", """{"n":1}"""), "healthy path first")
+      val t0 = System.nanoTime()
+      // broker answers the publish with channel.close(406) and then
+      // HOLDS the TCP socket open — the pre-round-18 loop skipped the
+      // method and blocked here until broker teardown
+      assert(!sink.publish("cursed_q", """{"n":2}"""))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs < 10000L, // far under the 30 s SO_TIMEOUT backstop
+        s"channel.close must fail the publish promptly, took ${elapsedMs} ms")
+      // the channel error poisoned that connection; a later publish
+      // re-dials and succeeds (call-scoped redial budget)
+      assert(sink.publish("ok_q", """{"n":3}"""))
+      assert(broker.messages.count(_.queue == "ok_q") == 2)
+    } finally { sink.close(); broker.close() }
+  }
 }

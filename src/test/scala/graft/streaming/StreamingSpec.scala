@@ -518,6 +518,36 @@ class StreamingSpec extends SparkSpec {
     } finally { client.stop(); server.close() }
   }
 
+  test("S5 half-open detection: a silent partition (TCP healthy, server " +
+      "never answers pings) trips the PONG DEADLINE — ping WRITES keep " +
+      "succeeding, so missing pongs are the only death signal") {
+    TickChannels.clear()
+    // connection 0 serves one tick then HOLDS the socket open while
+    // swallowing every ping: no close frame, no RST, every client write
+    // succeeds. The old write-failure-only watchdog would idle forever
+    // here. Reconnect dials (>= 1) are refused so the budget of 1
+    // exhausts fast and the detection surfaces as a terminal deadReason.
+    val server = new LoopbackWsServer(
+      script = _ => Seq(tickMsg(1.0, 3.0, 2.0, 10.0, 3.0, 1.0)),
+      refuse = _ >= 1, silentPings = true)
+    val client = new WsTickClient(server.uri, "btfx", Seq("BTCEUR"), "ws7",
+      maxReconnects = 1, backoffMs = 1L, pingIntervalMs = 100L)
+    try {
+      assert(client.start())
+      awaitFrames("ws7", 1)
+      val deadline = System.currentTimeMillis() + 10000
+      while (client.deadReason.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      // a reconnect was ATTEMPTED (conns >= 2): the pong deadline saw
+      // through the healthy-looking socket; then the refused dial
+      // exhausted the budget loudly
+      assert(client.deadReason.exists(_.contains("exhausted")),
+        s"expected pong-deadline death, got ${client.deadReason}, " +
+          s"redials=${client.reconnectCount}, conns=${server.connections}")
+      assert(server.connections >= 2, s"got ${server.connections}")
+    } finally { client.stop(); server.close() }
+  }
+
   test("S5 checkpoint recovery: restart resumes from the committed offset") {
     TickChannels.clear()
     InMemoryQueues.clear()
