@@ -161,6 +161,30 @@ object Graph {
       .unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
 
+  /** Full-parallelism partitioning for a frame about to FAN OUT through
+    * a self-join (wedge enumeration's d² expansion) — the round-18 AQE
+    * lesson: AQE sizes exchanges from the bytes flowing INTO them, so a
+    * few-MB adjacency gets coalesced to 1-2 partitions and the
+    * million-fold expansion on the far side of the exchange runs nearly
+    * serial (measured on x10_linkpred: the whole 60M-wedge stage on 2 of
+    * 32 cores — 20 s of CPU in a 2-way stage IS the lane wall). A user
+    * repartition with an EXPLICIT partition count is exempt from AQE
+    * coalescing, but keeping it in the final plan takes care on two
+    * fronts: PushDownLeftSemiAntiJoin re-orders adjacent semi-joins
+    * below it, and EnsureRequirements elides it as redundant whenever
+    * the child already carries a compatible (coalescible!)
+    * ENSURE_REQUIREMENTS partitioning. Hence: checkpoint first — a scan
+    * with unknown partitioning that nothing can push through or elide
+    * against — then the numbered repartition directly on the scan. All
+    * self-join sides derived from the result reuse the ONE
+    * non-coalescible exchange, so no coalescible boundary exists below
+    * the expansion. The checkpoint cost is one materialization of the
+    * (small, pre-expansion) frame. */
+  private def fanoutPartition(df: DataFrame, key: String): DataFrame =
+    df.localCheckpoint(eager = false)
+      .repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+
   def triangles(edges: DataFrame): DataFrame = {
     val und = undirectedEdges(edges)
     trianglesFrom(und, degreesOfUnd(und))
@@ -189,11 +213,20 @@ object Graph {
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
       .localCheckpoint(eager = false)
+    // [[fanoutPartition]] (round 18): the wedge self-join is a fan-out
+    // (bounded O(√m) per node by the orientation, but still the widest
+    // stage of the query) — without the numbered repartition AQE sizes
+    // the exchange from the small oriented-edge frame and coalesces the
+    // expansion stage nearly serial. Only the wedge sides read the
+    // repartitioned frame; the closure join reads `oriented` directly
+    // (it re-exchanges by (x, y) anyway — hash(u) would be dead weight).
+    val orientedR = oriented.repartition(
+      und.sparkSession.sessionState.conf.numShufflePartitions, col("u"))
     // wedges at the low corner u, heads rank-ordered x < y, so the pair
     // (x, y) is itself in oriented orientation and closes iff it is an
     // oriented edge — one equi-join, each triangle found exactly once
-    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
-      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")),
+    val wedges = orientedR.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(orientedR.select(col("u"), col("v").as("y"), col("dv").as("dy")),
         Seq("u"))
       .filter(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))
@@ -636,8 +669,15 @@ object Graph {
       .localCheckpoint(eager = false)
     // cap the wedge CENTER degree before the self-join — the d² guard
     val centers = deg.filter(col("deg") <= maxDeg).select(col("node"))
-    val adj = und.select(col("a").as("ctr"), col("b").as("leaf"))
-      .join(centers.withColumnRenamed("node", "ctr"), Seq("ctr"), "left_semi")
+    // [[fanoutPartition]]: the wedge self-join below is the d²
+    // expansion AQE's coalescer must not see through — measured here:
+    // 60M wedges on 2 of 32 cores ≈ the entire 14.5 s lane wall; with
+    // the fan-out partitioning the lane runs ~5.7 s at sf0.1.
+    val adj = fanoutPartition(
+      und.select(col("a").as("ctr"), col("b").as("leaf"))
+        .join(centers.withColumnRenamed("node", "ctr"), Seq("ctr"),
+          "left_semi"),
+      "ctr")
     val wedges = adj.as("x").join(adj.as("y"),
         col("x.ctr") === col("y.ctr") && col("x.leaf") < col("y.leaf"))
       .select(col("x.leaf").as("n1"), col("y.leaf").as("n2"))
