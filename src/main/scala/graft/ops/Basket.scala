@@ -48,13 +48,20 @@ object Basket {
   }
 
   private def pairsFromItems(items: DataFrame,
-      minSupport: Long): DataFrame =
-    items.as("x")
-      .join(items.as("y"),
+      minSupport: Long): DataFrame = {
+    // [[Fanout]] (round 18): the within-basket pair self-join is the
+    // k²/2 expansion AQE's coalescer must not see through — the items
+    // frame is a few MB, the pair fan-out is not. `items` arrives
+    // already checkpointed from basketItems, so only the numbered
+    // repartition is added.
+    val fanned = Fanout.byKeyNoCheckpoint(items, "bk")
+    fanned.as("x")
+      .join(fanned.as("y"),
         col("x.bk") === col("y.bk") && col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("a"), col("y.item").as("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
+  }
 
   /** Ordered item-pair co-occurrence counts (a < b lexically): one row
     * per pair with its basket count. */
@@ -76,7 +83,12 @@ object Basket {
     val items = basketItems(rows, basketCol, itemCol, maxBasket)
     val supports = items.groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))
+    // checkpoint: `pairs` feeds BOTH rule directions below, and Catalyst
+    // re-derives repeated subtrees — without it the whole pair fan-out
+    // join executes twice (round 18, measured as two of the lane's three
+    // hottest stages)
     val pairs = pairsFromItems(items, minSupport)
+      .localCheckpoint(eager = false)
     // every pair in both rule directions: a→b and b→a
     val directed = pairs
       .select(col("a").as("lhs"), col("b").as("rhs"), col("n_ab"))

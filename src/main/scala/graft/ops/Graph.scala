@@ -161,29 +161,11 @@ object Graph {
       .unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
 
-  /** Full-parallelism partitioning for a frame about to FAN OUT through
-    * a self-join (wedge enumeration's d² expansion) — the round-18 AQE
-    * lesson: AQE sizes exchanges from the bytes flowing INTO them, so a
-    * few-MB adjacency gets coalesced to 1-2 partitions and the
-    * million-fold expansion on the far side of the exchange runs nearly
-    * serial (measured on x10_linkpred: the whole 60M-wedge stage on 2 of
-    * 32 cores — 20 s of CPU in a 2-way stage IS the lane wall). A user
-    * repartition with an EXPLICIT partition count is exempt from AQE
-    * coalescing, but keeping it in the final plan takes care on two
-    * fronts: PushDownLeftSemiAntiJoin re-orders adjacent semi-joins
-    * below it, and EnsureRequirements elides it as redundant whenever
-    * the child already carries a compatible (coalescible!)
-    * ENSURE_REQUIREMENTS partitioning. Hence: checkpoint first — a scan
-    * with unknown partitioning that nothing can push through or elide
-    * against — then the numbered repartition directly on the scan. All
-    * self-join sides derived from the result reuse the ONE
-    * non-coalescible exchange, so no coalescible boundary exists below
-    * the expansion. The checkpoint cost is one materialization of the
-    * (small, pre-expansion) frame. */
+  /** See [[Fanout]] — checkpoint + numbered repartition so a fan-out
+    * self-join keeps full parallelism under AQE (the round-18 lesson,
+    * measured 4× on x10_linkpred). */
   private def fanoutPartition(df: DataFrame, key: String): DataFrame =
-    df.localCheckpoint(eager = false)
-      .repartition(
-        df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+    Fanout.byKey(df, key)
 
   def triangles(edges: DataFrame): DataFrame = {
     val und = undirectedEdges(edges)
@@ -213,15 +195,14 @@ object Graph {
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
       .localCheckpoint(eager = false)
-    // [[fanoutPartition]] (round 18): the wedge self-join is a fan-out
-    // (bounded O(√m) per node by the orientation, but still the widest
-    // stage of the query) — without the numbered repartition AQE sizes
-    // the exchange from the small oriented-edge frame and coalesces the
+    // [[Fanout]] (round 18): the wedge self-join is a fan-out (bounded
+    // O(√m) per node by the orientation, but still the widest stage of
+    // the query) — without the numbered repartition AQE sizes the
+    // exchange from the small oriented-edge frame and coalesces the
     // expansion stage nearly serial. Only the wedge sides read the
     // repartitioned frame; the closure join reads `oriented` directly
     // (it re-exchanges by (x, y) anyway — hash(u) would be dead weight).
-    val orientedR = oriented.repartition(
-      und.sparkSession.sessionState.conf.numShufflePartitions, col("u"))
+    val orientedR = Fanout.byKeyNoCheckpoint(oriented, "u")
     // wedges at the low corner u, heads rank-ordered x < y, so the pair
     // (x, y) is itself in oriented orientation and closes iff it is an
     // oriented edge — one equi-join, each triangle found exactly once

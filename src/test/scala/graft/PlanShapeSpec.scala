@@ -391,6 +391,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("wedge fan-outs keep a non-coalescible REPARTITION_BY_NUM " +
+      "exchange below the expansion (the round-18 AQE lesson: ENSURE_" +
+      "REQUIREMENTS boundaries get coalesced from PRE-expansion bytes, " +
+      "serializing the d² stage — 2 of 32 cores on x10_linkpred)") {
+    for (n <- Seq("x10_linkpred", "x10_triangles", "x10_ktruss",
+        "x10_clustering_coeff")) {
+      val p = plan(n)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$n lost its fanoutPartition exchange:\n${p.take(2000)}")
+    }
+  }
+
   test("x4_decontaminate_bloom: corpus side carries NO join at all — " +
       "the filter rides as a literal, the only shuffle is the count agg") {
     val df = Queries.byName("x4_decontaminate_bloom").fn(spark, d)
