@@ -32,11 +32,40 @@ private[ops] object Fanout {
 
   /** [[byKey]] minus the checkpoint — for callers whose frame is
     * ALREADY a checkpoint/scan with unknown partitioning (adding a
-    * second checkpoint would re-materialize for nothing). */
-  def byKeyNoCheckpoint(df: DataFrame, key: String): DataFrame =
+    * second checkpoint would re-materialize for nothing), or whose
+    * child partitioning is known incompatible (nothing to elide
+    * against). Multi-key for (s, v)-style composite join keys. */
+  def byKeyNoCheckpoint(df: DataFrame, keys: String*): DataFrame =
     df.repartition(
-      df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      keys.map(col): _*)
 
-  def byKey(df: DataFrame, key: String): DataFrame =
-    byKeyNoCheckpoint(df.localCheckpoint(eager = false), key)
+  def byKey(df: DataFrame, keys: String*): DataFrame =
+    byKeyNoCheckpoint(df.localCheckpoint(eager = false), keys: _*)
+
+  /** STATIC-FRAME PINNING for iterative operators (round 18): the frame
+    * an iteration joins every round (edge list, vote list), partitioned
+    * on the round-join key and `persist()`ed.
+    *
+    * Why persist and not localCheckpoint: a checkpoint's LogicalRDD
+    * reports UnknownPartitioning(0) under AQE — measured this round on
+    * Spark 4.1 with BOTH eager settings — so the long-standing
+    * "checkpoint captures HashPartitioning(src), rounds exchange only
+    * the small frame" discipline never actually held in the plans: every
+    * round's join re-exchanged the static frame (ENSURE_REQUIREMENTS,
+    * and therefore also AQE-coalescible — the narrow+hot per-round
+    * stages StageAudit flags). An InMemoryRelation, by contrast,
+    * preserves its child plan's outputPartitioning, and the child here
+    * ends in a REPARTITION_BY_NUM exchange AQE cannot coalesce: each
+    * round's join reads the cache co-partitioned at full parallelism,
+    * exchanging nothing but the small evolving frame.
+    *
+    * Storage: default MEMORY_AND_DISK — the frame spills rather than
+    * evicts under pressure, and at cluster scale the cache is exactly
+    * the working set an iterative graph op needs resident. The cache
+    * lives for the session (callers' results reference it lazily;
+    * unpersisting inside the operator would silently recompute the
+    * lineage on the caller's first action). */
+  def pinned(df: DataFrame, keys: String*): DataFrame =
+    byKeyNoCheckpoint(df, keys: _*).persist()
 }

@@ -58,7 +58,11 @@ object Graph {
     // this for persist(DISK_ONLY) or a reliable checkpoint dir.
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
-    val e = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
+    // pinned on the iteration join key ([[Fanout.pinned]], round 18):
+    // the unrolled query reads the cache co-partitioned every iteration
+    // (a checkpoint reports UnknownPartitioning under AQE, so each
+    // iteration re-exchanged the edge frame)
+    val e = Fanout.pinned(edges.join(deg, Seq("src")), "src")
     // rank carries its node id as "src" so every iteration's join is the
     // by-name equi-join on the edge source key (no self-join ambiguity);
     // seeded FROM the checkpointed frame so the final unrolled plan never
@@ -166,6 +170,17 @@ object Graph {
     * measured 4× on x10_linkpred). */
   private def fanoutPartition(df: DataFrame, key: String): DataFrame =
     Fanout.byKey(df, key)
+
+  /** The session's configured shuffle parallelism — passed to the
+    * static-frame repartitions below so the materialization exchange is
+    * REPARTITION_BY_NUM (AQE-exempt): an un-numbered repartition(col)
+    * is coalescible, so the checkpoint capturing HashPartitioning for
+    * the per-round joins would capture it at whatever narrow count AQE
+    * derived from the (small) edge-frame bytes, and EVERY round of the
+    * iteration inherits that serialization (round 18 — the iterative
+    * sibling of the [[Fanout]] lesson). */
+  private def numShuffle(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
 
   def triangles(edges: DataFrame): DataFrame = {
     val und = undirectedEdges(edges)
@@ -467,7 +482,7 @@ object Graph {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
-    val e = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
+    val e = Fanout.pinned(edges.join(deg, Seq("src")), "src")
     val nodes = e.select(col("src"))
       .unionAll(e.select(col("dst").as("src"))).distinct()
     val srcSet = sources.select(col("node").cast("long").as("src"))
@@ -514,12 +529,10 @@ object Graph {
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
       s"maxHops must be in [1,50], got $maxHops")
-    // same static-edge pre-partitioning as [[sssp]]: the captured
-    // HashPartitioning(src) keeps the per-hop join from re-shuffling
-    // the edge frame every round
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .localCheckpoint(eager = false)
+    // same static-edge pinning as [[sssp]] ([[Fanout.pinned]]): the
+    // cache's visible HashPartitioning(src) keeps the per-hop join from
+    // re-shuffling the edge frame every round
+    val e = Fanout.pinned(edges.select(col("src"), col("dst")), "src")
     var dist = sources.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("hops", lit(0L))
@@ -948,14 +961,16 @@ object Graph {
     // vote edges: every neighbor's label flows to the node, plus the
     // node's own label (the self-vote) — one static frame, reused by
     // every round's join
-    val votes = und.select(col("dst").as("node"), col("src").as("nbr"))
-      .unionAll(nodes.select(col("node"), col("node").as("nbr")))
-      // pre-partitioned on the per-round join key (the [[sssp]] static-
-      // frame discipline): the checkpoint captures HashPartitioning(nbr),
-      // so each round's label join exchanges only the |nodes|-row label
-      // frame, never the vote volume
-      .repartition(col("nbr"))
-      .localCheckpoint(eager = false)
+    // pinned on the per-round join key ([[Fanout.pinned]], round 18 —
+    // the [[sssp]] static-frame discipline): each round's label join
+    // reads the cache co-partitioned on nbr and exchanges only the
+    // |nodes|-row label frame, never the vote volume (a localCheckpoint
+    // here reported UnknownPartitioning and re-shuffled the votes every
+    // round, despite its comment)
+    val votes = Fanout.pinned(
+      und.select(col("dst").as("node"), col("src").as("nbr"))
+        .unionAll(nodes.select(col("node"), col("node").as("nbr"))),
+      "nbr")
     var labels = nodes.withColumn("label", col("node"))
       .localCheckpoint(eager = false)
     (1 to rounds).foreach { _ =>
@@ -1007,17 +1022,19 @@ object Graph {
   def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
-    // pre-partition the static edge frame by the join key ONCE: the
-    // checkpoint captures HashPartitioning(src), so every round's
-    // relaxation join exchanges only the (shrinking) frontier side. A
-    // bare checkpoint carries no stats or partitioning — the planner
-    // assumes the worst and re-sorts/re-shuffles the edges every round
-    // (measured at 1M nodes / 10 rounds: this one change cut wall
-    // 10.4 → ~5 s; same 3× on bfsHops)
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .repartition(col("src"))
-      .localCheckpoint(eager = false)
+    // pin the static edge frame on the join key ONCE ([[Fanout.pinned]],
+    // round 18): every round's relaxation join reads the cache
+    // co-partitioned and exchanges only the (shrinking) frontier side.
+    // The previous localCheckpoint form measured well at 1M nodes
+    // (10.4 → ~5 s vs a bare checkpoint) but for a different reason
+    // than its comment claimed — a checkpoint's LogicalRDD reports
+    // UnknownPartitioning under AQE, so the edges still re-shuffled
+    // every round; the win was lineage truncation. persist() keeps the
+    // partitioning visible AND skips the per-round edge exchange.
+    val e = Fanout.pinned(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w")),
+      "src")
     var dist = sources.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
@@ -1127,8 +1144,9 @@ object Graph {
   def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
     val wsum = edges.groupBy(col("src"))
       .agg(sum(col("w")).cast("long").as("wsum"))
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .join(wsum, Seq("src")).localCheckpoint(eager = false)
+    val e = Fanout.pinned(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .join(wsum, Seq("src")), "src")
     var rank = e.select(col("src")).distinct()
       .select(col("src"), lit(1000000L).as("score"))
     (1 to iters).foreach { _ =>
@@ -1187,9 +1205,10 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8,
       s"maxHops must be in [1,8], got $maxHops")
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .distinct().repartition(col("src")).localCheckpoint(eager = false)
+    val e = Fanout.pinned(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .distinct(), "src")
     val lvl0 = sources.select(col("node").cast("long").as("v")).distinct()
       .select(col("v").as("s"), col("v"), lit(1L).as("sigma"))
       .localCheckpoint(eager = false)
@@ -1210,15 +1229,24 @@ object Graph {
         .localCheckpoint(eager = false)
     }
     // backward: deepest level seeds delta = 0, each shallower level
-    // accumulates the Brandes term from its successors one hop deeper
+    // accumulates the Brandes term from its successors one hop deeper.
+    // The backward hops join e by DST — a second static copy on that
+    // key (round 18) keeps each hop from re-shuffling the whole edge
+    // frame (the forward phase's src-partitioning discipline, applied
+    // to the reversed walk), and numbered so AQE cannot narrow it.
+    val eByDst = Fanout.pinned(e, "dst")
     var succ = levels(maxHops).withColumn("delta", lit(0L))
     var acc = succ.select(col("v"), col("delta"))
     (maxHops to 1 by -1).foreach { h =>
-      val terms = e.join(succ.select(col("s"), col("v").as("dst"),
+      val terms = eByDst.join(succ.select(col("s"), col("v").as("dst"),
           col("sigma").as("sig_w"), col("delta").as("del_w")), Seq("dst"))
         .select(col("s"), col("src").as("v"), col("sig_w"), col("del_w"))
       val prev = levels(h - 1)
-      val folded = prev.join(terms, Seq("s", "v"), "left")
+      // the fold join's (s, v) exchanges are ENSURE_REQUIREMENTS on a
+      // hop-expanded frame — numbered so the Brandes arithmetic stage
+      // keeps its parallelism ([[Fanout]] lesson, iterative form)
+      val folded = prev.join(
+          Fanout.byKeyNoCheckpoint(terms, "s", "v"), Seq("s", "v"), "left")
         .groupBy(col("s"), col("v"), col("sigma"))
         .agg(coalesce(sum(
           expr("(sigma * (1000000 + del_w)) div sig_w")), lit(0L))
@@ -1273,9 +1301,14 @@ object Graph {
     // repartition FIRST, then distinct: hashpartitioning(dst) satisfies
     // the dedup agg's ClusteredDistribution(src, dst) (dst ⊆ keys), so
     // the pair costs ONE exchange, not two (measured in ReachProbe)
+    // persist, not checkpoint (round 18): the distinct's aggregate
+    // preserves the repartition's hash(dst) — and the CACHE keeps that
+    // partitioning visible to every hop join, where a checkpoint's
+    // LogicalRDD reports UnknownPartitioning and re-shuffles per hop
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .repartition(col("dst")).distinct().localCheckpoint(eager = false)
+      .repartition(numShuffle(edges), col("dst")).distinct()
+      .persist()
     val nodes = e.select(col("src").as("v"))
       .unionAll(e.select(col("dst").as("v"))).distinct()
     // ball(v, 0) = {v}: one md5 draw occupies exactly one register

@@ -19,14 +19,23 @@ object StageAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val flagged =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val cpuMs = si.taskMetrics.executorCpuTime / 1000000
         if (si.numTasks <= 8 && cpuMs >= 1500) {
-          flagged.add((si.stageId, si.numTasks, cpuMs)); ()
+          val m = si.taskMetrics
+          val rdds = si.rddInfos.map(r => r.name + ":" + r.scope
+              .map(_.name).getOrElse("?"))
+            .distinct.mkString(" | ") + "\n[audit]      site: " +
+            si.details.linesIterator.take(6).mkString(" <- ")
+          val io = s"shufRead=${m.shuffleReadMetrics.totalBytesRead} " +
+            s"shufWrite=${m.shuffleWriteMetrics.bytesWritten} " +
+            s"input=${m.inputMetrics.bytesRead}"
+          flagged.add((si.stageId, si.numTasks, cpuMs,
+            io + "\n[audit]      rdds: " + rdds.take(700))); ()
         }
       }
     }
@@ -39,10 +48,10 @@ object StageAudit {
           .write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // listener bus drain
-        val flags = flagged.toArray(Array.empty[(Int, Int, Long)])
+        val flags = flagged.toArray(Array.empty[(Int, Int, Long, String)])
         println(f"[audit] $name%-24s wall=$wall%6.2f s flags=${flags.size}")
-        flags.foreach { case (id, tasks, cpu) =>
-          println(f"[audit]   stage=$id%4d tasks=$tasks%2d cpuMs=$cpu%8d  <-- narrow+hot")
+        flags.foreach { case (id, tasks, cpu, detail) =>
+          println(f"[audit]   stage=$id%4d tasks=$tasks%2d cpuMs=$cpu%8d  <-- narrow+hot $detail")
         }
       } catch {
         case e: Exception =>
