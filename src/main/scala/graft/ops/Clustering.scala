@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * centroids [[Similarity.ivfAssign]] seeds deterministically.
   *
   * Scale shape per iteration: centroids are a k-row DataFrame BROADCAST
-  * against the corpus (k is small), the assignment is one narrow pass
-  * (argmin over k squared distances, row_number with cid tie-break), and
+  * against the corpus as ONE collected array row (k is small), the
+  * assignment is one genuinely narrow pass (a per-row argmin fold over
+  * the array — zero shuffle, zero sort, round 18), and
   * the recenter is a (cid, dim) groupBy average — shuffle volume
   * O(k × dim × partitions), independent of corpus size. The corpus
   * projection and each round's centroids are localCheckpoint'd so the
@@ -27,23 +28,34 @@ object Clustering {
   // graft_l2sq (r16): the codegen'd twin of the interpreted
   // aggregate(zip_with(...)) fold it replaced — identical ascending
   // accumulation, so assignments and every downstream oracle are
-  // unchanged; the assign fan-out (corpus x centroids) is the kmeans/IVF
-  // hot path and no longer pays boxed-lambda evaluation per pair
-  private def sqDist: String = "graft_l2sq(v, cv)"
+  // unchanged; the per-centroid distance in [[assign]]'s fold evaluates
+  // it via the expression's compiled eval, not a boxed lambda per float
 
   /** Assign every vector to its nearest centroid (squared Euclidean,
     * cid ascending tie-break). `cents` must have (cid, cv). Returns the
     * corpus columns + (cid, dist2). */
   def assign(base: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(base.sparkSession)
-    val scored = base.crossJoin(broadcast(cents))
-      .withColumn("dist2", expr(sqDist))
-    scored
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist2"), col("cid"))))
-      .filter(col("crnk") === 1)
-      .drop("crnk", "cv")
+    // round 18: per-row argmin FOLD over the broadcast centroid array —
+    // one narrow pass (no corpus x k exchange, no sort, at any corpus
+    // size). least() over struct(dist2, cid) walks the same raw-double
+    // (dist2 ASC, cid ASC) total order as the window rank it replaced
+    // (AssignFoldProbe pins result equality); the NaN seed loses every
+    // real comparison and ties only on degenerate all-NaN rows, where
+    // the cid leg still picks the smallest cid exactly as the sort did.
+    val arr = broadcast(cents.select(col("cid"), col("cv"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("_cents")))
+    base.crossJoin(arr)
+      .withColumn("_best", expr(
+        """aggregate(_cents,
+          |  struct(cast('NaN' as double) as dist2,
+          |         cast(9223372036854775807 as bigint) as cid),
+          |  (acc, c) -> least(acc,
+          |    struct(graft_l2sq(v, c.cv) as dist2,
+          |           cast(c.cid as bigint) as cid)))""".stripMargin))
+      .withColumn("cid", col("_best.cid"))
+      .withColumn("dist2", col("_best.dist2"))
+      .drop("_cents", "_best")
   }
 
   /** Lloyd iteration: deterministic seeds (lowest `k` vec_ids), `iters`

@@ -385,8 +385,12 @@ object Dedup {
     * visitor itself dominates planning (measured 980 CPU-s of
     * BigInteger math in the scc loops). The component loops apply it
     * EVERY 4th round rather than every round: that caps the preserved
-    * number at ~3⁴ digits growth per window (harmless) while letting
-    * the intermediate rounds keep the checkpoint's partitioning. */
+    * number at ~3⁴ digits growth per window (harmless) while sparing
+    * the intermediate rounds the extra createDataFrame round-trip.
+    * (A checkpoint carries NO partitioning under AQE — the round-18
+    * [[graft.ops.Fanout]] finding — so there is nothing to "keep"
+    * between rounds either way; the evolving frame re-exchanges on its
+    * join key each round regardless, and those exchanges are small.) */
   private def checkpointFreshD(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
@@ -399,9 +403,15 @@ object Dedup {
     * aborting. Returns ((src, label) frame, converged). */
   private def minLabelRounds(nodes: DataFrame, pairs: DataFrame, idCol: String,
       d1: String, d2: String, maxIter: Int): (DataFrame, Boolean) = {
-    val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
-      .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
-      .localCheckpoint()
+    // the STATIC frame every round joins by dst — materialized once and,
+    // above the measured pin threshold, key-pinned so rounds exchange
+    // only the evolving label frame ([[Fanout.pinned]], round 18; dedup
+    // candidate graphs at bench SF sit below the threshold and keep the
+    // cheap checkpoint form)
+    val edges = Fanout.pinned(
+      pairs.select(col(d1).as("src"), col(d2).as("dst"))
+        .union(pairs.select(col(d2).as("src"), col(d1).as("dst"))),
+      "dst")
     var labels = nodes.select(col(idCol).as("src"), col(idCol).as("label"))
       .localCheckpoint()
     var i = 0

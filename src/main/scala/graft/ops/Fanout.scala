@@ -43,12 +43,47 @@ private[ops] object Fanout {
   def byKey(df: DataFrame, keys: String*): DataFrame =
     byKeyNoCheckpoint(df.localCheckpoint(eager = false), keys: _*)
 
-  /** STATIC-FRAME PINNING for iterative operators (round 18): the frame
-    * an iteration joins every round (edge list, vote list), partitioned
-    * on the round-join key and `persist()`ed.
+  /** Measured local[32] breakeven for the static-frame pin below
+    * (PinLaneAb, sf0.1 vs GraphStressProbe 1M nodes, round 18): a
+    * 1.17M-row (~100-108 MB cached, PinSizeProbe) static edge frame
+    * LOSES with the pin at 3-4 rounds (sssp 4.0 s pinned vs 2.3 s
+    * checkpointed, ppr 1.23x, weighted pagerank 1.72x — the one-time
+    * materialization exchange + per-round 32-way cache-read task
+    * overhead cost more than the few coalesced re-exchanges they
+    * replace), while the 3.25M-row (~280 MB) stress graph WINS 2-3x
+    * (sssp 13.2 -> 4.5-6.3 s, shuffle 274.8 -> 57.3 MB). The threshold
+    * sits between the two measured operating points (~1.6x margin to
+    * each); on a real cluster any 100 TB-scale frame clears it by
+    * orders of magnitude, so the scale path always pins. Overridable
+    * for A/B probes via -Dgraft.fanout.pinMinBytes. */
+  private def pinMinBytes: Long =
+    sys.props.get("graft.fanout.pinMinBytes").map(_.toLong)
+      .getOrElse(160L << 20)
+
+  /** The cached size of an EAGERLY localCheckpoint'd frame, read from
+    * the block manager — ZERO extra jobs and zero extra input-metric
+    * rows, which is what makes the size gate free: a count() here would
+    * both show up in the rows-read regression gate (MetricsGateSpec)
+    * and, for a caller passing unmaterialized lineage, silently
+    * recompute it. Returns 0 (→ checkpoint branch, the safe small-frame
+    * default) if the plan shape is unexpected. */
+  private def materializedBytes(cp: DataFrame): Long =
+    cp.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        cp.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize).getOrElse(0L)
+      case _ => 0L
+    }
+
+  /** STATIC-FRAME strategy for iterative operators (round 18): the
+    * frame an iteration joins every round (edge list, vote list),
+    * materialized once — and, when it is large enough to amortize the
+    * extra exchange, partitioned on the round-join key and
+    * `persist()`ed.
     *
-    * Why persist and not localCheckpoint: a checkpoint's LogicalRDD
-    * reports UnknownPartitioning(0) under AQE — measured this round on
+    * Why persist and not localCheckpoint for the pin: a checkpoint's
+    * LogicalRDD reports UnknownPartitioning(0) under AQE — measured on
     * Spark 4.1 with BOTH eager settings — so the long-standing
     * "checkpoint captures HashPartitioning(src), rounds exchange only
     * the small frame" discipline never actually held in the plans: every
@@ -60,12 +95,47 @@ private[ops] object Fanout {
     * round's join reads the cache co-partitioned at full parallelism,
     * exchanging nothing but the small evolving frame.
     *
+    * Why the pin is SIZE-GATED: below [[pinMinBytes]] the pin's fixed
+    * costs exceed what it saves (the PinLaneAb numbers above), so small
+    * frames keep the checkpoint form — AQE coalesces their per-round
+    * exchanges to a handful of cheap tasks, which IS the right plan for
+    * a frame that fits in one. The decision reads the checkpoint's
+    * cached block size from the block manager ([[materializedBytes]]) —
+    * the eager checkpoint is the same one-time materialization both
+    * strategies need, so deciding is FREE: no extra job, no extra
+    * input-metric rows. (A lazier variant that counts a caller-supplied
+    * proxy and repartitions the unmaterialized plan would let
+    * EnsureRequirements elide the numbered exchange against an
+    * annotation join's own hash partitioning — measured 81 vs 106 MB
+    * cache-fill shuffle on the 1M-node stress pagerank — but the proxy
+    * count is a real pass that trips the rows-read regression gate and
+    * double-computes un-checkpointed caller lineage; one bounded extra
+    * exchange of already-materialized rows is the better trade.)
+    *
     * Storage: default MEMORY_AND_DISK — the frame spills rather than
     * evicts under pressure, and at cluster scale the cache is exactly
     * the working set an iterative graph op needs resident. The cache
     * lives for the session (callers' results reference it lazily;
     * unpersisting inside the operator would silently recompute the
     * lineage on the caller's first action). */
-  def pinned(df: DataFrame, keys: String*): DataFrame =
-    byKeyNoCheckpoint(df, keys: _*).persist()
+  def pinned(df: DataFrame, keys: String*): DataFrame = {
+    val cp = df.localCheckpoint()
+    if (materializedBytes(cp) >= pinMinBytes)
+      byKeyNoCheckpoint(cp, keys: _*).persist()
+    else cp
+  }
+
+  /** [[pinned]] producing TWO differently-keyed copies from ONE
+    * materialization and one size decision (betweenness joins its
+    * static edge frame by src in the forward walk and by dst in the
+    * backward walk). Below the pin threshold both names share the one
+    * checkpoint — a second copy of a frame that small buys nothing. */
+  def pinnedDual(df: DataFrame, k1: String, k2: String)
+      : (DataFrame, DataFrame) = {
+    val cp = df.localCheckpoint()
+    if (materializedBytes(cp) >= pinMinBytes)
+      (byKeyNoCheckpoint(cp, k1).persist(),
+        byKeyNoCheckpoint(cp, k2).persist())
+    else (cp, cp)
+  }
 }

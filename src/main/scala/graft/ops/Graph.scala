@@ -58,10 +58,13 @@ object Graph {
     // this for persist(DISK_ONLY) or a reliable checkpoint dir.
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
-    // pinned on the iteration join key ([[Fanout.pinned]], round 18):
-    // the unrolled query reads the cache co-partitioned every iteration
-    // (a checkpoint reports UnknownPartitioning under AQE, so each
-    // iteration re-exchanged the edge frame)
+    // static-frame strategy on the iteration join key ([[Fanout
+    // .pinned]], round 18): above the measured pin threshold the
+    // unrolled query reads the cache co-partitioned every iteration (a
+    // checkpoint reports UnknownPartitioning under AQE, so each
+    // iteration re-exchanged the edge frame); below it the checkpoint
+    // form's few AQE-coalesced exchanges are cheaper than the pin's
+    // fixed costs.
     val e = Fanout.pinned(edges.join(deg, Seq("src")), "src")
     // rank carries its node id as "src" so every iteration's join is the
     // by-name equi-join on the edge source key (no self-join ambiguity);
@@ -529,9 +532,9 @@ object Graph {
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
       s"maxHops must be in [1,50], got $maxHops")
-    // same static-edge pinning as [[sssp]] ([[Fanout.pinned]]): the
-    // cache's visible HashPartitioning(src) keeps the per-hop join from
-    // re-shuffling the edge frame every round
+    // same static-edge strategy as [[sssp]] ([[Fanout.pinned]]): above
+    // the pin threshold the cache's visible HashPartitioning(src) keeps
+    // the per-hop join from re-shuffling the edge frame every round
     val e = Fanout.pinned(edges.select(col("src"), col("dst")), "src")
     var dist = sources.select(col("node").cast("long").as("node"))
       .distinct()
@@ -961,12 +964,12 @@ object Graph {
     // vote edges: every neighbor's label flows to the node, plus the
     // node's own label (the self-vote) — one static frame, reused by
     // every round's join
-    // pinned on the per-round join key ([[Fanout.pinned]], round 18 —
-    // the [[sssp]] static-frame discipline): each round's label join
-    // reads the cache co-partitioned on nbr and exchanges only the
-    // |nodes|-row label frame, never the vote volume (a localCheckpoint
-    // here reported UnknownPartitioning and re-shuffled the votes every
-    // round, despite its comment)
+    // static-frame strategy on the per-round join key ([[Fanout
+    // .pinned]], round 18 — the [[sssp]] discipline): above the pin
+    // threshold each round's label join reads the cache co-partitioned
+    // on nbr and exchanges only the |nodes|-row label frame, never the
+    // vote volume (a localCheckpoint here reported UnknownPartitioning
+    // and re-shuffled the votes every round, despite its comment)
     val votes = Fanout.pinned(
       und.select(col("dst").as("node"), col("src").as("nbr"))
         .unionAll(nodes.select(col("node"), col("node").as("nbr"))),
@@ -1205,10 +1208,13 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8,
       s"maxHops must be in [1,8], got $maxHops")
-    val e = Fanout.pinned(
+    // ONE materialization + size decision yields both static copies:
+    // the forward walk joins by src, the backward walk by dst
+    // ([[Fanout.pinnedDual]], round 18)
+    val (e, eByDst) = Fanout.pinnedDual(
       edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
-        .distinct(), "src")
+        .distinct(), "src", "dst")
     val lvl0 = sources.select(col("node").cast("long").as("v")).distinct()
       .select(col("v").as("s"), col("v"), lit(1L).as("sigma"))
       .localCheckpoint(eager = false)
@@ -1230,11 +1236,9 @@ object Graph {
     }
     // backward: deepest level seeds delta = 0, each shallower level
     // accumulates the Brandes term from its successors one hop deeper.
-    // The backward hops join e by DST — a second static copy on that
-    // key (round 18) keeps each hop from re-shuffling the whole edge
-    // frame (the forward phase's src-partitioning discipline, applied
-    // to the reversed walk), and numbered so AQE cannot narrow it.
-    val eByDst = Fanout.pinned(e, "dst")
+    // The backward hops join eByDst — the dst-keyed twin from
+    // [[Fanout.pinnedDual]] above — so, when pinned, each hop reads the
+    // edge frame co-partitioned instead of re-shuffling it per level.
     var succ = levels(maxHops).withColumn("delta", lit(0L))
     var acc = succ.select(col("v"), col("delta"))
     (maxHops to 1 by -1).foreach { h =>

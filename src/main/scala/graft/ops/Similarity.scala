@@ -411,22 +411,40 @@ object Similarity {
     * .trainCentroids]]) drop into the same assignment/probe machinery
     * the deterministic-sample (oracle-checked) path uses. */
   def ivfAssignWith(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(withNorm(
-      centroids.select(col("cid"), col("cv")), "cv", "cn"))
-    val scored = withNorm(corpus.select(col("vec_id"),
-        asDouble("embedding").as("qv")), "qv", "qn")
-      .crossJoin(cents)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // assignment ranks over the 6dp-ROUNDED similarity (round 7): raw
     // float ordering can flip on last-ulp kernel differences between
     // engines, so rounding + the cid tie-break is what makes the cell
-    // assignment — and therefore the whole IVF result — oracle-checkable
-    val ranked = scored.withColumn("csim", round(cosinePre(scored), 6))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cid"))))
-    // carry the corpus norm out so re-ranking never recomputes it
-    ranked.filter(col("crnk") === 1)
-      .select(col("vec_id"), col("cid"), col("qv").as("cv"), col("qn").as("cn"))
+    // assignment — and therefore the whole IVF result — oracle-checkable.
+    //
+    // Round 18: the argmax is a per-row FOLD over the broadcast centroid
+    // array instead of a crossJoin + window rank — assignment is now a
+    // NARROW pass (zero shuffle, zero sort, at any corpus size), where
+    // the window form exchanged corpus x k rows and sorted every
+    // partition. greatest() over struct(csim, -cid) walks the same
+    // total order as (csim DESC, cid ASC) — doubles compare with NaN
+    // largest and -0.0 < 0.0 in both the fold and the sort, so the pick
+    // is bit-identical (AssignFoldProbe pins equality on real data; the
+    // seed struct's -Infinity loses every comparison, and a -Infinity
+    // tie falls through to the ncid leg where any real -cid beats the
+    // Long.MinValue+1 sentinel).
+    val cents = broadcast(withNorm(
+        centroids.select(col("cid"), col("cv")), "cv", "cn")
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cn")))
+        .as("_cents")))
+    withNorm(corpus.select(col("vec_id"),
+        asDouble("embedding").as("qv")), "qv", "qn")
+      .crossJoin(cents)
+      .withColumn("_best", expr(
+        """aggregate(_cents,
+          |  struct(cast('-Infinity' as double) as csim,
+          |         cast(-9223372036854775807 as bigint) as ncid),
+          |  (acc, c) -> greatest(acc,
+          |    struct(round(graft_dot(qv, c.cv) / (qn * c.cn), 6) as csim,
+          |           -cast(c.cid as bigint) as ncid)))""".stripMargin))
+      // carry the corpus norm out so re-ranking never recomputes it
+      .select(col("vec_id"), (-col("_best.ncid")).as("cid"),
+        col("qv").as("cv"), col("qn").as("cn"))
   }
 
   /** X3g — PRODUCT QUANTIZATION codebook: the vector space is split into
@@ -465,21 +483,30 @@ object Similarity {
       codebook: DataFrame): DataFrame = {
     // the hottest PQ fan-out: corpus x ks codebook entries per subspace.
     // graft_l2sq (r16) replaces the interpreted aggregate(zip_with(...))
-    // fold with the bit-identical codegen'd loop (same ascending
-    // accumulation, so the rounded argmin and every oracle are unchanged)
+    // fold with the bit-identical codegen'd loop; round 18 folds the
+    // argmin itself over the per-subspace broadcast code ARRAY — the
+    // encode is now one narrow pass (broadcast equi-join on sub + a
+    // per-row least() fold), with no (vec_id, sub) exchange and no sort
+    // at any corpus size. least() over struct(d2, code) is the same
+    // total order as (d2 ASC, code ASC); the NaN seed ties only against
+    // an all-NaN row (degenerate input), where the code leg still picks
+    // the smallest real code exactly as the sort did.
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val w = dim / m
-    val sv = corpus.select(col("vec_id"), asDouble("embedding").as("v"))
+    val cb = broadcast(codebook.groupBy(col("sub"))
+      .agg(collect_list(struct(col("code"), col("cv"))).as("_codes")))
+    corpus.select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
       .select(col("vec_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("sv"))
-    val scored = sv.join(broadcast(codebook), Seq("sub"))
-      .withColumn("d2", round(expr("graft_l2sq(sv, cv)"), 6))
-    scored.withColumn("crnk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("d2"), col("code"))))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
+      .join(cb, Seq("sub"))
+      .withColumn("_best", expr(
+        """aggregate(_codes,
+          |  struct(cast('NaN' as double) as d2, 2147483647 as code),
+          |  (acc, c) -> least(acc,
+          |    struct(round(graft_l2sq(sv, c.cv), 6) as d2,
+          |           c.code as code)))""".stripMargin))
+      .select(col("vec_id"), col("sub"), col("_best.code").as("code"))
   }
 
   /** Lloyd-TRAINED per-subspace PQ codebook: the [[pqCodebook]]
@@ -516,12 +543,21 @@ object Similarity {
       .localCheckpoint()
     var cb = seedCodebook.localCheckpoint()
     for (_ <- 0 until iters) {
-      val assigned = sv.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", expr("graft_l2sq(sv, cv)"))
-        .withColumn("crnk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("sub"))
-            .orderBy(col("d2"), col("code"))))
-        .filter(col("crnk") === 1)
+      // per-row argmin fold over the broadcast per-subspace code array
+      // (the round-18 pqEncodeWith discipline): assignment is a narrow
+      // pass — no (vec_id, sub) exchange, no sort — and the raw-double
+      // (d2 ASC, code ASC) order is identical to the window rank it
+      // replaced
+      val assigned = sv.join(broadcast(cb.groupBy(col("sub"))
+          .agg(collect_list(struct(col("code"), col("cv"))).as("_codes"))),
+          Seq("sub"))
+        .withColumn("_best", expr(
+          """aggregate(_codes,
+            |  struct(cast('NaN' as double) as d2, 2147483647 as code),
+            |  (acc, c) -> least(acc,
+            |    struct(graft_l2sq(sv, c.cv) as d2, c.code as code)))"""
+            .stripMargin))
+        .withColumn("code", col("_best.code"))
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy(col("sub"), col("code"), col("d")).agg(avg(col("x")).as("mn"))

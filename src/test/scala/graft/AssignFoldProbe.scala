@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-18 prototype: nearest-centroid assignment as a per-row FOLD
+  * over a broadcast centroid array (narrow, shuffle-free) vs the
+  * current crossJoin + window-rank (corpus x k shuffle + sort).
+  * Checks exact result equality on real embeddings, then times both.
+  * `Test/runMain graft.AssignFoldProbe [sfDir] [k]`. */
+object AssignFoldProbe {
+  private def asDouble(c: String) =
+    expr(s"transform($c, x -> cast(x as double))")
+
+  private def withNorm(df: DataFrame, vecCol: String, as: String): DataFrame =
+    df.withColumn(as, sqrt(expr(s"graft_dot($vecCol, $vecCol)")))
+
+  /** The current ivfAssignWith shape (window). */
+  private def assignWindow(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val c = broadcast(withNorm(cents.select(col("cid"), col("cv")), "cv", "cn"))
+    val scored = withNorm(corpus.select(col("vec_id"),
+        asDouble("embedding").as("qv")), "qv", "qn")
+      .crossJoin(c)
+    val ranked = scored
+      .withColumn("csim", round(expr("graft_dot(qv, cv)") / (col("qn") * col("cn")), 6))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+    ranked.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("cid"), col("qn").as("cn"))
+  }
+
+  /** Fold over a broadcast array of (cid, cv, cn) structs: greatest
+    * struct (csim, -cid). */
+  private def assignFoldStruct(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val arr = withNorm(cents.select(col("cid"), col("cv")), "cv", "cn")
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("_cents"))
+    withNorm(corpus.select(col("vec_id"),
+        asDouble("embedding").as("qv")), "qv", "qn")
+      .crossJoin(broadcast(arr))
+      .withColumn("_best", expr(
+        """aggregate(_cents,
+             struct(cast('-Infinity' as double) as csim,
+                    cast(-9223372036854775807 as bigint) as ncid),
+             (acc, c) -> greatest(acc,
+               struct(round(graft_dot(qv, c.cv) / (qn * c.cn), 6) as csim,
+                      -c.cid as ncid)))"""))
+      .select(col("vec_id"), (-col("_best.ncid")).as("cid"), col("qn").as("cn"))
+  }
+
+  /** Fold with an encoded long key: ppm(csim) * 2^32 - cid. */
+  private def assignFoldKey(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val arr = withNorm(cents.select(col("cid"), col("cv")), "cv", "cn")
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("_cents"))
+    withNorm(corpus.select(col("vec_id"),
+        asDouble("embedding").as("qv")), "qv", "qn")
+      .crossJoin(broadcast(arr))
+      .withColumn("_bk", expr(
+        """aggregate(_cents, cast(-9223372036854775807 as bigint),
+             (acc, c) -> greatest(acc,
+               cast(round(round(graft_dot(qv, c.cv) / (qn * c.cn), 6) * 1000000, 0)
+                    as bigint) * 4294967296 - c.cid))"""))
+      .select(col("vec_id"), pmod(-col("_bk"), lit(4294967296L)).as("cid"),
+        col("qn").as("cn"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val k = if (args.length > 1) args(1).toInt else 16
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .localCheckpoint()
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), asDouble("embedding").as("cv"))
+      .localCheckpoint()
+    def rows(df: DataFrame) =
+      df.select(col("vec_id"), col("cid")).orderBy(col("vec_id"))
+        .collect().toSeq
+    val w = rows(assignWindow(emb, cents))
+    val fs = rows(assignFoldStruct(emb, cents))
+    val fk = rows(assignFoldKey(emb, cents))
+    println(s"EQUAL struct=${w == fs} key=${w == fk} n=${w.size}")
+    def time(tag: String, f: () => DataFrame): Unit = (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = f().count()
+      println(s"$tag rep$i n=$n wall=${(System.nanoTime() - t0) / 1000000}ms")
+    }
+    time("window", () => assignWindow(emb, cents))
+    time("foldStruct", () => assignFoldStruct(emb, cents))
+    time("foldKey", () => assignFoldKey(emb, cents))
+    spark.stop()
+  }
+}
