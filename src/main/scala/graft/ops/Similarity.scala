@@ -1022,24 +1022,34 @@ object Similarity {
       }
     }
 
-  /** One left-assoc signed-sum expression per projected component, over
-    * 1-indexed `element_at` terms — shared shape with the oracle text
-    * generator so the two cannot drift. */
-  private def rpSumExpr(signs: Seq[Int], vecCol: String): String =
-    signs.zipWithIndex.map { case (s, d) =>
-      // per-term float→double cast (exact), no shared transform() column:
-      // each element is read once, so no risk of an expensive alias being
-      // duplicated across the kOut sums by CollapseProject
-      val term = s"cast(element_at($vecCol, ${d + 1}) as double)"
-      if (s > 0) term else s"(- $term)"
-    }.mkString(" + ")
-
+  /** Round 18: each projected component is `graft_dot(vd, signs_k)`
+    * against a CONSTANT-FOLDED ±1.0 sign array instead of a kOut × dim
+    * tree of ±element_at terms. The old form generated 1024 codegen'd
+    * expressions whose Janino COMPILE dominated the lane (RpRecallProbe:
+    * 8.2 s cold at sf0.001 vs 1.1 s warm at any SF — pure compile, not
+    * data); this form compiles kOut small kernel calls. Numerics are
+    * bit-identical: graft_dot accumulates x[d]·s[d] ascending
+    * left-assoc, and t·(±1.0) ≡ ±t exactly, so every partial sum
+    * matches the oracle's ± element sums term for term (the seed 0.0
+    * can only flip the SIGN of an exact-zero component, which no
+    * rounded-cosine consumer can observe). The sign matrix itself stays
+    * [[rpSigns]], shared with the oracle text generator.
+    *
+    * `_vd` is a named column in its OWN projection: it is referenced
+    * kOut times, which is exactly what stops CollapseProject from
+    * inlining the (non-cheap) per-element cast into every dot. */
   def rpProject(df: DataFrame, vecCol: String, kOut: Int,
       dim: Int): DataFrame = {
     require(kOut >= 1 && kOut <= 64, s"kOut must be in [1,64], got $kOut")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val signs = rpSigns(kOut, dim)
     df.select(col("vec_id"),
-      array(signs.map(s => expr(rpSumExpr(s, vecCol))): _*).as("embedding"))
+        expr(s"transform($vecCol, x -> cast(x as double))").as("_vd"))
+      .select(col("vec_id"),
+        array(signs.map { s =>
+          val arr = s.map(v => s"${v}.0D").mkString(", ")
+          expr(s"graft_dot(_vd, array($arr))")
+        }: _*).as("embedding"))
   }
 
   /** Position-discount weights for [[evalRanking]]: w(i) =

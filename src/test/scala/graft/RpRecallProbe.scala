@@ -18,14 +18,25 @@ object RpRecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (lane <- Seq("x3_rp_recall", "x3_rp_project");
-         dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1");
-         rep <- 1 to 2) {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    def t(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val n = scala.util.Try(Queries.byName(lane).fn(spark, dir).count())
-      println(s"[rp] $lane $dir rep$rep rows=$n " +
-        s"wall=${(System.nanoTime() - t0) / 1000000}ms")
+      val n = f
+      println(s"[rp] $tag rows=$n wall=${(System.nanoTime() - t0) / 1000000}ms")
     }
+    val emb = graft.ops.Tables.table(spark, dir, "embeddings")
+    t("warm_scan")(emb.count())
+    t("project_only")(
+      graft.ops.Similarity.rpProject(emb, "embedding", 16, 64).count())
+    val proj = graft.ops.Similarity.rpProject(emb, "embedding", 16, 64)
+    t("bf_raw")(graft.ops.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 10), emb, 5).count())
+    t("bf_proj")(graft.ops.Similarity.bruteForceTopK(
+      proj.filter(col("vec_id") < 10), proj, 5).count())
+    for (rep <- 1 to 2)
+      t(s"full_lane_rep$rep")(
+        Queries.byName("x3_rp_recall").fn(spark, dir).count())
     spark.stop()
   }
 }

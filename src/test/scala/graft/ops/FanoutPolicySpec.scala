@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round 18: Fanout.pinned is SIZE-GATED — small static frames keep the
+  * checkpoint form (AQE-coalesced per-round exchanges beat the pin's
+  * fixed costs below the measured breakeven), large ones get the
+  * repartition+persist pin. These tests pin the policy mechanics: which
+  * branch engages, that the decision costs no extra Spark job, and that
+  * the pinned branch's cache carries the numbered hash partitioning. */
+class FanoutPolicySpec extends SparkSpec {
+
+  private def edges = spark.range(0, 2000)
+    .selectExpr("id as src", "(id * 7) % 2000 as dst")
+
+  // planOf comes from SparkSpec (executedPlan string)
+
+  test("below the threshold the static frame is a plain checkpoint " +
+      "(no cache in the iteration plan)") {
+    val pr = Graph.pageRank(edges, 2)
+    assert(!planOf(pr).contains("InMemoryTableScan"),
+      "a 2k-row frame must not pay the pin")
+    assert(pr.count() > 0)
+  }
+
+  test("above the threshold (forced) the pin engages: the iteration " +
+      "reads an InMemoryTableScan whose child ends in the numbered " +
+      "repartition") {
+    sys.props.put("graft.fanout.pinMinBytes", "0")
+    try {
+      val pinned = Fanout.pinned(edges.toDF(), "src")
+      val joined = pinned.join(
+        pinned.select(col("src").as("k")).limit(5)
+          .select(col("k").as("src")), Seq("src"))
+      assert(planOf(joined).contains("InMemoryTableScan"))
+      // the cached child's partitioning is the AQE-exempt numbered
+      // repartition on the join key
+      val cached = pinned.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cachedPlan.toString
+      }
+      assert(cached.exists(_.contains("REPARTITION_BY_NUM")),
+        s"cached child plan missing the numbered exchange:\n$cached")
+      assert(joined.count() == 5)
+    } finally sys.props.remove("graft.fanout.pinMinBytes")
+  }
+
+  test("the size decision runs zero extra jobs beyond the eager " +
+      "checkpoint's own materialization") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      def drain(): Unit = Thread.sleep(500)
+      // baseline: an eager localCheckpoint alone
+      edges.localCheckpoint()
+      drain()
+      val base = counter.get()
+      counter.set(0)
+      Fanout.pinned(edges.toDF(), "src")
+      drain()
+      assert(counter.get() == base,
+        s"pinned ran ${counter.get()} jobs vs checkpoint's $base — " +
+          "the size decision must be job-free")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+}
