@@ -976,8 +976,15 @@ object Graph {
       "nbr")
     var labels = nodes.withColumn("label", col("node"))
       .localCheckpoint(eager = false)
+    // width guard for the per-round vote join (round 18, StageAudit):
+    // in the checkpoint branch AQE sized the join from the ~10 MB vote
+    // bytes and ran the round's argmax CPU (4.6 s) on 8 tasks; the
+    // numbered repartition is AQE-exempt so the stage keeps full width.
+    // In the pinned branch the cache already carries hash(nbr, n) and
+    // EnsureRequirements elides this node as redundant.
+    val votesWide = Fanout.byKeyNoCheckpoint(votes, "nbr")
     (1 to rounds).foreach { _ =>
-      labels = votes
+      labels = votesWide
         .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
         // argmax by (cnt desc, label asc) as a HASH aggregate — max_by
@@ -1221,7 +1228,14 @@ object Graph {
     val levels = scala.collection.mutable.ArrayBuffer(lvl0)
     var disc = lvl0.select(col("s"), col("v"))
     (1 to maxHops).foreach { _ =>
-      val frontier = levels.last
+      // numbered repartition on the frontier JOIN INPUT (round 18,
+      // StageAudit): both hop-join exchanges (frontier checkpoint + the
+      // small edge frame) are ENSURE_REQUIREMENTS and therefore
+      // AQE-coalescible together, so the (s,v)-pair sigma EXPANSION the
+      // join produces ran on 2 of 32 cores. One non-coalescible side
+      // pins the whole join — and the expansion stage — at full width;
+      // the repartition itself moves only frontier-sized bytes.
+      val frontier = Fanout.byKeyNoCheckpoint(levels.last, "v")
       val cand = frontier.join(e, frontier("v") === e("src"))
         .groupBy(col("s"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
@@ -1242,8 +1256,13 @@ object Graph {
     var succ = levels(maxHops).withColumn("delta", lit(0L))
     var acc = succ.select(col("v"), col("delta"))
     (maxHops to 1 by -1).foreach { h =>
-      val terms = eByDst.join(succ.select(col("s"), col("v").as("dst"),
-          col("sigma").as("sig_w"), col("delta").as("del_w")), Seq("dst"))
+      // the same width guard as the forward hops: the delta side's
+      // exchange is numbered, so the backward fan-out join cannot be
+      // AQE-coalesced down to the delta frame's byte count
+      val terms = eByDst.join(Fanout.byKeyNoCheckpoint(
+            succ.select(col("s"), col("v").as("dst"),
+              col("sigma").as("sig_w"), col("delta").as("del_w")), "dst"),
+          Seq("dst"))
         .select(col("s"), col("src").as("v"), col("sig_w"), col("del_w"))
       val prev = levels(h - 1)
       // the fold join's (s, v) exchanges are ENSURE_REQUIREMENTS on a
