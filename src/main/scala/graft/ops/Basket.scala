@@ -33,11 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object Basket {
 
-  /** Per-basket distinct items, baskets capped at `maxBasket` items. */
+  /** Per-basket distinct items, baskets capped at `maxBasket` items.
+    *
+    * The ONE exchange is the numbered bk-repartition at the head
+    * (round 18, StageAudit): hash(bk, n) satisfies every downstream
+    * requirement — the (bk, item) distinct (bk ⊆ keys), the cap
+    * aggregate, and the semi join — so the whole pipeline runs IN
+    * PLACE at full width with no further shuffle, where the previous
+    * shape's ENSURE_REQUIREMENTS distinct exchange was AQE-coalesced
+    * to 5 tasks and both its consumers burned ~2 s CPU each on 5 of 32
+    * cores. The checkpoint then caches at that width, which is also
+    * what the pair join's AQE LOCAL shuffle read inherits when the
+    * broadcast conversion kicks in (a local read runs at the MAP
+    * stage's width, i.e. this cache's partition count). */
   private def basketItems(rows: DataFrame, basketCol: String,
       itemCol: String, maxBasket: Int): DataFrame = {
-    val items = rows
-      .select(col(basketCol).as("bk"), col(itemCol).as("item"))
+    val items = Fanout.byKeyNoCheckpoint(
+        rows.select(col(basketCol).as("bk"), col(itemCol).as("item")), "bk")
       .distinct()
     val ok = items.groupBy(col("bk"))
       .agg(count(lit(1)).as("sz"))
