@@ -46,12 +46,26 @@ object Clustering {
     val arr = broadcast(cents.select(col("cid"), col("cv"))
       .agg(collect_list(struct(col("cid"), col("cv"))).as("_cents")))
     base.crossJoin(arr)
+      // empty centroid frame -> empty assignment (the window form's
+      // behavior; the global collect_list still emits one empty-array
+      // row, under which the fold would fabricate a sentinel cell)
+      .filter(size(col("_cents")) > 0)
+      // dist2 null-coalesced to NaN: graft_l2sq is null on a ragged
+      // pair, and a null struct FIELD sorts SMALLEST — a single ragged
+      // centroid would otherwise WIN the least() where the window form
+      // (NULLS LAST) never picked it. NaN sorts LARGEST, so ragged
+      // centroids lose against any real distance, and an all-ragged row
+      // ties down to the lowest cid exactly like the window's
+      // null-tie ordering (its dist2 surfaces as NaN rather than null —
+      // inertia() then propagates NaN loudly instead of silently
+      // summing over a skipped row).
       .withColumn("_best", expr(
         """aggregate(_cents,
           |  struct(cast('NaN' as double) as dist2,
           |         cast(9223372036854775807 as bigint) as cid),
           |  (acc, c) -> least(acc,
-          |    struct(graft_l2sq(v, c.cv) as dist2,
+          |    struct(coalesce(graft_l2sq(v, c.cv), cast('NaN' as double))
+          |             as dist2,
           |           cast(c.cid as bigint) as cid)))""".stripMargin))
       .withColumn("cid", col("_best.cid"))
       .withColumn("dist2", col("_best.dist2"))

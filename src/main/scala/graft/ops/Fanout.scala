@@ -117,7 +117,17 @@ private[ops] object Fanout {
     * the working set an iterative graph op needs resident. The cache
     * lives for the session (callers' results reference it lazily;
     * unpersisting inside the operator would silently recompute the
-    * lineage on the caller's first action). */
+    * lineage on the caller's first action).
+    *
+    * Residency trade, stated plainly: the pin branch holds TWO copies
+    * of the static frame — the eager checkpoint (the sizing source AND
+    * the cache's recompute parent) plus the co-partitioned persist —
+    * and [[pinnedDual]] holds three. The checkpoint copy cannot be
+    * freed: a localCheckpoint'd RDD that loses blocks is unrecoverable,
+    * and the persisted copy's lineage rebuilds FROM it on eviction.
+    * Both layers are MEMORY_AND_DISK, so under pressure the cold
+    * checkpoint copy spills to disk while the per-round hot copy stays
+    * resident — 2x (3x) storage FOOTPRINT, not 2x memory demand. */
   def pinned(df: DataFrame, keys: String*): DataFrame = {
     val cp = df.localCheckpoint()
     if (materializedBytes(cp) >= pinMinBytes)

@@ -46,13 +46,15 @@ object Graph {
     // whole build for the judged unroll); at a real deployment this is
     // the persist/bucket-on-src step the scaladoc above describes, and
     // it is the same lineage-truncation pattern Dedup.components uses
-    // inside its loop. eager = false skips the extra count() action;
-    // NOTE (r16, measured): under AQE this is NOT construction-lazy —
-    // AdaptiveSparkPlanExec.execute() resolves every non-final query
-    // stage, so the checkpoint's shuffles run when the Dataset is
-    // BUILT. Verify/Bench construct inside their timers, so nothing
+    // inside its loop. NOTE: construction is EAGER — Fanout.pinned
+    // materializes the static frame up front (its size gate reads the
+    // cached blocks), and even before that (r16, measured) AQE made
+    // localCheckpoint(eager = false) construction-eager anyway
+    // (AdaptiveSparkPlanExec.execute() resolves every non-final query
+    // stage). Verify/Bench construct inside their timers, so nothing
     // judged mis-measures; callers embedding these frames in larger
-    // lazy pipelines should construct at execution time.
+    // lazy pipelines should construct at execution time (or wrap in
+    // plans/Deferred.frame).
     // Local (executor-storage) checkpoints are non-reliable under
     // executor loss — a cluster run that needs fault tolerance swaps
     // this for persist(DISK_ONLY) or a reliable checkpoint dir.
@@ -207,7 +209,8 @@ object Graph {
     // subtrees — without truncation the und→deg→two-joins→orient chain
     // (two shuffles) executes 3× per run, the same lineage-re-derivation
     // defect pageRank's edge materialization fixes above. eager = false
-    // skips the extra count() (see pageRank's r16 AQE laziness note).
+    // skips the extra count() (see pageRank's construction note for the
+    // r16 finding that AQE materializes it at build time regardless).
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
@@ -478,8 +481,9 @@ object Graph {
     * zero-in-degree sources alive: per iteration one edge equi-join +
     * one partial-combining sum + one node-keyed left join against the
     * static base frame. Degree-annotated edges, the node universe and
-    * the base column are localCheckpoint'd ONCE (lazy — constructing
-    * the query runs nothing). */
+    * the base column are materialized ONCE (construction is eager:
+    * [[Fanout.pinned]]'s size gate reads the static frame's cached
+    * blocks — see pageRank's construction note). */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")

@@ -435,12 +435,26 @@ object Similarity {
     withNorm(corpus.select(col("vec_id"),
         asDouble("embedding").as("qv")), "qv", "qn")
       .crossJoin(cents)
+      // empty centroid frame -> empty assignment (the window form's
+      // behavior): the global collect_list aggregate still emits ONE
+      // row holding an empty array, under which the fold would return
+      // its seed as a fictitious sentinel cell
+      .filter(size(col("_cents")) > 0)
+      // csim null-coalesced to -Infinity: a ragged/null vector scores
+      // null against every centroid (graft_dot's contract), and a
+      // null struct FIELD sorts below the seed — the all-null row
+      // would leak the seed's sentinel cid where the window form
+      // (NULLS LAST, cid ASC) assigned the lowest cid. Coalescing
+      // makes all-null rows land on the lowest cid too; mixed
+      // null/real rows already agree (a null field loses greatest()
+      // against any real csim).
       .withColumn("_best", expr(
         """aggregate(_cents,
           |  struct(cast('-Infinity' as double) as csim,
           |         cast(-9223372036854775807 as bigint) as ncid),
           |  (acc, c) -> greatest(acc,
-          |    struct(round(graft_dot(qv, c.cv) / (qn * c.cn), 6) as csim,
+          |    struct(coalesce(round(graft_dot(qv, c.cv) / (qn * c.cn), 6),
+          |                    cast('-Infinity' as double)) as csim,
           |           -cast(c.cid as bigint) as ncid)))""".stripMargin))
       // carry the corpus norm out so re-ranking never recomputes it
       .select(col("vec_id"), (-col("_best.ncid")).as("cid"),
@@ -500,11 +514,17 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("sv"))
       .join(cb, Seq("sub"))
+      // d2 null-coalesced to NaN (the Clustering.assign discipline): a
+      // ragged caller-supplied code vector scores null, and a null
+      // struct field sorts SMALLEST — it would WIN the least() where
+      // the window form (NULLS LAST) never picked it; as NaN it loses
+      // to every real distance and all-null rows tie to the lowest code
       .withColumn("_best", expr(
         """aggregate(_codes,
           |  struct(cast('NaN' as double) as d2, 2147483647 as code),
           |  (acc, c) -> least(acc,
-          |    struct(round(graft_l2sq(sv, c.cv), 6) as d2,
+          |    struct(coalesce(round(graft_l2sq(sv, c.cv), 6),
+          |                    cast('NaN' as double)) as d2,
           |           c.code as code)))""".stripMargin))
       .select(col("vec_id"), col("sub"), col("_best.code").as("code"))
   }
@@ -555,8 +575,9 @@ object Similarity {
           """aggregate(_codes,
             |  struct(cast('NaN' as double) as d2, 2147483647 as code),
             |  (acc, c) -> least(acc,
-            |    struct(graft_l2sq(sv, c.cv) as d2, c.code as code)))"""
-            .stripMargin))
+            |    struct(coalesce(graft_l2sq(sv, c.cv), cast('NaN' as double))
+            |             as d2,
+            |           c.code as code)))""".stripMargin))
         .withColumn("code", col("_best.code"))
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))

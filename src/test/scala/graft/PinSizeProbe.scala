@@ -25,8 +25,11 @@ object PinSizeProbe {
             .map(i => i.memSize + i.diskSize).getOrElse(-1L)
         case _ => -2L
       }
+      // same default as Fanout.pinMinBytes — keep in sync
+      val thr = sys.props.get("graft.fanout.pinMinBytes").map(_.toLong)
+        .getOrElse(160L << 20)
       println(s"[pinsize] $tag rows=${cp.count()} bytes=$sz " +
-        s"pin=${sz >= (80L << 20)}")
+        s"pin=${sz >= thr} (threshold $thr)")
     }
     val edges = graft.ops.Graph
       .tradeEdges(graft.ops.Tables.lineitem(spark, dir),

@@ -80,6 +80,33 @@ class AssignFoldSpec extends SparkSpec {
     assert(enc.map(t => (t._1, t._2)).distinct.length == enc.length)
   }
 
+  test("empty centroid frame -> empty assignment, not sentinel cells " +
+      "(the global collect_list still emits one empty-array row)") {
+    val c = corpus(10L -> vec(1, 0, 0), 11L -> vec(0, 1, 0))
+    val none = cents(c, 99L) // matches nothing
+    assert(Similarity.ivfAssignWith(c, none).count() == 0)
+    assert(Clustering.assign(
+      c.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")),
+      none.select(col("cid"), col("cv"))).count() == 0)
+  }
+
+  test("ragged vector (null score everywhere) lands on the LOWEST cid " +
+      "like the window's NULLS LAST ordering, never the fold seed") {
+    import spark.implicits._
+    val c = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),
+      (10L, Seq(0.5f, 0.5f, 0f)),
+      (11L, Seq(1f, 0f))) // wrong dimension: graft_dot null vs every cell
+      .toDF("vec_id", "embedding")
+    val cn = cents(c, 0L, 1L)
+    val picks = Similarity.ivfAssignWith(c, cn)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(picks(11L) == 0L, s"ragged row must fall to cid 0, got $picks")
+    assert(picks(10L) == 0L) // real rows unaffected (tie -> lowest)
+  }
+
   test("clustering assign fold matches argmin-with-cid-tie-break and " +
       "keeps corpus columns") {
     val c = corpus(

@@ -57,15 +57,22 @@ class FanoutPolicySpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(l)
     try {
-      def drain(): Unit = Thread.sleep(500)
+      // deterministic drain: the listener bus is async, so poll until
+      // the count is stable rather than sleeping a fixed interval
+      def drained(): Int = {
+        val deadline = System.nanoTime() + 5_000_000_000L
+        var last = -1
+        while (System.nanoTime() < deadline && counter.get() != last) {
+          last = counter.get(); Thread.sleep(150)
+        }
+        counter.get()
+      }
       // baseline: an eager localCheckpoint alone
       edges.localCheckpoint()
-      drain()
-      val base = counter.get()
+      val base = drained()
       counter.set(0)
       Fanout.pinned(edges.toDF(), "src")
-      drain()
-      assert(counter.get() == base,
+      assert(drained() == base,
         s"pinned ran ${counter.get()} jobs vs checkpoint's $base — " +
           "the size decision must be job-free")
     } finally spark.sparkContext.removeSparkListener(l)
