@@ -50,25 +50,17 @@ object Clustering {
       // behavior; the global collect_list still emits one empty-array
       // row, under which the fold would fabricate a sentinel cell)
       .filter(size(col("_cents")) > 0)
-      // dist2 null-coalesced to NaN: graft_l2sq is null on a ragged
-      // pair, and a null struct FIELD sorts SMALLEST — a single ragged
-      // centroid would otherwise WIN the least() where the window form
-      // (NULLS LAST) never picked it. NaN sorts LARGEST, so ragged
-      // centroids lose against any real distance, and an all-ragged row
-      // ties down to the lowest cid exactly like the window's
-      // null-tie ordering (its dist2 surfaces as NaN rather than null —
+      // (dist2 ASC, cid ASC) via the shared [[ArgFold]] discipline: a
+      // ragged centroid's null distance coalesces to the NaN seed and
+      // loses every real comparison; a fully-ragged row ties down to
+      // the lowest cid (its dist2 surfaces as NaN rather than null —
       // inertia() then propagates NaN loudly instead of silently
       // summing over a skipped row).
-      .withColumn("_best", expr(
-        """aggregate(_cents,
-          |  struct(cast('NaN' as double) as dist2,
-          |         cast(9223372036854775807 as bigint) as cid),
-          |  (acc, c) -> least(acc,
-          |    struct(coalesce(graft_l2sq(v, c.cv), cast('NaN' as double))
-          |             as dist2,
-          |           cast(c.cid as bigint) as cid)))""".stripMargin))
-      .withColumn("cid", col("_best.cid"))
-      .withColumn("dist2", col("_best.dist2"))
+      .withColumn("_best", expr(ArgFold.best("_cents",
+        "graft_l2sq(v, c.cv)", "cast(c.cid as bigint)",
+        "cast(9223372036854775807 as bigint)", max = false)))
+      .withColumn("cid", col("_best.i"))
+      .withColumn("dist2", col("_best.s"))
       .drop("_cents", "_best")
   }
 

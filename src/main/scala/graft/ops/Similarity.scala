@@ -440,24 +440,16 @@ object Similarity {
       // row holding an empty array, under which the fold would return
       // its seed as a fictitious sentinel cell
       .filter(size(col("_cents")) > 0)
-      // csim null-coalesced to -Infinity: a ragged/null vector scores
-      // null against every centroid (graft_dot's contract), and a
-      // null struct FIELD sorts below the seed — the all-null row
-      // would leak the seed's sentinel cid where the window form
-      // (NULLS LAST, cid ASC) assigned the lowest cid. Coalescing
-      // makes all-null rows land on the lowest cid too; mixed
-      // null/real rows already agree (a null field loses greatest()
-      // against any real csim).
-      .withColumn("_best", expr(
-        """aggregate(_cents,
-          |  struct(cast('-Infinity' as double) as csim,
-          |         cast(-9223372036854775807 as bigint) as ncid),
-          |  (acc, c) -> greatest(acc,
-          |    struct(coalesce(round(graft_dot(qv, c.cv) / (qn * c.cn), 6),
-          |                    cast('-Infinity' as double)) as csim,
-          |           -cast(c.cid as bigint) as ncid)))""".stripMargin))
+      // (score DESC, cid ASC) via the shared [[ArgFold]] discipline:
+      // null csim (ragged vector) coalesces to the -Infinity seed so
+      // the all-null row lands on the lowest cid exactly like the
+      // window form's NULLS LAST + cid ASC, never the seed's sentinel
+      .withColumn("_best", expr(ArgFold.best("_cents",
+        "round(graft_dot(qv, c.cv) / (qn * c.cn), 6)",
+        "-cast(c.cid as bigint)", "cast(-9223372036854775807 as bigint)",
+        max = true)))
       // carry the corpus norm out so re-ranking never recomputes it
-      .select(col("vec_id"), (-col("_best.ncid")).as("cid"),
+      .select(col("vec_id"), (-col("_best.i")).as("cid"),
         col("qv").as("cv"), col("qn").as("cn"))
   }
 
@@ -514,19 +506,13 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("sv"))
       .join(cb, Seq("sub"))
-      // d2 null-coalesced to NaN (the Clustering.assign discipline): a
-      // ragged caller-supplied code vector scores null, and a null
-      // struct field sorts SMALLEST — it would WIN the least() where
-      // the window form (NULLS LAST) never picked it; as NaN it loses
-      // to every real distance and all-null rows tie to the lowest code
-      .withColumn("_best", expr(
-        """aggregate(_codes,
-          |  struct(cast('NaN' as double) as d2, 2147483647 as code),
-          |  (acc, c) -> least(acc,
-          |    struct(coalesce(round(graft_l2sq(sv, c.cv), 6),
-          |                    cast('NaN' as double)) as d2,
-          |           c.code as code)))""".stripMargin))
-      .select(col("vec_id"), col("sub"), col("_best.code").as("code"))
+      // (d2 ASC, code ASC) via the shared [[ArgFold]] discipline — a
+      // ragged caller-supplied code vector coalesces to the NaN seed,
+      // losing every real distance instead of winning the least()
+      .withColumn("_best", expr(ArgFold.best("_codes",
+        "round(graft_l2sq(sv, c.cv), 6)", "c.code", "2147483647",
+        max = false)))
+      .select(col("vec_id"), col("sub"), col("_best.i").as("code"))
   }
 
   /** Lloyd-TRAINED per-subspace PQ codebook: the [[pqCodebook]]
@@ -571,14 +557,9 @@ object Similarity {
       val assigned = sv.join(broadcast(cb.groupBy(col("sub"))
           .agg(collect_list(struct(col("code"), col("cv"))).as("_codes"))),
           Seq("sub"))
-        .withColumn("_best", expr(
-          """aggregate(_codes,
-            |  struct(cast('NaN' as double) as d2, 2147483647 as code),
-            |  (acc, c) -> least(acc,
-            |    struct(coalesce(graft_l2sq(sv, c.cv), cast('NaN' as double))
-            |             as d2,
-            |           c.code as code)))""".stripMargin))
-        .withColumn("code", col("_best.code"))
+        .withColumn("_best", expr(ArgFold.best("_codes",
+          "graft_l2sq(sv, c.cv)", "c.code", "2147483647", max = false)))
+        .withColumn("code", col("_best.i"))
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy(col("sub"), col("code"), col("d")).agg(avg(col("x")).as("mn"))
