@@ -17,13 +17,19 @@ package graft.ops
   *  - `max = false` is (score ASC, id ASC): least() over struct(s, i)
   *    with the id passed as-is; seed s = NaN (NaN sorts LARGEST, so
   *    the seed loses every real comparison and ties only against
-  *    all-null rows, where the id leg resolves exactly like the
-  *    window's NULLS LAST + id ASC).
+  *    all-null rows, where the id leg picks the smallest id).
   *  - scores are null-coalesced TO THE SEED sentinel: a null score
   *    (ragged vectors under graft_dot/graft_l2sq) must LOSE against
   *    any real score in both directions — without the coalesce a null
   *    struct field sorts smallest, which wins least() outright and
-  *    leaks the seed under greatest().
+  *    leaks the seed under greatest(). In the MAX direction this
+  *    matches the replaced window's DESC ordering (NULLS LAST). In
+  *    the MIN direction it is an INTENTIONAL divergence from the
+  *    replaced ASC windows (Spark's default ASC is NULLS FIRST, where
+  *    a null/ragged score WON the rank): a cell whose distance cannot
+  *    be computed must never beat a cell whose distance can — the
+  *    fold fixes that, and AssignFoldSpec pins the new behavior on
+  *    the min paths (Clustering.assign, pqEncode) explicitly.
   *  - `idSeed` must lose every id tie: pass the most-negative value
   *    for max (negated ids) and the most-positive for min.
   *

