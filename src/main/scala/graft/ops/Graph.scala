@@ -85,6 +85,124 @@ object Graph {
     rank.select(col("src").as("node"), col("score"))
   }
 
+  /** [[pageRank]] RETAINING the per-round score frames (round 19) —
+    * the auxiliary state incremental maintenance needs: under the
+    * fixed-round synchronous update, a node's round-k score is a pure
+    * function of its k-hop in-neighborhood, so after an edge-set change
+    * only nodes within k hops (along out-edges) of the change can
+    * differ at round k — every other node's retained round-k score is
+    * still exact and [[pageRankIncremental]] reads it back instead of
+    * recomputing it. Returns hist(0..iters); each frame (node, score)
+    * is localCheckpoint'd (it is re-read per incremental round).
+    * Same integer-ppm kernel as [[pageRank]], round for round. */
+  def pageRankWithHistory(edges: DataFrame, iters: Int): Seq[DataFrame] = {
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("outdeg"))
+    val e = Fanout.pinned(edges.join(deg, Seq("src")), "src")
+    var rank = e.select(col("src")).distinct()
+      .select(col("src").as("node"), lit(1000000L).as("score"))
+      .localCheckpoint(eager = false)
+    val hist = Seq.newBuilder[DataFrame]
+    hist += rank
+    (1 to iters).foreach { _ =>
+      rank = e.join(rank.select(col("node").as("src"), col("score")),
+          Seq("src"))
+        .select(col("dst"), expr("score div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(850 * c) div 1000")).as("score"))
+        .localCheckpoint(eager = false)
+      hist += rank
+    }
+    hist.result()
+  }
+
+  /** X7z — INCREMENTAL PAGERANK MAINTENANCE (round 19): the standing
+    * fixed-round PageRank follows an edge-set change at cost ∝ the
+    * change's `iters`-hop out-neighborhood, never the graph. The
+    * invalidation argument, round by round:
+    *
+    *  - round 0 is the constant seed over v1 sources — no history
+    *    needed;
+    *  - a node's round-k score (or its MEMBERSHIP in the round-k frame
+    *    — the plain kernel is leaky: only nodes with an in-edge from a
+    *    round-(k−1) member carry a score) changes only if an in-edge
+    *    was added/removed, an in-neighbor's out-degree changed (its
+    *    contribution split changes), or an in-neighbor's round-(k−1)
+    *    state changed. Hence the DIRTY recurrence:
+    *      dirty₁   = dst(changed edges) ∪ dst(v1 edges out of sources
+    *                 whose out-edge set changed)
+    *      dirtyₖ₊₁ = dirty₁ ∪ out-neighbors_v1(dirtyₖ)
+    *    (a source that vanished entirely propagates through dst of its
+    *    DELETED edges, which are changed edges — in dirty₁);
+    *  - per round, ONLY dirty nodes recompute: their in-edges join a
+    *    MIX frame = retained history for clean nodes ∪ last round's
+    *    recomputed scores for dirty ones. The mix is exactly v1's full
+    *    round-(k−1) frame, so recomputed scores are bit-identical to a
+    *    full v1 run;
+    *  - the answer is retained round-`iters` history anti-joined by
+    *    dirty_iters, union the recomputed frame.
+    *
+    * Shuffle ledger per round: one dst-semi-join restricting the edge
+    * frame to dirty in-edges, one src-equi-join against the mix, one
+    * partial-combining sum — all node-keyed, sized by the dirty
+    * frontier's in-edge count. A change touching a hub invalidates its
+    * whole reach — as it must: those scores genuinely need the
+    * arithmetic re-run; everything outside the `iters`-hop cone costs
+    * nothing and is never even read (the history anti-join is label
+    * metadata, not graph data).
+    *
+    * `hist` comes from [[pageRankWithHistory]] over the v0 edges;
+    * `changed` carries one row per net-changed DIRECTED edge (src, dst)
+    * — inserts and deletes alike (the dirty seed only reads endpoints,
+    * so the op tag is not needed). Exactness is judged: the maintained
+    * result hash-matches the oracle's direct unrolled recompute over
+    * the merged final edge set (x7_incr_pagerank). */
+  def pageRankIncremental(hist: Seq[DataFrame], edges1: DataFrame,
+      changed: DataFrame, iters: Int): DataFrame = {
+    require(hist.length == iters + 1,
+      s"history must carry rounds 0..$iters, got ${hist.length} frames")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val deg = edges1.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("outdeg"))
+    val e = Fanout.pinned(edges1.join(deg, Seq("src")), "src")
+    val srcChanged = changed.select(col("src")).distinct()
+    val dirty1 = changed.select(col("dst").as("node"))
+      .unionByName(e.join(srcChanged, Seq("src"), "left_semi")
+        .select(col("dst").as("node")))
+      .distinct().localCheckpoint(eager = false)
+    // v1's round-0 frame: the constant seed over v1 sources
+    var mixPrev = e.select(col("src")).distinct()
+      .select(col("src").as("node"), lit(1000000L).as("score"))
+      .localCheckpoint(eager = false)
+    var dirty = dirty1
+    var newScores: DataFrame = null
+    (1 to iters).foreach { k =>
+      newScores = e
+        .join(dirty.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .join(mixPrev.select(col("node").as("src"), col("score")),
+          Seq("src"))
+        .select(col("dst"), expr("score div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(850 * c) div 1000")).as("score"))
+        .localCheckpoint(eager = false)
+      if (k < iters) {
+        val nextDirty = dirty1.unionByName(
+            e.join(dirty.select(col("node").as("src")), Seq("src"),
+                "left_semi")
+              .select(col("dst").as("node")))
+          .distinct().localCheckpoint(eager = false)
+        mixPrev = hist(k).join(dirty, Seq("node"), "left_anti")
+          .unionByName(newScores)
+        dirty = nextDirty
+      }
+    }
+    hist(iters).join(dirty, Seq("node"), "left_anti")
+      .unionByName(newScores)
+  }
+
   /** X10b' — PageRank with DANGLING-NODE mass redistribution (round 14).
     * [[pageRank]] is exact only on sink-free graphs (the symmetrized
     * trade graph guarantees no sinks; a real web graph never does): a

@@ -105,12 +105,15 @@ object Q {
     * x2_components, x2_components_star and x5_split_leakfree): replays
     * the minhash → banded LSH pairs → transitive closure chain and ends
     * at `comp(id, cluster)`. Callers append their own final SELECT. */
-  private[queries] val componentsOracleCte: String =
-    """WITH RECURSIVE
-           |d AS (
+  /** The chain body parameterized over the docs relation (round 19):
+    * `x7_incr_components`' oracle runs the IDENTICAL construction over
+    * the merged snapshot state (`fin`) that the standing lanes run over
+    * `documents` — single-sourced so the two cannot drift. */
+  private[queries] def componentsChainSql(src: String): String =
+    s"""d AS (
            |  SELECT doc_id, string_split(text, ' ') AS toks,
            |    len(string_split(text, ' ')) AS n
-           |  FROM documents),
+           |  FROM $src),
            |s AS (
            |  SELECT doc_id, list_transform(range(1, n - 1),
            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
@@ -139,6 +142,9 @@ object Q {
            |  UNION
            |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.id),
       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+  private[queries] val componentsOracleCte: String =
+    "WITH RECURSIVE\n" + componentsChainSql("documents")
 
 
   /** X2h — exact substring-span dedup (round 11): maximal verbatim
@@ -1287,6 +1293,34 @@ object Q {
           Similarity.asDouble("embedding").as("embedding"))
       Cdc.mergeScoped(upd.unionByName(del).unionByName(ins),
         Seq("vec_id"), "seq", "op", s"$tmp/snap")
+    }
+  }
+
+
+  /** The EDGE snapshot fixture for incremental graph maintenance
+    * (round 19): the symmetrized trade graph keyed by (src, dst) in an
+    * 8-bucket snapshot — v0 holds the edges with (src+dst) % 5 ≠ 0, one
+    * merge inserts the remaining fifth and deletes every edge with
+    * (src+dst) % 11 = 3, committing v1. Both predicates are SYMMETRIC
+    * in (src, dst), so the change set always carries both directions of
+    * an undirected edge and v1 stays sink-free (the plain-pageRank
+    * graph class). Deletes outrank inserts (seq 2 vs 1), so an edge in
+    * both classes nets to absent. Memoized per sf dir. */
+  private[queries] def edgePrSnapshot(s: SparkSession, d: String): String = {
+    val full = Graph.tradeEdges(T(s, d, "lineitem"), T(s, d, "orders"))
+    oncePerDir("pr_snap", d) { tmp =>
+      Cdc.initSnapshot(
+        full.filter((col("src") + col("dst")) % 5 =!= 0)
+          .select(col("src"), col("dst"), lit(1L).as("w")),
+        s"$tmp/snap", Seq("src", "dst"), nBuckets = 8)
+      val ins = full.filter((col("src") + col("dst")) % 5 === 0)
+        .select(col("src"), col("dst"), lit(1L).as("seq"),
+          lit("U").as("op"), lit(1L).as("w"))
+      val del = full.filter((col("src") + col("dst")) % 11 === 3)
+        .select(col("src"), col("dst"), lit(2L).as("seq"),
+          lit("D").as("op"), lit(null).cast("long").as("w"))
+      Cdc.mergeScoped(ins.unionByName(del), Seq("src", "dst"),
+        "seq", "op", s"$tmp/snap")
     }
   }
 
