@@ -36,7 +36,13 @@ private[ops] object Fanout {
     * child partitioning is known incompatible (nothing to elide
     * against). Multi-key for (s, v)-style composite join keys. */
   def byKeyNoCheckpoint(df: DataFrame, keys: String*): DataFrame =
-    df.repartition(
+    // -Dgraft.fanout.disable=true is the DELIBERATE-PESSIMIZATION seam
+    // for WidthGateSpec (round 19, r18 verdict item 1): it strips the
+    // numbered repartition so the gate can prove, in CI, that the
+    // coalesce-before-expansion plan class actually fails the width
+    // check. Never set outside the spec.
+    if (sys.props.get("graft.fanout.disable").contains("true")) df
+    else df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions,
       keys.map(col): _*)
 
