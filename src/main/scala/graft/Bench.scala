@@ -89,7 +89,12 @@ object Bench {
     // scale-critical lanes the VERDICT plan-audits every round
     "x2_semdedup", "x2_dedup_e2e", "x10_pagerank", "x10_ppr", "x10_lpa",
     "x10_sssp", "st_merge_replay", "x8_anomaly", "x9_curation_e2e",
-    "x6_aqe_skew", "x7_merge_cdc", "x7_bucketed_join", "x4_lm_score")
+    "x6_aqe_skew", "x7_merge_cdc", "x7_bucketed_join", "x4_lm_score",
+    // r19 (r18 verdict item 2): basket_rules graded weak on a 3.64 s
+    // driver wall vs the claimed 1.8-2.0 s warm — promoted from the
+    // rotation pool so EVERY round records it, with its plan pinned by
+    // MetricsGateSpec (shuffle/rows ceilings) + WidthGateSpec (width)
+    "x12_basket_rules")
 
   /** Heavy lanes that were never benched before round 16 — joined into
     * the rotation pool alongside the non-core `bench = true` lanes. */
