@@ -247,6 +247,19 @@ object GraftFunctions {
     }
   }
 
+  /** dp must be a foldable int literal — rounding granularity is part
+    * of the expression's shape, not data (-1 = no rounding). */
+  private[functions] def argminL2Builder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.types.IntegerType
+    exprs match {
+      case Seq(sv, cells, Literal(dp: Int, IntegerType)) =>
+        ArgMinL2Cell(sv, cells, dp)
+      case _ => throw new IllegalArgumentException(
+        "graft_argmin_l2(sv array<double>, cells array<struct>, " +
+          "dp int literal)")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -262,6 +275,11 @@ object GraftFunctions {
       "graft_median_mad", exprs => MedianMad(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_l2sq", exprs => L2Squared(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_argmax_cos",
+      exprs => ArgMaxCosineCell(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_argmin_l2", argminL2Builder, "built-in")
   }
 }
 
@@ -322,6 +340,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[L2Squared].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_argmax_cos"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ArgMaxCosineCell].getName, "graft_argmax_cos"),
+      (exprs: Seq[Expression]) => ArgMaxCosineCell(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_argmin_l2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ArgMinL2Cell].getName, "graft_argmin_l2"),
+      GraftFunctions.argminL2Builder))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

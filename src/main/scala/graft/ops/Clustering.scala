@@ -36,29 +36,26 @@ object Clustering {
     * corpus columns + (cid, dist2). */
   def assign(base: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(base.sparkSession)
-    // round 18: per-row argmin FOLD over the broadcast centroid array —
-    // one narrow pass (no corpus x k exchange, no sort, at any corpus
-    // size). least() over struct(dist2, cid) walks the same raw-double
-    // (dist2 ASC, cid ASC) total order as the window rank it replaced
-    // (AssignFoldProbe pins result equality); the NaN seed loses every
-    // real comparison and ties only on degenerate all-NaN rows, where
-    // the cid leg still picks the smallest cid exactly as the sort did.
+    // round 18 made the argmin a per-row walk over the broadcast
+    // centroid array — one narrow pass (no corpus x k exchange, no
+    // sort, at any corpus size); round 19 made the walk the CODEGEN'D
+    // graft_argmin_l2 kernel (dp = -1: raw doubles, no rounding — the
+    // k-means contract), replacing the interpreted aggregate() fold.
+    // Same (dist2 ASC, cid ASC) total order (ArgBestCellSpec pins
+    // kernel == fold; AssignFoldProbe pins real-data parity); a ragged
+    // centroid's uncomputable distance scores the NaN sentinel and
+    // loses every real comparison; a fully-ragged row ties down to
+    // the lowest cid with dist2 = NaN — inertia() then propagates NaN
+    // loudly instead of silently summing over a skipped row.
     val arr = broadcast(cents.select(col("cid"), col("cv"))
-      .agg(collect_list(struct(col("cid"), col("cv"))).as("_cents")))
+      .agg(collect_list(struct(col("cid").cast("long").as("cid"),
+        col("cv"))).as("_cents")))
     base.crossJoin(arr)
       // empty centroid frame -> empty assignment (the window form's
       // behavior; the global collect_list still emits one empty-array
-      // row, under which the fold would fabricate a sentinel cell)
+      // row, under which the kernel would return a NULL best cell)
       .filter(size(col("_cents")) > 0)
-      // (dist2 ASC, cid ASC) via the shared [[ArgFold]] discipline: a
-      // ragged centroid's null distance coalesces to the NaN seed and
-      // loses every real comparison; a fully-ragged row ties down to
-      // the lowest cid (its dist2 surfaces as NaN rather than null —
-      // inertia() then propagates NaN loudly instead of silently
-      // summing over a skipped row).
-      .withColumn("_best", expr(ArgFold.best("_cents",
-        "graft_l2sq(v, c.cv)", "cast(c.cid as bigint)",
-        "cast(9223372036854775807 as bigint)", max = false)))
+      .withColumn("_best", expr("graft_argmin_l2(v, _cents, -1)"))
       .withColumn("cid", col("_best.i"))
       .withColumn("dist2", col("_best.s"))
       .drop("_cents", "_best")

@@ -116,6 +116,19 @@ private[ops] object Fanout {
       case _ => 0L
     }
 
+  /** Drop a materialized localCheckpoint's executor blocks. Dataset
+    * .unpersist only reaches the cache manager, not RDD-level
+    * checkpoint storage — this frees the actual blocks. After this the
+    * frame is UNREADABLE (a localCheckpoint cannot recompute), so only
+    * call once every consumer is materialized. */
+  private def freeCheckpoint(cp: DataFrame): Unit =
+    cp.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
+
   /** STATIC-FRAME strategy for iterative operators (round 18): the
     * frame an iteration joins every round (edge list, vote list),
     * materialized once — and, when it is large enough to amortize the
@@ -159,28 +172,47 @@ private[ops] object Fanout {
     * unpersisting inside the operator would silently recompute the
     * lineage on the caller's first action).
     *
-    * Residency trade, stated plainly: the pin branch holds TWO copies
-    * of the static frame — the eager checkpoint (the sizing source AND
-    * the cache's recompute parent) plus the co-partitioned persist —
-    * and [[pinnedDual]] holds three. The checkpoint copy cannot be
-    * freed: a localCheckpoint'd RDD that loses blocks is unrecoverable,
-    * and the persisted copy's lineage rebuilds FROM it on eviction.
-    * Both layers are MEMORY_AND_DISK, so under pressure the cold
-    * checkpoint copy spills to disk while the per-round hot copy stays
-    * resident — 2x (3x) storage FOOTPRINT, not 2x memory demand. */
+    * Residency (round 19, r18 verdict item 4): the pin branch holds
+    * ONE resident copy — the co-partitioned persist, built over the
+    * ORIGINAL source lineage. Once it is materialized the sizing
+    * checkpoint's blocks are freed: any later cache miss (Catalyst's
+    * cache matching is not total — see [[pinnedAt]]) recomputes from
+    * source instead of either dying on freed checkpoint blocks or
+    * needing the second resident copy the r18 design kept around.
+    * [[pinnedDual]] correspondingly holds two copies, not three, with
+    * the second filled from the first's cache. Construction pays one
+    * extra source pass (sizing checkpoint + pin materialization); the
+    * size DECISION itself remains job-free (FanoutPolicySpec pins the
+    * residency count and the job-free decision). */
   def pinned(df: DataFrame, keys: String*): DataFrame =
     pinnedAt(df, pinMinBytes(df), keys: _*)
 
   /** [[pinned]] with an EXPLICIT threshold — the test seam
     * (FanoutPolicySpec forces either branch without mutating the
-    * global system property, r18 ADVICE). */
+    * global system property, r18 ADVICE).
+    *
+    * The pin's lineage is the ORIGINAL source, NOT the checkpoint —
+    * deliberately, and it is what makes freeing the checkpoint SAFE:
+    * Catalyst's cache matching is not total (measured in this round: a
+    * self-join's deduplicated attribute clone misses `sameResult`
+    * against the cached subtree and re-executes the cached plan's
+    * child), so a consumer that misses the pinned cache must find a
+    * COMPUTABLE parent — source lineage recomputes; a freed
+    * localCheckpoint throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The
+    * price is that the pin's materialization is a second source pass
+    * (the checkpoint pass sized the frame, the pin pass fills the
+    * cache) — a one-off construction cost where the retained second
+    * copy was a session-long footprint. */
   private[ops] def pinnedAt(df: DataFrame, minBytes: Long,
       keys: String*): DataFrame = {
     val cp = df.localCheckpoint()
     val bytes = materializedBytes(cp)
     if (bytes >= minBytes) {
       log.info(s"Fanout.pinned: PIN branch ($bytes bytes >= $minBytes)")
-      byKeyNoCheckpoint(cp, keys: _*).persist()
+      val pin = byKeyNoCheckpoint(df, keys: _*).persist()
+      pin.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      freeCheckpoint(cp)
+      pin
     } else {
       log.info(s"Fanout.pinned: checkpoint branch ($bytes bytes < $minBytes)")
       cp
@@ -198,8 +230,15 @@ private[ops] object Fanout {
     val bytes = materializedBytes(cp)
     if (bytes >= pinMinBytes(df)) {
       log.info(s"Fanout.pinnedDual: PIN branch ($bytes bytes)")
-      (byKeyNoCheckpoint(cp, k1).persist(),
-        byKeyNoCheckpoint(cp, k2).persist())
+      // p1 rebuilds from source (the pinnedAt safety argument); p2
+      // FILLS FROM p1's cache and, on any later miss, falls back
+      // through it — no third pass over the source
+      val p1 = byKeyNoCheckpoint(df, k1).persist()
+      p1.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      val p2 = byKeyNoCheckpoint(p1, k2).persist()
+      p2.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      freeCheckpoint(cp)
+      (p1, p2)
     } else (cp, cp)
   }
 }

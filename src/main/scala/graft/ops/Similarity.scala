@@ -417,39 +417,36 @@ object Similarity {
     // engines, so rounding + the cid tie-break is what makes the cell
     // assignment — and therefore the whole IVF result — oracle-checkable.
     //
-    // Round 18: the argmax is a per-row FOLD over the broadcast centroid
-    // array instead of a crossJoin + window rank — assignment is now a
-    // NARROW pass (zero shuffle, zero sort, at any corpus size), where
-    // the window form exchanged corpus x k rows and sorted every
-    // partition. greatest() over struct(csim, -cid) walks the same
-    // total order as (csim DESC, cid ASC) — doubles compare with NaN
-    // largest and -0.0 < 0.0 in both the fold and the sort, so the pick
-    // is bit-identical (AssignFoldProbe pins equality on real data; the
-    // seed struct's -Infinity loses every comparison, and a -Infinity
-    // tie falls through to the ncid leg where any real -cid beats the
-    // Long.MinValue+1 sentinel).
+    // Round 18 made the argmax a per-row walk over the broadcast
+    // centroid array instead of a crossJoin + window rank — assignment
+    // is a NARROW pass (zero shuffle, zero sort, at any corpus size),
+    // where the window form exchanged corpus x k rows and sorted every
+    // partition. Round 19 (r18 verdict item 3): the walk itself is now
+    // the CODEGEN'D graft_argmax_cos kernel ([[graft.functions
+    // .ArgMaxCosineCell]]) — the round-18 aggregate() fold was a
+    // CodegenFallback HigherOrderFunction (boxed struct + interpreted
+    // lambda dispatch per row × cell); the kernel fuses dot, norm
+    // division, HALF_UP rounding and the (score DESC, cid ASC)
+    // total-order compare into the stage's generated loop. Semantics
+    // bit-identical (ArgBestCellSpec pins kernel == fold on ties, NaN,
+    // ragged and random inputs; AssignFoldProbe pins real-data parity):
+    // a null/ragged score loses in both directions, an all-null row
+    // lands on the lowest cid, never a fabricated cell.
     val cents = broadcast(withNorm(
         centroids.select(col("cid"), col("cv")), "cv", "cn")
-      .agg(collect_list(struct(col("cid"), col("cv"), col("cn")))
-        .as("_cents")))
+      .agg(collect_list(struct(col("cid").cast("long").as("cid"),
+        col("cv"), col("cn"))).as("_cents")))
     withNorm(corpus.select(col("vec_id"),
         asDouble("embedding").as("qv")), "qv", "qn")
       .crossJoin(cents)
       // empty centroid frame -> empty assignment (the window form's
       // behavior): the global collect_list aggregate still emits ONE
-      // row holding an empty array, under which the fold would return
-      // its seed as a fictitious sentinel cell
+      // row holding an empty array, under which the kernel would
+      // return a NULL best cell
       .filter(size(col("_cents")) > 0)
-      // (score DESC, cid ASC) via the shared [[ArgFold]] discipline:
-      // null csim (ragged vector) coalesces to the -Infinity seed so
-      // the all-null row lands on the lowest cid exactly like the
-      // window form's NULLS LAST + cid ASC, never the seed's sentinel
-      .withColumn("_best", expr(ArgFold.best("_cents",
-        "round(graft_dot(qv, c.cv) / (qn * c.cn), 6)",
-        "-cast(c.cid as bigint)", "cast(-9223372036854775807 as bigint)",
-        max = true)))
+      .withColumn("_best", expr("graft_argmax_cos(qv, qn, _cents)"))
       // carry the corpus norm out so re-ranking never recomputes it
-      .select(col("vec_id"), (-col("_best.i")).as("cid"),
+      .select(col("vec_id"), col("_best.i").as("cid"),
         col("qv").as("cv"), col("qn").as("cn"))
   }
 
@@ -506,13 +503,13 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         expr(s"slice(v, sub * $w + 1, $w)").as("sv"))
       .join(cb, Seq("sub"))
-      // (d2 ASC, code ASC) via the shared [[ArgFold]] discipline — a
-      // ragged caller-supplied code vector coalesces to the NaN seed,
-      // losing every real distance instead of winning the least()
-      .withColumn("_best", expr(ArgFold.best("_codes",
-        "round(graft_l2sq(sv, c.cv), 6)", "c.code", "2147483647",
-        max = false)))
-      .select(col("vec_id"), col("sub"), col("_best.i").as("code"))
+      // (d2 ASC, code ASC) via the codegen'd graft_argmin_l2 kernel
+      // (round 19; ArgBestCellSpec pins kernel == the replaced fold) —
+      // a ragged caller-supplied code vector scores the NaN sentinel,
+      // losing every real distance
+      .withColumn("_best", expr("graft_argmin_l2(sv, _codes, 6)"))
+      .select(col("vec_id"), col("sub"),
+        col("_best.i").cast("int").as("code"))
   }
 
   /** Lloyd-TRAINED per-subspace PQ codebook: the [[pqCodebook]]
@@ -549,17 +546,16 @@ object Similarity {
       .localCheckpoint()
     var cb = seedCodebook.localCheckpoint()
     for (_ <- 0 until iters) {
-      // per-row argmin fold over the broadcast per-subspace code array
-      // (the round-18 pqEncodeWith discipline): assignment is a narrow
-      // pass — no (vec_id, sub) exchange, no sort — and the raw-double
-      // (d2 ASC, code ASC) order is identical to the window rank it
-      // replaced
+      // per-row codegen'd argmin over the broadcast per-subspace code
+      // array (the pqEncodeWith discipline; dp = -1 keeps the training
+      // comparison on RAW doubles): assignment is a narrow pass — no
+      // (vec_id, sub) exchange, no sort — and the (d2 ASC, code ASC)
+      // order is identical to the fold and window forms it replaced
       val assigned = sv.join(broadcast(cb.groupBy(col("sub"))
           .agg(collect_list(struct(col("code"), col("cv"))).as("_codes"))),
           Seq("sub"))
-        .withColumn("_best", expr(ArgFold.best("_codes",
-          "graft_l2sq(sv, c.cv)", "c.code", "2147483647", max = false)))
-        .withColumn("code", col("_best.i"))
+        .withColumn("_best", expr("graft_argmin_l2(sv, _codes, -1)"))
+        .withColumn("code", col("_best.i").cast("int"))
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy(col("sub"), col("code"), col("d")).agg(avg(col("x")).as("mn"))

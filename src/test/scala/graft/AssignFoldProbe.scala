@@ -65,6 +65,12 @@ object AssignFoldProbe {
         col("qn").as("cn"))
   }
 
+  /** Round 19: the production path — the codegen'd graft_argmax_cos
+    * kernel (via Similarity.ivfAssignWith). */
+  private def assignKernel(corpus: DataFrame, cents: DataFrame): DataFrame =
+    graft.ops.Similarity.ivfAssignWith(corpus, cents)
+      .select(col("vec_id"), col("cid"), col("cn"))
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 16
@@ -88,7 +94,8 @@ object AssignFoldProbe {
     val w = rows(assignWindow(emb, cents))
     val fs = rows(assignFoldStruct(emb, cents))
     val fk = rows(assignFoldKey(emb, cents))
-    println(s"EQUAL struct=${w == fs} key=${w == fk} n=${w.size}")
+    val kr = rows(assignKernel(emb, cents))
+    println(s"EQUAL struct=${w == fs} key=${w == fk} kernel=${w == kr} n=${w.size}")
     def time(tag: String, f: () => DataFrame): Unit = (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = f().count()
@@ -97,6 +104,42 @@ object AssignFoldProbe {
     time("window", () => assignWindow(emb, cents))
     time("foldStruct", () => assignFoldStruct(emb, cents))
     time("foldKey", () => assignFoldKey(emb, cents))
+    time("kernel", () => assignKernel(emb, cents))
+    // r19 k-scaling sweep (r18 verdict item 3): fold vs kernel past
+    // k=256 — the fold's interpreted per-cell cost grows with k, the
+    // kernel's fused loop amortizes it. The sf0.1 corpus (2k vectors)
+    // is fixed-overhead-bound, so the sweep replicates it 100x (200k
+    // rows — per-row work is what scales, ids just need distinctness).
+    val big = emb.crossJoin(spark.range(100).select(col("id").as("rep")))
+      .select((col("vec_id") * 100 + col("rep")).as("vec_id"),
+        col("embedding"))
+      .repartition(32) // the broadcast-NL replicate inherits the tiny
+                       // scan's 1-2 splits — spread before timing
+      .localCheckpoint()
+    println(s"KSCALE corpus=${big.count()} rows")
+    Seq(16, 64, 256, 1024, 4096).foreach { kk =>
+      val ck = emb.filter(col("vec_id") < kk)
+        .select(col("vec_id").as("cid"), asDouble("embedding").as("cv"))
+        .localCheckpoint()
+      // sum(cid), NOT count(): count() lets Catalyst prune the argbest
+      // column away entirely and times the bare scan (measured: fold
+      // "timings" flat at ~200ms from k=16 to k=4096 — nothing ran);
+      // summing the picked cid forces the kernel on every row
+      def best(f: () => DataFrame) =
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          f().agg(sum(col("cid"))).collect()
+          (System.nanoTime() - t0) / 1000000
+        }.min
+      val eq = rows(assignKernel(emb, ck)) == rows(assignFoldStruct(emb, ck))
+      // window omitted from the sweep: it shuffles+sorts corpus x k rows
+      // (the multi-minute pathology both narrow forms replaced — its
+      // small-scale numbers are in the timing section above and the r18
+      // table); the sweep's question is fold vs kernel
+      println(s"KSCALE k=$kk " +
+        s"fold=${best(() => assignFoldStruct(big, ck))}ms " +
+        s"kernel=${best(() => assignKernel(big, ck))}ms equal=$eq")
+    }
     spark.stop()
   }
 }
