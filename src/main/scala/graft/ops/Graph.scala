@@ -160,27 +160,59 @@ object Graph {
     * result hash-matches the oracle's direct unrolled recompute over
     * the merged final edge set (x7_incr_pagerank). */
   def pageRankIncremental(hist: Seq[DataFrame], edges1: DataFrame,
-      changed: DataFrame, iters: Int): DataFrame = {
+      changed: DataFrame, iters: Int,
+      broadcastFrontier: Boolean = true): DataFrame = {
     require(hist.length == iters + 1,
       s"history must carry rounds 0..$iters, got ${hist.length} frames")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // NO pre-joined degree-annotated frame and NO Fanout.pinned here
+    // (round 19, measured at 1M nodes): the rounds touch the static
+    // state only through dirty-restricted joins whose frontier side is
+    // small enough to BROADCAST, so the full-recompute disciplines are
+    // exactly wrong for maintenance — the pin's construction (sizing
+    // checkpoint + full-width exchange + cache fill) is O(graph) and
+    // DOUBLED the maintain wall; a pre-joined edges⋈deg frame
+    // sort-merge-exchanges two graph-sized sides. Raw edges and the
+    // degree frame stay SEPARATE lazy checkpoints: each round's
+    // in-edge restriction (semi-join by dst ∈ dirty), degree
+    // annotation and mix lookup all hash the frontier-sized side and
+    // stream-scan the big one — zero graph-sized shuffle per round.
+    // The one remaining O(graph) SHUFFLE is the degree aggregation
+    // itself (partial-combined); maintaining degrees incrementally
+    // (deg0 retained like the score history, delta = changed-src
+    // recounts) is the known next rung if it ever dominates.
+    val e = edges1.localCheckpoint(eager = false)
     val deg = edges1.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
-    val e = Fanout.pinned(edges1.join(deg, Seq("src")), "src")
+      .localCheckpoint(eager = false)
+    // `broadcastFrontier` (default) HINTS the frontier-keyed sides into
+    // broadcast joins: a checkpoint's preserved plan statistics
+    // over-estimate the dirty frames, so the optimizer otherwise plans
+    // sort-merge joins whose map sides shuffle the GRAPH-sized frame
+    // every round (measured at 1M nodes: 180 MB maintained shuffle for
+    // a 100-edge change — the frontier maintenance thesis inverted).
+    // The hint encodes the operator's own applicability contract:
+    // maintenance beats recompute exactly when the invalidation
+    // frontier is broadcast-class; a caller whose change set reaches a
+    // graph-scale frontier should pass false (honest shuffled plans)
+    // or simply rerun pageRank.
+    def bcast(df: DataFrame): DataFrame =
+      if (broadcastFrontier) broadcast(df) else df
     val srcChanged = changed.select(col("src")).distinct()
     val dirty1 = changed.select(col("dst").as("node"))
-      .unionByName(e.join(srcChanged, Seq("src"), "left_semi")
+      .unionByName(e.join(bcast(srcChanged), Seq("src"), "left_semi")
         .select(col("dst").as("node")))
       .distinct().localCheckpoint(eager = false)
     // v1's round-0 frame: the constant seed over v1 sources
-    var mixPrev = e.select(col("src")).distinct()
+    var mixPrev = deg
       .select(col("src").as("node"), lit(1000000L).as("score"))
-      .localCheckpoint(eager = false)
     var dirty = dirty1
     var newScores: DataFrame = null
     (1 to iters).foreach { k =>
-      newScores = e
-        .join(dirty.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      newScores = bcast(bcast(e
+        .join(bcast(dirty.select(col("node").as("dst"))), Seq("dst"),
+          "left_semi"))
+        .join(deg, Seq("src")))
         .join(mixPrev.select(col("node").as("src"), col("score")),
           Seq("src"))
         .select(col("dst"), expr("score div outdeg").as("contrib"))
@@ -190,16 +222,16 @@ object Graph {
         .localCheckpoint(eager = false)
       if (k < iters) {
         val nextDirty = dirty1.unionByName(
-            e.join(dirty.select(col("node").as("src")), Seq("src"),
+            e.join(bcast(dirty.select(col("node").as("src"))), Seq("src"),
                 "left_semi")
               .select(col("dst").as("node")))
           .distinct().localCheckpoint(eager = false)
-        mixPrev = hist(k).join(dirty, Seq("node"), "left_anti")
+        mixPrev = hist(k).join(bcast(dirty), Seq("node"), "left_anti")
           .unionByName(newScores)
         dirty = nextDirty
       }
     }
-    hist(iters).join(dirty, Seq("node"), "left_anti")
+    hist(iters).join(bcast(dirty), Seq("node"), "left_anti")
       .unionByName(newScores)
   }
 

@@ -180,8 +180,21 @@ object StressBench {
     stage("decon_bloom_u16")(ops.TextOps.decontaminateBloom(
       trainSet, evalSet, "text", "doc_id", n = 5, k = 3, m = 1 << 16)
       .filter(col("contaminated")))
+    // the SIZED filter scales with the corpus (round 19): m = 2^20 was
+    // sized for the n=100k eval set (~291 bits/shingle); a fixed m
+    // probed at 10x the load is off-model BY THE MODEL (measured at
+    // n=1M: 31,607 doc FPs = probes*(k*S/m)^3 exactly) — the operator's
+    // own m-sizing rule says grow m with the eval set, which keeps
+    // bits/shingle and the per-probe FP constant so doc FPs stay
+    // proportional to probes (~40 at n=1M). n=100k behavior unchanged.
+    val mSized = {
+      val want = (1L << 20) * math.max(1L, n / 100000L)
+      var mm = 1L << 20
+      while (mm < want) mm <<= 1
+      mm.toInt
+    }
     stage("decon_bloom_20")(ops.TextOps.decontaminateBloom(
-      trainSet, evalSet, "text", "doc_id", n = 5, k = 3, m = 1 << 20)
+      trainSet, evalSet, "text", "doc_id", n = 5, k = 3, m = mSized)
       .filter(col("contaminated")))
 
     // ---- triangle counting on a deliberately skewed graph: one hub of
@@ -717,8 +730,9 @@ object StressBench {
     require(results("decon_bloom_u16")._2 >= results("decon_exact")._2,
       "bloom decontamination lost exact-lane hits")
     // the sized filter's residual FPs must sit at the model's level:
-    // probes·(load)^k ≈ 100k·36·1.1e-6 ≈ 4 docs here (measured 5) — an
-    // order-of-magnitude bound, not equality (Bloom never promises 0)
+    // probes·(load)^k ≈ 36n·1.1e-6 (~4 docs at n=100k, measured 5;
+    // ~40 at n=1M under the r19 corpus-scaled m) — an order-of-
+    // magnitude bound, not equality (Bloom never promises 0)
     require(results("decon_bloom_20")._2 >= results("decon_exact")._2 &&
       results("decon_bloom_20")._2 <=
         results("decon_exact")._2 + math.max(40L, n / 2500),
