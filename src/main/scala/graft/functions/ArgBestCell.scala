@@ -35,6 +35,19 @@ import org.apache.spark.sql.types._
   *    NaN/Infinity pass through, else
   *    BigDecimal.valueOf(x).setScale(dp, HALF_UP).
   *
+  * ONE deliberate divergence from the fold (round 20, r19 ADVICE): a
+  * NULL TOP-LEVEL input (qv/qn/sv, or the cell array itself) returns
+  * NULL — standard Ternary/BinaryExpression null propagation — where
+  * the fold's per-cell coalesce assigned such a row the lowest id with
+  * a sentinel score. The nulls-lose contract above is about nulls
+  * INSIDE a cell (ragged/missing cv), which still lose per-cell; a row
+  * with no query vector at all has no meaningful assignment, and a
+  * fabricated (sentinel, lowest-id) row is the quieter failure: it
+  * lands real rows in cell 0 and skews that cell's stats. Callers that
+  * must be loud on null embeddings filter/assert upstream
+  * ([[graft.ops.Clustering.assign]] documents this at its input
+  * contract); ArgBestCellSpec pins the NULL-in → NULL-out behavior.
+  *
   * Cell layout is POSITIONAL: field 0 = id (int or long), field 1 = cv
   * (array<double>), and for the cosine form field 2 = cn (the cell's
   * precomputed norm). Output is struct<s: double, i: bigint> — the

@@ -58,15 +58,49 @@ object Basket {
     * The numbered repartition is still AQE-coalesce-exempt, so the
     * distinct runs at full width (the round-18 StageAudit lesson); the
     * checkpoint caches at that width. */
+  /** Ceiling on the over-cap basket list that rides the broadcast anti
+    * join below: past this many over-cap baskets the input is
+    * misconfigured (the cap names PATHOLOGICAL baskets), and the guard
+    * raises a descriptive error instead of letting an unbounded
+    * broadcast OOM the driver (round 20, r19 ADVICE). 2^22 bk keys ≈
+    * 32 MB broadcast-side — comfortably broadcast-class, loudly not a
+    * corpus-shaped list. */
+  private val OverCapBroadcastCeiling: Long = 1L << 22
+
   private def basketItems(rows: DataFrame, basketCol: String,
       itemCol: String, maxBasket: Int): DataFrame = {
     val items = Fanout.byKeyNoCheckpoint(
-        rows.select(col(basketCol).as("bk"), col(itemCol).as("item")),
+        rows.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+          // NULL keys out FIRST (round 20, r19 ADVICE): the r19
+          // semi→anti reshape would otherwise RETAIN null-bk rows (NULL
+          // never matches an anti join, so the cap could never drop
+          // them) while count_distinct(bk) excludes them from
+          // n_baskets — inflating supports against a population that
+          // doesn't contain them. A null basket id or null item is
+          // membership noise, not a basket; both sides agree it's out.
+          .filter(col(basketCol).isNotNull && col(itemCol).isNotNull),
         "bk", "item")
       .distinct()
     val bad = items.groupBy(col("bk"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > maxBasket)
+      // the broadcast-small-by-contract assumption, ENFORCED lazily
+      // (no driver-side count() — the query constructor stays
+      // action-free): a whole-frame window counts the over-cap list
+      // and a FILTER (survives column pruning, unlike a projected
+      // guard column) raises past the ceiling. The single-partition
+      // window only ever sees over-cap baskets — tiny by contract,
+      // and when the contract breaks it spills executor-side then
+      // fails loudly, never OOMs the driver mid-broadcast.
+      .withColumn("_n_overcap", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .filter(when(col("_n_overcap") <= lit(OverCapBroadcastCeiling),
+          lit(true))
+        .otherwise(raise_error(concat(
+          lit("Basket: over-cap basket list has "), col("_n_overcap"),
+          lit(s" entries (> ceiling $OverCapBroadcastCeiling with " +
+            s"maxBasket=$maxBasket) — not broadcast-class; the input " +
+            "is misconfigured for this cap"))).cast("boolean")))
       .select(col("bk"))
     items.join(broadcast(bad), Seq("bk"), "left_anti")
       .localCheckpoint(eager = false)

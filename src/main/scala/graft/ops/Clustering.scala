@@ -33,7 +33,14 @@ object Clustering {
 
   /** Assign every vector to its nearest centroid (squared Euclidean,
     * cid ascending tie-break). `cents` must have (cid, cv). Returns the
-    * corpus columns + (cid, dist2). */
+    * corpus columns + (cid, dist2).
+    *
+    * Input contract: `v` must be NON-NULL (a NULL vector has no
+    * meaningful nearest centroid). A NULL `v` yields cid = dist2 = NULL
+    * — the kernel's null propagation, pinned by ArgBestCellSpec — which
+    * sum()-based inertia skips; callers wanting loud failure on null
+    * embeddings filter/assert before calling (the corpus tables'
+    * embedding column is non-nullable by construction). */
   def assign(base: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(base.sparkSession)
     // round 18 made the argmin a per-row walk over the broadcast

@@ -40,4 +40,44 @@ class CoverageTallySpec extends AnyFunSuite {
     val dupes = Queries.all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
   }
+
+  /** Round 20 (r19 verdict item 5): the rows-only set is FROZEN. Each
+    * member has a recorded justification and an oracle-checked twin
+    * covering the same code path; a new lane shipping without an oracle
+    * is a coverage regression, not a judgment call — it must either get
+    * an oracle or consciously amend this frozen set with its own twin
+    * and rationale. */
+  test("rows-only lanes are exactly the frozen, twin-justified set") {
+    val frozen = Map[String, Option[String]](
+      // engine-native HyperLogLog estimate: DuckDB's approx sketch
+      // differs by construction; md5-bucketed twin a2_hll_md5 IS
+      // oracle-checked over the same HLL aggregator
+      "a2_hll_approx" -> Some("a2_hll_md5"),
+      // uuid() is nondeterministic BY DEFINITION — no deterministic
+      // twin can exist; rows+schema is the strongest possible check
+      "f9_uuid" -> None,
+      // murmur3 sign-LSH buckets: Spark's murmur3 isn't reproducible in
+      // DuckDB SQL; the md5-planed twin x3_ann_md5 is oracle-checked
+      "x3_ann_lsh" -> Some("x3_ann_md5"),
+      // float k-means means are summation-order-dependent across
+      // engines (recorded rationale, r19 — DECIMAL promotion declined
+      // as not-cheap); the IVF twin oracle-checks the same
+      // broadcast-argmin assignment kernel end to end
+      "x3_kmeans" -> Some("x3_ivf_topk"))
+    val rowsOnly = Queries.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(rowsOnly == frozen.keySet,
+      s"rows-only lanes drifted from the frozen set: " +
+        s"unexpected=${(rowsOnly -- frozen.keySet).mkString(", ")} " +
+        s"missing=${(frozen.keySet -- rowsOnly).mkString(", ")} — a new " +
+        "lane must ship WITH an oracle (or amend the frozen set with a " +
+        "twin + rationale)")
+    // every justifying twin must exist and actually be oracle-checked
+    frozen.foreach { case (lane, twinOpt) =>
+      twinOpt.foreach { twin =>
+        val t = Queries.all.find(_.name == twin)
+        assert(t.exists(_.oracle.isDefined),
+          s"$lane's justifying twin $twin is missing or not oracle-checked")
+      }
+    }
+  }
 }

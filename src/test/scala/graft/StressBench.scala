@@ -70,6 +70,20 @@ object StressBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    // Memory honesty gate (round 20, r19 verdict item 8): the n=1M text
+    // lanes hold ~40 standing localCheckpoint frames and OOM a default
+    // 8g driver deep into the run (measured, r19). Refuse AT STARTUP
+    // with the documented requirement instead — n=100k (the canonical
+    // text scale) is unaffected. 20 GiB measured-heap threshold ≈ the
+    // usable heap of -Xmx24g after GC reserve.
+    if (n > 100000L) {
+      val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+      require(heapGiB >= 20.0,
+        f"StressBench at n=$n needs SPARK_DRIVER_MEM>=24g (32g for the " +
+          f"1M-node reach stage); this JVM has $heapGiB%.1f GiB heap. " +
+          "Re-run with a bigger -Xmx or at n<=100000 — failing fast " +
+          "here instead of OOMing mid-run.")
+    }
     val out = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder()
@@ -191,6 +205,12 @@ object StressBench {
       val want = (1L << 20) * math.max(1L, n / 100000L)
       var mm = 1L << 20
       while (mm < want) mm <<= 1
+      // r19 ADVICE: past 2^30 the Int narrowing below would wrap
+      // negative (n > ~100G docs at this sizing rule) and hand
+      // decontaminateBloom a nonsense width — fail loudly instead
+      require(mm <= (1L << 30),
+        s"bloom width $mm exceeds Int-safe 2^30 at n=$n; shard the " +
+          "filter or raise bits-per-shingle before scaling further")
       mm.toInt
     }
     stage("decon_bloom_20")(ops.TextOps.decontaminateBloom(

@@ -122,6 +122,31 @@ class ArgBestCellSpec extends SparkSpec {
     }
   }
 
+  test("NULL top-level input returns NULL, never a fabricated " +
+      "(sentinel, lowest-id) cell — the documented fold divergence") {
+    graft.functions.GraftFunctions.register(spark)
+    // null qv / qn / cells for the cosine form; null sv / cells for l2.
+    // The fold coalesced these into (sentinel, lowest id); the kernel
+    // null-propagates — a row with no query vector has no assignment.
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("v", "nv")
+      .withColumn("cells3", expr(
+        "array(struct(1L as cid, array(1.0d) as cv, 1.0d as cn))"))
+      .withColumn("cells2", expr(
+        "array(struct(1 as code, array(1.0d) as cv))"))
+    val r = df.select(
+      expr("graft_argmax_cos(nv, 1.0d, cells3)").as("a"),
+      expr("graft_argmax_cos(v, cast(null as double), cells3)").as("b"),
+      expr("graft_argmax_cos(v, 1.0d, " +
+        "cast(null as array<struct<cid: bigint, cv: array<double>, " +
+        "cn: double>>))").as("c"),
+      expr("graft_argmin_l2(nv, cells2, 6)").as("d"),
+      expr("graft_argmin_l2(v, cast(null as array<struct<code: int, " +
+        "cv: array<double>>>), 6)").as("e")).collect().head
+    for (i <- 0 until 5) assert(r.isNullAt(i),
+      s"column $i: NULL top-level input must yield NULL, got ${r.get(i)}")
+  }
+
   test("empty cell array returns NULL (empty-in, empty-out contract) " +
       "and the kernel appears inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)

@@ -51,6 +51,31 @@ class BasketSpec extends SparkSpec {
       ("z", "y", 1L, 1L, 3L, 1000000L, 1333333L)))
   }
 
+  test("NULL basket ids and NULL items are excluded from supports AND " +
+      "n_baskets (r19 ADVICE: the anti-join reshape must not retain " +
+      "NULL-key rows the old semi join dropped)") {
+    val withNulls = rows
+      .unionAll(Seq((Option.empty[Long], Option("x")),
+        (Option.empty[Long], Option("y")),
+        (Option(2L), Option.empty[String])).toDF("bk", "item"))
+    // pairs unchanged: the NULL-bk pseudo-basket never pairs
+    val p = Basket.pairCounts(withNulls, "bk", "item", maxBasket = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(p == Set(("x", "y", 3L), ("x", "z", 1L), ("y", "z", 1L)))
+    // rules unchanged: NULL-bk rows inflate neither n_lhs nor
+    // n_baskets, NULL item contributes no support — byte-identical to
+    // the clean-input run above
+    val r = Basket.rules(withNulls, "bk", "item", maxBasket = 3)
+      .collect().map(row => (row.getString(0), row.getString(1),
+        row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+        row.getLong(6))).toSet
+    val clean = Basket.rules(rows, "bk", "item", maxBasket = 3)
+      .collect().map(row => (row.getString(0), row.getString(1),
+        row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+        row.getLong(6))).toSet
+    assert(r == clean)
+  }
+
   test("X12c itemCosine: hand-computed cosine-squared ppm; identical " +
       "co-membership hits 10^6 exactly") {
     val rows = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
