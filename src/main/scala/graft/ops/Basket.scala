@@ -12,17 +12,24 @@ import org.apache.spark.sql.functions._
   * same: which items appear together more often than chance?
   *
   * Scale shape — the same cap-before-materialize discipline as
-  * [[Dedup]] and [[Graph.coSupplyEdges]]:
-  *   1. per-basket DISTINCT items (one basket-keyed shuffle; multiple
-  *      lines of the same item in one basket count once);
-  *   2. baskets larger than `maxBasket` are dropped LOUDLY before the
-  *      pair fan-out (a k-item basket emits k·(k−1)/2 pairs — the cap
-  *      bounds the explosion, and a retail basket or document entity
-  *      set has a natural contract size);
-  *   3. the within-basket pair self-join is an EQUI-join on basket id
-  *      (never corpus²), and the (a, b) pair aggregate is bounded by
+  * [[Dedup]] and [[Graph.coSupplyEdges]], reshaped in round 20 (the
+  * r19 verdict's stage decomposition found the capped-items subtree
+  * evaluating TWICE and a pair self-join double-reading its exchange):
+  *   1. per-basket DISTINCT items (one (bk, item)-spread shuffle;
+  *      multiple lines of the same item in one basket count once),
+  *      checkpointed BEFORE the cap branches off it — the over-cap
+  *      list and the capped frame both read the one materialization;
+  *   2. baskets larger than `maxBasket` are dropped LOUDLY before any
+  *      per-basket concentration (a k-item basket emits k·(k−1)/2
+  *      pairs — the cap bounds the explosion, and a retail basket or
+  *      document entity set has a natural contract size);
+  *   3. capped baskets collapse to ONE ROW each — a sorted item array
+  *      of ≤ maxBasket elements — and the within-basket pairing is a
+  *      codegen'd array expansion over that row (never a self-join,
+  *      never corpus²); the (a, b) pair aggregate is bounded by
   *      |items|², not by row count — map-side combined;
-  *   4. item supports ride a broadcast back onto the pair frame.
+  *   4. item supports and the basket total ride broadcasts back onto
+  *      the pair frame.
   *
   * All metrics exact integers: support counts are BIGINTs; confidence
   * = n_ab·10^6 div n_a (ppm); lift = n_ab·N·10^6 div (n_a·n_b) (ppm,
@@ -33,43 +40,48 @@ import org.apache.spark.sql.functions._
   */
 object Basket {
 
+  /** Ceiling on the over-cap basket list that rides the broadcast anti
+    * join below: past this many over-cap baskets the input is
+    * misconfigured (the cap names PATHOLOGICAL baskets), and the guard
+    * raises a descriptive error instead of letting an unbounded
+    * forced broadcast OOM the driver (round 20, r19 ADVICE). 2^22 bk
+    * keys ≈ 32 MB broadcast-side — comfortably broadcast-class, loudly
+    * not a corpus-shaped list. */
+  private val OverCapBroadcastCeiling: Long = 1L << 22
+
   /** Per-basket distinct items, baskets capped at `maxBasket` items.
     *
-    * The ONE exchange is a numbered (bk, item) repartition at the head
-    * (round 19 reshape of the r18 bk-only form, r18 ADVICE): hashing on
-    * the FULL distinct key spreads a hot basket's rows across the
-    * cluster for the dedup, where the bk-only form concentrated every
-    * row of a mega-basket in one task — and a basket far above
-    * `maxBasket` flowed through that single-task distinct before the
-    * cap dropped it. Downstream from the spread distinct, nothing ever
+    * The head exchange is a numbered (bk, item) repartition (round 19,
+    * r18 ADVICE): hashing on the FULL distinct key spreads a hot
+    * basket's rows across the cluster for the dedup, where a bk-only
+    * hash would concentrate every row of a mega-basket in one task
+    * BEFORE the cap could drop it. Downstream, nothing ever
     * re-concentrates an over-cap basket:
     *   - basket sizes partial-aggregate map-side (hash(bk, item) does
     *     not satisfy groupBy(bk), so Spark inserts a partial count —
     *     the per-bk shuffle rows are one per (partition, bk), bounded);
     *   - the cap filter applies as a broadcast ANTI join against the
-    *     OVER-cap basket list, which is broadcast-small by contract
-    *     (the cap names pathological baskets; a corpus where most
-    *     baskets exceed it is misconfigured input — the old ok-list
-    *     semi join would ship a mega-basket's rows to one partition
-    *     just to drop them there);
-    *   - the pair fan-out's bk-keyed numbered repartition happens
-    *     AFTER the cap (in pairsFromItems), over a frame whose
-    *     per-basket row count is ≤ maxBasket by construction.
-    * The numbered repartition is still AQE-coalesce-exempt, so the
-    * distinct runs at full width (the round-18 StageAudit lesson); the
-    * checkpoint caches at that width. */
-  /** Ceiling on the over-cap basket list that rides the broadcast anti
-    * join below: past this many over-cap baskets the input is
-    * misconfigured (the cap names PATHOLOGICAL baskets), and the guard
-    * raises a descriptive error instead of letting an unbounded
-    * broadcast OOM the driver (round 20, r19 ADVICE). 2^22 bk keys ≈
-    * 32 MB broadcast-side — comfortably broadcast-class, loudly not a
-    * corpus-shaped list. */
-  private val OverCapBroadcastCeiling: Long = 1L << 22
-
+    *     OVER-cap basket list (broadcast-small by contract, ENFORCED
+    *     by the ceiling guard — the ok-list semi-join alternative
+    *     would ship a mega-basket's rows to one partition just to
+    *     drop them there);
+    *   - only capped-in baskets (≤ maxBasket distinct items) ever
+    *     reach [[cappedBaskets]]' per-basket collect.
+    * The numbered repartition is AQE-coalesce-exempt, so the distinct
+    * runs at full width (the round-18 StageAudit lesson).
+    *
+    * Round 20: the checkpoint moved ABOVE the cap. The r19 form
+    * checkpointed the capped frame, whose plan contains the over-cap
+    * list — which is itself derived from the same scan+spread+distinct
+    * subtree, so materializing the checkpoint executed that subtree
+    * twice (measured at sf0.1: two ~6 MB spread exchanges, two 32-task
+    * distincts — ~0.7 s of the lane's 3.2 s warm wall). Checkpointing
+    * the DISTINCT frame first makes the cap branch and the main frame
+    * read the one materialization; the anti join itself is a narrow
+    * broadcast op, free to re-derive per consumer. */
   private def basketItems(rows: DataFrame, basketCol: String,
       itemCol: String, maxBasket: Int): DataFrame = {
-    val items = Fanout.byKeyNoCheckpoint(
+    val distinctItems = Fanout.byKeyNoCheckpoint(
         rows.select(col(basketCol).as("bk"), col(itemCol).as("item"))
           // NULL keys out FIRST (round 20, r19 ADVICE): the r19
           // semi→anti reshape would otherwise RETAIN null-bk rows (NULL
@@ -81,7 +93,8 @@ object Basket {
           .filter(col(basketCol).isNotNull && col(itemCol).isNotNull),
         "bk", "item")
       .distinct()
-    val bad = items.groupBy(col("bk"))
+      .localCheckpoint(eager = false)
+    val bad = distinctItems.groupBy(col("bk"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > maxBasket)
       // the broadcast-small-by-contract assumption, ENFORCED lazily
@@ -102,33 +115,50 @@ object Basket {
             s"maxBasket=$maxBasket) — not broadcast-class; the input " +
             "is misconfigured for this cap"))).cast("boolean")))
       .select(col("bk"))
-    items.join(broadcast(bad), Seq("bk"), "left_anti")
-      .localCheckpoint(eager = false)
+    distinctItems.join(broadcast(bad), Seq("bk"), "left_anti")
   }
 
-  private def pairsFromItems(items: DataFrame,
-      minSupport: Long): DataFrame = {
-    // [[Fanout]] (round 18): the within-basket pair self-join is the
-    // k²/2 expansion AQE's coalescer must not see through — the items
-    // frame is a few MB, the pair fan-out is not. `items` arrives
-    // already checkpointed from basketItems, so only the numbered
-    // repartition is added.
-    val fanned = Fanout.byKeyNoCheckpoint(items, "bk")
-    fanned.as("x")
-      .join(fanned.as("y"),
-        col("x.bk") === col("y.bk") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+  /** One row per capped-in basket: (bk, its) with `its` the SORTED
+    * distinct item array, ≤ maxBasket elements by construction — safe
+    * to concentrate because the cap already dropped every basket the
+    * collect could blow up on. The numbered bk repartition keeps the
+    * collect (and every consumer's array expansion) at full width —
+    * the exchange it replaces is exactly the pair fan-out exchange the
+    * r19 self-join form paid, so this costs nothing new. */
+  private def cappedBaskets(rows: DataFrame, basketCol: String,
+      itemCol: String, maxBasket: Int): DataFrame =
+    Fanout.byKeyNoCheckpoint(
+        basketItems(rows, basketCol, itemCol, maxBasket), "bk")
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+
+  /** All a < b item pairs within each basket, as a two-level generate
+    * over the sorted per-basket array (round 20 — replaces the
+    * bk-keyed self-join, which read its fan-out exchange twice and
+    * rebuilt each pair's columns through a join): posexplode picks the
+    * i-th item, slice pairs it with every LATER element of the sorted
+    * array. Bounded by maxBasket²/2 per ROW, and the rows are one per
+    * basket. Deliberately generate + slice, not transform/flatten
+    * HOFs: higher-order functions are CodegenFallback (measured 2× the
+    * stage CPU here), while GenerateExec and slice() stay inside
+    * whole-stage codegen. */
+  private def pairsFromBaskets(baskets: DataFrame,
+      minSupport: Long): DataFrame =
+    baskets
+      .select(col("its"), posexplode(col("its")))
+      .select(col("col").as("a"),
+        explode(expr("slice(its, pos + 2, size(its))")).as("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
-  }
 
   /** Ordered item-pair co-occurrence counts (a < b lexically): one row
     * per pair with its basket count. */
   def pairCounts(rows: DataFrame, basketCol: String, itemCol: String,
       maxBasket: Int = 64, minSupport: Long = 1L): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
-    pairsFromItems(basketItems(rows, basketCol, itemCol, maxBasket),
-      minSupport)
+    pairsFromBaskets(
+      cappedBaskets(rows, basketCol, itemCol, maxBasket), minSupport)
   }
 
   /** Association rules a → b (both directions of every surviving pair):
@@ -137,25 +167,26 @@ object Basket {
   def rules(rows: DataFrame, basketCol: String, itemCol: String,
       maxBasket: Int = 64, minSupport: Long = 1L): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
-    // ONE capped item frame feeds the supports, the pairing and the
-    // basket total — the checkpoint materializes once, never per branch
-    val items = basketItems(rows, basketCol, itemCol, maxBasket)
-    val supports = items.groupBy(col("item"))
-      .agg(count(lit(1)).as("n_item"))
-    // checkpoint: `pairs` feeds BOTH rule directions below, and Catalyst
-    // re-derives repeated subtrees — without it the whole pair fan-out
-    // join executes twice (round 18, measured as two of the lane's three
-    // hottest stages)
-    val pairs = pairsFromItems(items, minSupport)
+    // ONE compact per-basket frame (a ~basket-count × ≤maxBasket-array
+    // table — far smaller than the item rows) feeds the supports, the
+    // pairing and the basket total; the checkpoint materializes once,
+    // never per branch
+    val baskets = cappedBaskets(rows, basketCol, itemCol, maxBasket)
       .localCheckpoint(eager = false)
+    val supports = baskets
+      .select(explode(col("its")).as("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = pairsFromBaskets(baskets, minSupport)
     // every pair in both rule directions: a→b and b→a
     val directed = pairs
       .select(col("a").as("lhs"), col("b").as("rhs"), col("n_ab"))
       .unionAll(pairs
         .select(col("b").as("lhs"), col("a").as("rhs"), col("n_ab")))
     // basket total as a 1-row broadcast, not a driver-side count():
-    // constructing the query stays action-free (lazy end to end)
-    val nb = items.agg(count_distinct(col("bk")).as("n_baskets"))
+    // constructing the query stays action-free (lazy end to end).
+    // One row per capped basket, so plain count == distinct bk count.
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
     directed
       .join(broadcast(supports.withColumnRenamed("item", "lhs")
         .withColumnRenamed("n_item", "n_lhs")), Seq("lhs"))
@@ -182,10 +213,13 @@ object Basket {
   def itemCosine(rows: DataFrame, basketCol: String, itemCol: String,
       maxBasket: Int = 64, minSupport: Long = 1L): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
-    val items = basketItems(rows, basketCol, itemCol, maxBasket)
-    val supports = items.groupBy(col("item"))
+    val baskets = cappedBaskets(rows, basketCol, itemCol, maxBasket)
+      .localCheckpoint(eager = false)
+    val supports = baskets
+      .select(explode(col("its")).as("item"))
+      .groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))
-    pairsFromItems(items, minSupport)
+    pairsFromBaskets(baskets, minSupport)
       .join(broadcast(supports.withColumnRenamed("item", "a")
         .withColumnRenamed("n_item", "n_a")), Seq("a"))
       .join(broadcast(supports.withColumnRenamed("item", "b")

@@ -1097,27 +1097,28 @@ object Graph {
     * per node and the static vote frame is materialized once.
     * Lineage is cut per round (the iterative-frame discipline every
     * graph lane follows). Input may be directed; it is symmetrized +
-    * dedup'd here. Returns (node, label). */
+    * dedup'd here. Returns (node, label).
+    *
+    * Round 20 (r19 verdict item 3 — the x10_lpa bytes_read audit):
+    * the sf0.1 stage bill showed the parquet scan runs ONCE (the
+    * symmetrize union's four scan references dedupe through
+    * ReuseExchange — the "one evaluation" comment was correct); the
+    * ~8× bytes_read multiplier was DESERIALIZED CACHE reads: the
+    * edge checkpoint read twice to fill a votes checkpoint that
+    * duplicated it almost row-for-row (edges + one self-vote row per
+    * node), then the 97 MB votes copy re-read every round — the
+    * per-round re-read is sync LPA's algorithmic floor (every round
+    * joins every vote), but the duplicate resident copy was not. Now
+    * the static frame IS the symmetric edge list (renamed), one
+    * materialization and one resident copy, and the self-vote joins
+    * the count as a UNION of the (tiny) label frame at round time —
+    * the same vote multiset row-for-row, so the oracle is unchanged. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"rounds must be in [1, 20], got $rounds")
-    val und = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .unionAll(edges.select(col("dst").cast("long").as("src"),
-        col("src").cast("long").as("dst"))
-        // self-loops must die in BOTH symmetrization halves: a loop
-        // surviving the reversed branch would double its node's
-        // self-vote and flip min-label ties (review finding)
-        .filter(col("src") =!= col("dst")))
-      .distinct()
-      // three initialization consumers (nodes, votes, the label seed)
-      // — one evaluation of the symmetrize+distinct, not three
-      .localCheckpoint(eager = false)
-    val nodes = und.select(col("src").as("node")).distinct()
-    // vote edges: every neighbor's label flows to the node, plus the
-    // node's own label (the self-vote) — one static frame, reused by
-    // every round's join
+    // vote edges: every neighbor's label flows to the node — the
+    // symmetric dedup'd edge list with (node, nbr) names, and the ONE
+    // materialized static frame of the operator.
     // static-frame strategy on the per-round join key ([[Fanout
     // .pinned]], round 18 — the [[sssp]] discipline): above the pin
     // threshold each round's label join reads the cache co-partitioned
@@ -1125,9 +1126,20 @@ object Graph {
     // vote volume (a localCheckpoint here reported UnknownPartitioning
     // and re-shuffled the votes every round, despite its comment)
     val votes = Fanout.pinned(
-      und.select(col("dst").as("node"), col("src").as("nbr"))
-        .unionAll(nodes.select(col("node"), col("node").as("nbr"))),
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionAll(edges.select(col("dst").cast("long").as("src"),
+          col("src").cast("long").as("dst"))
+          // self-loops must die in BOTH symmetrization halves: a loop
+          // surviving the reversed branch would double its node's
+          // self-vote and flip min-label ties (review finding)
+          .filter(col("src") =!= col("dst")))
+        .distinct()
+        .select(col("dst").as("node"), col("src").as("nbr")),
       "nbr")
+    // the frame is symmetric, so the nbr side names every node
+    val nodes = votes.select(col("nbr").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
       .localCheckpoint(eager = false)
     // width guard for the per-round vote join (round 18, StageAudit):
@@ -1140,6 +1152,12 @@ object Graph {
     (1 to rounds).foreach { _ =>
       labels = votesWide
         .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .select(col("node"), col("label"))
+        // the SELF-VOTE: each node's own previous label joins the
+        // count once — as a union of the label frame itself (round
+        // 20), not as materialized (node, node) rows in the static
+        // frame: same vote multiset, one resident copy fewer
+        .unionAll(labels)
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
         // argmax by (cnt desc, label asc) as a HASH aggregate — max_by
         // over the (cnt, −label) struct is the same total order with no

@@ -586,15 +586,23 @@ class PlanShapeSpec extends SparkSpec {
       "user_id", "ts", floor(col("value") * 100 + lit(0.5)).cast("long"))
     assert(countJoins(se.queryExecution.executedPlan) == 0,
       "seasonal profile must be join-free:\n" + planOf(se).take(2000))
-    // basket pairs: the within-basket pairing is an EQUI-join on the
-    // basket id — never cartesian. (The cap's semi join sits behind the
-    // items checkpoint boundary — invisible to this plan by design; the
-    // cap CONTRACT is pinned in BasketSpec's mega-basket test.)
+    // basket pairs (round 20 reshape): the within-basket pairing is a
+    // GENERATE expansion over the capped per-basket sorted array —
+    // no self-join at all (the r19 bk equi-join read its fan-out
+    // exchange twice), and certainly never cartesian. (The cap's anti
+    // join sits behind the items checkpoint boundary — invisible to
+    // this plan by design; the cap CONTRACT is pinned in BasketSpec's
+    // mega-basket test.)
     val pb = plan("x12_basket_pairs")
     assert(!pb.contains("CartesianProduct"),
       "basket pairing went cartesian:\n" + pb.take(2000))
-    assert(pb.contains("SortMergeJoin") || pb.contains("ShuffledHashJoin"),
-      "basket pairing should be a bk equi-join:\n" + pb.take(2000))
+    assert(!pb.contains("SortMergeJoin") && !pb.contains("ShuffledHashJoin"),
+      "basket pairing regressed to a shuffled join (the array expansion " +
+        "needs none; the only join is the broadcast anti cap):\n" +
+        pb.take(2000))
+    assert(pb.contains("Generate"),
+      "basket pairing should be a generate over the per-basket array:\n" +
+        pb.take(2000))
     // boilerplate, bfs, ppr: equi-joins only
     for (n <- Seq("x4_boilerplate", "x10_bfs", "x10_ppr")) {
       val p = plan(n)
