@@ -95,9 +95,21 @@ object Graph {
     * recomputing it. Returns hist(0..iters); each frame (node, score)
     * is localCheckpoint'd (it is re-read per incremental round).
     * Same integer-ppm kernel as [[pageRank]], round for round. */
-  def pageRankWithHistory(edges: DataFrame, iters: Int): Seq[DataFrame] = {
+  def pageRankWithHistory(edges: DataFrame, iters: Int): Seq[DataFrame] =
+    pageRankStateWithHistory(edges, iters)._1
+
+  /** [[pageRankWithHistory]] plus the retained OUT-DEGREE frame —
+    * the full standing state incremental maintenance needs (round 20,
+    * r19 verdict item 4): with deg0 retained like the score history,
+    * [[pageRankIncremental]]'s maintain path patches degrees from the
+    * change set instead of re-aggregating the whole edge list — the
+    * last O(graph) shuffle on the maintain path. */
+  def pageRankStateWithHistory(edges: DataFrame, iters: Int)
+      : (Seq[DataFrame], DataFrame) = {
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
+      // retained state, re-read by the maintain path — materialize once
+      .localCheckpoint(eager = false)
     val e = Fanout.pinned(edges.join(deg, Seq("src")), "src")
     var rank = e.select(col("src")).distinct()
       .select(col("src").as("node"), lit(1000000L).as("score"))
@@ -115,7 +127,7 @@ object Graph {
         .localCheckpoint(eager = false)
       hist += rank
     }
-    hist.result()
+    (hist.result(), deg)
   }
 
   /** X7z — INCREMENTAL PAGERANK MAINTENANCE (round 19): the standing
@@ -161,7 +173,8 @@ object Graph {
     * the merged final edge set (x7_incr_pagerank). */
   def pageRankIncremental(hist: Seq[DataFrame], edges1: DataFrame,
       changed: DataFrame, iters: Int,
-      broadcastFrontier: Boolean = true): DataFrame = {
+      broadcastFrontier: Boolean = true,
+      deg0: Option[DataFrame] = None): DataFrame = {
     require(hist.length == iters + 1,
       s"history must carry rounds 0..$iters, got ${hist.length} frames")
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -177,14 +190,7 @@ object Graph {
     // in-edge restriction (semi-join by dst ∈ dirty), degree
     // annotation and mix lookup all hash the frontier-sized side and
     // stream-scan the big one — zero graph-sized shuffle per round.
-    // The one remaining O(graph) SHUFFLE is the degree aggregation
-    // itself (partial-combined); maintaining degrees incrementally
-    // (deg0 retained like the score history, delta = changed-src
-    // recounts) is the known next rung if it ever dominates.
     val e = edges1.localCheckpoint(eager = false)
-    val deg = edges1.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("outdeg"))
-      .localCheckpoint(eager = false)
     // `broadcastFrontier` (default) HINTS the frontier-keyed sides into
     // broadcast joins: a checkpoint's preserved plan statistics
     // over-estimate the dirty frames, so the optimizer otherwise plans
@@ -199,6 +205,28 @@ object Graph {
     def bcast(df: DataFrame): DataFrame =
       if (broadcastFrontier) broadcast(df) else df
     val srcChanged = changed.select(col("src")).distinct()
+    // DEGREES (round 20, r19 verdict item 4 — the last O(graph)
+    // shuffle on the maintain path, now gone when the caller retains
+    // deg0 from [[pageRankStateWithHistory]]): only sources whose
+    // out-edge SET changed can have a changed out-degree, and every
+    // such source has a row in `changed` — so v1 degrees = v0 degrees
+    // for untouched sources (broadcast anti, narrow) ∪ a recount of
+    // the changed sources' v1 out-edges (broadcast semi stream-scan +
+    // a frontier-sized partial-combining count). A source that lost
+    // its last edge vanishes (no recount row — correct: the v1 seed
+    // frame is built from deg); a brand-new source recounts in.
+    // Without deg0 the degree frame falls back to the full
+    // aggregation (partial-combined, the r19 form).
+    val deg = (deg0 match {
+      case Some(d0) =>
+        d0.join(bcast(srcChanged), Seq("src"), "left_anti")
+          .unionByName(e.join(bcast(srcChanged), Seq("src"), "left_semi")
+            .groupBy(col("src"))
+            .agg(count(lit(1)).cast("long").as("outdeg")))
+      case None =>
+        edges1.groupBy(col("src"))
+          .agg(count(lit(1)).cast("long").as("outdeg"))
+    }).localCheckpoint(eager = false)
     val dirty1 = changed.select(col("dst").as("node"))
       .unionByName(e.join(bcast(srcChanged), Seq("src"), "left_semi")
         .select(col("dst").as("node")))

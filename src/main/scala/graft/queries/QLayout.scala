@@ -887,12 +887,15 @@ object QLayout {
     (s, d) => {
       val root = edgePrSnapshot(s, d)
       val snap = s"$root/snap"
-      val hist = Graph.pageRankWithHistory(
+      // round 20: retain the v0 degree frame alongside the score
+      // history — the maintain path patches degrees from the change
+      // set instead of re-aggregating the merged edge list
+      val (hist, deg0) = Graph.pageRankStateWithHistory(
         Cdc.snapshotAt(s, snap, 0).select(col("src"), col("dst")), 3)
       val diff = Cdc.snapshotDiff(s, snap, 0, 1)
       Graph.pageRankIncremental(hist,
           Cdc.snapshotAt(s, snap, 1).select(col("src"), col("dst")),
-          diff.select(col("src"), col("dst")), 3)
+          diff.select(col("src"), col("dst")), 3, deg0 = Some(deg0))
         .orderBy(col("node"))
     },
     Some("""-- nonneg-div(6): ppm rank mass >= 0 throughout

@@ -79,16 +79,21 @@ object IncrStressProbe {
         ("hub_adjacent", e0hub, hubChanged)).foreach {
       case (tag, e0, changed) =>
         // the standing state a deployment already has — timed separately
-        val hist = {
+        // (round 20: the retained state now includes the v0 degree
+        // frame, so the maintain path patches degrees from the change
+        // set instead of re-aggregating the merged edge list)
+        val (hist, deg0) = {
           shuffle.set(0L); val t0 = System.nanoTime()
-          val h = graft.ops.Graph.pageRankWithHistory(e0, 3)
-          h.last.count()
+          val hd = graft.ops.Graph.pageRankStateWithHistory(e0, 3)
+          hd._1.last.count()
+          hd._2.count()
           println(f"[incr] ${tag}_v0_history   ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
             f"  shuffle=${shuffle.get / 1e6}%8.1f MB")
-          h
+          hd
         }
         val maintained = timed(s"${tag}_maintain")(
-          graft.ops.Graph.pageRankIncremental(hist, e1, changed, 3)
+          graft.ops.Graph.pageRankIncremental(hist, e1, changed, 3,
+              deg0 = Some(deg0))
             .localCheckpoint())
         require(sig(maintained).toSeq == fullSig,
           s"$tag: maintained result != full recompute")
