@@ -632,9 +632,18 @@ object TextOps {
     def tokens(df: DataFrame): DataFrame =
       df.select(col(idCol), col(labelCol),
         explode(split(lower(col(textCol)), " ")).as("w"))
-    val train = docs.filter(trainFilter)
-    val test = docs.filter(!trainFilter)
-    val trainToks = tokens(train).localCheckpoint(eager = false)
+    nbArgmax(tokens(docs.filter(trainFilter)),
+      tokens(docs.filter(!trainFilter)).drop(labelCol), idCol, labelCol)
+  }
+
+  /** The NB scoring core shared by [[nbClassify]] (word tokens) and
+    * [[langId]] (char n-grams) — round 20 factoring, plan-identical to
+    * the r14 inline body: add-one-smoothed integer-ppm conditional
+    * sums, argmax with ties to the smallest label. `trainToks` carries
+    * (idCol, labelCol, w), `testToks` (idCol, w). */
+  private def nbArgmax(trainToks0: DataFrame, testToks: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val trainToks = trainToks0.localCheckpoint(eager = false)
     val vocab = trainToks.select(col("w")).distinct()
       .groupBy().agg(count(lit(1)).as("v"))
     // per-class token totals + add-one denominator (|classes| rows)
@@ -647,7 +656,7 @@ object TextOps {
       .agg(count(lit(1)).as("c_wc"))
     // every test token votes for EVERY class: broadcast the class list,
     // left-join the (w, cls) stats, absent pairs smooth to c_wc = 0
-    val scored = tokens(test).drop(labelCol)
+    val scored = testToks
       .crossJoin(broadcast(classTotals))
       .join(wc, Seq("w", "cls"), "left")
       .withColumn("p_ppm",
@@ -660,6 +669,46 @@ object TextOps {
     scored.withColumn("_rk", row_number().over(best))
       .filter(col("_rk") === 1)
       .select(col(idCol), col("cls").as("predicted"), col("score_ppm"))
+  }
+
+  /** X4u — character-n-gram LANGUAGE IDENTIFICATION (round 20, r19
+    * verdict item 6): the Cavnar–Trenkle (1994) / CLD-class langid
+    * slot — the one curation stage every real pre-train pipeline runs
+    * before quality scoring, which the engine previously assumed as a
+    * pre-supplied `lang` column. Character n-grams, not words, are the
+    * standard langid feature (function-morphology lives in character
+    * sequences; the vocabulary is tiny and closed), and the classifier
+    * is the SAME add-one-smoothed integer-ppm NB argmax the engine
+    * already proved portable on x4_nb_classify — trained on a labeled
+    * split, predicting every held-out document.
+    *
+    * Gram extraction is a codegen-friendly generate: explode the
+    * position sequence, substring(t, i, n) — no higher-order
+    * functions (the [[graft.ops.Basket]] round-20 lesson: transform/
+    * flatten are CodegenFallback). The text is lowercased and padded
+    * with one boundary space each side (word-boundary grams carry
+    * strong language signal — the Cavnar–Trenkle convention).
+    * Documents shorter than n characters after padding produce no
+    * grams and are absent from the output (empty-in, empty-out).
+    *
+    * Scale shape: identical to [[nbClassify]] with a ~word-length×
+    * larger token stream — training counts partial-combine to the
+    * (tiny, closed) gram vocabulary × classes; scoring is ONE
+    * token-stream shuffle joined against broadcast class stats.
+    * Returns (idCol, predicted, score_ppm) for held-out docs. */
+  def langId(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, trainFilter: Column, n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(labelCol),
+          concat(lit(" "), lower(col(textCol)), lit(" ")).as("_t"))
+        .filter(length(col("_t")) >= n)
+        .select(col(idCol), col(labelCol), col("_t"),
+          explode(expr(s"sequence(1, length(_t) - ${n - 1})")).as("_i"))
+        .select(col(idCol), col(labelCol),
+          expr(s"substring(_t, _i, $n)").as("w"))
+    nbArgmax(grams(docs.filter(trainFilter)),
+      grams(docs.filter(!trainFilter)).drop(labelCol), idCol, labelCol)
   }
 
   /** X4s — token co-occurrence lift / PMI ranking (round 14): pairs of

@@ -59,6 +59,54 @@ object QText {
            |ORDER BY doc_id""".stripMargin))
 
 
+  /** X4u — char-trigram language identification (round 20, r19 verdict
+    * item 6): Cavnar–Trenkle-class langid as the integer-ppm NB argmax
+    * over character 3-grams of the space-padded lowercased text,
+    * trained on the doc_id % 5 <> 0 split, every held-out doc
+    * classified — ties to the smallest label, judged to the last ppm
+    * (the oracle replays the same gram extraction and smoothing). */
+  val x4LangIdNgram = QuerySpec("x4_langid_ngram",
+    (s, d) => TextOps.langId(T(s, d, "documents"), "text", "doc_id",
+        "lang", trainFilter = col("doc_id") % 5 =!= 0, n = 3)
+      .orderBy(col("doc_id")),
+    Some("""-- nonneg-div(1): add-one-smoothed counts
+           |WITH src AS (
+           |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t
+           |  FROM documents WHERE len(' ' || lower(text) || ' ') >= 3),
+           |tr AS (
+           |  SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS w
+           |  FROM (SELECT doc_id, lang, t,
+           |          unnest(range(1, len(t) - 1)) AS i FROM src)
+           |  WHERE doc_id % 5 <> 0),
+           |te AS (
+           |  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS w
+           |  FROM (SELECT doc_id, lang, t,
+           |          unnest(range(1, len(t) - 1)) AS i FROM src)
+           |  WHERE doc_id % 5 = 0),
+           |v AS (SELECT count(DISTINCT w) AS v FROM tr),
+           |ct AS (
+           |  SELECT lang AS cls, count(*) + (SELECT v FROM v) AS denom
+           |  FROM tr GROUP BY 1),
+           |sc AS (
+           |  SELECT te.doc_id, ct.cls,
+           |    sum(((coalesce(wc.c_wc, 0) + 1) * 1000000) // ct.denom)
+           |      AS score_ppm
+           |  FROM te CROSS JOIN ct
+           |  LEFT JOIN (
+           |    SELECT w, lang AS cls, count(*) AS c_wc
+           |    FROM tr GROUP BY 1, 2) wc
+           |    ON wc.w = te.w AND wc.cls = ct.cls
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT doc_id, cls AS predicted, score_ppm,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score_ppm DESC, cls) AS rk
+           |  FROM sc)
+           |SELECT doc_id, predicted, CAST(score_ppm AS BIGINT) AS score_ppm
+           |FROM r WHERE rk = 1
+           |ORDER BY doc_id""".stripMargin))
+
+
   /** X4m — corpus-LM quality score (round 11): train bigram statistics
     * on the corpus and score every document's average conditional
     * probability in ppm, all-integer (see TextOps.lmScore) — the

@@ -217,6 +217,39 @@ object StressBench {
       trainSet, evalSet, "text", "doc_id", n = 5, k = 3, m = mSized)
       .filter(col("contaminated")))
 
+    // ---- char-trigram langid at corpus scale (round 20, r19 verdict
+    // item 6): the synthetic md5 text carries no language signal, so
+    // the corpus is salted with a deterministic per-lang character
+    // marker — which makes ACCURACY a contract, not a hope: the NB
+    // trigram stats trained on the 80% split must classify EVERY
+    // held-out doc's language correctly, and the held-out row count
+    // must equal the split size exactly. The stream is ~240 chars/doc
+    // of trigrams (~24M gram rows at n=100k) — the ONE corpus-sized
+    // shuffle the operator's scale contract allows.
+    stage("langid_100k") {
+      val salted = docs.withColumn("text",
+        concat(col("text"), expr("repeat(concat(' q', lang, 'tag'), 4)")))
+      ops.TextOps.langId(salted, "text", "doc_id", "lang",
+        trainFilter = col("doc_id") % 5 =!= 0, n = 3)
+    }
+    locally {
+      val salted = docs.withColumn("text",
+        concat(col("text"), expr("repeat(concat(' q', lang, 'tag'), 4)")))
+      val pred = ops.TextOps.langId(salted, "text", "doc_id", "lang",
+        trainFilter = col("doc_id") % 5 =!= 0, n = 3)
+      val r = pred.join(docs.select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .agg(count(lit(1)),
+          sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)))
+        .collect().head
+      val (total, correct) = (r.getLong(0), r.getLong(1))
+      require(total == (n + 4) / 5,
+        s"langid must classify every held-out doc: $total of ${(n + 4) / 5}")
+      require(correct == total,
+        s"langid missed the planted language marker: $correct/$total")
+      System.err.println(s"[stress] langid_contract  acc=$correct/$total")
+    }
+
     // ---- triangle counting on a deliberately skewed graph: one hub of
     // degree n/2 (spokes + a leaf chain closing ~n/2 hub triangles) plus
     // (n/2)/10 disjoint 10-cliques (120 triangles each). The orientation

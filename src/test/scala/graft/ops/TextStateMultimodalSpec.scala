@@ -389,6 +389,46 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("X4u langId: classifies by character-trigram signature (word " +
+      "tokens identical), pads boundaries, drops sub-n docs, ties to " +
+      "the smaller label") {
+    // the WORD vocabularies are identical across classes — only the
+    // character composition differs (München-style diacritic signal a
+    // word-token NB cannot see; here: 'qq' vs 'zz' interior bigrams)
+    val docs = Seq(
+      (1L, "aqqa aqqa bqqb", "qlang"),
+      (2L, "bqqb aqqa aqqa", "qlang"),
+      (3L, "azza azza bzzb", "zlang"),
+      (4L, "bzzb azza azza", "zlang"),
+      // held-out: trigram evidence must pick the matching class
+      (5L, "aqqa bqqb", "qlang"),
+      (10L, "azza bzzb", "zlang"),
+      // held-out shorter than n AFTER padding (len 3 with pads): ok —
+      // one char yields exactly one padded trigram, still classified;
+      // a truly empty text (2 pad chars < 3) drops from the output
+      (15L, "", "qlang")
+    ).toDF("doc_id", "text", "lang")
+    import org.apache.spark.sql.functions.col
+    val pred = TextOps.langId(docs, "text", "doc_id", "lang",
+        trainFilter = col("doc_id") % 5 =!= 0, n = 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(pred.get(5L).contains("qlang") && pred.get(10L).contains("zlang"),
+      s"trigram signal must decide the class: $pred")
+    assert(!pred.contains(15L),
+      "an empty text (padded length 2 < n) must drop from the output " +
+        "(empty-in, empty-out)")
+    // exact tie on identical char evidence resolves lexicographically
+    val tied = Seq(
+      (1L, "mm", "beta"), (2L, "mm", "alpha"), (5L, "mm", "beta"))
+      .toDF("doc_id", "text", "lang")
+    val t = TextOps.langId(tied, "text", "doc_id", "lang",
+        trainFilter = col("doc_id") % 5 =!= 0, n = 3)
+      .as[(Long, String, Long)].collect()
+    assert(t.map(r => r._1 -> r._2).toMap == Map(5L -> "alpha"),
+      s"tie must break to the smaller label: ${t.toSeq}")
+  }
+
   test("O-ST1 currentState is the latest action per job") {
     val log = Seq(
       (1L, 1000, ts(0), 0L), (1L, 1001, ts(1), 1L), (1L, 1300, ts(2), 2L),
