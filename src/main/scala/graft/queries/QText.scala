@@ -104,7 +104,8 @@ object QText {
            |  FROM sc)
            |SELECT doc_id, predicted, CAST(score_ppm AS BIGINT) AS score_ppm
            |FROM r WHERE rk = 1
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin),
+    bench = true)
 
 
   /** X4m — corpus-LM quality score (round 11): train bigram statistics

@@ -736,6 +736,28 @@ object StressBench {
         .isEmpty,
       "LPA labels on the 10-clique graph must be the clique base")
 
+    // round 20: the SAME clique contract at 1M nodes — the symmetric
+    // vote frame (~9M rows) crosses the Fanout.pinned threshold, so
+    // this point exercises the PIN branch of the round-20 single-frame
+    // reshape (per-round join reads the co-partitioned persist,
+    // exchanging only the label frame; the self-vote arrives as a
+    // union of the label frame, never materialized into the static
+    // copy). 100k above stays the checkpoint-branch point.
+    val cliques1m = spark.range(1000000L)
+      .filter("id % 10 <> 9")
+      .selectExpr("id as src",
+        "explode(sequence(id + 1, (id div 10) * 10 + 9)) as dst")
+    var lpa1m: DataFrame = null
+    stage("lpa_1m") {
+      lpa1m = ops.Graph.labelPropagation(cliques1m, 2)
+      lpa1m
+    }
+    require(results("lpa_1m")._2 == 1000000L,
+      s"LPA must label every node at 1M: ${results("lpa_1m")._2}")
+    require(lpa1m.filter(col("label") =!= expr("(node div 10) * 10"))
+        .isEmpty,
+      "LPA labels on the 1M 10-clique graph must be the clique base")
+
     // KMV at 1M distinct values, k = 256: the build is one
     // map-side-combined distinct + a k-minima merge, and the estimate
     // must land inside the 3/sqrt(k) ≈ 19% band — the sketch's declared
