@@ -254,6 +254,27 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("X10k label propagation: the Fanout.pinned PIN branch yields " +
+      "labels identical to the checkpoint branch (round-20 reshape)") {
+    // the round-20 LPA carries its static frame through Fanout.pinned;
+    // below the derived threshold every unit test exercises only the
+    // checkpoint branch, so force the PIN branch (threshold 0) and
+    // assert label equality — the same global-seam discipline as
+    // PinLaneAb, scoped with try/finally. StressBench's lpa_1m is the
+    // at-scale point; this pins branch equivalence in CI.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val want = Graph.labelPropagation(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    sys.props.put("graft.fanout.pinMinBytes", "0")
+    try {
+      val pinned = Graph.labelPropagation(edges, 3)
+        .as[(Long, Long)].collect().toMap
+      assert(pinned == want,
+        s"PIN-branch labels diverge from checkpoint branch: $pinned vs $want")
+    } finally sys.props.remove("graft.fanout.pinMinBytes")
+  }
+
   test("X10l modularity: two separated cliques score high, one blob " +
       "scores zero, hand-computed Q matches") {
     // two triangles joined by one bridge edge: m = 7
