@@ -46,8 +46,13 @@ object Basket {
     * raises a descriptive error instead of letting an unbounded
     * forced broadcast OOM the driver (round 20, r19 ADVICE). 2^22 bk
     * keys ≈ 32 MB broadcast-side — comfortably broadcast-class, loudly
-    * not a corpus-shaped list. */
-  private val OverCapBroadcastCeiling: Long = 1L << 22
+    * not a corpus-shaped list. Overridable via
+    * -Dgraft.basket.overCapCeiling ONLY so BasketSpec can red-prove
+    * the guard fires (the WidthGateSpec seam discipline) — never set
+    * it in production. */
+  private def overCapBroadcastCeiling: Long =
+    sys.props.get("graft.basket.overCapCeiling").map(_.toLong)
+      .getOrElse(1L << 22)
 
   /** Per-basket distinct items, baskets capped at `maxBasket` items.
     *
@@ -107,11 +112,11 @@ object Basket {
       // fails loudly, never OOMs the driver mid-broadcast.
       .withColumn("_n_overcap", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
-      .filter(when(col("_n_overcap") <= lit(OverCapBroadcastCeiling),
+      .filter(when(col("_n_overcap") <= lit(overCapBroadcastCeiling),
           lit(true))
         .otherwise(raise_error(concat(
           lit("Basket: over-cap basket list has "), col("_n_overcap"),
-          lit(s" entries (> ceiling $OverCapBroadcastCeiling with " +
+          lit(s" entries (> ceiling $overCapBroadcastCeiling with " +
             s"maxBasket=$maxBasket) — not broadcast-class; the input " +
             "is misconfigured for this cap"))).cast("boolean")))
       .select(col("bk"))

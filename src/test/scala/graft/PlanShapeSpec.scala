@@ -589,10 +589,11 @@ class PlanShapeSpec extends SparkSpec {
     // basket pairs (round 20 reshape): the within-basket pairing is a
     // GENERATE expansion over the capped per-basket sorted array —
     // no self-join at all (the r19 bk equi-join read its fan-out
-    // exchange twice), and certainly never cartesian. (The cap's anti
-    // join sits behind the items checkpoint boundary — invisible to
-    // this plan by design; the cap CONTRACT is pinned in BasketSpec's
-    // mega-basket test.)
+    // exchange twice), and certainly never cartesian. The only join
+    // in the plan is the cap's BROADCAST anti join (visible above the
+    // distinct checkpoint since the r20 reshape moved the checkpoint
+    // below the cap); the cap and ceiling CONTRACTS are pinned in
+    // BasketSpec and StressBench's basket_capped mega-basket plant.
     val pb = plan("x12_basket_pairs")
     assert(!pb.contains("CartesianProduct"),
       "basket pairing went cartesian:\n" + pb.take(2000))

@@ -76,6 +76,30 @@ class BasketSpec extends SparkSpec {
     assert(r == clean)
   }
 
+  test("the over-cap broadcast ceiling fires LOUDLY past the bound " +
+      "(r19 ADVICE guard, red-proven via the test seam)") {
+    // four over-cap baskets against a ceiling of 3: the lazy window
+    // guard must raise the descriptive error instead of broadcasting
+    // an unbounded over-cap list
+    val many = (1L to 4L).flatMap(bk =>
+      (1 to 4).map(i => (bk, s"i$i"))).toDF("bk", "item")
+    sys.props.put("graft.basket.overCapCeiling", "3")
+    try {
+      val e = intercept[Exception] {
+        Basket.pairCounts(many, "bk", "item", maxBasket = 3).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("not broadcast-class")),
+        s"expected the descriptive ceiling error, got: ${msgs(e)}")
+      // and with the ceiling satisfied the same input caps quietly
+      sys.props.put("graft.basket.overCapCeiling", "4")
+      assert(Basket.pairCounts(many, "bk", "item", maxBasket = 3)
+        .collect().isEmpty)
+    } finally sys.props.remove("graft.basket.overCapCeiling")
+  }
+
   test("X12c itemCosine: hand-computed cosine-squared ppm; identical " +
       "co-membership hits 10^6 exactly") {
     val rows = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
