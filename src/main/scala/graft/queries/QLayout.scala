@@ -932,6 +932,66 @@ object QLayout {
     bench = true)
 
 
+  /** X7y — INCREMENTAL LPA MAINTENANCE (round 20): the community
+    * labeling follows the SAME edge snapshot through the same merge as
+    * x7_incr_pagerank, at cost ∝ the change's `rounds`-hop
+    * neighborhood — the dirty-frontier maintenance pattern
+    * transplanted to the second fixed-round graph result
+    * ([[graft.ops.Graph.labelPropagationIncremental]] has the
+    * round-by-round argument, including the membership cases: nodes
+    * vanishing with their last edge, nodes born in the merge). Judged
+    * as the strongest claim available: the maintained labeling
+    * hash-matches the oracle's direct unrolled 3-round recompute over
+    * the merged final edge set (the x10_lpa CTE chain, re-rooted at
+    * the snapshot's v1 predicate). */
+  val x7IncrLpa = QuerySpec("x7_incr_lpa",
+    (s, d) => {
+      val root = edgePrSnapshot(s, d)
+      val snap = s"$root/snap"
+      // the retained state is the per-round label history AND the v0
+      // vote frame — the maintain path patches the votes from the
+      // change set instead of re-running the v1 symmetrize+distinct
+      val (hist, votes0) = Graph.labelPropagationStateWithHistory(
+        Cdc.snapshotAt(s, snap, 0).select(col("src"), col("dst")), 3)
+      val diff = Cdc.snapshotDiff(s, snap, 0, 1)
+      Graph.labelPropagationIncremental(hist,
+          Cdc.snapshotAt(s, snap, 1).select(col("src"), col("dst")),
+          diff.select(col("src"), col("dst")), 3, votes0 = Some(votes0))
+        .orderBy(col("node"))
+    },
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE (o_custkey * 2 + l_suppkey * 2 + 1) % 11 <> 3),
+           |und AS (SELECT src, dst FROM e0
+           |        UNION ALL SELECT dst, src FROM e0),
+           |n AS (SELECT DISTINCT src AS node FROM und),
+           |v AS (SELECT dst AS node, src AS nbr FROM und
+           |      UNION ALL SELECT node, node FROM n),
+           |l0 AS (SELECT node, node AS label FROM n),
+           |c1 AS (SELECT v.node, l.label, count(*) AS cnt
+           |  FROM v JOIN l0 l ON v.nbr = l.node GROUP BY 1, 2),
+           |l1 AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY cnt DESC, label) AS rn
+           |    FROM c1) WHERE rn = 1),
+           |c2 AS (SELECT v.node, l.label, count(*) AS cnt
+           |  FROM v JOIN l1 l ON v.nbr = l.node GROUP BY 1, 2),
+           |l2 AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY cnt DESC, label) AS rn
+           |    FROM c2) WHERE rn = 1),
+           |c3 AS (SELECT v.node, l.label, count(*) AS cnt
+           |  FROM v JOIN l2 l ON v.nbr = l.node GROUP BY 1, 2),
+           |l3 AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY cnt DESC, label) AS rn
+           |    FROM c3) WHERE rn = 1)
+           |SELECT node, label FROM l3 ORDER BY node""".stripMargin),
+    bench = true)
+
+
   /** X7t — INCREMENTAL PER-SHARD HLL INDEX (round 14): the cardinality
     * member of the index-follows-the-snapshot family — one 64-register
     * HLL per shard answering "approx distinct tokens per storage

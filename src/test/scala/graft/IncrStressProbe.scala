@@ -99,6 +99,36 @@ object IncrStressProbe {
           s"$tag: maintained result != full recompute")
         println(s"[incr] ${tag}_EQUAL full recompute: true")
     }
+
+    // ---- round 20: the SAME scenarios for incremental LPA (the
+    // second fixed-round graph result under dirty-frontier
+    // maintenance). Signature over (node, label) this time.
+    def sigL(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+      df.select(md5(concat_ws(":", col("node"), col("label"))).as("h"))
+        .agg(count(lit(1)), sum(conv(substring(col("h"), 1, 8), 16, 10)
+          .cast("long"))).collect().toSeq
+    val fullLpa = timed("lpa_full_recompute")(
+      graft.ops.Graph.labelPropagation(e1, 3).localCheckpoint())
+    val fullLpaSig = sigL(fullLpa)
+    Seq(("lpa_chain_local", e0local, localChanged),
+        ("lpa_hub_adjacent", e0hub, hubChanged)).foreach {
+      case (tag, e0, changed) =>
+        val (hist, votes0) = {
+          shuffle.set(0L); val t0 = System.nanoTime()
+          val hv = graft.ops.Graph.labelPropagationStateWithHistory(e0, 3)
+          hv._1.last.count()
+          println(f"[incr] ${tag}_v0_history   ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+            f"  shuffle=${shuffle.get / 1e6}%8.1f MB")
+          hv
+        }
+        val maintained = timed(s"${tag}_maintain")(
+          graft.ops.Graph.labelPropagationIncremental(hist, e1, changed, 3,
+              votes0 = Some(votes0))
+            .localCheckpoint())
+        require(sigL(maintained) == fullLpaSig,
+          s"$tag: maintained labels != full recompute")
+        println(s"[incr] ${tag}_EQUAL full recompute: true")
+    }
     spark.stop()
   }
 }
