@@ -95,7 +95,11 @@ object Basket {
           // n_baskets — inflating supports against a population that
           // doesn't contain them. A null basket id or null item is
           // membership noise, not a basket; both sides agree it's out.
-          .filter(col(basketCol).isNotNull && col(itemCol).isNotNull),
+          // Filter on the POST-rename names (round 21, r20 ADVICE):
+          // referencing the pre-rename columns here leaned on Spark's
+          // ResolveMissingReferences recovery, which breaks if the
+          // input already carries a column literally named bk/item.
+          .filter(col("bk").isNotNull && col("item").isNotNull),
         "bk", "item")
       .distinct()
       .localCheckpoint(eager = false)

@@ -68,13 +68,24 @@ object Graph {
     // form's few AQE-coalesced exchanges are cheaper than the pin's
     // fixed costs.
     val e = Fanout.pinned(edges.join(deg, Seq("src")), "src")
-    // rank carries its node id as "src" so every iteration's join is the
-    // by-name equi-join on the edge source key (no self-join ambiguity);
-    // seeded FROM the checkpointed frame so the final unrolled plan never
-    // re-derives the raw edge list at all
-    var rank = e.select(col("src")).distinct()
-      .select(col("src"), lit(1000000L).as("score"))
-    (1 to iters).foreach { _ =>
+    // ROUND 1 CONSTANT-FOLDED (round 21, guide §2.4 — remove shuffles
+    // outright): every round-0 score is the literal 1,000,000, so the
+    // first round's per-edge contribution is `1000000 div outdeg` read
+    // straight off the static frame — no seed frame, which deletes the
+    // |E|-row `select(src).distinct()` exchange AND round 1's
+    // rank-equi-join from the plan. Identical arithmetic: the seed join
+    // only ever attached that constant to every edge source (the static
+    // frame's src set IS the round-0 node set). Rounds 2..n carry the
+    // rank frame as "src" so each join is the by-name equi-join on the
+    // edge source key (no self-join ambiguity).
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var rank = e
+      .select(col("dst"), expr("1000000 div outdeg").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("c"))
+      .select(col("dst").as("src"),
+        (lit(150000L) + expr("(850 * c) div 1000")).as("score"))
+    (2 to iters).foreach { _ =>
       rank = e.join(rank, Seq("src"))
         .select(col("dst"), expr("score div outdeg").as("contrib"))
         .groupBy(col("dst"))
@@ -111,12 +122,28 @@ object Graph {
       // retained state, re-read by the maintain path — materialize once
       .localCheckpoint(eager = false)
     val e = Fanout.pinned(edges.join(deg, Seq("src")), "src")
-    var rank = e.select(col("src")).distinct()
+    // round-0 seed READ OFF THE RETAINED DEGREE FRAME (round 21, guide
+    // §2.4): deg's key set IS the distinct source set, already
+    // materialized as a checkpoint — the old `e.select(src).distinct()`
+    // re-aggregated the |E|-row static frame for the same rows. No
+    // extra checkpoint: the seed is a narrow projection of deg's cache.
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var rank = deg
       .select(col("src").as("node"), lit(1000000L).as("score"))
-      .localCheckpoint(eager = false)
     val hist = Seq.newBuilder[DataFrame]
     hist += rank
-    (1 to iters).foreach { _ =>
+    // round 1 CONSTANT-FOLDED like [[pageRank]]: every round-0 score is
+    // the literal 1,000,000, so round 1 reads `1000000 div outdeg`
+    // straight off the static frame — no rank join.
+    rank = e
+      .select(col("dst"), expr("1000000 div outdeg").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("c"))
+      .select(col("dst").as("node"),
+        (lit(150000L) + expr("(850 * c) div 1000")).as("score"))
+      .localCheckpoint(eager = false)
+    hist += rank
+    (2 to iters).foreach { _ =>
       rank = e.join(rank.select(col("node").as("src"), col("score")),
           Seq("src"))
         .select(col("dst"), expr("score div outdeg").as("contrib"))
@@ -1150,15 +1177,25 @@ object Graph {
     * because they all call this. Self-loops must die in BOTH halves: a
     * loop surviving the reversed branch would double its node's
     * self-vote and flip min-label ties (review finding). */
-  private def lpaVotes(edges: DataFrame): DataFrame =
-    edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .unionAll(edges.select(col("dst").cast("long").as("src"),
-        col("src").cast("long").as("dst"))
-        .filter(col("src") =!= col("dst")))
+  private def lpaVotes(edges: DataFrame): DataFrame = {
+    // CANONICALIZE-THEN-MIRROR (round 21, guide §2.3 — shuffle fewer
+    // bytes): the old form unioned both directions FIRST and dedup'd
+    // 2·|E| rows; deduping the (a<b) canonical orientation and
+    // mirroring AFTER the exchange halves the distinct's shuffle rows
+    // and CPU (measured 7.7 s stage CPU → half at sf0.1). Set-identical
+    // output: {canonical ∪ mirror} of the dedup'd unordered pairs IS
+    // the symmetric dedup'd pair set, the two halves cannot collide
+    // (a<b strictly vs b>a), and self-loops die in the a≠b filter.
+    // Null endpoints still drop: least/greatest collapse a one-sided
+    // null to a=b (filtered), a both-null row fails a≠b too.
+    val canon = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
-      .select(col("dst").as("node"), col("src").as("nbr"))
+    canon.select(col("b").as("node"), col("a").as("nbr"))
+      .unionAll(canon.select(col("a").as("node"), col("b").as("nbr")))
+  }
 
   /** One synchronous LPA round over an arbitrary vote/label pair: the
     * neighbor votes, the SELF-VOTE as a union of the label frame
@@ -1297,11 +1334,20 @@ object Graph {
       .distinct().localCheckpoint(eager = false)
     val votes = votes0 match {
       case Some(v0) =>
+        // the frontier-sized `touched` frame is checkpointed (round 21,
+        // r20 ADVICE): without it the patched-votes subtree — a full
+        // edges1 stream-scan plus the frontier dedup — re-executed
+        // inside EVERY round's `into` materialization (rounds×
+        // redundant graph scans), unlike the None branch and the
+        // analogous deg patch in pageRankIncremental. Only `touched`
+        // is checkpointed, not the whole patched union, so v0 stays
+        // the single resident copy of the graph-sized frame.
         val touched = lpaVotes(edges1
           .select(col("src").cast("long").as("src"),
             col("dst").cast("long").as("dst"))
           .join(bcast(changedSym.select(col("node").as("src"),
             col("nbr").as("dst"))), Seq("src", "dst"), "left_semi"))
+          .localCheckpoint(eager = false)
         v0.join(bcast(changedSym), Seq("node", "nbr"), "left_anti")
           .unionByName(touched)
       case None => lpaVotes(edges1).localCheckpoint(eager = false)
@@ -1601,14 +1647,23 @@ object Graph {
       // join produces ran on 2 of 32 cores. One non-coalescible side
       // pins the whole join — and the expansion stage — at full width;
       // the repartition itself moves only frontier-sized bytes.
+      // SHUFFLE_HASH on the frontier side of the hop join and on the
+      // discovered set of the anti-join (round 21, guide §3.1): both
+      // defaulted to sort-merge, paying a per-hop sort of the edge /
+      // candidate frames; the build sides are level- and
+      // discovered-set-sized — the estimator's declared O(sources ×
+      // reach) state, already held in memory as checkpoints — so the
+      // hash build is bounded by contract and the big sides stream.
       val frontier = Fanout.byKeyNoCheckpoint(levels.last, "v")
-      val cand = frontier.join(e, frontier("v") === e("src"))
+      val cand = frontier.hint("SHUFFLE_HASH")
+        .join(e, frontier("v") === e("src"))
         .groupBy(col("s"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("s"), col("dst").as("v"), col("sigma"))
       // BFS invariant: anything already discovered is at a SHORTER (or
       // equal, same-level) distance — only fresh (s,v) pairs join level h
-      val fresh = cand.join(disc, Seq("s", "v"), "left_anti")
+      val fresh = cand.join(disc.hint("SHUFFLE_HASH"), Seq("s", "v"),
+          "left_anti")
         .localCheckpoint(eager = false)
       levels += fresh
       disc = disc.unionAll(fresh.select(col("s"), col("v")))
@@ -1633,8 +1688,17 @@ object Graph {
       val prev = levels(h - 1)
       // the fold join's (s, v) exchanges are ENSURE_REQUIREMENTS on a
       // hop-expanded frame — numbered so the Brandes arithmetic stage
-      // keeps its parallelism ([[Fanout]] lesson, iterative form)
-      val folded = prev.join(
+      // keeps its parallelism ([[Fanout]] lesson, iterative form).
+      // SHUFFLE_HASH on the level side (round 21, guide §3.1): the
+      // planner's default is a sort-merge join, which SORTS the
+      // hop-expanded terms frame per level (measured at sf0.1: a 96 MB
+      // sort feeding 29.6 s of stage CPU — the lane's hottest stage by
+      // 3×). The build side is the level frame — bounded by
+      // sources × level width, the estimator's declared state size and
+      // the same frame the loop already checkpoints in memory — so the
+      // per-partition hash build is safe by the operator's own
+      // contract, and the terms side streams unsorted.
+      val folded = prev.hint("SHUFFLE_HASH").join(
           Fanout.byKeyNoCheckpoint(terms, "s", "v"), Seq("s", "v"), "left")
         .groupBy(col("s"), col("v"), col("sigma"))
         .agg(coalesce(sum(

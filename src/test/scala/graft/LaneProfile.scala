@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** Per-lane job/stage timeline profiler (optimization round 21): runs each
+  * named lane once untimed (warm: JIT + codegen + parquet footers) and once
+  * timed under a listener that records every job's wall interval and every
+  * stage's task-time roll-up, then prints the timeline. The point is to see
+  * WHERE a composite lane (snapshot build + v0 history + maintain + judged
+  * equality) spends its wall: which jobs, which stages, and how much of the
+  * wall is driver-side gaps between jobs (planning/codegen) vs task time.
+  * `Test/runMain graft.LaneProfile lane1,lane2 [sfDir] [cpus]` */
+object LaneProfile {
+  def main(args: Array[String]): Unit = {
+    val lanes = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 2) args(2) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    case class JobRec(start: Long, var end: Long = 0L,
+        stages: TrieMap[Int, String] = TrieMap.empty)
+    val jobs = TrieMap.empty[Int, JobRec]
+    val stageToJob = TrieMap.empty[Int, Int]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs(e.jobId) = JobRec(e.time)
+        e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.get(e.jobId).foreach(_.end = e.time)
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        val wall = (for { a <- si.completionTime; b <- si.submissionTime }
+          yield a - b).getOrElse(-1L)
+        val line = f"stage=${si.stageId}%4d tasks=${si.numTasks}%3d " +
+          f"wall=${wall}%5d ms run=${m.executorRunTime}%6d ms " +
+          f"cpu=${m.executorCpuTime / 1000000}%6d ms " +
+          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1024}%8d K " +
+          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1024}%8d K " +
+          f"in=${m.inputMetrics.bytesRead / 1024}%8d K  ${si.name.take(60)}"
+        stageToJob.get(si.stageId).foreach { jid =>
+          jobs.get(jid).foreach(_.stages(si.stageId) = line)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    lanes.foreach { name =>
+      def exec(): Unit = Queries.byName(name).fn(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      try {
+        exec() // warm
+        jobs.clear(); stageToJob.clear()
+        val t0 = System.nanoTime()
+        exec()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800) // listener bus drain
+        val ordered = jobs.toSeq.sortBy(_._1)
+        val jobWall = ordered.map(j => j._2.end - j._2.start).sum / 1000.0
+        println(f"[prof] ===== $name wall=$wall%6.2f s jobs=${ordered.size} " +
+          f"inJobs=$jobWall%6.2f s (gaps=${wall - jobWall}%5.2f s driver-side)")
+        var prevEnd = 0L
+        ordered.foreach { case (jid, r) =>
+          val gap = if (prevEnd == 0) 0 else r.start - prevEnd
+          prevEnd = r.end
+          println(f"[prof] job=$jid%3d wall=${r.end - r.start}%5d ms " +
+            f"(gap-before=$gap%5d ms) stages=${r.stages.size}")
+          r.stages.toSeq.sortBy(_._1).foreach(s => println("[prof]   " + s._2))
+        }
+      } catch {
+        case e: Exception =>
+          println(s"[prof] $name FAILED: ${e.toString.take(200)}")
+      }
+    }
+    spark.stop()
+  }
+}
