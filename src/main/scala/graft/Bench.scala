@@ -203,7 +203,26 @@ object Bench {
       // -1 marks a failure: propagate it rather than min-ing it away
       name -> (if (t < 0 || t2 < 0) -1.0 else math.min(t, t2))
     }
-    val (full, compact) = render(results, metrics.toMap, errors.toSeq, sfDir)
+    val (full0, compact) = render(results, metrics.toMap, errors.toSeq, sfDir)
+    // run-identity stamp (round 21, r20 verdict item 2): the FULL artifact
+    // names the run it contains — commit, wall-clock, host, core count —
+    // so a cross-round diff knows what it is diffing (the r20 narrative
+    // cited one run while the committed artifact held another). Only the
+    // full line/bench_out.json carries it; the driver-parsed compact line
+    // is unchanged (its budget is the scarce resource).
+    val full = {
+      def gitHead: String = try {
+        val head = Files.readString(Paths.get(".git/HEAD")).trim
+        if (head.startsWith("ref: "))
+          Files.readString(Paths.get(".git/" + head.drop(5))).trim.take(12)
+        else head.take(12)
+      } catch { case _: Throwable => "unknown" }
+      val host = try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: Throwable => "unknown" }
+      val stamp = s""","stamp":{"commit":"$gitHead","utc":"${
+        java.time.Instant.now().toString}","host":"$host","cpus":"$cpus"}"""
+      full0.stripSuffix("}") + stamp + "}"
+    }
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
     println(full)

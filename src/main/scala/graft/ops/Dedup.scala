@@ -396,6 +396,20 @@ object Dedup {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** The single long value of a named `observe` metric, read from the
+    * dataset's EXECUTED plan (round 21): CollectMetrics is backed by an
+    * accumulator, and accumulator updates arrive with task completion —
+    * so after the action that materialized `df` (the loop checkpoints
+    * above), the value is already on the driver. Observation.get would
+    * wait on the ASYNC listener bus for the same number, which under a
+    * busy scheduler adds per-round latency for nothing. */
+  private def observedCount(df: DataFrame, name: String): Long = {
+    val row = df.queryExecution.observedMetrics.getOrElse(name,
+      throw new IllegalStateException(
+        s"observed metric '$name' absent — checkpoint did not execute"))
+    row.getLong(0)
+  }
+
   /** The min-label propagation core of [[components]], WITHOUT the
     * loud-failure contract: runs at most `maxIter` rounds and reports
     * whether a fixpoint was reached, so [[componentsHybrid]] can spend a
@@ -418,21 +432,31 @@ object Dedup {
     var converged = false
     while (!converged && i < maxIter) {
       // each node's new label: min of its own and its neighbors' labels.
-      // Checkpointing the joined (old, new) frame lets BOTH the next
-      // label set and the convergence check read it as narrow scans —
-      // one join per round, not a second labels-vs-next join just to
-      // count changes
+      // Convergence is OBSERVED inside the checkpoint materialization
+      // (round 21, guide §1.2 — don't compute things twice): an
+      // `observe` metric counts changed labels as the rows stream into
+      // the checkpoint, so the old per-round `filter(...).isEmpty`
+      // second action is gone — one Spark job per round, not two. The
+      // count is exact (CollectMetrics sees every row exactly once in
+      // the checkpoint's single full pass), and it is read from the
+      // executed plan's accumulator ([[observedCount]]) rather than
+      // through Observation's listener — accumulators land with job
+      // completion, so the loop never waits on the async listener bus.
       val joinedPlan = labels.join(
           edges.join(labels.select(col("src").as("dst"),
               col("label").as("nlabel")), Seq("dst"))
             .groupBy(col("src")).agg(min(col("nlabel")).as("minn")),
           Seq("src"), "left")
-        .select(col("src"), col("label").as("old"),
-          least(col("label"), col("minn")).as("label"))
+        .select(col("src"),
+          least(col("label"), col("minn")).as("label"),
+          (col("label") =!= least(col("label"), col("minn")))
+            .as("_chg"))
+        .observe("mlr", count(when(col("_chg"), 1)).as("n_chg"))
+        .select(col("src"), col("label"))
       val joined = if (i % 4 == 3) checkpointFreshD(joinedPlan)
         else joinedPlan.localCheckpoint()
-      converged = joined.filter(col("label") =!= col("old")).isEmpty
-      labels = joined.select(col("src"), col("label"))
+      converged = observedCount(joinedPlan, "mlr") == 0L
+      labels = joined
       i += 1
     }
     (labels, converged)
@@ -516,6 +540,15 @@ object Dedup {
       .localCheckpoint()
     var i = 0
     var converged = edges.isEmpty
+    // edge count of the current frame, maintained via observe so each
+    // round's count rides the checkpoint materialization (round 21,
+    // guide §1.2): the old per-round count() + except().isEmpty pair
+    // cost two extra actions per round — now the (exact) anti-join
+    // equality check runs ONLY in rounds where the observed count is
+    // unchanged (a changed count refutes set equality outright; both
+    // frames are distinct by construction, so equal counts + empty
+    // anti ⟺ equal sets).
+    var edgeCount = -1L
     while (!converged && i < maxIter) {
       // LARGE-STAR over the bidirected adjacency: (u, nbr) both ways
       val adj = edges.select(col("hi").as("u"), col("lo").as("nbr"))
@@ -536,10 +569,14 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionAll(ssMin.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
+        .observe("star", count(lit(1)).as("n_edges"))
       val afterSmall = if (i % 4 == 3) checkpointFreshD(afterSmallPlan)
         else afterSmallPlan.localCheckpoint()
-      converged = afterSmall.count() == edges.count() &&
-        afterSmall.except(edges).isEmpty
+      val newCount = observedCount(afterSmallPlan, "star")
+      if (edgeCount < 0L) edgeCount = edges.count()
+      converged = newCount == edgeCount &&
+        afterSmall.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edgeCount = newCount
       edges = afterSmall
       i += 1
     }

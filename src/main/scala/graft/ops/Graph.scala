@@ -320,9 +320,27 @@ object Graph {
       .join(deg.select(col("src").as("node"), col("outdeg")), Seq("node"), "left")
       .localCheckpoint(eager = false)
     val nN = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
-    var rank = nodes.select(col("node"), col("outdeg"),
-      lit(1000000L).as("score"))
-    (1 to iters).foreach { _ =>
+    // round 1 CONSTANT-FOLDED like [[pageRank]] (round 21, guide §2.4):
+    // every round-0 score is the literal 1,000,000, so round 1's
+    // dangling mass is 10⁶ per dangling node (a count over the
+    // checkpointed node frame, no rank filter) and its contributions
+    // read `1000000 div outdeg` off the static frame — no rank join.
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def step(dsh: DataFrame, in: DataFrame): DataFrame =
+      nodes.join(in.select(col("dst").as("node"), col("c")),
+          Seq("node"), "left")
+        .crossJoin(broadcast(dsh))
+        .withColumn("cd", coalesce(col("c"), lit(0L)) + col("dsh"))
+        .select(col("node"), col("outdeg"),
+          (lit(150000L) + expr("(850 * cd) div 1000")).as("score"))
+    val dsh1 = nodes.filter(col("outdeg").isNull)
+      .agg(coalesce(sum(lit(1000000L)), lit(0L)).as("dmass"))
+      .crossJoin(nN)
+      .select(expr("dmass div n_nodes").as("dsh"))
+    val in1 = e.select(col("dst"), expr("1000000 div outdeg").as("contrib"))
+      .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
+    var rank = step(dsh1, in1)
+    (2 to iters).foreach { _ =>
       val dsh = rank.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("score")), lit(0L)).as("dmass"))
         .crossJoin(nN)
@@ -331,12 +349,7 @@ object Graph {
           Seq("src"))
         .select(col("dst"), expr("score div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
-      rank = nodes.join(in.select(col("dst").as("node"), col("c")),
-          Seq("node"), "left")
-        .crossJoin(broadcast(dsh))
-        .withColumn("cd", coalesce(col("c"), lit(0L)) + col("dsh"))
-        .select(col("node"), col("outdeg"),
-          (lit(150000L) + expr("(850 * cd) div 1000")).as("score"))
+      rank = step(dsh, in)
     }
     rank.select(col("node"), col("score"))
   }
@@ -706,7 +719,18 @@ object Graph {
     var rank = base.select(col("src"),
       expr("CASE WHEN base > 0 THEN 1000000L ELSE 0L END").as("score"))
     (1 to iters).foreach { _ =>
-      val contribs = e.join(rank, Seq("src"))
+      // ZERO-SCORE rows are dropped from the join input (round 21,
+      // guide §2.3 — shuffle fewer bytes): a node with score 0
+      // contributes `0 div outdeg = 0` to every sum, and a dst whose
+      // contributions are all zero lands on the same coalesce(c, 0L)
+      // as a dst with no rows at all — identical scores, row for row.
+      // Scores are non-negative throughout (base ≥ 0, floor divisions
+      // of non-negatives), so the filter prunes exactly the no-signal
+      // rows: round 1's edge join touches ONLY the sources' out-edges
+      // (|S| rows, not |V|), and later rounds only the reached set —
+      // the PPR locality the operator's contract promises, now in the
+      // plan instead of zero-arithmetic over the whole graph.
+      val contribs = e.join(rank.filter(col("score") > 0L), Seq("src"))
         .select(col("dst"), expr("score div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("c"))
@@ -1258,7 +1282,23 @@ object Graph {
     // In the pinned branch the cache already carries hash(nbr, n) and
     // EnsureRequirements elides this node as redundant.
     val votesWide = Fanout.byKeyNoCheckpoint(votes, "nbr")
-    (1 to rounds).foreach { _ =>
+    // round 1 FOLDED (round 21, guide §2.4): round-0 labels are the
+    // IDENTITY, so the neighbor's round-0 label IS the neighbor id —
+    // round 1's vote rows are a projection of the static frame plus
+    // the identity self-votes, no label join (the same identity
+    // shortcut labelPropagationIncremental's k == 1 branch uses).
+    // Identical vote multiset: the join against the identity frame
+    // neither filtered (the symmetric frame's nbr side names every
+    // node) nor relabeled anything.
+    labels = votesWide.select(col("node"), col("nbr").as("label"))
+      .unionAll(labels)
+      .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("node"))
+      .agg(max_by(col("label"),
+        struct(col("cnt"), (-col("label")).as("neg"))).as("label"))
+      .localCheckpoint(eager = false)
+    hist += labels
+    (2 to rounds).foreach { _ =>
       labels = lpaRound(votesWide, labels).localCheckpoint(eager = false)
       hist += labels
     }
@@ -1569,9 +1609,19 @@ object Graph {
     val e = Fanout.pinned(
       edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
         .join(wsum, Seq("src")), "src")
-    var rank = e.select(col("src")).distinct()
-      .select(col("src"), lit(1000000L).as("score"))
-    (1 to iters).foreach { _ =>
+    // round 1 CONSTANT-FOLDED like [[pageRank]] (round 21, guide §2.4):
+    // the round-0 score is the literal 1,000,000 for every source, so
+    // the first round reads `(1000000 * w) div wsum` straight off the
+    // static frame — the |E|-row seed distinct and round 1's rank join
+    // drop out of the plan. Identical arithmetic, round for round.
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var rank = e
+      .select(col("dst"), expr("(1000000 * w) div wsum").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("c"))
+      .select(col("dst").as("src"),
+        (lit(150000L) + expr("(850 * c) div 1000")).as("score"))
+    (2 to iters).foreach { _ =>
       rank = e.join(rank, Seq("src"))
         .select(col("dst"), expr("(score * w) div wsum").as("contrib"))
         .groupBy(col("dst"))

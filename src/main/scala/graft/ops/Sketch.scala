@@ -175,12 +175,34 @@ object Sketch {
   def bloomBits(positions: DataFrame, m: Int): Array[Long] = {
     require(m >= 64 && m % 64 == 0,
       s"bloom bit count must be a positive multiple of 64, got $m")
-    val words = new Array[Long](m / 64)
-    positions.select(col("pos").cast("long")).collect().foreach { r =>
-      val p = r.getLong(0)
-      require(p >= 0 && p < m, s"bloom position $p outside [0, $m)")
-      words((p >> 6).toInt) |= 1L << (p & 63)
-    }
+    // DISTRIBUTED OR (round 21, guide §5 — the driver does no data
+    // work): positions pack into (word index, single-bit mask) pairs
+    // and a partial-combining bit_or collapses them EXECUTOR-side, so
+    // the driver collects at most m/64 packed words instead of m
+    // position rows — the treeAggregate-style build the 100 TB
+    // decontamination story needs (a 10⁹-bit filter is ~16M positions
+    // collected before, 16M longs… vs 16M/64 words now, and the OR
+    // arithmetic runs where the data is). The bounds guard is
+    // equivalent to the old per-position require: with an arithmetic
+    // shift, pos ∈ [0, m) ⟺ its word index ∈ [0, m/64) (m is a
+    // multiple of 64 and the in-word offset is masked to 6 bits), so
+    // any out-of-range position still fails loudly.
+    val nWords = m / 64
+    val words = new Array[Long](nWords)
+    positions
+      .select(
+        call_function("shiftright", col("pos").cast("long"), lit(6)).as("w"),
+        call_function("shiftleft", lit(1L),
+          col("pos").cast("long").bitwiseAND(lit(63L)).cast("int")).as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      .collect()
+      .foreach { r =>
+        val w = r.getLong(0)
+        require(w >= 0 && w < nWords,
+          s"bloom position word $w outside [0, $nWords) — position " +
+            s"outside [0, $m)")
+        words(w.toInt) = r.getLong(1)
+      }
     words
   }
 

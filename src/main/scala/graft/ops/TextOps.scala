@@ -699,14 +699,25 @@ object TextOps {
   def langId(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, trainFilter: Column, n: Int = 3): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    // Gram extraction reshaped (round 21, guide §2.3 — shuffle/copy
+    // fewer bytes): the round-20 form exploded the POSITION sequence
+    // and substring'd after the generate, so every per-position row's
+    // UnsafeRow carried a full copy of the document text (|chars| ×
+    // |doc| bytes of memcpy + GC — measured as the lane's dominant
+    // CPU). Building the gram ARRAY once per document and exploding
+    // that emits gram-only rows: the text is traversed once, rows
+    // carry n chars. ArrayTransform is CodegenFallback, but it runs
+    // once per DOCUMENT over a closed n-gram loop — the per-ROW copy
+    // amplification it removes is the hot path. Same gram multiset,
+    // row for row.
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol), col(labelCol),
           concat(lit(" "), lower(col(textCol)), lit(" ")).as("_t"))
         .filter(length(col("_t")) >= n)
-        .select(col(idCol), col(labelCol), col("_t"),
-          explode(expr(s"sequence(1, length(_t) - ${n - 1})")).as("_i"))
         .select(col(idCol), col(labelCol),
-          expr(s"substring(_t, _i, $n)").as("w"))
+          explode(expr(
+            s"transform(sequence(1, length(_t) - ${n - 1})," +
+              s" i -> substring(_t, i, $n))")).as("w"))
     nbArgmax(grams(docs.filter(trainFilter)),
       grams(docs.filter(!trainFilter)).drop(labelCol), idCol, labelCol)
   }

@@ -536,11 +536,22 @@ object QDedup {
       val pairs = Dedup.lshCandidates(
           Dedup.minhash(docs, "text", "doc_id"), "doc_id", maxBucket = 64)
         .select(col("d1"), col("d2"))
+      // the candidate side is SPREAD and the texts BROADCAST (round 21,
+      // guide §2.5/§3.1): the planner broadcast the tiny pair list
+      // instead, so both text-attach joins STREAMED the corpus on the
+      // scan's task count — and the quadratic levenshtein kernel ran
+      // serially in that 1-task stage (two ~0.65 s single-task stages
+      // were the lane's wall). With pairs spread by the numbered
+      // exchange and the text frames broadcast, the per-candidate DP
+      // runs at full width — the placement the operator's own scaladoc
+      // promises ("cost is per-CANDIDATE").
       pairs
-        .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")),
-          Seq("d1"))
-        .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")),
-          Seq("d2"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("d1"))
+        .join(broadcast(docs.select(col("doc_id").as("d1"),
+          col("text").as("t1"))), Seq("d1"))
+        .join(broadcast(docs.select(col("doc_id").as("d2"),
+          col("text").as("t2"))), Seq("d2"))
         .select(col("d1"), col("d2"),
           levenshtein(col("t1"), col("t2")).as("edit_dist"),
           length(col("t1")).as("len1"), length(col("t2")).as("len2"))
