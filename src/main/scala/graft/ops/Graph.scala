@@ -613,15 +613,27 @@ object Graph {
           s"CAST(CAST($c AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)")
           .as(c))
     }
-    var hub = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(1000000L))
-      .localCheckpoint(eager = false)
+    // round 1's AUTHORITY pass CONSTANT-FOLDED (round 21, guide §2.4 —
+    // the [[pageRank]] fold transplanted): every round-0 hub score is
+    // the literal 10⁶, so the first authority raw sum is 10⁶ × in-degree
+    // read straight off the edge frame — the |E|-row hub-seed distinct
+    // and round 1's hub join drop out of the plan. Identical
+    // arithmetic; later rounds and the hub passes are unchanged (the
+    // hub seed frame itself is never needed: round 1's hub pass reads
+    // auth₁, and the final full-outer names every node from hub side
+    // membership — which round 1's hRaw rebuilds from e directly).
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var auth: DataFrame = null
-    (1 to rounds).foreach { _ =>
-      val aRaw = e
-        .join(hub.select(col("node").as("src"), col("h")), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
-        .select(col("dst").as("node"), col("a"))
+    var hub: DataFrame = null
+    (1 to rounds).foreach { r =>
+      val aRaw = if (r == 1)
+        e.groupBy(col("dst"))
+          .agg((count(lit(1)) * 1000000L).as("a"))
+          .select(col("dst").as("node"), col("a"))
+      else
+        e.join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .select(col("dst").as("node"), col("a"))
       auth = rescale(aRaw, "a").localCheckpoint(eager = false)
       val hRaw = e
         .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
@@ -995,6 +1007,18 @@ object Graph {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** The single long value of a named `observe` metric, read from the
+    * dataset's EXECUTED plan after the action that materialized it
+    * (round 21, the [[graft.ops.Dedup]] observedCount discipline):
+    * CollectMetrics is accumulator-backed, so the value lands with job
+    * completion — no second action per loop round and no wait on the
+    * async listener bus. */
+  private def observedCount(df: DataFrame, name: String): Long =
+    df.queryExecution.observedMetrics.getOrElse(name,
+      throw new IllegalStateException(
+        s"observed metric '$name' absent — checkpoint did not execute"))
+      .getLong(0)
+
   def scc(edges: DataFrame, maxOuter: Int = 10,
       maxInner: Int = 40): DataFrame = {
     val raw = edges.select(col("src").cast("long").as("src"),
@@ -1022,11 +1046,14 @@ object Graph {
       while (trimming && t < maxInner) {
         val hasOut = remainingE.select(col("src").as("node")).distinct()
         val hasIn = remainingE.select(col("dst").as("node")).distinct()
-        val trivial = checkpointFresh(
-          remainingN.join(hasOut, Seq("node"), "left_anti")
-            .unionAll(remainingN.join(hasIn, Seq("node"), "left_anti"))
-            .distinct())
-        trimming = !trivial.isEmpty
+        // emptiness observed inside the checkpoint materialization
+        // (round 21, guide §1.2 — one action per trim pass, not two)
+        val trivialPlan = remainingN.join(hasOut, Seq("node"), "left_anti")
+          .unionAll(remainingN.join(hasIn, Seq("node"), "left_anti"))
+          .distinct()
+          .observe("trim", count(lit(1)).as("n_trivial"))
+        val trivial = checkpointFresh(trivialPlan)
+        trimming = observedCount(trivialPlan, "trim") > 0L
         if (trimming) {
           assigned = assigned
             .unionAll(trivial.withColumn("scc_id", col("node")))
@@ -1102,11 +1129,18 @@ object Graph {
                 least(col("pval"), col("ppval")).as("pval"))
             // checkpointFresh, not plain localCheckpoint: the plan
             // joins `labels` several times, so PRESERVED stats would
-            // grow digits ×k per round (see checkpointFresh)
-            val nxt = checkpointFresh(jumped)
-            changed = !nxt.filter(col("color") =!= col("old")).isEmpty
-            labels = nxt.select(col("node"), col("color"), col("ptr"),
-              col("pval"))
+            // grow digits ×k per round (see checkpointFresh). The
+            // fixpoint check rides the SAME materialization as an
+            // observe metric (round 21, guide §1.2 — one action per
+            // hook+jump round, not two).
+            val jumpedObs = jumped
+              .select(col("node"), col("color"), col("ptr"), col("pval"),
+                (col("color") =!= col("old")).as("_chg"))
+              .observe("mlf", count(when(col("_chg"), 1)).as("n_chg"))
+              .select(col("node"), col("color"), col("ptr"), col("pval"))
+            val nxt = checkpointFresh(jumpedObs)
+            changed = observedCount(jumpedObs, "mlf") > 0L
+            labels = nxt
             i += 1
           }
           require(!changed, s"scc $what did not converge in " +
@@ -1305,7 +1339,7 @@ object Graph {
     (hist.result(), votes)
   }
 
-  /** X7y — INCREMENTAL LPA MAINTENANCE (round 20): the standing
+  /** X7w — INCREMENTAL LPA MAINTENANCE (round 20): the standing
     * fixed-round community labeling follows an edge-set change at cost
     * ∝ the change's `rounds`-hop neighborhood, never the graph — the
     * [[pageRankIncremental]] dirty-frontier argument transplanted to

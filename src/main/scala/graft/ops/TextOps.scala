@@ -671,7 +671,7 @@ object TextOps {
       .select(col(idCol), col("cls").as("predicted"), col("score_ppm"))
   }
 
-  /** X4u — character-n-gram LANGUAGE IDENTIFICATION (round 20, r19
+  /** X4v — character-n-gram LANGUAGE IDENTIFICATION (round 20, r19
     * verdict item 6): the Cavnar–Trenkle (1994) / CLD-class langid
     * slot — the one curation stage every real pre-train pipeline runs
     * before quality scoring, which the engine previously assumed as a

@@ -932,7 +932,7 @@ object QLayout {
     bench = true)
 
 
-  /** X7y — INCREMENTAL LPA MAINTENANCE (round 20): the community
+  /** X7w — INCREMENTAL LPA MAINTENANCE (round 20): the community
     * labeling follows the SAME edge snapshot through the same merge as
     * x7_incr_pagerank, at cost ∝ the change's `rounds`-hop
     * neighborhood — the dirty-frontier maintenance pattern

@@ -30,7 +30,21 @@ object LaneProfile {
         stages: TrieMap[Int, String] = TrieMap.empty)
     val jobs = TrieMap.empty[Int, JobRec]
     val stageToJob = TrieMap.empty[Int, Int]
+    // SQL execution intervals: planning time is executionStart → first
+    // job of that execution; the rest of a gap between jobs is broadcast
+    // builds / driver glue. Attributing gaps tells restructuring apart
+    // from unavoidable planning.
+    case class ExecRec(start: Long, var end: Long = 0L, var desc: String = "")
+    val execs = TrieMap.empty[Long, ExecRec]
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs(s.executionId) = ExecRec(s.time, desc = s.description.take(50))
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+          execs.get(s.executionId).foreach(_.end = s.time)
+        case _ => ()
+      }
       override def onJobStart(
           e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs(e.jobId) = JobRec(e.time)
@@ -63,15 +77,33 @@ object LaneProfile {
         .write.format("noop").mode("overwrite").save()
       try {
         exec() // warm
-        jobs.clear(); stageToJob.clear()
+        jobs.clear(); stageToJob.clear(); execs.clear()
         val t0 = System.nanoTime()
         exec()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(800) // listener bus drain
         val ordered = jobs.toSeq.sortBy(_._1)
         val jobWall = ordered.map(j => j._2.end - j._2.start).sum / 1000.0
+        // merged union of job intervals vs merged union of exec intervals:
+        // wall outside every SQL execution = pure driver glue; inside an
+        // execution but before/without jobs = planning + broadcast builds
+        def mergedSpan(iv: Seq[(Long, Long)]): Long = {
+          val s = iv.filter(x => x._2 > x._1).sortBy(_._1)
+          var tot = 0L; var curS = Long.MinValue; var curE = Long.MinValue
+          s.foreach { case (a, b) =>
+            if (a > curE) { tot += (curE - curS).max(0L); curS = a; curE = b }
+            else curE = curE.max(b)
+          }
+          tot + (curE - curS).max(0L)
+        }
+        val jobSpan = mergedSpan(ordered.map(j => (j._2.start, j._2.end)))
+        val execSpan = mergedSpan(execs.values.toSeq.map(e => (e.start, e.end)))
         println(f"[prof] ===== $name wall=$wall%6.2f s jobs=${ordered.size} " +
-          f"inJobs=$jobWall%6.2f s (gaps=${wall - jobWall}%5.2f s driver-side)")
+          f"inJobs=$jobWall%6.2f s (gaps=${wall - jobWall}%5.2f s driver-side)" +
+          f" sqlExecs=${execs.size} jobSpan=${jobSpan / 1000.0}%5.2f" +
+          f" execSpan=${execSpan / 1000.0}%5.2f (plan/bcast inside execs=" +
+          f"${(execSpan - jobSpan) / 1000.0}%5.2f, outside execs=" +
+          f"${wall - execSpan / 1000.0}%5.2f)")
         var prevEnd = 0L
         ordered.foreach { case (jid, r) =>
           val gap = if (prevEnd == 0) 0 else r.start - prevEnd

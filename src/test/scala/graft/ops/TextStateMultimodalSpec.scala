@@ -389,7 +389,7 @@ class TextStateMultimodalSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(5L))
   }
 
-  test("X4u langId: classifies by character-trigram signature (word " +
+  test("X4v langId: classifies by character-trigram signature (word " +
       "tokens identical), pads boundaries, drops sub-n docs, ties to " +
       "the smaller label") {
     // the WORD vocabularies are identical across classes — only the
