@@ -104,6 +104,21 @@ object LaneProfile {
           f" execSpan=${execSpan / 1000.0}%5.2f (plan/bcast inside execs=" +
           f"${(execSpan - jobSpan) / 1000.0}%5.2f, outside execs=" +
           f"${wall - execSpan / 1000.0}%5.2f)")
+        // per-execution table (round 22): each SQL execution's wall, its
+        // jobs, and the planning/broadcast share (exec wall minus the jobs
+        // inside it) — the direct localization for "too many
+        // materializations" findings
+        val t0ms = execs.values.map(_.start).toSeq.sorted.headOption.getOrElse(0L)
+        execs.toSeq.sortBy(_._2.start).foreach { case (eid, er) =>
+          val inside = ordered.filter(j =>
+            j._2.start >= er.start && j._2.end <= er.end + 50)
+          val jw = inside.map(j => j._2.end - j._2.start).sum
+          println(f"[prof] exec=$eid%3d t+${(er.start - t0ms) / 1000.0}%6.2f " +
+            f"wall=${er.end - er.start}%5d ms jobs=${inside.size}%2d " +
+            f"(jobWall=$jw%5d ms, plan/bcast=${er.end - er.start - jw}%5d ms) " +
+            f"[${inside.map(_._1).mkString(",")}] " +
+            er.desc.replace('\n', ' '))
+        }
         var prevEnd = 0L
         ordered.foreach { case (jid, r) =>
           val gap = if (prevEnd == 0) 0 else r.start - prevEnd
